@@ -1,13 +1,53 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.clean.CleanOps
+import graft.extract.Extract
+import graft.merge.Merge
+import graft.meta.MetaOps
+import graft.queries.{CoreQueries, Q}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * `queries`/`oracleSql` are assembled from the per-domain query
+  * registries in `graft.queries`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def registry: Seq[Q] = CoreQueries.all
+
+  /** Flagship end-to-end slice (SURVEY.md §7.2) on sf0.001: scan →
+    * schema cast → clean → META → join → partition window → aggregate →
+    * upsert-merge into a parquet target → read back. Exercises every
+    * architectural seam; driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val targetDir = "/tmp/graft_entry_target"
+    val lineitem = CleanOps.nanToNull(Tables(spark, dir, "lineitem"))
+    val orders = Tables(spark, dir, "orders")
+    val joined = lineitem.join(orders,
+      lineitem("l_orderkey") === orders("o_orderkey"))
+    val windowed = Extract.partitionWindow(joined, "o_orderdate",
+      "1995-01-01 00:00:00", "2005-01-01 00:00:00")
+    val agg = windowed.groupBy("l_returnflag", "l_linestatus")
+      .agg(expr("cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(5,4)) - cast(l_discount as decimal(5,4)))) as double)").as("revenue"),
+        count(lit(1)).as("n"))
+    val staged = MetaOps.addMetadata(agg, LocalDateTime.of(2024, 1, 1, 0, 0),
+      fileName = Some("entry"), processing = Some(LocalDateTime.of(2024, 1, 1, 0, 0)))
+    Merge.insert(staged, targetDir, Merge.Upsert(Seq("l_returnflag", "l_linestatus")))
+    Merge.readTarget(spark, targetDir)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted entries get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    registry.collect { case Q(name, _, Some(sql)) => name -> sql }.toMap
 }

@@ -1,0 +1,106 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.relational.RelationalOps
+import graft.schema.SchemaOps
+
+/** Scan operators (SURVEY.md §2.1). Thin, schema-enforcing wrappers over
+  * Spark's sources. Scans stay declarative so Catalyst's pushdown /
+  * pruning / vectorized parquet reader all apply — `.explain` on any
+  * downstream plan should show `PushedFilters` and a pruned `ReadSchema`.
+  */
+object Readers {
+
+  /** Read every parquet file under a prefix (directory). With a schema:
+    * lenient cast-by-projection, because parts written at different times
+    * can disagree on types ("columns which contain only nulls in one
+    * file", `src/pyveb/spark_client.py:110-113`).
+    * Reference: `read_parquet` `src/pyveb/spark_client.py:107-115`.
+    */
+  def parquet(spark: SparkSession, path: String,
+              schema: Option[StructType] = None): DataFrame = {
+    val df = schema match {
+      case Some(_) => spark.read.option("mergeSchema", "true").parquet(path)
+      case None    => spark.read.parquet(path)
+    }
+    schema.fold(df)(SchemaOps.applySchema(df, _))
+  }
+
+  /** One parquet file, optional cast-enforce.
+    * Reference: `read_single_parquet_file` `src/pyveb/spark_client.py:136-153`. */
+  def singleParquet(spark: SparkSession, file: String,
+                    schema: Option[StructType] = None): DataFrame =
+    parquet(spark, file, schema)
+
+  /** Read N parquet files tolerating per-file schema drift: per-file
+    * read, fold with union-by-name (missing columns → NULL), then one
+    * lenient cast onto the declared schema.
+    * Reference: `read_multiple_parquet_files` `src/pyveb/spark_client.py:177-196`.
+    */
+  def multipleParquet(spark: SparkSession, files: Seq[String],
+                      schema: Option[StructType] = None): DataFrame = {
+    val united = RelationalOps.uniteByName(files.map(f => spark.read.parquet(f)))
+    schema.fold(united)(SchemaOps.applySchema(united, _))
+  }
+
+  /** CSV with header flag + delimiter (reference default `;`), optional
+    * cast-enforce.
+    * Reference: `read_single_csv_file` `src/pyveb/spark_client.py:117-134`. */
+  def csv(spark: SparkSession, files: Seq[String], schema: Option[StructType] = None,
+          header: Boolean = true, delimiter: String = ";"): DataFrame = {
+    val df = spark.read
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(files: _*)
+    schema.fold(df)(SchemaOps.applySchema(df, _))
+  }
+
+  /** Multi-CSV with per-file drift tolerance.
+    * Reference: `read_multiple_csv_files` `src/pyveb/spark_client.py:155-175`. */
+  def multipleCsv(spark: SparkSession, files: Seq[String],
+                  schema: Option[StructType] = None,
+                  header: Boolean = true, delimiter: String = ";"): DataFrame = {
+    val united = RelationalOps.uniteByName(
+      files.map(f => csv(spark, Seq(f), None, header, delimiter)))
+    schema.fold(united)(SchemaOps.applySchema(united, _))
+  }
+
+  /** JSON-lines read (the reference downloads JSON objects from S3,
+    * `src/pyveb/s3_client.py:255-299`). */
+  def json(spark: SparkSession, path: String,
+           schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read.json(path))(s => spark.read.schema(s).json(path))
+
+  /** Binary files as (path, modificationTime, length, content) — the
+    * engine-native form of the reference's byte-stream S3 download
+    * (`download_s3_to_memory` `src/pyveb/s3_client.py:255-272`); feeds
+    * the multimodal column ops.
+    */
+  def binary(spark: SparkSession, path: String, glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
+  /** List files under a prefix, optionally filtering by extension and
+    * dropping empty files — distributed-filesystem analog of the
+    * reference's paginated S3 listing (`list_files`
+    * `src/pyveb/s3_client.py:29-71`; size filter `:73-87`).
+    */
+  def listFiles(spark: SparkSession, prefix: String, fileType: Option[String] = None,
+                minBytes: Long = -1L, maxFiles: Int = Int.MaxValue): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(prefix)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val it = fs.listFiles(p, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext && out.size < maxFiles) {
+      val st = it.next()
+      val name = st.getPath.getName
+      val typeOk = fileType.forall(name.contains)
+      if (st.isFile && typeOk && st.getLen > minBytes) out += st.getPath.toString
+    }
+    out.toSeq
+  }
+}

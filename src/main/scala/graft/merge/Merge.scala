@@ -1,0 +1,141 @@
+package graft.merge
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.relational.RelationalOps
+
+/** Warehouse-style mutation semantics over immutable parquet directories
+  * (SURVEY.md §2.9 "Upsert/Overwrite/Append sink", §7.5.1).
+  *
+  * The reference gets upsert/append/overwrite from Redshift transactions
+  * (`insert` dispatcher `src/pyveb/rs_client.py:339-388`; staging-table
+  * protocol `:68-81`; `_upsert` = DELETE USING composite key + INSERT
+  * `:242-283`; `_full_refresh` `:285-312`; `_append` `:314-337`).
+  * Parquet-on-object-store has no transactional DELETE, so:
+  *
+  *   upsert(target, stage, keys) = target ⟕anti stage  ∪byName  stage
+  *
+  * rewritten to a fresh directory and swapped in with an atomic rename —
+  * re-runs are idempotent (the reference's delete-prefix-before-retry
+  * precedent, `src/pyveb/lynx_client.py:128-131`). At 100 TB the
+  * whole-table rewrite is the wrong default; callers with a partitioned
+  * target should scope the rewrite with `prunePartitions` so only the
+  * partitions present in the stage are read+rewritten (everything else
+  * is untouched — same contract as a warehouse MERGE with partition
+  * pruning). A production deployment would swap this for a table format
+  * (Delta/Iceberg MERGE); the semantics here are identical.
+  */
+object Merge {
+
+  sealed trait InsertMode
+  case object Append extends InsertMode
+  case object Overwrite extends InsertMode
+  /** Delete-matching-composite-key-then-insert (reference `_upsert`). */
+  final case class Upsert(keys: Seq[String]) extends InsertMode
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def targetExists(spark: SparkSession, dir: String): Boolean = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    f.exists(p) && f.listStatus(p).nonEmpty
+  }
+
+  def readTarget(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** The insert dispatcher (`insert_type ∈ {append, overwrite, upsert}`,
+    * `src/pyveb/rs_client.py:339-388`).
+    */
+  def insert(stage: DataFrame, targetDir: String, mode: InsertMode): Unit = mode match {
+    case Append    => append(stage, targetDir)
+    case Overwrite => overwrite(stage, targetDir)
+    case Upsert(k) => upsert(stage, targetDir, k)
+  }
+
+  /** INSERT INTO target SELECT * FROM stage (`_append` `rs_client.py:314-337`). */
+  def append(stage: DataFrame, targetDir: String): Unit =
+    graft.io.Writers.parquet(stage, targetDir, mode = org.apache.spark.sql.SaveMode.Append)
+
+  /** DELETE all + INSERT, atomically (`_full_refresh` `rs_client.py:285-312`). */
+  def overwrite(stage: DataFrame, targetDir: String): Unit =
+    graft.io.Writers.parquet(stage, targetDir, mode = org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Upsert: target rows whose composite key appears in stage are
+    * replaced by the stage rows; new keys are inserted. Idempotent:
+    * upsert(upsert(t,s),s) == upsert(t,s).
+    *
+    * The anti-join shuffles both sides on `keys` unless the stage is
+    * small enough to broadcast — Catalyst/AQE decide. With
+    * `prunePartitions` set (partition-column names present in both
+    * frames), only target partitions that occur in the stage are read,
+    * anti-joined and rewritten; untouched partitions never move.
+    */
+  def upsert(stage: DataFrame, targetDir: String, keys: Seq[String],
+             prunePartitions: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val spark = stage.sparkSession
+    if (!targetExists(spark, targetDir)) { overwrite(stage, targetDir); return }
+
+    if (prunePartitions.nonEmpty) {
+      // Partition-scoped MERGE: rewrite only the stage's partitions.
+      val parts = stage.select(prunePartitions.map(org.apache.spark.sql.functions.col): _*)
+        .distinct().collect()  // partition values only — tiny by definition
+      val pred = parts.map { row =>
+        prunePartitions.zipWithIndex.map { case (c, i) =>
+          org.apache.spark.sql.functions.col(c) === org.apache.spark.sql.functions.lit(row.get(i))
+        }.reduce(_ && _)
+      }.reduceOption(_ || _).getOrElse(org.apache.spark.sql.functions.lit(false))
+      val affected = readTarget(spark, targetDir).where(pred) // partition-pruned scan
+      val merged = RelationalOps.uniteByName(Seq(
+        affected.join(stage.select(keys.map(org.apache.spark.sql.functions.col): _*),
+          keys, "left_anti"),
+        stage))
+      graft.io.Writers.overwritePartitions(merged, targetDir, prunePartitions)
+    } else {
+      val target = readTarget(spark, targetDir)
+      val survivors = target.join(
+        stage.select(keys.map(org.apache.spark.sql.functions.col): _*), keys, "left_anti")
+      val merged = RelationalOps.uniteByName(Seq(survivors, stage))
+      atomicReplace(merged, targetDir)
+    }
+  }
+
+  /** Compute `df`, write it to a sibling temp dir, then swap it in for
+    * `targetDir` with FileSystem renames (atomic on HDFS/local; on S3 a
+    * table format or a committer-with-manifest replaces this).
+    */
+  private def atomicReplace(df: DataFrame, targetDir: String): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark, targetDir)
+    val target = new Path(targetDir)
+    val tmp = new Path(targetDir + "__stage_" + UUID.randomUUID().toString.take(8))
+    val old = new Path(targetDir + "__old_" + UUID.randomUUID().toString.take(8))
+    graft.io.Writers.parquet(df, tmp.toString)
+    if (!f.rename(target, old)) throw new IllegalStateException(s"rename $target -> $old failed")
+    if (!f.rename(tmp, target)) {
+      f.rename(old, target) // roll back
+      throw new IllegalStateException(s"rename $tmp -> $target failed")
+    }
+    f.delete(old, true)
+  }
+
+  /** The pure (non-writing) form of the upsert join — exposed so the
+    * semantics are unit-testable and usable mid-pipeline. */
+  def upsertFrame(target: DataFrame, stage: DataFrame, keys: Seq[String]): DataFrame = {
+    val survivors = target.join(
+      stage.select(keys.map(org.apache.spark.sql.functions.col): _*), keys, "left_anti")
+    RelationalOps.uniteByName(Seq(survivors, stage))
+  }
+
+  /** Conditional upsert: insert only stage rows whose key is NOT in the
+    * target (the reference's NOT EXISTS insert, `upsert_on_condition`
+    * `src/pyveb/rs_client.py:174-233`).
+    */
+  def insertIfAbsentFrame(target: DataFrame, stage: DataFrame, keys: Seq[String]): DataFrame =
+    RelationalOps.uniteByName(Seq(target, stage.join(target, keys, "left_anti")))
+}

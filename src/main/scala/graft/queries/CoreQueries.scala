@@ -1,0 +1,476 @@
+package graft.queries
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.clean.CleanOps
+import graft.extract.Extract
+import graft.merge.Merge
+import graft.meta.MetaOps
+import graft.nested.NestedOps
+import graft.relational.RelationalOps
+import graft.schema.SchemaOps
+
+/** Driver-checkable queries covering the reference's core operator
+  * inventory (SURVEY.md §2.1–§2.10). Each entry runs one engine
+  * operator (or a composed slice) and pairs it with the ANSI SQL its
+  * DuckDB oracle runs on the same parquet tables.
+  *
+  * Numeric discipline: any aggregate over doubles goes through an exact
+  * DECIMAL sum and is cast back to DOUBLE at the end, so summation order
+  * (which differs between Spark partitions and DuckDB) can never change
+  * a digit. Double→int truncation is spelled `trunc` in the oracle
+  * because DuckDB rounds on int casts while Spark truncates.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- aggregation over a scan (TPC-H Q1 shape; SURVEY §2.4) ----
+    Q("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2002-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2002-09-01 00:00:00").cast(TimestampNTZType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          expr("cast(sum(cast(l_quantity as decimal(12,2))) as double)").as("sum_qty"),
+          expr("cast(sum(cast(l_extendedprice as decimal(12,2))) as double)").as("sum_base_price"),
+          expr("cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(5,4)) - cast(l_discount as decimal(5,4)))) as double)").as("sum_disc_price"),
+          expr("cast(sum(cast(l_quantity as decimal(12,2))) as double) / count(*)").as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ---- parquet scan + projection (SURVEY §2.1, §2.2) ----
+    Q("q_scan_project",
+      "SELECT r_regionkey, r_name FROM region") { (s, dir) =>
+      SchemaOps.reindexCols(t(s, dir, "region"), Seq("r_regionkey", "r_name"))
+    },
+
+    // ---- strict schema enforcement: cast-by-projection (§1.3, §2.2) ----
+    Q("q_schema_enforce",
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin) { (s, dir) =>
+      // decimal cast exercised mid-plan; final projection back to double
+      // so both engines emit identical arrow types for the hash compare.
+      SchemaOps.enforceSchema(
+        SchemaOps.enforceSchema(t(s, dir, "customer"), StructType(Seq(
+          StructField("c_custkey", LongType), StructField("c_name", StringType),
+          StructField("c_nationkey", LongType),
+          StructField("c_acctbal", DecimalType(12, 2)),
+          StructField("c_mktsegment", StringType)))),
+        StructType(Seq(StructField("c_acctbal", DoubleType))))
+    },
+
+    // ---- lenient apply_schema: reorder + try_cast + missing→NULL (§2.2) ----
+    Q("q_schema_apply",
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  TRY_CAST(CASE WHEN l_orderkey % 7 = 0 THEN 'bad'
+        |                ELSE CAST(l_orderkey AS VARCHAR) END AS INTEGER) AS s_int,
+        |  TRY_CAST(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') || '.123' AS TIMESTAMP) AS s_ts,
+        |  CAST(NULL AS INTEGER) AS absent
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val dirty = t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        when(col("l_orderkey") % 7 === 0, lit("bad"))
+          .otherwise(col("l_orderkey").cast(StringType)).as("s_int"),
+        concat(date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"), lit(".123")).as("s_ts"))
+      SchemaOps.applySchema(dirty, StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("s_int", IntegerType),
+        StructField("s_ts", TimestampNTZType), StructField("absent", IntegerType))))
+    },
+
+    // ---- nan/null string normalization (§2.2) ----
+    Q("q_nan_to_null",
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 5 IN (0, 1, 2) THEN NULL ELSE c_mktsegment END AS seg
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val dirty = t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit("nan"))
+          .when(col("c_custkey") % 5 === 1, lit("NULL"))
+          .when(col("c_custkey") % 5 === 2, lit(""))
+          .otherwise(col("c_mktsegment")).as("seg"))
+      CleanOps.nanToNull(dirty, Seq("seg"))
+    },
+
+    // ---- NaN / pandas-empty-token normalization (§2.2) ----
+    Q("q_empty_nan_to_null",
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS bal,
+        |  CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_name END AS nm
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val dirty = t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, lit(Double.NaN)).otherwise(col("c_acctbal")).as("bal"),
+        when(col("c_custkey") % 4 === 0, lit("NaT")).otherwise(col("c_name")).as("nm"))
+      CleanOps.emptyAndNanToNull(dirty)
+    },
+
+    // ---- pre-1900 timestamp clamp (§2.2) ----
+    Q("q_clean_old_dates",
+      """SELECT o_orderkey,
+        |  CASE WHEN ts < TIMESTAMP '1900-01-01 00:00:00' THEN TIMESTAMP '1900-01-01 00:00:00'
+        |       ELSE ts END AS ts
+        |FROM (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 10 = 0 THEN o_orderdate - INTERVAL 150 YEAR
+        |             ELSE o_orderdate END AS ts
+        |      FROM orders)""".stripMargin) { (s, dir) =>
+      val dirty = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 0, col("o_orderdate") - expr("INTERVAL 150 YEARS"))
+          .otherwise(col("o_orderdate")).as("ts"))
+      CleanOps.cleanOldDates(dirty, Seq("ts"))
+    },
+
+    // ---- lenient string→int (§2.8; trunc because DuckDB rounds int casts) ----
+    Q("q_string_to_int",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(TRUNC(TRY_CAST(
+        |    CASE WHEN l_orderkey % 11 = 0 THEN 'junk'
+        |         WHEN l_orderkey % 11 = 1 THEN CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) || '.5'
+        |         ELSE CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) END
+        |    AS DOUBLE)) AS INTEGER) AS qty
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val dirty = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_orderkey") % 11 === 0, lit("junk"))
+          .when(col("l_orderkey") % 11 === 1,
+            concat(col("l_quantity").cast(IntegerType).cast(StringType), lit(".5")))
+          .otherwise(col("l_quantity").cast(IntegerType).cast(StringType)).as("qty"))
+      CleanOps.stringToInt(dirty, Seq("qty"))
+    },
+
+    // ---- lenient string→timestamp, fractional tail stripped (§2.8) ----
+    Q("q_string_to_timestamp",
+      """SELECT o_orderkey,
+        |  TRY_CAST(split_part(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.987654', '.', 1)
+        |           AS TIMESTAMP) AS ts
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val dirty = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        concat(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"), lit(".987654")).as("ts"))
+      CleanOps.stringToTimestamp(dirty, Seq("ts"))
+    },
+
+    // ---- ascii fold (§2.8): appended non-ascii junk must vanish ----
+    Q("q_ascii_fold",
+      "SELECT c_custkey, c_name AS s FROM customer") { (s, dir) =>
+      val dirty = t(s, dir, "customer").select(
+        col("c_custkey"), concat(col("c_name"), lit("é→ë")).as("s"))
+      CleanOps.asciiFold(dirty, Seq("s"))
+    },
+
+    // ---- META ingestion columns (§2.2) with pinned values ----
+    Q("q_meta_add",
+      """SELECT r_regionkey, r_name, 'manual' AS META_file_name,
+        |  TIMESTAMP '2024-01-15 00:00:00' AS META_partition_date,
+        |  TIMESTAMP '2024-01-15 12:00:00' AS META_processing_date_utc
+        |FROM region""".stripMargin) { (s, dir) =>
+      MetaOps.addMetadata(t(s, dir, "region"),
+        partitionDate = LocalDateTime.of(2024, 1, 15, 0, 0),
+        fileName = Some("manual"),
+        processing = Some(LocalDateTime.of(2024, 1, 15, 12, 0)))
+    },
+
+    // ---- union-by-name with schema drift (§2.6) ----
+    Q("q_union_drift",
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 100
+        |UNION ALL BY NAME
+        |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      RelationalOps.uniteByName(Seq(
+        o.where(col("o_orderkey") < 100).select("o_orderkey", "o_totalprice"),
+        o.where(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+          .select("o_orderkey", "o_orderstatus")))
+    },
+
+    // ---- exact dedup (§2.4) ----
+    Q("q_dedup_exact",
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem") { (s, dir) =>
+      RelationalOps.dedupExact(t(s, dir, "lineitem").select("l_returnflag", "l_linestatus"))
+    },
+
+    // ---- dedup by key, deterministic first-wins (§2.4) ----
+    // (l_orderkey, l_linenumber) is NOT unique in the fixtures, so the
+    // ordering covers every projected column — any residual tie then has
+    // identical output values and the result is deterministic.
+    Q("q_dedup_bykey",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem)
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) = 1""".stripMargin) { (s, dir) =>
+      RelationalOps.dedupByKeyFirst(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        Seq("l_orderkey"), Seq(col("l_linenumber").asc, col("l_quantity").asc))
+    },
+
+    // ---- duplicate-key detection (§2.4) ----
+    Q("q_duplicate_keys",
+      """SELECT o_custkey, count(*) AS count FROM orders
+        |GROUP BY o_custkey HAVING count(*) > 1""".stripMargin) { (s, dir) =>
+      RelationalOps.duplicateKeys(t(s, dir, "orders"), Seq("o_custkey"))
+    },
+
+    // ---- strict enrichment join, broadcast build side (§2.3) ----
+    Q("q_strict_join",
+      """SELECT c.c_custkey, c.c_nationkey, n.n_name
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = t(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+      RelationalOps.strictEnrichJoin(c, n, Seq("c_nationkey"), Seq("n_name"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    },
+
+    // ---- upsert semantics as a pure frame op (§2.3, §2.9) ----
+    Q("q_upsert",
+      """WITH target AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey < 1000),
+        |stage AS (SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+        |          FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500)
+        |SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM stage)
+        |UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM stage""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val target = o.where(col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val stage = o.where(col("o_orderkey") >= 500 && col("o_orderkey") < 1500)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      Merge.upsertFrame(target, stage, Seq("o_orderkey"))
+    },
+
+    // ---- NOT EXISTS conditional insert (§2.3) ----
+    Q("q_insert_if_absent",
+      """WITH target AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey < 1000),
+        |stage AS (SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+        |          FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500)
+        |SELECT * FROM target
+        |UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM stage
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM target)""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val target = o.where(col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val stage = o.where(col("o_orderkey") >= 500 && col("o_orderkey") < 1500)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      Merge.insertIfAbsentFrame(target, stage, Seq("o_orderkey"))
+    },
+
+    // ---- case-mode equality filter (§2.2) ----
+    Q("q_filter_equals",
+      "SELECT c_custkey, c_mktsegment FROM customer WHERE lower(c_mktsegment) = 'furniture'") { (s, dir) =>
+      RelationalOps.filterEquals(
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        "c_mktsegment", "FURNITURE", "lower")
+    },
+
+    // ---- incremental partition window (§2.10) ----
+    Q("q_partition_window",
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'""".stripMargin) { (s, dir) =>
+      Extract.partitionWindow(
+        t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        "o_orderdate", "1998-01-01 00:00:00", "1999-01-01 00:00:00")
+    },
+
+    // ---- watermark scalar + incremental filter (§2.10) ----
+    Q("q_watermark",
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders
+        |                     WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00')""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val wm = Extract.maxValue(
+        o.where(col("o_orderdate") < lit("2000-01-01 00:00:00").cast(TimestampNTZType)),
+        "o_orderdate").getOrElse(sys.error("empty watermark source"))
+      Extract.afterWatermark(o.select("o_orderkey", "o_orderdate"), "o_orderdate", wm)
+    },
+
+    // ---- scalar aggregate (§2.4) ----
+    Q("q_agg_scalar",
+      "SELECT max(o_orderdate) AS wm FROM orders") { (s, dir) =>
+      t(s, dir, "orders").agg(max(col("o_orderdate")).as("wm"))
+    },
+
+    // ---- struct flatten (§2.7) ----
+    Q("q_flatten_struct",
+      "SELECT c_custkey, c_name, c_acctbal FROM customer") { (s, dir) =>
+      val nested = t(s, dir, "customer").select(
+        col("c_custkey"), struct(col("c_name"), col("c_acctbal")).as("info"))
+      NestedOps.flattenStruct(nested, "info")
+        .select("c_custkey", "c_name", "c_acctbal")
+    },
+
+    // ---- array explode (§2.7) ----
+    Q("q_explode_array",
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents") { (s, dir) =>
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("word"))
+      NestedOps.explodeColumn(words, "word")
+    },
+
+    // ---- stringified-list explode path (§2.7) ----
+    Q("q_explode_string_list",
+      """SELECT l_orderkey, l_linenumber,
+        |  unnest(string_split(l_returnflag || ',' || l_linestatus, ',')) AS item
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val df = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        concat(lit("["), col("l_returnflag"), lit(", "), col("l_linestatus"), lit("]")).as("item"))
+      NestedOps.explodeColumn(df, "item")
+    },
+
+    // ---- HOF filter: drop array elements with empty nested arrays (§2.7) ----
+    Q("q_filter_empty_array",
+      """SELECT doc_id,
+        |  (CASE WHEN len(list_filter(string_split(text, ' '), w -> w LIKE 'a%')) > 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN len(list_filter(string_split(text, ' '), w -> w LIKE 'z%')) > 0 THEN 1 ELSE 0 END)
+        |  + 1 AS n_nonempty
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val df = t(s, dir, "documents").select(
+        col("doc_id"),
+        expr("""array(
+                 named_struct('tags', filter(split(text, ' '), w -> w like 'a%')),
+                 named_struct('tags', filter(split(text, ' '), w -> w like 'z%')),
+                 named_struct('tags', split(text, ' ')))""").as("items"))
+      NestedOps.filterEmptyFromArray(df, "items", "tags")
+        .select(col("doc_id"), size(col("items")).cast(IntegerType).as("n_nonempty"))
+    },
+
+    // ---- arg-max within array (§2.4/§2.7) ----
+    Q("q_argmax_array",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("items"))
+      NestedOps.argMaxInArray(items, "items", "l_quantity")
+        .select(col("l_orderkey"),
+          col("items.l_linenumber").as("l_linenumber"),
+          col("items.l_quantity").as("l_quantity"))
+    },
+
+    // ---- JSON parse with declared schema (§2.7) ----
+    Q("q_json_parse",
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events") { (s, dir) =>
+      val parsed = NestedOps.parseJson(
+        t(s, dir, "events").select("event_id", "props"),
+        "props", StructType(Seq(StructField("k", LongType))))
+      parsed.select(col("event_id"), col("props.k").as("k"))
+    },
+
+    // ---- row → JSON param string (§2.1 API fan-out prep) ----
+    Q("q_to_json_params",
+      """SELECT CAST(to_json(struct_pack(r_regionkey := r_regionkey, r_name := r_name)) AS VARCHAR) AS params
+        |FROM region""".stripMargin) { (s, dir) =>
+      NestedOps.toJsonParams(t(s, dir, "region"))
+    },
+
+    // ---- sort + limit with deterministic tiebreak (§2.5) ----
+    Q("q_sort_limit",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // ---- window rank (§2.5) ----
+    Q("q_window_rank",
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    },
+
+    // ---- rollup aggregation (§2.4 "free" group-set surface) ----
+    Q("q_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(expr("cast(sum(cast(l_quantity as decimal(12,2))) as double)").as("sum_qty"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---- multi-way star join w/ broadcast dims (§2.3; TPC-H Q3 shape) ----
+    Q("q3_join",
+      """SELECT l.l_orderkey,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(5,4)))) AS DOUBLE) AS revenue,
+        |  o.o_orderdate, o.o_orderpriority
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'MACHINERY'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "MACHINERY")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(expr("cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(5,4)) - cast(l_discount as decimal(5,4)))) as double)").as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
+    // ---- deep star join: region→nation→customer→orders→lineitem (§2.3) ----
+    Q("q5_join",
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(5,4)))) AS DOUBLE) AS revenue
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
+      val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(expr("cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(5,4)) - cast(l_discount as decimal(5,4)))) as double)").as("revenue"))
+    },
+
+    // ---- event-time tumbling window aggregation (§2.10) ----
+    Q("q_events_hourly",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(cast(value as decimal(12,2))) as double)").as("sum_value"))
+    }
+  )
+}
