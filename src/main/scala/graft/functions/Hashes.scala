@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic 60-bit string hashes used by dedup / fingerprint /
+  * LSH operators.
+  *
+  * Two tiers:
+  *   - [[fast]]: `xxhash64` — native, codegen'd, the 100 TB path.
+  *   - [[portable]]: first 15 hex chars of md5 as a BIGINT — slower but
+  *     reproducible in any engine (DuckDB: `('0x' || substr(md5(s),1,15))::BIGINT`),
+  *     so oracle-checked queries use this tier. Both are uniform enough
+  *     for minhash/simhash/LSH banding.
+  */
+object Hashes {
+
+  /** xxhash64 of the column (any type), fixed default seed. */
+  def fast(c: Column): Column = xxhash64(c)
+
+  /** Seeded fast hash: mixes an integer seed into the hash input. */
+  def fastSeeded(seed: Int, c: Column): Column = xxhash64(lit(seed), c)
+
+  /** Cross-engine 60-bit hash: BIGINT of md5(s)[0,15) hex chars. */
+  def portable(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Seeded portable hash — seed prefixed into the hashed string. */
+  def portableSeeded(seed: Int, c: Column): Column =
+    portable(concat(lit(seed.toString), lit("|"), c))
+}

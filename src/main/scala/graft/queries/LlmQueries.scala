@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.dedup.DedupOps
+import graft.multimodal.MultimodalOps
+import graft.similarity.SimilarityOps
+import graft.text.TextOps
+
+/** LLM-training-data pipeline queries (dedup / similarity / text /
+  * multimodal) with DuckDB oracles. These use the `portable` md5-based
+  * hash tier so the oracle can reproduce every signature bit; the
+  * production default for the same operators is xxhash64.
+  */
+object LlmQueries {
+
+  private val SIG_K = 16
+  private val BANDS = 8
+
+  // DuckDB fragments reused across oracles.
+  private val duckWords = "string_split_regex(trim(lower(text)), '\\s+')"
+  private def duckHash(e: String) = s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+  private def duckDot(a: String, b: String) =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)])"
+  private def duckCos(a: String, b: String) =
+    s"round(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- token counting: whitespace + BPE-ish regex ----
+    Q("q_text_tokens",
+      s"""SELECT doc_id, CAST(len($duckWords) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).cast(LongType).as("n_bpe"))
+    },
+
+    // ---- quality scoring ----
+    Q("q_text_quality", {
+      val stop = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id, n_chars, n_words,
+        |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / n_words, 4) AS avg_word_len,
+        |  round(punct / n_chars, 6) AS punct_ratio,
+        |  round(stop / n_words, 6) AS stopword_ratio,
+        |  round(least(1.0, greatest(0.0,
+        |    0.2 + 2.0 * (stop / n_words)
+        |        + CASE WHEN n_words >= 20 AND n_words <= 2000 THEN 0.3 ELSE 0.0 END
+        |        - 1.5 * (punct / n_chars))), 6) AS quality_score
+        |FROM (SELECT doc_id, text,
+        |        CAST(length(text) AS DOUBLE) AS n_chars,
+        |        CAST(len($duckWords) AS DOUBLE) AS n_words,
+        |        CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+        |        CAST(len(list_filter($duckWords, w -> w IN ($stop))) AS DOUBLE) AS stop
+        |      FROM documents)""".stripMargin
+    }) { (s, dir) =>
+      TextOps.qualityScore(Tables(s, dir, "documents"), "text")
+        .select("doc_id", "n_chars", "n_words", "avg_word_len",
+          "punct_ratio", "stopword_ratio", "quality_score")
+    },
+
+    // ---- language-ID heuristic ----
+    Q("q_text_langid", {
+      def sc(markers: Seq[String]) =
+        s"len(list_filter($duckWords, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+      val Seq(en, de, fr, es) = TextOps.LangMarkers.map(m => sc(m._2))
+      s"""SELECT doc_id,
+        |  CASE WHEN $es > greatest($en, $de, $fr) THEN 'es'
+        |       WHEN $fr > greatest($en, $de) THEN 'fr'
+        |       WHEN $de > $en THEN 'de'
+        |       WHEN $en > 0 THEN 'en'
+        |       ELSE 'und' END AS lang_pred
+        |FROM documents""".stripMargin
+    }) { (s, dir) =>
+      TextOps.langId(Tables(s, dir, "documents"), "text")
+        .select("doc_id", "lang_pred")
+    },
+
+    // ---- content fingerprint ----
+    Q("q_text_fingerprint",
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+    },
+
+    // ---- exact dedup over a corpus with planted duplicates ----
+    Q("q_dedup_exact_docs",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  min(doc_id) AS rep_id, count(*) AS n_copies
+        |FROM corpus GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      DedupOps.contentGroups(corpus, "doc_id", "text")
+    },
+
+    // ---- exact n-gram Jaccard near-dup pairs ----
+    Q("q_dedup_jaccard",
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin) { (s, dir) =>
+      DedupOps.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxBucket = 100000)
+    },
+
+    // ---- MinHash + LSH banded near-dup pairs (portable hash tier) ----
+    Q("q_dedup_minhash",
+      s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sig AS (
+        |  SELECT doc_id,
+        |    [list_min(list_transform(s, x -> ${duckHash("CAST(j AS VARCHAR) || '|' || x")})) for j in range(0, $SIG_K)] AS sig
+        |  FROM sh WHERE len(s) > 0),
+        |bands AS (
+        |  SELECT doc_id, sig, b, array_to_string(sig[2*b+1:2*b+2], ',') AS key
+        |  FROM sig, (SELECT unnest(range(0, $BANDS)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  list_sum([CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END for i in range(1, ${SIG_K + 1})]) / $SIG_K.0 AS est_jaccard
+        |FROM cand
+        |WHERE list_sum([CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END for i in range(1, ${SIG_K + 1})]) / $SIG_K.0 >= 0.4""".stripMargin) { (s, dir) =>
+      DedupOps.minhashNearDupPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, k = SIG_K, bands = BANDS, threshold = 0.4,
+        portable = true, maxBucket = 100000)
+    },
+
+    // ---- SimHash document signatures (portable hash tier) ----
+    Q("q_dedup_simhash",
+      s"""WITH tok AS (SELECT doc_id, unnest($duckWords) AS t FROM documents),
+        |th AS (SELECT doc_id, ${duckHash("t")} AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(range(0, 16)) AS b) GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        DedupOps.simhash(col("text"), bits = 16, portable = true).as("simhash"))
+    },
+
+    // ---- embedding norms ----
+    Q("q_embed_norm",
+      s"""SELECT vec_id, round(sqrt(${duckDot("embedding", "embedding")}), 6) AS norm
+        |FROM embeddings""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "embeddings").select(
+        col("vec_id"), round(SimilarityOps.l2Norm(col("embedding")), 6).as("norm"))
+    },
+
+    // ---- brute-force cosine top-k (broadcast queries × corpus) ----
+    Q("q_sim_topk_brute",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        |s AS (SELECT query_id, vec_id AS corpus_id, ${duckCos("qv", "embedding")} AS cos
+        |      FROM embeddings, q WHERE vec_id <> query_id)
+        |SELECT query_id, corpus_id, cos, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(
+        e.where(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", k = 5)
+        .select("query_id", "corpus_id", "cos", "rank")
+    },
+
+    // ---- sign-LSH bucketed approximate top-k ----
+    Q("q_sim_topk_lsh",
+      s"""WITH e AS (SELECT vec_id, embedding,
+        |    CAST(list_sum([CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END for i in range(0, 8)]) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 20),
+        |s AS (SELECT query_id, e.vec_id AS corpus_id, ${duckCos("qv", "embedding")} AS cos
+        |      FROM e JOIN q USING (bucket) WHERE e.vec_id <> query_id)
+        |SELECT query_id, corpus_id, cos, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      SimilarityOps.lshTopK(
+        e.where(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", k = 5, nbits = 8)
+        .select("query_id", "corpus_id", "cos", "rank")
+    },
+
+    // ---- embedding-cosine near-dup pairs via bucketed candidates ----
+    Q("q_embed_near_dup",
+      s"""WITH e AS (SELECT vec_id, embedding,
+        |    CAST(list_sum([CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END for i in range(0, 4)]) AS BIGINT) AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCos("a.embedding", "b.embedding")} AS cos
+        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3""".stripMargin) { (s, dir) =>
+      SimilarityOps.cosineNearDupPairs(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.3, nbits = 4)
+    },
+
+    // ---- multimodal: binary payload + stub decode metadata ----
+    Q("q_mm_meta",
+      s"""SELECT doc_id AS media_id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |  CAST(64 + (${duckHash("md5(text)")} % 1217) AS INTEGER) AS width,
+        |  CAST(64 + (${duckHash("md5(text)")} % 977) AS INTEGER) AS height,
+        |  3 AS channels
+        |FROM documents""".stripMargin) { (s, dir) =>
+      MultimodalOps.fakeDecodeMeta(
+        MultimodalOps.attachBinary(Tables(s, dir, "documents"), "doc_id", "text", "text"))
+        .select("media_id", "n_bytes", "width", "height", "channels")
+    },
+
+    // ---- multimodal: frame sampling explode ----
+    Q("q_mm_frames",
+      """SELECT doc_id AS media_id,
+        |  unnest(range(0, CAST(floor(octet_length(text::BLOB) / 100) AS INTEGER) + 1, 10)) AS frame_idx
+        |FROM documents""".stripMargin) { (s, dir) =>
+      MultimodalOps.sampleFrames(
+        MultimodalOps.attachBinary(Tables(s, dir, "documents"), "doc_id", "text", "video"),
+        bytesPerFrame = 100, step = 10)
+    },
+
+    // ---- multimodal: batched per-partition feature extraction ----
+    // (mapPartitions plumbing; kernel is a stub → rows-only check)
+    Q.rowsOnly("q_mm_features") { (s, dir) =>
+      MultimodalOps.decodeBatched(s,
+        MultimodalOps.attachBinary(Tables(s, dir, "documents"), "doc_id", "text", "image"))
+        .toDF()
+    }
+  )
+}

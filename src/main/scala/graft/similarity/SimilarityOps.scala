@@ -1,0 +1,126 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor / similarity search over embedding
+  * columns (`Array[Float]`).
+  *
+  * Extension surface beyond the reference (BASELINE.json north star).
+  *
+  * Scale design (100 TB posture):
+  *   - Brute-force top-k is the exactness baseline: the (small) query
+  *     set is **broadcast**, the corpus streams through a
+  *     BroadcastNestedLoopJoin — corpus never shuffles, cost is
+  *     O(|corpus|·|queries|) FLOPs spread across executors.
+  *   - The scale path is sign-LSH bucketing: corpus and queries get a
+  *     deterministic hyperplane-sign bucket; candidates meet in an
+  *     equi-join on the bucket key (shuffle on bucket, no cross join).
+  *     Multi-probe (flip one bit) trades recall for fan-out.
+  *   - Dot products are sequential double folds (zip_with+aggregate,
+  *     codegen'd) — deterministic, no UDFs.
+  */
+object SimilarityOps {
+
+  /** Deterministic sequential-fold dot product (double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two vector columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** L2-normalize a vector column. */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    transform(a, x => x.cast(DoubleType) / n)
+  }
+
+  /** Exact brute-force cosine top-k. `queries`(qidCol, vec) is
+    * broadcast; every corpus row is scored against every query and the
+    * per-query top-k kept (row_number window, cosine rounded to 6 dp
+    * with id tiebreak for cross-engine determinism).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     qidCol: String, cidCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic sign-LSH bucket: bit i = sign of component i of the
+    * first `nbits` dimensions (a fixed axis-aligned "hyperplane" set —
+    * deterministic and engine-portable; swap in seeded random
+    * projections via [[projectionBucket]] for better balance).
+    */
+  def signBucket(vec: Column, nbits: Int): Column =
+    aggregate(
+      zip_with(slice(vec, 1, nbits), sequence(lit(0), lit(nbits - 1)),
+        (x, b) => when(x > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Seeded random-projection bucket: bit j = sign(v · r_j) where r_j
+    * is a deterministic ±1 vector derived from xxhash64(seed, j, dim).
+    * Better-balanced buckets than [[signBucket]]; not oracle-portable.
+    */
+  def projectionBucket(vec: Column, nbits: Int, dim: Int, seed: Int = 42): Column = {
+    val proj = (0 until nbits).map { j =>
+      val prod = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, i) => when(pmod(xxhash64(lit(seed), lit(j), i), lit(2)) === 0,
+            x.cast(DoubleType)).otherwise(-x.cast(DoubleType))),
+        lit(0.0), (acc, v) => acc + v)
+      when(prod > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    proj.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: queries and corpus join on their
+    * sign bucket (equi-join; no cross join), then per-query top-k among
+    * the colliding candidates. Recall < 1 by construction — pair with
+    * multi-probe or more/fewer bits to tune.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              qidCol: String, cidCol: String, vecCol: String,
+              k: Int, nbits: Int = 8): DataFrame = {
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+      signBucket(col(vecCol), nbits).as("__bucket"))
+    val c = corpus.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
+      signBucket(col(vecCol), nbits).as("__bucket"))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs over one corpus: sign-LSH
+    * bucket candidates (id_a < id_b in the same bucket), exact cosine
+    * filter at `threshold`. Vectors that are near-duplicates at high
+    * thresholds almost surely share the bucket; lower `nbits` for
+    * higher recall at lower thresholds.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nbits: Int = 4): DataFrame = {
+    val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      signBucket(col(vecCol), nbits).as("__bucket"))
+    b.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("__va"))
+      .join(b.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb")),
+        Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("__va"), col("__vb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}
