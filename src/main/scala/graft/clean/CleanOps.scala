@@ -95,7 +95,12 @@ object CleanOps {
     */
   def stringToInt(df: DataFrame, cols: Seq[String]): DataFrame =
     df.withColumns(cols.map { c =>
-      c -> expr(s"cast(try_cast(`$c` AS double) AS int)")
+      // guard: 'nan'/'Infinity' parse as non-finite doubles, and Spark
+      // casts NaN→0 / Inf→Int.MaxValue — both must be NULL instead.
+      c -> expr(s"""cast(
+        case when isnan(try_cast(`$c` AS double))
+               or abs(try_cast(`$c` AS double)) = double('Infinity') then null
+             else try_cast(`$c` AS double) end AS int)""")
     }.toMap)
 
   /** String → timestamp: strip the fractional-seconds tail, parse

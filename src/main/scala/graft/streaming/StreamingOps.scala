@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming operators (SURVEY.md §2.10).
+  *
+  * The reference's only "streaming" is a bounded server-side cursor
+  * yielding fixed-size row batches, one parquet file per batch
+  * (`/root/reference/src/pyveb/rs_client.py:537-551`) — semantically a
+  * file-arrival micro-batch with at-least-once replace. That maps to
+  * [[fileMicroBatch]] with `Trigger.AvailableNow` (bounded: drain all
+  * available input then stop — exactly-once via checkpoint + sink
+  * manifest, superseding the reference's delete-prefix idempotency).
+  *
+  * Event-time windows + watermarks and keyed session state go beyond
+  * the reference surface (its pipelines are processing-date-partitioned
+  * only) but are first-class here because a 100 TB ingest is usually a
+  * continuous one: the same `events`-shaped table arrives forever, and
+  * the engine must aggregate it without reprocessing history.
+  */
+object StreamingOps {
+
+  /** File-arrival micro-batch ingest: read parquet files as they land
+    * under `srcDir`, apply a batch-composable transform, append to a
+    * parquet sink. `maxFilesPerTrigger` bounds each micro-batch (the
+    * analog of the reference's `extract_size`); AvailableNow processes
+    * the backlog then stops (the reference's bounded-cursor contract).
+    */
+  def fileMicroBatch(spark: SparkSession, srcDir: String, schema: StructType,
+                     transform: DataFrame => DataFrame,
+                     outDir: String, checkpointDir: String,
+                     maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    transform(src).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Event-time tumbling-window aggregation with a watermark: counts
+    * and sums per (window, key); late rows beyond `lateness` dropped,
+    * state bounded by the watermark (mandatory at scale — unbounded
+    * window state is a driver OOM at 100 TB).
+    */
+  def windowedAgg(events: DataFrame, tsCol: String, keyCol: String, valCol: String,
+                  window: String = "1 hour", lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valCol)).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(n: Long, sum: Double, start: Long, last: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, sum_value: Double,
+                              duration_secs: Long)
+
+  /** Keyed session aggregation with an inactivity gap, via
+    * `flatMapGroupsWithState` — custom state per user, emitted when the
+    * processing-time timeout fires. State is per-key and bounded; the
+    * shuffle is on `user_id`.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L)
+                (implicit e1: org.apache.spark.sql.Encoder[SessionOut]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (user, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.n, s.sum, (s.last - s.start) / 1000))
+          } else {
+            val evs = it.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0, 0.0, Long.MaxValue, Long.MinValue))
+            val next = evs.foldLeft(prev) { (s, ev) =>
+              SessionState(s.n + 1, s.sum + ev.value,
+                math.min(s.start, ev.ts.getTime), math.max(s.last, ev.ts.getTime))
+            }
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Batch-mode sessionization with the same gap semantics (event-time
+    * gaps via lag + cumulative session ids) — for bounded backfills of
+    * the same pipeline. One shuffle on (user, ts).
+    */
+  def sessionizeBatch(events: DataFrame, userCol: String, tsCol: String,
+                      valCol: String, gapSecs: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol))
+    val withGap = events.withColumn("__prev", lag(col(tsCol), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev")) > gapSecs, 1)
+          .otherwise(0))
+      .withColumn("__session", sum(col("__new_session")).over(byUser))
+    withGap.groupBy(col(userCol), col("__session"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valCol)).as("sum_value"),
+        min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"))
+      .drop("__session")
+  }
+}

@@ -48,8 +48,11 @@ object TypeMaps {
     case _                                             => "VARCHAR(65535)"
   }
 
-  private val ColumnDef =
-    "^\\s*\\[?([^\\]\\[]+?)\\]?\\s+([a-zA-Z0-9]+(?:\\s*\\(\\s*[0-9]+(?:\\s*,\\s*[0-9]+)?\\s*\\)|\\s*\\(\\s*max\\s*\\))?)".r
+  private val TypePart =
+    "([a-zA-Z0-9]+(?:\\s*\\(\\s*[0-9]+(?:\\s*,\\s*[0-9]+)?\\s*\\)|\\s*\\(\\s*max\\s*\\))?)"
+  // bracketed names may contain spaces/commas/parens: [name (full), x]
+  private val BracketedDef = ("^\\s*\\[([^\\]]+)\\]\\s+" + TypePart).r
+  private val ColumnDef = ("^\\s*([^\\s\\]\\[]+)\\s+" + TypePart).r
 
   /** Parse a `CREATE TABLE` DDL body into a StructType, sanitizing
     * column names the way the reference does (strip ` (),;{}\n\t=`,
@@ -64,14 +67,15 @@ object TypeMaps {
       require(start >= 0 && end > start, "ddlToStructType: no (...) column block")
       ddl.substring(start + 1, end)
     }
-    // split on commas not inside parentheses (decimal(12,2) stays whole)
+    // split on commas not inside parentheses or [bracketed names]
+    // (decimal(12,2) and [col, weird] stay whole)
     val parts = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       val sb = new StringBuilder
       var depth = 0
       body.foreach {
-        case '(' => depth += 1; sb.append('(')
-        case ')' => depth -= 1; sb.append(')')
+        case c @ ('(' | '[') => depth += 1; sb.append(c)
+        case c @ (')' | ']') => depth -= 1; sb.append(c)
         case ',' if depth == 0 => out += sb.toString; sb.clear()
         case ch => sb.append(ch)
       }
@@ -82,7 +86,7 @@ object TypeMaps {
     val fields = parts.flatMap { p =>
       val line = p.trim
       if (line.isEmpty || skip.contains(line.split("\\s+").head.toLowerCase)) None
-      else ColumnDef.findFirstMatchIn(line).map { m =>
+      else BracketedDef.findFirstMatchIn(line).orElse(ColumnDef.findFirstMatchIn(line)).map { m =>
         val name = graft.schema.SchemaOps.sanitizeName(m.group(1))
         StructField(name, sqlServerToSpark(m.group(2)), nullable = true)
       }

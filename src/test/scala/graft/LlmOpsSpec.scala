@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupOps
+import graft.similarity.SimilarityOps
+import graft.text.TextOps
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different content about spark engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("wordShingles: n-grams, distinct, short-text → empty") {
+    val sh = docs.select(col("doc_id"), DedupOps.wordShingles(col("text"), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).size == 7)
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(5L).isEmpty)
+  }
+
+  test("charShingles slide over normalized text") {
+    val sh = Seq((1L, "AB  cd")).toDF("id", "t")
+      .select(DedupOps.charShingles(col("t"), 3)).as[Seq[String]].head()
+    assert(sh == Seq("ab ", "b c", " cd"))
+  }
+
+  test("contentGroups groups exact duplicates") {
+    val g = DedupOps.contentGroups(docs, "doc_id", "text")
+    assert(g.count() == 4)
+    assert(g.where(col("n_copies") === 2).select("rep_id").as[Long].head() == 1L)
+  }
+
+  test("exactDedup first-wins keeps lowest-ordered copy") {
+    val out = DedupOps.exactDedup(docs, "text", Seq(col("doc_id").asc))
+    assert(out.count() == 4)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("ngramJaccardPairs finds near-dups, exact jaccard value") {
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, threshold = 0.4)
+      .as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 4L)) == 1.0)                   // exact dup
+    assert(m.contains((1L, 2L)) && m((1L, 2L)) > 0.5 && m((1L, 2L)) < 1.0)
+    assert(m.contains((2L, 4L)))
+    assert(!m.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash est-jaccard ≈ true jaccard; LSH finds planted pairs") {
+    val pairs = DedupOps.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.4)
+      .as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 4L)) == 1.0)         // identical signatures
+    assert(m.contains((1L, 2L)))       // near-dup found
+    assert(!m.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical texts equal, near-dups close, different far") {
+    val h = docs.select(col("doc_id"), DedupOps.simhash(col("text"), 32).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) == h(4L))
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
+  }
+
+  test("hammingDistance column matches bitCount") {
+    val d = Seq((0xFFL, 0x0FL)).toDF("a", "b")
+      .select(DedupOps.hammingDistance(col("a"), col("b"))).as[Int].head()
+    assert(d == 4)
+  }
+
+  test("text quality/langid/tokens behave on markers") {
+    val df = Seq(
+      (1L, "the cat and the dog in the house"),
+      (2L, "der hund und die katze ist hier"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val lang = TextOps.langId(df, "text").select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(lang(1L) == "en" && lang(2L) == "de" && lang(3L) == "und")
+    val q = TextOps.qualityScore(df, "text")
+    val scores = q.select("quality_score").as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(df.select(TextOps.tokenCount(col("text"))).as[Int].head() == 8)
+  }
+
+  // small positive epsilons instead of exact zeros: real embeddings have
+  // no exact-zero components, and the sign bucket needs consistent signs
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.01f, 0.01f)),
+    (1L, Array(0.9f, 0.1f, 0.01f)),    // close to 0
+    (2L, Array(0.01f, 1.0f, 0.01f)),   // near-orthogonal to 0
+    (3L, Array(-1.0f, -0.01f, -0.01f)) // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine/dot/norm behave on near-axes") {
+    val c = vecs.where(col("vec_id") === 0)
+      .crossJoin(vecs.where(col("vec_id") === 2).select(col("embedding").as("e2")))
+      .select(SimilarityOps.cosine(col("embedding"), col("e2"))).as[Double].head()
+    assert(math.abs(c) < 0.05) // near-orthogonal
+    val n = vecs.where(col("vec_id") === 0)
+      .select(SimilarityOps.l2Norm(col("embedding"))).as[Double].head()
+    assert(math.abs(n - 1.0) < 0.001)
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak") {
+    val out = SimilarityOps.bruteForceTopK(
+      vecs.where(col("vec_id") === 0), vecs, "vec_id", "vec_id", "embedding", k = 3)
+      .select("corpus_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // by descending cosine
+  }
+
+  test("lshTopK returns a subset of brute-force candidates in same bucket") {
+    val brute = SimilarityOps.bruteForceTopK(
+      vecs.where(col("vec_id") === 0), vecs, "vec_id", "vec_id", "embedding", k = 3)
+      .select("corpus_id").as[Long].collect().toSet
+    val lsh = SimilarityOps.lshTopK(
+      vecs.where(col("vec_id") === 0), vecs, "vec_id", "vec_id", "embedding", k = 3, nbits = 3)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(lsh.subsetOf(brute))
+    assert(lsh.contains(1L)) // the near neighbor shares the sign bucket
+  }
+
+  test("normalize yields unit vectors") {
+    val n = vecs.select(SimilarityOps.l2Norm(SimilarityOps.normalize(col("embedding"))))
+      .as[Double].collect()
+    assert(n.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("multimodal: batched decode is deterministic, frame sampling counts") {
+    val media = graft.multimodal.MultimodalOps.attachBinary(docs, "doc_id", "text", "image")
+    val f = graft.multimodal.MultimodalOps.decodeBatched(spark, media).collect()
+    assert(f.length == 5)
+    val f1 = f.find(_.media_id == 1L).get
+    assert(f1.n_bytes == 43 && f1.first_byte == 't'.toInt)
+    val frames = graft.multimodal.MultimodalOps.sampleFrames(media, bytesPerFrame = 10, step = 2)
+    assert(frames.where(col("media_id") === 1L).count() == 3) // 43/10=4 → 0,2,4
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.merge.Merge
+import graft.relational.RelationalOps
+
+/** FIXTURES.md §B.5 upsert_pair + §B.7 enrich_join/dedup. */
+class RelationalMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("uniteByName tolerates drift in both directions") {
+    val a = Seq((1, "x")).toDF("id", "a_only")
+    val b = Seq((2, 9.9)).toDF("id", "b_only")
+    val out = RelationalOps.uniteByName(Seq(a, b))
+    assert(out.columns.toSet == Set("id", "a_only", "b_only"))
+    assert(out.count() == 2)
+    assert(out.where(col("id") === 1).select("b_only").head().isNullAt(0))
+  }
+
+  test("dedupByKeyFirst keeps first row per key in declared order") {
+    val df = Seq((1, 2, "b"), (1, 1, "a"), (2, 5, "c")).toDF("k", "ord", "v")
+    val out = RelationalOps.dedupByKeyFirst(df, Seq("k"), Seq(col("ord").asc))
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "a", 2 -> "c"))
+  }
+
+  test("strictEnrichJoin throws when a left row has no match (merge_dicts contract)") {
+    val left = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
+    val right = Seq((1, "A"), (2, "B")).toDF("id", "add")
+    intercept[IllegalStateException] {
+      RelationalOps.strictEnrichJoin(left, right, Seq("id"), Seq("add")).collect()
+    }
+    // non-strict: inner join semantics, missing rows dropped
+    val loose = RelationalOps.strictEnrichJoin(left, right, Seq("id"), Seq("add"), strict = false)
+    assert(loose.count() == 2)
+  }
+
+  test("duplicateKeys empty ⇔ no duplicates") {
+    val clean = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val dup = Seq((1, "a"), (1, "b")).toDF("k", "v")
+    assert(RelationalOps.duplicateKeys(clean, Seq("k")).isEmpty)
+    assert(RelationalOps.duplicateKeys(dup, Seq("k")).count() == 1)
+  }
+
+  test("filterEquals case modes") {
+    val df = Seq("Foo", "FOO", "bar").toDF("s")
+    assert(RelationalOps.filterEquals(df, "s", "foo", "lower").count() == 2)
+    assert(RelationalOps.filterEquals(df, "s", "Foo", "sensitive").count() == 1)
+    intercept[IllegalArgumentException] {
+      RelationalOps.filterEquals(df, "s", "x", "bogus")
+    }
+  }
+
+  private def freshDir() = Files.createTempDirectory("graft_merge").toString + "/target"
+
+  test("upsert: composite-key delete+insert, new keys inserted (FIXTURES §B.5)") {
+    val target = Seq((1, "a", 10), (1, "b", 20), (2, "a", 30)).toDF("k1", "k2", "v")
+    val stage = Seq((1, "b", 99), (3, "c", 40)).toDF("k1", "k2", "v")
+    val dir = freshDir()
+    Merge.insert(target, dir, Merge.Overwrite)
+    Merge.insert(stage, dir, Merge.Upsert(Seq("k1", "k2")))
+    val out = Merge.readTarget(spark, dir).as[(Int, String, Int)].collect().toSet
+    assert(out == Set((1, "a", 10), (1, "b", 99), (2, "a", 30), (3, "c", 40)))
+  }
+
+  test("upsert idempotency: applying the same stage twice == once") {
+    val target = Seq((1, "x", 1), (2, "y", 2)).toDF("k", "s", "v")
+    val stage = Seq((2, "y", 99), (3, "z", 3)).toDF("k", "s", "v")
+    val dir = freshDir()
+    Merge.insert(target, dir, Merge.Overwrite)
+    Merge.upsert(stage, dir, Seq("k"))
+    val once = Merge.readTarget(spark, dir).collect().toSet
+    Merge.upsert(stage, dir, Seq("k"))
+    val twice = Merge.readTarget(spark, dir).collect().toSet
+    assert(once == twice)
+  }
+
+  test("upsert into missing target == overwrite") {
+    val stage = Seq((1, 1)).toDF("k", "v")
+    val dir = freshDir()
+    Merge.upsert(stage, dir, Seq("k"))
+    assert(Merge.readTarget(spark, dir).count() == 1)
+  }
+
+  test("append accumulates; overwrite replaces") {
+    val dir = freshDir()
+    Merge.insert(Seq((1, 1)).toDF("k", "v"), dir, Merge.Append)
+    Merge.insert(Seq((2, 2)).toDF("k", "v"), dir, Merge.Append)
+    assert(Merge.readTarget(spark, dir).count() == 2)
+    Merge.insert(Seq((9, 9)).toDF("k", "v"), dir, Merge.Overwrite)
+    assert(Merge.readTarget(spark, dir).as[(Int, Int)].collect().toSeq == Seq((9, 9)))
+  }
+
+  test("partition-scoped upsert rewrites only the stage's partitions") {
+    val dir = freshDir()
+    val target = Seq((1, "p1", 10), (2, "p1", 20), (3, "p2", 30)).toDF("k", "part", "v")
+    graft.io.Writers.parquet(target, dir, partitionBy = Seq("part"))
+    val stage = Seq((2, "p1", 99), (4, "p1", 40)).toDF("k", "part", "v")
+    Merge.upsert(stage, dir, Seq("k"), prunePartitions = Seq("part"))
+    val out = Merge.readTarget(spark, dir)
+      .select("k", "part", "v").as[(Int, String, Int)].collect().toSet
+    assert(out == Set((1, "p1", 10), (2, "p1", 99), (3, "p2", 30), (4, "p1", 40)))
+  }
+
+  test("insertIfAbsentFrame: NOT EXISTS semantics — existing keys NOT updated") {
+    val target = Seq((1, 10), (2, 20)).toDF("k", "v")
+    val stage = Seq((2, 99), (3, 30)).toDF("k", "v")
+    val out = Merge.insertIfAbsentFrame(target, stage, Seq("k"))
+      .as[(Int, Int)].collect().toSet
+    assert(out == Set((1, 10), (2, 20), (3, 30)))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.schema.SchemaOps
+import graft.types.TypeMaps
+
+/** FIXTURES.md §B.3 drifted_parts + §B.8 ddl_roundtrip. */
+class SchemaOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("enforceSchema casts listed columns, keeps order and extras") {
+    val df = Seq((1, "2.5", "x")).toDF("a", "b", "c")
+    val out = SchemaOps.enforceSchema(df, StructType(Seq(
+      StructField("a", LongType), StructField("b", DoubleType))))
+    assert(out.schema.map(f => (f.name, f.dataType)) == Seq(
+      ("a", LongType), ("b", DoubleType), ("c", StringType)))
+    assert(out.head() == org.apache.spark.sql.Row(1L, 2.5, "x"))
+  }
+
+  test("applySchema reorders, lenient-casts, adds missing as NULL") {
+    val df = Seq(("7", "junk", 1)).toDF("i", "ts", "extra_ignored_tail")
+    val out = SchemaOps.applySchema(df, StructType(Seq(
+      StructField("missing", DoubleType),
+      StructField("i", IntegerType),
+      StructField("ts", TimestampNTZType))))
+    assert(out.columns.toSeq == Seq("missing", "i", "ts"))
+    val r = out.head()
+    assert(r.isNullAt(0) && r.getInt(1) == 7 && r.isNullAt(2))
+  }
+
+  test("applySchema makes drifted multi-part reads converge (FIXTURES §B.3)") {
+    val target = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", DoubleType),
+      StructField("extra", StringType)))
+    val fileA = Seq((1, Some(1.5)), (2, None)).toDF("id", "v") // v double, no extra
+    val fileB = Seq(("3", "2.5", "e")).toDF("id", "v", "extra") // all strings
+    val out = graft.relational.RelationalOps.uniteByName(
+      Seq(SchemaOps.applySchema(fileA, target), SchemaOps.applySchema(fileB, target)))
+    assert(out.schema == target)
+    assert(out.count() == 3)
+    assert(out.where(col("v") === 2.5).select("extra").as[String].head() == "e")
+  }
+
+  test("sanitizeName strips the reference's forbidden characters") {
+    assert(SchemaOps.sanitizeName("col (x), y\t{z}=w;\n") == "colxyzw")
+  }
+
+  test("ddlToStructType parses SQL Server DDL incl. decimal precision and rowversion oddity") {
+    val ddl = """CREATE TABLE t (
+      [id] int NOT NULL,
+      [amount] decimal(12,2),
+      [flag] bit,
+      [when2] datetime2(7),
+      [guid] uniqueidentifier,
+      [rv] timestamp,
+      [name (full), x] nvarchar(255),
+      PRIMARY KEY (id))"""
+    val st = TypeMaps.ddlToStructType(ddl)
+    assert(st("id").dataType == IntegerType)
+    assert(st("amount").dataType == DecimalType(12, 2))
+    assert(st("flag").dataType == BooleanType)
+    assert(st("when2").dataType == TimestampType)
+    assert(st("guid").dataType == StringType)
+    assert(st("rv").dataType == StringType) // rowversion → VARCHAR (parser.py:27-28)
+    assert(st.fieldNames.contains("namefullx")) // sanitized
+    assert(!st.fieldNames.exists(_.toLowerCase.startsWith("primary")))
+  }
+
+  test("structTypeToWarehouseDdl widens ints and appends loading-date audit column") {
+    val ddl = TypeMaps.structTypeToWarehouseDdl(StructType(Seq(
+      StructField("i", IntegerType), StructField("s", StringType))), "t")
+    assert(ddl.contains("\"i\" BIGINT"))
+    assert(ddl.contains("META_loading_date_utc"))
+  }
+
+  test("sqlServerToSpark maps the full palette") {
+    assert(TypeMaps.sqlServerToSpark("decimal(18, 4)") == DecimalType(18, 4))
+    assert(TypeMaps.sqlServerToSpark("money") == DecimalType(19, 4))
+    assert(TypeMaps.sqlServerToSpark("varbinary(max)") == BinaryType)
+    assert(TypeMaps.sqlServerToSpark("nvarchar(50)") == StringType)
+    assert(TypeMaps.sqlServerToSpark("bigint") == LongType)
+  }
+}
