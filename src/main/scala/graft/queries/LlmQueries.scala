@@ -125,10 +125,13 @@ object LlmQueries {
         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents)
         |  WHERE len(w) >= 3),
+        |hs AS (
+        |  SELECT doc_id, list_transform(s, x -> ${duckHash("x")} % 1000000007) AS h
+        |  FROM sh WHERE len(s) > 0),
         |sig AS (
         |  SELECT doc_id,
-        |    [list_min(list_transform(s, x -> ${duckHash("CAST(j AS VARCHAR) || '|' || x")})) for j in range(0, $SIG_K)] AS sig
-        |  FROM sh WHERE len(s) > 0),
+        |    [list_min(list_transform(h, v -> ((2*j + 1) * v + j*j + 7) % 1000000007)) for j in range(0, $SIG_K)] AS sig
+        |  FROM hs),
         |bands AS (
         |  SELECT doc_id, sig, b, array_to_string(sig[2*b+1:2*b+2], ',') AS key
         |  FROM sig, (SELECT unnest(range(0, $BANDS)) AS b)),
