@@ -9,7 +9,7 @@ import graft.clean.CleanOps
 import graft.extract.Extract
 import graft.merge.Merge
 import graft.meta.MetaOps
-import graft.queries.{CoreQueries, LlmQueries, Q}
+import graft.queries.{ConnectorQueries, CoreQueries, LlmQueries, Q}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries`/`oracleSql` are assembled from the per-domain query
@@ -17,7 +17,8 @@ import graft.queries.{CoreQueries, LlmQueries, Q}
   */
 object SparkEntry {
 
-  private def registry: Seq[Q] = CoreQueries.all ++ LlmQueries.all
+  private def registry: Seq[Q] =
+    CoreQueries.all ++ LlmQueries.all ++ ConnectorQueries.all
 
   /** Flagship end-to-end slice (SURVEY.md §7.2) on sf0.001: scan →
     * schema cast → clean → META → join → partition window → aggregate →

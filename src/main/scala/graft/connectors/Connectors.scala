@@ -1,0 +1,64 @@
+package graft.connectors
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Connector-edge helpers (SURVEY.md §2.1 REST/file sources).
+  *
+  * The reference's dbt/tableau/sharepoint clients are driver-side REST
+  * consumers producing typed records (`dbt_client.py:444-533` limit/
+  * offset pagination, `tableau_client.py:68-183` pageSize/pageNumber,
+  * `sharepoint_client.py:91-160` listing + fuzzy match). The engine
+  * keeps that acquisition at the edge: a paged fetch drains the API on
+  * the driver (REST pagination is inherently sequential), lands in a
+  * `Dataset[T]` of case-class records, and everything downstream is a
+  * distributed plan. Retry/backoff lives in [[graft.api.ApiFanout]].
+  */
+object Connectors {
+
+  /** Drain a limit/offset-paginated source into a typed Dataset.
+    * `fetchPage(limit, offset)` returns one page; empty page or a page
+    * shorter than `limit` ends the drain (both conventions appear in
+    * the reference: `dbt_client.py:505-533`).
+    */
+  def pagedSource[T <: Product : TypeTag](spark: SparkSession, limit: Int,
+                                          maxPages: Int = 10000)
+                                         (fetchPage: (Int, Int) => Seq[T]): Dataset[T] = {
+    import spark.implicits._
+    val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+    var offset = 0
+    var pages = 0
+    var done = false
+    while (!done && pages < maxPages) {
+      val page = fetchPage(limit, offset)
+      buf ++= page
+      offset += limit
+      pages += 1
+      done = page.size < limit
+    }
+    spark.createDataset(buf.toSeq)
+  }
+
+  /** Closest-match ranking: for each left row, the `candidates` row
+    * whose `candCol` minimizes levenshtein distance to `nameCol`
+    * (deterministic tiebreak on the candidate value) — the engine-side
+    * form of the reference's `difflib.get_close_matches` filename
+    * match (`sharepoint_client.py:121-127`). Candidates are broadcast
+    * (a file listing — small by definition); left side streams.
+    */
+  def fuzzyBestMatch(left: DataFrame, nameCol: String,
+                     candidates: DataFrame, candCol: String,
+                     topK: Int = 1): DataFrame = {
+    val w = Window.partitionBy(left.columns.map(col).toIndexedSeq: _*)
+      .orderBy(col("__dist").asc, col(candCol).asc)
+    left.crossJoin(broadcast(candidates.select(candCol)))
+      .withColumn("__dist", levenshtein(col(nameCol), col(candCol)))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= topK)
+      .withColumnRenamed("__dist", "match_distance")
+      .withColumnRenamed("__rank", "match_rank")
+  }
+}

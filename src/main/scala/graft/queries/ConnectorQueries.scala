@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.api.ApiFanout
+import graft.connectors.Connectors
+import graft.io.{Jdbc, Readers, Writers}
+
+/** Connector-edge queries: CSV/JDBC roundtrips, API fan-out with a
+  * deterministic offline transport, paged-source drain, fuzzy match,
+  * partitioned write + pruned read. Each lands back on data the DuckDB
+  * oracle can recompute from the original tables.
+  */
+object ConnectorQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- CSV write → schema-enforced read roundtrip (§2.1/§2.9) ----
+    Q("q_csv_roundtrip",
+      "SELECT r_regionkey, r_name FROM region") { (s, dir) =>
+      val path = s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
+      val region = Tables(s, dir, "region")
+      Writers.csv(region, path)
+      Readers.csv(s, Seq(path), Some(StructType(Seq(
+        StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))))
+    },
+
+    // ---- JDBC write → read roundtrip on embedded Derby (§2.1) ----
+    Q("q_jdbc_roundtrip",
+      "SELECT r_regionkey, r_name FROM region") { (s, dir) =>
+      val db = s"/tmp/graft_derby_${dir.replaceAll("[^0-9.]", "")}"
+      val url = s"jdbc:derby:$db;create=true"
+      Jdbc.write(Tables(s, dir, "region"), url, "GRAFT_REGION")
+      Jdbc.read(s, url, "SELECT * FROM GRAFT_REGION")
+        .select(col("r_regionkey").cast(IntegerType).as("r_regionkey"),
+          col("r_name").as("r_name"))
+    },
+
+    // ---- API fan-out with param passthrough + error channel (§2.1/§2.11) ----
+    Q("q_api_fanout",
+      """SELECT c_custkey, c_custkey * 2 AS value, true AS ok, 1 AS attempts
+        |FROM customer WHERE c_custkey < 100""".stripMargin) { (s, dir) =>
+      val params = Tables(s, dir, "customer").where(col("c_custkey") < 100)
+        .select("c_custkey")
+      val results = ApiFanout.fanout(params, DoubleEchoTransport)
+      ApiFanout.withParams(results,
+        StructType(Seq(StructField("c_custkey", LongType))))
+        .select(col("c_custkey"), col("body").cast(LongType).as("value"),
+          col("ok"), col("attempts"))
+    },
+
+    // ---- limit/offset paged source drain (§2.1 REST pagination) ----
+    Q("q_paged_source",
+      "SELECT r_regionkey, r_name FROM region") { (s, dir) =>
+      val rows = Tables(s, dir, "region")
+        .select(col("r_regionkey").cast(IntegerType), col("r_name"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+      Connectors.pagedSource(s, limit = 2) { (limit, offset) =>
+        rows.slice(offset, offset + limit)
+      }.toDF("r_regionkey", "r_name")
+    },
+
+    // ---- fuzzy closest-match ranking (§2.1 sharepoint match) ----
+    Q("q_fuzzy_match",
+      """SELECT r_regionkey, r_name, n_name, match_distance FROM (
+        |  SELECT r.r_regionkey, r.r_name, n.n_name,
+        |    CAST(levenshtein(r.r_name, n.n_name) AS INTEGER) AS match_distance,
+        |    row_number() OVER (PARTITION BY r.r_regionkey
+        |                       ORDER BY levenshtein(r.r_name, n.n_name), n.n_name) AS rn
+        |  FROM region r, nation n) WHERE rn = 1""".stripMargin) { (s, dir) =>
+      Connectors.fuzzyBestMatch(
+        Tables(s, dir, "region"), "r_name",
+        Tables(s, dir, "nation"), "n_name")
+        .select("r_regionkey", "r_name", "n_name", "match_distance")
+    },
+
+    // ---- partitioned write → partition-pruned read (§2.9/§4) ----
+    Q("q_partitioned_write",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'""".stripMargin) { (s, dir) =>
+      val path = s"/tmp/graft_part_write_${dir.replaceAll("[^0-9.]", "")}"
+      val orders = Tables(s, dir, "orders")
+        .withColumn("year", date_format(col("o_orderdate"), "yyyy"))
+      Writers.parquet(orders, path, partitionBy = Seq("year"))
+      s.read.parquet(path).where(col("year") === 1998)
+        .select("o_orderkey", "o_totalprice")
+    }
+  )
+
+  /** Deterministic offline transport: echoes 2× the numeric param —
+    * stands in for a real HTTP client behind the same contract. */
+  object DoubleEchoTransport extends ApiFanout.Transport {
+    private val Num = "\\\"c_custkey\\\":(\\d+)".r
+    def fetch(paramsJson: String): ApiFanout.Response = {
+      val n = Num.findFirstMatchIn(paramsJson).map(_.group(1).toLong).getOrElse(-1L)
+      ApiFanout.Response(200, (n * 2).toString)
+    }
+  }
+}
