@@ -32,24 +32,26 @@ object DedupOps {
   /** Distinct word n-gram shingles of a text column (lowercased,
     * whitespace-tokenized). Texts with fewer than n words → empty array.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ws = TextOps.words(text)
-    array_distinct(
-      when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => concat_ws(" ", slice(ws, i, lit(n)))))
-        .otherwise(array().cast(ArrayType(StringType))))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.Let.bind(TextOps.words(text)) { ws =>
+      // ws is a bound lambda variable: the split happens ONCE, not once
+      // per shingle index (Let.bind scaladoc)
+      array_distinct(
+        when(size(ws) >= n,
+          transform(sequence(lit(1), size(ws) - (n - 1)),
+            i => concat_ws(" ", slice(ws, i, lit(n)))))
+          .otherwise(array().cast(ArrayType(StringType))))
+    }
 
   /** Distinct character n-gram shingles (whitespace collapsed). */
-  def charShingles(text: Column, n: Int): Column = {
-    val t = TextOps.normalize(text)
-    array_distinct(
-      when(length(t) >= n,
-        transform(sequence(lit(1), length(t) - (n - 1)),
-          i => substr(t, i, lit(n))))
-        .otherwise(array().cast(ArrayType(StringType))))
-  }
+  def charShingles(text: Column, n: Int): Column =
+    graft.functions.Let.bind(TextOps.normalize(text)) { t =>
+      array_distinct(
+        when(length(t) >= n,
+          transform(sequence(lit(1), length(t) - (n - 1)),
+            i => substr(t, i, lit(n))))
+          .otherwise(array().cast(ArrayType(StringType))))
+    }
 
   // ---------------------------------------------------------------- exact
 
@@ -95,14 +97,16 @@ object DedupOps {
     * shape re-evaluates `hs` (k × md5 per shingle!) because
     * CollapseProject inlines it into every j-branch; that one-line
     * difference is 16× on this operator's hot path.
-    * Empty arrays yield a NULL signature (filtered by callers). */
+    * An empty hash array yields the init vector (all MinhashP) —
+    * callers filter empty-shingle rows first. (No `when(size(hs)>0,…)`
+    * guard: that would reference `hs` twice and Catalyst evaluates the
+    * whole hash chain once per reference.) */
   def minhashSignatureFromHashes(hs: Column, k: Int): Column =
-    when(size(hs) > 0,
-      aggregate(hs,
-        array_repeat(lit(MinhashP), k),
-        (acc, h) => zip_with(acc,
-          transform(sequence(lit(0), lit(k - 1)), j => affine(j, h)),
-          (a, b) => least(a, b))))
+    aggregate(hs,
+      array_repeat(lit(MinhashP), k),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(k - 1)), j => affine(j, h)),
+        (a, b) => least(a, b)))
 
   /** k-element MinHash signature of a shingle-array column. */
   def minhashSignature(shingles: Column, k: Int, portable: Boolean = false): Column =
@@ -137,6 +141,7 @@ object DedupOps {
       .select(col(idCol).as("__id"), wordShingles(col(textCol), shingleN).as("__sh"))
       .where(size(col("__sh")) > 0)
       .select(col("__id"), minhashSignature(col("__sh"), k, portable).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = sigs
       .select(col("__id"), col("__sig"),
         posexplode(bandKeys(col("__sig"), bands, rowsPer)).as(Seq("__band", "__key")))
@@ -168,19 +173,37 @@ object DedupOps {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5,
                         maxBucket: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-      explode(wordShingles(col(textCol), shingleN)).as("__s"))
-    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
-    val shPruned = sh.withColumn("__bn",
+    // One shingle pass: each doc's set size rides along with every
+    // exploded shingle, so the pair aggregation needs no join back to a
+    // per-doc size table (which would re-run the shingle pipeline).
+    // Shuffle 1 groups by shingle (bucket = docs sharing it; hot
+    // buckets dropped — a shingle in >maxBucket docs is a stop-phrase
+    // with no dedup signal). Shuffle 2 groups the exploded pairs.
+    // persist the compact per-doc shingle arrays: `size(__sh)` +
+    // `explode(__sh)` in one projection would otherwise re-evaluate the
+    // whole shingle pipeline per reference (Catalyst inlines it), and
+    // the self-join forks the subtree besides. (At warehouse scale the
+    // equivalent is checkpointing the shingle table; MLlib's LSH
+    // persists internally too.)
+    val shArr = df
+      .select(col(idCol).as("__id"), wordShingles(col(textCol), shingleN).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shArr.select(col("__id"), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__s"))
+    // hot-bucket prune: a shingle in >maxBucket docs is a stop-phrase
+    // with no dedup signal (and a quadratic pair bomb)
+    val pruned = sh.withColumn("__bn",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__s")))
       .where(col("__bn") <= maxBucket).drop("__bn")
-    val inter = shPruned.select(col("__id").as("id_a"), col("__s"))
-      .join(shPruned.select(col("__id").as("id_b"), col("__s")), Seq("__s"))
+    // symmetric self-join streams candidate pairs straight into the
+    // pair aggregation; set sizes ride along with each exploded
+    // shingle so no join back to a per-doc size table is needed.
+    val a = pruned.select(col("__s"), col("__id").as("id_a"), col("__n").as("__na"))
+    val b = pruned.select(col("__s"), col("__id").as("id_b"), col("__n").as("__nb"))
+    a.join(b, Seq("__s"))
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
-    inter
-      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
-      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+      .groupBy("id_a", "id_b", "__na", "__nb").agg(count(lit(1)).as("__inter"))
       .select(col("id_a"), col("id_b"),
         (col("__inter").cast(DoubleType) /
           (col("__na") + col("__nb") - col("__inter"))).as("jaccard"))

@@ -30,3 +30,21 @@ object Hashes {
   def portableSeeded(seed: Int, c: Column): Column =
     portable(concat(lit(seed.toString), lit("|"), c))
 }
+
+/** Expression-level let-binding.
+  *
+  * Catalyst has no `let`: referencing a subexpression twice evaluates
+  * it twice, and a lambda body referencing an outer expression
+  * re-evaluates it PER ELEMENT (e.g. `transform(seq, i -> slice(ws, i,
+  * n))` recomputes `ws` for every i — turning an O(words) shingle op
+  * into O(words²)). [[Let.bind]] forces single evaluation by routing
+  * the value through a one-element array and binding it to a lambda
+  * variable, which IS cheap to reference.
+  */
+object Let {
+  def bind(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), x => f(x)), 1)
+
+  def bind2(e1: Column, e2: Column)(f: (Column, Column) => Column): Column =
+    bind(e1)(x1 => bind(e2)(x2 => f(x1, x2)))
+}

@@ -34,11 +34,12 @@ object SimilarityOps {
   /** Cosine similarity of two vector columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** L2-normalize a vector column. */
-  def normalize(a: Column): Column = {
-    val n = l2Norm(a)
-    transform(a, x => x.cast(DoubleType) / n)
-  }
+  /** L2-normalize a vector column. The norm is let-bound so it is
+    * computed once, not once per element ([[graft.functions.Let]]). */
+  def normalize(a: Column): Column =
+    graft.functions.Let.bind(l2Norm(a)) { n =>
+      transform(a, x => x.cast(DoubleType) / n)
+    }
 
   /** Exact brute-force cosine top-k. `queries`(qidCol, vec) is
     * broadcast; every corpus row is scored against every query and the
@@ -48,12 +49,17 @@ object SimilarityOps {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      qidCol: String, cidCol: String, vecCol: String,
                      k: Int): DataFrame = {
-    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"))
+    // norms are computed once per side BEFORE the join — computing
+    // cosine(q,c) per pair would fold dot(q,q) and dot(c,c) for every
+    // candidate, tripling the FLOPs of the hot loop
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -94,13 +100,13 @@ object SimilarityOps {
               qidCol: String, cidCol: String, vecCol: String,
               k: Int, nbits: Int = 8): DataFrame = {
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
-      signBucket(col(vecCol), nbits).as("__bucket"))
+      l2Norm(col(vecCol)).as("__qn"), signBucket(col(vecCol), nbits).as("__bucket"))
     val c = corpus.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
-      signBucket(col(vecCol), nbits).as("__bucket"))
+      l2Norm(col(vecCol)).as("__cn"), signBucket(col(vecCol), nbits).as("__bucket"))
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -114,13 +120,13 @@ object SimilarityOps {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nbits: Int = 4): DataFrame = {
     val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      signBucket(col(vecCol), nbits).as("__bucket"))
-    b.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("__va"))
-      .join(b.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb")),
+      l2Norm(col(vecCol)).as("__n"), signBucket(col(vecCol), nbits).as("__bucket"))
+    b.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+      .join(b.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb")),
         Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("__va"), col("__vb")), 6).as("cos"))
+        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -38,23 +38,27 @@ object TextOps {
     */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val ws = words(t)
-    val nChars = length(t).cast(DoubleType)
-    val nWords = size(ws).cast(DoubleType)
-    val punct = regexp_count(t, lit("[^\\w\\s]")).cast(DoubleType)
-    val stop = countIn(ws, EnStopwords).cast(DoubleType)
-    df.withColumn("n_chars", nChars)
-      .withColumn("n_words", nWords)
+    // the token array and raw counts land in real columns first, so
+    // every derived metric references an attribute instead of
+    // re-running the split/regex per output column
+    val staged = df
+      .withColumn("__ws", words(t))
+      .withColumn("n_chars", length(t).cast(DoubleType))
+      .withColumn("n_words", size(col("__ws")).cast(DoubleType))
+      .withColumn("__punct", regexp_count(t, lit("[^\\w\\s]")).cast(DoubleType))
+      .withColumn("__stop", countIn(col("__ws"), EnStopwords).cast(DoubleType))
+    staged
       .withColumn("avg_word_len",
-        round(length(regexp_replace(t, "\\s", "")).cast(DoubleType) / nWords, 4))
-      .withColumn("punct_ratio", round(punct / nChars, 6))
-      .withColumn("stopword_ratio", round(stop / nWords, 6))
+        round(length(regexp_replace(t, "\\s", "")).cast(DoubleType) / col("n_words"), 4))
+      .withColumn("punct_ratio", round(col("__punct") / col("n_chars"), 6))
+      .withColumn("stopword_ratio", round(col("__stop") / col("n_words"), 6))
       .withColumn("quality_score",
         round(least(lit(1.0), greatest(lit(0.0),
           lit(0.2)
-            + lit(2.0) * (stop / nWords)
-            + when(nWords >= 20 && nWords <= 2000, lit(0.3)).otherwise(lit(0.0))
-            - lit(1.5) * (punct / nChars))), 6))
+            + lit(2.0) * (col("__stop") / col("n_words"))
+            + when(col("n_words") >= 20 && col("n_words") <= 2000, lit(0.3)).otherwise(lit(0.0))
+            - lit(1.5) * (col("__punct") / col("n_chars")))), 6))
+      .drop("__ws", "__punct", "__stop")
   }
 
   /** Marker-word sets for the n-gram/stopword language-ID heuristic. */
@@ -69,13 +73,21 @@ object TextOps {
     * — ISO 639-2's code for exactly this).
     */
   def langId(df: DataFrame, textCol: String, out: String = "lang_pred"): DataFrame = {
-    val ws = words(col(textCol))
-    val scores = LangMarkers.map { case (lang, markers) => lang -> countIn(ws, markers) }
+    // scores land in real columns first: the strictly-greater fold
+    // below references each score repeatedly, and Catalyst would
+    // otherwise duplicate the split+filter subtree exponentially
+    val scored = df.withColumn("__lid_ws", words(col(textCol)))
+      .withColumns(LangMarkers.map { case (lang, markers) =>
+        s"__lid_$lang" -> countIn(col("__lid_ws"), markers)
+      }.toMap)
     // strictly-greater chain → first language in declared order wins ties
-    val best = scores.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, sc)) =>
-      (when(sc > bs, lit(lang)).otherwise(bl), greatest(sc, bs))
+    val best = LangMarkers.map(_._1).foldLeft((lit("und"), lit(0))) {
+      case ((bl, bs), lang) =>
+        val sc = col(s"__lid_$lang")
+        (when(sc > bs, lit(lang)).otherwise(bl), greatest(sc, bs))
     }._1
-    df.withColumn(out, best)
+    scored.withColumn(out, best)
+      .drop("__lid_ws" +: LangMarkers.map(m => s"__lid_${m._1}"): _*)
   }
 
   /** Canonical text normalization for content identity: lowercase,
