@@ -24,12 +24,25 @@ import org.apache.spark.sql.types._
   */
 object SimilarityOps {
 
-  /** Deterministic sequential-fold dot product (double). */
+  /** Deterministic sequential-fold dot product (double) — generic over
+    * numeric array element types. For the float-array hot path use
+    * [[dotF]] (bit-identical result, codegen'd). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Codegen'd dot product for `array<float>` columns
+    * ([[graft.functions.DotProductExpr]]): same left-to-right double
+    * summation as [[dot]], so results are bit-identical — but a tight
+    * primitive loop instead of an interpreted HOF fold. This is the
+    * per-candidate kernel of every ANN scoring join. */
+  def dotF(a: Column, b: Column): Column =
+    graft.functions.DotProductExpr.floatDot(a, b)
+
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Codegen'd L2 norm for `array<float>` columns. */
+  def l2NormF(a: Column): Column = sqrt(dotF(a, a))
 
   /** Cosine similarity of two vector columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
@@ -53,13 +66,13 @@ object SimilarityOps {
     // cosine(q,c) per pair would fold dot(q,q) and dot(c,c) for every
     // candidate, tripling the FLOPs of the hot loop
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
-      l2Norm(col(vecCol)).as("__qn"))
+      l2NormF(col(vecCol)).as("__qn"))
     val c = corpus.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
-      l2Norm(col(vecCol)).as("__cn"))
+      l2NormF(col(vecCol)).as("__cn"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
+        round(dotF(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -100,13 +113,13 @@ object SimilarityOps {
               qidCol: String, cidCol: String, vecCol: String,
               k: Int, nbits: Int = 8): DataFrame = {
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
-      l2Norm(col(vecCol)).as("__qn"), signBucket(col(vecCol), nbits).as("__bucket"))
+      l2NormF(col(vecCol)).as("__qn"), signBucket(col(vecCol), nbits).as("__bucket"))
     val c = corpus.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
-      l2Norm(col(vecCol)).as("__cn"), signBucket(col(vecCol), nbits).as("__bucket"))
+      l2NormF(col(vecCol)).as("__cn"), signBucket(col(vecCol), nbits).as("__bucket"))
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
+        round(dotF(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -120,13 +133,13 @@ object SimilarityOps {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nbits: Int = 4): DataFrame = {
     val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      l2Norm(col(vecCol)).as("__n"), signBucket(col(vecCol), nbits).as("__bucket"))
+      l2NormF(col(vecCol)).as("__n"), signBucket(col(vecCol), nbits).as("__bucket"))
     b.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
       .join(b.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb")),
         Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6).as("cos"))
+        round(dotF(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6).as("cos"))
       .where(col("cos") >= threshold)
   }
 }
