@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.extract.Extract
+import graft.merge.Merge
+import graft.meta.MetaOps
+import graft.pipeline.Pipeline
+
+class MiscSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitionKey formats the hive-style path per granularity") {
+    val dt = LocalDateTime.of(2024, 3, 7, 5, 9, 2)
+    assert(MetaOps.partitionKey(dt) == "year=2024/month=03/day=07/")
+    assert(MetaOps.partitionKey(dt, "hour") == "year=2024/month=03/day=07/hour=05/")
+    assert(MetaOps.partitionKey(dt, "second") ==
+      "year=2024/month=03/day=07/hour=05/minute=09/second=02/")
+    intercept[IllegalArgumentException](MetaOps.partitionKey(dt, "week"))
+  }
+
+  test("withPartitionColumns derives year/month/day for partitioned writes") {
+    val df = Seq(java.sql.Timestamp.valueOf("2024-03-07 05:09:02")).toDF("ts")
+    val out = MetaOps.withPartitionColumns(df, "ts")
+    assert(out.select("year", "month", "day").as[(String, String, String)].head() ==
+      (("2024", "03", "07")))
+  }
+
+  test("rangeBatches slices by contiguous key ranges, covers all rows") {
+    val df = spark.range(0, 100).toDF("id")
+    val batches = Extract.rangeBatches(df, "id", batchSize = 30).toSeq
+    assert(batches.map(_.count()).sum == 100)
+    assert(batches.size >= 3)
+    assert(Extract.rangeBatches(df.where(lit(false)), "id", 10).isEmpty)
+  }
+
+  test("pipeline spec runs source → steps → upsert target as one job") {
+    val base = Files.createTempDirectory("graft_pipe").toString
+    val srcDir = s"$base/src"
+    val targetDir = s"$base/target"
+    Seq((1L, "nan", "2020-01-01 00:00:00"), (2L, "keep", "1700-01-01 00:00:00"))
+      .toDF("id", "s", "ts").write.parquet(srcDir)
+
+    val spec = Pipeline.Spec(
+      task = "t",
+      source = Pipeline.ParquetSource(srcDir, Some(StructType(Seq(
+        StructField("id", LongType), StructField("s", StringType),
+        StructField("ts", TimestampNTZType))))),
+      steps = Seq(
+        Pipeline.NanToNull,
+        Pipeline.CleanOldDates(Seq("ts")),
+        Pipeline.Custom(_.withColumn("doubled", col("id") * 2))),
+      target = Pipeline.Target(targetDir, Merge.Upsert(Seq("id"))),
+      executionDate = LocalDateTime.of(2024, 1, 1, 0, 0))
+
+    spec.run(spark)
+    val out = Merge.readTarget(spark, targetDir)
+    assert(out.count() == 2)
+    assert(out.columns.contains(MetaOps.FileName)) // META attached
+    assert(out.where(col("s") === "nan").count() == 0) // cleaned
+    assert(out.where(col("id") === 2).select("ts").head().get(0).toString
+      .startsWith("1900-01-01")) // clamped
+    assert(out.where(col("id") === 1).select("doubled").as[Long].head() == 2L)
+
+    spec.run(spark) // idempotent re-run (same keys upserted)
+    assert(Merge.readTarget(spark, targetDir).count() == 2)
+  }
+
+  test("sanity: flagship entry returns aggregated rows with META columns") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("revenue") && df.columns.contains(MetaOps.PartitionDate))
+  }
+}
