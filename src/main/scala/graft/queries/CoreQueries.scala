@@ -460,6 +460,23 @@ object CoreQueries {
         .agg(expr("cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(5,4)) - cast(l_discount as decimal(5,4)))) as double)").as("revenue"))
     },
 
+    // ---- skew-resistant salted join (SCALING.md; identical semantics
+    //      to the plain join, so the oracle is the plain SQL join) ----
+    Q("q_salted_join",
+      """SELECT o.o_orderpriority,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin) { (s, dir) =>
+      RelationalOps.saltedJoin(
+        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        Seq("l_orderkey"), salt = 8)
+        .groupBy("o_orderpriority")
+        .agg(expr("cast(sum(cast(l_extendedprice as decimal(12,2))) as double)").as("sum_price"),
+          count(lit(1)).as("n"))
+    },
+
     // ---- event-time tumbling window aggregation (§2.10) ----
     Q("q_events_hourly",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,

@@ -65,6 +65,31 @@ object RelationalOps {
     left.join(broadcast(build), key, "inner")
   }
 
+  /** Skew-resistant equi-join: the left (fact) side gets a salt in
+    * [0, salt), the right side is exploded `salt`× with every salt
+    * value, and the join key becomes (keys…, salt). A key that would
+    * land 10⁹ rows in one reducer now spreads across `salt` reducers;
+    * results are row-for-row identical to the plain join (each left row
+    * matches exactly its salt copy of the right row). AQE's skew-join
+    * splitting handles moderate skew automatically — this operator is
+    * for the pathological keys AQE can't split (single hot key bigger
+    * than an executor). Right side grows `salt`× in the shuffle: use
+    * for big-fact ⋈ modest-dim joins where the dim outgrew broadcast.
+    *
+    * The salt is derived by hashing the full left row (deterministic,
+    * retry-safe) — rows identical in every column share a salt, which
+    * is harmless (they are indistinguishable anyway).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 salt: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(salt > 1, "salt must be > 1")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Equality filter with the reference's case modes
     * (`filter_list_of_dicts_on_key_value` `src/pyveb/common.py:375-384`). */
   def filterEquals(df: DataFrame, c: String, value: String,

@@ -111,15 +111,26 @@ object SimilarityOps {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               qidCol: String, cidCol: String, vecCol: String,
-              k: Int, nbits: Int = 8): DataFrame = {
-    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+              k: Int, nbits: Int = 8, multiProbe: Boolean = false): DataFrame = {
+    val qBase = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
       l2NormF(col(vecCol)).as("__qn"), signBucket(col(vecCol), nbits).as("__bucket"))
+    // multi-probe: also search every bucket at hamming distance 1 from
+    // the query's bucket — components near zero flip sign between
+    // near-identical vectors, and one flipped bit is the common miss.
+    // Query side grows (nbits+1)×; the (big) corpus side never does.
+    val q =
+      if (!multiProbe) qBase
+      else qBase.withColumn("__bucket",
+        explode(array((col("__bucket") +:
+          (0 until nbits).map(i => col("__bucket").bitwiseXOR(lit(1L << i)))): _*)))
     val c = corpus.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
       l2NormF(col(vecCol)).as("__cn"), signBucket(col(vecCol), nbits).as("__bucket"))
-    val scored = c.join(broadcast(q), Seq("__bucket"))
+    val scoredRaw = c.join(broadcast(q), Seq("__bucket"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         round(dotF(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
+    // multi-probe can reach the same candidate via several buckets
+    val scored = if (multiProbe) scoredRaw.distinct() else scoredRaw
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

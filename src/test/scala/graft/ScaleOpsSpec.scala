@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.relational.RelationalOps
+import graft.similarity.SimilarityOps
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin is row-identical to the plain join (inner + left)") {
+    val l = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val r = Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = l.join(r, Seq("l_orderkey")).collect().map(_.toString).sorted.toSeq
+    val salted = RelationalOps.saltedJoin(l, r, Seq("l_orderkey"), salt = 8)
+      .select("l_orderkey", "l_extendedprice", "o_orderpriority")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+    val plainLeft = l.join(r.where(col("l_orderkey") < 100), Seq("l_orderkey"), "left").count()
+    val saltedLeft = RelationalOps.saltedJoin(
+      l, r.where(col("l_orderkey") < 100), Seq("l_orderkey"), 8, "left").count()
+    assert(saltedLeft == plainLeft)
+  }
+
+  test("multi-probe LSH recall >= single-probe, still a subset of brute force") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 30)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val brute = hits(SimilarityOps.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", 5))
+    val single = hits(SimilarityOps.lshTopK(q, e, "vec_id", "vec_id", "embedding", 5, nbits = 8))
+    val multi = hits(SimilarityOps.lshTopK(q, e, "vec_id", "vec_id", "embedding", 5,
+      nbits = 8, multiProbe = true))
+    val singleRecall = (single & brute).size.toDouble / brute.size
+    val multiRecall = (multi & brute).size.toDouble / brute.size
+    assert(multiRecall >= singleRecall)
+    assert(multiRecall > 0.1) // probing recovers a real fraction at 8 bits
+  }
+}
