@@ -213,6 +213,15 @@ object LlmQueries {
         "vec_id", "embedding", threshold = 0.3, nbits = 4)
     },
 
+    // ---- IVF ANN (k-means lists; rows-only — centroids not SQL-oracle-able) ----
+    Q.rowsOnly("q_sim_topk_ivf") { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(
+        e.where(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding",
+        k = 5, nLists = 16, nProbe = 4)
+        .select("query_id", "corpus_id", "cos", "rank")
+    },
+
     // ---- multimodal: binary payload + stub decode metadata ----
     Q("q_mm_meta",
       s"""SELECT doc_id AS media_id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,

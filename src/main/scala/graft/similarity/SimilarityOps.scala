@@ -135,6 +135,62 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
+    * corpus vector to its nearest of `nLists` centroids (the "inverted
+    * lists"); a query probes only its `nProbe` nearest lists and scores
+    * candidates there. The 100 TB shape: centroids are tiny and
+    * broadcast; the corpus is scanned ONCE to attach `ivf_list` (in
+    * production: written back as a partition/bucket column so probes
+    * become partition-pruned reads); the search join is an equi-join on
+    * the list id — no cross join, no full-corpus scoring.
+    *
+    * Returns (query_id, corpus_id, cos, rank) like the other top-k ops.
+    * Recall grows with nProbe (nProbe = nLists ⇒ exact brute force).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              qidCol: String, cidCol: String, vecCol: String,
+              k: Int, nLists: Int = 16, nProbe: Int = 2,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
+    val centroids: Array[(Int, Array[Double])] =
+      model.clusterCenters.zipWithIndex.map { case (v: Vector, i) => (i, v.toArray) }
+
+    // nearest-list assignment as a pure expression over the broadcast
+    // centroid literals: argmin over squared L2 distance
+    def dist2(vec: Column, cDbl: Array[Double]): Column = {
+      val cLit = array(cDbl.map(lit): _*)
+      aggregate(zip_with(vec, cLit, (x, c) => {
+        val d = x.cast(DoubleType) - c
+        d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    }
+    def nearestLists(vec: Column, n: Int): Column = {
+      val scored = array(centroids.map { case (i, cDbl) =>
+        struct(dist2(vec, cDbl).as("d"), lit(i).as("list"))
+      }: _*)
+      transform(slice(array_sort(scored), 1, n), s => s.getField("list"))
+    }
+
+    val c = corpus.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
+      l2NormF(col(vecCol)).as("__cn"),
+      element_at(nearestLists(col(vecCol), 1), 1).as("__list"))
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+        l2NormF(col(vecCol)).as("__qn"),
+        explode(nearestLists(col(vecCol), nProbe)).as("__list"))
+    val scored = c.join(broadcast(q), Seq("__list"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(dotF(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: sign-LSH
     * bucket candidates (id_a < id_b in the same bucket), exact cosine
     * filter at `threshold`. Vectors that are near-duplicates at high

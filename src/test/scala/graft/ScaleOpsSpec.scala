@@ -38,4 +38,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(multiRecall >= singleRecall)
     assert(multiRecall > 0.1) // probing recovers a real fraction at 8 bits
   }
+
+  test("IVF top-k: probing all lists equals brute force; recall grows with nProbe") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 20)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val brute = hits(SimilarityOps.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", 5))
+    val allLists = hits(SimilarityOps.ivfTopK(q, e, "vec_id", "vec_id", "embedding", 5,
+      nLists = 8, nProbe = 8))
+    assert(allLists == brute) // probe everything == exact
+    val probe1 = hits(SimilarityOps.ivfTopK(q, e, "vec_id", "vec_id", "embedding", 5,
+      nLists = 8, nProbe = 1))
+    val probe4 = hits(SimilarityOps.ivfTopK(q, e, "vec_id", "vec_id", "embedding", 5,
+      nLists = 8, nProbe = 4))
+    val r1 = (probe1 & brute).size.toDouble / brute.size
+    val r4 = (probe4 & brute).size.toDouble / brute.size
+    assert(r4 >= r1)
+    assert(r1 > 0.2) // the home list already holds a real fraction
+  }
 }
