@@ -16,6 +16,9 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // operators that persist intermediates (LSH/jaccard) must not
+      // bleed storage pressure into later queries
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
       // Catalyst prune projection-only queries down to metadata reads)

@@ -31,8 +31,12 @@ object NestedOps {
     val exploded = df.schema(c).dataType match {
       case _: ArrayType => explode_outer(col(c))
       case StringType =>
-        val inner = regexp_extract(regexp_replace(col(c), "\\s", ""), "^\\[(.*)\\]$", 1)
-        explode_outer(when(length(inner) > 0, split(inner, ",")))
+        // let-bound: `inner` feeds both the guard and the split — an
+        // unbound reference would run the two regexes twice per row
+        explode_outer(graft.functions.Let.bind(
+          regexp_extract(regexp_replace(col(c), "\\s", ""), "^\\[(.*)\\]$", 1)) { inner =>
+          when(length(inner) > 0, split(inner, ","))
+        })
       case other =>
         throw new IllegalArgumentException(s"explodeColumn: $c is $other, need array or string")
     }

@@ -155,8 +155,11 @@ object SimilarityOps {
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector
 
-    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
+    // the quantizer needs only a sketch of the distribution — training
+    // on a bounded sample keeps the fit O(sample) while assignment
+    // still covers the full corpus
+    val train = corpus.select(array_to_vector(col(vecCol)).as("features")).limit(4096)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8).fit(train)
     val centroids: Array[(Int, Array[Double])] =
       model.clusterCenters.zipWithIndex.map { case (v: Vector, i) => (i, v.toArray) }
 
