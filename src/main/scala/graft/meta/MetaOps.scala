@@ -55,6 +55,16 @@ object MetaOps {
     parts.take(n).map { case (k, v) => s"$k=$v" }.mkString("", "/", "/")
   }
 
+  /** Stable content identity over selected fields: sha256 of the
+    * '|'-joined values (NULL → empty). The engine-side form of the
+    * reference's hash-based record identity
+    * (`/root/reference/src/pyveb/dbt_client.py:45-58`: sha256 of
+    * id+state+created_at on typed API records) — used to detect changed
+    * rows across extracts without comparing every column.
+    */
+  def hashIdentity(cols: Seq[String]): org.apache.spark.sql.Column =
+    sha2(concat_ws("|", cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*), 256)
+
   /** Add `year/month/day` columns derived from a timestamp column so a
     * writer can `partitionBy` them — the engine-native form of the
     * reference's partition prefixes (Spark then partition-prunes reads).

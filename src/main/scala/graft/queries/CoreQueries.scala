@@ -460,6 +460,18 @@ object CoreQueries {
         .agg(expr("cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(5,4)) - cast(l_discount as decimal(5,4)))) as double)").as("revenue"))
     },
 
+    // ---- typed-record hash identity (§1.1 dbt sha256 pattern) ----
+    Q("q_hash_identity",
+      """SELECT o_orderkey,
+        |  sha256(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+        |         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS row_hash
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .withColumn("__od", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      o.select(col("o_orderkey"),
+        MetaOps.hashIdentity(Seq("o_orderkey", "o_orderstatus", "__od")).as("row_hash"))
+    },
+
     // ---- skew-resistant salted join (SCALING.md; identical semantics
     //      to the plain join, so the oracle is the plain SQL join) ----
     Q("q_salted_join",
