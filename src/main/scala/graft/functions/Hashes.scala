@@ -22,8 +22,15 @@ object Hashes {
   /** Seeded fast hash: mixes an integer seed into the hash input. */
   def fastSeeded(seed: Int, c: Column): Column = xxhash64(lit(seed), c)
 
-  /** Cross-engine 60-bit hash: BIGINT of md5(s)[0,15) hex chars. */
-  def portable(c: Column): Column =
+  /** Cross-engine 60-bit hash: BIGINT of md5(s)[0,15) hex chars —
+    * computed by the codegen'd [[Md5Hash64Expr]] (bit-identical to
+    * `conv(substring(md5(c),1,15),16,10)` without the hex string or
+    * BigInteger parse). */
+  def portable(c: Column): Column = Md5Hash64Expr.md5Hash64(c)
+
+  /** The composable form of [[portable]] (kept for cross-checking the
+    * custom expression in tests). */
+  def portableViaConv(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** Seeded portable hash — seed prefixed into the hashed string. */
