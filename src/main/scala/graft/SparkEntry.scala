@@ -39,6 +39,10 @@ object SparkEntry {
         count(lit(1)).as("n"))
     val staged = MetaOps.addMetadata(agg, LocalDateTime.of(2024, 1, 1, 0, 0),
       fileName = Some("entry"), processing = Some(LocalDateTime.of(2024, 1, 1, 0, 0)))
+    // overwrite then upsert the same stage: deterministic regardless of
+    // leftover target state from earlier runs, and the smoke still
+    // exercises the real anti-join + atomic-swap merge path
+    Merge.insert(staged, targetDir, Merge.Overwrite)
     Merge.insert(staged, targetDir, Merge.Upsert(Seq("l_returnflag", "l_linestatus")))
     Merge.readTarget(spark, targetDir)
   }

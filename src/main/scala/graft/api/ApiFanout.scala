@@ -73,7 +73,14 @@ object ApiFanout {
           attempt += 1
           val resp =
             try transport.fetch(p)
-            catch { case e: Throwable => Response(599, "", None) }
+            catch {
+              case e: InterruptedException => throw e // task cancellation
+              case e if !scala.util.control.NonFatal(e) => throw e
+              // network-ish failure → synthetic 599, message preserved
+              // in the body so the error channel stays diagnosable
+              case scala.util.control.NonFatal(e) =>
+                Response(599, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}", None)
+            }
           if (resp.status >= 200 && resp.status < 300)
             done = FanoutResult(p, ok = true, resp.status, resp.body, "", attempt)
           else if (!policy.retryable(resp.status) || attempt > policy.maxRetries)

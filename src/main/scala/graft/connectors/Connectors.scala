@@ -52,12 +52,16 @@ object Connectors {
   def fuzzyBestMatch(left: DataFrame, nameCol: String,
                      candidates: DataFrame, candCol: String,
                      topK: Int = 1): DataFrame = {
-    val w = Window.partitionBy(left.columns.map(col).toIndexedSeq: _*)
+    // partition by a per-row unique id, not the left columns — two
+    // identical left rows must each keep their own topK matches
+    val withId = left.withColumn("__row", monotonically_increasing_id())
+    val w = Window.partitionBy(col("__row"))
       .orderBy(col("__dist").asc, col(candCol).asc)
-    left.crossJoin(broadcast(candidates.select(candCol)))
+    withId.crossJoin(broadcast(candidates.select(candCol)))
       .withColumn("__dist", levenshtein(col(nameCol), col(candCol)))
       .withColumn("__rank", row_number().over(w))
       .where(col("__rank") <= topK)
+      .drop("__row")
       .withColumnRenamed("__dist", "match_distance")
       .withColumnRenamed("__rank", "match_rank")
   }

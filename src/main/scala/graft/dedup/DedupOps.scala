@@ -24,6 +24,13 @@ import graft.text.TextOps
   * Hash tiers: `portable = true` routes through the md5-based
   * cross-engine hash (oracle-checkable); production default is
   * xxhash64 ([[Hashes]]).
+  *
+  * Caching contract: the pair-finding operators persist a compact
+  * intermediate (signatures / shingle arrays) because their self-join
+  * forks the plan. The cache lives until the session drops it — a
+  * long-lived service calling these repeatedly should
+  * `spark.catalog.clearCache()` (or unpersist) after consuming each
+  * result, as `graft.Bench` does between queries.
   */
 object DedupOps {
 

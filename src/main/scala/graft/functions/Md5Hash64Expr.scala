@@ -39,9 +39,19 @@ case class Md5Hash64Expr(child: Expression) extends UnaryExpression {
 }
 
 object Md5Hash64Expr {
+  // getInstance + allocation per row would cost a large fraction of the
+  // md5 itself on the per-shingle hot path; digests aren't thread-safe,
+  // so one reusable instance per executor thread
+  private val digestTL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Top 60 bits of md5(bytes) as a non-negative long. */
   def hash(bytes: Array[Byte]): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val md = digestTL.get()
+    md.reset()
+    val d = md.digest(bytes)
     val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
       ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
       ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |

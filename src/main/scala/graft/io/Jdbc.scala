@@ -62,5 +62,5 @@ object Jdbc {
   def write(df: DataFrame, url: String, table: String,
             mode: String = "overwrite",
             options: Map[String, String] = Map.empty): Unit =
-    df.write.mode(mode).options(options).jdbc(url, table, props(Map.empty ++ options))
+    df.write.mode(mode).jdbc(url, table, props(options))
 }

@@ -74,6 +74,13 @@ object Merge {
     * `prunePartitions` set (partition-column names present in both
     * frames), only target partitions that occur in the stage are read,
     * anti-joined and rewritten; untouched partitions never move.
+    *
+    * CONTRACT of the partition-scoped path: a key's partition value
+    * must be stable across loads (true for the reference's
+    * load-date-partitioned tables, where the partition IS part of the
+    * identity). If a key can MOVE partitions between loads, the old
+    * row in the unread partition survives — use the unscoped upsert
+    * (full anti-join) for partition-mobile keys.
     */
   def upsert(stage: DataFrame, targetDir: String, keys: Seq[String],
              prunePartitions: Seq[String] = Nil): Unit = {

@@ -57,6 +57,12 @@ object RelationalOps {
                        addCols: Seq[String], strict: Boolean = true): DataFrame = {
     val build = right.select((key ++ addCols).distinct.map(col): _*)
     if (strict) {
+      // merge_dicts is a dict lookup: a duplicated build key could never
+      // produce two matches there, so fan-out must fail loudly too
+      val dupKeys = duplicateKeys(build, key).limit(1).count()
+      if (dupKeys > 0)
+        throw new IllegalStateException(
+          s"strictEnrichJoin: duplicate build-side keys on ${key.mkString(",")}")
       val missing = left.join(broadcast(build), key, "left_anti").limit(1).count()
       if (missing > 0)
         throw new IllegalStateException(
@@ -83,6 +89,12 @@ object RelationalOps {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  salt: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt must be > 1")
+    // right/full-outer would emit `salt` null-padded copies of every
+    // unmatched right row (it was exploded salt ways) — reject rather
+    // than silently duplicate
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+      s"saltedJoin supports inner/left/left_semi/left_anti, not $joinType")
     val l = left.withColumn("__salt",
       pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))
     val r = right.withColumn("__salt",

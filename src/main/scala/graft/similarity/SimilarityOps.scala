@@ -129,8 +129,10 @@ object SimilarityOps {
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         round(dotF(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
-    // multi-probe can reach the same candidate via several buckets
-    val scored = if (multiProbe) scoredRaw.distinct() else scoredRaw
+    // no dedup needed: each corpus row has exactly one bucket and the
+    // probed buckets are distinct, so a (query, corpus) pair can meet
+    // through at most one probe
+    val scored = scoredRaw
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -189,7 +191,8 @@ object SimilarityOps {
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         round(dotF(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
-      .distinct()
+    // no dedup needed: one home list per corpus row, distinct probes →
+    // each (query, corpus) pair meets at most once
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

@@ -102,4 +102,11 @@ class ConnectorsSpec extends SparkSpec {
     assert(out("report_2024.csv") == "report-2024.csv")
     assert(out("summary.txt") == "summary_final.txt")
   }
+
+  test("fuzzyBestMatch keeps one match PER ROW even for duplicate left rows") {
+    val files = Seq("a.csv", "a.csv", "b.csv").toDF("wanted")
+    val listing = Seq("a_1.csv", "b_1.csv").toDF("found")
+    val out = Connectors.fuzzyBestMatch(files, "wanted", listing, "found")
+    assert(out.count() == 3) // both duplicate rows survive
+  }
 }

@@ -38,6 +38,24 @@ class RelationalMergeSpec extends SparkSpec {
     assert(loose.count() == 2)
   }
 
+  test("strictEnrichJoin throws on duplicate build-side keys (dict contract)") {
+    val left = Seq((1, "x")).toDF("id", "v")
+    val dupRight = Seq((1, "A"), (1, "B")).toDF("id", "add")
+    intercept[IllegalStateException] {
+      RelationalOps.strictEnrichJoin(left, dupRight, Seq("id"), Seq("add")).collect()
+    }
+  }
+
+  test("saltedJoin rejects right/full outer join types") {
+    val df = Seq((1, 2)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      RelationalOps.saltedJoin(df, df, Seq("k"), 4, "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      RelationalOps.saltedJoin(df, df, Seq("k"), 4, "right")
+    }
+  }
+
   test("duplicateKeys empty ⇔ no duplicates") {
     val clean = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val dup = Seq((1, "a"), (1, "b")).toDF("k", "v")
