@@ -213,6 +213,57 @@ object LlmQueries {
         "vec_id", "embedding", threshold = 0.3, nbits = 4)
     },
 
+    // ---- end-to-end curation pipeline: quality filter → exact dedup
+    //      → near-dup removal → token stats (the marquee composition) ----
+    Q("q_curation", {
+      val stop = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (
+        |  SELECT doc_id, text,
+        |    round(least(1.0, greatest(0.0,
+        |      0.2 + 2.0 * (CAST(len(list_filter($duckWords, w -> w IN ($stop))) AS DOUBLE)
+        |                   / CAST(len($duckWords) AS DOUBLE))
+        |          + CASE WHEN len($duckWords) >= 20 AND len($duckWords) <= 2000 THEN 0.3 ELSE 0.0 END
+        |          - 1.5 * (CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+        |                   / CAST(length(text) AS DOUBLE)))), 6) AS quality_score
+        |  FROM (SELECT doc_id, text FROM documents
+        |        UNION ALL SELECT doc_id + 10000, text FROM documents)),
+        |fp AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM q),
+        |keep1 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp)
+        |  WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        |        FROM q JOIN keep1 USING (doc_id)) WHERE len(w) >= 3),
+        |drops AS (
+        |  SELECT DISTINCT b.doc_id AS id_b FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6)
+        |SELECT q.doc_id, CAST(len($duckWords) AS BIGINT) AS n_tokens, quality_score
+        |FROM q JOIN keep1 USING (doc_id)
+        |WHERE quality_score >= 0.4 AND doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin
+    }) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      // corpus with planted exact duplicates, as a real crawl has
+      val corpus = d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val scored = TextOps.qualityScore(corpus, "text")
+      // 1. exact dedup: first-wins by content fingerprint
+      val deduped = graft.dedup.DedupOps.exactDedup(scored, "text", Seq(col("doc_id").asc))
+      // 2. near-dup removal: drop the higher id of each jaccard>=0.6 pair
+      val drops = graft.dedup.DedupOps.ngramJaccardPairs(deduped, "doc_id", "text",
+        shingleN = 3, threshold = 0.6, maxBucket = 100000)
+        .select(col("id_b").as("doc_id")).distinct()
+      // 3. quality gate + token stats
+      deduped.join(drops, Seq("doc_id"), "left_anti")
+        .where(col("quality_score") >= 0.4)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          col("quality_score"))
+    },
+
     // ---- IVF ANN (k-means lists; rows-only — centroids not SQL-oracle-able) ----
     Q.rowsOnly("q_sim_topk_ivf") { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
