@@ -415,6 +415,33 @@ object CoreQueries {
           count(lit(1)).as("n"))
     },
 
+    // ---- cube aggregation (§2.4 group-set surface) ----
+    Q("q_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- intersect / except (§2.6 — beyond the reference, free in Spark) ----
+    Q("q_intersect",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+    },
+
+    Q("q_except",
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      c.where(col("c_acctbal") > 5000).select("c_custkey")
+        .except(c.where(col("c_mktsegment") === "MACHINERY").select("c_custkey"))
+    },
+
     // ---- multi-way star join w/ broadcast dims (§2.3; TPC-H Q3 shape) ----
     Q("q3_join",
       """SELECT l.l_orderkey,
