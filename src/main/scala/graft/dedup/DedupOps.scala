@@ -176,36 +176,40 @@ object DedupOps {
     * (candidates = pairs sharing ≥1 shingle; exact similarity computed
     * from intersection counts — never a cross join).
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * `maxBucket` semantics: shingles shared by more than `maxBucket`
+    * documents are stop-phrases — they carry no dedup signal and are a
+    * quadratic pair bomb — so they are removed from the shingle
+    * universe ENTIRELY: both the intersection counts and the per-doc
+    * set sizes are computed post-prune. Numerator and denominator see
+    * the same universe, so the jaccard of surviving pairs is exact over
+    * the informative shingles (a pre-prune denominator would
+    * systematically underestimate pairs sharing hot shingles).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5,
                         maxBucket: Int = 1000): DataFrame = {
-    // One shingle pass: each doc's set size rides along with every
-    // exploded shingle, so the pair aggregation needs no join back to a
-    // per-doc size table (which would re-run the shingle pipeline).
-    // Shuffle 1 groups by shingle (bucket = docs sharing it; hot
-    // buckets dropped — a shingle in >maxBucket docs is a stop-phrase
-    // with no dedup signal). Shuffle 2 groups the exploded pairs.
-    // persist the compact per-doc shingle arrays: `size(__sh)` +
-    // `explode(__sh)` in one projection would otherwise re-evaluate the
-    // whole shingle pipeline per reference (Catalyst inlines it), and
-    // the self-join forks the subtree besides. (At warehouse scale the
-    // equivalent is checkpointing the shingle table; MLlib's LSH
-    // persists internally too.)
-    val shArr = df
+    // Shuffle plan: window on __s (hot-shingle prune) → window on __id
+    // (post-prune set sizes, so the denominator matches the pruned
+    // universe) → self-join on __s → pair aggregation. The pruned+sized
+    // frame is persisted because the self-join forks the plan — each
+    // join side would otherwise re-run the shingle pipeline and both
+    // windows (no ReusedExchange across differing projections). At
+    // warehouse scale the equivalent is checkpointing the shingle
+    // table; MLlib's LSH persists internally too.
+    val sh = df
       .select(col(idCol).as("__id"), wordShingles(col(textCol), shingleN).as("__sh"))
       .where(size(col("__sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = shArr.select(col("__id"), size(col("__sh")).as("__n"),
-      explode(col("__sh")).as("__s"))
-    // hot-bucket prune: a shingle in >maxBucket docs is a stop-phrase
-    // with no dedup signal (and a quadratic pair bomb)
+      .select(col("__id"), explode(col("__sh")).as("__s"))
     val pruned = sh.withColumn("__bn",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__s")))
       .where(col("__bn") <= maxBucket).drop("__bn")
+      .withColumn("__n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // symmetric self-join streams candidate pairs straight into the
-    // pair aggregation; set sizes ride along with each exploded
-    // shingle so no join back to a per-doc size table is needed.
+    // pair aggregation; post-prune set sizes ride along with each
+    // exploded shingle so no join back to a per-doc size table is needed.
     val a = pruned.select(col("__s"), col("__id").as("id_a"), col("__n").as("__na"))
     val b = pruned.select(col("__s"), col("__id").as("id_b"), col("__n").as("__nb"))
     a.join(b, Seq("__s"))

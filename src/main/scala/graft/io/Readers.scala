@@ -20,11 +20,21 @@ object Readers {
     * Reference: `read_parquet` `src/pyveb/spark_client.py:107-115`.
     */
   def parquet(spark: SparkSession, path: String,
-              schema: Option[StructType] = None): DataFrame = {
-    val df = schema match {
-      case Some(_) => spark.read.option("mergeSchema", "true").parquet(path)
-      case None    => spark.read.parquet(path)
-    }
+              schema: Option[StructType] = None,
+              mergeSchema: Boolean = false): DataFrame = {
+    // The scan reads with the files' OWN (first-footer) schema — cheap —
+    // and the declared schema is applied as a lenient cast-by-projection
+    // on top. Passing the declared schema to the reader instead would
+    // make the scan itself reject type drift (files that wrote a column
+    // as string while the caller declares timestamp — the reference's
+    // core drift case), and footer-merging every file (mergeSchema) is
+    // wasted metadata work at scale when a schema is declared. Opt into
+    // `mergeSchema` only for a schema-LESS read over parts with
+    // disjoint column subsets; per-file TYPE conflicts need the
+    // per-file drift path (multipleParquet).
+    val df =
+      if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(path)
+      else spark.read.parquet(path)
     schema.fold(df)(SchemaOps.applySchema(df, _))
   }
 

@@ -22,10 +22,43 @@ object LlmQueries {
   // DuckDB fragments reused across oracles.
   private val duckWords = "string_split_regex(trim(lower(text)), '\\s+')"
   private def duckHash(e: String) = s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+
+  /** Exact n-gram Jaccard pairs with the engine's maxBucket semantics:
+    * shingles in more than `maxBucket` docs are removed from the
+    * universe, and per-doc set sizes are recomputed POST-prune so the
+    * numerator and denominator agree (DedupOps.ngramJaccardPairs).
+    */
+  private def duckJaccardPairsSql(maxBucket: Int, threshold: Double) =
+    s"""WITH sh AS (
+      |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents)
+      |  WHERE len(w) >= 3),
+      |ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+      |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $maxBucket),
+      |pr AS (SELECT doc_id, ex.s AS s FROM ex JOIN keep USING (s)),
+      |n AS (SELECT doc_id, count(*) AS n FROM pr GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+      |FROM pairs JOIN n na ON na.doc_id = pairs.id_a JOIN n nb ON nb.doc_id = pairs.id_b
+      |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $threshold""".stripMargin
   private def duckDot(a: String, b: String) =
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)])"
   private def duckCos(a: String, b: String) =
     s"round(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
+
+  /** Exact cosine top-5 for queries vec_id < 20 — the oracle for BOTH
+    * the brute-force scorer and the IVF scorer at nProbe = nLists
+    * (probing every inverted list scores every candidate ⇒ exact by
+    * construction; the identity is also unit-proven in LlmOpsSpec).
+    */
+  private val duckBruteTopKSql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+      |s AS (SELECT query_id, vec_id AS corpus_id, ${duckCos("qv", "embedding")} AS cos
+      |      FROM embeddings, q WHERE vec_id <> query_id)
+      |SELECT query_id, corpus_id, cos, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+      |  FROM s) WHERE rank <= 5""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -102,21 +135,19 @@ object LlmQueries {
       DedupOps.contentGroups(corpus, "doc_id", "text")
     },
 
-    // ---- exact n-gram Jaccard near-dup pairs ----
-    Q("q_dedup_jaccard",
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
-        |  WHERE len(w) >= 3)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-        |FROM sh a, sh b
-        |WHERE a.doc_id < b.doc_id
-        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin) { (s, dir) =>
+    // ---- exact n-gram Jaccard near-dup pairs (operator-default
+    //      hot-shingle cap, planted in the oracle too) ----
+    Q("q_dedup_jaccard", duckJaccardPairsSql(maxBucket = 1000, threshold = 0.5)) { (s, dir) =>
       DedupOps.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, threshold = 0.5, maxBucket = 100000)
+        shingleN = 3, threshold = 0.5)
+    },
+
+    // ---- same operator with a cap SMALL enough to actually prune at
+    //      this SF (29 shingles dropped at sf0.01) — the skew-guard
+    //      path itself is oracle-checked, not just the uncapped one ----
+    Q("q_dedup_jaccard_capped", duckJaccardPairsSql(maxBucket = 5, threshold = 0.5)) { (s, dir) =>
+      DedupOps.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxBucket = 5)
     },
 
     // ---- MinHash + LSH banded near-dup pairs (portable hash tier) ----
@@ -135,16 +166,18 @@ object LlmQueries {
         |bands AS (
         |  SELECT doc_id, sig, b, array_to_string(sig[2*b+1:2*b+2], ',') AS key
         |  FROM sig, (SELECT unnest(range(0, $BANDS)) AS b)),
+        |bkt AS (SELECT b, key FROM bands GROUP BY b, key HAVING count(*) <= 1000),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
-        |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        |  JOIN bkt ON bkt.b = a.b AND bkt.key = a.key)
         |SELECT id_a, id_b,
         |  list_sum([CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END for i in range(1, ${SIG_K + 1})]) / $SIG_K.0 AS est_jaccard
         |FROM cand
         |WHERE list_sum([CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END for i in range(1, ${SIG_K + 1})]) / $SIG_K.0 >= 0.4""".stripMargin) { (s, dir) =>
       DedupOps.minhashNearDupPairs(Tables(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, k = SIG_K, bands = BANDS, threshold = 0.4,
-        portable = true, maxBucket = 100000)
+        portable = true)
     },
 
     // ---- SimHash document signatures (portable hash tier) ----
@@ -171,13 +204,7 @@ object LlmQueries {
     },
 
     // ---- brute-force cosine top-k (broadcast queries × corpus) ----
-    Q("q_sim_topk_brute",
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
-        |s AS (SELECT query_id, vec_id AS corpus_id, ${duckCos("qv", "embedding")} AS cos
-        |      FROM embeddings, q WHERE vec_id <> query_id)
-        |SELECT query_id, corpus_id, cos, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
-        |  FROM s) WHERE rank <= 5""".stripMargin) { (s, dir) =>
+    Q("q_sim_topk_brute", duckBruteTopKSql) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       SimilarityOps.bruteForceTopK(
         e.where(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", k = 5)
@@ -237,11 +264,16 @@ object LlmQueries {
         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
         |        FROM q JOIN keep1 USING (doc_id)) WHERE len(w) >= 3),
+        |shx AS (SELECT doc_id, unnest(s) AS s FROM sh),
+        |shkeep AS (SELECT s FROM shx GROUP BY s HAVING count(*) <= 1000),
+        |shpr AS (SELECT doc_id, shx.s AS s FROM shx JOIN shkeep USING (s)),
+        |shn AS (SELECT doc_id, count(*) AS n FROM shpr GROUP BY doc_id),
+        |shpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |            FROM shpr a JOIN shpr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |drops AS (
-        |  SELECT DISTINCT b.doc_id AS id_b FROM sh a, sh b
-        |  WHERE a.doc_id < b.doc_id
-        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6)
+        |  SELECT DISTINCT id_b FROM shpairs
+        |  JOIN shn na ON na.doc_id = shpairs.id_a JOIN shn nb ON nb.doc_id = shpairs.id_b
+        |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.6)
         |SELECT q.doc_id, CAST(len($duckWords) AS BIGINT) AS n_tokens, quality_score
         |FROM q JOIN keep1 USING (doc_id)
         |WHERE quality_score >= 0.4 AND doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin
@@ -253,8 +285,9 @@ object LlmQueries {
       // 1. exact dedup: first-wins by content fingerprint
       val deduped = graft.dedup.DedupOps.exactDedup(scored, "text", Seq(col("doc_id").asc))
       // 2. near-dup removal: drop the higher id of each jaccard>=0.6 pair
+      //    (operator-default hot-shingle cap — the oracle plants the same)
       val drops = graft.dedup.DedupOps.ngramJaccardPairs(deduped, "doc_id", "text",
-        shingleN = 3, threshold = 0.6, maxBucket = 100000)
+        shingleN = 3, threshold = 0.6)
         .select(col("id_b").as("doc_id")).distinct()
       // 3. quality gate + token stats
       deduped.join(drops, Seq("doc_id"), "left_anti")
@@ -264,8 +297,21 @@ object LlmQueries {
           col("quality_score"))
     },
 
-    // ---- IVF ANN (k-means lists; rows-only — centroids not SQL-oracle-able) ----
-    Q.rowsOnly("q_sim_topk_ivf") { (s, dir) =>
+    // ---- IVF ANN, exact configuration: nProbe = nLists probes every
+    //      inverted list, so the result equals brute force and the
+    //      brute-force oracle hash-checks the whole IVF pipeline
+    //      (k-means fit, list assignment, probe join, scoring) ----
+    Q("q_sim_topk_ivf", duckBruteTopKSql) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(
+        e.where(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding",
+        k = 5, nLists = 16, nProbe = 16)
+        .select("query_id", "corpus_id", "cos", "rank")
+    },
+
+    // ---- IVF ANN, approximate production configuration (recall < 1 by
+    //      design — centroid-dependent, so rows-only) ----
+    Q.rowsOnly("q_sim_topk_ivf_approx") { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       SimilarityOps.ivfTopK(
         e.where(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding",
@@ -295,9 +341,18 @@ object LlmQueries {
         bytesPerFrame = 100, step = 10)
     },
 
-    // ---- multimodal: batched per-partition feature extraction ----
-    // (mapPartitions plumbing; kernel is a stub → rows-only check)
-    Q.rowsOnly("q_mm_features") { (s, dir) =>
+    // ---- multimodal: batched per-partition feature extraction. The
+    //      kernel is a deterministic byte-statistics STUB, so DuckDB can
+    //      reproduce it exactly (documents.text is ASCII: char codes =
+    //      UTF-8 bytes) — the mapPartitions plumbing, encoders, and
+    //      batch shape are hash-checked end-to-end ----
+    Q("q_mm_features",
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(string_split(text, '')::VARCHAR[], c -> ascii(c))) AS DOUBLE)
+        |    / octet_length(text::BLOB) AS mean_byte,
+        |  CAST(ascii(text) AS INTEGER) AS first_byte
+        |FROM documents""".stripMargin) { (s, dir) =>
       MultimodalOps.decodeBatched(s,
         MultimodalOps.attachBinary(Tables(s, dir, "documents"), "doc_id", "text", "image"))
         .toDF()

@@ -149,21 +149,32 @@ object SimilarityOps {
     * Returns (query_id, corpus_id, cos, rank) like the other top-k ops.
     * Recall grows with nProbe (nProbe = nLists ⇒ exact brute force).
     */
+  /** Fit the IVF coarse quantizer: k-means centroids from a bounded
+    * UNBIASED sample of the corpus. A bare `limit(n)` would take the
+    * first n rows (≈ one file/partition) and fit the quantizer on a
+    * non-representative slice, badly unbalancing the inverted lists at
+    * scale — the seeded `rand()` order makes it a uniform draw
+    * (deterministic per run) at one TakeOrdered pass over the corpus.
+    */
+  def ivfCentroids(corpus: DataFrame, vecCol: String, nLists: Int,
+                   seed: Long = 42L, sampleSize: Int = 4096): Array[(Int, Array[Double])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+      .orderBy(rand(seed)).limit(sampleSize)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8).fit(train)
+    model.clusterCenters.zipWithIndex.map { case (v: Vector, i) => (i, v.toArray) }
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qidCol: String, cidCol: String, vecCol: String,
               k: Int, nLists: Int = 16, nProbe: Int = 2,
               seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
-
     // the quantizer needs only a sketch of the distribution — training
     // on a bounded sample keeps the fit O(sample) while assignment
     // still covers the full corpus
-    val train = corpus.select(array_to_vector(col(vecCol)).as("features")).limit(4096)
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8).fit(train)
-    val centroids: Array[(Int, Array[Double])] =
-      model.clusterCenters.zipWithIndex.map { case (v: Vector, i) => (i, v.toArray) }
+    val centroids = ivfCentroids(corpus, vecCol, nLists, seed)
 
     // nearest-list assignment as a pure expression over the broadcast
     // centroid literals: argmin over squared L2 distance

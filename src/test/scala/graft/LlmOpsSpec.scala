@@ -53,6 +53,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(!m.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("ngramJaccardPairs maxBucket: numerator and denominator share the pruned universe") {
+    // docs 1, 2, 4 share their first six 3-grams, so those shingles sit
+    // in buckets of size 3; "the lazy dog" is in docs {1,4} (size 2) and
+    // "the lazy cat" only in doc 2. With maxBucket = 2 the six hot
+    // shingles vanish from the universe ENTIRELY: docs 1/2/4 each keep
+    // exactly one shingle, and (1,4) — sharing theirs — must score
+    // jaccard 1/(1+1-1) = 1.0. A pre-prune denominator would give the
+    // inconsistent 1/(7+7-1) ≈ 0.08 and drop the pair.
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3,
+      threshold = 0.4, maxBucket = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 4L, 1.0)))
+  }
+
   test("minhash est-jaccard ≈ true jaccard; LSH finds planted pairs") {
     val pairs = DedupOps.minhashNearDupPairs(docs, "doc_id", "text",
       shingleN = 3, k = 32, bands = 16, threshold = 0.4)

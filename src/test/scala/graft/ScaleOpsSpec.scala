@@ -57,4 +57,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r4 >= r1)
     assert(r1 > 0.2) // the home list already holds a real fraction
   }
+
+  test("IVF quantizer training sample is unbiased: sorted input still splits clusters") {
+    // 8192 rows, MORE than the 4096-row training sample, laid out so a
+    // head-of-table sample (the old limit(4096) bias) would see ONLY
+    // cluster A and put both centroids inside it. The seeded random
+    // draw must see both clusters and place one centroid near each.
+    val a = (0 until 4096).map(i => (i.toLong, Array(10f + (i % 7) * 0.01f, 10f, 0.1f)))
+    val b = (0 until 4096).map(i => ((i + 4096).toLong, Array(-10f - (i % 7) * 0.01f, -10f, 0.1f)))
+    val corpus = (a ++ b).toDF("vec_id", "embedding").coalesce(1) // sorted, single partition
+    val cents = SimilarityOps.ivfCentroids(corpus, "embedding", nLists = 2, seed = 7L)
+      .map(_._2)
+    assert(cents.count(_(0) > 5.0) == 1, s"one centroid in cluster A: ${cents.map(_.toSeq).toSeq}")
+    assert(cents.count(_(0) < -5.0) == 1, s"one centroid in cluster B: ${cents.map(_.toSeq).toSeq}")
+  }
 }
