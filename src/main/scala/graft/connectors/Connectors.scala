@@ -23,9 +23,18 @@ object Connectors {
     * `fetchPage(limit, offset)` returns one page; empty page or a page
     * shorter than `limit` ends the drain (both conventions appear in
     * the reference: `dbt_client.py:505-533`).
+    *
+    * Each page fetch runs under [[graft.util.Retry.retryV2]] (the
+    * reference decorates its REST pulls with `retry_v2`,
+    * `custom_decorators.py:44-77`): `pageRetries` retries with
+    * quadratic backoff, the whole drain failing only when one page
+    * exhausts its attempts. Offsets never advance on a failed attempt,
+    * so a flaky page is re-fetched, not skipped.
     */
   def pagedSource[T <: Product : TypeTag](spark: SparkSession, limit: Int,
-                                          maxPages: Int = 10000)
+                                          maxPages: Int = 10000,
+                                          pageRetries: Int = 0,
+                                          sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong))
                                          (fetchPage: (Int, Int) => Seq[T]): Dataset[T] = {
     import spark.implicits._
     val buf = scala.collection.mutable.ArrayBuffer.empty[T]
@@ -33,7 +42,9 @@ object Connectors {
     var pages = 0
     var done = false
     while (!done && pages < maxPages) {
-      val page = fetchPage(limit, offset)
+      val page =
+        if (pageRetries <= 0) fetchPage(limit, offset)
+        else graft.util.Retry.retryV2(pageRetries, sleep = sleep)(_ => fetchPage(limit, offset))
       buf ++= page
       offset += limit
       pages += 1

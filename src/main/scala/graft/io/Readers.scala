@@ -97,9 +97,21 @@ object Readers {
     * dropping empty files — distributed-filesystem analog of the
     * reference's paginated S3 listing (`list_files`
     * `src/pyveb/s3_client.py:29-71`; size filter `:73-87`).
+    *
+    * Fidelity to the reference listing contract:
+    *   - returned paths are ABSOLUTE (the reference absolutizes every
+    *     key to `s3://bucket/key`; here the filesystem's full URI);
+    *   - keys are URL-unquoted (the reference lists with
+    *     `EncodingType=url` then `unquote`s — a key written as
+    *     `a%20b.csv` comes back as `a b.csv`);
+    *   - `includeEmpty = false` drops zero-byte files (reference
+    *     `list_empty_files` kwarg; default true for compatibility);
+    *   - `minBytes` is the strictly-bigger-than filter of
+    *     `list_files_bigger_than`; `maxFiles` caps the listing.
     */
   def listFiles(spark: SparkSession, prefix: String, fileType: Option[String] = None,
-                minBytes: Long = -1L, maxFiles: Int = Int.MaxValue): Seq[String] = {
+                minBytes: Long = -1L, maxFiles: Int = Int.MaxValue,
+                includeEmpty: Boolean = true): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(prefix)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
@@ -107,10 +119,19 @@ object Readers {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext && out.size < maxFiles) {
       val st = it.next()
-      val name = st.getPath.getName
+      val name = unquote(st.getPath.getName)
       val typeOk = fileType.forall(name.contains)
-      if (st.isFile && typeOk && st.getLen > minBytes) out += st.getPath.toString
+      val sizeOk = st.getLen > minBytes && (includeEmpty || st.getLen > 0)
+      if (st.isFile && typeOk && sizeOk) out += unquote(st.getPath.toString)
     }
     out.toSeq
   }
+
+  /** URL-unquote percent-escapes in a path string (reference `unquote`,
+    * `s3_client.py:68`); strings without `%` pass through untouched and
+    * malformed escapes are left as-is rather than failing the listing. */
+  private[io] def unquote(s: String): String =
+    if (!s.contains('%')) s
+    else try java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+    catch { case _: IllegalArgumentException => s }
 }

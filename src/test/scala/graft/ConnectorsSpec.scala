@@ -94,6 +94,24 @@ class ConnectorsSpec extends SparkSpec {
     assert(fetches == 3) // 10 + 10 + 5(short → stop)
   }
 
+  test("pagedSource retries a flaky page without skipping or duplicating it") {
+    var failuresLeft = 2
+    val offsetsServed = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ds = Connectors.pagedSource(spark, limit = 10, pageRetries = 3,
+      sleep = _ => ()) { (limit, offset) =>
+      if (offset == 10 && failuresLeft > 0) { failuresLeft -= 1; sys.error("flaky") }
+      offsetsServed += offset
+      (offset until math.min(offset + limit, 25)).map(i => (i, s"row$i"))
+    }
+    assert(ds.collect().map(_._1).sorted.toSeq == (0 until 25))
+    assert(offsetsServed.toSeq == Seq(0, 10, 20)) // page 10 served once, after retries
+    // exhaustion surfaces RetryExhausted, not a partial dataset
+    intercept[graft.util.Retry.RetryExhausted] {
+      Connectors.pagedSource(spark, limit = 10, pageRetries = 1,
+        sleep = _ => ())((_, _) => sys.error("always down")): Unit
+    }
+  }
+
   test("fuzzyBestMatch picks minimum levenshtein with deterministic tiebreak") {
     val files = Seq("report_2024.csv", "summary.txt").toDF("wanted")
     val listing = Seq("report-2024.csv", "report_2023.csv", "summary_final.txt").toDF("found")

@@ -30,6 +30,34 @@ class MiscSpec extends SparkSpec {
       (("2024", "03", "07")))
   }
 
+  test("listFiles: type/size filters, empty-file toggle, unquoted absolute paths") {
+    val dir = Files.createTempDirectory("graft_listing")
+    def touch(name: String, bytes: Int): Unit =
+      Files.write(dir.resolve(name), Array.fill[Byte](bytes)(1))
+    touch("a.csv", 10)
+    touch("b.parquet", 10)
+    touch("empty.csv", 0)
+    touch("report 2024.csv", 5) // space → %20 in the Hadoop path URI
+    val base = dir.toString
+
+    val all = graft.io.Readers.listFiles(spark, base)
+    assert(all.size == 4)
+    assert(all.forall(_.startsWith("file:")), "paths must be absolute URIs")
+    // unquote: the space survives, no %20 leaks to the caller
+    assert(all.exists(_.endsWith("report 2024.csv")))
+    assert(!all.exists(_.contains("%20")))
+
+    val csvs = graft.io.Readers.listFiles(spark, base, fileType = Some("csv"))
+    assert(csvs.size == 3)
+    val nonEmpty = graft.io.Readers.listFiles(spark, base, fileType = Some("csv"),
+      includeEmpty = false)
+    assert(nonEmpty.size == 2 && !nonEmpty.exists(_.contains("empty")))
+    val big = graft.io.Readers.listFiles(spark, base, minBytes = 5)
+    assert(big.size == 2) // strictly bigger than 5
+    assert(graft.io.Readers.listFiles(spark, base, maxFiles = 2).size == 2)
+    assert(graft.io.Readers.listFiles(spark, s"$base/missing").isEmpty)
+  }
+
   test("rangeBatches slices by contiguous key ranges, covers all rows") {
     val df = spark.range(0, 100).toDF("id")
     val batches = Extract.rangeBatches(df, "id", batchSize = 30).toSeq
