@@ -22,8 +22,15 @@ import graft.schema.SchemaOps
 object Pipeline {
 
   sealed trait Source { def read(spark: SparkSession): DataFrame }
-  final case class ParquetSource(path: String, schema: Option[StructType] = None) extends Source {
-    def read(spark: SparkSession): DataFrame = Readers.parquet(spark, path, schema)
+  /** `mergeSchema = true` opts into footer-merging for multi-part
+    * sources whose parts carry DISJOINT column subsets (a column present
+    * only in later parts would otherwise read as all-NULL when a
+    * declared schema null-fills it). Costly at scale — leave off unless
+    * the source is known to drift that way; per-file TYPE conflicts
+    * need [[Readers.multipleParquet]] instead. */
+  final case class ParquetSource(path: String, schema: Option[StructType] = None,
+                                 mergeSchema: Boolean = false) extends Source {
+    def read(spark: SparkSession): DataFrame = Readers.parquet(spark, path, schema, mergeSchema)
   }
   final case class CsvSource(paths: Seq[String], schema: Option[StructType] = None,
                              header: Boolean = true, delimiter: String = ";") extends Source {

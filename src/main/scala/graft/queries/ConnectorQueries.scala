@@ -87,6 +87,58 @@ object ConnectorQueries {
       Writers.parquet(orders, path, partitionBy = Seq("year"))
       s.read.parquet(path).where(col("year") === 1998)
         .select("o_orderkey", "o_totalprice")
+    },
+
+    // ---- config.yml-driven pipeline (§3.1 file front door): a YAML
+    //      job declaration is searched upwards, parsed, bound to
+    //      (env, task), built into a Pipeline.Spec, executed to a
+    //      parquet target, and the TARGET is what the oracle checks ----
+    Q("q_config_pipeline",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'""".stripMargin) { (s, dir) =>
+      import java.nio.file.{Files, Paths}
+      val sf = dir.replaceAll("[^0-9.]", "")
+      val root = Paths.get(s"/tmp/graft_config_$sf")
+      val nested = root.resolve("jobs/deep") // loader must search UP from here
+      Files.createDirectories(nested)
+      val target = s"/tmp/graft_config_target_$sf"
+      val yaml =
+        s"""general:
+           |  pipeline_name: orders_ingest
+           |  pipeline_bucket: local
+           |  pipeline_type: [full]
+           |  prefix_env: {dev: lake-dev, prd: lake-prd}
+           |  prefix_logs: logs
+           |  prefix_raw: raw
+           |  prefix_processed: processed
+           |  tasks: [orders_1996]
+           |source:
+           |  type: parquet
+           |  path: {orders_1996: $dir/orders.parquet}
+           |transform:
+           |  partition_window:
+           |    col: o_orderdate
+           |    start: '1996-01-01 00:00:00'
+           |    end: '1997-01-01 00:00:00'
+           |target:
+           |  dir: $target
+           |  insert_type: {orders_1996: {full: overwrite}}
+           |""".stripMargin
+      Files.write(root.resolve("config.yml"), yaml.getBytes("UTF-8"))
+      val conf = graft.pipeline.ConfigFile.load(
+        graft.pipeline.ConfigFile.searchUpwards("config.yml", nested).get)
+      val resolved = graft.pipeline.ConfigFile.resolve(conf, env = "dev",
+        task = "orders_1996", pipelineType = "full",
+        executionDate = java.time.LocalDateTime.of(2024, 1, 1, 0, 0))
+      val spec = graft.pipeline.ConfigFile.toSpec(resolved, "orders_1996", "full",
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0), addMeta = false)
+      spec.run(s)
+      graft.merge.Merge.readTarget(s, target)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
     }
   )
 
