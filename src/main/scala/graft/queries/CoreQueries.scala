@@ -500,17 +500,21 @@ object CoreQueries {
     },
 
     // ---- skew-resistant salted join (SCALING.md; identical semantics
-    //      to the plain join, so the oracle is the plain SQL join) ----
+    //      to the plain join, so the oracle is the plain SQL join).
+    //      TARGETED salting: hotThreshold=6 splits the fixture's
+    //      orderkeys (1-7 lineitems each) into genuinely-hot (salted)
+    //      and tail (unsalted), so the oracle hash-checks BOTH paths
+    //      and their union ----
     Q("q_salted_join",
       """SELECT o.o_orderpriority,
         |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
         |  count(*) AS n
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderpriority""".stripMargin) { (s, dir) =>
-      RelationalOps.saltedJoin(
+      RelationalOps.saltedJoinTargeted(
         t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
         t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
-        Seq("l_orderkey"), salt = 8)
+        Seq("l_orderkey"), salt = 8, hotThreshold = 6)
         .groupBy("o_orderpriority")
         .agg(expr("cast(sum(cast(l_extendedprice as decimal(12,2))) as double)").as("sum_price"),
           count(lit(1)).as("n"))

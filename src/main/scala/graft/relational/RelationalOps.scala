@@ -102,6 +102,47 @@ object RelationalOps {
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** [[saltedJoin]] with the salt applied ONLY to hot keys: a
+    * frequency pre-pass over the left (fact) side finds keys with more
+    * than `hotThreshold` rows, and only those are salted — the right
+    * side is exploded `salt`× for hot keys alone, while the long tail
+    * joins unsalted. Universal salting taxes EVERY row with a `salt`×
+    * right-side shuffle blow-up even when the keys aren't skewed; here
+    * the blow-up is `salt × |hot keys|` rows, which is what makes the
+    * operator usable as a default at 100 TB (the pre-pass itself is one
+    * partial-aggregated count shuffle of (key, count) pairs — far
+    * smaller than the data). There are at most |left| / hotThreshold
+    * hot keys by construction, so the hot-key set broadcasts.
+    *
+    * Row-for-row identical to the plain join: a hot left row carries
+    * one salt in [0, salt) and meets exactly the matching salted copy
+    * of its right rows; a cold row carries salt 0 and meets the single
+    * unsalted copy.
+    */
+  def saltedJoinTargeted(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         salt: Int = 16, hotThreshold: Long = 1000000L,
+                         joinType: String = "inner"): DataFrame = {
+    require(salt > 1, "salt must be > 1")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+      s"saltedJoinTargeted supports inner/left/left_semi/left_anti, not $joinType")
+    val hot = left.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__kn"))
+      .where(col("__kn") > hotThreshold)
+      .select(keys.map(col): _*).withColumn("__hot", lit(true))
+    val l = left.join(broadcast(hot), keys, "left")
+      .withColumn("__salt",
+        when(col("__hot"),
+          pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("__hot")
+    val r = right.join(broadcast(hot), keys, "left")
+      .withColumn("__salt", explode(
+        when(col("__hot"), sequence(lit(0), lit(salt - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("__hot")
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Equality filter with the reference's case modes
     * (`filter_list_of_dicts_on_key_value` `src/pyveb/common.py:375-384`). */
   def filterEquals(df: DataFrame, c: String, value: String,

@@ -24,6 +24,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(saltedLeft == plainLeft)
   }
 
+  test("saltedJoinTargeted: row-identical to plain join, salts only hot keys") {
+    // multiplicity 1..10 per key: threshold 4 makes keys 5..10 hot and
+    // 1..4 cold, so BOTH paths and their union are exercised
+    val l = (1 to 10).flatMap(k => (1 to k).map(i => (k.toLong, s"v$k-$i")))
+      .toDF("k", "lv")
+    val r = Seq((1L, "a"), (3L, "b"), (7L, "c"), (9L, "d"), (99L, "zz")).toDF("k", "rv")
+    val plain = l.join(r, Seq("k")).collect().map(_.toString).sorted.toSeq
+    val targeted = RelationalOps.saltedJoinTargeted(l, r, Seq("k"),
+      salt = 4, hotThreshold = 4)
+      .select("k", "lv", "rv").collect().map(_.toString).sorted.toSeq
+    assert(targeted == plain)
+    // left join: unmatched left rows appear exactly once (no salt dup)
+    val plainLeft = l.join(r, Seq("k"), "left").collect().map(_.toString).sorted.toSeq
+    val targetedLeft = RelationalOps.saltedJoinTargeted(l, r, Seq("k"),
+      salt = 4, hotThreshold = 4, joinType = "left")
+      .select("k", "lv", "rv").collect().map(_.toString).sorted.toSeq
+    assert(targetedLeft == plainLeft)
+    // no hot keys at all (threshold above every count) degrades to plain
+    val none = RelationalOps.saltedJoinTargeted(l, r, Seq("k"),
+      salt = 4, hotThreshold = 1000)
+      .select("k", "lv", "rv").collect().map(_.toString).sorted.toSeq
+    assert(none == plain)
+    intercept[IllegalArgumentException](
+      RelationalOps.saltedJoinTargeted(l, r, Seq("k"), joinType = "full_outer"))
+  }
+
   test("multi-probe LSH recall >= single-probe, still a subset of brute force") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 30)
