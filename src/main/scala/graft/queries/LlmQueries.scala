@@ -28,11 +28,11 @@ object LlmQueries {
     * universe, and per-doc set sizes are recomputed POST-prune so the
     * numerator and denominator agree (DedupOps.ngramJaccardPairs).
     */
-  private def duckJaccardPairsSql(maxBucket: Int, threshold: Double) =
+  private def duckJaccardPairsSql(maxBucket: Int, threshold: Double, shingleN: Int = 3) =
     s"""WITH sh AS (
-      |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+      |  SELECT doc_id, list_distinct([array_to_string(w[i:i+${shingleN - 1}], ' ') for i in range(1, len(w) - ${shingleN - 2})]) AS s
       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents)
-      |  WHERE len(w) >= 3),
+      |  WHERE len(w) >= $shingleN),
       |ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $maxBucket),
       |pr AS (SELECT doc_id, ex.s AS s FROM ex JOIN keep USING (s)),

@@ -155,16 +155,74 @@ object SimilarityOps {
     * non-representative slice, badly unbalancing the inverted lists at
     * scale — the seeded `rand()` order makes it a uniform draw
     * (deterministic per run) at one TakeOrdered pass over the corpus.
+    *
+    * The Lloyd's fit itself runs ON THE DRIVER over the collected
+    * sample (FAISS fits its coarse quantizer the same way): the sample
+    * is bounded at `sampleSize` rows regardless of corpus size, and a
+    * driver loop over ≤4096 vectors costs milliseconds — distributing
+    * it spends multiple scheduler round-trips per iteration to share
+    * work that fits in L2 cache. Only the ASSIGNMENT of the full corpus
+    * to lists is distributed (a broadcast-centroid projection in
+    * [[ivfTopK]]).
+    *
+    * Determinism caveat: the `rand(seed)` draw is deterministic only
+    * for a fixed partition layout — centroids (and therefore
+    * approximate nProbe < nLists results) can shift if file splits or
+    * parallelism change. The exact nProbe = nLists path is
+    * centroid-independent. If cross-layout repeatability matters,
+    * sample by a stable id hash (e.g. `orderBy(xxhash64(col(id)))`)
+    * instead.
     */
   def ivfCentroids(corpus: DataFrame, vecCol: String, nLists: Int,
-                   seed: Long = 42L, sampleSize: Int = 4096): Array[(Int, Array[Double])] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
-    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+                   seed: Long = 42L, sampleSize: Int = 4096,
+                   maxIter: Int = 8): Array[(Int, Array[Double])] = {
+    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
       .orderBy(rand(seed)).limit(sampleSize)
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8).fit(train)
-    model.clusterCenters.zipWithIndex.map { case (v: Vector, i) => (i, v.toArray) }
+      .collect()
+      .map(_.getSeq[Any](0).iterator.map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray)
+    require(sample.nonEmpty, "ivfCentroids: empty corpus")
+    val k = math.min(nLists, sample.length)
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    // init: k distinct sample points from the seeded shuffle
+    val centroids = rnd.shuffle(sample.indices.toVector).take(k)
+      .map(i => sample(i).clone()).toArray
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < k) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearest(v)
+        counts(c) += 1
+        var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0; while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        } else {
+          // empty cluster: reseed on a (seeded-)random sample point
+          centroids(c) = sample(rnd.nextInt(sample.length)).clone()
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
