@@ -8,6 +8,7 @@ import graft.dedup.DedupOps
 import graft.multimodal.MultimodalOps
 import graft.similarity.SimilarityOps
 import graft.text.TextOps
+import graft.training.TrainingOps
 
 /** LLM-training-data pipeline queries (dedup / similarity / text /
   * multimodal) with DuckDB oracles. These use the `portable` md5-based
@@ -317,6 +318,69 @@ object LlmQueries {
         e.where(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding",
         k = 5, nLists = 16, nProbe = 4)
         .select("query_id", "corpus_id", "cos", "rank")
+    },
+
+    // ---- deterministic train/val/test split by stable id hash ----
+    Q("q_train_split",
+      s"""SELECT doc_id,
+        |  CASE WHEN b < 900000 THEN 'train'
+        |       WHEN b < 950000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ${duckHash("'split|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS b
+        |      FROM documents)""".stripMargin) { (s, dir) =>
+      TrainingOps.hashSplit(Tables(s, dir, "documents"), "doc_id",
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)), portable = true)
+        .select("doc_id", "split")
+    },
+
+    // ---- deterministic per-language stratified sampling ----
+    Q("q_stratified_sample",
+      s"""SELECT doc_id, lang
+        |FROM (SELECT doc_id, lang,
+        |        ${duckHash("'sample|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS b
+        |      FROM documents)
+        |WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 250000
+        |                    ELSE 100000 END""".stripMargin) { (s, dir) =>
+      TrainingOps.stratifiedSample(Tables(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.25), default = 0.1, portable = true)
+        .select("doc_id", "lang")
+    },
+
+    // ---- within-doc repetition signals (Gopher-style repeat gates) ----
+    Q("q_text_repetition",
+      """WITH sh AS (
+        |  SELECT doc_id, [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] AS gs
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 2),
+        |ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_ngram_fraction,
+        |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dup_ngram_fraction
+        |FROM c GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.repetitionSignals(Tables(s, dir, "documents"), "doc_id", "text", n = 2)
+    },
+
+    // ---- sequence packing: concat-and-chunk layout per shard ----
+    Q("q_pack_sequences",
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len($duckWords) AS BIGINT) AS n_tokens,
+        |    CAST(${duckHash("'pack|' || CAST(doc_id AS VARCHAR)")} % 8 AS INTEGER) AS shard
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                                    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS seq_start,
+        |  CAST(floor((cum - 1) / 512) AS BIGINT) AS seq_end,
+        |  CAST((cum - n_tokens) % 512 AS BIGINT) AS offset
+        |FROM c""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      TrainingOps.packSequences(docs, "doc_id", "n_tokens",
+        maxTokens = 512, nShards = 8, portable = true)
+        .select("doc_id", "shard", "n_tokens", "seq_start", "seq_end", "offset")
     },
 
     // ---- multimodal: binary payload + stub decode metadata ----

@@ -90,6 +90,47 @@ object TextOps {
       .drop("__lid_ws" +: LangMarkers.map(m => s"__lid_${m._1}"): _*)
   }
 
+  /** Word n-grams WITH multiplicity (no dedup — repetition analysis
+    * needs every occurrence; the dedup ops use the distinct variant
+    * [[graft.dedup.DedupOps.wordShingles]]). Texts with fewer than n
+    * words → empty array. */
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.functions.Let.bind(words(text)) { ws =>
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))
+        .otherwise(array().cast(ArrayType(StringType)))
+    }
+
+  /** Within-document repetition signals (the Gopher/MassiveText repeat
+    * filters, adapted to word n-grams): per doc,
+    *   - `n_ngrams`      — total n-gram occurrences,
+    *   - `top_ngram_fraction` — occurrences of the most frequent n-gram
+    *     over total (Gopher's "top n-gram fraction" gate),
+    *   - `dup_ngram_fraction` — fraction of occurrences that are
+    *     repeats of an earlier occurrence (1 − distinct/total).
+    * Docs with fewer than n words (no n-grams) are dropped — they have
+    * no repetition signal to report.
+    *
+    * Shuffle plan: explode → partial-aggregated count on (doc, gram) →
+    * per-doc reduce. Two map-side-combinable shuffles keyed by doc id,
+    * no windows, no self-joins — linear at 100 TB.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 2): DataFrame = {
+    val grams = df.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__g"))
+    grams.groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_ngrams"),
+        max(col("__c")).as("__top"),
+        count(lit(1)).as("__distinct"))
+      .select(col(idCol),
+        col("n_ngrams"),
+        round(col("__top").cast(DoubleType) / col("n_ngrams"), 6).as("top_ngram_fraction"),
+        round(lit(1.0) - col("__distinct").cast(DoubleType) / col("n_ngrams"), 6)
+          .as("dup_ngram_fraction"))
+  }
+
   /** Canonical text normalization for content identity: lowercase,
     * collapse whitespace runs, trim. */
   def normalize(text: Column): Column =

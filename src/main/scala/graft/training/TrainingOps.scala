@@ -1,0 +1,124 @@
+package graft.training
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Hashes
+
+/** Training-corpus preparation operators: deterministic dataset
+  * splits, per-stratum sampling, and sequence packing.
+  *
+  * Extension surface beyond the reference (BASELINE.json north star) —
+  * the operations a 100 TB training-data pipeline runs after
+  * dedup/quality filtering and before the tokenizer.
+  *
+  * Scale design: every decision here is a pure per-row hash projection
+  * (split/sample — shuffle-free, reproducible across runs AND across
+  * engines in the portable tier) or a single window per shard
+  * (packing). Nothing collects; nothing depends on partition layout —
+  * a row's fate is a function of its id, so adding executors or
+  * re-splitting files never changes the corpus.
+  *
+  * Hash tiers as in [[graft.dedup.DedupOps]]: `portable = true` routes
+  * through the md5-based cross-engine hash (oracle-checkable);
+  * production default is xxhash64.
+  */
+object TrainingOps {
+
+  private val Ppm = 1000000L // hash buckets per decision (parts-per-million)
+
+  /** Uniform [0, Ppm) bucket from a salted stable id — the one source
+    * of randomness for split/sample decisions. The salt decorrelates
+    * decisions (a doc's split assignment must not predict its sample
+    * survival). */
+  private def hashBucket(id: Column, salt: String, portable: Boolean): Column = {
+    val h = concat(lit(salt), lit("|"), id.cast(StringType))
+    pmod(if (portable) Hashes.portable(h) else xxhash64(h), lit(Ppm))
+  }
+
+  /** Deterministic train/val/test (or any) split by stable id hash:
+    * `splits` are (label, weight) pairs, weights summing to ~1; each
+    * row gets the label of its hash bucket's interval. Reproducible
+    * across runs, engines (portable tier), partition layouts, and
+    * corpus growth (a doc keeps its split when new docs arrive — the
+    * property random `randomSplit` cannot give you).
+    */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                salt: String = "split", portable: Boolean = false,
+                outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "hashSplit: no splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split weights must sum to 1, got $total")
+    val bucket = hashBucket(col(idCol), salt, portable)
+    // cumulative thresholds in integer ppm — no float-boundary drift
+    val thresholds = splits.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * Ppm)
+    }.tail.zip(splits.map(_._1))
+    val expr0 = thresholds.init.foldRight(lit(thresholds.last._2)) {
+      case ((cut, label), elseExpr) => when(bucket < cut, label).otherwise(elseExpr)
+    }
+    df.withColumn(outCol, expr0)
+  }
+
+  /** Deterministic per-stratum sampling: keep a row iff its hash
+    * bucket falls under its stratum's fraction (`fractions` per
+    * stratum value, `default` otherwise). The hash-threshold form of
+    * `sampleBy`, but exactly reproducible and oracle-checkable — and
+    * nested samples: a 1% sample is a subset of the 10% sample with
+    * the same salt, so quota changes never resample the survivors.
+    * Strata counts are config-sized (languages, sources) so the
+    * fraction lookup inlines as a when-chain.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double], default: Double = 0.0,
+                       salt: String = "sample", portable: Boolean = false): DataFrame = {
+    require(fractions.nonEmpty, "stratifiedSample: no fractions")
+    (fractions.values ++ Seq(default)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction $f outside [0,1]"))
+    val bucket = hashBucket(col(idCol), salt, portable)
+    // sorted for a deterministic expression tree
+    val cut = fractions.toSeq.sortBy(_._1).foldRight(lit(math.round(default * Ppm))) {
+      case ((stratum, f), elseExpr) =>
+        when(col(stratumCol) === stratum, lit(math.round(f * Ppm))).otherwise(elseExpr)
+    }
+    df.where(bucket < cut)
+  }
+
+  /** Sequence packing by document concatenation: shard the corpus by
+    * id hash, order each shard by id, and lay documents end-to-end
+    * into fixed-`maxTokens` training sequences — each doc is assigned
+    * the [seq_start, seq_end] range of sequences its tokens occupy
+    * (a doc may straddle a boundary, exactly like concat-and-chunk
+    * tokenizer packing). Adds (shard, seq_start, seq_end, offset)
+    * where offset is the doc's first-token position within seq_start.
+    *
+    * One shuffle on the shard key; the per-shard running sum is a
+    * window over the shard — `nShards` bounds the window size and sets
+    * the parallelism (pick shards so a shard's docs fit a partition:
+    * at 100 TB, thousands of shards, each still millions of tokens).
+    * Deterministic for a given (corpus, nShards, maxTokens) — the
+    * layout is a function of ids only.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    maxTokens: Int, nShards: Int = 64,
+                    salt: String = "pack", portable: Boolean = false): DataFrame = {
+    require(maxTokens > 0 && nShards > 0, "packSequences: maxTokens and nShards must be > 0")
+    val sharded = df.withColumn("shard",
+      pmod(if (portable) Hashes.portable(concat(lit(salt), lit("|"), col(idCol).cast(StringType)))
+           else xxhash64(lit(salt), col(idCol).cast(StringType)), lit(nShards.toLong))
+        .cast(IntegerType))
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(col(tokensCol).cast(LongType)).over(w)
+    sharded
+      .withColumn("__cum", cum)
+      .withColumn("seq_start",
+        floor((col("__cum") - col(tokensCol)) / maxTokens).cast(LongType))
+      .withColumn("seq_end", floor((col("__cum") - 1) / maxTokens).cast(LongType))
+      .withColumn("offset",
+        pmod(col("__cum") - col(tokensCol), lit(maxTokens.toLong)))
+      .drop("__cum")
+  }
+}

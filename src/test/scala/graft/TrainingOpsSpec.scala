@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+import graft.training.TrainingOps
+
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+
+  test("hashSplit: exhaustive labels, roughly proportional, validates weights") {
+    val out = TrainingOps.hashSplit(docs, "doc_id",
+      Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    assert(n == docs.count())
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train").toDouble / n > 0.8) // 90% nominal, small-n slack
+    intercept[IllegalArgumentException](
+      TrainingOps.hashSplit(docs, "doc_id", Seq(("a", 0.5), ("b", 0.3))))
+  }
+
+  test("hashSplit is stable under corpus growth: a doc keeps its split") {
+    val full = TrainingOps.hashSplit(docs, "doc_id", Seq(("a", 0.5), ("b", 0.5)))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val subset = TrainingOps.hashSplit(docs.where(col("doc_id") % 3 === 0), "doc_id",
+      Seq(("a", 0.5), ("b", 0.5)))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("stratifiedSample: nested samples + per-stratum rate, rejects bad fractions") {
+    val small = TrainingOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.1), default = 0.05)
+      .select("doc_id").as[Long].collect().toSet
+    val big = TrainingOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5), default = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big), "same salt => smaller quota is a subset of larger")
+    val zeroDefault = TrainingOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0), default = 0.0)
+    assert(zeroDefault.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+    intercept[IllegalArgumentException](
+      TrainingOps.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.5)))
+  }
+
+  test("packSequences: contiguous concat-and-chunk layout within each shard") {
+    val withTokens = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val packed = TrainingOps.packSequences(withTokens, "doc_id", "n_tokens",
+      maxTokens = 128, nShards = 4)
+      .select("doc_id", "shard", "n_tokens", "seq_start", "seq_end", "offset")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(packed.length == withTokens.count())
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._1)
+      var cum = 0L
+      ordered.foreach { case (_, _, nTok, seqStart, seqEnd, offset) =>
+        assert(offset == cum % 128, "doc starts where the previous one ended")
+        assert(seqStart == cum / 128)
+        assert(seqEnd == (cum + nTok - 1) / 128)
+        assert(seqStart <= seqEnd)
+        cum += nTok
+      }
+    }
+  }
+
+  test("repetitionSignals: counts multiplicity, drops gram-less docs") {
+    val df = Seq(
+      (1L, "a a a b"),   // bigrams: "a a","a a","a b" -> total 3, top 2, distinct 2
+      (2L, "x y z"),     // all distinct -> dup 0, top 1/2
+      (3L, "solo")       // < 2 words -> dropped
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((3L, 0.666667, 0.333333)))
+    assert(out(2L) == ((2L, 0.5, 0.0)))
+  }
+}
