@@ -62,7 +62,16 @@ object Connectors {
     */
   def fuzzyBestMatch(left: DataFrame, nameCol: String,
                      candidates: DataFrame, candCol: String,
-                     topK: Int = 1): DataFrame = {
+                     topK: Int = 1, maxCandidates: Int = 100000): DataFrame = {
+    // the broadcast cross join is correct ONLY because candidates are a
+    // file listing (small by contract) — enforce the contract instead
+    // of letting a huge candidate side turn this into an accidental
+    // O(left × candidates) scan. The probe is limit-bounded, so the
+    // guard itself never scans more than maxCandidates+1 rows.
+    val nCand = candidates.limit(maxCandidates + 1).count()
+    require(nCand <= maxCandidates,
+      s"fuzzyBestMatch: candidate side exceeds $maxCandidates rows — " +
+        "this operator ranks file listings; bucket or pre-filter larger sides")
     // partition by a per-row unique id, not the left columns — two
     // identical left rows must each keep their own topK matches
     val withId = left.withColumn("__row", monotonically_increasing_id())

@@ -121,6 +121,14 @@ class ConnectorsSpec extends SparkSpec {
     assert(out("summary.txt") == "summary_final.txt")
   }
 
+  test("fuzzyBestMatch enforces the bounded-candidates contract") {
+    val files = Seq("a.csv").toDF("wanted")
+    val listing = Seq("a1.csv", "a2.csv", "a3.csv").toDF("found")
+    intercept[IllegalArgumentException] {
+      Connectors.fuzzyBestMatch(files, "wanted", listing, "found", maxCandidates = 2)
+    }
+  }
+
   test("fuzzyBestMatch keeps one match PER ROW even for duplicate left rows") {
     val files = Seq("a.csv", "a.csv", "b.csv").toDF("wanted")
     val listing = Seq("a_1.csv", "b_1.csv").toDF("found")
