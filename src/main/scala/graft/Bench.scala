@@ -11,10 +11,20 @@ object Bench {
       .getOrCreate()
     Graft.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warmup outside the timed section
-    try spark.read.parquet(s"$sfDir/region.parquet")
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => }
+    // JIT/codegen warmup outside the timed section: exercise the scan,
+    // shuffle (groupBy), broadcast-join, and window machinery once on a
+    // tiny table so the first timed query doesn't absorb ~2s of JVM
+    // warmup that belongs to no operator
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      nation.join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("r_name"))))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // operators that persist intermediates (LSH/jaccard) must not
       // bleed storage pressure into later queries

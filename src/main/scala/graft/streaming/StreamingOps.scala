@@ -60,6 +60,21 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"))
 
+  /** Streaming duplicate suppression: emit each key's FIRST arrival and
+    * drop re-deliveries that land within the watermark bound — the
+    * streaming form of the engine's batch dedup, and the correct
+    * at-least-once → effectively-once bridge for replayed sources.
+    * State holds one entry per key seen within `lateness` (bounded —
+    * the reason `dropDuplicates` without a watermark is forbidden at
+    * scale: its state never expires). A duplicate older than the
+    * watermark is the upsert sink's job, not stream state.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, keys: Seq[String],
+                  lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, sum: Double, start: Long, last: Long)
   final case class SessionOut(user_id: Long, n_events: Long, sum_value: Double,

@@ -49,6 +49,24 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:30:00.0", "b", 1L, 3.0)))
   }
 
+  test("dedupStream emits first arrival per key, drops within-watermark re-deliveries") {
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)](spark, 1)
+    val out = StreamingOps.dedupStream(
+      mem.toDF.toDF("ts", "id", "v"), "ts", Seq("id"), lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      mem.addData((winTs(5), 1L, 1.0), (winTs(6), 1L, 99.0), (winTs(7), 2L, 2.0))
+      q.processAllAvailable()
+      // same key again in a LATER micro-batch, still inside the watermark
+      mem.addData((winTs(8), 1L, 77.0), (winTs(9), 3L, 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream")
+        .select("id", "v").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0)) // first arrival wins
+    } finally q.stop()
+  }
+
   test("windowedAgg append mode emits only watermark-closed windows") {
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val agg = StreamingOps.windowedAgg(
