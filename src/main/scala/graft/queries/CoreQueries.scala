@@ -520,6 +520,20 @@ object CoreQueries {
           count(lit(1)).as("n"))
     },
 
+    // ---- backward as-of join (point-in-time lookup; DuckDB's native
+    //      ASOF JOIN is the oracle for the union+window formulation) ----
+    Q("q_asof_join",
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts, r.value AS value_asof
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      RelationalOps.asofJoin(
+        ev.where(col("event_type") === "click").select("event_id", "user_id", "ts"),
+        ev.where(col("event_type") === "purchase").select("user_id", "ts", "value"),
+        keys = Seq("user_id"), tsCol = "ts", payload = Seq("value"))
+    },
+
     // ---- batch sessionization by inactivity gap (§2.10) ----
     Q("q_sessionize",
       """WITH g AS (

@@ -143,6 +143,58 @@ object RelationalOps {
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Backward as-of (point-in-time) join: for every left row, attach
+    * the payload of the LATEST right row with the same keys and
+    * `right.ts <= left.ts` (inclusive, like pandas `merge_asof` and
+    * DuckDB/kdb ASOF JOIN); left rows with no prior right row keep NULL
+    * payloads (left-join semantics). The canonical feature-store /
+    * slowly-changing-dimension lookup.
+    *
+    * Scale shape: the naive formulation — equi-join on keys + `l.ts >=
+    * r.ts` filter + latest-wins window — materializes every (left,
+    * right) pair per key before pruning, O(|l|·|r|) per key. Here the
+    * two sides are UNIONED instead, tagged, and sorted once per key by
+    * (ts, side): a running `last(payload, ignoreNulls)` window then
+    * hands every left row its most recent right payload in O((|l|+|r|)
+    * log) with exactly ONE shuffle on the keys and no pair blow-up.
+    * Within a timestamp tie, right sorts before left (inclusive match)
+    * and payload order breaks right-vs-right ties deterministically.
+    *
+    * @param payload right-side columns to attach (suffixed on output).
+    * @param toleranceSecs match only right rows within this many
+    *   seconds before the left row (`tolerance` in merge_asof) — older
+    *   matches become NULL.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+               payload: Seq[String], suffix: String = "_asof",
+               toleranceSecs: Option[Long] = None): DataFrame = {
+    require(payload.nonEmpty, "asofJoin: no payload columns")
+    val keyAndTs = keys :+ tsCol
+    // the payload struct carries the right row's ts for the tolerance
+    // check; it also makes the whole match one ignoreNulls-last value
+    val rPayload = struct((col(tsCol).as("__rts") +: payload.map(col)): _*)
+    val rTagged0 = right
+      .select((keyAndTs.map(col) :+ rPayload.as("__p")): _*)
+      .withColumn("__src", lit(0))
+    val leftExtra = left.columns.filterNot(keyAndTs.contains)
+    val rTagged = leftExtra.foldLeft(rTagged0)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val lTagged = left
+      .withColumn("__p", lit(null).cast(rTagged0.schema("__p").dataType))
+      .withColumn("__src", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__src").asc, col("__p").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lTagged.unionByName(rTagged)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+    val inTolerance = toleranceSecs.fold(lit(true))(t =>
+      unix_timestamp(col(tsCol)) - unix_timestamp(col("__m.__rts")) <= t)
+    val outPayload = payload.map(c =>
+      when(col("__m").isNotNull && inTolerance, col(s"__m.$c")).as(s"$c$suffix"))
+    matched.where(col("__src") === 1)
+      .select(left.columns.map(col) ++ outPayload: _*)
+  }
+
   /** Equality filter with the reference's case modes
     * (`filter_list_of_dicts_on_key_value` `src/pyveb/common.py:375-384`). */
   def filterEquals(df: DataFrame, c: String, value: String,

@@ -50,6 +50,29 @@ class ScaleOpsSpec extends SparkSpec {
       RelationalOps.saltedJoinTargeted(l, r, Seq("k"), joinType = "full_outer"))
   }
 
+  test("asofJoin: latest at-or-before match per key, ties inclusive, tolerance nulls") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val l = Seq((1L, "u1", ts(10)), (2L, "u1", ts(20)), (3L, "u1", ts(5)),
+      (4L, "u2", ts(30)), (5L, "u3", ts(10))).toDF("id", "k", "ts")
+    val r = Seq(("u1", ts(8), 80.0), ("u1", ts(10), 100.0), ("u1", ts(15), 150.0),
+      ("u2", ts(1), 10.0)).toDF("k", "ts", "v")
+    val out = RelationalOps.asofJoin(l, r, Seq("k"), "ts", Seq("v"))
+      .collect().map(row => row.getLong(0) ->
+        (if (row.isNullAt(3)) None else Some(row.getDouble(3)))).toMap
+    assert(out == Map(
+      1L -> Some(100.0), // exact-ts tie matches inclusively
+      2L -> Some(150.0), // latest at-or-before
+      3L -> None,        // left row before any right row
+      4L -> Some(10.0),
+      5L -> None))       // key with no right rows at all
+    // tolerance: u2's only match is 29 minutes old -> nulled at 60s
+    val tol = RelationalOps.asofJoin(l, r, Seq("k"), "ts", Seq("v"),
+      toleranceSecs = Some(60))
+      .collect().map(row => row.getLong(0) ->
+        (if (row.isNullAt(3)) None else Some(row.getDouble(3)))).toMap
+    assert(tol(4L).isEmpty && tol(1L).contains(100.0))
+  }
+
   test("multi-probe LSH recall >= single-probe, still a subset of brute force") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 30)
