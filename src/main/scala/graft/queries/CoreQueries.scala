@@ -534,6 +534,26 @@ object CoreQueries {
         keys = Seq("user_id"), tsCol = "ts", payload = Seq("value"))
     },
 
+    // ---- range (interval containment) join via bin bucketing — the
+    //      equi-join scale path for what Spark would otherwise plan as
+    //      a nested-loop; oracle is DuckDB's plain range join ----
+    Q("q_range_join",
+      """WITH p AS (SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) % 5000 AS p
+        |           FROM orders),
+        |i AS (SELECT i AS interval_id, (i * 37) % 5000 AS lo,
+        |             (i * 37) % 5000 + 150 + (i % 7) * 50 AS hi
+        |      FROM range(0, 200) t(i))
+        |SELECT o_orderkey, p, interval_id, lo, hi
+        |FROM p JOIN i ON p >= lo AND p <= hi""".stripMargin) { (s, dir) =>
+      val p = t(s, dir, "orders").select(col("o_orderkey"),
+        pmod(floor(col("o_totalprice")).cast(LongType), lit(5000L)).as("p"))
+      val iv = s.range(200).select(col("id").as("interval_id"),
+        (col("id") * 37 % 5000).as("lo"),
+        (col("id") * 37 % 5000 + 150 + col("id") % 7 * 50).as("hi"))
+      RelationalOps.rangeJoin(p, iv, "p", "lo", "hi", binWidth = 256)
+        .select("o_orderkey", "p", "interval_id", "lo", "hi")
+    },
+
     // ---- batch sessionization by inactivity gap (§2.10) ----
     Q("q_sessionize",
       """WITH g AS (

@@ -195,6 +195,33 @@ object RelationalOps {
       .select(left.columns.map(col) ++ outPayload: _*)
   }
 
+  /** Range (interval) join: pair every point row with every interval
+    * row whose `[lo, hi]` contains it (inclusive). Spark plans a bare
+    * `points JOIN intervals ON p BETWEEN lo AND hi` as a broadcast-
+    * nested-loop or cartesian — O(|points|·|intervals|) compares. Here
+    * both sides are BINNED: a point lands in bin floor(p/binWidth), an
+    * interval is exploded to every bin it overlaps, and candidates meet
+    * in an equi-join on the bin before the exact containment filter.
+    * A point has exactly one bin, and probed bins are disjoint, so each
+    * qualifying pair meets exactly once — no dedup shuffle.
+    *
+    * `binWidth` tunes fan-out: intervals explode to
+    * ceil(len/binWidth)+1 bins, so pick binWidth ≈ the typical interval
+    * length (explosion ~2×) — far below the pair blow-up it replaces.
+    * One shuffle on the bin key; AQE splits hot bins.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointCol: String, loCol: String, hiCol: String,
+                binWidth: Long): DataFrame = {
+    require(binWidth > 0, "rangeJoin: binWidth must be > 0")
+    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    p.join(i, Seq("__bin"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
   /** Equality filter with the reference's case modes
     * (`filter_list_of_dicts_on_key_value` `src/pyveb/common.py:375-384`). */
   def filterEquals(df: DataFrame, c: String, value: String,

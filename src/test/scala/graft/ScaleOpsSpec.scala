@@ -73,6 +73,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(tol(4L).isEmpty && tol(1L).contains(100.0))
   }
 
+  test("rangeJoin is row-identical to the nested-loop join incl. boundaries") {
+    val points = Seq((1L, 0L), (2L, 100L), (3L, 255L), (4L, 256L), (5L, 999L), (6L, 5000L))
+      .toDF("pid", "p")
+    // boundary-inclusive, multi-bin span, sub-bin, empty, point-sized
+    val intervals = Seq((10L, 0L, 100L), (11L, 100L, 800L), (12L, 250L, 260L),
+      (13L, 3000L, 3001L), (14L, 999L, 999L)).toDF("iid", "lo", "hi")
+    val naive = points.crossJoin(intervals)
+      .where(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(_.toString).sorted.toSeq
+    for (bw <- Seq(1L, 7L, 256L, 10000L)) {
+      val binned = RelationalOps.rangeJoin(points, intervals, "p", "lo", "hi", bw)
+        .select("pid", "iid").collect().map(_.toString).sorted.toSeq
+      assert(binned == naive, s"binWidth=$bw")
+    }
+    intercept[IllegalArgumentException](
+      RelationalOps.rangeJoin(points, intervals, "p", "lo", "hi", 0))
+  }
+
   test("multi-probe LSH recall >= single-probe, still a subset of brute force") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 30)
