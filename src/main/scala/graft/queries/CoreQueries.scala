@@ -520,6 +520,28 @@ object CoreQueries {
           count(lit(1)).as("n"))
     },
 
+    // ---- bounded top-k aggregation: the heap Aggregator (O(k) state,
+    //      map-side partial merge) must agree with the window top-k the
+    //      oracle computes — the scale claim, hash-checked ----
+    Q("q_topk_agg",
+      """SELECT o_orderpriority, CAST(rank AS INTEGER) AS rank, o_totalprice, o_orderkey
+        |FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |      FROM orders)
+        |WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ds = t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .as[(String, Double, Long)]
+      ds.groupByKey(_._1).mapValues(r => (r._2, r._3))
+        .agg(graft.functions.TopKAggregator.topK(3).toColumn.name("top"))
+        .toDF("o_orderpriority", "top")
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast(IntegerType).as("rank"),
+          col("t._1").as("o_totalprice"), col("t._2").as("o_orderkey"))
+    },
+
     // ---- backward as-of join (point-in-time lookup; DuckDB's native
     //      ASOF JOIN is the oracle for the union+window formulation) ----
     Q("q_asof_join",

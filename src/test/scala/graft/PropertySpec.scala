@@ -96,4 +96,53 @@ class PropertySpec extends SparkSpec {
       }
     }, n = 10)
   }
+
+  test("rangeJoin ≡ nested-loop join for arbitrary intervals and bin widths") {
+    val pointsGen = Gen.listOfN(12, Gen.choose(-50L, 150L))
+    val intervalsGen = Gen.listOfN(6, Gen.zip(Gen.choose(-60L, 140L), Gen.choose(0L, 80L)))
+    val bwGen = Gen.oneOf(1L, 3L, 17L, 64L, 1000L)
+    check("range-join", Prop.forAll(pointsGen, intervalsGen, bwGen) { (ps, ivs, bw) =>
+      val points = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+      val intervals = ivs.zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+        .toDF("iid", "lo", "hi")
+      val naive = points.crossJoin(intervals)
+        .where(col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("pid", "iid").collect().map(_.toString).sorted.toSeq
+      val binned = RelationalOps.rangeJoin(points, intervals, "p", "lo", "hi", bw)
+        .select("pid", "iid").collect().map(_.toString).sorted.toSeq
+      binned == naive
+    }, n = 10)
+  }
+
+  test("asofJoin ≡ per-row latest-at-or-before scan for arbitrary event sets") {
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val sideGen = Gen.listOfN(10, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 30L)))
+    check("asof-join", Prop.forAll(sideGen, sideGen) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, m), i) => (i.toLong, s"k$k", ts(m)) }
+        .toDF("id", "k", "ts")
+      // unique (k, ts) on the right per the operator's determinism contract
+      val rRows = rs.distinctBy(t => (t._1, t._2))
+        .zipWithIndex.map { case ((k, m), i) => (s"k$k", ts(m), i * 1.5) }
+      val right = rRows.toDF("k", "ts", "v")
+      val out = RelationalOps.asofJoin(left, right, Seq("k"), "ts", Seq("v"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      ls.zipWithIndex.forall { case ((k, m), i) =>
+        val expected = rRows.filter(r => r._1 == s"k$k" && !r._2.after(ts(m)))
+          .sortBy(_._2.getTime).lastOption.map(_._3)
+        out(i.toLong) == expected
+      }
+    }, n = 10)
+  }
+
+  test("hashSplit covers every row with a declared label, independent of layout") {
+    val idsGen = Gen.listOfN(40, Gen.choose(0L, 100000L))
+    check("hash-split", Prop.forAll(idsGen) { ids =>
+      val df = ids.distinct.toDF("id")
+      val out = graft.training.TrainingOps.hashSplit(df, "id",
+        Seq(("a", 0.5), ("b", 0.3), ("c", 0.2)))
+      val labels = out.select("split").collect().map(_.getString(0))
+      labels.length == ids.distinct.length && labels.forall(Set("a", "b", "c"))
+    }, n = 10)
+  }
 }
