@@ -221,6 +221,36 @@ object DedupOps {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination check: for every corpus document, the
+    * number of distinct word n-gram shingles it shares with ANY
+    * benchmark document, plus its own shingle count — the standard
+    * "n-gram overlap" contamination test run before training so eval
+    * sets don't leak into the corpus (callers drop docs above an
+    * overlap threshold).
+    *
+    * Scale shape: benchmark shingles are `distinct` across the whole
+    * (small) benchmark side and met in a shingle equi-join — the corpus
+    * never self-joins and never shuffles more than its exploded
+    * shingles once. Corpus docs sharing nothing report overlap 0 via
+    * the left join. Use a larger `shingleN` (8 words is the common
+    * contamination gram) than near-dup detection.
+    */
+  def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 8): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("__id"), wordShingles(col(textCol), shingleN).as("__sh"))
+      .select(col("__id"), size(col("__sh")).as("n_shingles"), explode_outer(col("__sh")).as("__s"))
+    val b = benchmark
+      .select(explode(wordShingles(col(textCol), shingleN)).as("__s"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    c.join(b, Seq("__s"), "left")
+      .groupBy(col("__id").as(idCol))
+      .agg(max(col("n_shingles")).cast(LongType).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).cast(LongType).as("n_contaminated"))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** SimHash of the whitespace tokens: per-bit vote of token hashes

@@ -320,6 +320,54 @@ object LlmQueries {
         .select("query_id", "corpus_id", "cos", "rank")
     },
 
+    // ---- PII redaction (emails/phones/IPs planted deterministically,
+    //      since the fixture corpus is digit-free) ----
+    Q("q_redact_pii",
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS text
+        |FROM (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' call +32 2 555 0199 today' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |            THEN ' from 10.0.' || doc_id % 256 || '.7' ELSE '' END AS raw
+        |  FROM documents)""".stripMargin) { (s, dir) =>
+      val planted = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" call +32 2 555 0199 today")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" from 10.0."), col("doc_id") % 256, lit(".7")))
+            .otherwise(lit(""))).as("raw"))
+      planted.select(col("doc_id"), TextOps.redactPii(col("raw")).as("text"))
+    },
+
+    // ---- benchmark decontamination: distinct 8-gram overlap of every
+    //      corpus doc against the eval set (doc_id < 25 stands in) ----
+    Q("q_decontaminate",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 8
+        |             THEN list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])
+        |             ELSE CAST([] AS VARCHAR[]) END AS s
+        |      FROM w),
+        |b AS (SELECT DISTINCT unnest(s) AS s FROM c WHERE doc_id < 25),
+        |hits AS (SELECT doc_id, count(*) AS hit
+        |         FROM (SELECT doc_id, unnest(s) AS s FROM c) e JOIN b USING (s)
+        |         GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(c.s) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(hits.hit, 0) AS BIGINT) AS n_contaminated
+        |FROM c LEFT JOIN hits USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      DedupOps.contaminationCheck(docs, docs.where(col("doc_id") < 25),
+        "doc_id", "text", shingleN = 8)
+    },
+
     // ---- deterministic train/val/test split by stable id hash ----
     Q("q_train_split",
       s"""SELECT doc_id,

@@ -131,6 +131,25 @@ object TextOps {
           .as("dup_ngram_fraction"))
   }
 
+  /** PII redaction patterns — deliberately conservative character-class
+    * regexes that parse identically under Java regex (Spark) and RE2
+    * (DuckDB/production scanners): emails, international-ish phone
+    * numbers, IPv4 addresses. Order matters: emails first so the
+    * phone pattern can't eat digits inside an address. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+" -> "<EMAIL>",
+    "\\+?[0-9][0-9 ()-]{6,}[0-9]" -> "<PHONE>",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>")
+
+  /** Redact PII spans with typed placeholders — the pre-training scrub
+    * every public-crawl pipeline runs before anything else sees the
+    * text. A per-row regex projection: shuffle-free, codegen'd, linear.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
   /** Canonical text normalization for content identity: lowercase,
     * collapse whitespace runs, trim. */
   def normalize(text: Column): Column =

@@ -69,6 +69,36 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("redactPii masks emails/phones/IPs, leaves clean text untouched") {
+    val df = Seq(
+      "mail a.b+c@x-site.org and x@y.io now",
+      "call +32 (0)2 555-0199 or 0477 11 22 33",
+      "server 192.168.0.1 responded",
+      "no pii here at all").toDF("t")
+    val out = df.select(TextOps.redactPii(col("t")).as("r")).as[String].collect()
+    assert(out(0) == "mail <EMAIL> and <EMAIL> now")
+    assert(out(1) == "call <PHONE> or <PHONE>")
+    assert(out(2) == "server <IP> responded")
+    assert(out(3) == "no pii here at all")
+  }
+
+  test("contaminationCheck: full/partial/zero overlap + shingle-less docs") {
+    val mk = (id: Long, t: String) => (id, t)
+    val corpus = Seq(
+      mk(1, "a b c d e f g h i j"),        // = benchmark doc -> full overlap
+      mk(2, "x x x a b c d e f g h zz"),   // contains benchmark 8-grams
+      mk(3, "q r s t u v w x y z"),        // disjoint
+      mk(4, "too short")                   // < 8 words -> 0 shingles
+    ).toDF("doc_id", "text")
+    val benchmark = corpus.where(col("doc_id") === 1)
+    val out = graft.dedup.DedupOps.contaminationCheck(corpus, benchmark, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 3L)))  // 10 words -> 3 distinct 8-grams, all shared
+    assert(out(2L)._2 > 0 && out(2L)._2 < out(2L)._1)
+    assert(out(3L) == ((3L, 0L)))
+    assert(out(4L) == ((0L, 0L)))
+  }
+
   test("repetitionSignals: counts multiplicity, drops gram-less docs") {
     val df = Seq(
       (1L, "a a a b"),   // bigrams: "a a","a a","a b" -> total 3, top 2, distinct 2
