@@ -89,6 +89,25 @@ object ConnectorQueries {
         .select("o_orderkey", "o_totalprice")
     },
 
+    // ---- multi-parquet read with per-file schema drift (§2.1): two
+    //      parts with different column sets union-by-name, missing
+    //      columns null-filled — previously ScalaTest-only, now the
+    //      whole read path is oracle-checked ----
+    Q("q_multi_parquet_drift",
+      """SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS extra FROM region
+        |UNION ALL
+        |SELECT r_regionkey, NULL AS r_name, CAST(r_regionkey * 10 AS BIGINT) AS extra
+        |FROM region""".stripMargin) { (s, dir) =>
+      val base = s"/tmp/graft_drift_${dir.replaceAll("[^0-9.]", "")}"
+      val region = Tables(s, dir, "region")
+      region.select("r_regionkey", "r_name")
+        .write.mode("overwrite").parquet(s"$base/p1")
+      region.select(col("r_regionkey"),
+          (col("r_regionkey") * 10).cast(LongType).as("extra"))
+        .write.mode("overwrite").parquet(s"$base/p2")
+      Readers.multipleParquet(s, Seq(s"$base/p1", s"$base/p2"))
+    },
+
     // ---- config.yml-driven pipeline (§3.1 file front door): a YAML
     //      job declaration is searched upwards, parsed, bound to
     //      (env, task), built into a Pipeline.Spec, executed to a
