@@ -127,6 +127,20 @@ object Readers {
     out.toSeq
   }
 
+  /** Copy one remote file to the local filesystem — the reference's
+    * byte-stream download-to-file (`download_s3_to_local_file`,
+    * `src/pyveb/s3_client.py:274-283`), generalized over any Hadoop
+    * filesystem. For feeding driver-side tools (xlsx readers, legacy
+    * parsers) that need a real local path; distributed reads should use
+    * the scan operators instead. Returns the local path.
+    */
+  def downloadToLocal(spark: SparkSession, remote: String, localPath: String): String = {
+    val src = new org.apache.hadoop.fs.Path(remote)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.copyToLocalFile(false, src, new org.apache.hadoop.fs.Path(localPath), true)
+    localPath
+  }
+
   /** URL-unquote percent-escapes in a path string (reference `unquote`,
     * `s3_client.py:68`); strings without `%` pass through untouched and
     * malformed escapes are left as-is rather than failing the listing. */

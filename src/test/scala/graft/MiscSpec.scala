@@ -58,6 +58,16 @@ class MiscSpec extends SparkSpec {
     assert(graft.io.Readers.listFiles(spark, s"$base/missing").isEmpty)
   }
 
+  test("downloadToLocal copies a file byte-identically") {
+    val dir = Files.createTempDirectory("graft_dl")
+    val src = dir.resolve("src.bin")
+    Files.write(src, Array[Byte](1, 2, 3, 4, 5))
+    val dst = dir.resolve("dst.bin").toString
+    val out = graft.io.Readers.downloadToLocal(spark, src.toString, dst)
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(java.nio.file.Paths.get(out)), Array[Byte](1, 2, 3, 4, 5)))
+  }
+
   test("rangeBatches slices by contiguous key ranges, covers all rows") {
     val df = spark.range(0, 100).toDF("id")
     val batches = Extract.rangeBatches(df, "id", batchSize = 30).toSeq
