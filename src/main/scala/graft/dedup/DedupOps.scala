@@ -115,9 +115,13 @@ object DedupOps {
         transform(sequence(lit(0), lit(k - 1)), j => affine(j, h)),
         (a, b) => least(a, b)))
 
-  /** k-element MinHash signature of a shingle-array column. */
+  /** k-element MinHash signature of a shingle-array column — the fused
+    * imperative kernel ([[graft.functions.MinhashSigExpr]]); bit-
+    * identical to `minhashSignatureFromHashes(shingleHashes(sh), k)`
+    * (parity unit-proven) with the per-element expression
+    * interpretation folded into one tight loop. */
   def minhashSignature(shingles: Column, k: Int, portable: Boolean = false): Column =
-    minhashSignatureFromHashes(shingleHashes(shingles, portable), k)
+    graft.functions.MinhashSigExpr.minhashSig(shingles, k, portable)
 
   /** LSH band keys: the signature cut into `bands` slices of `rowsPer`
     * hashes, each rendered to a join key. */

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupOps
+import graft.functions.MinhashSigExpr
+
+/** The fused MinHash kernel must be bit-identical to the composable
+  * HOF formulation it replaces, on both hash tiers. */
+class MinhashSigExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shingled = Tables(spark, "/root/testdata/sf0.001", "documents")
+    .select(col("doc_id"), DedupOps.wordShingles(col("text"), 3).as("sh"))
+
+  test("fused kernel == HOF fold, portable tier (md5)") {
+    val both = shingled.select(
+      MinhashSigExpr.minhashSig(col("sh"), 16, portable = true).as("fused"),
+      DedupOps.minhashSignatureFromHashes(
+        DedupOps.shingleHashes(col("sh"), portable = true), 16).as("hof"))
+    assert(both.where(col("fused") =!= col("hof")).count() == 0)
+  }
+
+  test("fused kernel == HOF fold, fast tier (xxhash64)") {
+    val both = shingled.select(
+      MinhashSigExpr.minhashSig(col("sh"), 8, portable = false).as("fused"),
+      DedupOps.minhashSignatureFromHashes(
+        DedupOps.shingleHashes(col("sh"), portable = false), 8).as("hof"))
+    assert(both.where(col("fused") =!= col("hof")).count() == 0)
+  }
+
+  test("empty shingle array yields the init vector; nulls are skipped") {
+    val df = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq("a", "b"))).toDF("id", "sh")
+    val out = df.select(col("id"),
+      MinhashSigExpr.minhashSig(col("sh"), 4, portable = true).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out(1L) == Seq.fill(4)(DedupOps.MinhashP))
+    assert(out(2L).forall(_ < DedupOps.MinhashP))
+    val withNull = Seq((3L, Seq[String]("a", null, "b"))).toDF("id", "sh")
+      .select(MinhashSigExpr.minhashSig(col("sh"), 4, portable = true).as("sig"))
+    val noNull = Seq((3L, Seq("a", "b"))).toDF("id", "sh")
+      .select(MinhashSigExpr.minhashSig(col("sh"), 4, portable = true).as("sig"))
+    assert(withNull.head() == noNull.head())
+  }
+}
