@@ -38,8 +38,15 @@ object DedupOps {
 
   /** Distinct word n-gram shingles of a text column (lowercased,
     * whitespace-tokenized). Texts with fewer than n words → empty array.
+    * Fused imperative kernel ([[graft.functions.WordShinglesExpr]]);
+    * bit-parity with [[wordShinglesComposable]] is unit-proven.
     */
   def wordShingles(text: Column, n: Int): Column =
+    graft.functions.WordShinglesExpr.wordShingles(text, n, distinct = true)
+
+  /** The composable HOF form of [[wordShingles]] (kept for cross-
+    * checking the fused kernel in tests). */
+  def wordShinglesComposable(text: Column, n: Int): Column =
     graft.functions.Let.bind(TextOps.words(text)) { ws =>
       // ws is a bound lambda variable: the split happens ONCE, not once
       // per shingle index (Let.bind scaladoc)

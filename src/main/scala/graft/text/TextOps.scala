@@ -93,14 +93,10 @@ object TextOps {
   /** Word n-grams WITH multiplicity (no dedup — repetition analysis
     * needs every occurrence; the dedup ops use the distinct variant
     * [[graft.dedup.DedupOps.wordShingles]]). Texts with fewer than n
-    * words → empty array. */
+    * words → empty array. Fused kernel
+    * ([[graft.functions.WordShinglesExpr]]). */
   def wordNgrams(text: Column, n: Int): Column =
-    graft.functions.Let.bind(words(text)) { ws =>
-      when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => concat_ws(" ", slice(ws, i, lit(n)))))
-        .otherwise(array().cast(ArrayType(StringType)))
-    }
+    graft.functions.WordShinglesExpr.wordShingles(text, n, distinct = false)
 
   /** Within-document repetition signals (the Gopher/MassiveText repeat
     * filters, adapted to word n-grams): per doc,

@@ -29,6 +29,24 @@ class MinhashSigExprSpec extends SparkSpec {
     assert(both.where(col("fused") =!= col("hof")).count() == 0)
   }
 
+  test("fused shingler == composable HOF form, incl. edge shapes") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text")).unionByName(Seq(
+        "", " ", "one", "one two", "one two three",
+        "A  b\tC   d", "é Ü ß x y", "dup dup dup dup").toDF("text"))
+    for (n <- Seq(2, 3, 5)) {
+      val both = docs.select(
+        DedupOps.wordShingles(col("text"), n).as("fused"),
+        DedupOps.wordShinglesComposable(col("text"), n).as("hof"))
+      assert(both.where(col("fused") =!= col("hof")).count() == 0, s"n=$n")
+    }
+    // non-distinct variant: multiplicity preserved in order
+    val reps = Seq("a b a b a").toDF("text")
+      .select(graft.text.TextOps.wordNgrams(col("text"), 2).as("g"))
+      .as[Seq[String]].head()
+    assert(reps == Seq("a b", "b a", "a b", "b a"))
+  }
+
   test("empty shingle array yields the init vector; nulls are skipped") {
     val df = Seq(
       (1L, Seq.empty[String]),
