@@ -266,9 +266,16 @@ object DedupOps {
 
   /** SimHash of the whitespace tokens: per-bit vote of token hashes
     * (each occurrence votes ±1), sign → bit. `bits` ≤ 60 (portable
-    * hash width). One codegen'd projection, no shuffle.
+    * hash width). One shuffle-free projection — the fused kernel
+    * ([[graft.functions.SimhashExpr]]); parity with
+    * [[simhashComposable]] unit-proven.
     */
-  def simhash(text: Column, bits: Int = 32, portable: Boolean = false): Column = {
+  def simhash(text: Column, bits: Int = 32, portable: Boolean = false): Column =
+    graft.functions.SimhashExpr.simhash(text, bits, portable)
+
+  /** The composable HOF form of [[simhash]] (kept for cross-checking
+    * the fused kernel in tests). */
+  def simhashComposable(text: Column, bits: Int = 32, portable: Boolean = false): Column = {
     val ws = TextOps.words(text)
     val h: Column => Column =
       if (portable) Hashes.portable else (c: Column) => abs(xxhash64(c))

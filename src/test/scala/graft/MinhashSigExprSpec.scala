@@ -47,6 +47,18 @@ class MinhashSigExprSpec extends SparkSpec {
     assert(reps == Seq("a b", "b a", "a b", "b a"))
   }
 
+  test("fused simhash == composable HOF form on both tiers") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text")).unionByName(Seq("", "one", "a b a").toDF("text"))
+    for (portable <- Seq(true, false); bits <- Seq(16, 60)) {
+      val both = docs.select(
+        DedupOps.simhash(col("text"), bits, portable).as("fused"),
+        DedupOps.simhashComposable(col("text"), bits, portable).as("hof"))
+      assert(both.where(col("fused") =!= col("hof")).count() == 0,
+        s"portable=$portable bits=$bits")
+    }
+  }
+
   test("empty shingle array yields the init vector; nulls are skipped") {
     val df = Seq(
       (1L, Seq.empty[String]),
