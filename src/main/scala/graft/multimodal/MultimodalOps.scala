@@ -87,11 +87,16 @@ object MultimodalOps {
           lit(step))).as("frame_idx"))
 
   /** STUB resize: recompute fake dims to a bounded box, preserving the
-    * plumbing (projection over decoded metadata). */
-  def fakeResize(df: DataFrame, maxSide: Int): DataFrame = {
-    val scale = least(lit(1.0),
-      lit(maxSide) / greatest(col("width"), col("height")).cast(DoubleType))
-    df.withColumn("width", floor(col("width") * scale).cast(IntegerType))
-      .withColumn("height", floor(col("height") * scale).cast(IntegerType))
-  }
+    * plumbing (projection over decoded metadata). The scale is staged
+    * into its own column BEFORE either dimension is replaced — chaining
+    * `withColumn("width", f(scale)).withColumn("height", f(scale))`
+    * with an unstaged `scale` expression would re-evaluate it against
+    * the already-resized width and break the aspect ratio (caught by
+    * the q_mm_resize oracle). */
+  def fakeResize(df: DataFrame, maxSide: Int): DataFrame =
+    df.withColumn("__scale", least(lit(1.0),
+        lit(maxSide) / greatest(col("width"), col("height")).cast(DoubleType)))
+      .withColumn("width", floor(col("width") * col("__scale")).cast(IntegerType))
+      .withColumn("height", floor(col("height") * col("__scale")).cast(IntegerType))
+      .drop("__scale")
 }

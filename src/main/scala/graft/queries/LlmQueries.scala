@@ -455,6 +455,25 @@ object LlmQueries {
         .select("media_id", "n_bytes", "width", "height", "channels")
     },
 
+    // ---- multimodal: stub resize over decoded metadata ----
+    Q("q_mm_resize",
+      s"""WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(64 + (${duckHash("md5(text)")} % 1217) AS INTEGER) AS w,
+        |    CAST(64 + (${duckHash("md5(text)")} % 977) AS INTEGER) AS h
+        |  FROM documents),
+        |s AS (SELECT *, least(1.0, 128.0 / greatest(w, h)) AS sc FROM m)
+        |SELECT media_id,
+        |  CAST(floor(w * sc) AS INTEGER) AS width,
+        |  CAST(floor(h * sc) AS INTEGER) AS height
+        |FROM s""".stripMargin) { (s, dir) =>
+      MultimodalOps.fakeResize(
+        MultimodalOps.fakeDecodeMeta(
+          MultimodalOps.attachBinary(Tables(s, dir, "documents"), "doc_id", "text", "image")),
+        maxSide = 128)
+        .select("media_id", "width", "height")
+    },
+
     // ---- multimodal: frame sampling explode ----
     Q("q_mm_frames",
       """SELECT doc_id AS media_id,
