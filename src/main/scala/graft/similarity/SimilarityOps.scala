@@ -236,26 +236,12 @@ object SimilarityOps {
 
     // nearest-list assignment as a pure expression over the broadcast
     // centroid literals: argmin over squared L2 distance
-    def dist2(vec: Column, cDbl: Array[Double]): Column = {
-      val cLit = array(cDbl.map(lit): _*)
-      aggregate(zip_with(vec, cLit, (x, c) => {
-        val d = x.cast(DoubleType) - c
-        d * d
-      }), lit(0.0), (acc, v) => acc + v)
-    }
-    def nearestLists(vec: Column, n: Int): Column = {
-      val scored = array(centroids.map { case (i, cDbl) =>
-        struct(dist2(vec, cDbl).as("d"), lit(i).as("list"))
-      }: _*)
-      transform(slice(array_sort(scored), 1, n), s => s.getField("list"))
-    }
-
     val c = corpus.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
       l2NormF(col(vecCol)).as("__cn"),
-      element_at(nearestLists(col(vecCol), 1), 1).as("__list"))
+      element_at(nearestListsExpr(centroids, col(vecCol), 1), 1).as("__list"))
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
         l2NormF(col(vecCol)).as("__qn"),
-        explode(nearestLists(col(vecCol), nProbe)).as("__list"))
+        explode(nearestListsExpr(centroids, col(vecCol), nProbe)).as("__list"))
     val scored = c.join(broadcast(q), Seq("__list"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
@@ -264,6 +250,63 @@ object SimilarityOps {
     // each (query, corpus) pair meets at most once
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Materialize the IVF index: assign every corpus vector its nearest
+    * list and write the corpus PARTITIONED BY the list id. This is the
+    * 100 TB shape the in-memory `ivfTopK` simulates with an equi-join:
+    * once the list is a partition column, a probe of nProbe lists is a
+    * partition-PRUNED scan — the other nLists−nProbe partitions are
+    * never read. Returns the centroids used (persist them next to the
+    * index; search must quantize queries with the same centroids).
+    */
+  def ivfWriteIndex(corpus: DataFrame, dir: String, cidCol: String, vecCol: String,
+                    nLists: Int = 16, seed: Long = 42L): Array[(Int, Array[Double])] = {
+    val centroids = ivfCentroids(corpus, vecCol, nLists, seed)
+    val assigned = corpus.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
+      element_at(nearestListsExpr(centroids, col(vecCol), 1), 1).as("ivf_list"))
+    assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(dir)
+    centroids
+  }
+
+  /** Probe a written IVF index: quantize each query to its `nProbe`
+    * nearest lists and top-k score ONLY those partitions. The
+    * `ivf_list IN (…)` filter on the partition column prunes the scan
+    * (verify with `.explain`: the FileScan's partitionFilters carry the
+    * list predicate) — at 100 TB this reads nProbe/nLists of the index.
+    */
+  def ivfProbeTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   queries: DataFrame, qidCol: String, vecCol: String,
+                   centroids: Array[(Int, Array[Double])],
+                   k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+      l2NormF(col(vecCol)).as("__qn"),
+      explode(nearestListsExpr(centroids, col(vecCol), nProbe)).as("ivf_list"))
+    val index = spark.read.parquet(dir)
+    val scored = index.join(broadcast(q), Seq("ivf_list"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(dotF(col("__qv"), col("__cv")) / (l2NormF(col("__cv")) * col("__qn")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Nearest-`n` list ids for a vector against broadcast centroid
+    * literals (argmin over squared L2; shared by the in-memory join
+    * path and the written-index path). */
+  private[similarity] def nearestListsExpr(centroids: Array[(Int, Array[Double])],
+                                           vec: Column, n: Int): Column = {
+    def dist2(cDbl: Array[Double]): Column = {
+      val cLit = array(cDbl.map(lit): _*)
+      aggregate(zip_with(vec, cLit, (x, c) => {
+        val d = x.cast(DoubleType) - c
+        d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    }
+    val scored = array(centroids.map { case (i, cDbl) =>
+      struct(dist2(cDbl).as("d"), lit(i).as("list"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, n), s => s.getField("list"))
   }
 
   /** Embedding-cosine near-duplicate pairs over one corpus: sign-LSH

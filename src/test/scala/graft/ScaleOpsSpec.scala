@@ -125,6 +125,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r1 > 0.2) // the home list already holds a real fraction
   }
 
+  test("written IVF index: probe == in-memory ivfTopK, scan is partition-pruned") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val centroids = SimilarityOps.ivfWriteIndex(e, dir, "vec_id", "embedding", nLists = 8)
+    val probed = SimilarityOps.ivfProbeTopK(spark, dir, q, "vec_id", "embedding",
+      centroids, k = 3, nProbe = 2)
+    // identical (query, corpus, cos) sets as the in-memory join path at
+    // the same centroids — same quantizer, same probes, same scoring
+    val inMem = SimilarityOps.ivfTopK(q, e, "vec_id", "vec_id", "embedding",
+      k = 3, nLists = 8, nProbe = 2)
+    assert(probed.select("query_id", "corpus_id", "cos").collect().map(_.toString).sorted.toSeq ==
+      inMem.select("query_id", "corpus_id", "cos").collect().map(_.toString).sorted.toSeq)
+    // the probe plan must prune partitions: the ivf_list join key is a
+    // partition column, so the scan carries partition filters
+    val plan = probed.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"),
+      s"expected partition pruning in:\n${plan.take(2000)}")
+  }
+
   test("IVF quantizer training sample is unbiased: sorted input still splits clusters") {
     // 8192 rows, MORE than the 4096-row training sample, laid out so a
     // head-of-table sample (the old limit(4096) bias) would see ONLY
