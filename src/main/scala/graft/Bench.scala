@@ -39,12 +39,16 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    // a failed query must not read as a fast success: sentinel -1
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
+    // a failed query must not read as a fast success: sentinel -1.
+    // 3-decimal rounding keeps the whole line inside the driver's
+    // bounded tail-capture window (a full-precision map of 79 queries
+    // overflowed it and the line arrived front-truncated → unparseable)
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) r3(v) else "-1") }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map(_._1)
     val total = results.filter(_._3).map(_._2).sum + failed.size * 1e6 // failures poison the total
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}""")
     spark.stop()
   }
 }
