@@ -113,7 +113,8 @@ object ConnectorQueries {
     //      (env, task), built into a Pipeline.Spec, executed to a
     //      parquet target, and the TARGET is what the oracle checks ----
     Q("q_config_pipeline",
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(trunc(o_totalprice) AS INTEGER) AS o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -138,6 +139,7 @@ object ConnectorQueries {
            |  type: parquet
            |  path: {orders_1996: $dir/orders.parquet}
            |transform:
+           |  convert_float_to_int: {orders_1996: [o_totalprice]}
            |  partition_window:
            |    col: o_orderdate
            |    start: '1996-01-01 00:00:00'

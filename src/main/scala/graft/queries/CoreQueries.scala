@@ -520,6 +520,32 @@ object CoreQueries {
           count(lit(1)).as("n"))
     },
 
+    // ---- column-ops chain: reorder → drop → rename → sanitize (§2.2
+    //      rows previously ScalaTest-only, now driver-gated) ----
+    Q("q_column_ops",
+      """SELECT c_mktsegment AS segment, c_custkey, c_acctbal AS acctbalusd
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val step = SchemaOps.renameColumns(
+        SchemaOps.dropCols(
+          SchemaOps.reindexCols(t(s, dir, "customer"),
+            Seq("c_mktsegment", "c_custkey", "c_acctbal", "c_name")),
+          Seq("c_name")),
+        Map("c_mktsegment" -> "segment"))
+      SchemaOps.sanitizeColumnNames(step.withColumnRenamed("c_acctbal", "acct bal(usd)"))
+    },
+
+    // ---- null-sentinel timestamps (§2.2; planted nulls) ----
+    Q("q_sentinel_ts",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN o_orderdate
+        |       ELSE TIMESTAMP '1111-01-01 00:00:00' END AS od
+        |FROM orders""".stripMargin) { (s, dir) =>
+      CleanOps.sentinelTimestamps(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          when(col("o_orderstatus") === "F", col("o_orderdate")).as("od")),
+        Seq("od"))
+    },
+
     // ---- bounded top-k aggregation: the heap Aggregator (O(k) state,
     //      map-side partial merge) must agree with the window top-k the
     //      oracle computes — the scale claim, hash-checked ----
