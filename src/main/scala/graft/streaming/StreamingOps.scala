@@ -75,6 +75,22 @@ object StreamingOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming NEAR-duplicate suppression: key the stream by the
+    * simhash of its text (composition of the dedup signature with
+    * [[dedupStream]]) — re-crawled documents whose token multiset is
+    * unchanged (reorderings, whitespace drift normalize away) collapse
+    * to one emission within the watermark. Exact-duplicate streaming
+    * dedup is [[dedupStream]] on a content fingerprint; this is the
+    * lossier, cheaper tier (64-bit key vs full text identity).
+    */
+  def nearDupDedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                         bits: Int = 32, lateness: String = "1 hour"): DataFrame =
+    dedupStream(
+      docs.withColumn("__simhash",
+        graft.dedup.DedupOps.simhash(col(textCol), bits)),
+      tsCol, Seq("__simhash"), lateness)
+      .drop("__simhash")
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, sum: Double, start: Long, last: Long)
   final case class SessionOut(user_id: Long, n_events: Long, sum_value: Double,

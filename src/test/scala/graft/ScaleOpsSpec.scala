@@ -145,6 +145,35 @@ class ScaleOpsSpec extends SparkSpec {
       s"expected partition pruning in:\n${plan.take(2000)}")
   }
 
+  test("bucketed tables equi-join with NO shuffle on either side") {
+    val l = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_orderpriority")
+    graft.io.Writers.bucketed(l, "bk_lineitem", Seq("l_orderkey"), 4,
+      sortCols = Seq("l_orderkey"))
+    graft.io.Writers.bucketed(o, "bk_orders", Seq("o_orderkey"), 4,
+      sortCols = Seq("o_orderkey"))
+    try {
+      // disable broadcast so the join would OTHERWISE be a shuffle join
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("bk_lineitem").join(spark.table("bk_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        val plan = joined.queryExecution.executedPlan.toString()
+        assert(!plan.contains("Exchange"),
+          s"bucketed join must not shuffle:\n${plan.take(1500)}")
+        // and it is still the correct join
+        assert(joined.count() ==
+          l.join(o, col("l_orderkey") === col("o_orderkey")).count())
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+    }
+  }
+
   test("IVF quantizer training sample is unbiased: sorted input still splits clusters") {
     // 8192 rows, MORE than the 4096-row training sample, laid out so a
     // head-of-table sample (the old limit(4096) bias) would see ONLY

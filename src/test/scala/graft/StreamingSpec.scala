@@ -67,6 +67,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupDedupStream collapses token-identical re-crawls, keeps distinct docs") {
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)](spark, 1)
+    val out = StreamingOps.nearDupDedupStream(
+      mem.toDF.toDF("ts", "doc_id", "text"), "ts", "text", lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      mem.addData((winTs(5), 1L, "the quick brown fox"), (winTs(6), 2L, "a different doc"))
+      q.processAllAvailable()
+      // re-crawl of doc 1 with reordered tokens + whitespace drift →
+      // same simhash → suppressed; genuinely new doc passes
+      mem.addData((winTs(7), 3L, "brown  fox the QUICK"), (winTs(8), 4L, "novel content here"))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("windowedAgg append mode emits only watermark-closed windows") {
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val agg = StreamingOps.windowedAgg(
