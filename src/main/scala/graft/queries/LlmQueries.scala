@@ -298,6 +298,78 @@ object LlmQueries {
           col("quality_score"))
     },
 
+    // ---- end-to-end TRAINING-DATA pipeline: quality gate → exact
+    //      dedup → benchmark decontamination → deterministic split —
+    //      the round-3 operator composition, one oracle (the eval-set
+    //      docs themselves are 100% contaminated and must drop out) ----
+    Q("q_training_pipeline", {
+      val stop = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (
+        |  SELECT doc_id, text,
+        |    round(least(1.0, greatest(0.0,
+        |      0.2 + 2.0 * (CAST(len(list_filter($duckWords, w -> w IN ($stop))) AS DOUBLE)
+        |                   / CAST(len($duckWords) AS DOUBLE))
+        |          + CASE WHEN len($duckWords) >= 20 AND len($duckWords) <= 2000 THEN 0.3 ELSE 0.0 END
+        |          - 1.5 * (CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+        |                   / CAST(length(text) AS DOUBLE)))), 6) AS quality_score
+        |  FROM documents),
+        |gated AS (SELECT * FROM q WHERE quality_score >= 0.4),
+        |keep1 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn FROM gated)
+        |  WHERE rn = 1),
+        |surv AS (SELECT gated.* FROM gated JOIN keep1 USING (doc_id)),
+        |sw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM surv),
+        |sc AS (SELECT doc_id,
+        |         CASE WHEN len(w) >= 8
+        |              THEN list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])
+        |              ELSE CAST([] AS VARCHAR[]) END AS s
+        |       FROM sw),
+        |bw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        |       FROM documents WHERE doc_id < 25),
+        |b AS (SELECT DISTINCT unnest(
+        |        CASE WHEN len(w) >= 8
+        |             THEN list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])
+        |             ELSE CAST([] AS VARCHAR[]) END) AS s FROM bw),
+        |hits AS (SELECT doc_id, count(*) AS hit
+        |         FROM (SELECT doc_id, unnest(s) AS s FROM sc) e JOIN b USING (s)
+        |         GROUP BY doc_id),
+        |clean AS (
+        |  SELECT sc.doc_id FROM sc LEFT JOIN hits USING (doc_id)
+        |  WHERE len(sc.s) > 0
+        |    AND CAST(coalesce(hits.hit, 0) AS DOUBLE) / len(sc.s) <= 0.5)
+        |SELECT surv.doc_id,
+        |  CASE WHEN b2 < 900000 THEN 'train' WHEN b2 < 950000 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(len(${duckWords.replace("(text)", "(surv.text)")}) AS BIGINT) AS n_tokens,
+        |  quality_score
+        |FROM (SELECT *, ${duckHash("'split|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS b2
+        |      FROM surv) surv
+        |JOIN clean USING (doc_id)""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      // 1. quality gate
+      val gated = TextOps.qualityScore(docs.select("doc_id", "text"), "text")
+        .where(col("quality_score") >= 0.4)
+      // 2. exact dedup, first-wins by doc_id
+      val deduped = DedupOps.exactDedup(gated, "text", Seq(col("doc_id").asc))
+      // 3. decontamination vs the eval set (doc_id < 25): drop docs
+      //    sharing more than half their 8-gram shingles with it
+      val contamination = DedupOps.contaminationCheck(
+        deduped, docs.where(col("doc_id") < 25), "doc_id", "text", shingleN = 8)
+      val clean = contamination
+        .where(col("n_shingles") > 0 &&
+          col("n_contaminated").cast(DoubleType) / col("n_shingles") <= 0.5)
+        .select("doc_id")
+      // 4. deterministic split + token stats
+      TrainingOps.hashSplit(deduped.join(clean, Seq("doc_id")), "doc_id",
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)), portable = true)
+        .select(col("doc_id"), col("split"),
+          TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          col("quality_score"))
+    },
+
     // ---- IVF ANN, exact configuration: nProbe = nLists probes every
     //      inverted list, so the result equals brute force and the
     //      brute-force oracle hash-checks the whole IVF pipeline
