@@ -89,6 +89,20 @@ object ConnectorQueries {
         .select("o_orderkey", "o_totalprice")
     },
 
+    // ---- overwrite + append sink roundtrip (§2.6/§2.9): overwrite
+    //      twice (idempotent), append once → target holds exactly two
+    //      copies ----
+    Q("q_overwrite_append",
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL SELECT r_regionkey, r_name FROM region""".stripMargin) { (s, dir) =>
+      val target = s"/tmp/graft_ow_append_${dir.replaceAll("[^0-9.]", "")}"
+      val region = Tables(s, dir, "region").select("r_regionkey", "r_name")
+      graft.merge.Merge.insert(region, target, graft.merge.Merge.Overwrite)
+      graft.merge.Merge.insert(region, target, graft.merge.Merge.Overwrite) // idempotent
+      graft.merge.Merge.insert(region, target, graft.merge.Merge.Append)
+      graft.merge.Merge.readTarget(s, target)
+    },
+
     // ---- multi-parquet read with per-file schema drift (§2.1): two
     //      parts with different column sets union-by-name, missing
     //      columns null-filled — previously ScalaTest-only, now the
