@@ -38,15 +38,18 @@ object TextOps {
     */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    // the token array and raw counts land in real columns first, so
-    // every derived metric references an attribute instead of
-    // re-running the split/regex per output column
+    // all integer counts come from ONE fused pass over the text
+    // (TextCountsExpr); they land in real columns so every derived
+    // metric references an attribute (CollapseProject duplicates only
+    // cheap expressions, so the multi-referenced kernel is evaluated
+    // once). The derived double math is unchanged — counts are exact
+    // integers, so fusing cannot flip an oracle digit.
     val staged = df
-      .withColumn("__ws", words(t))
+      .withColumn("__tc", graft.functions.TextCountsExpr.textCounts(t))
       .withColumn("n_chars", length(t).cast(DoubleType))
-      .withColumn("n_words", size(col("__ws")).cast(DoubleType))
-      .withColumn("__punct", regexp_count(t, lit("[^\\w\\s]")).cast(DoubleType))
-      .withColumn("__stop", countIn(col("__ws"), EnStopwords).cast(DoubleType))
+      .withColumn("n_words", col("__tc.n_words").cast(DoubleType))
+      .withColumn("__punct", col("__tc.n_punct").cast(DoubleType))
+      .withColumn("__stop", col("__tc.n_stop").cast(DoubleType))
     staged
       .withColumn("avg_word_len",
         round(length(regexp_replace(t, "\\s", "")).cast(DoubleType) / col("n_words"), 4))
@@ -58,7 +61,7 @@ object TextOps {
             + lit(2.0) * (col("__stop") / col("n_words"))
             + when(col("n_words") >= 20 && col("n_words") <= 2000, lit(0.3)).otherwise(lit(0.0))
             - lit(1.5) * (col("__punct") / col("n_chars")))), 6))
-      .drop("__ws", "__punct", "__stop")
+      .drop("__tc", "__punct", "__stop")
   }
 
   /** Marker-word sets for the n-gram/stopword language-ID heuristic. */
@@ -73,12 +76,14 @@ object TextOps {
     * — ISO 639-2's code for exactly this).
     */
   def langId(df: DataFrame, textCol: String, out: String = "lang_pred"): DataFrame = {
-    // scores land in real columns first: the strictly-greater fold
-    // below references each score repeatedly, and Catalyst would
-    // otherwise duplicate the split+filter subtree exponentially
-    val scored = df.withColumn("__lid_ws", words(col(textCol)))
-      .withColumns(LangMarkers.map { case (lang, markers) =>
-        s"__lid_$lang" -> countIn(col("__lid_ws"), markers)
+    // all marker counts come from the ONE fused text pass; scores land
+    // in real columns because the strictly-greater fold references each
+    // score repeatedly (CollapseProject would otherwise duplicate a
+    // non-cheap subtree per reference)
+    val scored = df.withColumn("__tc",
+        graft.functions.TextCountsExpr.textCounts(col(textCol)))
+      .withColumns(LangMarkers.map { case (lang, _) =>
+        s"__lid_$lang" -> col(s"__tc.$lang")
       }.toMap)
     // strictly-greater chain → first language in declared order wins ties
     val best = LangMarkers.map(_._1).foldLeft((lit("und"), lit(0))) {
@@ -87,7 +92,7 @@ object TextOps {
         (when(sc > bs, lit(lang)).otherwise(bl), greatest(sc, bs))
     }._1
     scored.withColumn(out, best)
-      .drop("__lid_ws" +: LangMarkers.map(m => s"__lid_${m._1}"): _*)
+      .drop("__tc" +: LangMarkers.map(m => s"__lid_${m._1}"): _*)
   }
 
   /** Word n-grams WITH multiplicity (no dedup — repetition analysis
