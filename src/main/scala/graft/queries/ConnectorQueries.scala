@@ -122,6 +122,23 @@ object ConnectorQueries {
       Readers.multipleParquet(s, Seq(s"$base/p1", s"$base/p2"))
     },
 
+    // ---- multi-CSV read with per-file schema drift + declared-schema
+    //      cast (§2.1): the CSV twin of q_multi_parquet_drift ----
+    Q("q_multi_csv_drift",
+      """SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS extra FROM region
+        |UNION ALL
+        |SELECT r_regionkey, NULL AS r_name, CAST(r_regionkey * 10 AS BIGINT) AS extra
+        |FROM region""".stripMargin) { (s, dir) =>
+      val base = s"/tmp/graft_csv_drift_${dir.replaceAll("[^0-9.]", "")}"
+      val region = Tables(s, dir, "region")
+      Writers.csv(region.select("r_regionkey", "r_name"), s"$base/p1")
+      Writers.csv(region.select(col("r_regionkey"),
+        (col("r_regionkey") * 10).as("extra")), s"$base/p2")
+      Readers.multipleCsv(s, Seq(s"$base/p1", s"$base/p2"),
+        Some(StructType(Seq(StructField("r_regionkey", IntegerType),
+          StructField("r_name", StringType), StructField("extra", LongType)))))
+    },
+
     // ---- config.yml-driven pipeline (§3.1 file front door): a YAML
     //      job declaration is searched upwards, parsed, bound to
     //      (env, task), built into a Pipeline.Spec, executed to a
