@@ -176,19 +176,20 @@ object SimilarityOps {
   def ivfCentroids(corpus: DataFrame, vecCol: String, nLists: Int,
                    seed: Long = 42L, sampleSize: Int = 4096,
                    maxIter: Int = 8): Array[(Int, Array[Double])] = {
-    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
-      .orderBy(rand(seed)).limit(sampleSize)
-      .collect()
-      .map(_.getSeq[Any](0).iterator.map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case n: Number => n.doubleValue()
-      }.toArray)
+    val sample = collectVectorSample(corpus, vecCol, seed, sampleSize)
     require(sample.nonEmpty, "ivfCentroids: empty corpus")
-    val k = math.min(nLists, sample.length)
+    lloydFit(sample, nLists, seed, maxIter).zipWithIndex.map { case (v, i) => (i, v) }
+  }
+
+  /** Driver-side Lloyd's iterations over a bounded sample (shared by
+    * the IVF coarse quantizer and the PQ codebook fit). Seeded init
+    * from distinct sample points; empty clusters reseed on a random
+    * sample point. */
+  private[similarity] def lloydFit(sample: Array[Array[Double]], nClusters: Int,
+                                   seed: Long, maxIter: Int): Array[Array[Double]] = {
+    val k = math.min(nClusters, sample.length)
     val dim = sample.head.length
     val rnd = new scala.util.Random(seed)
-    // init: k distinct sample points from the seeded shuffle
     val centroids = rnd.shuffle(sample.indices.toVector).take(k)
       .map(i => sample(i).clone()).toArray
     def nearest(v: Array[Double]): Int = {
@@ -222,8 +223,20 @@ object SimilarityOps {
       }
       iter += 1
     }
-    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+    centroids
   }
+
+  /** Draw a bounded unbiased sample of vectors to the driver (shared
+    * fit front door; see [[ivfCentroids]] for the determinism caveat). */
+  private def collectVectorSample(corpus: DataFrame, vecCol: String,
+                                  seed: Long, sampleSize: Int): Array[Array[Double]] =
+    corpus.select(col(vecCol)).orderBy(rand(seed)).limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Any](0).iterator.map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray)
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qidCol: String, cidCol: String, vecCol: String,
@@ -307,6 +320,110 @@ object SimilarityOps {
       struct(dist2(cDbl).as("d"), lit(i).as("list"))
     }: _*)
     transform(slice(array_sort(scored), 1, n), s => s.getField("list"))
+  }
+
+  // ------------------------------------------------------- product quantization
+
+  /** PQ codebooks: the vector space is cut into `m` contiguous
+    * subvectors and each subspace gets its own `k`-centroid quantizer
+    * (fit driver-side on a bounded seeded sample, like
+    * [[ivfCentroids]]). `codebooks(s)(c)` = centroid `c` of subspace
+    * `s`. With m=8, k=16 a 64-dim float vector (256 bytes) compresses
+    * to 8 half-byte codes — the memory step that lets a 100 TB
+    * embedding corpus live in RAM-adjacent storage for ANN scoring;
+    * compose with [[ivfTopK]] (IVF-PQ) for the standard billion-scale
+    * layout.
+    */
+  def pqCodebooks(corpus: DataFrame, vecCol: String, dim: Int,
+                  m: Int = 8, k: Int = 16, seed: Long = 42L,
+                  sampleSize: Int = 4096, maxIter: Int = 8): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"pq: dim=$dim must divide into m=$m subvectors")
+    val sample = collectVectorSample(corpus, vecCol, seed, sampleSize)
+    require(sample.nonEmpty, "pqCodebooks: empty corpus")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val slice = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      lloydFit(slice, k, seed + s, maxIter)
+    }
+  }
+
+  /** Encode a vector column to its `m` PQ codes (`array<int>`): per
+    * subspace, the index of the nearest codebook centroid. A pure
+    * broadcast-literal projection — the corpus is scanned once at
+    * index-build time and only the codes are stored/shuffled after.
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val sub = codebooks(0)(0).length
+    val codes = codebooks.zipWithIndex.map { case (book, s) =>
+      val subvec = slice(vec, s * sub + 1, sub)
+      val scored = array(book.zipWithIndex.map { case (cent, ci) =>
+        val cLit = array(cent.map(lit): _*)
+        struct(
+          aggregate(zip_with(subvec, cLit, (x, c) => { val d = x.cast(DoubleType) - c; d * d }),
+            lit(0.0), (acc, v) => acc + v).as("d"),
+          lit(ci).as("c"))
+      }: _*)
+      element_at(array_sort(scored), 1).getField("c")
+    }
+    array(codes: _*)
+  }
+
+  /** Reconstruct the quantized vector from its codes (`array<double>`,
+    * the concatenation of the coded centroids) — scoring against a
+    * reconstruction is PQ's asymmetric-distance approximation. */
+  def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val decoded = codebooks.zipWithIndex.map { case (book, s) =>
+      val bookLit = array(book.map(cent => array(cent.map(lit): _*)): _*)
+      element_at(bookLit, element_at(codes, s + 1) + 1)
+    }
+    flatten(array(decoded: _*))
+  }
+
+  /** Approximate cosine top-k over PQ codes: corpus vectors are
+    * reconstructed from their codes and scored against the exact query
+    * vectors (asymmetric: only the corpus side is quantized, queries
+    * stay exact). Recall < 1 by construction; grows with m and k.
+    */
+  def pqTopK(queries: DataFrame, corpusCodes: DataFrame,
+             qidCol: String, cidCol: String, vecCol: String, codesCol: String,
+             codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn"))
+    val c = corpusCodes.select(col(cidCol).as("corpus_id"),
+      pqDecode(col(codesCol), codebooks).as("__rv"))
+      .withColumn("__rn", l2Norm(col("__rv")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(dot(col("__qv"), col("__rv")) / (col("__qn") * col("__rn")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** The standard PQ serving pattern: the quantized scores build a
+    * `shortlist`-sized candidate set per query, and ONLY those
+    * candidates are re-scored against their exact vectors. Quantization
+    * error then costs recall only when a true top-k neighbor falls
+    * outside the whole shortlist — so recall@k approaches exact search
+    * as shortlist/k grows, while the full corpus is still scanned
+    * code-only (m bytes per vector, not dim×4).
+    */
+  def pqTopKReranked(queries: DataFrame, corpus: DataFrame, corpusCodes: DataFrame,
+                     qidCol: String, cidCol: String, vecCol: String, codesCol: String,
+                     codebooks: Array[Array[Array[Double]]],
+                     k: Int, shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val candidates = pqTopK(queries, corpusCodes, qidCol, cidCol, vecCol, codesCol,
+      codebooks, shortlist).select(col("query_id"), col("corpus_id"))
+    val c = corpus.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
+      l2NormF(col(vecCol)).as("__cn"))
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+      l2NormF(col(vecCol)).as("__qn"))
+    val exact = candidates.join(c, "corpus_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        round(dotF(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
+    exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** Embedding-cosine near-duplicate pairs over one corpus: sign-LSH

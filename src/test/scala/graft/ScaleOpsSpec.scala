@@ -174,6 +174,52 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("PQ: codes bounded, reconstruction error shrinks with k, recall reasonable") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dim = 64; val m = 8
+    def mse(k: Int): Double = {
+      val books = SimilarityOps.pqCodebooks(e, "embedding", dim, m, k)
+      val codes = e.select(col("vec_id"),
+        SimilarityOps.pqEncode(col("embedding"), books).as("codes"))
+      // codes in range, one per subspace
+      val bad = codes.where(size(col("codes")) =!= m ||
+        exists(col("codes"), c => c < 0 || c >= k)).count()
+      assert(bad == 0)
+      val rec = e.join(codes, "vec_id").select(
+        SimilarityOps.dot(col("embedding"), col("embedding")).as("nn"),
+        graft.functions.Let.bind(
+          SimilarityOps.pqDecode(col("codes"), books)) { r =>
+          SimilarityOps.dot(col("embedding"), r) * -2 + SimilarityOps.dot(r, r)
+        }.as("rest"))
+      rec.select(avg(col("nn") + col("rest"))).head().getDouble(0) // E||v - r||²
+    }
+    val coarse = mse(2)
+    val fine = mse(16)
+    assert(fine < coarse, s"higher k must reconstruct better: k16=$fine k2=$coarse")
+
+    // serving pattern: PQ shortlist + exact re-rank. Raw quantized
+    // top-10 has modest recall on these near-random vectors (~0.3);
+    // the reranked shortlist recovers most of it — and recall must
+    // GROW with the shortlist (the PQ scale contract)
+    // finer subspaces for the serving test: m=16 (4-dim subquantizers)
+    val books = SimilarityOps.pqCodebooks(e, "embedding", dim, m = 16, k = 16)
+    val codes = e.select(col("vec_id"),
+      SimilarityOps.pqEncode(col("embedding"), books).as("codes"))
+    val q = e.where(col("vec_id") < 10)
+    val brute = SimilarityOps.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", k = 10)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(shortlist: Int): Double = {
+      val rr = SimilarityOps.pqTopKReranked(q, e, codes, "vec_id", "vec_id",
+        "embedding", "codes", books, k = 10, shortlist = shortlist)
+        .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (rr & brute).size.toDouble / brute.size
+    }
+    val r25 = recallAt(25)
+    val r100 = recallAt(100)
+    assert(r100 >= r25, s"recall must grow with shortlist: r25=$r25 r100=$r100")
+    assert(r100 > 0.6, s"reranked recall@10 (shortlist=20% of corpus) too low: $r100")
+  }
+
   test("IVF quantizer training sample is unbiased: sorted input still splits clusters") {
     // 8192 rows, MORE than the 4096-row training sample, laid out so a
     // head-of-table sample (the old limit(4096) bias) would see ONLY
