@@ -122,7 +122,8 @@ object ConfigFile {
     * sections for connector-specific binding.
     */
   final case class Resolved(general: Conf, source: Conf, transform: Conf, target: Conf,
-                            partitionRaw: String, partitionProcessed: String)
+                            partitionRaw: String, partitionProcessed: String,
+                            logPath: String)
 
   /** Resolve a parsed config for one (env, task, pipelineType,
     * executionDate) binding — reference `_parse_general`
@@ -132,7 +133,8 @@ object ConfigFile {
   def resolve(file: Conf, env: String, task: String, pipelineType: String,
               executionDate: LocalDateTime,
               partitionGranularity: String = "day",
-              reportingYear: Option[Int] = None): Resolved = {
+              reportingYear: Option[Int] = None,
+              logClock: () => LocalDateTime = () => LocalDateTime.now()): Resolved = {
     val general = file.section("general")
     RequiredGeneralKeys.foreach { k =>
       if (general.get(k).isEmpty) throw new ConfigError(s"Key '$k' not found in config")
@@ -149,8 +151,12 @@ object ConfigFile {
     }
     val raw = s"$commonPrefix/${general.str("prefix_raw")}/$task/$pk"
     val processed = s"$commonPrefix/${general.str("prefix_processed")}/$task/$pk"
+    // reference `_parse_general` also derives the per-run log key
+    // (`config.py:184`); the wall-clock suffix is injectable so tests
+    // and reruns can pin it
+    val logs = s"${general.str("prefix_logs")}/$commonPrefix/$task/$pk${logClock()}.log"
     Resolved(general, file.section("source"), file.section("transform"), file.section("target"),
-      raw, processed)
+      raw, processed, logs)
   }
 
   /** Build a runnable [[Pipeline.Spec]] from a resolved config — the

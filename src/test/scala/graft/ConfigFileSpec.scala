@@ -89,6 +89,11 @@ class ConfigFileSpec extends SparkSpec {
     assert(prd.partitionRaw ==
       "lake-prd/p1/reporting_year=2023/incremental/raw/t1/year=2024/month=03/day=07/hour=05/")
 
+    val pinned = ConfigFile.resolve(conf, "dev", "t1", "full", exec,
+      logClock = () => exec)
+    assert(pinned.logPath ==
+      "logs/lake-dev/p1/full/t1/year=2024/month=03/day=07/2024-03-07T05:09:02.log")
+
     intercept[ConfigError](ConfigFile.resolve(conf, "dev", "nope", "full", exec))
     intercept[ConfigError](ConfigFile.resolve(conf, "qa", "t1", "full", exec)) // unbound env
     val broken = ConfigFile.load(write(dir, "broken.yml",
