@@ -426,6 +426,57 @@ object SimilarityOps {
     exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF-PQ: the standard billion-scale ANN layout, composed from the
+    * pieces above — an IVF coarse quantizer bounds WHICH vectors are
+    * scored (nProbe inverted lists per query; at rest the list id is a
+    * partition column, [[ivfWriteIndex]]), PQ codes bound WHAT is
+    * scanned per candidate (m codes, not dim floats), and the exact
+    * re-rank bounds the error to shortlist misses. Recall is then a
+    * two-knob budget: nProbe (coverage) × shortlist (quantization
+    * slack), both spec-proven monotone.
+    *
+    * In-memory form: candidates meet in an equi-join on the list id;
+    * the corpus side carries only (id, list, codes) — the full vectors
+    * are touched ONLY by the final shortlist join.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                qidCol: String, cidCol: String, vecCol: String,
+                k: Int, nLists: Int = 16, nProbe: Int = 4,
+                m: Int = 16, codebookK: Int = 16, shortlist: Int = 100,
+                seed: Long = 42L): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val centroids = ivfCentroids(corpus, vecCol, nLists, seed)
+    val books = pqCodebooks(corpus, vecCol, dim, m, codebookK, seed)
+    // index side: id + list id + PQ codes (the at-rest representation)
+    val index = corpus.select(col(cidCol).as("corpus_id"),
+      element_at(nearestListsExpr(centroids, col(vecCol), 1), 1).as("__list"),
+      pqEncode(col(vecCol), books).as("__codes"))
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn"),
+      explode(nearestListsExpr(centroids, col(vecCol), nProbe)).as("__list"))
+    // PQ-scored shortlist within the probed lists only
+    val quantized = index.join(broadcast(q), Seq("__list"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        graft.functions.Let.bind(pqDecode(col("__codes"), books)) { r =>
+          dot(col("__qv"), r) / (col("__qn") * sqrt(dot(r, r)))
+        }.as("__qcos"))
+    val ws = Window.partitionBy("query_id").orderBy(col("__qcos").desc, col("corpus_id").asc)
+    val candidates = quantized.withColumn("__r", row_number().over(ws))
+      .where(col("__r") <= shortlist).select("query_id", "corpus_id")
+    // exact re-rank of the shortlist: the only full-vector touch
+    val exact = candidates
+      .join(corpus.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
+        l2NormF(col(vecCol)).as("__cn")), "corpus_id")
+      .join(broadcast(queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv2"),
+        l2NormF(col(vecCol)).as("__qn2"))), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        round(dotF(col("__qv2"), col("__cv")) / (col("__qn2") * col("__cn")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
+    exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: sign-LSH
     * bucket candidates (id_a < id_b in the same bucket), exact cosine
     * filter at `threshold`. Vectors that are near-duplicates at high

@@ -220,6 +220,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r100 > 0.6, s"reranked recall@10 (shortlist=20% of corpus) too low: $r100")
   }
 
+  test("IVF-PQ: recall grows on both knobs (probes, shortlist); full budget ≈ exact") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 10)
+    val brute = SimilarityOps.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nProbe: Int, shortlist: Int): Double = {
+      val got = SimilarityOps.ivfPqTopK(q, e, "vec_id", "vec_id", "embedding",
+        k = 5, nLists = 8, nProbe = nProbe, shortlist = shortlist)
+        .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    val narrow = recall(1, 25)
+    val wide = recall(8, 200)
+    assert(wide >= narrow, s"budget must help: narrow=$narrow wide=$wide")
+    // probing every list with a generous shortlist ≈ exact search
+    assert(wide > 0.8, s"full-budget IVF-PQ recall too low: $wide")
+  }
+
   test("IVF quantizer training sample is unbiased: sorted input still splits clusters") {
     // 8192 rows, MORE than the 4096-row training sample, laid out so a
     // head-of-table sample (the old limit(4096) bias) would see ONLY
