@@ -440,6 +440,30 @@ object LlmQueries {
         "doc_id", "text", shingleN = 8)
     },
 
+    // ---- TF-IDF sparse text representation ----
+    Q("q_tfidf",
+      s"""WITH t AS (SELECT doc_id, unnest($duckWords) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |idf AS (SELECT term, ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+        |                        / count(*)) AS idf
+        |        FROM tf GROUP BY term)
+        |SELECT doc_id, tf.term AS term, tf,
+        |  round(tf * idf, 6) AS tf_idf
+        |FROM tf JOIN idf ON tf.term = idf.term""".stripMargin) { (s, dir) =>
+      TextOps.tfidf(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ---- corpus-level top-50 bigrams (boilerplate profiling) ----
+    Q("q_top_ngrams",
+      """WITH g AS (
+        |  SELECT unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS ngram
+        |  FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 2)
+        |SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY ngram
+        |ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin) { (s, dir) =>
+      TextOps.topNgrams(Tables(s, dir, "documents"), "text", n = 2, k = 50)
+    },
+
     // ---- corpus profiling: per-language length quantiles ----
     Q("q_len_quantiles",
       """SELECT lang, CAST(0.5 AS DOUBLE) AS p,

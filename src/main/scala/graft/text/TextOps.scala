@@ -151,6 +151,36 @@ object TextOps {
       regexp_replace(c, pat, repl)
     }
 
+  /** TF-IDF weights per (document, term): tf = term occurrences in the
+    * doc, idf = ln(N / df) with df = docs containing the term. The
+    * classic sparse text representation (retrieval scoring, cheap
+    * keyword features before an embedding model exists).
+    *
+    * Shuffle plan: explode → (doc, term) count [tf, map-side combined]
+    * → term-level df aggregation joined back on the term. N is a
+    * bounded scalar (one count at plan-build time, like the ANN
+    * quantizer fits). Terms are lowercased whitespace tokens.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.count()
+    val terms = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(n.toDouble) / col("df")))
+    tf.join(idf, "term")
+      .select(col(idCol), col("term"), col("tf"),
+        round(col("tf") * col("idf"), 6).as("tf_idf"))
+  }
+
+  /** Corpus-level top-k n-grams by total occurrence count (vocabulary /
+    * boilerplate profiling; at k ≪ vocabulary this is a partial-agg
+    * shuffle plus a TakeOrdered — no full sort materializes). */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(wordNgrams(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(k)
+
   /** Canonical text normalization for content identity: lowercase,
     * collapse whitespace runs, trim. */
   def normalize(text: Column): Column =
