@@ -46,7 +46,7 @@ object SimhashExpr {
   private val Xxh64Seed = 42L
 
   def compute(text: UTF8String, bits: Int, portable: Boolean): Long = {
-    val words = text.trim().toLowerCase().toString.split("\\s+")
+    val words = Tokenize.words(text)
     val votes = new Array[Int](bits)
     var i = 0
     while (i < words.length) {

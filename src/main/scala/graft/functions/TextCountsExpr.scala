@@ -65,7 +65,7 @@ object TextCountsExpr {
 
   def compute(text: UTF8String): GenericInternalRow = {
     val raw = text.toString
-    val words = text.trim().toLowerCase().toString.split("\\s+")
+    val words = Tokenize.words(text)
     var stop = 0
     val lang = new Array[Int](Markers.length)
     var i = 0

@@ -54,7 +54,7 @@ object WordShinglesExpr {
     * optional first-occurrence dedup. Static: called from generated
     * code. */
   def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
-    val words = text.trim().toLowerCase().toString.split("\\s+")
+    val words = Tokenize.words(text)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val m = words.length - n + 1
     val out = new java.util.ArrayList[Any](m)

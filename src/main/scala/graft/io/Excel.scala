@@ -128,8 +128,8 @@ object Excel {
   private def cell(row: Row, i: Int, dt: DataType, ref: String): Option[String] = {
     if (row.isNullAt(i)) return None
     dt match {
-      case DoubleType if row.getDouble(i).isNaN => None
-      case FloatType if row.getFloat(i).isNaN => None
+      case DoubleType if !java.lang.Double.isFinite(row.getDouble(i)) => None
+      case FloatType if !java.lang.Float.isFinite(row.getFloat(i)) => None
       case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
            _: DecimalType =>
         Some(s"""<c r="$ref"><v>${row.get(i)}</v></c>""")

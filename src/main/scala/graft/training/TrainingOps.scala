@@ -116,7 +116,12 @@ object TrainingOps {
       .withColumn("__cum", cum)
       .withColumn("seq_start",
         floor((col("__cum") - col(tokensCol)) / maxTokens).cast(LongType))
-      .withColumn("seq_end", floor((col("__cum") - 1) / maxTokens).cast(LongType))
+      // a zero-token doc landing exactly on a sequence boundary would
+      // otherwise get seq_end = seq_start - 1 (an inverted range);
+      // clamp so empty docs occupy the empty range [s, s]
+      .withColumn("seq_end",
+        greatest(col("seq_start"),
+          floor((col("__cum") - 1) / maxTokens).cast(LongType)))
       .withColumn("offset",
         pmod(col("__cum") - col(tokensCol), lit(maxTokens.toLong)))
       .drop("__cum")

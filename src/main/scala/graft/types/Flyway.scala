@@ -37,11 +37,19 @@ object Flyway {
        |""".stripMargin
   }
 
+  /** Directory listing with the stream closed (Files.list holds an fd
+    * open until the stream is closed — leaking one per emit adds up in
+    * a long-lived driver). */
+  private def listFiles(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.filter(Files.isRegularFile(_)).toVector
+    finally s.close()
+  }
+
   /** Highest migration version currently in `dir` (0 if none). */
   def currentVersion(dir: Path): Int = {
     if (!Files.isDirectory(dir)) return 0
-    Files.list(dir).iterator().asScala
-      .filter(Files.isRegularFile(_))
+    listFiles(dir)
       .map(_.getFileName.toString)
       .collect { case MigrationName(v, _) => v.toInt }
       .foldLeft(0)(math.max)
@@ -60,11 +68,19 @@ object Flyway {
   def writeMigration(dir: String, ddl: String, targetTable: String): Path = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
-    val latestForTable = Files.list(d).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .filter(_.getFileName.toString.matches(s"""V\\d+_\\d+__create_${java.util.regex.Pattern.quote(targetTable)}\\.sql"""))
-      .toSeq.sortBy(_.getFileName.toString)
-      .lastOption
+    // latest = highest PARSED version, not lexicographic filename order
+    // (V1000 sorts before V999 as a string once versions outgrow the
+    // %03d padding, which would defeat the idempotent re-emit check)
+    val tablePattern =
+      s"""V(\\d+)_\\d+__create_${java.util.regex.Pattern.quote(targetTable)}\\.sql""".r
+    val latestForTable = listFiles(d)
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case tablePattern(v) => Some((v.toInt, p))
+          case _ => None
+        }
+      }
+      .sortBy(_._1).lastOption.map(_._2)
     latestForTable match {
       case Some(p) if new String(Files.readAllBytes(p), "UTF-8") == ddl => p
       case _ =>

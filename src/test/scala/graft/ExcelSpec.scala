@@ -78,6 +78,22 @@ class ExcelSpec extends SparkSpec {
     assert(sheet.contains("""<c r="C4"><v>-2.25</v></c>"""))
   }
 
+  test("infinite doubles/floats are skipped like NaN (Excel rejects <v>Infinity</v>)") {
+    val schema = StructType(Seq(
+      StructField("d", DoubleType), StructField("f", FloatType)))
+    val rows = Seq(
+      Row(Double.PositiveInfinity, Float.NegativeInfinity),
+      Row(1.0, 2.0f))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val path = Files.createTempDirectory("graft_xlsx_inf").resolve("inf.xlsx").toString
+    Excel.write(df, path)
+    val sheet = unzip(path, "xl/worksheets/sheet1.xml")
+    assert(!sheet.contains("Infinity"))
+    assert(!sheet.contains("""r="A2""""))
+    assert(!sheet.contains("""r="B2""""))
+    assert(sheet.contains("""<c r="A3"><v>1.0</v></c>"""))
+  }
+
   test("column widths: max(header, 20) * 1.25 per the reference sizing rule") {
     val path = writeFixture()
     val sheet = unzip(path, "xl/worksheets/sheet1.xml")

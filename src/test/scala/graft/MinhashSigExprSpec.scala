@@ -33,7 +33,12 @@ class MinhashSigExprSpec extends SparkSpec {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("text")).unionByName(Seq(
         "", " ", "one", "one two", "one two three",
-        "A  b\tC   d", "é Ü ß x y", "dup dup dup dup").toDF("text"))
+        "A  b\tC   d", "é Ü ß x y", "dup dup dup dup",
+        // trailing/leading NON-SPACE whitespace: Spark split (limit -1)
+        // keeps the empty tokens that Java String.split drops — the
+        // fused kernel must match Spark, not Java
+        "one two\n", "a b\t", "\nx y", "\t tab wrapped \n",
+        "crawl text ends here\n\n").toDF("text"))
     for (n <- Seq(2, 3, 5)) {
       val both = docs.select(
         DedupOps.wordShingles(col("text"), n).as("fused"),
@@ -49,7 +54,8 @@ class MinhashSigExprSpec extends SparkSpec {
 
   test("fused simhash == composable HOF form on both tiers") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
-      .select(col("text")).unionByName(Seq("", "one", "a b a").toDF("text"))
+      .select(col("text")).unionByName(Seq(
+        "", "one", "a b a", "one two\n", "a b\t", "\nx y").toDF("text"))
     for (portable <- Seq(true, false); bits <- Seq(16, 60)) {
       val both = docs.select(
         DedupOps.simhash(col("text"), bits, portable).as("fused"),
@@ -57,6 +63,34 @@ class MinhashSigExprSpec extends SparkSpec {
       assert(both.where(col("fused") =!= col("hof")).count() == 0,
         s"portable=$portable bits=$bits")
     }
+  }
+
+  test("fused text counts == composable counts, incl. trailing whitespace") {
+    import graft.text.TextOps
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text")).unionByName(Seq(
+        "", " ", "the cat\n", "und der\t", "\nle mot",
+        "the end of the line\n\n").toDF("text"))
+    val both = docs.select(
+      graft.functions.TextCountsExpr.textCounts(col("text")).as("tc"),
+      size(TextOps.words(col("text"))).as("c_words"),
+      size(filter(TextOps.words(col("text")),
+        w => w.isin(TextOps.EnStopwords.map(x => x: Any): _*))).as("c_stop"),
+      regexp_count(col("text"), lit("[^\\w\\s]")).as("c_punct"))
+    assert(both.where(col("tc.n_words") =!= col("c_words")
+      || col("tc.n_stop") =!= col("c_stop")
+      || col("tc.n_punct") =!= col("c_punct")).count() == 0)
+    val langCols = TextOps.LangMarkers.map { case (lang, ms) =>
+      (col(s"tc.$lang"),
+        size(filter(TextOps.words(col("text")),
+          w => w.isin(ms.map(x => x: Any): _*))).as(s"c_$lang"))
+    }
+    val langBoth = docs.select(
+      graft.functions.TextCountsExpr.textCounts(col("text")).as("tc") +:
+        langCols.map(_._2): _*)
+    val mismatch = TextOps.LangMarkers.map(_._1).map(l =>
+      col(s"tc.$l") =!= col(s"c_$l")).reduce(_ || _)
+    assert(langBoth.where(mismatch).count() == 0)
   }
 
   test("empty shingle array yields the init vector; nulls are skipped") {

@@ -69,6 +69,20 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: zero-token doc on a sequence boundary keeps seq_start <= seq_end") {
+    // doc 1 fills sequence 0 exactly (cum = maxTokens); doc 2 is empty,
+    // so its cum stays on the boundary and the raw seq_end formula
+    // floor((cum-1)/max) would invert the range without the clamp
+    val df = Seq((1L, 128L), (2L, 0L), (3L, 5L)).toDF("doc_id", "n_tokens")
+    val out = TrainingOps.packSequences(df, "doc_id", "n_tokens",
+      maxTokens = 128, nShards = 1)
+      .select("doc_id", "seq_start", "seq_end", "offset")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out.values.foreach { case (s, e, _) => assert(s <= e) }
+    assert(out(2L) == ((1L, 1L, 0L)))
+    assert(out(3L) == ((1L, 1L, 0L)))
+  }
+
   test("redactPii masks emails/phones/IPs, leaves clean text untouched") {
     val df = Seq(
       "mail a.b+c@x-site.org and x@y.io now",

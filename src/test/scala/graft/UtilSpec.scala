@@ -97,6 +97,20 @@ class UtilSpec extends AnyFunSuite {
     assert(p5.getFileName.toString == "V011_1__create_nations.sql")
   }
 
+  test("re-emit picks the latest version numerically once past the %03d padding") {
+    val dir = Files.createTempDirectory("graft_flyway_wide")
+    val ddl = Flyway.flywayDdl(schema, "customers")
+    // lexicographically "V1000..." < "V999...", numerically the reverse —
+    // the idempotence check must compare against V1000, not V999
+    Files.write(dir.resolve("V999_1__create_customers.sql"), "stale".getBytes("UTF-8"))
+    Files.write(dir.resolve("V1000_1__create_customers.sql"), ddl.getBytes("UTF-8"))
+    val p = Flyway.emitMigration(dir.toString, schema, "customers")
+    assert(p.getFileName.toString == "V1000_1__create_customers.sql")
+    val s = Files.list(dir)
+    try assert(s.count() == 2) finally s.close()
+    assert(Flyway.currentVersion(dir) == 1000)
+  }
+
   test("currentVersion of a missing or empty dir is 0") {
     assert(Flyway.currentVersion(Paths.get("/tmp/graft_flyway_nonexistent")) == 0)
     val empty = Files.createTempDirectory("graft_flyway_empty")
