@@ -238,23 +238,31 @@ object SimilarityOps {
         case n: Number => n.doubleValue()
       }.toArray)
 
+  /** @param centroids precomputed coarse-quantizer centroids (from
+    *   [[ivfCentroids]] or returned by [[ivfWriteIndex]]). Fit-if-absent:
+    *   the default refits from `corpus`, which is correct but pays a
+    *   full sample pass PER CALL — serving paths that issue many
+    *   queries against one corpus must fit once and pass the result
+    *   here, exactly like the written-index contract
+    *   ([[ivfProbeTopK]] already requires them). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qidCol: String, cidCol: String, vecCol: String,
               k: Int, nLists: Int = 16, nProbe: Int = 2,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L,
+              centroids: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
     // the quantizer needs only a sketch of the distribution — training
     // on a bounded sample keeps the fit O(sample) while assignment
     // still covers the full corpus
-    val centroids = ivfCentroids(corpus, vecCol, nLists, seed)
+    val cents = centroids.getOrElse(ivfCentroids(corpus, vecCol, nLists, seed))
 
     // nearest-list assignment as a pure expression over the broadcast
     // centroid literals: argmin over squared L2 distance
     val c = corpus.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
       l2NormF(col(vecCol)).as("__cn"),
-      element_at(nearestListsExpr(centroids, col(vecCol), 1), 1).as("__list"))
+      element_at(nearestListsExpr(cents, col(vecCol), 1), 1).as("__list"))
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
         l2NormF(col(vecCol)).as("__qn"),
-        explode(nearestListsExpr(centroids, col(vecCol), nProbe)).as("__list"))
+        explode(nearestListsExpr(cents, col(vecCol), nProbe)).as("__list"))
     val scored = c.join(broadcast(q), Seq("__list"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
@@ -274,8 +282,10 @@ object SimilarityOps {
     * index; search must quantize queries with the same centroids).
     */
   def ivfWriteIndex(corpus: DataFrame, dir: String, cidCol: String, vecCol: String,
-                    nLists: Int = 16, seed: Long = 42L): Array[(Int, Array[Double])] = {
-    val centroids = ivfCentroids(corpus, vecCol, nLists, seed)
+                    nLists: Int = 16, seed: Long = 42L,
+                    precomputed: Option[Array[(Int, Array[Double])]] = None)
+  : Array[(Int, Array[Double])] = {
+    val centroids = precomputed.getOrElse(ivfCentroids(corpus, vecCol, nLists, seed))
     val assigned = corpus.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
       element_at(nearestListsExpr(centroids, col(vecCol), 1), 1).as("ivf_list"))
     assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(dir)
@@ -443,18 +453,22 @@ object SimilarityOps {
                 qidCol: String, cidCol: String, vecCol: String,
                 k: Int, nLists: Int = 16, nProbe: Int = 4,
                 m: Int = 16, codebookK: Int = 16, shortlist: Int = 100,
-                seed: Long = 42L): DataFrame = {
+                seed: Long = 42L,
+                centroids: Option[Array[(Int, Array[Double])]] = None,
+                codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    val centroids = ivfCentroids(corpus, vecCol, nLists, seed)
-    val books = pqCodebooks(corpus, vecCol, dim, m, codebookK, seed)
+    val cents = centroids.getOrElse(ivfCentroids(corpus, vecCol, nLists, seed))
+    val books = codebooks.getOrElse {
+      val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+      pqCodebooks(corpus, vecCol, dim, m, codebookK, seed)
+    }
     // index side: id + list id + PQ codes (the at-rest representation)
     val index = corpus.select(col(cidCol).as("corpus_id"),
-      element_at(nearestListsExpr(centroids, col(vecCol), 1), 1).as("__list"),
+      element_at(nearestListsExpr(cents, col(vecCol), 1), 1).as("__list"),
       pqEncode(col(vecCol), books).as("__codes"))
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
       l2Norm(col(vecCol)).as("__qn"),
-      explode(nearestListsExpr(centroids, col(vecCol), nProbe)).as("__list"))
+      explode(nearestListsExpr(cents, col(vecCol), nProbe)).as("__list"))
     // PQ-scored shortlist within the probed lists only
     val quantized = index.join(broadcast(q), Seq("__list"))
       .where(col("query_id") =!= col("corpus_id"))
