@@ -145,4 +145,63 @@ object Merge {
     */
   def insertIfAbsentFrame(target: DataFrame, stage: DataFrame, keys: Seq[String]): DataFrame =
     RelationalOps.uniteByName(Seq(target, stage.join(target, keys, "left_anti")))
+
+  /** Update-on-diff upsert — the UPDATE leg the reference's
+    * `upsert_on_condition` sketches and leaves TODO
+    * (`src/pyveb/rs_client.py:204-233`, `_upsert_on_condition` `:236`):
+    * a matched key takes the STAGE row only when at least one compared
+    * column actually differs (null-safe); an unchanged match keeps the
+    * TARGET row untouched — so audit/meta columns outside `compareCols`
+    * (load dates, lineage) survive no-op loads, which is the entire
+    * point of conditional UPDATE over blind upsert. Unmatched stage
+    * keys insert; unmatched target keys survive.
+    *
+    * One full-outer shuffle on `keys` — the standard warehouse MERGE
+    * shape; at 100 TB pair it with the same partition scoping as
+    * [[upsert]] (the frame form composes: scope the target scan, then
+    * `overwritePartitions`).
+    *
+    * @param compareCols columns whose difference triggers the update;
+    *   default = every shared non-key column. Columns OUTSIDE the set
+    *   (e.g. the target's audit columns) are never compared and keep
+    *   their target value on unchanged rows.
+    */
+  def upsertOnDiffFrame(target: DataFrame, stage: DataFrame, keys: Seq[String],
+                        compareCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(keys.nonEmpty, "upsertOnDiffFrame needs at least one key column")
+    val cmp =
+      if (compareCols.nonEmpty) compareCols
+      else target.columns.toSeq.filterNot(keys.contains).filter(stage.columns.contains)
+    require(cmp.nonEmpty, "upsertOnDiffFrame: no columns to compare")
+    // presence markers instead of key-null checks: a legitimately-null
+    // key component must not read as "row absent"
+    val sPref = stage.columns.foldLeft(stage.withColumn("__s_present", lit(true))) {
+      (df, c) => df.withColumnRenamed(c, s"__s_$c")
+    }
+    val t = target.withColumn("__t_present", lit(true))
+    val joined = t.join(sPref,
+      keys.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _), "full_outer")
+    val changed = cmp.map(c => !(col(c) <=> col(s"__s_$c"))).reduce(_ || _)
+    val takeStage = col("__t_present").isNull ||
+      (col("__s_present").isNotNull && changed)
+    joined.select(target.columns.map { c =>
+      (if (stage.columns.contains(c))
+        when(takeStage, col(s"__s_$c")).otherwise(col(c))
+      else col(c)).as(c)
+    }.toSeq: _*)
+  }
+
+  /** Writing form of [[upsertOnDiffFrame]]: merge against the stored
+    * target and swap the result in atomically (same protocol as
+    * [[upsert]]; creates the target if absent). Idempotent: a second
+    * run with the same stage finds nothing changed and rewrites
+    * identical content. */
+  def upsertOnDiff(stage: DataFrame, targetDir: String, keys: Seq[String],
+                   compareCols: Seq[String] = Nil): Unit = {
+    val spark = stage.sparkSession
+    if (!targetExists(spark, targetDir)) { overwrite(stage, targetDir); return }
+    atomicReplace(upsertOnDiffFrame(readTarget(spark, targetDir), stage, keys, compareCols),
+      targetDir)
+  }
 }

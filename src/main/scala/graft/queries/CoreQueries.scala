@@ -269,6 +269,45 @@ object CoreQueries {
       Merge.insertIfAbsentFrame(target, stage, Seq("o_orderkey"))
     },
 
+    // ---- update-on-diff upsert (§2.3/§2.9 — completes the reference's
+    //      upsert_on_condition TODO): matched keys update ONLY when a
+    //      compared column differs; unchanged matches keep the TARGET
+    //      row, so the `src` audit column ('old'/'new') proves which leg
+    //      each row took — the oracle hash-checks all four outcomes
+    //      (kept / updated / inserted / survived) ----
+    Q("q_upsert_on_diff",
+      """WITH target AS (SELECT o_orderkey, o_orderstatus, o_totalprice, 'old' AS src
+        |               FROM orders WHERE o_orderkey < 1000),
+        |stage AS (SELECT o_orderkey, o_orderstatus,
+        |            CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |            'new' AS src
+        |          FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500)
+        |SELECT t.* FROM target t LEFT JOIN stage s USING (o_orderkey)
+        |WHERE s.o_orderkey IS NULL
+        |   OR (t.o_orderstatus IS NOT DISTINCT FROM s.o_orderstatus
+        |       AND t.o_totalprice IS NOT DISTINCT FROM s.o_totalprice)
+        |UNION ALL
+        |SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice, s.src
+        |FROM stage s JOIN target t USING (o_orderkey)
+        |WHERE t.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+        |   OR t.o_totalprice IS DISTINCT FROM s.o_totalprice
+        |UNION ALL
+        |SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice, s.src
+        |FROM stage s LEFT JOIN target t USING (o_orderkey)
+        |WHERE t.o_orderkey IS NULL""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val target = o.where(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          lit("old").as("src"))
+      val stage = o.where(col("o_orderkey") >= 500 && col("o_orderkey") < 1500)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 2 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          lit("new").as("src"))
+      Merge.upsertOnDiffFrame(target, stage, Seq("o_orderkey"),
+        compareCols = Seq("o_orderstatus", "o_totalprice"))
+    },
+
     // ---- case-mode equality filter (§2.2) ----
     Q("q_filter_equals",
       "SELECT c_custkey, c_mktsegment FROM customer WHERE lower(c_mktsegment) = 'furniture'") { (s, dir) =>

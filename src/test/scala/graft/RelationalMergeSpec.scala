@@ -130,4 +130,46 @@ class RelationalMergeSpec extends SparkSpec {
       .as[(Int, Int)].collect().toSet
     assert(out == Set((1, 10), (2, 20), (3, 30)))
   }
+
+  test("upsertOnDiffFrame: updates only genuine diffs, audit column proves the leg") {
+    // meta = the audit column OUTSIDE compareCols; unchanged matches
+    // must keep the TARGET's meta (the point of conditional UPDATE)
+    val target = Seq(
+      (1, Some("a"), "t"),  // matched, unchanged -> target row kept
+      (2, Some("b"), "t"),  // matched, changed   -> stage row
+      (3, None, "t"),       // matched, null -> value = changed
+      (4, Some("d"), "t")   // unmatched target   -> survives
+    ).toDF("k", "v", "meta")
+    val stage = Seq(
+      (1, Some("a"), "s"),
+      (2, Some("B"), "s"),
+      (3, Some("c"), "s"),
+      (5, Some("e"), "s")   // unmatched stage -> insert
+    ).toDF("k", "v", "meta")
+    val out = Merge.upsertOnDiffFrame(target, stage, Seq("k"), compareCols = Seq("v"))
+      .as[(Int, Option[String], String)].collect().toSet
+    assert(out == Set(
+      (1, Some("a"), "t"), (2, Some("B"), "s"), (3, Some("c"), "s"),
+      (4, Some("d"), "t"), (5, Some("e"), "s")))
+    // default compareCols = all shared non-key columns (meta included
+    // here, so every matched row reads as changed)
+    val blind = Merge.upsertOnDiffFrame(target, stage, Seq("k"))
+      .as[(Int, Option[String], String)].collect().toSet
+    assert(blind == Set(
+      (1, Some("a"), "s"), (2, Some("B"), "s"), (3, Some("c"), "s"),
+      (4, Some("d"), "t"), (5, Some("e"), "s")))
+  }
+
+  test("upsertOnDiff write form: idempotent, creates missing target") {
+    val dir = freshDir()
+    val target = Seq((1, "a", "t0"), (2, "b", "t0")).toDF("k", "v", "meta")
+    val stage = Seq((2, "B", "s1"), (3, "c", "s1")).toDF("k", "v", "meta")
+    Merge.upsertOnDiff(target, dir, Seq("k"), compareCols = Seq("v")) // creates
+    Merge.upsertOnDiff(stage, dir, Seq("k"), compareCols = Seq("v"))
+    val once = Merge.readTarget(spark, dir).as[(Int, String, String)].collect().toSet
+    assert(once == Set((1, "a", "t0"), (2, "B", "s1"), (3, "c", "s1")))
+    Merge.upsertOnDiff(stage, dir, Seq("k"), compareCols = Seq("v"))
+    val twice = Merge.readTarget(spark, dir).as[(Int, String, String)].collect().toSet
+    assert(twice == once)
+  }
 }
