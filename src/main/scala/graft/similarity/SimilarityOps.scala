@@ -316,9 +316,18 @@ object SimilarityOps {
 
   /** Nearest-`n` list ids for a vector against broadcast centroid
     * literals (argmin over squared L2; shared by the in-memory join
-    * path and the written-index path). */
-  private[similarity] def nearestListsExpr(centroids: Array[(Int, Array[Double])],
-                                           vec: Column, n: Int): Column = {
+    * path and the written-index path). Fused codegen kernel
+    * ([[graft.functions.NearestCentroidsExpr]]) — the assignment runs
+    * over EVERY corpus row at index build, and the composable argmin
+    * walked nLists × dim interpreted lambda evaluations per row. */
+  private[graft] def nearestListsExpr(centroids: Array[(Int, Array[Double])],
+                                           vec: Column, n: Int): Column =
+    graft.functions.NearestCentroidsExpr.nearest(vec, centroids, n)
+
+  /** The composable argmin form the fused kernel must match
+    * bit-for-bit (kept for the parity spec). */
+  private[graft] def nearestListsComposable(centroids: Array[(Int, Array[Double])],
+                                                 vec: Column, n: Int): Column = {
     def dist2(cDbl: Array[Double]): Column = {
       val cLit = array(cDbl.map(lit): _*)
       aggregate(zip_with(vec, cLit, (x, c) => {
@@ -361,8 +370,16 @@ object SimilarityOps {
     * subspace, the index of the nearest codebook centroid. A pure
     * broadcast-literal projection — the corpus is scanned once at
     * index-build time and only the codes are stored/shuffled after.
-    */
-  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    * Fused codegen kernel ([[graft.functions.PqEncodeExpr]]): the
+    * composable argmin costs m × k × sub interpreted evaluations per
+    * row, and encoding touches the whole corpus. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqEncodeExpr.encode(vec, codebooks)
+
+  /** The composable argmin form of [[pqEncode]] (kept for the parity
+    * spec). */
+  private[graft] def pqEncodeComposable(vec: Column,
+                                             codebooks: Array[Array[Array[Double]]]): Column = {
     val sub = codebooks(0)(0).length
     val codes = codebooks.zipWithIndex.map { case (book, s) =>
       val subvec = slice(vec, s * sub + 1, sub)
@@ -389,23 +406,55 @@ object SimilarityOps {
     flatten(array(decoded: _*))
   }
 
-  /** Approximate cosine top-k over PQ codes: corpus vectors are
-    * reconstructed from their codes and scored against the exact query
-    * vectors (asymmetric: only the corpus side is quantized, queries
-    * stay exact). Recall < 1 by construction; grows with m and k.
+  /** Per-query ADC lookup table (`array<array<double>>`, m × k):
+    * `LUT[s][c] = dot(querySubvector_s, codebook_s[c])`. FAISS's
+    * asymmetric-distance trick: the query-side work is m·k small dots
+    * ONCE per query, after which scoring a candidate is m table
+    * lookups over its codes — the corpus scan touches codes only,
+    * never a reconstructed vector. */
+  private def pqLut(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    array(codebooks.zipWithIndex.map { case (book, s) =>
+      val sub = book(0).length
+      val subvec = slice(vec, s * sub + 1, sub)
+      array(book.map { cent =>
+        aggregate(zip_with(subvec, array(cent.map(lit): _*),
+          (x, c) => x.cast(DoubleType) * c), lit(0.0), (acc, v) => acc + v)
+      }: _*)
+    }: _*)
+
+  /** dot(query, reconstruction) via the ADC table: Σ_s LUT[s][code_s]. */
+  private def adcDot(lut: Column, codes: Column, m: Int): Column =
+    (0 until m).map(s =>
+      element_at(element_at(lut, s + 1), element_at(codes, s + 1) + 1)).reduce(_ + _)
+
+  /** ‖reconstruction‖² from codes alone: per-subspace centroid squared
+    * norms are query-independent constants, so this is a per-corpus-row
+    * projection of m lookups into literal tables. */
+  private def adcNorm2(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    codebooks.zipWithIndex.map { case (book, s) =>
+      val norms = book.map(cent => cent.map(x => x * x).sum)
+      element_at(array(norms.map(lit): _*), element_at(codes, s + 1) + 1)
+    }.reduce(_ + _)
+
+  /** Approximate cosine top-k over PQ codes, scored asymmetrically via
+    * the ADC lookup table (queries stay exact, corpus is quantized):
+    * per candidate the score is m code lookups — no reconstruction in
+    * the hot loop, so the corpus-side scan cost is truly proportional
+    * to the m-byte codes, not dim×4-byte vectors. Recall < 1 by
+    * construction; grows with m and k.
     */
   def pqTopK(queries: DataFrame, corpusCodes: DataFrame,
              qidCol: String, cidCol: String, vecCol: String, codesCol: String,
              codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
-    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
-      l2Norm(col(vecCol)).as("__qn"))
-    val c = corpusCodes.select(col(cidCol).as("corpus_id"),
-      pqDecode(col(codesCol), codebooks).as("__rv"))
-      .withColumn("__rn", l2Norm(col("__rv")))
+    val m = codebooks.length
+    val q = queries.select(col(qidCol).as("query_id"),
+      l2Norm(col(vecCol)).as("__qn"), pqLut(col(vecCol), codebooks).as("__lut"))
+    val c = corpusCodes.select(col(cidCol).as("corpus_id"), col(codesCol).as("__codes"),
+      sqrt(adcNorm2(col(codesCol), codebooks)).as("__rn"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(dot(col("__qv"), col("__rv")) / (col("__qn") * col("__rn")), 6).as("cos"))
+        round(adcDot(col("__lut"), col("__codes"), m) / (col("__qn") * col("__rn")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -462,20 +511,24 @@ object SimilarityOps {
       val dim = corpus.select(size(col(vecCol))).head().getInt(0)
       pqCodebooks(corpus, vecCol, dim, m, codebookK, seed)
     }
-    // index side: id + list id + PQ codes (the at-rest representation)
+    val nSub = books.length
+    // index side: id + list id + PQ codes (the at-rest representation),
+    // plus the code-derived reconstruction norm (a constant-table
+    // projection, still O(m) per row)
     val index = corpus.select(col(cidCol).as("corpus_id"),
       element_at(nearestListsExpr(cents, col(vecCol), 1), 1).as("__list"),
       pqEncode(col(vecCol), books).as("__codes"))
-    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+      .withColumn("__rn", sqrt(adcNorm2(col("__codes"), books)))
+    val q = queries.select(col(qidCol).as("query_id"),
       l2Norm(col(vecCol)).as("__qn"),
+      pqLut(col(vecCol), books).as("__lut"),
       explode(nearestListsExpr(cents, col(vecCol), nProbe)).as("__list"))
-    // PQ-scored shortlist within the probed lists only
+    // ADC-scored shortlist within the probed lists only: per candidate,
+    // m lookups into the query's table — never a decoded vector
     val quantized = index.join(broadcast(q), Seq("__list"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        graft.functions.Let.bind(pqDecode(col("__codes"), books)) { r =>
-          dot(col("__qv"), r) / (col("__qn") * sqrt(dot(r, r)))
-        }.as("__qcos"))
+        (adcDot(col("__lut"), col("__codes"), nSub) / (col("__qn") * col("__rn"))).as("__qcos"))
     val ws = Window.partitionBy("query_id").orderBy(col("__qcos").desc, col("corpus_id").asc)
     val candidates = quantized.withColumn("__r", row_number().over(ws))
       .where(col("__r") <= shortlist).select("query_id", "corpus_id")

@@ -174,6 +174,22 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("fused quantizer kernels == composable argmin forms, bit-identical") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = SimilarityOps.ivfCentroids(e, "embedding", 8)
+    for (n <- Seq(1, 3, 8)) {
+      val both = e.select(
+        SimilarityOps.nearestListsExpr(cents, col("embedding"), n).as("fused"),
+        SimilarityOps.nearestListsComposable(cents, col("embedding"), n).as("hof"))
+      assert(both.where(col("fused") =!= col("hof")).count() == 0, s"n=$n")
+    }
+    val books = SimilarityOps.pqCodebooks(e, "embedding", dim = 64, m = 8, k = 16)
+    val both = e.select(
+      SimilarityOps.pqEncode(col("embedding"), books).as("fused"),
+      SimilarityOps.pqEncodeComposable(col("embedding"), books).as("hof"))
+    assert(both.where(col("fused") =!= col("hof")).count() == 0)
+  }
+
   test("PQ: codes bounded, reconstruction error shrinks with k, recall reasonable") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val dim = 64; val m = 8
