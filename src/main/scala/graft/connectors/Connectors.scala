@@ -34,24 +34,64 @@ object Connectors {
   def pagedSource[T <: Product : TypeTag](spark: SparkSession, limit: Int,
                                           maxPages: Int = 10000,
                                           pageRetries: Int = 0,
-                                          sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong))
+                                          sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong),
+                                          spillEveryPages: Int = 256)
                                          (fetchPage: (Int, Int) => Seq[T]): Dataset[T] = {
     import spark.implicits._
+    require(spillEveryPages > 0, "pagedSource: spillEveryPages must be > 0")
+    // drain lazily and bound driver memory at `spillEveryPages` pages:
+    // longer drains land chunk-by-chunk in a staging parquet dir and the
+    // result is read back lazily. A chunked union of in-memory Datasets
+    // would NOT bound anything — LocalRelation rows live in the driver
+    // plan — so the spill goes through disk, the same stage-then-read
+    // shape the reference's REST→warehouse loads use. Short drains
+    // (≤ one chunk, the common case) never touch disk.
     val buf = scala.collection.mutable.ArrayBuffer.empty[T]
-    var offset = 0
-    var pages = 0
-    var done = false
-    while (!done && pages < maxPages) {
-      val page =
-        if (pageRetries <= 0) fetchPage(limit, offset)
-        else graft.util.Retry.retryV2(pageRetries, sleep = sleep)(_ => fetchPage(limit, offset))
-      buf ++= page
-      offset += limit
-      pages += 1
-      done = page.size < limit
+    var spillDir: Option[String] = None
+    var buffered = 0
+    def spill(): Unit = {
+      val dir = spillDir.getOrElse {
+        val d = java.nio.file.Files.createTempDirectory("graft_paged_spill").toString
+        spillDir = Some(d); d
+      }
+      spark.createDataset(buf.toSeq).write.mode("append").parquet(dir)
+      buf.clear(); buffered = 0
     }
-    spark.createDataset(buf.toSeq)
+    drainPages(limit, maxPages, pageRetries, sleep)(fetchPage).foreach { page =>
+      buf ++= page
+      buffered += 1
+      if (buffered >= spillEveryPages) spill()
+    }
+    spillDir match {
+      case None => spark.createDataset(buf.toSeq)
+      case Some(dir) =>
+        if (buf.nonEmpty) spill()
+        spark.read.parquet(dir).as[T] // row order is not defined; a REST drain is a set
+    }
   }
+
+  /** The lazy page drain behind [[pagedSource]]: one REST page per
+    * `next()`, retry-wrapped, ending on a short/empty page or the
+    * `maxPages` guard. Offsets never advance on a failed attempt. */
+  private[graft] def drainPages[T](limit: Int, maxPages: Int, pageRetries: Int,
+                                   sleep: Double => Unit)
+                                  (fetchPage: (Int, Int) => Seq[T]): Iterator[Seq[T]] =
+    new Iterator[Seq[T]] {
+      private var offset = 0
+      private var pages = 0
+      private var finished = false
+      def hasNext: Boolean = !finished && pages < maxPages
+      def next(): Seq[T] = {
+        if (!hasNext) throw new NoSuchElementException("page drain exhausted")
+        val page =
+          if (pageRetries <= 0) fetchPage(limit, offset)
+          else graft.util.Retry.retryV2(pageRetries, sleep = sleep)(_ => fetchPage(limit, offset))
+        offset += limit
+        pages += 1
+        if (page.size < limit) finished = true
+        page
+      }
+    }
 
   /** Closest-match ranking: for each left row, the `candidates` row
     * whose `candCol` minimizes levenshtein distance to `nameCol`

@@ -140,6 +140,172 @@ object Excel {
     }
   }
 
+  // ---------------------------------------------------------------- reader
+
+  /** Read the FIRST worksheet of an xlsx workbook into a DataFrame —
+    * the offline half of the reference's Excel-over-HTTP source
+    * (`/root/reference/src/pyveb/request_client.py:33-58`, which
+    * downloads and reads the first sheet; the download leg stays an
+    * egress shim, the FORMAT leg lives here). Row 1 is the header;
+    * every column comes back as a nullable STRING (like a CSV read
+    * without schema inference — pair with
+    * [[graft.schema.SchemaOps]] casts for typed columns); blank/missing
+    * cells are null. Handles inline strings (this sink's own output),
+    * shared strings, and boolean/numeric `<v>` cells. Driver-side like
+    * the writer: xlsx is a report format, bounded by the sheet cap.
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val (header, rows) = readSheet(path)
+    require(header.nonEmpty, s"Excel.read: $path has an empty first sheet")
+    val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
+    val data = rows.map { r =>
+      Row.fromSeq(header.indices.map(i => r.getOrElse(i, null)))
+    }
+    spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava), schema)
+  }
+
+  /** First sheet as (header, data rows), each row a sparse col→value map. */
+  private def readSheet(path: String): (Seq[String], Seq[Map[Int, String]]) = {
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val shared = Option(zf.getEntry("xl/sharedStrings.xml"))
+        .map(e => parseSharedStrings(zf.getInputStream(e))).getOrElse(Vector.empty)
+      val sheet = firstSheetEntry(zf)
+      val all = parseSheet(zf.getInputStream(sheet), shared)
+      if (all.isEmpty) (Nil, Nil)
+      else {
+        val head = all.head
+        val width = if (head.isEmpty) 0 else head.keys.max + 1
+        ((0 until width).map(i => head.getOrElse(i, s"_c$i")), all.tail)
+      }
+    } finally zf.close()
+  }
+
+  /** Resolve the workbook's first sheet via its relationship id, falling
+    * back to the conventional part name. */
+  private def firstSheetEntry(zf: java.util.zip.ZipFile): java.util.zip.ZipEntry = {
+    val resolved = for {
+      wb <- Option(zf.getEntry("xl/workbook.xml"))
+      rels <- Option(zf.getEntry("xl/_rels/workbook.xml.rels"))
+      rid <- firstAttr(zf.getInputStream(wb), "sheet", "id")
+      target <- relTarget(zf.getInputStream(rels), rid)
+      e <- Option(zf.getEntry(
+        if (target.startsWith("/")) target.drop(1) else "xl/" + target.stripPrefix("./")))
+    } yield e
+    resolved.orElse(Option(zf.getEntry("xl/worksheets/sheet1.xml")))
+      .getOrElse(throw new IllegalArgumentException("xlsx has no first worksheet part"))
+  }
+
+  private def stax(in: java.io.InputStream): javax.xml.stream.XMLStreamReader = {
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(in)
+  }
+
+  /** First `attrLocal` attribute (any namespace) of the first `elem`. */
+  private def firstAttr(in: java.io.InputStream, elem: String, attrLocal: String): Option[String] = {
+    val r = stax(in)
+    try {
+      while (r.hasNext) {
+        if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT
+            && r.getLocalName == elem) {
+          for (i <- 0 until r.getAttributeCount)
+            if (r.getAttributeLocalName(i) == attrLocal)
+              return Some(r.getAttributeValue(i))
+        }
+      }
+      None
+    } finally r.close()
+  }
+
+  private def relTarget(in: java.io.InputStream, rid: String): Option[String] = {
+    val r = stax(in)
+    try {
+      while (r.hasNext) {
+        if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT
+            && r.getLocalName == "Relationship"
+            && Option(r.getAttributeValue(null, "Id")).contains(rid))
+          return Option(r.getAttributeValue(null, "Target"))
+      }
+      None
+    } finally r.close()
+  }
+
+  /** Shared-string table: each `<si>` is the concatenation of its `<t>`
+    * runs (rich-text cells have several). */
+  private def parseSharedStrings(in: java.io.InputStream): Vector[String] = {
+    val r = stax(in)
+    val out = Vector.newBuilder[String]
+    var sb: StringBuilder = null
+    try {
+      while (r.hasNext) r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
+          sb = new StringBuilder
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT
+          if r.getLocalName == "t" && sb != null => sb ++= r.getElementText
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
+          out += sb.toString; sb = null
+        case _ =>
+      }
+      out.result()
+    } finally r.close()
+  }
+
+  /** Stream one worksheet part into sparse rows. */
+  private def parseSheet(in: java.io.InputStream,
+                         shared: Vector[String]): Vector[Map[Int, String]] = {
+    import javax.xml.stream.XMLStreamConstants._
+    val r = stax(in)
+    val rows = Vector.newBuilder[Map[Int, String]]
+    var row: scala.collection.mutable.Map[Int, String] = null
+    var colIdx = -1  // from the cell ref when present, else sequential
+    var cellType = ""
+    var cellText: StringBuilder = null
+    try {
+      while (r.hasNext) r.next() match {
+        case START_ELEMENT => r.getLocalName match {
+          case "row" =>
+            row = scala.collection.mutable.Map.empty; colIdx = -1
+          case "c" if row != null =>
+            colIdx = Option(r.getAttributeValue(null, "r"))
+              .map(refToCol).getOrElse(colIdx + 1)
+            cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+            cellText = null
+          case "v" | "t" if row != null && colIdx >= 0 =>
+            if (cellText == null) cellText = new StringBuilder
+            cellText ++= r.getElementText
+          case _ =>
+        }
+        case END_ELEMENT => r.getLocalName match {
+          case "c" if row != null && cellText != null =>
+            val raw = cellText.toString
+            val value = cellType match {
+              case "s" => shared.lift(raw.trim.toInt).orNull
+              case _ => raw
+            }
+            if (value != null) row(colIdx) = value
+            cellText = null
+          case "row" if row != null =>
+            rows += row.toMap; row = null
+          case _ =>
+        }
+        case _ =>
+      }
+      rows.result()
+    } finally r.close()
+  }
+
+  /** "BC12" → 0-based column index 54. */
+  private[graft] def refToCol(ref: String): Int = {
+    var c = 0; var i = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      c = c * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+    }
+    c - 1
+  }
+
   /** 0-based column + 1-based row → A1 reference. */
   private[graft] def cellRef(colIdx: Int, rowIdx: Long): String = {
     var c = colIdx

@@ -112,6 +112,39 @@ class ConnectorsSpec extends SparkSpec {
     }
   }
 
+  test("page drain is lazy: a page is fetched only when consumed") {
+    var fetches = 0
+    val it = Connectors.drainPages[(Int, String)](limit = 10, maxPages = 1000,
+      pageRetries = 0, sleep = _ => ()) { (limit, offset) =>
+      fetches += 1
+      (offset until offset + limit).map(i => (i, s"row$i"))
+    }
+    assert(fetches == 0) // nothing fetched before consumption
+    it.next()
+    assert(fetches == 1) // one consumed -> exactly one fetched
+    it.next(); it.next()
+    assert(fetches == 3)
+  }
+
+  test("long drain spills in page-bounded chunks and reproduces every row") {
+    // 40 pages x 10 rows with a 7-page spill bound: driver buffer can
+    // never hold more than 7 pages; the staged readback must still be
+    // the exact drain content
+    val ds = Connectors.pagedSource(spark, limit = 10, spillEveryPages = 7) {
+      (limit, offset) =>
+        (offset until math.min(offset + limit, 400)).map(i => (i, s"row$i"))
+    }
+    assert(ds.collect().map(_._1).sorted.toSeq == (0 until 400))
+    // short drain (one chunk) stays on the no-spill fast path: the plan
+    // is a LocalRelation, not a file read
+    val small = Connectors.pagedSource(spark, limit = 10, spillEveryPages = 7) {
+      (limit, offset) => (offset until math.min(offset + limit, 15)).map(i => (i, s"r$i"))
+    }
+    assert(small.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(small.count() == 15)
+  }
+
   test("fuzzyBestMatch picks minimum levenshtein with deterministic tiebreak") {
     val files = Seq("report_2024.csv", "summary.txt").toDF("wanted")
     val listing = Seq("report-2024.csv", "report_2023.csv", "summary_final.txt").toDF("found")

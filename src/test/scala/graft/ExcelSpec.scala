@@ -109,6 +109,47 @@ class ExcelSpec extends SparkSpec {
     assert(!rw.contains("fileSharing"))
   }
 
+  test("write -> read roundtrip: first sheet back as strings, blanks as nulls") {
+    val path = writeFixture()
+    val back = Excel.read(spark, path)
+    assert(back.columns.toSeq == Seq("name", "qty", "score", "ok"))
+    val rows = back.collect().map(r => (0 until 4).map(i =>
+      Option(r.getString(i)).orNull))
+    assert(rows(0) == Seq("a<&>\"b", "7", "1.5", "1"))
+    assert(rows(1) == Seq(null, null, null, "0")) // null/NaN skipped -> null
+    assert(rows(2) == Seq("plain", "0", "-2.25", null))
+    // typed recovery composes with a cast projection
+    import org.apache.spark.sql.functions.col
+    val typed = back.select(col("qty").cast("long"), col("score").cast("double"),
+      col("ok").cast("boolean")).collect()
+    assert(typed(0).getLong(0) == 7L && typed(0).getDouble(1) == 1.5 && typed(0).getBoolean(2))
+  }
+
+  test("read resolves shared strings and rich-text runs (foreign xlsx shape)") {
+    // minimal workbook written the OTHER way xlsx encodes text: a
+    // shared-string table with one rich-text (multi-run) entry
+    val dir = Files.createTempDirectory("graft_xlsx_shared")
+    val path = dir.resolve("shared.xlsx").toString
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def part(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId9"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId9" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/data.xml"/></Relationships>""")
+    part("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3"><si><t>h1</t></si><si><t>h2</t></si><si><r><t>rich </t></r><r><t>text</t></r></si></sst>""")
+    part("xl/worksheets/data.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row><row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>42</v></c></row></sheetData></worksheet>""")
+    zos.close()
+    val back = Excel.read(spark, path)
+    assert(back.columns.toSeq == Seq("h1", "h2"))
+    val r0 = back.collect()(0)
+    assert(r0.getString(0) == "rich text" && r0.getString(1) == "42")
+  }
+
   test("cellRef covers multi-letter columns") {
     assert(Excel.cellRef(0, 1) == "A1")
     assert(Excel.cellRef(25, 1) == "Z1")
