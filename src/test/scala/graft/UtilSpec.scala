@@ -111,6 +111,35 @@ class UtilSpec extends AnyFunSuite {
     assert(Flyway.currentVersion(dir) == 1000)
   }
 
+  test("log sink: capture respects level, flushes one object, caps the buffer") {
+    import java.util.logging.{Level, Logger}
+    val logger = Logger.getLogger("graft.test.logsink")
+    logger.setUseParentHandlers(false)
+    logger.setLevel(Level.ALL)
+    val dir = Files.createTempDirectory("graft_logsink")
+    val path = dir.resolve("run/2024/task.log").toString
+    val got = graft.util.LogSink.withCapture(logger, path) {
+      logger.info("pipeline started")
+      logger.fine("debug noise below the capture level") // filtered
+      logger.log(Level.WARNING, "late rows", new IllegalStateException("watermark"))
+      42
+    }
+    assert(got == 42)
+    val body = new String(Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    val lines = body.linesIterator.toSeq
+    assert(lines.size == 2)
+    assert(lines(0).matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3} \[INFO    \] pipeline started"""))
+    assert(lines(1).contains("[WARNING ] late rows (java.lang.IllegalStateException: watermark)"))
+    assert(logger.getHandlers.isEmpty) // detached after the scope
+
+    // runaway logging hits the cap, notes the drop, driver heap bounded
+    val capped = graft.util.LogSink.attach(logger, Level.INFO, maxChars = 200)
+    (1 to 100).foreach(i => logger.info(s"spam $i"))
+    assert(capped.contents.length < 1000)
+    assert(capped.contents.contains("lines dropped"))
+    graft.util.LogSink.detach(logger, capped)
+  }
+
   test("currentVersion of a missing or empty dir is 0") {
     assert(Flyway.currentVersion(Paths.get("/tmp/graft_flyway_nonexistent")) == 0)
     val empty = Files.createTempDirectory("graft_flyway_empty")
