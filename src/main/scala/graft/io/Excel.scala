@@ -165,6 +165,34 @@ object Excel {
       scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava), schema)
   }
 
+  /** The reference's Excel-over-HTTP source, whole
+    * (`basicClient.download_xls_to_df`,
+    * `/root/reference/src/pyveb/request_client.py:33-58`): GET the
+    * workbook, land it under a timestamped temp path, read the first
+    * sheet — the download retried with the reference's quadratic
+    * backoff (`retry(retries=3)`, `:12-25`). Returns
+    * (localPath, firstSheetDF), like the reference's tuple. Points at
+    * any HTTP endpoint; offline tests serve the bytes from a loopback
+    * server. */
+  def downloadToDf(spark: org.apache.spark.sql.SparkSession, url: String,
+                   fileName: String, retries: Int = 3,
+                   sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong))
+  : (String, DataFrame) =
+    graft.util.Retry.retryV2(retries, sleep = sleep) { _ =>
+      val conn = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      val bytes =
+        try {
+          if (conn.getResponseCode != 200)
+            throw new java.io.IOException(s"GET $url returned ${conn.getResponseCode}")
+          conn.getInputStream.readAllBytes()
+        } finally conn.disconnect()
+      val dir = java.nio.file.Files.createTempDirectory("graft_http_xlsx")
+      val path = dir.resolve(s"${System.currentTimeMillis()}_$fileName.xlsx")
+      java.nio.file.Files.write(path, bytes)
+      (path.toString, read(spark, path.toString))
+    }
+
   /** First sheet as (header, data rows), each row a sparse col→value map. */
   private def readSheet(path: String): (Seq[String], Seq[Map[Int, String]]) = {
     val zf = new java.util.zip.ZipFile(path)

@@ -108,6 +108,36 @@ class DeliverySpec extends SparkSpec {
     assert(Ftp.stagedName("path/out.csv", env = "prd") == "OUT_out.csv")
   }
 
+  test("Excel-over-HTTP source: flaky download retried, first sheet lands as DF") {
+    // serve a real workbook produced by the engine's own writer
+    val xlsx = java.nio.file.Files.createTempDirectory("graft_http_src").resolve("wb.xlsx")
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("name", "qty")
+    graft.io.Excel.write(df, xlsx.toString)
+    val bytes = java.nio.file.Files.readAllBytes(xlsx)
+    val srv = HttpServer.create(new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger()
+    srv.createContext("/report.xlsx", ex => {
+      if (hits.incrementAndGet() == 1) { // first attempt fails -> retry path
+        ex.sendResponseHeaders(503, -1); ex.close()
+      } else {
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes); ex.close()
+      }
+    })
+    srv.start()
+    try {
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}/report.xlsx"
+      val (local, back) = graft.io.Excel.downloadToDf(spark, url, "bpost_file",
+        retries = 3, sleep = _ => ())
+      assert(hits.get() == 2)
+      assert(local.contains("_bpost_file.xlsx"))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(local)))
+      assert(back.columns.toSeq == Seq("name", "qty"))
+      assert(back.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+        Set(("a", "1"), ("b", "2")))
+    } finally srv.stop(0)
+  }
+
   test("SharePoint upload: token flow, OData path escaping, suffix naming") {
     val srv = HttpServer.create(new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
     @volatile var tokenBody: String = null
