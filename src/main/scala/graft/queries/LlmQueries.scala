@@ -480,6 +480,22 @@ object LlmQueries {
         .select("query_id", "corpus_id", "cos", "rank")
     },
 
+    // ---- materialized IVF-PQ index: write the at-rest layout (code
+    //      rows partitioned by list id), probe it at full budget →
+    //      exact → brute oracle hash-checks write→prune→ADC→rerank ----
+    Q("q_sim_topk_ivfpq_index", duckBruteTopKSql) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val idx = s"/tmp/graft_ivfpq_index_${dir.replaceAll("[^0-9.]", "")}"
+      val (cents, books) = SimilarityOps.ivfPqWriteIndex(e, idx, "vec_id", "embedding",
+        nLists = 16, m = 8, codebookK = 16,
+        centroids = Some(sharedCentroids(s, dir)),
+        codebooks = Some(sharedCodebooks(s, dir)))
+      SimilarityOps.ivfPqProbeTopK(s, idx, e,
+        e.where(col("vec_id") < 20), "vec_id", "vec_id", "embedding",
+        cents, books, k = 5, nProbe = 16, shortlist = Int.MaxValue)
+        .select("query_id", "corpus_id", "cos", "rank")
+    },
+
     // ---- IVF-PQ serving configuration (rows-only by design) ----
     Q.rowsOnly("q_sim_topk_ivfpq_approx") { (s, dir) =>
       val e = Tables(s, dir, "embeddings")

@@ -544,6 +544,72 @@ object SimilarityOps {
     exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Materialize the IVF-PQ index — the at-rest billion-scale ANN
+    * layout: one row per corpus vector holding ONLY
+    * `(corpus_id, pq_codes, pq_rn)`, partitioned by the inverted-list
+    * id. m ints + a double per vector; the full vectors stay in their
+    * source table and are touched only by the rerank join. A probe of
+    * nProbe lists is then a partition-pruned scan of code rows —
+    * at 100 TB the index is ~dim·4/m× smaller than the corpus and the
+    * probe reads nProbe/nLists of THAT. Returns (centroids, codebooks);
+    * persist both next to the index — probes must quantize with the
+    * same fits. */
+  def ivfPqWriteIndex(corpus: DataFrame, dir: String, cidCol: String, vecCol: String,
+                      nLists: Int = 16, m: Int = 8, codebookK: Int = 16,
+                      seed: Long = 42L,
+                      centroids: Option[Array[(Int, Array[Double])]] = None,
+                      codebooks: Option[Array[Array[Array[Double]]]] = None)
+  : (Array[(Int, Array[Double])], Array[Array[Array[Double]]]) = {
+    val cents = centroids.getOrElse(ivfCentroids(corpus, vecCol, nLists, seed))
+    val books = codebooks.getOrElse {
+      val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+      pqCodebooks(corpus, vecCol, dim, m, codebookK, seed)
+    }
+    corpus.select(col(cidCol).as("corpus_id"),
+        pqEncode(col(vecCol), books).as("pq_codes"),
+        element_at(nearestListsExpr(cents, col(vecCol), 1), 1).as("ivf_list"))
+      .withColumn("pq_rn", sqrt(adcNorm2(col("pq_codes"), books)))
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(dir)
+    (cents, books)
+  }
+
+  /** Probe a written IVF-PQ index: ADC-score the code rows of the
+    * `nProbe` probed partitions (dynamic partition pruning via the
+    * broadcast join on the partition column — verify PartitionFilters /
+    * dynamicpruning in the plan), shortlist per query, then exact
+    * re-rank against `vectors` (the source table carrying
+    * (cidCol, vecCol)) — the only full-vector touch. */
+  def ivfPqProbeTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     vectors: DataFrame, queries: DataFrame,
+                     qidCol: String, cidCol: String, vecCol: String,
+                     centroids: Array[(Int, Array[Double])],
+                     codebooks: Array[Array[Array[Double]]],
+                     k: Int, nProbe: Int, shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val nSub = codebooks.length
+    val q = queries.select(col(qidCol).as("query_id"),
+      l2Norm(col(vecCol)).as("__qn"),
+      pqLut(col(vecCol), codebooks).as("__lut"),
+      explode(nearestListsExpr(centroids, col(vecCol), nProbe)).as("ivf_list"))
+    val index = spark.read.parquet(dir)
+    val quantized = index.join(broadcast(q), Seq("ivf_list"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (adcDot(col("__lut"), col("pq_codes"), nSub) / (col("__qn") * col("pq_rn"))).as("__qcos"))
+    val ws = Window.partitionBy("query_id").orderBy(col("__qcos").desc, col("corpus_id").asc)
+    val candidates = quantized.withColumn("__r", row_number().over(ws))
+      .where(col("__r") <= shortlist).select("query_id", "corpus_id")
+    val exact = candidates
+      .join(vectors.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
+        l2NormF(col(vecCol)).as("__cn")), "corpus_id")
+      .join(broadcast(queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+        l2NormF(col(vecCol)).as("__qn2"))), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        round(dotF(col("__qv"), col("__cv")) / (col("__qn2") * col("__cn")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
+    exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: sign-LSH
     * bucket candidates (id_a < id_b in the same bucket), exact cosine
     * filter at `threshold`. Vectors that are near-duplicates at high

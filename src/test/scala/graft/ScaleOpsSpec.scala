@@ -254,6 +254,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(wide > 0.8, s"full-budget IVF-PQ recall too low: $wide")
   }
 
+  test("written IVF-PQ index: probe == in-memory ivfPqTopK, pruned, full budget exact") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val (cents, books) = SimilarityOps.ivfPqWriteIndex(e, dir, "vec_id", "embedding",
+      nLists = 8, m = 8, codebookK = 16)
+    // at-rest rows carry ONLY id + codes + code-norm (+ the partition col)
+    val index = spark.read.parquet(dir)
+    assert(index.columns.sorted.toSeq == Seq("corpus_id", "ivf_list", "pq_codes", "pq_rn"))
+    // approximate config: byte-identical to the in-memory composition at
+    // the same fits (same quantizer, same probes, same ADC, same rerank)
+    val probed = SimilarityOps.ivfPqProbeTopK(spark, dir, e, q,
+      "vec_id", "vec_id", "embedding", cents, books, k = 3, nProbe = 2, shortlist = 25)
+    val inMem = SimilarityOps.ivfPqTopK(q, e, "vec_id", "vec_id", "embedding",
+      k = 3, nLists = 8, nProbe = 2, m = 8, codebookK = 16, shortlist = 25,
+      centroids = Some(cents), codebooks = Some(books))
+    assert(probed.select("query_id", "corpus_id", "cos").collect().map(_.toString).sorted.toSeq ==
+      inMem.select("query_id", "corpus_id", "cos").collect().map(_.toString).sorted.toSeq)
+    // probe scan must prune partitions on the list id
+    val plan = probed.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"),
+      s"expected partition pruning in:\n${plan.take(2000)}")
+    // full budget == exact brute force
+    val full = SimilarityOps.ivfPqProbeTopK(spark, dir, e, q,
+      "vec_id", "vec_id", "embedding", cents, books, k = 3, nProbe = 8,
+      shortlist = Int.MaxValue)
+    val brute = SimilarityOps.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", k = 3)
+    assert(full.select("query_id", "corpus_id", "cos", "rank").collect().map(_.toString).sorted.toSeq ==
+      brute.select("query_id", "corpus_id", "cos", "rank").collect().map(_.toString).sorted.toSeq)
+  }
+
   test("IVF quantizer training sample is unbiased: sorted input still splits clusters") {
     // 8192 rows, MORE than the 4096-row training sample, laid out so a
     // head-of-table sample (the old limit(4096) bias) would see ONLY
