@@ -119,7 +119,10 @@ object Bench {
     val byCost = results.sortBy(-_._2).map { case (k, v, ok, _, _) =>
       s""""$k":${if (ok) r3(v) else "-1"}"""
     }
-    val budget = 1500 // leaves room for the detail line's tail to survive too
+    // the driver's tail capture is 2000 chars; the final line must fit
+    // it COMPLETE (the detail line above is expendable — it also lives
+    // in bench_detail.json), so leave only closing-suffix headroom
+    val budget = 1900
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","gc_sec":${r3(gcTotal)},"gc_forced":$gcForced,"failed":${failed.size},"sf":"$sfDir","detail":"bench_detail.json","rerun_slowest":$rerunJson,"queries":{"""
     val sb = new StringBuilder(head)
     var n = 0

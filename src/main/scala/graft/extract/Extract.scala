@@ -2,6 +2,7 @@ package graft.extract
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Incremental-extract helpers (SURVEY.md §2.10).
   *
@@ -54,6 +55,25 @@ object Extract {
       .select(keys.map(col) :+ posexplode(col("__qs")).as(Seq("__pos", "value")): _*)
       .select(keys.map(col) :+ element_at(pArr, col("__pos") + 1).as("p") :+
         round(col("value"), 6).as("value"): _*)
+  }
+
+  /** The 100 TB tier of [[groupQuantiles]]: `approx_percentile`
+    * (KLL-sketch, bounded memory per group regardless of group size)
+    * with the same output shape. `accuracy` trades sketch size for
+    * error (at 10000, rank error ≤ 1/10000·|group|). Not bit-exact by
+    * construction, so the oracle-checked tier stays the exact one;
+    * the spec bounds its divergence against exact quantiles instead. */
+  def groupQuantilesApprox(df: DataFrame, keys: Seq[String], valCol: String,
+                           ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "quantiles must be in [0,1]")
+    val pArr = array(ps.map(lit): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(percentile_approx(col(valCol), pArr, lit(accuracy)).as("__qs"))
+      .select(keys.map(col) :+ posexplode(col("__qs")).as(Seq("__pos", "value")): _*)
+      .select(keys.map(col) :+ element_at(pArr, col("__pos") + 1).as("p") :+
+        // approx_percentile preserves the input type (exact percentile
+        // returns double) — cast so both tiers share one output schema
+        round(col("value").cast(DoubleType), 6).as("value"): _*)
   }
 
   /** Split a frame into ~`batchSize`-row slices by contiguous ranges of a

@@ -108,6 +108,20 @@ class MiscSpec extends SparkSpec {
     assert(Merge.readTarget(spark, targetDir).count() == 2)
   }
 
+  test("approx group quantiles: same shape as exact, bounded divergence") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Extract.groupQuantiles(docs, Seq("lang"), "n_chars", Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val approx = Extract.groupQuantilesApprox(docs, Seq("lang"), "n_chars", Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    // KLL at accuracy 10000 on groups this small lands within a tight
+    // relative band of the exact value (it is exact-rank up to 1e-4·n)
+    approx.foreach { case (k, v) =>
+      assert(math.abs(v - exact(k)) <= math.max(1.0, 0.05 * exact(k)), s"$k: $v vs ${exact(k)}")
+    }
+  }
+
   test("sanity: flagship entry returns aggregated rows with META columns") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
