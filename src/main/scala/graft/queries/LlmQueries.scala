@@ -253,6 +253,30 @@ object LlmQueries {
         .select("query_id", "corpus_id", "cos", "rank")
     },
 
+    // ---- multi-probe LSH: each query also searches every bucket at
+    //      hamming distance 1 (recall knob without touching the corpus
+    //      side) — deterministic sign buckets make even the probe set
+    //      oracle-expressible ----
+    Q("q_sim_topk_lsh_probe",
+      s"""WITH e AS (SELECT vec_id, embedding,
+        |    CAST(list_sum([CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END for i in range(0, 8)]) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv,
+        |        [bucket] || [xor(bucket, (1::BIGINT << i)) for i in range(0, 8)] AS probes
+        |      FROM e WHERE vec_id < 20),
+        |qp AS (SELECT query_id, qv, unnest(probes) AS bucket FROM q),
+        |s AS (SELECT query_id, e.vec_id AS corpus_id, ${duckCos("qv", "embedding")} AS cos
+        |      FROM e JOIN qp USING (bucket) WHERE e.vec_id <> query_id)
+        |SELECT query_id, corpus_id, cos, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      SimilarityOps.lshTopK(
+        e.where(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding",
+        k = 5, nbits = 8, multiProbe = true)
+        .select("query_id", "corpus_id", "cos", "rank")
+    },
+
     // ---- embedding-cosine near-dup pairs via bucketed candidates ----
     Q("q_embed_near_dup",
       s"""WITH e AS (SELECT vec_id, embedding,

@@ -165,18 +165,19 @@ object SimilarityOps {
     * to lists is distributed (a broadcast-centroid projection in
     * [[ivfTopK]]).
     *
-    * Determinism caveat: the `rand(seed)` draw is deterministic only
-    * for a fixed partition layout — centroids (and therefore
-    * approximate nProbe < nLists results) can shift if file splits or
-    * parallelism change. The exact nProbe = nLists path is
-    * centroid-independent. If cross-layout repeatability matters,
-    * sample by a stable id hash (e.g. `orderBy(xxhash64(col(id)))`)
-    * instead.
+    * Determinism: with `stableIdCol` set, the sample orders by a seeded
+    * hash of the ID — a uniform draw that is REPRODUCIBLE across
+    * partition layouts, file splits, and parallelism (the fit becomes a
+    * pure function of corpus content). Without it, the `rand(seed)`
+    * draw is deterministic only for a fixed layout — fine within one
+    * job, not across re-partitioned re-runs. The exact nProbe = nLists
+    * path is centroid-independent either way.
     */
   def ivfCentroids(corpus: DataFrame, vecCol: String, nLists: Int,
                    seed: Long = 42L, sampleSize: Int = 4096,
-                   maxIter: Int = 8): Array[(Int, Array[Double])] = {
-    val sample = collectVectorSample(corpus, vecCol, seed, sampleSize)
+                   maxIter: Int = 8,
+                   stableIdCol: Option[String] = None): Array[(Int, Array[Double])] = {
+    val sample = collectVectorSample(corpus, vecCol, seed, sampleSize, stableIdCol)
     require(sample.nonEmpty, "ivfCentroids: empty corpus")
     lloydFit(sample, nLists, seed, maxIter).zipWithIndex.map { case (v, i) => (i, v) }
   }
@@ -227,16 +228,23 @@ object SimilarityOps {
   }
 
   /** Draw a bounded unbiased sample of vectors to the driver (shared
-    * fit front door; see [[ivfCentroids]] for the determinism caveat). */
+    * fit front door; see [[ivfCentroids]] for the determinism notes). */
   private def collectVectorSample(corpus: DataFrame, vecCol: String,
-                                  seed: Long, sampleSize: Int): Array[Array[Double]] =
-    corpus.select(col(vecCol)).orderBy(rand(seed)).limit(sampleSize)
-      .collect()
+                                  seed: Long, sampleSize: Int,
+                                  stableIdCol: Option[String] = None): Array[Array[Double]] = {
+    val ordered = stableIdCol match {
+      // seeded id-hash order: layout-independent uniform draw
+      case Some(id) => corpus.select(col(vecCol), col(id))
+        .orderBy(xxhash64(lit(seed), col(id)), col(id)).limit(sampleSize).select(col(vecCol))
+      case None => corpus.select(col(vecCol)).orderBy(rand(seed)).limit(sampleSize)
+    }
+    ordered.collect()
       .map(_.getSeq[Any](0).iterator.map {
         case f: Float => f.toDouble
         case d: Double => d
         case n: Number => n.doubleValue()
       }.toArray)
+  }
 
   /** @param centroids precomputed coarse-quantizer centroids (from
     *   [[ivfCentroids]] or returned by [[ivfWriteIndex]]). Fit-if-absent:
@@ -355,9 +363,10 @@ object SimilarityOps {
     */
   def pqCodebooks(corpus: DataFrame, vecCol: String, dim: Int,
                   m: Int = 8, k: Int = 16, seed: Long = 42L,
-                  sampleSize: Int = 4096, maxIter: Int = 8): Array[Array[Array[Double]]] = {
+                  sampleSize: Int = 4096, maxIter: Int = 8,
+                  stableIdCol: Option[String] = None): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"pq: dim=$dim must divide into m=$m subvectors")
-    val sample = collectVectorSample(corpus, vecCol, seed, sampleSize)
+    val sample = collectVectorSample(corpus, vecCol, seed, sampleSize, stableIdCol)
     require(sample.nonEmpty, "pqCodebooks: empty corpus")
     val sub = dim / m
     Array.tabulate(m) { s =>

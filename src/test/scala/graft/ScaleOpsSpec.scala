@@ -285,6 +285,21 @@ class ScaleOpsSpec extends SparkSpec {
       brute.select("query_id", "corpus_id", "cos", "rank").collect().map(_.toString).sorted.toSeq)
   }
 
+  test("stable-id sampling: identical centroids across partition layouts") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    def flat(c: Array[(Int, Array[Double])]) = c.flatMap(_._2).toSeq
+    // same content, three different physical layouts
+    val layouts = Seq(e, e.repartition(17), e.repartition(3, col("vec_id")))
+    val stable = layouts.map(df =>
+      flat(SimilarityOps.ivfCentroids(df, "embedding", 8, stableIdCol = Some("vec_id"))))
+    assert(stable.distinct.size == 1,
+      "id-hash sampling must make the fit a pure function of corpus content")
+    val books = layouts.map(df =>
+      SimilarityOps.pqCodebooks(df, "embedding", dim = 64, m = 8, k = 4,
+        stableIdCol = Some("vec_id")).flatMap(_.flatMap(_.toSeq)).toSeq)
+    assert(books.distinct.size == 1)
+  }
+
   test("IVF quantizer training sample is unbiased: sorted input still splits clusters") {
     // 8192 rows, MORE than the 4096-row training sample, laid out so a
     // head-of-table sample (the old limit(4096) bias) would see ONLY
