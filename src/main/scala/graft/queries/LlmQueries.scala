@@ -331,8 +331,12 @@ object LlmQueries {
       // corpus with planted exact duplicates, as a real crawl has
       val corpus = d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
       val scored = TextOps.qualityScore(corpus, "text")
-      // 1. exact dedup: first-wins by content fingerprint
+      // 1. exact dedup: first-wins by content fingerprint. The deduped
+      //    frame forks (near-dup candidate generation AND the final
+      //    anti-join) — persist the compact projection so the
+      //    union+quality+window subtree runs once, not per branch
       val deduped = graft.dedup.DedupOps.exactDedup(scored, "text", Seq(col("doc_id").asc))
+        .select("doc_id", "text", "quality_score").persist()
       // 2. near-dup removal: drop the higher id of each jaccard>=0.6 pair
       //    (operator-default hot-shingle cap — the oracle plants the same)
       val drops = graft.dedup.DedupOps.ngramJaccardPairs(deduped, "doc_id", "text",
@@ -400,8 +404,10 @@ object LlmQueries {
       // 1. quality gate
       val gated = TextOps.qualityScore(docs.select("doc_id", "text"), "text")
         .where(col("quality_score") >= 0.4)
-      // 2. exact dedup, first-wins by doc_id
+      // 2. exact dedup, first-wins by doc_id (compact persist: the
+      //    frame forks into decontamination and the final split join)
       val deduped = DedupOps.exactDedup(gated, "text", Seq(col("doc_id").asc))
+        .select("doc_id", "text", "quality_score").persist()
       // 3. decontamination vs the eval set (doc_id < 25): drop docs
       //    sharing more than half their 8-gram shingles with it
       val contamination = DedupOps.contaminationCheck(

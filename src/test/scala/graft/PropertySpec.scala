@@ -46,6 +46,33 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("upsertOnDiff: model equivalence (keep/update/insert/survive) + idempotency") {
+    // rows carry (k, v, meta): meta is OUTSIDE compareCols, so it must
+    // prove which side a row came from
+    check("upsert-on-diff", Prop.forAll(kvGen, kvGen) { (t, s) =>
+      val tRows = t.distinctBy(_._1).map { case (k, v) => (k, v, "t") }
+      val sRows = s.distinctBy(_._1).map { case (k, v) => (k, v, "s") }
+      val target = tRows.toDF("k", "v", "meta")
+      val stage = sRows.toDF("k", "v", "meta")
+      val out = Merge.upsertOnDiffFrame(target, stage, Seq("k"), compareCols = Seq("v"))
+        .as[(Int, Int, String)].collect().toSet
+      val tMap = tRows.map(r => r._1 -> r).toMap
+      val sMap = sRows.map(r => r._1 -> r).toMap
+      val expected = (tMap.keySet ++ sMap.keySet).map { k =>
+        (tMap.get(k), sMap.get(k)) match {
+          case (Some(tr), Some(sr)) => if (tr._2 == sr._2) tr else sr
+          case (Some(tr), None) => tr
+          case (None, Some(sr)) => sr
+        }
+      }
+      val once = out == expected
+      val again = Merge.upsertOnDiffFrame(
+        out.toSeq.toDF("k", "v", "meta"), stage, Seq("k"), compareCols = Seq("v"))
+        .as[(Int, Int, String)].collect().toSet
+      once && again == expected
+    }, n = 10)
+  }
+
   test("uniteByName: row counts add, missing columns null-fill, column union") {
     val colsGen = Gen.someOf("a", "b", "c").suchThat(_.nonEmpty)
     check("union-drift", Prop.forAll(colsGen, colsGen) { (c1, c2) =>
