@@ -91,6 +91,26 @@ object StreamingOps {
       tsCol, Seq("__simhash"), lateness)
       .drop("__simhash")
 
+  /** Streaming corpus curation: the batch quality-gate → exact-dedup
+    * composition (`q_curation`'s front half) as a continuous pipeline —
+    * score each arriving document (per-row fused kernel, no state),
+    * gate on `minQuality`, and suppress content-identical re-deliveries
+    * within the watermark by normalized fingerprint. State is one
+    * fingerprint per surviving doc within `lateness` (bounded); ancient
+    * re-crawls are the upsert sink's job, exactly like [[dedupStream]].
+    * The emitted rows carry the quality metrics — downstream sinks can
+    * re-gate without re-scoring.
+    */
+  def curationStream(docs: DataFrame, tsCol: String, textCol: String,
+                     minQuality: Double = 0.4,
+                     lateness: String = "1 hour"): DataFrame =
+    dedupStream(
+      graft.text.TextOps.qualityScore(docs, textCol)
+        .where(col("quality_score") >= minQuality)
+        .withColumn("__fp", graft.text.TextOps.fingerprint(col(textCol))),
+      tsCol, Seq("__fp"), lateness)
+      .drop("__fp")
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, sum: Double, start: Long, last: Long)
   final case class SessionOut(user_id: Long, n_events: Long, sum_value: Double,

@@ -86,6 +86,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curationStream: quality-gates, dedups by content within watermark, keeps metrics") {
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)](spark, 1)
+    val good = "the cat and the dog walked to the house in the morning and " +
+      "the sun rose over it as the day began for all of them there"
+    val out = StreamingOps.curationStream(
+      mem.toDF.toDF("ts", "doc_id", "text"), "ts", "text",
+      minQuality = 0.4, lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("curation_stream")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      mem.addData((winTs(5), 1L, good), (winTs(6), 2L, "!!! ??? !!!")) // junk gated out
+      q.processAllAvailable()
+      // content-identical re-crawl (whitespace/case drift) suppressed;
+      // genuinely new good doc passes
+      mem.addData((winTs(7), 3L, good.toUpperCase + "  "), (winTs(8), 4L, good + " extra tail"))
+      q.processAllAvailable()
+      val rows = spark.table("curation_stream")
+      assert(rows.columns.contains("quality_score")) // metrics survive
+      assert(rows.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("windowedAgg append mode emits only watermark-closed windows") {
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val agg = StreamingOps.windowedAgg(
