@@ -648,6 +648,22 @@ object LlmQueries {
         .select("doc_id", "lang")
     },
 
+    // ---- token-budget corpus selection: biggest-docs-first until the
+    //      budget fills (two-phase global cumsum — no single-task
+    //      window; the oracle is the naive global window) ----
+    Q("q_token_budget",
+      s"""WITH t AS (SELECT doc_id, CAST(len($duckWords) AS BIGINT) AS n_tokens, n_chars
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT doc_id, n_tokens FROM c WHERE cum <= 20000""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"), col("n_chars"))
+      TrainingOps.selectToTokenBudget(t, "doc_id", "n_tokens", "n_chars", budget = 20000L)
+        .select("doc_id", "n_tokens")
+    },
+
     // ---- within-doc repetition signals (Gopher-style repeat gates) ----
     Q("q_text_repetition",
       """WITH sh AS (

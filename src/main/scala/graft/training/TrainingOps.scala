@@ -86,6 +86,49 @@ object TrainingOps {
     df.where(bucket < cut)
   }
 
+  /** Select documents best-first until a token budget is filled: order
+    * by `orderCol` (descending by default — quality-first corpus
+    * selection), take rows while the running token total stays within
+    * `budget` (cumulative INCLUDING the current row — a doc that would
+    * overshoot is excluded, as is everything after it).
+    *
+    * The naive form — `sum(tokens).over(Window.orderBy(...))` with no
+    * partition key — funnels the ENTIRE corpus through one task; this
+    * is the two-phase global cumulative sum instead:
+    *   1. `repartitionByRange` on (order, tiebreak): non-overlapping
+    *      sorted ranges, partition id ascending in order;
+    *   2. per-partition running sums (parallel windows);
+    *   3. prefix offsets over the per-partition totals (a window over
+    *      |partitions| rows — bounded, the one legitimate use of a
+    *      global-order window) broadcast-joined back by partition id.
+    * Work is the range shuffle (reused across both branches of the
+    * plan) + a partition-count-sized side plan, regardless of corpus
+    * size. Deterministic: the total order is unique via the `idCol`
+    * tiebreak, so range-boundary placement cannot change the result.
+    */
+  def selectToTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+                          orderCol: String, budget: Long,
+                          descending: Boolean = true): DataFrame = {
+    require(budget >= 0, "selectToTokenBudget: budget must be >= 0")
+    val ord: Seq[Column] =
+      Seq(if (descending) col(orderCol).desc else col(orderCol).asc, col(idCol).asc)
+    val ranged = df.repartitionByRange(ord: _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__cum_local", sum(col(tokensCol).cast(LongType)).over(w))
+    // ONE row per partition; the global-order window below runs over
+    // that bounded set only
+    val offW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsetDf = ranged.groupBy("__pid")
+      .agg(sum(col(tokensCol).cast(LongType)).as("__ptotal"))
+      .withColumn("__offset", coalesce(sum("__ptotal").over(offW), lit(0L)))
+      .select("__pid", "__offset")
+    local.join(broadcast(offsetDf), "__pid")
+      .where(col("__cum_local") + col("__offset") <= budget)
+      .drop("__pid", "__cum_local", "__offset")
+  }
+
   /** Sequence packing by document concatenation: shard the corpus by
     * id hash, order each shard by id, and lay documents end-to-end
     * into fixed-`maxTokens` training sequences — each doc is assigned

@@ -83,6 +83,31 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(3L) == ((1L, 1L, 0L)))
   }
 
+  test("selectToTokenBudget == naive single-window form; boundary doc excluded") {
+    import org.apache.spark.sql.expressions.Window
+    val withTokens = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+      col("n_chars"))
+    for (budget <- Seq(0L, 500L, 5000L, 1000000L)) {
+      val got = TrainingOps.selectToTokenBudget(withTokens, "doc_id", "n_tokens",
+        "n_chars", budget).select("doc_id").as[Long].collect().toSet
+      // the scale-hostile reference implementation (fine at spec scale)
+      val naive = withTokens.withColumn("__cum",
+        sum("n_tokens").over(Window.orderBy(col("n_chars").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("__cum") <= budget).select("doc_id").as[Long].collect().toSet
+      assert(got == naive, s"budget=$budget")
+    }
+    // ascending tier (smallest-first) also agrees
+    val gotAsc = TrainingOps.selectToTokenBudget(withTokens, "doc_id", "n_tokens",
+      "n_chars", 300L, descending = false).select("doc_id").as[Long].collect().toSet
+    val naiveAsc = withTokens.withColumn("__cum",
+      sum("n_tokens").over(Window.orderBy(col("n_chars").asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("__cum") <= 300L).select("doc_id").as[Long].collect().toSet
+    assert(gotAsc == naiveAsc)
+  }
+
   test("redactPii masks emails/phones/IPs, leaves clean text untouched") {
     val df = Seq(
       "mail a.b+c@x-site.org and x@y.io now",
