@@ -648,6 +648,19 @@ object LlmQueries {
         .select("doc_id", "lang")
     },
 
+    // ---- per-source cap: anti-domination gate (keep the n best docs
+    //      per source so no domain swamps the corpus) ----
+    Q("q_source_cap",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20""".stripMargin) { (s, dir) =>
+      TrainingOps.capPerGroup(Tables(s, dir, "documents"),
+        "source", "doc_id", "n_chars", n = 20)
+        .select("doc_id", "source")
+    },
+
     // ---- token-budget corpus selection: biggest-docs-first until the
     //      budget fills (two-phase global cumsum — no single-task
     //      window; the oracle is the naive global window) ----

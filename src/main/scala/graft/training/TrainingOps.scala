@@ -86,6 +86,25 @@ object TrainingOps {
     df.where(bucket < cut)
   }
 
+  /** Cap the number of documents kept per group — the anti-domination
+    * gate crawl curation applies before training (one domain/source
+    * must not swamp the corpus): within each `groupCol` value keep the
+    * `n` best rows by `orderCol` (id tiebreak). One shuffle on the
+    * group key, a bounded per-group window — linear at any corpus size
+    * as long as no single group exceeds a partition (for pathological
+    * mega-domains, pre-split by a salt or raise parallelism).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  orderCol: String, n: Int,
+                  descending: Boolean = true): DataFrame = {
+    require(n > 0, "capPerGroup: n must be > 0")
+    val ord = Seq(if (descending) col(orderCol).desc else col(orderCol).asc, col(idCol).asc)
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Select documents best-first until a token budget is filled: order
     * by `orderCol` (descending by default — quality-first corpus
     * selection), take rows while the running token total stays within

@@ -83,6 +83,19 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(3L) == ((1L, 1L, 0L)))
   }
 
+  test("capPerGroup: at most n per group, best kept, deterministic on ties") {
+    val df = Seq(
+      (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 200L), (4L, "a", 300L),
+      (5L, "b", 50L), (6L, "c", 10L)).toDF("doc_id", "source", "n_chars")
+    val out = TrainingOps.capPerGroup(df, "source", "doc_id", "n_chars", n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    // source a: ties at 300 resolve by doc_id asc -> 2 then 4; b, c keep all
+    assert(out == Set(2L, 4L, 5L, 6L))
+    val counts = TrainingOps.capPerGroup(df, "source", "doc_id", "n_chars", n = 1)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 1L))
+  }
+
   test("selectToTokenBudget == naive single-window form; boundary doc excluded") {
     import org.apache.spark.sql.expressions.Window
     val withTokens = docs.select(col("doc_id"),
