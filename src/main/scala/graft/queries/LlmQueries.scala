@@ -598,6 +598,22 @@ object LlmQueries {
       TextOps.tfidf(Tables(s, dir, "documents"), "doc_id", "text")
     },
 
+    // ---- corpus-unigram log-prob (perplexity-proxy quality gate) ----
+    Q("q_unigram_logprob",
+      s"""WITH t AS (SELECT doc_id, unnest($duckWords) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |f AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+        |nn AS (SELECT count(*) AS n FROM t)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(floor(log10(CAST(c AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) * tf)
+        |             - (SELECT CAST(floor(log10(CAST(n AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) FROM nn)
+        |               * sum(tf) AS DOUBLE)
+        |        / 1e8 / sum(tf), 6) AS mean_logp
+        |FROM tf JOIN f USING (term)
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.unigramLogProb(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
     // ---- corpus-level top-50 bigrams (boilerplate profiling) ----
     Q("q_top_ngrams",
       """WITH g AS (

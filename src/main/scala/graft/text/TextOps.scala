@@ -172,6 +172,40 @@ object TextOps {
         round(col("tf") * col("idf"), 6).as("tf_idf"))
   }
 
+  /** Corpus-unigram log-probability quality signal — the poor-man's
+    * perplexity filter (CCNet-style pipelines gate on LM perplexity;
+    * with no model in reach, mean token log-prob under the corpus's own
+    * unigram distribution separates fluent text from gibberish the same
+    * way, cheaper): per doc, `mean_logp` = avg over tokens of
+    * `log10(c(w)/N)`, where `c(w)` is the corpus count of `w` and `N`
+    * total tokens. Gibberish/rare-token docs score low; boilerplate
+    * scores suspiciously high — both ends are curation gates.
+    *
+    * Shuffle plan: explode → (doc, term) tf [map-side combined] →
+    * term-level corpus counts joined back on term → per-doc reduce; `N`
+    * is one bounded scalar. Cross-engine determinism: each `log10` is
+    * snapped to fixed-point 1e-8 units with `floor(x·1e8 + 0.5)` (floor
+    * and IEEE multiplication are bit-deterministic across engines,
+    * unlike `round(double, n)` semantics) and summed as exact integers
+    * scaled by tf — summation order can't flip a digit — with a single
+    * double division at the end (`(Σ − n·log10 N)/n`, rounded 6 dp).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy("term").agg(sum("tf").as("c"))
+    val n = terms.count() // bounded scalar, like the tfidf N
+    def l8(e: Column): Column =
+      floor(log10(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
+    tf.join(freq, "term")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(l8(col("c")) * col("tf")).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        round((col("__s") - l8(lit(n)) * col("n_tokens")).cast(DoubleType)
+          / lit(1e8) / col("n_tokens"), 6).as("mean_logp"))
+  }
+
   /** Corpus-level top-k n-grams by total occurrence count (vocabulary /
     * boilerplate profiling; at k ≪ vocabulary this is a partial-agg
     * shuffle plus a TakeOrdered — no full sort materializes). */
