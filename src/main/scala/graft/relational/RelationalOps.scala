@@ -192,7 +192,7 @@ object RelationalOps {
     val outPayload = payload.map(c =>
       when(col("__m").isNotNull && inTolerance, col(s"__m.$c")).as(s"$c$suffix"))
     matched.where(col("__src") === 1)
-      .select(left.columns.map(col) ++ outPayload: _*)
+      .select((left.columns.map(col) ++ outPayload).toSeq: _*)
   }
 
   /** Range (interval) join: pair every point row with every interval

@@ -337,7 +337,7 @@ object SimilarityOps {
   private[graft] def nearestListsComposable(centroids: Array[(Int, Array[Double])],
                                                  vec: Column, n: Int): Column = {
     def dist2(cDbl: Array[Double]): Column = {
-      val cLit = array(cDbl.map(lit): _*)
+      val cLit = array(cDbl.map(lit).toSeq: _*)
       aggregate(zip_with(vec, cLit, (x, c) => {
         val d = x.cast(DoubleType) - c
         d * d
@@ -345,7 +345,7 @@ object SimilarityOps {
     }
     val scored = array(centroids.map { case (i, cDbl) =>
       struct(dist2(cDbl).as("d"), lit(i).as("list"))
-    }: _*)
+    }.toSeq: _*)
     transform(slice(array_sort(scored), 1, n), s => s.getField("list"))
   }
 
@@ -393,15 +393,15 @@ object SimilarityOps {
     val codes = codebooks.zipWithIndex.map { case (book, s) =>
       val subvec = slice(vec, s * sub + 1, sub)
       val scored = array(book.zipWithIndex.map { case (cent, ci) =>
-        val cLit = array(cent.map(lit): _*)
+        val cLit = array(cent.map(lit).toSeq: _*)
         struct(
           aggregate(zip_with(subvec, cLit, (x, c) => { val d = x.cast(DoubleType) - c; d * d }),
             lit(0.0), (acc, v) => acc + v).as("d"),
           lit(ci).as("c"))
-      }: _*)
+      }.toSeq: _*)
       element_at(array_sort(scored), 1).getField("c")
     }
-    array(codes: _*)
+    array(codes.toSeq: _*)
   }
 
   /** Reconstruct the quantized vector from its codes (`array<double>`,
@@ -409,10 +409,10 @@ object SimilarityOps {
     * reconstruction is PQ's asymmetric-distance approximation. */
   def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column = {
     val decoded = codebooks.zipWithIndex.map { case (book, s) =>
-      val bookLit = array(book.map(cent => array(cent.map(lit): _*)): _*)
+      val bookLit = array(book.map(cent => array(cent.map(lit).toSeq: _*)).toSeq: _*)
       element_at(bookLit, element_at(codes, s + 1) + 1)
     }
-    flatten(array(decoded: _*))
+    flatten(array(decoded.toSeq: _*))
   }
 
   /** Per-query ADC lookup table (`array<array<double>>`, m × k):
@@ -426,10 +426,10 @@ object SimilarityOps {
       val sub = book(0).length
       val subvec = slice(vec, s * sub + 1, sub)
       array(book.map { cent =>
-        aggregate(zip_with(subvec, array(cent.map(lit): _*),
+        aggregate(zip_with(subvec, array(cent.map(lit).toSeq: _*),
           (x, c) => x.cast(DoubleType) * c), lit(0.0), (acc, v) => acc + v)
-      }: _*)
-    }: _*)
+      }.toSeq: _*)
+    }.toSeq: _*)
 
   /** dot(query, reconstruction) via the ADC table: Σ_s LUT[s][code_s]. */
   private def adcDot(lut: Column, codes: Column, m: Int): Column =
@@ -442,7 +442,7 @@ object SimilarityOps {
   private def adcNorm2(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
     codebooks.zipWithIndex.map { case (book, s) =>
       val norms = book.map(cent => cent.map(x => x * x).sum)
-      element_at(array(norms.map(lit): _*), element_at(codes, s + 1) + 1)
+      element_at(array(norms.map(lit).toSeq: _*), element_at(codes, s + 1) + 1)
     }.reduce(_ + _)
 
   /** Approximate cosine top-k over PQ codes, scored asymmetrically via
