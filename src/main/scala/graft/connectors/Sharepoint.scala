@@ -57,6 +57,10 @@ object Sharepoint {
 
   private def post(url: String, headers: Map[String, String], body: Array[Byte]): (Int, String) = {
     val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    // a stalled token endpoint or upload must fail, not hang the driver
+    // (the FtpClient applies the same bound via soTimeout)
+    conn.setConnectTimeout(15000)
+    conn.setReadTimeout(120000)
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }

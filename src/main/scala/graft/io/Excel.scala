@@ -181,6 +181,10 @@ object Excel {
     graft.util.Retry.retryV2(retries, sleep = sleep) { _ =>
       val conn = new java.net.URI(url).toURL.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
+      // without these a stalled endpoint hangs forever and the retry
+      // wrapper never gets a chance to fire
+      conn.setConnectTimeout(15000)
+      conn.setReadTimeout(120000)
       val bytes =
         try {
           if (conn.getResponseCode != 200)

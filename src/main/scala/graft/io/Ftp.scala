@@ -62,12 +62,21 @@ final class FtpClient(host: String, port: Int = 21,
     folder.foreach(f => expect(250, cmd(s"CWD $f")))
   }
 
-  /** Parse `227 Entering Passive Mode (h1,h2,h3,h4,p1,p2)`. */
+  /** Parse `227 Entering Passive Mode (h1,h2,h3,h4,p1,p2)`. NAT'd
+    * servers routinely advertise a private/unroutable address in the
+    * 227 reply while the data port itself is reachable at the control
+    * connection's host — so, like mainstream clients (curl's default
+    * `--ftp-skip-pasv-ip` behavior), the advertised host is honored
+    * only when it matches the control-connection peer; otherwise the
+    * control host is reused with the advertised port. */
   private def pasv(): (String, Int) = {
     val resp = expect(227, cmd("PASV"))
     val nums = "\\d+".r.findAllIn(resp.dropWhile(_ != '(')).map(_.toInt).toSeq
     require(nums.length >= 6, s"FTP: unparseable PASV reply: $resp")
-    (nums.take(4).mkString("."), nums(4) * 256 + nums(5))
+    val advertised = nums.take(4).mkString(".")
+    val controlHost = sock.getInetAddress.getHostAddress
+    val host = if (advertised == controlHost) advertised else controlHost
+    (host, nums(4) * 256 + nums(5))
   }
 
   /** Binary STOR; returns the final transfer reply, which the caller can

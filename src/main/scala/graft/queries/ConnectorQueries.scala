@@ -20,7 +20,7 @@ object ConnectorQueries {
     // ---- CSV write → schema-enforced read roundtrip (§2.1/§2.9) ----
     Q("q_csv_roundtrip",
       "SELECT r_regionkey, r_name FROM region") { (s, dir) =>
-      val path = s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
+      val path = graft.util.Scratch.path("csv_roundtrip", dir)
       val region = Tables(s, dir, "region")
       Writers.csv(region, path)
       Readers.csv(s, Seq(path), Some(StructType(Seq(
@@ -30,7 +30,7 @@ object ConnectorQueries {
     // ---- JDBC write → read roundtrip on embedded Derby (§2.1) ----
     Q("q_jdbc_roundtrip",
       "SELECT r_regionkey, r_name FROM region") { (s, dir) =>
-      val db = s"/tmp/graft_derby_${dir.replaceAll("[^0-9.]", "")}"
+      val db = graft.util.Scratch.path("derby", dir)
       val url = s"jdbc:derby:$db;create=true"
       Jdbc.write(Tables(s, dir, "region"), url, "GRAFT_REGION")
       Jdbc.read(s, url, "SELECT * FROM GRAFT_REGION")
@@ -81,7 +81,7 @@ object ConnectorQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
         |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'""".stripMargin) { (s, dir) =>
-      val path = s"/tmp/graft_part_write_${dir.replaceAll("[^0-9.]", "")}"
+      val path = graft.util.Scratch.path("part_write", dir)
       val orders = Tables(s, dir, "orders")
         .withColumn("year", date_format(col("o_orderdate"), "yyyy"))
       Writers.parquet(orders, path, partitionBy = Seq("year"))
@@ -95,7 +95,7 @@ object ConnectorQueries {
     Q("q_overwrite_append",
       """SELECT r_regionkey, r_name FROM region
         |UNION ALL SELECT r_regionkey, r_name FROM region""".stripMargin) { (s, dir) =>
-      val target = s"/tmp/graft_ow_append_${dir.replaceAll("[^0-9.]", "")}"
+      val target = graft.util.Scratch.path("ow_append", dir)
       val region = Tables(s, dir, "region").select("r_regionkey", "r_name")
       graft.merge.Merge.insert(region, target, graft.merge.Merge.Overwrite)
       graft.merge.Merge.insert(region, target, graft.merge.Merge.Overwrite) // idempotent
@@ -112,7 +112,7 @@ object ConnectorQueries {
         |UNION ALL
         |SELECT r_regionkey, NULL AS r_name, CAST(r_regionkey * 10 AS BIGINT) AS extra
         |FROM region""".stripMargin) { (s, dir) =>
-      val base = s"/tmp/graft_drift_${dir.replaceAll("[^0-9.]", "")}"
+      val base = graft.util.Scratch.path("drift", dir)
       val region = Tables(s, dir, "region")
       region.select("r_regionkey", "r_name")
         .write.mode("overwrite").parquet(s"$base/p1")
@@ -129,7 +129,7 @@ object ConnectorQueries {
         |UNION ALL
         |SELECT r_regionkey, NULL AS r_name, CAST(r_regionkey * 10 AS BIGINT) AS extra
         |FROM region""".stripMargin) { (s, dir) =>
-      val base = s"/tmp/graft_csv_drift_${dir.replaceAll("[^0-9.]", "")}"
+      val base = graft.util.Scratch.path("csv_drift", dir)
       val region = Tables(s, dir, "region")
       Writers.csv(region.select("r_regionkey", "r_name"), s"$base/p1")
       Writers.csv(region.select(col("r_regionkey"),
@@ -151,11 +151,10 @@ object ConnectorQueries {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'""".stripMargin) { (s, dir) =>
       import java.nio.file.{Files, Paths}
-      val sf = dir.replaceAll("[^0-9.]", "")
-      val root = Paths.get(s"/tmp/graft_config_$sf")
+      val root = Paths.get(graft.util.Scratch.path("config", dir))
       val nested = root.resolve("jobs/deep") // loader must search UP from here
       Files.createDirectories(nested)
-      val target = s"/tmp/graft_config_target_$sf"
+      val target = graft.util.Scratch.path("config_target", dir)
       val yaml =
         s"""general:
            |  pipeline_name: orders_ingest

@@ -457,7 +457,7 @@ object LlmQueries {
     //      plan-asserted in ScaleOpsSpec) ----
     Q("q_sim_topk_ivf_index", duckBruteTopKSql) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      val idx = s"/tmp/graft_ivf_index_${dir.replaceAll("[^0-9.]", "")}"
+      val idx = graft.util.Scratch.path("ivf_index", dir)
       val cents = SimilarityOps.ivfWriteIndex(e, idx, "vec_id", "embedding",
         nLists = 16, precomputed = Some(sharedCentroids(s, dir)))
       SimilarityOps.ivfProbeTopK(s, idx,
@@ -515,7 +515,7 @@ object LlmQueries {
     //      exact → brute oracle hash-checks write→prune→ADC→rerank ----
     Q("q_sim_topk_ivfpq_index", duckBruteTopKSql) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      val idx = s"/tmp/graft_ivfpq_index_${dir.replaceAll("[^0-9.]", "")}"
+      val idx = graft.util.Scratch.path("ivfpq_index", dir)
       val (cents, books) = SimilarityOps.ivfPqWriteIndex(e, idx, "vec_id", "embedding",
         nLists = 16, m = 8, codebookK = 16,
         centroids = Some(sharedCentroids(s, dir)),

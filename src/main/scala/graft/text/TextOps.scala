@@ -187,8 +187,20 @@ object TextOps {
     * snapped to fixed-point 1e-8 units with `floor(x·1e8 + 0.5)` (floor
     * and IEEE multiplication are bit-deterministic across engines,
     * unlike `round(double, n)` semantics) and summed as exact integers
-    * scaled by tf — summation order can't flip a digit — with a single
-    * double division at the end (`(Σ − n·log10 N)/n`, rounded 6 dp).
+    * scaled by tf — so SUMMATION ORDER can't flip a digit — with a
+    * single double division at the end (`(Σ − n·log10 N)/n`, rounded
+    * 6 dp, 100× coarser than the snap unit).
+    *
+    * Residual cross-engine dependence (deliberate, not covered by the
+    * snap): the snap makes the aggregation order-free, but the log10
+    * VALUES still come from each engine's libm. Inputs are integer
+    * counts, so the exposure is one boundary check per DISTINCT count:
+    * a flip needs that engine's `log10(c)` to land within ~1 ulp of a
+    * 0.5 fixed-point boundary (~2⁻³⁰ per distinct count) AND the
+    * accumulated 1e-8-unit difference to straddle a 6-dp final-round
+    * boundary. Verified green at sf0.01/sf0.1; at much larger
+    * vocabularies a flip is possible in principle — if one appears,
+    * coarsen the snap (1e6 units) before touching anything else.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = df.select(col(idCol), explode(words(col(textCol))).as("term"))

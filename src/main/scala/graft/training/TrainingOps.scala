@@ -114,38 +114,79 @@ object TrainingOps {
     * The naive form — `sum(tokens).over(Window.orderBy(...))` with no
     * partition key — funnels the ENTIRE corpus through one task; this
     * is the two-phase global cumulative sum instead:
-    *   1. `repartitionByRange` on (order, tiebreak): non-overlapping
-    *      sorted ranges, partition id ascending in order;
-    *   2. per-partition running sums (parallel windows);
-    *   3. prefix offsets over the per-partition totals (a window over
-    *      |partitions| rows — bounded, the one legitimate use of a
-    *      global-order window) broadcast-joined back by partition id.
-    * Work is the range shuffle (reused across both branches of the
-    * plan) + a partition-count-sized side plan, regardless of corpus
-    * size. Deterministic: the total order is unique via the `idCol`
-    * tiebreak, so range-boundary placement cannot change the result.
+    *   1. assign each row a range bucket from quantile boundaries of
+    *      `orderCol` collected ONCE and frozen into the plan as
+    *      literals — the bucket is a pure function of the row's value,
+    *      ascending in the global order;
+    *   2. per-bucket running sums (parallel windows);
+    *   3. prefix offsets over the per-bucket totals (a window over
+    *      |buckets| rows — bounded, the one legitimate use of a
+    *      global-order window) broadcast-joined back by bucket id.
+    * Work is one quantile pass + one hash shuffle on the bucket id +
+    * a bucket-count-sized side plan, regardless of corpus size.
+    *
+    * The plan forks on the bucketed frame (cumsum branch and
+    * per-bucket-total branch). This is safe WITHOUT persist or
+    * ReusedExchange: the bucket id is a deterministic projection from
+    * literal boundaries, so both branches compute identical buckets
+    * even if AQE replans them independently — unlike a
+    * `spark_partition_id()`-over-`repartitionByRange` formulation,
+    * where boundary placement comes from per-plan sampling and a
+    * diverged replan silently pairs cumsums with offsets from a
+    * different partitioning. Deterministic: the total order is unique
+    * via the `idCol` tiebreak, and boundary ties stay within one
+    * bucket (the bucket is a function of the value alone).
+    *
+    * `orderCol` must be numeric (quality score, length, …) so that
+    * quantile boundaries exist.
     */
   def selectToTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
                           orderCol: String, budget: Long,
-                          descending: Boolean = true): DataFrame = {
+                          descending: Boolean = true,
+                          nBuckets: Int = 0): DataFrame = {
     require(budget >= 0, "selectToTokenBudget: budget must be >= 0")
+    require(df.schema(orderCol).dataType.isInstanceOf[NumericType],
+      s"selectToTokenBudget: orderCol '$orderCol' must be numeric, got ${df.schema(orderCol).dataType}")
+    val spark = df.sparkSession
+    val buckets =
+      if (nBuckets > 0) nBuckets
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ord: Seq[Column] =
       Seq(if (descending) col(orderCol).desc else col(orderCol).asc, col(idCol).asc)
-    val ranged = df.repartitionByRange(ord: _*)
-      .withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy("__pid").orderBy(ord: _*)
+    // one eager pass; boundaries become plan literals shared by BOTH
+    // branches of the fork below (nulls are ignored by approxQuantile
+    // and routed to their own bucket at the null end of the order)
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds =
+      if (buckets <= 1) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+    val v = col(orderCol).cast(DoubleType)
+    // bucket 0 holds the head of the global order; Spark's default null
+    // ordering (asc → nulls first, desc → nulls last) gets a dedicated
+    // end bucket
+    val valueBucket =
+      if (bounds.isEmpty) lit(0)
+      else bounds.toSeq.map { b =>
+        val ahead = if (descending) v > lit(b) else v < lit(b)
+        when(ahead, 0).otherwise(1)
+      }.reduce(_ + _)
+    val bucketExpr =
+      when(v.isNull, lit(if (descending) bounds.length + 1 else -1))
+        .otherwise(valueBucket)
+    val bucketed = df.withColumn("__bkt", bucketExpr)
+    val w = Window.partitionBy("__bkt").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("__cum_local", sum(col(tokensCol).cast(LongType)).over(w))
-    // ONE row per partition; the global-order window below runs over
-    // that bounded set only
-    val offW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    val offsetDf = ranged.groupBy("__pid")
+    val local = bucketed.withColumn("__cum_local", sum(col(tokensCol).cast(LongType)).over(w))
+    // ONE row per bucket; the global-order window below runs over that
+    // bounded set only
+    val offW = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsetDf = bucketed.groupBy("__bkt")
       .agg(sum(col(tokensCol).cast(LongType)).as("__ptotal"))
       .withColumn("__offset", coalesce(sum("__ptotal").over(offW), lit(0L)))
-      .select("__pid", "__offset")
-    local.join(broadcast(offsetDf), "__pid")
+      .select("__bkt", "__offset")
+    local.join(broadcast(offsetDf), "__bkt")
       .where(col("__cum_local") + col("__offset") <= budget)
-      .drop("__pid", "__cum_local", "__offset")
+      .drop("__bkt", "__cum_local", "__offset")
   }
 
   /** Sequence packing by document concatenation: shard the corpus by
