@@ -232,6 +232,92 @@ object DedupOps {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate GROUP assignment for a whole corpus: candidate
+    * pairs from exact n-gram Jaccard ([[ngramJaccardPairs]]) are closed
+    * transitively with distributed connected components
+    * ([[graft.graph.GraphOps.connectedComponents]]) so that A~B, B~C
+    * puts A, B, C in ONE group even when A and C share nothing — the
+    * step pair-emitting dedup skips and every production pipeline needs
+    * before it can "keep one per cluster". Every document gets a row:
+    * `(id, group_id, group_size)` with `group_id` = min doc id of its
+    * cluster (singletons: their own id). Keep-one-representative is
+    * then `where($"group_id" === $"id")` — deterministic, no ordering
+    * ambiguity.
+    *
+    * Scale shape: pair generation is the bucketed equi-join (never
+    * all-pairs); the CC input is only the PAIR set (∝ duplicates, not
+    * corpus); the final assignment is one left join + one group-key
+    * window. At 100 TB the pair set is the small side by construction —
+    * near-dup pairs are rare relative to documents.
+    */
+  def nearDupGroups(df: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 3, threshold: Double = 0.5,
+                    maxBucket: Int = 1000): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, shingleN, threshold, maxBucket)
+    val cc = graft.graph.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "__ccn")
+    df.select(col(idCol))
+      .join(cc, col(idCol) === col("__ccn"), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("group_id"))
+      .withColumn("group_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("group_id")))
+  }
+
+  /** Global span-level exact dedup — remove REPEATED PASSAGES, not
+    * repeated documents: boilerplate headers, license blocks, navboxes
+    * that recur across an otherwise-unique corpus. The text is cut
+    * into consecutive non-overlapping `spanWords`-word windows; a span
+    * survives only at its FIRST corpus occurrence (ordered by doc id,
+    * then position — duplicates within one document drop too), and
+    * each document is reassembled from its surviving spans in order.
+    * Fixed windows are the scalable approximation of exact substring
+    * dedup (suffix-array dedup à la Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — a suffix array over
+    * 100 TB is not a Spark-shaped structure; windowed spans are).
+    *
+    * Output: one row per input document — `(id, text_clean, n_spans,
+    * n_dropped)`, empty string when every span was dropped.
+    *
+    * Scale shape: explode → ONE window keyed by span content (the
+    * first-occurrence mark) → ONE per-doc aggregation that counts,
+    * filters, and reassembles in a single pass (conditional
+    * `collect_list` — no plan fork, nothing persisted) → left join
+    * back to ids. Span-content skew is self-limiting: a span repeated
+    * a million times is exactly what the operator deletes, and AQE
+    * splits such buckets; at warehouse scale, dedup on a span HASH
+    * first if shuffling span text dominates.
+    */
+  def spanDedupGlobal(df: DataFrame, idCol: String, textCol: String,
+                      spanWords: Int = 20): DataFrame = {
+    require(spanWords > 0, "spanDedupGlobal: spanWords must be > 0")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__span")
+    val spans = df
+      .select(col(idCol).as("__id"), split(trim(lower(col(textCol))), "\\s+").as("__w"))
+      .select(col("__id"), posexplode(graft.functions.Let.bind(col("__w")) { ws =>
+        transform(sequence(lit(0), floor((size(ws) - 1) / lit(spanWords)).cast(IntegerType)),
+          i => array_join(slice(ws, i * spanWords + 1, lit(spanWords)), " "))
+      }).as(Seq("__idx", "__span")))
+    val agged = spans
+      .withColumn("__keep",
+        struct(col("__id"), col("__idx")) ===
+          min(struct(col("__id"), col("__idx"))).over(w))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+        // collect_list skips the nulls the when() leaves for dropped
+        // spans; sorting the (idx, span) structs restores document order
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__idx"), col("__span"))))),
+          s => s.getField("__span")), " ").as("text_clean"))
+    df.select(col(idCol))
+      .join(agged, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** Benchmark decontamination check: for every corpus document, the
     * number of distinct word n-gram shingles it shares with ANY
     * benchmark document, plus its own shingle count — the standard

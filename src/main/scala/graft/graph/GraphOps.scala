@@ -1,0 +1,114 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over an edge list — the missing
+  * step between near-dup candidate PAIRS (MinHash/SimHash/Jaccard
+  * emit `(id_a, id_b)`) and the duplicate CLUSTERS a curation pipeline
+  * actually needs (transitive closure: A~B and B~C put A,B,C in one
+  * group with one kept representative). The reference has no graph
+  * surface at all; this is part of the LLM-pipeline extension tier.
+  *
+  * Algorithm: alternating large-star / small-star rounds (Kiveris,
+  * Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
+  * in MapReduce and Beyond", SoCC 2014). Each round contracts every
+  * node toward the minimum id of its neighborhood; the edge set
+  * converges to min-rooted stars in O(log²) rounds on any graph —
+  * unlike naive min-label flooding, whose round count is the graph
+  * DIAMETER (a 1M-node duplicate chain would need 1M rounds).
+  *
+  * Scale shape per round: two grouped-window passes + a distinct —
+  * hash shuffles on node id, no collect of anything unbounded. The
+  * driver sees one 4-scalar checksum row per round (the convergence
+  * test). Iteration state is persisted and the previous round
+  * unpersisted, so lineage never re-runs earlier rounds; with a
+  * `sparkContext.setCheckpointDir` set, state is checkpointed every
+  * [[CheckpointEvery]] rounds to truncate the growing plan (the same
+  * discipline GraphFrames applies).
+  */
+object GraphOps {
+
+  private val CheckpointEvery = 5
+
+  /** Node ids must be integral (dedup ids are longs; hash string ids
+    * first). Output: `(node, component)` with `component` = MINIMUM id
+    * reachable from `node`, for every node incident to at least one
+    * non-self edge (isolated nodes never enter the edge list — callers
+    * coalesce to their own id, as [[graft.dedup.DedupOps.nearDupGroups]]
+    * does). Deterministic for a given edge set.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIterations: Int = 50): DataFrame = {
+    var cur = edges
+      .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = cur.sparkSession
+    val canCheckpoint = spark.sparkContext.getCheckpointDir.isDefined
+
+    // edge-set fingerprint: equal across a full round ⇒ the round was a
+    // no-op ⇒ converged (min-rooted stars are fixpoints of both stars;
+    // xor-of-hashes collision odds ~2⁻⁶⁴ are the same bet every
+    // hash-partitioner makes). bit_xor, not sum: edges are a SET, xor
+    // is order-free, and full-range 64-bit hashes overflow an ANSI sum.
+    def checksum(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64('e', src, dst))"), lit(0L)),
+        coalesce(expr("bit_xor(xxhash64(dst, src, 'e'))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
+    // large-star: every node u links its LARGER neighbors to the min of
+    // its neighborhood (incl. u) — long chains fold logarithmically
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      sym
+        .withColumn("m", least(min("v").over(Window.partitionBy("u")), col("u")))
+        .where(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    // small-star: every node u links itself and its SMALLER neighbors
+    // to the smallest of them — stars re-root at the true minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val withMin = oriented.withColumn("m", min("v").over(Window.partitionBy("u")))
+      withMin.select(col("v").as("src"), col("m").as("dst"))
+        .unionAll(withMin.select(col("u").as("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var prev = checksum(cur)
+    var converged = false
+    var i = 0
+    while (i < maxIterations && !converged) {
+      var next = smallStar(largeStar(cur))
+      if (canCheckpoint && i % CheckpointEvery == CheckpointEvery - 1)
+        next = next.checkpoint(eager = false)
+      next = next.persist(StorageLevel.MEMORY_AND_DISK)
+      val s = checksum(next) // materializes next; cur now safe to drop
+      cur.unpersist()
+      cur = next
+      converged = s == prev
+      prev = s
+      i += 1
+    }
+    require(converged,
+      s"connectedComponents: not converged after $maxIterations rounds (theory: O(log²|V|))")
+    // at the fixpoint every edge is (node → its component's min); the
+    // roots themselves appear only on the dst side
+    cur.select(col("src").as("node"), col("dst").as("component"))
+      .unionAll(cur.select(col("dst").as("node"), col("dst").as("component")))
+      .distinct()
+  }
+}

@@ -53,8 +53,8 @@ object LlmQueries {
     * universe, and per-doc set sizes are recomputed POST-prune so the
     * numerator and denominator agree (DedupOps.ngramJaccardPairs).
     */
-  private def duckJaccardPairsSql(maxBucket: Int, threshold: Double, shingleN: Int = 3) =
-    s"""WITH sh AS (
+  private def duckJaccardCtes(maxBucket: Int, threshold: Double, shingleN: Int = 3) =
+    s"""sh AS (
       |  SELECT doc_id, list_distinct([array_to_string(w[i:i+${shingleN - 1}], ' ') for i in range(1, len(w) - ${shingleN - 2})]) AS s
       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents)
       |  WHERE len(w) >= $shingleN),
@@ -63,10 +63,34 @@ object LlmQueries {
       |pr AS (SELECT doc_id, ex.s AS s FROM ex JOIN keep USING (s)),
       |n AS (SELECT doc_id, count(*) AS n FROM pr GROUP BY doc_id),
       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      |          FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-      |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
-      |FROM pairs JOIN n na ON na.doc_id = pairs.id_a JOIN n nb ON nb.doc_id = pairs.id_b
-      |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $threshold""".stripMargin
+      |          FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+      |  FROM pairs JOIN n na ON na.doc_id = pairs.id_a JOIN n nb ON nb.doc_id = pairs.id_b
+      |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $threshold)""".stripMargin
+
+  private def duckJaccardPairsSql(maxBucket: Int, threshold: Double, shingleN: Int = 3) =
+    s"""WITH ${duckJaccardCtes(maxBucket, threshold, shingleN)}
+      |SELECT id_a, id_b, jaccard FROM jp""".stripMargin
+
+  /** Transitive closure of the jaccard pair graph: min-label reach via
+    * a recursive CTE (exact at oracle scale), then every document gets
+    * its cluster's min id — the oracle for the distributed
+    * large-star/small-star connected components.
+    */
+  private def duckDupGroupsSql(maxBucket: Int, threshold: Double, shingleN: Int = 3) =
+    s"""WITH RECURSIVE ${duckJaccardCtes(maxBucket, threshold, shingleN)},
+      |e AS (SELECT id_a AS u, id_b AS v FROM jp UNION SELECT id_b, id_a FROM jp),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+      |cc AS (SELECT u, min(v) AS comp FROM reach GROUP BY u),
+      |asg AS (SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS group_id
+      |        FROM documents d LEFT JOIN cc ON cc.u = d.doc_id)
+      |SELECT doc_id, group_id,
+      |  CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+      |FROM asg""".stripMargin
   private def duckDot(a: String, b: String) =
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)])"
   private def duckCos(a: String, b: String) =
@@ -173,6 +197,43 @@ object LlmQueries {
     Q("q_dedup_jaccard_capped", duckJaccardPairsSql(maxBucket = 5, threshold = 0.5)) { (s, dir) =>
       DedupOps.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, threshold = 0.5, maxBucket = 5)
+    },
+
+    // ---- transitive near-dup clusters: jaccard pairs closed with
+    //      distributed connected components (large-star/small-star);
+    //      the oracle recomputes the closure with a recursive CTE ----
+    Q("q_dedup_groups", duckDupGroupsSql(maxBucket = 1000, threshold = 0.5)) { (s, dir) =>
+      DedupOps.nearDupGroups(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+    },
+
+    // ---- span-level exact dedup: repeated 5-word passages survive
+    //      only at their first corpus occurrence; docs reassembled
+    //      from surviving spans (windowed approximation of substring
+    //      dedup — the tiny fixture vocabulary makes spans actually
+    //      collide, so the drop path is exercised) ----
+    Q("q_span_dedup",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents),
+        |sp AS (SELECT doc_id,
+        |         unnest(range(1, CAST(ceil(len(w) / 5.0) AS BIGINT) + 1)) AS idx, w
+        |       FROM t),
+        |sp2 AS (SELECT doc_id, idx,
+        |          array_to_string(w[(idx - 1) * 5 + 1 : idx * 5], ' ') AS span
+        |        FROM sp),
+        |k AS (SELECT doc_id, idx, span,
+        |        row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+        |      FROM sp2),
+        |ag AS (SELECT doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+        |         string_agg(span, ' ' ORDER BY idx) FILTER (WHERE rn = 1) AS text_clean
+        |       FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(ag.text_clean, '') AS text_clean,
+        |  COALESCE(ag.n_spans, 0) AS n_spans, COALESCE(ag.n_dropped, 0) AS n_dropped
+        |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin) { (s, dir) =>
+      DedupOps.spanDedupGlobal(Tables(s, dir, "documents"), "doc_id", "text",
+        spanWords = 5)
     },
 
     // ---- MinHash + LSH banded near-dup pairs (portable hash tier) ----
@@ -449,17 +510,20 @@ object LlmQueries {
         .select("query_id", "corpus_id", "cos", "rank")
     },
 
-    // ---- materialized IVF index: write the corpus partitioned by its
-    //      inverted-list id, then probe the written index. At
-    //      nProbe = nLists every partition is probed, so the result is
-    //      exact and the brute oracle hash-checks the whole
-    //      write→partition-prune→probe→score path (the prune itself is
-    //      plan-asserted in ScaleOpsSpec) ----
+    // ---- materialized IVF index, full lifecycle: BUILD from the even
+    //      vectors, APPEND the odd ones with the frozen centroids, then
+    //      probe the written index. At nProbe = nLists every partition
+    //      is probed, so the result is exact and the brute oracle
+    //      hash-checks the whole build→append→partition-prune→probe
+    //      path (the prune itself is plan-asserted in ScaleOpsSpec) ----
     Q("q_sim_topk_ivf_index", duckBruteTopKSql) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       val idx = graft.util.Scratch.path("ivf_index", dir)
-      val cents = SimilarityOps.ivfWriteIndex(e, idx, "vec_id", "embedding",
+      val cents = SimilarityOps.ivfWriteIndex(e.where(col("vec_id") % 2 === 0),
+        idx, "vec_id", "embedding",
         nLists = 16, precomputed = Some(sharedCentroids(s, dir)))
+      SimilarityOps.ivfAppendToIndex(e.where(col("vec_id") % 2 === 1),
+        idx, "vec_id", "embedding", cents)
       SimilarityOps.ivfProbeTopK(s, idx,
         e.where(col("vec_id") < 20), "vec_id", "embedding", cents,
         k = 5, nProbe = 16)
@@ -510,16 +574,21 @@ object LlmQueries {
         .select("query_id", "corpus_id", "cos", "rank")
     },
 
-    // ---- materialized IVF-PQ index: write the at-rest layout (code
-    //      rows partitioned by list id), probe it at full budget →
-    //      exact → brute oracle hash-checks write→prune→ADC→rerank ----
+    // ---- materialized IVF-PQ index, full lifecycle: build the
+    //      at-rest layout (code rows partitioned by list id) from the
+    //      even vectors, append the odd ones with the frozen
+    //      centroids+codebooks, probe at full budget → exact → brute
+    //      oracle hash-checks build→append→prune→ADC→rerank ----
     Q("q_sim_topk_ivfpq_index", duckBruteTopKSql) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       val idx = graft.util.Scratch.path("ivfpq_index", dir)
-      val (cents, books) = SimilarityOps.ivfPqWriteIndex(e, idx, "vec_id", "embedding",
+      val (cents, books) = SimilarityOps.ivfPqWriteIndex(
+        e.where(col("vec_id") % 2 === 0), idx, "vec_id", "embedding",
         nLists = 16, m = 8, codebookK = 16,
         centroids = Some(sharedCentroids(s, dir)),
         codebooks = Some(sharedCodebooks(s, dir)))
+      SimilarityOps.ivfPqAppendToIndex(e.where(col("vec_id") % 2 === 1),
+        idx, "vec_id", "embedding", cents, books)
       SimilarityOps.ivfPqProbeTopK(s, idx, e,
         e.where(col("vec_id") < 20), "vec_id", "vec_id", "embedding",
         cents, books, k = 5, nProbe = 16, shortlist = Int.MaxValue)

@@ -294,11 +294,31 @@ object SimilarityOps {
                     precomputed: Option[Array[(Int, Array[Double])]] = None)
   : Array[(Int, Array[Double])] = {
     val centroids = precomputed.getOrElse(ivfCentroids(corpus, vecCol, nLists, seed))
-    val assigned = corpus.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
-      element_at(nearestListsExpr(centroids, col(vecCol), 1), 1).as("ivf_list"))
-    assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(dir)
+    ivfIndexRows(corpus, cidCol, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(dir)
     centroids
   }
+
+  /** Incrementally append vectors to a written IVF index — the index
+    * lifecycle's add() step (a 100 TB index is never rebuilt for a
+    * daily ingest batch). New rows are assigned with the index's
+    * FROZEN centroids — the quantizer is trained at build time, and
+    * appending must not move list boundaries or every existing row's
+    * home list would silently shift — and land as new files under
+    * their list partitions only; untouched lists see zero I/O.
+    * Probe-after-append ≡ probe of a one-shot build over the unioned
+    * corpus with the same centroids (spec-proven, and the driver gate
+    * probes a written-then-appended index at full budget).
+    */
+  def ivfAppendToIndex(newRows: DataFrame, dir: String, cidCol: String, vecCol: String,
+                       centroids: Array[(Int, Array[Double])]): Unit =
+    ivfIndexRows(newRows, cidCol, vecCol, centroids)
+      .write.mode("append").partitionBy("ivf_list").parquet(dir)
+
+  private def ivfIndexRows(df: DataFrame, cidCol: String, vecCol: String,
+                           centroids: Array[(Int, Array[Double])]): DataFrame =
+    df.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
+      element_at(nearestListsExpr(centroids, col(vecCol), 1), 1).as("ivf_list"))
 
   /** Probe a written IVF index: quantize each query to its `nProbe`
     * nearest lists and top-k score ONLY those partitions. The
@@ -574,13 +594,29 @@ object SimilarityOps {
       val dim = corpus.select(size(col(vecCol))).head().getInt(0)
       pqCodebooks(corpus, vecCol, dim, m, codebookK, seed)
     }
-    corpus.select(col(cidCol).as("corpus_id"),
-        pqEncode(col(vecCol), books).as("pq_codes"),
-        element_at(nearestListsExpr(cents, col(vecCol), 1), 1).as("ivf_list"))
-      .withColumn("pq_rn", sqrt(adcNorm2(col("pq_codes"), books)))
+    ivfPqIndexRows(corpus, cidCol, vecCol, cents, books)
       .write.mode("overwrite").partitionBy("ivf_list").parquet(dir)
     (cents, books)
   }
+
+  /** Append to a written IVF-PQ index with the index's frozen
+    * quantizers (centroids AND codebooks — re-encoding with refit
+    * codebooks would make old and new codes incomparable under one ADC
+    * table). Same contract as [[ivfAppendToIndex]]: only the touched
+    * list partitions gain files. */
+  def ivfPqAppendToIndex(newRows: DataFrame, dir: String, cidCol: String, vecCol: String,
+                         centroids: Array[(Int, Array[Double])],
+                         codebooks: Array[Array[Array[Double]]]): Unit =
+    ivfPqIndexRows(newRows, cidCol, vecCol, centroids, codebooks)
+      .write.mode("append").partitionBy("ivf_list").parquet(dir)
+
+  private def ivfPqIndexRows(df: DataFrame, cidCol: String, vecCol: String,
+                             cents: Array[(Int, Array[Double])],
+                             books: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(cidCol).as("corpus_id"),
+        pqEncode(col(vecCol), books).as("pq_codes"),
+        element_at(nearestListsExpr(cents, col(vecCol), 1), 1).as("ivf_list"))
+      .withColumn("pq_rn", sqrt(adcNorm2(col("pq_codes"), books)))
 
   /** Probe a written IVF-PQ index: ADC-score the code rows of the
     * `nProbe` probed partitions (dynamic partition pruning via the

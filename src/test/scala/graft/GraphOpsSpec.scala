@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupOps
+import graft.graph.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference union-find on the driver — the oracle for tiny graphs. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // path-compress to the true min root
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("connectedComponents: chain, cliques, isolated pairs, self-loops") {
+    // a 12-node chain (diameter stress: naive flooding needs 12 rounds,
+    // star alternation logarithmic), two triangles, one pair, self-loop
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val edges = chain ++ Seq((20L, 21L), (21L, 22L), (22L, 20L),
+      (30L, 31L), (40L, 40L), (50L, 51L))
+    val got = ccMap(edges)
+    val want = ufComponents(edges.filter(e => e._1 != e._2))
+    assert(got == want)
+    assert(got(12L) == 1L && got(22L) == 20L && got(31L) == 30L && got(51L) == 50L)
+    assert(!got.contains(40L)) // self-loop only → no non-self edge → absent
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 30
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+      }.filter(e => e._1 != e._2)
+      assert(ccMap(edges) == ufComponents(edges), s"trial $trial")
+    }
+  }
+
+  test("connectedComponents: empty edges and reversed-duplicate edges") {
+    assert(ccMap(Seq.empty) == Map.empty)
+    // (a,b) and (b,a) are one undirected edge
+    assert(ccMap(Seq((2L, 1L), (1L, 2L), (2L, 1L))) == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("spanDedupGlobal: first occurrence wins, within-doc dups drop, reassembly ordered") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // spans: "a b c", "d e f"
+      (2L, "a b c x y z"),          // "a b c" dropped (doc 1 owns it)
+      (3L, "x y z x y z"),          // first "x y z" dropped (doc 2 owns it), second too (within-corpus)
+      (4L, "q r")                   // single short span, unique
+    ).toDF("doc_id", "text")
+    val got = DedupOps.spanDedupGlobal(docs, "doc_id", "text", spanWords = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ("a b c d e f", 2L, 0L))
+    assert(got(2L) == ("x y z", 2L, 1L))
+    assert(got(3L) == ("", 2L, 2L))
+    assert(got(4L) == ("q r", 1L, 0L))
+  }
+
+  test("nearDupGroups: transitive chain collapses to one group, singletons kept") {
+    // sliding 12-word windows over one word stream: consecutive docs
+    // share 8 of 10 shingles (J=0.667 ≥ 0.5) but docs two apart share
+    // only 6 of 14 (J=0.43 < 0.5) — a true transitive chain. 4 is an
+    // exact dup of 1, 5 unrelated: expect one group {1,2,3,4} plus
+    // singleton {5}
+    val stream = (1 to 16).map(i => s"w$i")
+    def win(from: Int) = stream.slice(from - 1, from - 1 + 12).mkString(" ")
+    val docs = Seq(
+      (1L, win(1)), (2L, win(3)), (3L, win(5)), (4L, win(1)),
+      (5L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.nearDupGroups(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L), (5L, 5L, 1L)))
+    // sanity: 1 and 3 alone would NOT pair at the threshold
+    val pairs = DedupOps.ngramJaccardPairs(
+      docs.where(col("doc_id").isin(1L, 3L)), "doc_id", "text", threshold = 0.5)
+    assert(pairs.count() == 0)
+  }
+}

@@ -145,6 +145,63 @@ class ScaleOpsSpec extends SparkSpec {
       s"expected partition pruning in:\n${plan.take(2000)}")
   }
 
+  test("IVF append: build-half + append-half probes == one-shot full build; untouched lists gain no files") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 10)
+    val even = e.where(col("vec_id") % 2 === 0)
+    val cents = SimilarityOps.ivfCentroids(e, "embedding", 8)
+    // append only the odd rows homed to ONE list, so the other seven
+    // partitions must stay byte-identical
+    val homeList = org.apache.spark.sql.functions.element_at(
+      graft.similarity.SimilarityOps.nearestListsExpr(cents, col("embedding"), 1), 1)
+    val targetList = e.where(col("vec_id") % 2 === 1).select(homeList).head().getInt(0)
+    val appendRows = e.where(col("vec_id") % 2 === 1 && homeList === targetList)
+
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    SimilarityOps.ivfWriteIndex(even.unionByName(appendRows), full, "vec_id", "embedding",
+      nLists = 8, precomputed = Some(cents))
+    val inc = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    SimilarityOps.ivfWriteIndex(even, inc, "vec_id", "embedding",
+      nLists = 8, precomputed = Some(cents))
+    def filesPerList(dir: String): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("ivf_list="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val before = filesPerList(inc)
+    SimilarityOps.ivfAppendToIndex(appendRows, inc, "vec_id", "embedding", cents)
+    val after = filesPerList(inc)
+    val untouched = before.keySet - s"ivf_list=$targetList"
+    assert(untouched.nonEmpty, "fixture should leave at least one list un-appended")
+    untouched.foreach(n => assert(after(n) == before(n), s"append touched $n"))
+    assert(after(s"ivf_list=$targetList") != before(s"ivf_list=$targetList"))
+    // appended index answers exactly like the one-shot build
+    def probe(dir: String) =
+      SimilarityOps.ivfProbeTopK(spark, dir, q, "vec_id", "embedding", cents,
+        k = 3, nProbe = 3)
+        .select("query_id", "corpus_id", "cos").collect().map(_.toString).sorted.toSeq
+    assert(probe(inc) == probe(full))
+  }
+
+  test("IVF-PQ append: appended index probes == one-shot full build") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 10)
+    val cents = SimilarityOps.ivfCentroids(e, "embedding", 8)
+    val books = SimilarityOps.pqCodebooks(e, "embedding", dim = 64, m = 8, k = 16)
+    val full = java.nio.file.Files.createTempDirectory("graft_ivfpq_full").toString
+    SimilarityOps.ivfPqWriteIndex(e, full, "vec_id", "embedding", nLists = 8,
+      m = 8, codebookK = 16, centroids = Some(cents), codebooks = Some(books))
+    val inc = java.nio.file.Files.createTempDirectory("graft_ivfpq_inc").toString
+    SimilarityOps.ivfPqWriteIndex(e.where(col("vec_id") % 2 === 0), inc,
+      "vec_id", "embedding", nLists = 8, m = 8, codebookK = 16,
+      centroids = Some(cents), codebooks = Some(books))
+    SimilarityOps.ivfPqAppendToIndex(e.where(col("vec_id") % 2 === 1), inc,
+      "vec_id", "embedding", cents, books)
+    def probe(dir: String) =
+      SimilarityOps.ivfPqProbeTopK(spark, dir, e, q, "vec_id", "vec_id", "embedding",
+        cents, books, k = 3, nProbe = 3, shortlist = 20)
+        .select("query_id", "corpus_id", "cos").collect().map(_.toString).sorted.toSeq
+    assert(probe(inc) == probe(full))
+  }
+
   test("bucketed tables equi-join with NO shuffle on either side") {
     val l = Tables(spark, "/root/testdata/sf0.001", "lineitem")
       .select("l_orderkey", "l_extendedprice")
