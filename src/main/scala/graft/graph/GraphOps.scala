@@ -40,9 +40,20 @@ object GraphOps {
     * non-self edge (isolated nodes never enter the edge list — callers
     * coalesce to their own id, as [[graft.dedup.DedupOps.nearDupGroups]]
     * does). Deterministic for a given edge set.
+    *
+    * Two tiers, same contract: at or below `localThreshold` distinct
+    * edges the closure runs as a driver union-find over one collect —
+    * near-dup pair sets are usually tiny relative to the corpus, and
+    * log²-many distributed rounds on a kilobyte graph spend scheduler
+    * latency to share L2-cache-sized work (the same reasoning as the
+    * driver-side ANN quantizer fits). Above it, the alternating-star
+    * rounds run distributed. The driver edge bound is explicit: 100k
+    * edges ≈ 1.6 MB. Set `localThreshold = 0` to force the
+    * distributed path (the specs exercise both).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIterations: Int = 50): DataFrame = {
+                          maxIterations: Int = 50,
+                          localThreshold: Int = 100000): DataFrame = {
     var cur = edges
       .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
@@ -64,7 +75,10 @@ object GraphOps {
     }
 
     // large-star: every node u links its LARGER neighbors to the min of
-    // its neighborhood (incl. u) — long chains fold logarithmically
+    // its neighborhood (incl. u) — long chains fold logarithmically.
+    // No distinct here: duplicate edges don't move window minima, the
+    // output is bounded by the symmetrized input, and small-star's
+    // closing distinct dedupes — one shuffle per round saved.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("src").as("u"), col("dst").as("v"))
         .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
@@ -73,7 +87,6 @@ object GraphOps {
         .where(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
         .where(col("src") =!= col("dst"))
-        .distinct()
     }
 
     // small-star: every node u links itself and its SMALLER neighbors
@@ -89,6 +102,23 @@ object GraphOps {
     }
 
     var prev = checksum(cur)
+    if (prev._1 <= localThreshold) {
+      import spark.implicits._
+      val local = cur.as[(Long, Long)].collect()
+      cur.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      local.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = local.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => (n, find(n))).toSeq
+      return spark.createDataset(out).toDF("node", "component")
+    }
     var converged = false
     var i = 0
     while (i < maxIterations && !converged) {

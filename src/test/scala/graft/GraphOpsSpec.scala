@@ -24,8 +24,11 @@ class GraphOpsSpec extends SparkSpec {
     nodes.map(n => n -> find(n)).toMap
   }
 
-  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    GraphOps.connectedComponents(edges.toDF("a", "b"), "a", "b")
+  /** threshold 0 forces the distributed star rounds; MaxValue the
+    * driver union-find tier — both must give identical answers. */
+  private def ccMap(edges: Seq[(Long, Long)], localThreshold: Int = 0): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("a", "b"), "a", "b",
+      localThreshold = localThreshold)
       .as[(Long, Long)].collect().toMap
 
   test("connectedComponents: chain, cliques, isolated pairs, self-loops") {
@@ -41,14 +44,16 @@ class GraphOpsSpec extends SparkSpec {
     assert(!got.contains(40L)) // self-loop only → no non-self edge → absent
   }
 
-  test("connectedComponents matches union-find on random graphs") {
+  test("connectedComponents matches union-find on random graphs, both tiers agree") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 3) {
       val n = 60 + trial * 30
       val edges = Seq.fill(n) {
         (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
       }.filter(e => e._1 != e._2)
-      assert(ccMap(edges) == ufComponents(edges), s"trial $trial")
+      val want = ufComponents(edges)
+      assert(ccMap(edges) == want, s"trial $trial (distributed)")
+      assert(ccMap(edges, localThreshold = Int.MaxValue) == want, s"trial $trial (local)")
     }
   }
 
