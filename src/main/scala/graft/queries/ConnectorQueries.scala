@@ -139,6 +139,33 @@ object ConnectorQueries {
           StructField("r_name", StringType), StructField("extra", LongType)))))
     },
 
+    // ---- Z-order clustering: the bit-interleave key itself is
+    //      hash-checked against DuckDB's bit math (the layout effect —
+    //      footer-stats skipping — is asserted in ScaleOpsSpec) ----
+    Q("q_zorder_key",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum([
+        |    (CAST((l_partkey >> i) & 1 AS BIGINT) << (2 * i)) +
+        |    (CAST((l_suppkey >> i) & 1 AS BIGINT) << (2 * i + 1))
+        |    for i in range(0, 16)]) AS BIGINT) AS zval
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        graft.layout.LayoutOps.zValue(
+          Seq(col("l_partkey"), col("l_suppkey")), bitsPerCol = 16).as("zval"))
+    },
+
+    // ---- small-file compaction: 8 splinter files rewritten into
+    //      target-sized files via the atomic-swap protocol, then read
+    //      back — the oracle sees the same rows ----
+    Q("q_compact_roundtrip",
+      "SELECT r_regionkey, r_name FROM region") { (s, dir) =>
+      val path = graft.util.Scratch.path("compact", dir)
+      val region = Tables(s, dir, "region").select("r_regionkey", "r_name")
+      region.repartition(8).write.mode("overwrite").parquet(path)
+      graft.layout.LayoutOps.compact(s, path)
+      s.read.parquet(path)
+    },
+
     // ---- config.yml-driven pipeline (§3.1 file front door): a YAML
     //      job declaration is searched upwards, parsed, bound to
     //      (env, task), built into a Pipeline.Spec, executed to a

@@ -202,6 +202,52 @@ class ScaleOpsSpec extends SparkSpec {
     assert(probe(inc) == probe(full))
   }
 
+  test("Z-order layout: box filter decodes a fraction of what a random layout decodes") {
+    import graft.layout.LayoutOps
+    val l = Tables(spark, "/root/testdata/sf0.01", "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val zdir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    LayoutOps.zOrderWrite(l, zdir, Seq("l_partkey", "l_suppkey"), nFiles = 16)
+    val rdir = java.nio.file.Files.createTempDirectory("graft_random").toString
+    l.repartition(16).write.mode("overwrite").parquet(rdir)
+    // rows DECODED by the scan (after parquet footer-stats skipping),
+    // not rows matching: the scan node's numOutputRows
+    def decoded(dir: String): (Long, Long) = {
+      val q = spark.read.parquet(dir)
+        .where(col("l_partkey") <= 100 && col("l_suppkey") <= 10)
+      val matched = q.count()
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty)
+      (scans.map(_.metrics("numOutputRows").value).sum, matched)
+    }
+    val (zDecoded, zMatched) = decoded(zdir)
+    val (rDecoded, rMatched) = decoded(rdir)
+    assert(zMatched == rMatched) // layout must not change the answer
+    // the random layout decodes every row group (full value ranges in
+    // every file); the z-ordered one skips most of them on stats alone
+    assert(zDecoded * 4 <= rDecoded,
+      s"z-order should decode ≤¼ of random layout: z=$zDecoded rand=$rDecoded")
+  }
+
+  test("compact: many small files become target-sized files, rows preserved") {
+    import graft.layout.LayoutOps
+    val l = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    l.repartition(20).write.mode("overwrite").parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before == 20)
+    val sumBefore = spark.read.parquet(dir).agg(sum("l_extendedprice")).head().getDouble(0)
+    val n = LayoutOps.compact(spark, dir, targetFileBytes = 512L * 1024)
+    assert(parquetFiles == n && n < before)
+    val sumAfter = spark.read.parquet(dir).agg(sum("l_extendedprice")).head().getDouble(0)
+    assert(sumBefore == sumAfter)
+  }
+
   test("bucketed tables equi-join with NO shuffle on either side") {
     val l = Tables(spark, "/root/testdata/sf0.001", "lineitem")
       .select("l_orderkey", "l_extendedprice")
