@@ -106,18 +106,7 @@ object GraphOps {
       import spark.implicits._
       val local = cur.as[(Long, Long)].collect()
       cur.unpersist()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      local.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val out = local.flatMap(e => Seq(e._1, e._2)).distinct
-        .map(n => (n, find(n))).toSeq
-      return spark.createDataset(out).toDF("node", "component")
+      return spark.createDataset(localComponents(local).toSeq).toDF("node", "component")
     }
     var converged = false
     var i = 0
@@ -140,5 +129,30 @@ object GraphOps {
     cur.select(col("src").as("node"), col("dst").as("component"))
       .unionAll(cur.select(col("dst").as("node"), col("dst").as("component")))
       .distinct()
+  }
+
+  /** Driver union-find tier (min-rooted, path-compressing). `find` is
+    * an iterative two-pass walk: the recursive form overflows the JVM
+    * stack on a descending-ordered chain at the 100k-edge
+    * `localThreshold` (parent chains as deep as the chain itself —
+    * min-root union cannot union by rank, so path length is bounded
+    * only by compression). Exposed package-private because the
+    * pathological edge ORDER cannot be forced through the distributed
+    * path's `distinct()` shuffle — the spec drives it directly.
+    */
+  private[graft] def localComponents(local: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var r = x0
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var x = x0
+      while (x != r) { val nxt = parent(x); parent(x) = r; x = nxt }
+      r
+    }
+    local.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    local.flatMap(e => Seq(e._1, e._2)).distinct.map(n => (n, find(n)))
   }
 }

@@ -80,7 +80,11 @@ object LayoutOps {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    graft.merge.Merge.overwrite(spark.read.parquet(dir).repartition(nFiles), dir)
+    // atomicReplace computes the rewrite into a sibling tmp dir while the
+    // source directory is still intact (no Spark self-overwrite hazard),
+    // then swaps with renames — a crash mid-compaction leaves the
+    // original directory untouched.
+    graft.merge.Merge.atomicReplace(spark.read.parquet(dir).repartition(nFiles), dir)
     nFiles
   }
 }

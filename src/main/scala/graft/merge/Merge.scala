@@ -114,15 +114,20 @@ object Merge {
 
   /** Compute `df`, write it to a sibling temp dir, then swap it in for
     * `targetDir` with FileSystem renames (atomic on HDFS/local; on S3 a
-    * table format or a committer-with-manifest replaces this).
+    * table format or a committer-with-manifest replaces this). The
+    * computation of `df` runs ENTIRELY against the untouched target —
+    * a failure at any point before the first rename leaves `targetDir`
+    * byte-identical, so `df` may safely read from `targetDir` itself
+    * (the compaction / merge rewrite shape).
     */
-  private def atomicReplace(df: DataFrame, targetDir: String): Unit = {
+  private[graft] def atomicReplace(df: DataFrame, targetDir: String): Unit = {
     val spark = df.sparkSession
     val f = fs(spark, targetDir)
     val target = new Path(targetDir)
     val tmp = new Path(targetDir + "__stage_" + UUID.randomUUID().toString.take(8))
     val old = new Path(targetDir + "__old_" + UUID.randomUUID().toString.take(8))
-    graft.io.Writers.parquet(df, tmp.toString)
+    try graft.io.Writers.parquet(df, tmp.toString)
+    catch { case e: Throwable => f.delete(tmp, true); throw e }
     if (!f.rename(target, old)) throw new IllegalStateException(s"rename $target -> $old failed")
     if (!f.rename(tmp, target)) {
       f.rename(old, target) // roll back

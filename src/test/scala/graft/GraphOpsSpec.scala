@@ -57,6 +57,24 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("driver union-find survives a 100k descending-ordered chain (stack safety)") {
+    // processing (k+1,k) edges in DESCENDING k order builds parent(k)=k-1
+    // for every k — a 100k-deep chain. The first find() from the top
+    // then walks the whole chain: a recursive find overflows the JVM
+    // stack here; the iterative two-pass form must not.
+    val n = 100000
+    val desc = (n to 1 by -1).map(k => ((k + 1).toLong, k.toLong)).toArray
+    val got = GraphOps.localComponents(desc).toMap
+    assert(got.size == n + 1 && got.values.forall(_ == 1L))
+    // and the same chain through the public API at the DEFAULT
+    // localThreshold (n ≤ 100000 engages the driver tier)
+    val viaApi = GraphOps.connectedComponents(
+      spark.range(1, n + 1).select((col("id") + 1).as("a"), col("id").as("b")),
+      "a", "b")
+      .agg(count(lit(1)), countDistinct(col("component")), min("component")).head()
+    assert(viaApi.getLong(0) == n + 1 && viaApi.getLong(1) == 1 && viaApi.getLong(2) == 1L)
+  }
+
   test("connectedComponents: empty edges and reversed-duplicate edges") {
     assert(ccMap(Seq.empty) == Map.empty)
     // (a,b) and (b,a) are one undirected edge
