@@ -52,7 +52,9 @@ object SparkEntry {
     registry.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted entries get a rows-only check. */
+    * the same parquet tables. Omitted entries get a rows-only check.
+    * Evaluate AFTER running `queries` — generated oracles (approx ANN)
+    * embed quantizer literals fitted by the query run. */
   def oracleSql: Map[String, String] =
-    registry.collect { case Q(name, _, Some(sql)) => name -> sql }.toMap
+    registry.flatMap(q => q.oracle().map(sql => q.name -> sql)).toMap
 }

@@ -44,6 +44,152 @@ object LlmQueries {
       SimilarityOps.pqCodebooks(Tables(s, dir, "embeddings"), "embedding",
         dim = 64, m = 8, k = 16))
 
+  // ---------- generated oracles for the approximate ANN configs ----------
+  // The fitted quantizers are deterministic given (corpus, seed), so the
+  // oracle FREEZES them as SQL literals and replays the engine's exact
+  // selection semantics (nearest-list assignment, ADC shortlist, rerank)
+  // in DuckDB — the same freeze-the-parameters pattern as the portable
+  // minhash affine family. Generated at dump time from the fit caches
+  // (`Verify` runs every query before dumping oracle_sql.json); with
+  // zero or several fitted dirs the generator returns None and the
+  // driver falls back to the rows-only check. Determinism bet: literal
+  // doubles round-trip exactly (shortest-repr parse), products/sums are
+  // IEEE ops replayed in the engine's fold order (list aggregates with
+  // ORDER BY), so selection boundaries agree unless two candidates sit
+  // within one ulp of each other — the same bet every hash-checked
+  // cosine query already makes.
+
+  private def soleFit[T](cache: java.util.concurrent.ConcurrentHashMap[String, T]): Option[T] =
+    if (cache.size == 1) Some(cache.values.iterator.next) else None
+
+  private def arrLit(a: Array[Double]): String = a.map(_.toString).mkString("[", ", ", "]")
+
+  /** `cents` CTE: one row per inverted list, `(l, cv)`. */
+  private def centsCte(cents: Array[(Int, Array[Double])]): String =
+    cents.map { case (l, v) => s"($l, ${arrLit(v)})" }
+      .mkString("cents AS (SELECT * FROM (VALUES\n  ", ",\n  ", ") t(l, cv))")
+
+  /** `books` CTE: one row per (subspace, code): `(s, cd, cv, n2)` with
+    * n2 = ‖codeword‖² computed by the SAME Scala fold `adcNorm2` bakes
+    * into the plan, so `sqrt(Σ n2)` is bit-identical cross-engine. */
+  private def booksCte(books: Array[Array[Array[Double]]]): String =
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cent, cd) =>
+        s"($s, $cd, ${arrLit(cent)}, ${cent.map(x => x * x).sum})"
+      }
+    }.mkString("books AS (SELECT * FROM (VALUES\n  ", ",\n  ", ") t(s, cd, cv, n2))")
+
+  /** Squared L2 against a centroid list column, left-to-right like the
+    * engine's sequential fold. */
+  private def duckDist2(v: String, c: String) =
+    s"list_sum([(CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i]) for i in range(1, 65)])"
+
+  /** Probed lists per query (`qp`, nProbe nearest) and home list per
+    * corpus vector (`ch`, nearest 1): argmin over squared L2 with
+    * (d, l) tie-break — the exact total order of `nearestListsExpr`
+    * (array_sort over struct(d, list)). */
+  private def ivfAssignCtes(nProbe: Int): String =
+    s"""qp AS (SELECT query_id, l FROM (
+      |    SELECT d.query_id, d.l, row_number() OVER (PARTITION BY d.query_id ORDER BY d.d, d.l) AS rn
+      |    FROM (SELECT e.vec_id AS query_id, c.l, ${duckDist2("e.embedding", "c.cv")} AS d
+      |          FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 20) d)
+      |  WHERE rn <= $nProbe),
+      |ch AS (SELECT corpus_id, l FROM (
+      |    SELECT d.corpus_id, d.l, row_number() OVER (PARTITION BY d.corpus_id ORDER BY d.d, d.l) AS rn
+      |    FROM (SELECT e.vec_id AS corpus_id, c.l, ${duckDist2("e.embedding", "c.cv")} AS d
+      |          FROM embeddings e CROSS JOIN cents c) d)
+      |  WHERE rn = 1)""".stripMargin
+
+  /** PQ corpus encoding (`enc`: per (vector, subspace) argmin code with
+    * (d, cd) tie-break = `pqEncode`), reconstruction norms (`crn`,
+    * subspace-ascending sum like `adcNorm2`), query norms (`qn`, the
+    * generic double fold `l2Norm`). */
+  private def pqEncCtes(sub: Int): String =
+    s"""enc AS (SELECT corpus_id, s, cd, n2 FROM (
+      |    SELECT d.corpus_id, d.s, d.cd, d.n2,
+      |      row_number() OVER (PARTITION BY d.corpus_id, d.s ORDER BY d.d, d.cd) AS rn
+      |    FROM (SELECT e.vec_id AS corpus_id, b.s, b.cd, b.n2,
+      |            list_sum([(CAST(e.embedding[b.s*$sub + i] AS DOUBLE) - b.cv[i]) * (CAST(e.embedding[b.s*$sub + i] AS DOUBLE) - b.cv[i]) for i in range(1, ${sub + 1})]) AS d
+      |          FROM embeddings e CROSS JOIN books b) d)
+      |  WHERE rn = 1),
+      |crn AS (SELECT corpus_id, sqrt(list_sum(list(n2 ORDER BY s))) AS rnorm FROM enc GROUP BY corpus_id),
+      |qn AS (SELECT vec_id AS query_id, sqrt(${duckDot("embedding", "embedding")}) AS qn
+      |       FROM embeddings WHERE vec_id < 20)""".stripMargin
+
+  /** Exact-cosine rerank of a `(query_id, corpus_id)` CTE + final top-k. */
+  private def duckRerankTail(candCte: String, k: Int): String =
+    s"""ex AS (SELECT $candCte.query_id, $candCte.corpus_id, ${duckCos("eq.embedding", "ec.embedding")} AS cos
+      |       FROM $candCte JOIN embeddings eq ON eq.vec_id = $candCte.query_id
+      |       JOIN embeddings ec ON ec.vec_id = $candCte.corpus_id)
+      |SELECT query_id, corpus_id, cos, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+      |  FROM ex) WHERE rank <= $k""".stripMargin
+
+  /** Oracle for `ivfTopK` at nProbe < nLists: candidates = corpus rows
+    * whose home list is probed; exact cosine; top-k. */
+  private def ivfApproxOracleSql(cents: Array[(Int, Array[Double])],
+                                 nProbe: Int, k: Int): String =
+    s"""WITH ${centsCte(cents)},
+      |${ivfAssignCtes(nProbe)},
+      |cand AS (SELECT qp.query_id, ch.corpus_id FROM qp JOIN ch USING (l)
+      |         WHERE ch.corpus_id <> qp.query_id),
+      |${duckRerankTail("cand", k)}""".stripMargin
+
+  /** Oracle for `pqTopKReranked` at a bounded shortlist: ADC scores
+    * (subspace-ascending LUT sum / norms) ROUNDED to 6 dp pick the
+    * shortlist with corpus_id tie-break — exactly `pqTopK`'s window —
+    * then the exact rerank. */
+  private def pqApproxOracleSql(books: Array[Array[Array[Double]]],
+                                shortlist: Int, k: Int): String = {
+    val sub = books(0)(0).length
+    s"""WITH ${booksCte(books)},
+      |${pqEncCtes(sub)},
+      |pd AS (SELECT qn.query_id, enc.corpus_id, enc.s,
+      |         list_sum([CAST(eq.embedding[enc.s*$sub + i] AS DOUBLE) * b.cv[i] for i in range(1, ${sub + 1})]) AS d
+      |       FROM enc JOIN books b ON b.s = enc.s AND b.cd = enc.cd
+      |       CROSS JOIN qn
+      |       JOIN embeddings eq ON eq.vec_id = qn.query_id
+      |       WHERE enc.corpus_id <> qn.query_id),
+      |adc AS (SELECT query_id, corpus_id, list_sum(list(d ORDER BY s)) AS adcdot
+      |        FROM pd GROUP BY query_id, corpus_id),
+      |cand AS (SELECT query_id, corpus_id FROM (
+      |    SELECT adc.query_id, adc.corpus_id,
+      |      row_number() OVER (PARTITION BY adc.query_id
+      |        ORDER BY round(adc.adcdot / (qn.qn * crn.rnorm), 6) DESC, adc.corpus_id) AS rn
+      |    FROM adc JOIN qn USING (query_id) JOIN crn USING (corpus_id))
+      |  WHERE rn <= $shortlist),
+      |${duckRerankTail("cand", k)}""".stripMargin
+  }
+
+  /** Oracle for `ivfPqTopK` at serving budgets: probed-list candidates,
+    * UNROUNDED ADC shortlist (ivfPqTopK's `__qcos` window), exact
+    * rerank. */
+  private def ivfPqApproxOracleSql(cents: Array[(Int, Array[Double])],
+                                   books: Array[Array[Array[Double]]],
+                                   nProbe: Int, shortlist: Int, k: Int): String = {
+    val sub = books(0)(0).length
+    s"""WITH ${centsCte(cents)},
+      |${booksCte(books)},
+      |${ivfAssignCtes(nProbe)},
+      |${pqEncCtes(sub)},
+      |probed AS (SELECT qp.query_id, ch.corpus_id FROM qp JOIN ch USING (l)
+      |           WHERE ch.corpus_id <> qp.query_id),
+      |pd AS (SELECT probed.query_id, probed.corpus_id, enc.s,
+      |         list_sum([CAST(eq.embedding[enc.s*$sub + i] AS DOUBLE) * b.cv[i] for i in range(1, ${sub + 1})]) AS d
+      |       FROM probed JOIN enc ON enc.corpus_id = probed.corpus_id
+      |       JOIN books b ON b.s = enc.s AND b.cd = enc.cd
+      |       JOIN embeddings eq ON eq.vec_id = probed.query_id),
+      |adc AS (SELECT query_id, corpus_id, list_sum(list(d ORDER BY s)) AS adcdot
+      |        FROM pd GROUP BY query_id, corpus_id),
+      |cand AS (SELECT query_id, corpus_id FROM (
+      |    SELECT adc.query_id, adc.corpus_id,
+      |      row_number() OVER (PARTITION BY adc.query_id
+      |        ORDER BY adc.adcdot / (qn.qn * crn.rnorm) DESC, adc.corpus_id) AS rn
+      |    FROM adc JOIN qn USING (query_id) JOIN crn USING (corpus_id))
+      |  WHERE rn <= $shortlist),
+      |${duckRerankTail("cand", k)}""".stripMargin
+  }
+
   // DuckDB fragments reused across oracles.
   private val duckWords = "string_split_regex(trim(lower(text)), '\\s+')"
   private def duckHash(e: String) = s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
@@ -499,9 +645,11 @@ object LlmQueries {
     },
 
     // ---- IVF ANN, approximate production configuration (recall < 1 by
-    //      design — centroid-dependent, so rows-only). Shares the ONE
-    //      centroid fit with q_sim_topk_ivf ----
-    Q.rowsOnly("q_sim_topk_ivf_approx") { (s, dir) =>
+    //      design). Hash-checked anyway: the oracle freezes the shared
+    //      centroid fit as literals and replays the nProbe=4 list
+    //      selection exactly ----
+    Q.dynamic("q_sim_topk_ivf_approx")(
+      soleFit(ivfFitCache).map(c => ivfApproxOracleSql(c, nProbe = 4, k = 5))) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       SimilarityOps.ivfTopK(
         e.where(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding",
@@ -547,8 +695,10 @@ object LlmQueries {
     },
 
     // ---- PQ serving configuration: bounded shortlist (recall < 1 by
-    //      design — codebook-dependent, so rows-only) ----
-    Q.rowsOnly("q_sim_topk_pq_approx") { (s, dir) =>
+    //      design). Hash-checked: the oracle freezes the codebooks and
+    //      replays encode → ADC shortlist(50) → exact rerank ----
+    Q.dynamic("q_sim_topk_pq_approx")(
+      soleFit(pqFitCache).map(b => pqApproxOracleSql(b, shortlist = 50, k = 5))) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       val books = sharedCodebooks(s, dir)
       val codes = e.select(col("vec_id"),
@@ -595,8 +745,11 @@ object LlmQueries {
         .select("query_id", "corpus_id", "cos", "rank")
     },
 
-    // ---- IVF-PQ serving configuration (rows-only by design) ----
-    Q.rowsOnly("q_sim_topk_ivfpq_approx") { (s, dir) =>
+    // ---- IVF-PQ serving configuration. Hash-checked: frozen centroids
+    //      + codebooks replay probe(4) → ADC shortlist(50) → rerank ----
+    Q.dynamic("q_sim_topk_ivfpq_approx")(
+      for { c <- soleFit(ivfFitCache); b <- soleFit(pqFitCache) }
+        yield ivfPqApproxOracleSql(c, b, nProbe = 4, shortlist = 50, k = 5)) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       SimilarityOps.ivfPqTopK(
         e.where(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding",
