@@ -62,6 +62,36 @@ object Bench {
         "events", "documents", "embeddings"))
         try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
         catch { case _: Throwable => }
+      // the fused per-row kernels (shingles, minhash, simhash, text
+      // counts, md5 tier, dot products) JIT-compile on first use;
+      // without this the alphabetically-first text/dedup query absorbs
+      // every kernel's codegen+JIT cost (r5: q_curation 22.9 s in-bench
+      // vs 3.4 s warm). A 256-doc slice compiles the same generated
+      // code the sf-scale queries run.
+      {
+        import graft.dedup.DedupOps
+        import graft.text.TextOps
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .limit(256).select("doc_id", "text").persist()
+        docs.select(
+          DedupOps.minhashSignature(DedupOps.wordShingles(col("text"), 3), 16, portable = true),
+          DedupOps.minhashSignature(DedupOps.wordShingles(col("text"), 3), 16),
+          DedupOps.simhash(col("text"), 16, portable = true),
+          TextOps.fingerprint(col("text")),
+          TextOps.tokenCount(col("text")))
+          .write.format("noop").mode("overwrite").save()
+        TextOps.qualityScore(docs, "text")
+          .write.format("noop").mode("overwrite").save()
+        // jaccard path: shingle explode → two windows → self-join → agg
+        DedupOps.ngramJaccardPairs(docs, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+        docs.unpersist()
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
+        graft.similarity.SimilarityOps.bruteForceTopK(
+          emb.limit(4), emb, "vec_id", "vec_id", "embedding", k = 3)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
     } catch { case _: Throwable => }
     val mem = java.lang.management.ManagementFactory.getMemoryMXBean
     var gcForced = 0

@@ -199,7 +199,19 @@ object DedupOps {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5,
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 1000): DataFrame =
+    ngramJaccardPairsReleasable(df, idCol, textCol, shingleN, threshold, maxBucket)._1
+
+  /** [[ngramJaccardPairs]] plus a release thunk that unpersists the
+    * internal pruned-shingle cache. Compositions that fully consume the
+    * pairs midway (e.g. [[nearDupGroups]], whose connected-components
+    * step materializes them into its own persisted edge set) call it to
+    * stop the cache outliving its usefulness. Only call after an action
+    * has materialized every consumer of the pairs. */
+  private[graft] def ngramJaccardPairsReleasable(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxBucket: Int = 1000): (DataFrame, () => Unit) = {
     // Shuffle plan: window on __s (hot-shingle prune) → window on __id
     // (post-prune set sizes, so the denominator matches the pruned
     // universe) → self-join on __s → pair aggregation. The pruned+sized
@@ -223,13 +235,14 @@ object DedupOps {
     // exploded shingle so no join back to a per-doc size table is needed.
     val a = pruned.select(col("__s"), col("__id").as("id_a"), col("__n").as("__na"))
     val b = pruned.select(col("__s"), col("__id").as("id_b"), col("__n").as("__nb"))
-    a.join(b, Seq("__s"))
+    val pairs = a.join(b, Seq("__s"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "__na", "__nb").agg(count(lit(1)).as("__inter"))
       .select(col("id_a"), col("id_b"),
         (col("__inter").cast(DoubleType) /
           (col("__na") + col("__nb") - col("__inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    (pairs, () => { pruned.unpersist(); () })
   }
 
   /** Near-duplicate GROUP assignment for a whole corpus: candidate
@@ -246,21 +259,36 @@ object DedupOps {
     *
     * Scale shape: pair generation is the bucketed equi-join (never
     * all-pairs); the CC input is only the PAIR set (∝ duplicates, not
-    * corpus); the final assignment is one left join + one group-key
-    * window. At 100 TB the pair set is the small side by construction —
-    * near-dup pairs are rare relative to documents.
+    * corpus); the final assignment is ONE left join against the
+    * CC output — group sizes are aggregated from the pair-set-sized CC
+    * table (singletons are size 1 by definition), NOT from a group-key
+    * window over the corpus, which would add a full-corpus shuffle for
+    * information the small side already holds. AQE broadcasts the
+    * sized CC table when it fits. At 100 TB the pair set is the small
+    * side by construction — near-dup pairs are rare relative to
+    * documents.
     */
   def nearDupGroups(df: DataFrame, idCol: String, textCol: String,
                     shingleN: Int = 3, threshold: Double = 0.5,
                     maxBucket: Int = 1000): DataFrame = {
-    val pairs = ngramJaccardPairs(df, idCol, textCol, shingleN, threshold, maxBucket)
+    val (pairs, releasePairs) =
+      ngramJaccardPairsReleasable(df, idCol, textCol, shingleN, threshold, maxBucket)
+    // connectedComponents materializes the edge set into its own
+    // persisted frame (or a driver array) on entry, so the jaccard
+    // intermediate cache is dead weight the moment it returns
     val cc = graft.graph.GraphOps.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("node", "__ccn")
+    releasePairs()
+    // every CC node IS a doc id of df (pairs are emitted from df), so a
+    // component's size is its node count; docs absent from cc are
+    // singleton groups of size 1
+    val sized = cc.join(
+      cc.groupBy(col("component")).agg(count(lit(1)).as("__gsz")), Seq("component"))
     df.select(col(idCol))
-      .join(cc, col(idCol) === col("__ccn"), "left")
-      .select(col(idCol), coalesce(col("component"), col(idCol)).as("group_id"))
-      .withColumn("group_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("group_id")))
+      .join(sized, col(idCol) === col("__ccn"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("group_id"),
+        coalesce(col("__gsz"), lit(1L)).as("group_size"))
   }
 
   /** Global span-level exact dedup — remove REPEATED PASSAGES, not
@@ -284,38 +312,73 @@ object DedupOps {
     * `collect_list` — no plan fork, nothing persisted) → left join
     * back to ids. Span-content skew is self-limiting: a span repeated
     * a million times is exactly what the operator deletes, and AQE
-    * splits such buckets; at warehouse scale, dedup on a span HASH
-    * first if shuffling span text dominates.
+    * splits such buckets.
+    *
+    * `hashSpans = true` is the warehouse tier: the first-occurrence
+    * window shuffles `(id, idx, xxhash64(span))` — 8 bytes of key
+    * instead of the span text — and each document's surviving text is
+    * rebuilt from its original word array by the KEPT span indices, so
+    * span text never crosses a shuffle at all (it exists only inside
+    * narrow per-row projections). Output is identical to the text-keyed
+    * tier up to 64-bit hash collisions (~2⁻⁶⁴ per span pair; a
+    * collision conservatively DROPS a non-duplicate span).
     */
   def spanDedupGlobal(df: DataFrame, idCol: String, textCol: String,
-                      spanWords: Int = 20): DataFrame = {
+                      spanWords: Int = 20, hashSpans: Boolean = false): DataFrame = {
     require(spanWords > 0, "spanDedupGlobal: spanWords must be > 0")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__span")
-    val spans = df
+    val words = df
       .select(col(idCol).as("__id"), split(trim(lower(col(textCol))), "\\s+").as("__w"))
+    val spans = words
       .select(col("__id"), posexplode(graft.functions.Let.bind(col("__w")) { ws =>
         transform(sequence(lit(0), floor((size(ws) - 1) / lit(spanWords)).cast(IntegerType)),
           i => array_join(slice(ws, i * spanWords + 1, lit(spanWords)), " "))
       }).as(Seq("__idx", "__span")))
-    val agged = spans
-      .withColumn("__keep",
-        struct(col("__id"), col("__idx")) ===
-          min(struct(col("__id"), col("__idx"))).over(w))
-      .groupBy("__id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
-        // collect_list skips the nulls the when() leaves for dropped
-        // spans; sorting the (idx, span) structs restores document order
-        array_join(transform(
-          array_sort(collect_list(when(col("__keep"),
-            struct(col("__idx"), col("__span"))))),
-          s => s.getField("__span")), " ").as("text_clean"))
-    df.select(col(idCol))
-      .join(agged, col(idCol) === col("__id"), "left")
-      .select(col(idCol),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+    if (hashSpans) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+      // the projection drops span text BEFORE the exchange — only the
+      // 8-byte hash and the (id, idx) cursor cross the wire
+      val agged = spans
+        .select(col("__id"), col("__idx"), xxhash64(col("__span")).as("__h"))
+        .withColumn("__keep",
+          struct(col("__id"), col("__idx")) ===
+            min(struct(col("__id"), col("__idx"))).over(w))
+        .groupBy("__id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+          sort_array(collect_list(when(col("__keep"), col("__idx")))).as("__kept"))
+      // rebuild surviving text from the doc's own words by kept index —
+      // the same slice expression that built the spans, so the rebuilt
+      // text is bit-identical to the text-keyed tier's reassembly
+      words.join(agged, Seq("__id"), "left")
+        .select(col("__id").as(idCol),
+          coalesce(graft.functions.Let.bind(col("__w")) { ws =>
+            array_join(transform(col("__kept"),
+              i => array_join(slice(ws, i * spanWords + 1, lit(spanWords)), " ")), " ")
+          }, lit("")).as("text_clean"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("__span")
+      val agged = spans
+        .withColumn("__keep",
+          struct(col("__id"), col("__idx")) ===
+            min(struct(col("__id"), col("__idx"))).over(w))
+        .groupBy("__id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+          // collect_list skips the nulls the when() leaves for dropped
+          // spans; sorting the (idx, span) structs restores document order
+          array_join(transform(
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("__idx"), col("__span"))))),
+            s => s.getField("__span")), " ").as("text_clean"))
+      df.select(col(idCol))
+        .join(agged, col(idCol) === col("__id"), "left")
+        .select(col(idCol),
+          coalesce(col("text_clean"), lit("")).as("text_clean"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+    }
   }
 
   /** Benchmark decontamination check: for every corpus document, the

@@ -104,10 +104,14 @@ object GraphOps {
     var prev = checksum(cur)
     if (prev._1 <= localThreshold) {
       import spark.implicits._
+      System.err.println(
+        s"[graft.cc] tier=driver edges=${prev._1} (localThreshold=$localThreshold)")
       val local = cur.as[(Long, Long)].collect()
       cur.unpersist()
       return spark.createDataset(localComponents(local).toSeq).toDF("node", "component")
     }
+    System.err.println(
+      s"[graft.cc] tier=distributed edges=${prev._1} (localThreshold=$localThreshold)")
     var converged = false
     var i = 0
     while (i < maxIterations && !converged) {

@@ -255,6 +255,25 @@ object LlmQueries {
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
       |  FROM s) WHERE rank <= 5""".stripMargin
 
+  /** Multi-probe sign-LSH top-5 (bucket + hamming-1 neighborhood) —
+    * the oracle for the in-memory multi-probe scorer AND the written
+    * bucket-partitioned layout (build→append→probe is bucket-identical
+    * because the sign bucket is a pure function of (vector, nbits)).
+    */
+  private val duckLshProbeTopKSql =
+    s"""WITH e AS (SELECT vec_id, embedding,
+      |    CAST(list_sum([CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END for i in range(0, 8)]) AS BIGINT) AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv,
+      |        [bucket] || [xor(bucket, (1::BIGINT << i)) for i in range(0, 8)] AS probes
+      |      FROM e WHERE vec_id < 20),
+      |qp AS (SELECT query_id, qv, unnest(probes) AS bucket FROM q),
+      |s AS (SELECT query_id, e.vec_id AS corpus_id, ${duckCos("qv", "embedding")} AS cos
+      |      FROM e JOIN qp USING (bucket) WHERE e.vec_id <> query_id)
+      |SELECT query_id, corpus_id, cos, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+      |  FROM s) WHERE rank <= 5""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- token counting: whitespace + BPE-ish regex ----
@@ -464,22 +483,28 @@ object LlmQueries {
     //      hamming distance 1 (recall knob without touching the corpus
     //      side) — deterministic sign buckets make even the probe set
     //      oracle-expressible ----
-    Q("q_sim_topk_lsh_probe",
-      s"""WITH e AS (SELECT vec_id, embedding,
-        |    CAST(list_sum([CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END for i in range(0, 8)]) AS BIGINT) AS bucket
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, embedding AS qv,
-        |        [bucket] || [xor(bucket, (1::BIGINT << i)) for i in range(0, 8)] AS probes
-        |      FROM e WHERE vec_id < 20),
-        |qp AS (SELECT query_id, qv, unnest(probes) AS bucket FROM q),
-        |s AS (SELECT query_id, e.vec_id AS corpus_id, ${duckCos("qv", "embedding")} AS cos
-        |      FROM e JOIN qp USING (bucket) WHERE e.vec_id <> query_id)
-        |SELECT query_id, corpus_id, cos, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
-        |  FROM s) WHERE rank <= 5""".stripMargin) { (s, dir) =>
+    Q("q_sim_topk_lsh_probe", duckLshProbeTopKSql) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       SimilarityOps.lshTopK(
         e.where(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding",
+        k = 5, nbits = 8, multiProbe = true)
+        .select("query_id", "corpus_id", "cos", "rank")
+    },
+
+    // ---- materialized LSH layout, full lifecycle: BUILD the bucket-
+    //      partitioned corpus from the even vectors, APPEND the odd
+    //      ones (no fitted quantizer — the append invariant is just the
+    //      frozen nbits), multi-probe the written index. The in-memory
+    //      multi-probe oracle hash-checks build→append→prune→probe ----
+    Q("q_sim_topk_lsh_index", duckLshProbeTopKSql) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val idx = graft.util.Scratch.path("lsh_index", dir)
+      SimilarityOps.lshWriteIndex(e.where(col("vec_id") % 2 === 0),
+        idx, "vec_id", "embedding", nbits = 8)
+      SimilarityOps.lshAppendToIndex(e.where(col("vec_id") % 2 === 1),
+        idx, "vec_id", "embedding", nbits = 8)
+      SimilarityOps.lshProbeTopK(s, idx,
+        e.where(col("vec_id") < 20), "vec_id", "embedding",
         k = 5, nbits = 8, multiProbe = true)
         .select("query_id", "corpus_id", "cos", "rank")
     },

@@ -137,6 +137,59 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Materialize the LSH layout at rest: the corpus written PARTITIONED
+    * BY its sign bucket, the same at-rest shape as [[ivfWriteIndex]] —
+    * a probe of b buckets is a partition-pruned read of b/2^nbits of
+    * the index. Unlike IVF there is NO fitted quantizer to freeze:
+    * [[signBucket]] is a pure function of (vector, nbits), so the only
+    * append invariant is reusing the build-time `nbits`.
+    */
+  def lshWriteIndex(corpus: DataFrame, dir: String, cidCol: String, vecCol: String,
+                    nbits: Int = 8): Unit =
+    lshIndexRows(corpus, cidCol, vecCol, nbits)
+      .write.mode("overwrite").partitionBy("lsh_bucket").parquet(dir)
+
+  /** Incrementally append vectors to a written LSH layout — new rows
+    * land as new files under their bucket partitions only (untouched
+    * buckets see zero I/O). `nbits` MUST equal the build-time value:
+    * a different width re-buckets every vector and the index silently
+    * stops finding pre-append neighbors. Probe-after-append ≡ probe of
+    * a one-shot build over the unioned corpus (spec-proven).
+    */
+  def lshAppendToIndex(newRows: DataFrame, dir: String, cidCol: String, vecCol: String,
+                       nbits: Int): Unit =
+    lshIndexRows(newRows, cidCol, vecCol, nbits)
+      .write.mode("append").partitionBy("lsh_bucket").parquet(dir)
+
+  private def lshIndexRows(df: DataFrame, cidCol: String, vecCol: String,
+                           nbits: Int): DataFrame =
+    df.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
+      signBucket(col(vecCol), nbits).as("lsh_bucket"))
+
+  /** Probe a written LSH layout: bucket each query (plus its hamming-1
+    * neighborhood when `multiProbe`) and top-k score only the matching
+    * bucket partitions — the broadcast bucket join dynamic-partition-
+    * prunes the index scan exactly like [[ivfProbeTopK]].
+    */
+  def lshProbeTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   queries: DataFrame, qidCol: String, vecCol: String,
+                   k: Int, nbits: Int = 8, multiProbe: Boolean = false): DataFrame = {
+    val qBase = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+      l2NormF(col(vecCol)).as("__qn"), signBucket(col(vecCol), nbits).as("lsh_bucket"))
+    val q =
+      if (!multiProbe) qBase
+      else qBase.withColumn("lsh_bucket",
+        explode(array((col("lsh_bucket") +:
+          (0 until nbits).map(i => col("lsh_bucket").bitwiseXOR(lit(1L << i)))): _*)))
+    val index = spark.read.parquet(dir)
+    val scored = index.join(broadcast(q), Seq("lsh_bucket"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(dotF(col("__qv"), col("__cv")) / (col("__qn") * l2NormF(col("__cv"))), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
     * corpus vector to its nearest of `nLists` centroids (the "inverted
     * lists"); a query probes only its `nProbe` nearest lists and scores

@@ -97,6 +97,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(4L) == ("q r", 1L, 0L))
   }
 
+  test("spanDedupGlobal: hash tier ≡ text tier (fixture + real corpus)") {
+    // the hashSpans tier shuffles (id, idx, xxhash64(span)) instead of
+    // span text and rebuilds surviving text from the word arrays — the
+    // output must be row-identical to the text-keyed tier
+    val fixture = Seq(
+      (1L, "a b c d e f"), (2L, "a b c x y z"),
+      (3L, "x y z x y z"), (4L, "q r")
+    ).toDF("doc_id", "text")
+    for ((df, span) <- Seq(
+      (fixture, 3),
+      (Tables(spark, "/root/testdata/sf0.001", "documents"), 5))) {
+      val txt = DedupOps.spanDedupGlobal(df, "doc_id", "text", spanWords = span)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      val hsh = DedupOps.spanDedupGlobal(df, "doc_id", "text", spanWords = span,
+        hashSpans = true)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      assert(hsh.toSeq == txt.toSeq)
+    }
+  }
+
   test("nearDupGroups: transitive chain collapses to one group, singletons kept") {
     // sliding 12-word windows over one word stream: consecutive docs
     // share 8 of 10 shingles (J=0.667 ≥ 0.5) but docs two apart share

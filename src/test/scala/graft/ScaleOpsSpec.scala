@@ -181,6 +181,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(probe(inc) == probe(full))
   }
 
+  test("written LSH layout: probe == in-memory lshTopK; append == one-shot build; pruned scan") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id", "cos").collect().map(_.toString).sorted.toSeq
+    // one-shot build over the full corpus ≡ the in-memory bucket join
+    val full = java.nio.file.Files.createTempDirectory("graft_lsh_full").toString
+    SimilarityOps.lshWriteIndex(e, full, "vec_id", "embedding", nbits = 8)
+    val probedFull = SimilarityOps.lshProbeTopK(spark, full, q, "vec_id", "embedding",
+      k = 3, nbits = 8, multiProbe = true)
+    assert(rows(probedFull) ==
+      rows(SimilarityOps.lshTopK(q, e, "vec_id", "vec_id", "embedding",
+        k = 3, nbits = 8, multiProbe = true)))
+    // build evens + append odds ≡ the one-shot build (no quantizer to
+    // freeze — the sign bucket is a pure function of vector and nbits)
+    val inc = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
+    SimilarityOps.lshWriteIndex(e.where(col("vec_id") % 2 === 0), inc,
+      "vec_id", "embedding", nbits = 8)
+    SimilarityOps.lshAppendToIndex(e.where(col("vec_id") % 2 === 1), inc,
+      "vec_id", "embedding", nbits = 8)
+    assert(rows(SimilarityOps.lshProbeTopK(spark, inc, q, "vec_id", "embedding",
+      k = 3, nbits = 8, multiProbe = true)) == rows(probedFull))
+    // the bucket join key is a partition column → the scan must prune
+    val plan = probedFull.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"),
+      s"expected partition pruning in:\n${plan.take(2000)}")
+  }
+
   test("IVF-PQ append: appended index probes == one-shot full build") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 10)
