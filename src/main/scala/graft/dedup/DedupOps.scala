@@ -245,6 +245,79 @@ object DedupOps {
     (pairs, () => { pruned.unpersist(); () })
   }
 
+  /** Cross-corpus exact n-gram Jaccard pairs: candidates are (left,
+    * right) documents sharing ≥1 shingle — the two sides NEVER
+    * self-join, which is the whole point at scale (deduping a daily
+    * batch against a 100 TB corpus must not re-pair the corpus with
+    * itself). Same post-prune semantics as [[ngramJaccardPairs]]:
+    * shingles occurring in more than `maxBucket` documents ACROSS BOTH
+    * SIDES are dropped from the universe, and both denominators count
+    * post-prune shingles, so surviving pairs carry exact Jaccard over
+    * the informative shingles. Returns `(id_l, id_r, jaccard)`.
+    */
+  def crossNgramJaccardPairs(left: DataFrame, right: DataFrame,
+                             idCol: String, textCol: String,
+                             shingleN: Int = 3, threshold: Double = 0.5,
+                             maxBucket: Int = 1000): DataFrame = {
+    def side(df: DataFrame, tag: Int) = df
+      .select(col(idCol).as("__id"), wordShingles(col(textCol), shingleN).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .select(lit(tag).as("__side"), col("__id"), explode(col("__sh")).as("__s"))
+    // one union feeds both the hot-shingle prune (combined occurrence
+    // count — a shingle hot on either side is noise on both) and the
+    // per-doc post-prune sizes; persisted because the cross join forks it
+    val pruned = side(left, 0).unionByName(side(right, 1))
+      .withColumn("__bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__s")))
+      .where(col("__bn") <= maxBucket).drop("__bn")
+      .withColumn("__n",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__side", "__id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = pruned.where(col("__side") === 0)
+      .select(col("__s"), col("__id").as("id_l"), col("__n").as("__nl"))
+    val b = pruned.where(col("__side") === 1)
+      .select(col("__s"), col("__id").as("id_r"), col("__n").as("__nr"))
+    a.join(b, Seq("__s"))
+      .groupBy("id_l", "id_r", "__nl", "__nr").agg(count(lit(1)).as("__inter"))
+      .select(col("id_l"), col("id_r"),
+        (col("__inter").cast(DoubleType) /
+          (col("__nl") + col("__nr") - col("__inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Incremental-ingest dedup: drop from a NEW batch every document
+    * that duplicates the EXISTING corpus — exactly (content
+    * fingerprint anti-join) or nearly (cross-corpus Jaccard ≥
+    * `threshold`, [[crossNgramJaccardPairs]]). The daily-crawl
+    * operation every growing corpus needs: the history is never
+    * re-deduped, never self-joined, and never rewritten — the batch is
+    * filtered against it. Within-batch duplicates are NOT touched
+    * (compose with [[exactDedup]] / [[nearDupGroups]] on the batch
+    * first); keeping the two concerns separate keeps both oracles
+    * exact.
+    *
+    * Scale shape: fingerprint anti-join shuffles on the hash; the
+    * near-dup filter is the bucketed cross-corpus equi-join; the final
+    * anti-join removes flagged ids. History is read twice (fingerprint
+    * projection + shingle explode) — both narrow column-pruned scans,
+    * the unavoidable cost of consulting it.
+    */
+  def dedupAgainstHistory(batch: DataFrame, history: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleN: Int = 3, threshold: Double = 0.5,
+                          maxBucket: Int = 1000): DataFrame = {
+    val histFp = history
+      .select(TextOps.fingerprint(col(textCol)).as("__fp")).distinct()
+    val exactSurvivors = batch
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .join(histFp, Seq("__fp"), "left_anti").drop("__fp")
+    val nearIds = crossNgramJaccardPairs(exactSurvivors, history, idCol, textCol,
+      shingleN, threshold, maxBucket)
+      .select(col("id_l").as("__dup_id")).distinct()
+    exactSurvivors.join(nearIds, col(idCol) === col("__dup_id"), "left_anti")
+  }
+
   /** Near-duplicate GROUP assignment for a whole corpus: candidate
     * pairs from exact n-gram Jaccard ([[ngramJaccardPairs]]) are closed
     * transitively with distributed connected components
@@ -277,18 +350,8 @@ object DedupOps {
     // persisted frame (or a driver array) on entry, so the jaccard
     // intermediate cache is dead weight the moment it returns
     val cc = graft.graph.GraphOps.connectedComponents(pairs, "id_a", "id_b")
-      .withColumnRenamed("node", "__ccn")
     releasePairs()
-    // every CC node IS a doc id of df (pairs are emitted from df), so a
-    // component's size is its node count; docs absent from cc are
-    // singleton groups of size 1
-    val sized = cc.join(
-      cc.groupBy(col("component")).agg(count(lit(1)).as("__gsz")), Seq("component"))
-    df.select(col(idCol))
-      .join(sized, col(idCol) === col("__ccn"), "left")
-      .select(col(idCol),
-        coalesce(col("component"), col(idCol)).as("group_id"),
-        coalesce(col("__gsz"), lit(1L)).as("group_size"))
+    graft.graph.GraphOps.assignGroups(df, idCol, cc)
   }
 
   /** Global span-level exact dedup — remove REPEATED PASSAGES, not

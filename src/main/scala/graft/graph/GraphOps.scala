@@ -135,6 +135,27 @@ object GraphOps {
       .distinct()
   }
 
+  /** Join a [[connectedComponents]] output back onto a full id
+    * universe: every id gets `(id, group_id, group_size)` with
+    * `group_id` = its component's min id and ids absent from the CC
+    * output as singleton groups of size 1. Group sizes are aggregated
+    * from the pair-set-sized CC table and joined (AQE broadcasts it
+    * when small) — never a group-key window over the full universe,
+    * which would spend a corpus-wide shuffle on information the small
+    * side already holds. Keep-one-representative is then
+    * `where($"group_id" === $"<idCol>")`.
+    */
+  def assignGroups(ids: DataFrame, idCol: String, cc: DataFrame): DataFrame = {
+    val named = cc.withColumnRenamed("node", "__ccn")
+    val sized = named.join(
+      named.groupBy(col("component")).agg(count(lit(1)).as("__gsz")), Seq("component"))
+    ids.select(col(idCol))
+      .join(sized, col(idCol) === col("__ccn"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("group_id"),
+        coalesce(col("__gsz"), lit(1L)).as("group_size"))
+  }
+
   /** Driver union-find tier (min-rooted, path-compressing). `find` is
     * an iterative two-pass walk: the recursive form overflows the JVM
     * stack on a descending-ordered chain at the 100k-edge

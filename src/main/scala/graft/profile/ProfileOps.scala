@@ -1,0 +1,73 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Data-profiling operators: per-key skew profiles and per-column
+  * statistics. The operational counterpart of the engine's skew
+  * mitigations ([[graft.relational.RelationalOps.saltedJoin]], AQE skew
+  * splits): BEFORE a 100 TB join you profile the key, and the profile
+  * tells you whether salting is needed and at what factor. The
+  * reference has no profiling surface (its warehouse does it in SQL);
+  * this is part of the pipeline extension tier.
+  */
+object ProfileOps {
+
+  /** Heavy-hitter profile of a key column: the `topN` most frequent
+    * keys with absolute count, share of all rows, and skew factor
+    * (count ÷ mean-count-per-key; 1.0 = perfectly uniform). The row a
+    * planner reads before choosing a salting factor — a key with skew
+    * factor s needs ≈s salts to flatten.
+    *
+    * Scale shape: ONE shuffle (the groupBy); the top-N is a bounded
+    * TakeOrdered, never a full sort; totals are a one-row aggregate of
+    * the (distinct-key-sized) grouped frame joined back by literal
+    * cross join of one row. The grouped frame forks into totals and
+    * top-N, so it is persisted for the duration of the plan (the same
+    * contract as the dedup pair-finders).
+    */
+  def keyProfile(df: DataFrame, keyCol: String, topN: Int = 50): DataFrame = {
+    require(topN > 0, "keyProfile: topN must be > 0")
+    val grouped = df.groupBy(col(keyCol).cast(StringType).as("key"))
+      .agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = grouped.agg(
+      sum(col("n")).cast(DoubleType).as("__total"),
+      count(lit(1)).cast(DoubleType).as("__nkeys"))
+    grouped
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(topN)
+      .crossJoin(stats) // one row — a broadcast of two scalars
+      .select(col("key"), col("n"),
+        round(col("n").cast(DoubleType) / col("__total"), 6).as("share"),
+        round(col("n").cast(DoubleType) * col("__nkeys") / col("__total"), 6).as("skew"))
+  }
+
+  /** Per-column statistics for NUMERIC columns: row count, null count,
+    * exact distinct count, min and max (as doubles). One pass over the
+    * data — a single aggregation computes every column's stats (Spark
+    * plans multi-column `count_distinct` with an expand, ×cols rows
+    * shuffled; for quick looks at very wide tables, profile a column
+    * subset). Output one row per column, ordered by the input order.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile: need at least one column")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__rows_$c"),
+        (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
+        count_distinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast(DoubleType).as(s"__min_$c"),
+        max(col(c)).cast(DoubleType).as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single stats row into one row per column
+    val entries = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__rows_$c").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+}

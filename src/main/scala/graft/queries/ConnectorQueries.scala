@@ -27,6 +27,20 @@ object ConnectorQueries {
         StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))))
     },
 
+    // ---- JSON-lines write → schema-enforced read roundtrip
+    //      (§2.1/§2.9: the reference's list-of-dicts → S3 JSON path,
+    //      now oracle-gated end to end) ----
+    Q("q_jsonl_roundtrip",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
+      val path = graft.util.Scratch.path("jsonl_roundtrip", dir)
+      val nation = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      Writers.json(nation, path)
+      Readers.json(s, path, Some(StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))))
+    },
+
     // ---- JDBC write → read roundtrip on embedded Derby (§2.1) ----
     Q("q_jdbc_roundtrip",
       "SELECT r_regionkey, r_name FROM region") { (s, dir) =>
@@ -36,6 +50,32 @@ object ConnectorQueries {
       Jdbc.read(s, url, "SELECT * FROM GRAFT_REGION")
         .select(col("r_regionkey").cast(IntegerType).as("r_regionkey"),
           col("r_name").as("r_name"))
+    },
+
+    // ---- JDBC scalar fetch (§2.1 watermark reads): the driver-side
+    //      single-value contract, oracle-gated end to end ----
+    Q("q_jdbc_scalar",
+      "SELECT CAST(count(*) AS BIGINT) AS n_regions FROM region") { (s, dir) =>
+      val db = graft.util.Scratch.path("derby_scalar", dir)
+      val url = s"jdbc:derby:$db;create=true"
+      Jdbc.write(Tables(s, dir, "region"), url, "GRAFT_REGION_S")
+      val n = Jdbc.fetchScalar(s, url, "SELECT COUNT(*) AS N FROM GRAFT_REGION_S")
+        .map(_.toString.toLong).getOrElse(0L)
+      import s.implicits._
+      Seq(n).toDF("n_regions")
+    },
+
+    // ---- Excel write → first-sheet read roundtrip (§2.1/§2.9): the
+    //      styled-xlsx report sink and the foreign-sheet reader close
+    //      the loop without leaving the engine; cells come back as
+    //      strings, so the oracle casts ----
+    Q("q_excel_roundtrip",
+      """SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region""") { (s, dir) =>
+      val path = graft.util.Scratch.path("xlsx_roundtrip", dir) + "/region.xlsx"
+      new java.io.File(path).getParentFile.mkdirs()
+      graft.io.Excel.write(
+        Tables(s, dir, "region").select("r_regionkey", "r_name"), path)
+      graft.io.Excel.read(s, path)
     },
 
     // ---- API fan-out with param passthrough + error channel (§2.1/§2.11) ----

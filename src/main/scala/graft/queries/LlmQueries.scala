@@ -372,6 +372,90 @@ object LlmQueries {
         shingleN = 3, threshold = 0.5)
     },
 
+    // ---- incremental-ingest dedup: a new batch (doc_id ≥ 400) is
+    //      filtered against the existing corpus (doc_id < 400) —
+    //      exact fingerprint anti-join, then cross-corpus jaccard
+    //      (the history NEVER self-joins); survivors come back ----
+    Q("q_dedup_incremental",
+      s"""WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400),
+        |hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |hfp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |        FROM hist),
+        |ex AS (SELECT b.doc_id, b.text FROM batch b
+        |       WHERE md5(trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g')))
+        |             NOT IN (SELECT fp FROM hfp)),
+        |shl AS (SELECT 0 AS side, doc_id, unnest(s) AS s FROM (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM ex)
+        |  WHERE len(w) >= 3)),
+        |shr AS (SELECT 1 AS side, doc_id, unnest(s) AS s FROM (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM hist)
+        |  WHERE len(w) >= 3)),
+        |un AS (SELECT * FROM shl UNION ALL SELECT * FROM shr),
+        |keep AS (SELECT s FROM un GROUP BY s HAVING count(*) <= 1000),
+        |pr AS (SELECT side, doc_id, un.s AS s FROM un JOIN keep USING (s)),
+        |n AS (SELECT side, doc_id, count(*) AS n FROM pr GROUP BY 1, 2),
+        |pairs AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS inter
+        |          FROM pr a JOIN pr b ON a.s = b.s AND a.side = 0 AND b.side = 1
+        |          GROUP BY 1, 2),
+        |dups AS (SELECT DISTINCT id_l FROM pairs
+        |         JOIN n na ON na.side = 0 AND na.doc_id = pairs.id_l
+        |         JOIN n nb ON nb.side = 1 AND nb.doc_id = pairs.id_r
+        |         WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5)
+        |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id_l FROM dups)""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      DedupOps.dedupAgainstHistory(
+        docs.where(col("doc_id") >= 400), docs.where(col("doc_id") < 400),
+        "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .select("doc_id")
+    },
+
+    // ---- RAG chunking: 40-word chunks, 10-word overlap (stride 30);
+    //      a pure per-row explode — chunk text, ids, and tail sizes
+    //      all hash-checked ----
+    Q("q_chunk_docs",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        unnest(range(0, CAST(ceil(greatest(len(w) - 10, 1) / 30.0) AS BIGINT))) AS chunk_id
+        |      FROM t)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(w[chunk_id*30+1 : chunk_id*30+40], ' ') AS chunk_text,
+        |  CAST(least(40, len(w) - chunk_id*30) AS BIGINT) AS n_words
+        |FROM c""".stripMargin) { (s, dir) =>
+      TextOps.chunkDocuments(Tables(s, dir, "documents"), "doc_id", "text",
+        chunkWords = 40, overlapWords = 10)
+    },
+
+    // ---- key skew profile: the stats a planner reads before choosing
+    //      a salting factor — top keys, share, skew-vs-uniform ----
+    Q("q_key_profile",
+      """WITH g AS (SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS n
+        |           FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS nkeys FROM g)
+        |SELECT key, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / total, 6) AS share,
+        |  round(CAST(n AS DOUBLE) * nkeys / total, 6) AS skew
+        |FROM g, s ORDER BY n DESC, key LIMIT 50""".stripMargin) { (s, dir) =>
+      graft.profile.ProfileOps.keyProfile(Tables(s, dir, "orders"), "o_custkey", topN = 50)
+    },
+
+    // ---- per-column statistics in one pass: rows, nulls, exact
+    //      distincts, min/max over the lineitem measures ----
+    Q("q_column_profile", {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_value,
+           |  CAST(max($c) AS DOUBLE) AS max_value
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+    }) { (s, dir) =>
+      graft.profile.ProfileOps.columnProfile(Tables(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    },
+
     // ---- span-level exact dedup: repeated 5-word passages survive
     //      only at their first corpus occurrence; docs reassembled
     //      from surviving spans (windowed approximation of substring
@@ -518,6 +602,32 @@ object LlmQueries {
         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3""".stripMargin) { (s, dir) =>
       SimilarityOps.cosineNearDupPairs(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.3, nbits = 4)
+    },
+
+    // ---- SemDeDup-style semantic dedup: embedding near-dup pairs
+    //      closed transitively → (id, group_id, group_size) for every
+    //      vector; the oracle replays buckets, cosine gate, and the
+    //      closure as a recursive CTE ----
+    Q("q_semantic_dedup",
+      s"""WITH RECURSIVE e0 AS (SELECT vec_id, embedding,
+        |    CAST(list_sum([CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END for i in range(0, 4)]) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |jp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |       FROM e0 a JOIN e0 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |       WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3),
+        |e AS (SELECT id_a AS u, id_b AS v FROM jp UNION SELECT id_b, id_a FROM jp),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+        |cc AS (SELECT u, min(v) AS comp FROM reach GROUP BY u),
+        |asg AS (SELECT d.vec_id, COALESCE(cc.comp, d.vec_id) AS group_id
+        |        FROM embeddings d LEFT JOIN cc ON cc.u = d.vec_id)
+        |SELECT vec_id, group_id,
+        |  CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+        |FROM asg""".stripMargin) { (s, dir) =>
+      SimilarityOps.semanticDedupGroups(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.3, nbits = 4)
     },
 

@@ -714,6 +714,27 @@ object SimilarityOps {
     * thresholds almost surely share the bucket; lower `nbits` for
     * higher recall at lower thresholds.
     */
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * documents whose EMBEDDINGS nearly coincide are duplicates even
+    * when their text differs (paraphrases, translations, templated
+    * rewrites). Cosine near-dup pairs ([[cosineNearDupPairs]]) are
+    * closed transitively with distributed connected components, and
+    * every id gets `(id, group_id, group_size)` — keep-one is
+    * `group_id === id`, the same contract as
+    * [[graft.dedup.DedupOps.nearDupGroups]].
+    *
+    * Scale shape: candidates from the sign-bucket equi-join (never
+    * all-pairs), CC over the pair set only, singleton-free size join —
+    * every piece is the proven 100 TB shape of its family.
+    */
+  def semanticDedupGroups(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, nbits: Int = 4): DataFrame = {
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, nbits)
+    val cc = graft.graph.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+    graft.graph.GraphOps.assignGroups(df, idCol, cc)
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nbits: Int = 4): DataFrame = {
     val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),

@@ -227,6 +227,37 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("ngram").asc)
       .limit(k)
 
+  /** Cut documents into overlapping word-window chunks — the RAG /
+    * embedding-pipeline primitive (a retrieval index embeds bounded
+    * chunks, not whole documents). Chunk i covers words
+    * `[i·stride+1, i·stride+chunkWords]` with `stride = chunkWords −
+    * overlapWords`; generation stops once a chunk start would fall
+    * inside the previous chunk's overlap tail (`start ≥ nWords −
+    * overlap`), so every word is covered and no chunk is a strict
+    * suffix of its predecessor. Case is preserved (chunking feeds an
+    * embedder, not an identity check).
+    *
+    * Output: `(id, chunk_id, chunk_text, n_words)` — one row per chunk,
+    * ≥1 chunk per document. A pure per-row explode projection: no
+    * shuffle, no state, trivially parallel at any corpus size.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkWords: Int, overlapWords: Int = 0): DataFrame = {
+    require(chunkWords > 0 && overlapWords >= 0 && overlapWords < chunkWords,
+      s"chunkDocuments: need 0 <= overlapWords < chunkWords, got ($chunkWords, $overlapWords)")
+    val stride = chunkWords - overlapWords
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+      .select(col(idCol), posexplode(graft.functions.Let.bind(col("__w")) { ws =>
+        val nChunks = ceil(greatest(size(ws) - overlapWords, lit(1)).cast(DoubleType) / stride)
+          .cast(IntegerType)
+        transform(sequence(lit(0), nChunks - 1), i => struct(
+          array_join(slice(ws, i * stride + 1, lit(chunkWords)), " ").as("chunk_text"),
+          least(lit(chunkWords), size(ws) - i * stride).cast(LongType).as("n_words")))
+      }).as(Seq("chunk_id", "__c")))
+      .select(col(idCol), col("chunk_id").cast(LongType).as("chunk_id"),
+        col("__c.chunk_text").as("chunk_text"), col("__c.n_words").as("n_words"))
+  }
+
   /** Canonical text normalization for content identity: lowercase,
     * collapse whitespace runs, trim. */
   def normalize(text: Column): Column =

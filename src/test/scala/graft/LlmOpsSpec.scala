@@ -113,6 +113,82 @@ class LlmOpsSpec extends SparkSpec {
     (3L, Array(-1.0f, -0.01f, -0.01f)) // opposite of 0
   ).toDF("vec_id", "embedding")
 
+  test("chunkDocuments: coverage, overlap, tail sizing, single-chunk short docs") {
+    // 10 words, chunk 4, overlap 2 (stride 2): starts 0,2,4,6 — stop at
+    // start >= n - overlap = 8
+    val d = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkDocuments(d, "doc_id", "text", chunkWords = 4, overlapWords = 2)
+      .as[(Long, Long, String, Long)].collect().groupBy(_._1)
+    val c1 = got(1L).sortBy(_._2).map(r => (r._3, r._4))
+    assert(c1.toSeq == Seq(("w1 w2 w3 w4", 4L), ("w3 w4 w5 w6", 4L),
+      ("w5 w6 w7 w8", 4L), ("w7 w8 w9 w10", 4L)))
+    // every consecutive pair shares exactly the overlap
+    assert(c1.sliding(2).forall { case Array((a, _), (b, _)) =>
+      a.split(" ").takeRight(2).sameElements(b.split(" ").take(2)) })
+    assert(got(2L).toSeq.map(r => (r._3, r._4)) == Seq(("a b", 2L)))
+    assert(got(3L).toSeq.map(r => (r._3, r._4)) == Seq(("solo", 1L)))
+    // case preserved (chunking feeds an embedder, not an identity check)
+    val cased = TextOps.chunkDocuments(Seq((1L, "Foo BAR")).toDF("doc_id", "text"),
+      "doc_id", "text", chunkWords = 5).select("chunk_text").as[String].head()
+    assert(cased == "Foo BAR")
+  }
+
+  test("dedupAgainstHistory: exact and near dups vs history drop, batch-internal dups survive") {
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark engines shuffle data across the cluster boundary")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // exact dup of history 1
+      (11L, "the quick brown fox jumps over the lazy cat"),   // near dup of history 1
+      (12L, "an entirely new document about training corpora"),
+      (13L, "an entirely new document about training corpora"), // batch-internal dup: kept
+      (14L, "short")
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.dedupAgainstHistory(batch, history, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L, 14L))
+    // empty history keeps everything
+    assert(DedupOps.dedupAgainstHistory(batch, history.limit(0), "doc_id", "text")
+      .count() == 5)
+  }
+
+  test("keyProfile: counts, share, skew, deterministic tie-break; columnProfile stats") {
+    val d = Seq("a", "a", "a", "a", "b", "b", "c", "d").toDF("k")
+    val prof = graft.profile.ProfileOps.keyProfile(d, "k", topN = 3)
+      .as[(String, Long, Double, Double)].collect()
+    // 4 keys, 8 rows, mean 2/key: a → share .5, skew 2.0; b → .25, 1.0
+    assert(prof.toSeq == Seq(("a", 4L, 0.5, 2.0), ("b", 2L, 0.25, 1.0),
+      ("c", 1L, 0.125, 0.5)))
+    val cp = graft.profile.ProfileOps.columnProfile(
+      Seq((1.0, Some(10.0)), (2.0, None), (2.0, Some(30.0))).toDF("x", "y"),
+      Seq("x", "y"))
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(cp("x") == ((3L, 0L, 2L, 1.0, 2.0)))
+    assert(cp("y") == ((3L, 1L, 2L, 10.0, 30.0)))
+  }
+
+  test("semanticDedupGroups: bucketed cosine pairs close into groups, singletons kept") {
+    // 1 and 2 share sign bucket (both components positive) and cosine 1;
+    // 3's bucket differs (negative y), 4 is the opposite orthant — both
+    // must come back as singleton groups of size 1
+    val vecs = Seq(
+      (1L, Array(1.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.9f, 0.0f)),
+      (3L, Array(1.0f, -1.0f, 0.0f)),
+      (4L, Array(-1.0f, -1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.semanticDedupGroups(vecs, "vec_id", "embedding",
+      threshold = 0.8, nbits = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L), (4L, 4L, 1L)))
+    // keep-one-representative contract
+    assert(got.count { case (id, gid, _) => id == gid } == 3)
+  }
+
   test("cosine/dot/norm behave on near-axes") {
     val c = vecs.where(col("vec_id") === 0)
       .crossJoin(vecs.where(col("vec_id") === 2).select(col("embedding").as("e2")))
