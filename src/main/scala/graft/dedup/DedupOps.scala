@@ -152,7 +152,18 @@ object DedupOps {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 3, k: Int = 16, bands: Int = 8,
                           threshold: Double = 0.5, portable: Boolean = false,
-                          maxBucket: Int = 1000): DataFrame = {
+                          maxBucket: Int = 1000): DataFrame =
+    minhashNearDupPairsReleasable(df, idCol, textCol, shingleN, k, bands,
+      threshold, portable, maxBucket)._1
+
+  /** [[minhashNearDupPairs]] plus a release thunk for the internal
+    * signature cache (same contract as
+    * [[ngramJaccardPairsReleasable]]). */
+  private[graft] def minhashNearDupPairsReleasable(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5, portable: Boolean = false,
+      maxBucket: Int = 1000): (DataFrame, () => Unit) = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rowsPer = k / bands
     val sigs = df
@@ -178,7 +189,27 @@ object DedupOps {
                                  x.__sig AS sig_a, y.__sig AS sig_b))))""")).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         estJaccard(col("p.sig_a"), col("p.sig_b"), k).as("est_jaccard"))
-    pairs.distinct().where(col("est_jaccard") >= threshold)
+    (pairs.distinct().where(col("est_jaccard") >= threshold),
+      () => { sigs.unpersist(); () })
+  }
+
+  /** Transitive near-dup groups from MinHash+LSH pairs — the
+    * web-scale twin of [[nearDupGroups]]: the same pairs → connected
+    * components → `(id, group_id, group_size)` assembly, but candidate
+    * generation is the banded signature join (one (band, key) shuffle,
+    * estimated Jaccard) instead of the exact shingle join — at 100 TB
+    * the signature pipeline shuffles k longs per document where the
+    * exact path shuffles every shingle.
+    */
+  def minhashDupGroups(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, k: Int = 16, bands: Int = 8,
+                       threshold: Double = 0.5, portable: Boolean = false,
+                       maxBucket: Int = 1000): DataFrame = {
+    val (pairs, release) = minhashNearDupPairsReleasable(df, idCol, textCol,
+      shingleN, k, bands, threshold, portable, maxBucket)
+    val cc = graft.graph.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+    release()
+    graft.graph.GraphOps.assignGroups(df, idCol, cc)
   }
 
   // ---------------------------------------------------------------- jaccard

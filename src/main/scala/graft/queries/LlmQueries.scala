@@ -255,17 +255,46 @@ object LlmQueries {
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
       |  FROM s) WHERE rank <= 5""".stripMargin
 
+  /** MinHash signature → banded buckets → candidate pairs, the CTE
+    * chain shared by the pair query and the transitive-groups query.
+    * `cand` carries (id_a, id_b, sa, sb); [[duckMinhashEst]] is the
+    * estimated-Jaccard expression over those signatures.
+    */
+  private def duckMinhashCtes =
+    s"""sh AS (
+      |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents)
+      |  WHERE len(w) >= 3),
+      |hs AS (
+      |  SELECT doc_id, list_transform(s, x -> ${duckHash("x")} % 1000000007) AS h
+      |  FROM sh WHERE len(s) > 0),
+      |sig AS (
+      |  SELECT doc_id,
+      |    [list_min(list_transform(h, v -> ((2*j + 1) * v + j*j + 7) % 1000000007)) for j in range(0, $SIG_K)] AS sig
+      |  FROM hs),
+      |bands AS (
+      |  SELECT doc_id, sig, b, array_to_string(sig[2*b+1:2*b+2], ',') AS key
+      |  FROM sig, (SELECT unnest(range(0, $BANDS)) AS b)),
+      |bkt AS (SELECT b, key FROM bands GROUP BY b, key HAVING count(*) <= 1000),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+      |  JOIN bkt ON bkt.b = a.b AND bkt.key = a.key)""".stripMargin
+
+  private def duckMinhashEst =
+    s"list_sum([CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END for i in range(1, ${SIG_K + 1})]) / $SIG_K.0"
+
   /** Multi-probe sign-LSH top-5 (bucket + hamming-1 neighborhood) —
     * the oracle for the in-memory multi-probe scorer AND the written
     * bucket-partitioned layout (build→append→probe is bucket-identical
     * because the sign bucket is a pure function of (vector, nbits)).
     */
-  private val duckLshProbeTopKSql =
+  private def duckLshProbeTopKSql(nbits: Int) =
     s"""WITH e AS (SELECT vec_id, embedding,
-      |    CAST(list_sum([CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END for i in range(0, 8)]) AS BIGINT) AS bucket
+      |    CAST(list_sum([CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END for i in range(0, $nbits)]) AS BIGINT) AS bucket
       |  FROM embeddings),
       |q AS (SELECT vec_id AS query_id, embedding AS qv,
-      |        [bucket] || [xor(bucket, (1::BIGINT << i)) for i in range(0, 8)] AS probes
+      |        [bucket] || [xor(bucket, (1::BIGINT << i)) for i in range(0, $nbits)] AS probes
       |      FROM e WHERE vec_id < 20),
       |qp AS (SELECT query_id, qv, unnest(probes) AS bucket FROM q),
       |s AS (SELECT query_id, e.vec_id AS corpus_id, ${duckCos("qv", "embedding")} AS cos
@@ -487,30 +516,33 @@ object LlmQueries {
 
     // ---- MinHash + LSH banded near-dup pairs (portable hash tier) ----
     Q("q_dedup_minhash",
-      s"""WITH sh AS (
-        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents)
-        |  WHERE len(w) >= 3),
-        |hs AS (
-        |  SELECT doc_id, list_transform(s, x -> ${duckHash("x")} % 1000000007) AS h
-        |  FROM sh WHERE len(s) > 0),
-        |sig AS (
-        |  SELECT doc_id,
-        |    [list_min(list_transform(h, v -> ((2*j + 1) * v + j*j + 7) % 1000000007)) for j in range(0, $SIG_K)] AS sig
-        |  FROM hs),
-        |bands AS (
-        |  SELECT doc_id, sig, b, array_to_string(sig[2*b+1:2*b+2], ',') AS key
-        |  FROM sig, (SELECT unnest(range(0, $BANDS)) AS b)),
-        |bkt AS (SELECT b, key FROM bands GROUP BY b, key HAVING count(*) <= 1000),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
-        |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
-        |  JOIN bkt ON bkt.b = a.b AND bkt.key = a.key)
-        |SELECT id_a, id_b,
-        |  list_sum([CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END for i in range(1, ${SIG_K + 1})]) / $SIG_K.0 AS est_jaccard
+      s"""WITH $duckMinhashCtes
+        |SELECT id_a, id_b, $duckMinhashEst AS est_jaccard
         |FROM cand
-        |WHERE list_sum([CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END for i in range(1, ${SIG_K + 1})]) / $SIG_K.0 >= 0.4""".stripMargin) { (s, dir) =>
+        |WHERE $duckMinhashEst >= 0.4""".stripMargin) { (s, dir) =>
       DedupOps.minhashNearDupPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, k = SIG_K, bands = BANDS, threshold = 0.4,
+        portable = true)
+    },
+
+    // ---- transitive groups from the MinHash pairs: the web-scale
+    //      pair generator (banded signature join) composed with the
+    //      same CC closure as q_dedup_groups ----
+    Q("q_dedup_groups_minhash",
+      s"""WITH RECURSIVE $duckMinhashCtes,
+        |mh AS (SELECT id_a, id_b FROM cand WHERE $duckMinhashEst >= 0.4),
+        |e AS (SELECT id_a AS u, id_b AS v FROM mh UNION SELECT id_b, id_a FROM mh),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+        |cc AS (SELECT u, min(v) AS comp FROM reach GROUP BY u),
+        |asg AS (SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS group_id
+        |        FROM documents d LEFT JOIN cc ON cc.u = d.doc_id)
+        |SELECT doc_id, group_id,
+        |  CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+        |FROM asg""".stripMargin) { (s, dir) =>
+      DedupOps.minhashDupGroups(Tables(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, k = SIG_K, bands = BANDS, threshold = 0.4,
         portable = true)
     },
@@ -567,7 +599,7 @@ object LlmQueries {
     //      hamming distance 1 (recall knob without touching the corpus
     //      side) — deterministic sign buckets make even the probe set
     //      oracle-expressible ----
-    Q("q_sim_topk_lsh_probe", duckLshProbeTopKSql) { (s, dir) =>
+    Q("q_sim_topk_lsh_probe", duckLshProbeTopKSql(8)) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       SimilarityOps.lshTopK(
         e.where(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding",
@@ -579,17 +611,21 @@ object LlmQueries {
     //      partitioned corpus from the even vectors, APPEND the odd
     //      ones (no fitted quantizer — the append invariant is just the
     //      frozen nbits), multi-probe the written index. The in-memory
-    //      multi-probe oracle hash-checks build→append→prune→probe ----
-    Q("q_sim_topk_lsh_index", duckLshProbeTopKSql) { (s, dir) =>
+    //      multi-probe oracle hash-checks build→append→prune→probe.
+    //      nbits = 4 here (16 partitions): bucket count tracks file
+    //      count at rest, and a gate corpus of thousands of rows wants
+    //      16 real partitions, not 256 splinter files — at 100 TB the
+    //      same knob goes the other way ----
+    Q("q_sim_topk_lsh_index", duckLshProbeTopKSql(4)) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       val idx = graft.util.Scratch.path("lsh_index", dir)
       SimilarityOps.lshWriteIndex(e.where(col("vec_id") % 2 === 0),
-        idx, "vec_id", "embedding", nbits = 8)
+        idx, "vec_id", "embedding", nbits = 4)
       SimilarityOps.lshAppendToIndex(e.where(col("vec_id") % 2 === 1),
-        idx, "vec_id", "embedding", nbits = 8)
+        idx, "vec_id", "embedding", nbits = 4)
       SimilarityOps.lshProbeTopK(s, idx,
         e.where(col("vec_id") < 20), "vec_id", "embedding",
-        k = 5, nbits = 8, multiProbe = true)
+        k = 5, nbits = 4, multiProbe = true)
         .select("query_id", "corpus_id", "cos", "rank")
     },
 

@@ -171,6 +171,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(cp("y") == ((3L, 1L, 2L, 10.0, 30.0)))
   }
 
+  test("minhashDupGroups: identical docs group via banded signatures, disjoint docs stay singleton") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),   // exact dup of 1
+      (3L, "one two three four five six seven eight"),
+      (4L, "red green blue yellow purple orange pink white")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.minhashDupGroups(corpus, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L), (4L, 4L, 1L)))
+  }
+
   test("semanticDedupGroups: bucketed cosine pairs close into groups, singletons kept") {
     // 1 and 2 share sign bucket (both components positive) and cosine 1;
     // 3's bucket differs (negative y), 4 is the opposite orthant — both
