@@ -172,4 +172,34 @@ class PropertySpec extends SparkSpec {
       labels.length == ids.distinct.length && labels.forall(Set("a", "b", "c"))
     }, n = 10)
   }
+
+  test("chunkDocuments reconstructs the document: head chunk + each tail chunk's non-overlap suffix") {
+    // the stop rule (no chunk starts inside the previous overlap tail)
+    // guarantees every tail chunk is LONGER than the overlap, so
+    // dropping the first `overlap` words of chunks 1..n and
+    // concatenating yields exactly the original word sequence
+    val docGen = for {
+      n <- Gen.choose(1, 60)
+      ws <- Gen.listOfN(n, Gen.choose(0, 9).map(d => s"t$d"))
+    } yield ws.mkString(" ")
+    val cfgGen = for {
+      cw <- Gen.choose(2, 12)
+      ov <- Gen.choose(0, cw - 1)
+    } yield (cw, ov)
+    check("chunk-reconstruct", Prop.forAll(Gen.listOfN(5, docGen), cfgGen) {
+      case (docs, (cw, ov)) =>
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        val chunks = graft.text.TextOps.chunkDocuments(df, "id", "text", cw, ov)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+          .groupBy(_._1)
+        docs.zipWithIndex.forall { case (t, i) =>
+          val cs = chunks(i.toLong).sortBy(_._2)
+          val rebuilt = cs.head._3.split(" ").toSeq ++
+            cs.tail.toSeq.flatMap(c => c._3.split(" ").drop(ov).toSeq)
+          rebuilt == t.split("\\s+").toSeq &&
+            cs.forall(c => c._4 == c._3.split(" ").length) &&
+            cs.tail.forall(c => c._4 > ov)
+        }
+    }, n = 15)
+  }
 }

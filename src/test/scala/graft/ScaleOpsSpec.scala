@@ -332,6 +332,24 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("plan shapes: chunking is shuffle-free, key profile is a bounded TakeOrdered") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    // chunking must stay a narrow per-row explode — ANY Exchange means
+    // the operator stopped being embarrassingly parallel
+    val chunkPlan = graft.text.TextOps.chunkDocuments(docs, "doc_id", "text", 40, 10)
+      .queryExecution.executedPlan.toString()
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunkDocuments must not shuffle:\n${chunkPlan.take(1500)}")
+    // keyProfile's top-N must be a TakeOrdered (bounded heap), never a
+    // full global Sort of the grouped frame
+    val profPlan = graft.profile.ProfileOps.keyProfile(
+      Tables(spark, "/root/testdata/sf0.001", "orders"), "o_custkey", 50)
+      .queryExecution.executedPlan.toString()
+    assert(profPlan.contains("TakeOrdered"),
+      s"keyProfile top-N must be TakeOrdered:\n${profPlan.take(1500)}")
+    spark.catalog.clearCache()
+  }
+
   test("fused quantizer kernels == composable argmin forms, bit-identical") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = SimilarityOps.ivfCentroids(e, "embedding", 8)
