@@ -290,14 +290,26 @@ object DedupOps {
                              idCol: String, textCol: String,
                              shingleN: Int = 3, threshold: Double = 0.5,
                              maxBucket: Int = 1000): DataFrame = {
-    def side(df: DataFrame, tag: Int) = df
+    def side(df: DataFrame) = df
       .select(col(idCol).as("__id"), wordShingles(col(textCol), shingleN).as("__sh"))
       .where(size(col("__sh")) > 0)
-      .select(lit(tag).as("__side"), col("__id"), explode(col("__sh")).as("__s"))
+      .select(col("__id"), explode(col("__sh")).as("__s"))
+    crossJaccardFromExploded(side(left), side(right), threshold, maxBucket)
+  }
+
+  /** Cross-corpus Jaccard over ALREADY-EXPLODED `(__id, __s)` shingle
+    * frames — `__s` may be shingle text or an injective hash of it
+    * (the at-rest index stores 8-byte hashes; jaccard over hashes
+    * equals jaccard over shingles up to hash collisions). Shared by
+    * [[crossNgramJaccardPairs]] and [[dedupAgainstIndex]].
+    */
+  private def crossJaccardFromExploded(left: DataFrame, right: DataFrame,
+                                       threshold: Double, maxBucket: Int): DataFrame = {
     // one union feeds both the hot-shingle prune (combined occurrence
     // count — a shingle hot on either side is noise on both) and the
     // per-doc post-prune sizes; persisted because the cross join forks it
-    val pruned = side(left, 0).unionByName(side(right, 1))
+    val pruned = left.select(lit(0).as("__side"), col("__id"), col("__s"))
+      .unionByName(right.select(lit(1).as("__side"), col("__id"), col("__s")))
       .withColumn("__bn",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__s")))
       .where(col("__bn") <= maxBucket).drop("__bn")
@@ -345,6 +357,80 @@ object DedupOps {
       .join(histFp, Seq("__fp"), "left_anti").drop("__fp")
     val nearIds = crossNgramJaccardPairs(exactSurvivors, history, idCol, textCol,
       shingleN, threshold, maxBucket)
+      .select(col("id_l").as("__dup_id")).distinct()
+    exactSurvivors.join(nearIds, col(idCol) === col("__dup_id"), "left_anti")
+  }
+
+  // ------------------------------------------------- at-rest dedup index
+
+  private def fingerprintRows(df: DataFrame, textCol: String): DataFrame =
+    df.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+
+  private def hashedShingleRows(df: DataFrame, idCol: String, textCol: String,
+                                shingleN: Int, portable: Boolean): DataFrame =
+    df.select(col(idCol).as("doc_id"), wordShingles(col(textCol), shingleN).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .select(col("doc_id"), explode(col("__sh")).as("__s"))
+      .select(col("doc_id"), baseHash(portable)(col("__s")).as("sh"))
+
+  /** Materialize the dedup-history index at rest: `dir/fp` holds the
+    * corpus's distinct content fingerprints, `dir/sh` its exploded
+    * HASHED shingles `(doc_id, sh)` — 8 bytes per shingle instead of
+    * the text, so the daily [[dedupAgainstIndex]] never re-shingles or
+    * re-reads the 100 TB corpus text: consulting history becomes two
+    * column-pruned scans of compact artifacts. The hash tier (`portable`
+    * for the oracle-checkable md5 family, xxhash64 otherwise) is an
+    * append invariant, like the IVF index's frozen centroids.
+    */
+  def writeDedupIndex(corpus: DataFrame, dir: String, idCol: String, textCol: String,
+                      shingleN: Int = 3, portable: Boolean = false): Unit = {
+    fingerprintRows(corpus, textCol).write.mode("overwrite").parquet(s"$dir/fp")
+    hashedShingleRows(corpus, idCol, textCol, shingleN, portable)
+      .write.mode("overwrite").parquet(s"$dir/sh")
+  }
+
+  /** Append a day's SURVIVING batch to the index — the steady-state
+    * loop is `dedupAgainstIndex(batch) → append(survivors)`; the
+    * index only ever grows by deduplicated content. Same `shingleN` /
+    * `portable` as the build, or the shingle universes diverge.
+    *
+    * `newRows` is typically [[dedupAgainstIndex]]'s output, whose
+    * LINEAGE READS THIS INDEX — and the append mutates it between the
+    * two writes. Without materialization the second write would
+    * re-evaluate the survivors against the half-mutated index (their
+    * own fingerprints now present) and silently append an EMPTY
+    * shingle set. `localCheckpoint(eager)` freezes the survivor set
+    * first; a lost block fails the job rather than recomputing against
+    * mutated state.
+    */
+  def appendToDedupIndex(newRows: DataFrame, dir: String, idCol: String, textCol: String,
+                         shingleN: Int = 3, portable: Boolean = false): Unit = {
+    val frozen = newRows.localCheckpoint(true)
+    fingerprintRows(frozen, textCol).write.mode("append").parquet(s"$dir/fp")
+    hashedShingleRows(frozen, idCol, textCol, shingleN, portable)
+      .write.mode("append").parquet(s"$dir/sh")
+  }
+
+  /** [[dedupAgainstHistory]] against the MATERIALIZED index instead of
+    * the corpus: identical semantics (exact fingerprint anti-join +
+    * cross-corpus post-prune Jaccard, up to shingle-hash collisions)
+    * with history-side cost reduced from two text scans to two compact
+    * index scans. Spec-proven equal to the direct path.
+    */
+  def dedupAgainstIndex(batch: DataFrame, dir: String, idCol: String, textCol: String,
+                        shingleN: Int = 3, threshold: Double = 0.5,
+                        maxBucket: Int = 1000, portable: Boolean = false): DataFrame = {
+    val spark = batch.sparkSession
+    val histFp = spark.read.parquet(s"$dir/fp").distinct() // append can re-add fps
+    val exactSurvivors = batch
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .join(histFp.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
+      .drop("__fp")
+    val batchSh = hashedShingleRows(exactSurvivors, idCol, textCol, shingleN, portable)
+      .select(col("doc_id").as("__id"), col("sh").as("__s"))
+    val histSh = spark.read.parquet(s"$dir/sh")
+      .select(col("doc_id").as("__id"), col("sh").as("__s"))
+    val nearIds = crossJaccardFromExploded(batchSh, histSh, threshold, maxBucket)
       .select(col("id_l").as("__dup_id")).distinct()
     exactSurvivors.join(nearIds, col(idCol) === col("__dup_id"), "left_anti")
   }

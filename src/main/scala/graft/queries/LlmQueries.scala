@@ -255,6 +255,40 @@ object LlmQueries {
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
       |  FROM s) WHERE rank <= 5""".stripMargin
 
+  /** Cross-corpus dedup survivor chain, CTE-name-prefixed so two
+    * "days" compose in one oracle (the index-lifecycle query): batch
+    * rows surviving the exact fingerprint filter AND the cross-corpus
+    * post-prune jaccard against `histRel`. Ends in `<p>surv(doc_id,
+    * text)`. `batchRel`/`histRel` are parenthesized relations.
+    */
+  private def duckSurvivorCtes(p: String, batchRel: String, histRel: String,
+                               threshold: Double, maxBucket: Int = 1000) =
+    s"""${p}hfp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      |        FROM $histRel),
+      |${p}ex AS (SELECT b.doc_id, b.text FROM $batchRel b
+      |       WHERE md5(trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g')))
+      |             NOT IN (SELECT fp FROM ${p}hfp)),
+      |${p}shl AS (SELECT 0 AS side, doc_id, unnest(s) AS s FROM (
+      |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM ${p}ex)
+      |  WHERE len(w) >= 3)),
+      |${p}shr AS (SELECT 1 AS side, doc_id, unnest(s) AS s FROM (
+      |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM $histRel)
+      |  WHERE len(w) >= 3)),
+      |${p}un AS (SELECT * FROM ${p}shl UNION ALL SELECT * FROM ${p}shr),
+      |${p}keep AS (SELECT s FROM ${p}un GROUP BY s HAVING count(*) <= $maxBucket),
+      |${p}pr AS (SELECT side, doc_id, ${p}un.s AS s FROM ${p}un JOIN ${p}keep USING (s)),
+      |${p}cnt AS (SELECT side, doc_id, count(*) AS n FROM ${p}pr GROUP BY 1, 2),
+      |${p}pairs AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS inter
+      |          FROM ${p}pr a JOIN ${p}pr b ON a.s = b.s AND a.side = 0 AND b.side = 1
+      |          GROUP BY 1, 2),
+      |${p}dups AS (SELECT DISTINCT id_l FROM ${p}pairs
+      |         JOIN ${p}cnt na ON na.side = 0 AND na.doc_id = ${p}pairs.id_l
+      |         JOIN ${p}cnt nb ON nb.side = 1 AND nb.doc_id = ${p}pairs.id_r
+      |         WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $threshold),
+      |${p}surv AS (SELECT doc_id, text FROM ${p}ex WHERE doc_id NOT IN (SELECT id_l FROM ${p}dups))""".stripMargin
+
   /** MinHash signature → banded buckets → candidate pairs, the CTE
     * chain shared by the pair query and the transitive-groups query.
     * `cand` carries (id_a, id_b, sa, sb); [[duckMinhashEst]] is the
@@ -406,37 +440,41 @@ object LlmQueries {
     //      exact fingerprint anti-join, then cross-corpus jaccard
     //      (the history NEVER self-joins); survivors come back ----
     Q("q_dedup_incremental",
-      s"""WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400),
-        |hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
-        |hfp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-        |        FROM hist),
-        |ex AS (SELECT b.doc_id, b.text FROM batch b
-        |       WHERE md5(trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g')))
-        |             NOT IN (SELECT fp FROM hfp)),
-        |shl AS (SELECT 0 AS side, doc_id, unnest(s) AS s FROM (
-        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM ex)
-        |  WHERE len(w) >= 3)),
-        |shr AS (SELECT 1 AS side, doc_id, unnest(s) AS s FROM (
-        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM hist)
-        |  WHERE len(w) >= 3)),
-        |un AS (SELECT * FROM shl UNION ALL SELECT * FROM shr),
-        |keep AS (SELECT s FROM un GROUP BY s HAVING count(*) <= 1000),
-        |pr AS (SELECT side, doc_id, un.s AS s FROM un JOIN keep USING (s)),
-        |n AS (SELECT side, doc_id, count(*) AS n FROM pr GROUP BY 1, 2),
-        |pairs AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS inter
-        |          FROM pr a JOIN pr b ON a.s = b.s AND a.side = 0 AND b.side = 1
-        |          GROUP BY 1, 2),
-        |dups AS (SELECT DISTINCT id_l FROM pairs
-        |         JOIN n na ON na.side = 0 AND na.doc_id = pairs.id_l
-        |         JOIN n nb ON nb.side = 1 AND nb.doc_id = pairs.id_r
-        |         WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5)
-        |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id_l FROM dups)""".stripMargin) { (s, dir) =>
+      s"""WITH ${duckSurvivorCtes("i",
+           "(SELECT doc_id, text FROM documents WHERE doc_id >= 400)",
+           "(SELECT doc_id, text FROM documents WHERE doc_id < 400)", 0.5)}
+        |SELECT doc_id FROM isurv""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents").select("doc_id", "text")
       DedupOps.dedupAgainstHistory(
         docs.where(col("doc_id") >= 400), docs.where(col("doc_id") < 400),
         "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .select("doc_id")
+    },
+
+    // ---- at-rest dedup-index lifecycle: BUILD the fingerprint +
+    //      hashed-shingle index from the oldest tranche, dedup day-1's
+    //      batch against it, APPEND the survivors, dedup day-2's batch
+    //      against the grown index — day-2's survivors are the gate.
+    //      The oracle replays both days against the cumulative text ----
+    Q("q_dedup_index_lifecycle",
+      s"""WITH ${duckSurvivorCtes("a",
+           "(SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 400)",
+           "(SELECT doc_id, text FROM documents WHERE doc_id < 300)", 0.5)},
+        |${duckSurvivorCtes("b",
+           "(SELECT doc_id, text FROM documents WHERE doc_id >= 400)",
+           "(SELECT doc_id, text FROM documents WHERE doc_id < 300 UNION ALL SELECT doc_id, text FROM asurv)",
+           0.5)}
+        |SELECT doc_id FROM bsurv""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val idx = graft.util.Scratch.path("dedup_index", dir)
+      DedupOps.writeDedupIndex(docs.where(col("doc_id") < 300), idx,
+        "doc_id", "text", portable = true)
+      val day1 = DedupOps.dedupAgainstIndex(
+        docs.where(col("doc_id") >= 300 && col("doc_id") < 400), idx,
+        "doc_id", "text", threshold = 0.5, portable = true)
+      DedupOps.appendToDedupIndex(day1, idx, "doc_id", "text", portable = true)
+      DedupOps.dedupAgainstIndex(docs.where(col("doc_id") >= 400), idx,
+        "doc_id", "text", threshold = 0.5, portable = true)
         .select("doc_id")
     },
 

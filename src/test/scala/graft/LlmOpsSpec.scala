@@ -171,6 +171,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(cp("y") == ((3L, 1L, 2L, 10.0, 30.0)))
   }
 
+  test("dedupAgainstIndex ≡ dedupAgainstHistory; appended index ≡ cumulative history") {
+    val all = Tables(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    val hist = all.where(col("doc_id") < 30)
+    val day1 = all.where(col("doc_id") >= 30 && col("doc_id") < 40)
+    val day2 = all.where(col("doc_id") >= 40)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    DedupOps.writeDedupIndex(hist, idx, "doc_id", "text")
+    // same-day parity: materialized index ≡ direct text path
+    val s1Idx = DedupOps.dedupAgainstIndex(day1, idx, "doc_id", "text")
+    val s1Direct = DedupOps.dedupAgainstHistory(day1, hist, "doc_id", "text")
+    assert(ids(s1Idx) == ids(s1Direct))
+    // append day-1 survivors (whose lineage READS this index — the
+    // regression was the second append write re-evaluating them against
+    // the half-mutated index and appending zero shingles), then day-2
+    // must equal a direct dedup against the cumulative history
+    DedupOps.appendToDedupIndex(s1Idx, idx, "doc_id", "text")
+    val s2Idx = DedupOps.dedupAgainstIndex(day2, idx, "doc_id", "text")
+    val s2Direct = DedupOps.dedupAgainstHistory(day2, hist.unionByName(s1Direct),
+      "doc_id", "text")
+    assert(ids(s2Idx) == ids(s2Direct))
+    // the index grew: appended shingle rows exist for day-1 survivors
+    val shDocs = spark.read.parquet(s"$idx/sh").select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(ids(s1Idx).toSet.subsetOf(shDocs))
+  }
+
   test("minhashDupGroups: identical docs group via banded signatures, disjoint docs stay singleton") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
