@@ -626,4 +626,46 @@ object DedupOps {
 
   /** Hamming distance between two simhash values. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs via bit-banding: signatures within
+    * `maxHamming` differing bits agree EXACTLY on at least one of
+    * `bands` bit-slices whenever `bands > maxHamming` (pigeonhole), so
+    * candidates meet in a (band, slice) equi-join — one shuffle, never
+    * all-pairs — and the exact hamming filter keeps true near-dups.
+    * The cheapest pair tier: 8 bytes of signature per document and
+    * integer-only comparison, for when even MinHash signatures are too
+    * wide to shuffle. Returns `(id_a, id_b, hamming)`, id_a < id_b.
+    *
+    * @param maxBucket drop (band, slice) buckets larger than this —
+    *   the usual hot-bucket guard (a band value shared by that many
+    *   docs carries no near-dup signal).
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          bits: Int = 32, maxHamming: Int = 3, bands: Int = 4,
+                          portable: Boolean = false,
+                          maxBucket: Int = 10000): DataFrame = {
+    require(bands > maxHamming,
+      s"simhashNearDupPairs: need bands ($bands) > maxHamming ($maxHamming) for the pigeonhole guarantee")
+    require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sigs = df.select(col(idCol).as("__id"),
+      simhash(col(textCol), bits, portable).as("__sig"))
+    val banded = sigs.select(col("__id"), col("__sig"),
+      posexplode(array((0 until bands).map(b =>
+        call_function("shiftright", col("__sig"), lit(b * width)).bitwiseAND(lit(mask))): _*))
+        .as(Seq("__band", "__key")))
+    val grouped = banded.groupBy("__band", "__key")
+      .agg(sort_array(collect_list(struct(col("__id"), col("__sig")))).as("__m"))
+      .where(size(col("__m")) >= 2 && size(col("__m")) <= maxBucket)
+    grouped.select(explode(expr(
+      """flatten(transform(__m, (x, i) ->
+           transform(slice(__m, i + 2, size(__m)),
+                     y -> struct(x.__id AS id_a, y.__id AS id_b,
+                                 x.__sig AS sig_a, y.__sig AS sig_b))))""")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        hammingDistance(col("p.sig_a"), col("p.sig_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -255,6 +255,19 @@ object LlmQueries {
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
       |  FROM s) WHERE rank <= 5""".stripMargin
 
+  /** 16-bit portable-tier SimHash signatures, ending in
+    * `sg(doc_id, simhash)` — shared by the signature query and the
+    * banded pair query. */
+  private def duckSimhashCtes(bits: Int = 16) =
+    s"""tok AS (SELECT doc_id, unnest($duckWords) AS t FROM documents),
+      |th AS (SELECT doc_id, ${duckHash("t")} AS h FROM tok),
+      |votes AS (
+      |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, (SELECT unnest(range(0, $bits)) AS b) GROUP BY 1, 2),
+      |sg AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM votes GROUP BY doc_id)""".stripMargin
+
   /** Cross-corpus dedup survivor chain, CTE-name-prefixed so two
     * "days" compose in one oracle (the index-lifecycle query): batch
     * rows surviving the exact fingerprint filter AND the cross-corpus
@@ -587,17 +600,30 @@ object LlmQueries {
 
     // ---- SimHash document signatures (portable hash tier) ----
     Q("q_dedup_simhash",
-      s"""WITH tok AS (SELECT doc_id, unnest($duckWords) AS t FROM documents),
-        |th AS (SELECT doc_id, ${duckHash("t")} AS h FROM tok),
-        |votes AS (
-        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM th, (SELECT unnest(range(0, 16)) AS b) GROUP BY 1, 2)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM votes GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      s"""WITH ${duckSimhashCtes()}
+        |SELECT doc_id, simhash FROM sg""".stripMargin) { (s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"),
         DedupOps.simhash(col("text"), bits = 16, portable = true).as("simhash"))
+    },
+
+    // ---- SimHash near-dup pairs via bit-banding (pigeonhole: ≤3
+    //      differing bits with 4 bands ⇒ one band matches exactly) —
+    //      the cheapest pair tier, 8 bytes per doc on the shuffle ----
+    Q("q_dedup_simhash_pairs",
+      s"""WITH ${duckSimhashCtes(32)},
+        |bd AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS key
+        |       FROM sg, (SELECT unnest(range(0, 4)) AS b)),
+        |bkt AS (SELECT b, key FROM bd GROUP BY b, key HAVING count(*) <= 10000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |           a.simhash AS sa, b.simhash AS sb
+        |         FROM bd a JOIN bd b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        |         JOIN bkt ON bkt.b = a.b AND bkt.key = a.key)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin) { (s, dir) =>
+      DedupOps.simhashNearDupPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        bits = 32, maxHamming = 3, bands = 4, portable = true)
+        .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
     },
 
     // ---- embedding norms ----

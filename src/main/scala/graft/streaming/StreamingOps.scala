@@ -111,6 +111,39 @@ object StreamingOps {
       tsCol, Seq("__fp"), lateness)
       .drop("__fp")
 
+  /** The streaming steady-state of incremental corpus dedup: each
+    * micro-batch is deduplicated against the AT-REST index
+    * ([[graft.dedup.DedupOps.dedupAgainstIndex]] — exact fingerprints +
+    * cross-corpus jaccard, history never self-joins), survivors are
+    * written to `outDir` and APPENDED to the index, so later batches
+    * dedup against everything earlier ones kept. State lives entirely
+    * in the index artifacts — nothing unbounded in stream state, and a
+    * restart resumes against the exact on-disk history (foreachBatch
+    * re-delivery of a committed batch re-drops its rows via the very
+    * fingerprints it appended: idempotent by construction).
+    *
+    * Returns the started query; the caller owns termination.
+    */
+  def indexedDedupStream(docs: DataFrame, indexDir: String, outDir: String,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, threshold: Double = 0.5,
+                         maxBucket: Int = 1000, portable: Boolean = false,
+                         checkpointDir: Option[String] = None)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val survivors = graft.dedup.DedupOps.dedupAgainstIndex(
+          batch, indexDir, idCol, textCol, shingleN, threshold, maxBucket, portable)
+          .localCheckpoint(true) // freeze ONCE: consumed by sink + index append
+        survivors.write.mode("append").parquet(outDir)
+        graft.dedup.DedupOps.appendToDedupIndex(
+          survivors, indexDir, idCol, textCol, shingleN, portable)
+        ()
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, sum: Double, start: Long, last: Long)
   final case class SessionOut(user_id: Long, n_events: Long, sum_value: Double,

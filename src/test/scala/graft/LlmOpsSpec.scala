@@ -85,6 +85,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
   }
 
+  test("simhashNearDupPairs: banded candidates ≡ brute-force hamming filter (pigeonhole)") {
+    val sigs = docs.select(col("doc_id"),
+      DedupOps.simhash(col("text"), bits = 16).as("s"))
+      .as[(Long, Long)].collect().toSeq
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    val got = DedupOps.simhashNearDupPairs(docs, "doc_id", "text",
+      bits = 16, maxHamming = 3, bands = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.exists { case (a, b, h) => a == 1L && b == 4L && h == 0L },
+      "exact dup pair must appear at hamming 0")
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashNearDupPairs(docs, "doc_id", "text", bands = 3, maxHamming = 3)
+    }
+  }
+
   test("hammingDistance column matches bitCount") {
     val d = Seq((0xFFL, 0x0FL)).toDF("a", "b")
       .select(DedupOps.hammingDistance(col("a"), col("b"))).as[Int].head()
@@ -197,6 +216,12 @@ class LlmOpsSpec extends SparkSpec {
     val shDocs = spark.read.parquet(s"$idx/sh").select("doc_id").distinct()
       .as[Long].collect().toSet
     assert(ids(s1Idx).toSet.subsetOf(shDocs))
+    // index maintenance: after appends splinter the shingle table,
+    // compaction (the atomic-swap rewrite) must not change any answer
+    val before = ids(DedupOps.dedupAgainstIndex(day2, idx, "doc_id", "text"))
+    graft.layout.LayoutOps.compact(spark, s"$idx/sh")
+    graft.layout.LayoutOps.compact(spark, s"$idx/fp")
+    assert(ids(DedupOps.dedupAgainstIndex(day2, idx, "doc_id", "text")) == before)
   }
 
   test("minhashDupGroups: identical docs group via banded signatures, disjoint docs stay singleton") {

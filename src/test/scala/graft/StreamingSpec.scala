@@ -31,6 +31,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("indexedDedupStream: batches dedup against the at-rest index, survivors append") {
+    val base = Files.createTempDirectory("graft_idx_stream").toString
+    val idx = s"$base/idx"; val out = s"$base/out"; val ck = s"$base/ck"
+    graft.dedup.DedupOps.writeDedupIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"),
+      idx, "doc_id", "text")
+    val mem = MemoryStream[(Long, String)](spark, 1)
+    val q = StreamingOps.indexedDedupStream(
+      mem.toDF.toDF("doc_id", "text"), idx, out, "doc_id", "text",
+      threshold = 0.5, checkpointDir = Some(ck))
+    try {
+      // batch 1: 10 exact-dups history, 11 is new
+      mem.addData((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "an entirely new document about training corpora"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet == Set(11L))
+      // batch 2: 20 near-dups batch-1 SURVIVOR 11 (index grew), 21 new
+      mem.addData((20L, "an entirely new document about training models"),
+        (21L, "completely unrelated content with different words"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet ==
+        Set(11L, 21L))
+    } finally q.stop()
+  }
+
   private def winTs(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
 
   test("windowedAgg produces correct event-time tumbling windows") {
