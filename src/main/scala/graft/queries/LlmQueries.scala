@@ -598,6 +598,28 @@ object LlmQueries {
         portable = true)
     },
 
+    // ---- winnowing fingerprints (MOSS): per-window minima of char
+    //      8-gram hashes — docs sharing an 11+-char substring share a
+    //      fingerprint; one row per (doc, selected hash) ----
+    Q("q_winnow_fingerprint",
+      s"""WITH t AS (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(t) >= 8
+        |             THEN [${duckHash("substr(t, i, 8)")} for i in range(1, len(t) - 6)]
+        |             ELSE [${duckHash("t")}] END AS h
+        |      FROM t),
+        |fp AS (SELECT doc_id,
+        |         CASE WHEN len(h) >= 4
+        |              THEN list_sort(list_distinct([list_min(h[p:p+3]) for p in range(1, len(h) - 2)]))
+        |              ELSE [list_min(h)] END AS fps
+        |       FROM g)
+        |SELECT doc_id, unnest(fps) AS fp FROM fp""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").select(col("doc_id"),
+        explode(TextOps.winnowFingerprints(col("text"), k = 8, w = 4,
+          portable = true)).as("fp"))
+    },
+
     // ---- SimHash document signatures (portable hash tier) ----
     Q("q_dedup_simhash",
       s"""WITH ${duckSimhashCtes()}

@@ -263,6 +263,42 @@ object TextOps {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS algorithm): hash every char `k`-gram of the normalized text,
+    * slide a window of `w` consecutive hashes, keep each window's
+    * minimum — the selected set is a LOCAL fingerprint with the
+    * guarantee that any two documents sharing a substring of length ≥
+    * `w + k − 1` share at least one fingerprint, which makes the
+    * fingerprints equi-join keys for partial-overlap detection (quote
+    * reuse, license blocks) that whole-document hashing can't see.
+    *
+    * Single-node engines compute the gram hashes with a rolling
+    * (Rabin-Karp) recurrence; here each gram hashes independently
+    * inside one codegen'd projection — O(len·w) window minima instead
+    * of O(len), but embarrassingly parallel with no cross-row state,
+    * which is the trade that matters on a cluster. Returns the sorted
+    * distinct selected hashes; shorter-than-one-window texts yield
+    * their single minimum.
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4,
+                         portable: Boolean = false): Column = {
+    require(k > 0 && w > 0, s"winnowFingerprints: need k > 0 and w > 0, got ($k, $w)")
+    val h: Column => Column =
+      if (portable) graft.functions.Hashes.portable else (c: Column) => xxhash64(c)
+    graft.functions.Let.bind(normalize(text)) { t =>
+      val grams = when(length(t) >= k,
+        transform(sequence(lit(1), length(t) - (k - 1)), i => substr(t, i, lit(k))))
+        .otherwise(array(t))
+      graft.functions.Let.bind(transform(grams, g => h(g))) { hs =>
+        when(size(hs) >= w,
+          array_sort(array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+            p => array_min(slice(hs, p, lit(w)))))))
+          .otherwise(array(array_min(hs)))
+      }
+    }
+  }
+
   /** Content fingerprint: md5 of the normalized text — the exact-dedup
     * identity (reference precedent: sha256 hash identity,
     * `/root/reference/src/pyveb/dbt_client.py:45-58`). */

@@ -85,6 +85,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
   }
 
+  test("winnowFingerprints: reference parity, substring-sharing guarantee, short-text floor") {
+    // driver-side reference implementation of the paper's definition
+    def ref(text: String, k: Int, w: Int): Seq[Long] = {
+      val t = text.toLowerCase.replaceAll("\\s+", " ").trim
+      val grams = if (t.length >= k) (0 to t.length - k).map(i => t.substring(i, i + k))
+                  else Seq(t)
+      val hs = grams.map(g => Seq((10L, g)).toDF("id", "g")
+        .select(xxhash64(col("g"))).as[Long].head())
+      val sel = if (hs.size >= w) (0 to hs.size - w).map(p => hs.slice(p, p + w).min)
+                else Seq(hs.min)
+      sel.distinct.sorted
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "unrelated words entirely QUICK BROWN FOX JUMPS padding tail"), // shares ≥11-char run (case-folded)
+      (3L, "zz")                                                          // shorter than one gram
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      TextOps.winnowFingerprints(col("text"), k = 8, w = 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == ref("the quick brown fox jumps over the lazy dog", 8, 4))
+    assert(got(3L).size == 1) // short text floor: one fingerprint
+    // guarantee: docs 1 and 2 share a case-folded substring of length
+    // ≥ w + k − 1 = 11 ("quick brown fox jumps") → at least one shared fp
+    assert(got(1L).toSet.intersect(got(2L).toSet).nonEmpty)
+    // and doc 3 shares nothing with doc 1
+    assert(got(1L).toSet.intersect(got(3L).toSet).isEmpty)
+  }
+
   test("simhashNearDupPairs: banded candidates ≡ brute-force hamming filter (pigeonhole)") {
     val sigs = docs.select(col("doc_id"),
       DedupOps.simhash(col("text"), bits = 16).as("s"))
