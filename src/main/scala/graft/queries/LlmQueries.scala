@@ -620,6 +620,35 @@ object LlmQueries {
           portable = true)).as("fp"))
     },
 
+    // ---- partial-overlap pairs from winnowing fingerprints: docs
+    //      sharing ≥5 selected 12-gram hashes, hashes shared by >50
+    //      docs dropped as cliché — char grams of common words are
+    //      corpus-wide, so a discriminative config needs long grams
+    //      and a tight hot-hash cap (minShared=3 at k=8 paired 80% of
+    //      this corpus: a quadratic pair bomb, not a signal) ----
+    Q("q_winnow_overlap",
+      s"""WITH t AS (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(t) >= 12
+        |             THEN [${duckHash("substr(t, i, 12)")} for i in range(1, len(t) - 10)]
+        |             ELSE [${duckHash("t")}] END AS h
+        |      FROM t),
+        |fp AS (SELECT doc_id,
+        |         CASE WHEN len(h) >= 8
+        |              THEN list_distinct([list_min(h[p:p+7]) for p in range(1, len(h) - 6)])
+        |              ELSE [list_min(h)] END AS fps
+        |       FROM g),
+        |ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |keep AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 50),
+        |pr AS (SELECT doc_id, ex.fp AS fp FROM ex JOIN keep USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin) { (s, dir) =>
+      TextOps.winnowOverlapPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 12, w = 8, minShared = 5, portable = true, maxBucket = 50)
+    },
+
     // ---- SimHash document signatures (portable hash tier) ----
     Q("q_dedup_simhash",
       s"""WITH ${duckSimhashCtes()}

@@ -299,6 +299,35 @@ object TextOps {
     }
   }
 
+  /** Partial-overlap candidate pairs from winnowing fingerprints:
+    * documents sharing ≥ `minShared` selected hashes, with the shared
+    * count as the overlap signal. The same one-shuffle bucketed
+    * equi-join shape as every pair finder in the engine — fingerprints
+    * explode, candidates meet on the hash, `maxBucket` drops
+    * boilerplate hashes shared by half the corpus (a fingerprint that
+    * common ranks pairs by cliché, not by reuse). Returns
+    * `(id_a, id_b, n_shared)`, id_a < id_b.
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4, minShared: Int = 2,
+                         portable: Boolean = false,
+                         maxBucket: Int = 1000): DataFrame = {
+    val fps = df.select(col(idCol).as("__id"),
+      explode(winnowFingerprints(col(textCol), k, w, portable)).as("__fp"))
+    // persisted because the self-join forks the (expensive) winnow
+    // pipeline — the same caching contract as the jaccard pair finder
+    val pruned = fps.withColumn("__bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
+      .where(col("__bn") <= maxBucket).drop("__bn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = pruned.select(col("__fp"), col("__id").as("id_a"))
+    val b = pruned.select(col("__fp"), col("__id").as("id_b"))
+    a.join(b, Seq("__fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Content fingerprint: md5 of the normalized text — the exact-dedup
     * identity (reference precedent: sha256 hash identity,
     * `/root/reference/src/pyveb/dbt_client.py:45-58`). */
