@@ -294,17 +294,19 @@ object DedupOps {
       .select(col(idCol).as("__id"), wordShingles(col(textCol), shingleN).as("__sh"))
       .where(size(col("__sh")) > 0)
       .select(col("__id"), explode(col("__sh")).as("__s"))
-    crossJaccardFromExploded(side(left), side(right), threshold, maxBucket)
+    crossJaccardFromExploded(side(left), side(right), threshold, maxBucket)._1
   }
 
   /** Cross-corpus Jaccard over ALREADY-EXPLODED `(__id, __s)` shingle
     * frames — `__s` may be shingle text or an injective hash of it
     * (the at-rest index stores 8-byte hashes; jaccard over hashes
     * equals jaccard over shingles up to hash collisions). Shared by
-    * [[crossNgramJaccardPairs]] and [[dedupAgainstIndex]].
+    * [[crossNgramJaccardPairs]] and [[dedupAgainstIndex]]. Returns the
+    * pairs plus a release thunk for the internal pruned-union cache.
     */
   private def crossJaccardFromExploded(left: DataFrame, right: DataFrame,
-                                       threshold: Double, maxBucket: Int): DataFrame = {
+                                       threshold: Double, maxBucket: Int)
+  : (DataFrame, () => Unit) = {
     // one union feeds both the hot-shingle prune (combined occurrence
     // count — a shingle hot on either side is noise on both) and the
     // per-doc post-prune sizes; persisted because the cross join forks it
@@ -321,12 +323,13 @@ object DedupOps {
       .select(col("__s"), col("__id").as("id_l"), col("__n").as("__nl"))
     val b = pruned.where(col("__side") === 1)
       .select(col("__s"), col("__id").as("id_r"), col("__n").as("__nr"))
-    a.join(b, Seq("__s"))
+    val pairs = a.join(b, Seq("__s"))
       .groupBy("id_l", "id_r", "__nl", "__nr").agg(count(lit(1)).as("__inter"))
       .select(col("id_l"), col("id_r"),
         (col("__inter").cast(DoubleType) /
           (col("__nl") + col("__nr") - col("__inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    (pairs, () => { pruned.unpersist(); () })
   }
 
   /** Incremental-ingest dedup: drop from a NEW batch every document
@@ -344,7 +347,10 @@ object DedupOps {
     * near-dup filter is the bucketed cross-corpus equi-join; the final
     * anti-join removes flagged ids. History is read twice (fingerprint
     * projection + shingle explode) — both narrow column-pruned scans,
-    * the unavoidable cost of consulting it.
+    * the unavoidable cost of consulting it; the batch-sized
+    * exact-survivor projection is persisted because it forks into the
+    * candidate side and the final anti-join (same session-cache
+    * contract as the pair finders — `clearCache()` between jobs).
     */
   def dedupAgainstHistory(batch: DataFrame, history: DataFrame,
                           idCol: String, textCol: String,
@@ -355,6 +361,7 @@ object DedupOps {
     val exactSurvivors = batch
       .withColumn("__fp", TextOps.fingerprint(col(textCol)))
       .join(histFp, Seq("__fp"), "left_anti").drop("__fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearIds = crossNgramJaccardPairs(exactSurvivors, history, idCol, textCol,
       shingleN, threshold, maxBucket)
       .select(col("id_l").as("__dup_id")).distinct()
@@ -381,34 +388,53 @@ object DedupOps {
     * column-pruned scans of compact artifacts. The hash tier (`portable`
     * for the oracle-checkable md5 family, xxhash64 otherwise) is an
     * append invariant, like the IVF index's frozen centroids.
+    *
+    * Layout: every tranche (the build and each append) lands under its
+    * own `batch=<tag>` partition subdirectory, so a RE-APPEND with the
+    * same tag is an overwrite of exactly its own subdir — retries after
+    * a mid-append crash converge instead of double-counting shingle
+    * rows (duplicated `(doc_id, sh)` rows would silently inflate the
+    * history-side jaccard denominators).
     */
   def writeDedupIndex(corpus: DataFrame, dir: String, idCol: String, textCol: String,
                       shingleN: Int = 3, portable: Boolean = false): Unit = {
-    fingerprintRows(corpus, textCol).write.mode("overwrite").parquet(s"$dir/fp")
+    // fresh build resets everything, appended tranches included
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     hashedShingleRows(corpus, idCol, textCol, shingleN, portable)
-      .write.mode("overwrite").parquet(s"$dir/sh")
+      .write.mode("overwrite").parquet(s"$dir/sh/batch=build")
+    fingerprintRows(corpus, textCol).write.mode("overwrite").parquet(s"$dir/fp/batch=build")
   }
 
-  /** Append a day's SURVIVING batch to the index — the steady-state
-    * loop is `dedupAgainstIndex(batch) → append(survivors)`; the
+  /** Append a tranche of SURVIVING rows to the index — the steady-state
+    * loop is `dedupAgainstIndex(batch) → append(survivors, tag)`; the
     * index only ever grows by deduplicated content. Same `shingleN` /
     * `portable` as the build, or the shingle universes diverge.
     *
+    * Crash-safety: the tranche writes OVERWRITE its own `batch=<tag>`
+    * subdirs, so re-running the append with the same tag after any
+    * mid-append failure converges to exactly one copy. Shingles land
+    * BEFORE fingerprints: a crash in between leaves near-dup detection
+    * intact (the re-delivered identical doc drops at jaccard 1.0) and
+    * only the cheap exact tier briefly un-backed — the reverse order
+    * would commit fingerprints first and permanently blind the shingle
+    * tier to those documents if the retry recomputed survivors against
+    * the half-appended index.
+    *
     * `newRows` is typically [[dedupAgainstIndex]]'s output, whose
     * LINEAGE READS THIS INDEX — and the append mutates it between the
-    * two writes. Without materialization the second write would
-    * re-evaluate the survivors against the half-mutated index (their
-    * own fingerprints now present) and silently append an EMPTY
-    * shingle set. `localCheckpoint(eager)` freezes the survivor set
+    * two writes. `localCheckpoint(eager)` freezes the survivor set
     * first; a lost block fails the job rather than recomputing against
     * mutated state.
     */
   def appendToDedupIndex(newRows: DataFrame, dir: String, idCol: String, textCol: String,
-                         shingleN: Int = 3, portable: Boolean = false): Unit = {
+                         shingleN: Int = 3, portable: Boolean = false,
+                         tag: String = java.util.UUID.randomUUID().toString): Unit = {
     val frozen = newRows.localCheckpoint(true)
-    fingerprintRows(frozen, textCol).write.mode("append").parquet(s"$dir/fp")
     hashedShingleRows(frozen, idCol, textCol, shingleN, portable)
-      .write.mode("append").parquet(s"$dir/sh")
+      .write.mode("overwrite").parquet(s"$dir/sh/batch=$tag")
+    fingerprintRows(frozen, textCol).write.mode("overwrite").parquet(s"$dir/fp/batch=$tag")
   }
 
   /** [[dedupAgainstHistory]] against the MATERIALIZED index instead of
@@ -419,20 +445,40 @@ object DedupOps {
     */
   def dedupAgainstIndex(batch: DataFrame, dir: String, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5,
-                        maxBucket: Int = 1000, portable: Boolean = false): DataFrame = {
+                        maxBucket: Int = 1000, portable: Boolean = false): DataFrame =
+    dedupAgainstIndexReleasable(batch, dir, idCol, textCol, shingleN, threshold,
+      maxBucket, portable)._1
+
+  /** [[dedupAgainstIndex]] plus a release thunk for the internal
+    * caches (pruned shingle union + exact-survivor projection) — the
+    * streaming loop calls it per micro-batch so a long-running stream
+    * does not pin one cache entry per batch. Only call after an action
+    * has materialized every consumer. */
+  private[graft] def dedupAgainstIndexReleasable(
+      batch: DataFrame, dir: String, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxBucket: Int = 1000, portable: Boolean = false): (DataFrame, () => Unit) = {
     val spark = batch.sparkSession
-    val histFp = spark.read.parquet(s"$dir/fp").distinct() // append can re-add fps
+    // append tranches can re-add fps; distinct over the column alone
+    // (the batch=<tag> partition column must not widen the key)
+    val histFp = spark.read.parquet(s"$dir/fp").select("fp").distinct()
+    // persisted: the survivors fork into the near-dup candidate side
+    // and the final anti-join — unpersisted, each branch re-runs the
+    // batch fingerprint join (an extra scan of both inputs per action)
     val exactSurvivors = batch
       .withColumn("__fp", TextOps.fingerprint(col(textCol)))
       .join(histFp.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
       .drop("__fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchSh = hashedShingleRows(exactSurvivors, idCol, textCol, shingleN, portable)
       .select(col("doc_id").as("__id"), col("sh").as("__s"))
     val histSh = spark.read.parquet(s"$dir/sh")
       .select(col("doc_id").as("__id"), col("sh").as("__s"))
-    val nearIds = crossJaccardFromExploded(batchSh, histSh, threshold, maxBucket)
-      .select(col("id_l").as("__dup_id")).distinct()
-    exactSurvivors.join(nearIds, col(idCol) === col("__dup_id"), "left_anti")
+    val (pairs, releasePairs) =
+      crossJaccardFromExploded(batchSh, histSh, threshold, maxBucket)
+    val nearIds = pairs.select(col("id_l").as("__dup_id")).distinct()
+    (exactSurvivors.join(nearIds, col(idCol) === col("__dup_id"), "left_anti"),
+      () => { releasePairs(); exactSurvivors.unpersist(); () })
   }
 
   /** Near-duplicate GROUP assignment for a whole corpus: candidate
@@ -648,7 +694,9 @@ object DedupOps {
       s"simhashNearDupPairs: need bands ($bands) > maxHamming ($maxHamming) for the pigeonhole guarantee")
     require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
     val width = bits / bands
-    val mask = (1L << width) - 1
+    // 1L << 64 wraps to 1 in JVM shift semantics — a full-width band
+    // (bands = 1) must mask to all-ones, not to zero
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     val sigs = df.select(col(idCol).as("__id"),
       simhash(col(textCol), bits, portable).as("__sig"))
     val banded = sigs.select(col("__id"), col("__sig"),

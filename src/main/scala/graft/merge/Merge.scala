@@ -128,9 +128,15 @@ object Merge {
     val old = new Path(targetDir + "__old_" + UUID.randomUUID().toString.take(8))
     try graft.io.Writers.parquet(df, tmp.toString)
     catch { case e: Throwable => f.delete(tmp, true); throw e }
-    if (!f.rename(target, old)) throw new IllegalStateException(s"rename $target -> $old failed")
+    // every failure path deletes the fully-written stage copy — repeated
+    // failed swaps must not accumulate table-sized __stage_ orphans
+    if (!f.rename(target, old)) {
+      f.delete(tmp, true)
+      throw new IllegalStateException(s"rename $target -> $old failed")
+    }
     if (!f.rename(tmp, target)) {
       f.rename(old, target) // roll back
+      f.delete(tmp, true)
       throw new IllegalStateException(s"rename $tmp -> $target failed")
     }
     f.delete(old, true)

@@ -708,12 +708,6 @@ object SimilarityOps {
     exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs over one corpus: sign-LSH
-    * bucket candidates (id_a < id_b in the same bucket), exact cosine
-    * filter at `threshold`. Vectors that are near-duplicates at high
-    * thresholds almost surely share the bucket; lower `nbits` for
-    * higher recall at lower thresholds.
-    */
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication"):
     * documents whose EMBEDDINGS nearly coincide are duplicates even
@@ -735,6 +729,12 @@ object SimilarityOps {
     graft.graph.GraphOps.assignGroups(df, idCol, cc)
   }
 
+  /** Embedding-cosine near-duplicate pairs over one corpus: sign-LSH
+    * bucket candidates (id_a < id_b in the same bucket), exact cosine
+    * filter at `threshold`. Vectors that are near-duplicates at high
+    * thresholds almost surely share the bucket; lower `nbits` for
+    * higher recall at lower thresholds.
+    */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nbits: Int = 4): DataFrame = {
     val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),

@@ -114,13 +114,21 @@ object StreamingOps {
   /** The streaming steady-state of incremental corpus dedup: each
     * micro-batch is deduplicated against the AT-REST index
     * ([[graft.dedup.DedupOps.dedupAgainstIndex]] — exact fingerprints +
-    * cross-corpus jaccard, history never self-joins), survivors are
-    * written to `outDir` and APPENDED to the index, so later batches
-    * dedup against everything earlier ones kept. State lives entirely
-    * in the index artifacts — nothing unbounded in stream state, and a
-    * restart resumes against the exact on-disk history (foreachBatch
-    * re-delivery of a committed batch re-drops its rows via the very
-    * fingerprints it appended: idempotent by construction).
+    * cross-corpus jaccard, history never self-joins), survivors land
+    * under `outDir/batch=<epoch>` and are APPENDED to the index, so
+    * later batches dedup against everything earlier ones kept. State
+    * lives entirely in the index artifacts — nothing unbounded in
+    * stream state.
+    *
+    * Re-delivery protocol (foreachBatch is at-least-once): the
+    * survivor DECISION for an epoch is committed exactly once — if the
+    * epoch's output directory already committed, it is read back
+    * instead of recomputed (recomputing against an index that already
+    * absorbed this batch's fingerprints would decide the empty set and
+    * overwrite good output with nothing) — and the index append
+    * overwrites the epoch's own `batch=` tranche, so replaying any
+    * prefix of [decide, sink, append] converges to one copy of
+    * everything.
     *
     * Returns the started query; the caller owns termination.
     */
@@ -132,13 +140,24 @@ object StreamingOps {
   : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = docs.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val survivors = graft.dedup.DedupOps.dedupAgainstIndex(
-          batch, indexDir, idCol, textCol, shingleN, threshold, maxBucket, portable)
-          .localCheckpoint(true) // freeze ONCE: consumed by sink + index append
-        survivors.write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val batchOut = s"$outDir/batch=$epoch"
+        val committed = new org.apache.hadoop.fs.Path(batchOut + "/_SUCCESS")
+        val fs = committed.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val survivors =
+          if (fs.exists(committed)) spark.read.parquet(batchOut) // replayed epoch: reuse the committed decision
+          else {
+            val (s, release) = graft.dedup.DedupOps.dedupAgainstIndexReleasable(
+              batch, indexDir, idCol, textCol, shingleN, threshold, maxBucket, portable)
+            val frozen = s.localCheckpoint(true)
+            release() // per-batch caches must not accumulate across a long stream
+            frozen.write.mode("overwrite").parquet(batchOut)
+            frozen
+          }
         graft.dedup.DedupOps.appendToDedupIndex(
-          survivors, indexDir, idCol, textCol, shingleN, portable)
+          survivors, indexDir, idCol, textCol, shingleN, portable,
+          tag = epoch.toString)
         ()
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()

@@ -306,7 +306,10 @@ object TextOps {
     * explode, candidates meet on the hash, `maxBucket` drops
     * boilerplate hashes shared by half the corpus (a fingerprint that
     * common ranks pairs by cliché, not by reuse). Returns
-    * `(id_a, id_b, n_shared)`, id_a < id_b.
+    * `(id_a, id_b, n_shared)`, id_a < id_b. The pruned fingerprint
+    * frame is persisted (the self-join forks it) under the same
+    * session-cache contract as the dedup pair finders — `clearCache()`
+    * between jobs.
     */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, w: Int = 4, minShared: Int = 2,

@@ -241,10 +241,16 @@ class LlmOpsSpec extends SparkSpec {
     val s2Direct = DedupOps.dedupAgainstHistory(day2, hist.unionByName(s1Direct),
       "doc_id", "text")
     assert(ids(s2Idx) == ids(s2Direct))
-    // the index grew: appended shingle rows exist for day-1 survivors
+    // the index grew: appended shingle rows exist for day-1 survivors.
+    // Compare against the PRE-COLLECTED survivor ids (s1Direct ≡ s1Idx,
+    // proven above) — re-evaluating s1Idx's plan after the append would
+    // see its own fingerprints in the index and decide the empty set,
+    // making a subset assertion on it vacuously true
+    val s1Ids = ids(s1Direct).toSet
+    assert(s1Ids.nonEmpty)
     val shDocs = spark.read.parquet(s"$idx/sh").select("doc_id").distinct()
       .as[Long].collect().toSet
-    assert(ids(s1Idx).toSet.subsetOf(shDocs))
+    assert(s1Ids.subsetOf(shDocs))
     // index maintenance: after appends splinter the shingle table,
     // compaction (the atomic-swap rewrite) must not change any answer
     val before = ids(DedupOps.dedupAgainstIndex(day2, idx, "doc_id", "text"))
