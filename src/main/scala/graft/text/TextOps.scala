@@ -290,6 +290,25 @@ object TextOps {
       val grams = when(length(t) >= k,
         transform(sequence(lit(1), length(t) - (k - 1)), i => substr(t, i, lit(k))))
         .otherwise(array(t))
+      // window minima run in the fused monotonic-deque kernel
+      // ([[graft.functions.WinnowMinsExpr]]): the composable
+      // slice+array_min form allocates a w-slice per position — O(n·w)
+      // per document on the gram-hash hot path
+      graft.functions.WinnowMinsExpr.winnowMins(transform(grams, g => h(g)), w)
+    }
+  }
+
+  /** The composable HOF form of [[winnowFingerprints]] (kept for
+    * cross-checking the fused kernel in tests). */
+  def winnowFingerprintsComposable(text: Column, k: Int = 8, w: Int = 4,
+                                   portable: Boolean = false): Column = {
+    require(k > 0 && w > 0, s"winnowFingerprints: need k > 0 and w > 0, got ($k, $w)")
+    val h: Column => Column =
+      if (portable) graft.functions.Hashes.portable else (c: Column) => xxhash64(c)
+    graft.functions.Let.bind(normalize(text)) { t =>
+      val grams = when(length(t) >= k,
+        transform(sequence(lit(1), length(t) - (k - 1)), i => substr(t, i, lit(k))))
+        .otherwise(array(t))
       graft.functions.Let.bind(transform(grams, g => h(g))) { hs =>
         when(size(hs) >= w,
           array_sort(array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),

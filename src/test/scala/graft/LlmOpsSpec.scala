@@ -85,6 +85,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
   }
 
+  test("winnowFingerprints: fused kernel ≡ composable form on the real corpus, both tiers") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+    for (portable <- Seq(false, true); (k, w) <- Seq((8, 4), (12, 8), (5, 1))) {
+      val mismatches = corpus.select(
+        TextOps.winnowFingerprints(col("text"), k, w, portable).as("fused"),
+        TextOps.winnowFingerprintsComposable(col("text"), k, w, portable).as("comp"))
+        .where(not(col("fused") === col("comp"))).count()
+      assert(mismatches == 0, s"kernel diverges at k=$k w=$w portable=$portable")
+    }
+    // edge shapes: empty text and shorter-than-one-gram text
+    val edge = Seq((1L, ""), (2L, "ab")).toDF("doc_id", "text")
+    val e = edge.select(
+      TextOps.winnowFingerprints(col("text"), 8, 4).as("fused"),
+      TextOps.winnowFingerprintsComposable(col("text"), 8, 4).as("comp"))
+      .where(not(col("fused") === col("comp"))).count()
+    assert(e == 0)
+  }
+
   test("winnowFingerprints: reference parity, substring-sharing guarantee, short-text floor") {
     // driver-side reference implementation of the paper's definition
     def ref(text: String, k: Int, w: Int): Seq[Long] = {
