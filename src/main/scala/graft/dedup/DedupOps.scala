@@ -437,6 +437,29 @@ object DedupOps {
     fingerprintRows(frozen, textCol).write.mode("overwrite").parquet(s"$dir/fp/batch=$tag")
   }
 
+  /** Consolidate an appended dedup index: rewrite each artifact's
+    * accumulated `batch=` tranches into ONE tranche through the atomic
+    * tmp-tree swap — the maintenance step for the steady-state loop,
+    * where a year of daily appends means 365 tranche directories of
+    * splinter files per artifact. The swap keeps the index readable
+    * throughout and a crash leaves the original tranches intact
+    * (never a half-consolidated mix, which would double-count shingle
+    * rows). Run it offline relative to appends — a tranche appended
+    * between the consolidation read and its swap would be dropped.
+    */
+  def consolidateDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Unit =
+    for (artifact <- Seq("sh", "fp")) {
+      // no checkpoint needed: the single write action completes — fully
+      // draining the read of the old tranches — BEFORE the renames
+      // mutate anything (unlike the append path, where a second action
+      // re-evaluated a plan over an already-mutated index)
+      val data = spark.read.parquet(s"$dir/$artifact").drop("batch")
+      graft.merge.Merge.atomicSwap(spark, s"$dir/$artifact") { tmp =>
+        data.write.mode("overwrite").parquet(s"$tmp/batch=consolidated")
+      }
+    }
+
   /** [[dedupAgainstHistory]] against the MATERIALIZED index instead of
     * the corpus: identical semantics (exact fingerprint anti-join +
     * cross-corpus post-prune Jaccard, up to shingle-hash collisions)

@@ -120,16 +120,25 @@ object Merge {
     * byte-identical, so `df` may safely read from `targetDir` itself
     * (the compaction / merge rewrite shape).
     */
-  private[graft] def atomicReplace(df: DataFrame, targetDir: String): Unit = {
-    val spark = df.sparkSession
+  private[graft] def atomicReplace(df: DataFrame, targetDir: String): Unit =
+    atomicSwap(df.sparkSession, targetDir)(tmp => graft.io.Writers.parquet(df, tmp))
+
+  /** The tmp-write → rename-swap → rollback protocol with an arbitrary
+    * write step: `write` populates a sibling stage directory (any
+    * layout — flat files or partition subtrees) while the target stays
+    * readable, then two renames swap it in. Every failure path deletes
+    * the stage copy, so repeated failed swaps never accumulate
+    * table-sized `__stage_` orphans; a failed second rename rolls the
+    * original back.
+    */
+  private[graft] def atomicSwap(spark: org.apache.spark.sql.SparkSession,
+                                targetDir: String)(write: String => Unit): Unit = {
     val f = fs(spark, targetDir)
     val target = new Path(targetDir)
     val tmp = new Path(targetDir + "__stage_" + UUID.randomUUID().toString.take(8))
     val old = new Path(targetDir + "__old_" + UUID.randomUUID().toString.take(8))
-    try graft.io.Writers.parquet(df, tmp.toString)
+    try write(tmp.toString)
     catch { case e: Throwable => f.delete(tmp, true); throw e }
-    // every failure path deletes the fully-written stage copy — repeated
-    // failed swaps must not accumulate table-sized __stage_ orphans
     if (!f.rename(target, old)) {
       f.delete(tmp, true)
       throw new IllegalStateException(s"rename $target -> $old failed")

@@ -269,12 +269,22 @@ class LlmOpsSpec extends SparkSpec {
     val shDocs = spark.read.parquet(s"$idx/sh").select("doc_id").distinct()
       .as[Long].collect().toSet
     assert(s1Ids.subsetOf(shDocs))
-    // index maintenance: after appends splinter the shingle table,
-    // compaction (the atomic-swap rewrite) must not change any answer
+    // index maintenance: consolidation rewrites the accumulated batch=
+    // tranches into one through the atomic swap — answers unchanged,
+    // tranche count collapses to 1
     val before = ids(DedupOps.dedupAgainstIndex(day2, idx, "doc_id", "text"))
-    graft.layout.LayoutOps.compact(spark, s"$idx/sh")
-    graft.layout.LayoutOps.compact(spark, s"$idx/fp")
+    def tranches(art: String) =
+      new java.io.File(s"$idx/$art").listFiles().map(_.getName)
+        .filter(_.startsWith("batch=")).toSeq
+    assert(tranches("sh").size == 2) // build + one append
+    DedupOps.consolidateDedupIndex(spark, idx)
+    assert(tranches("sh") == Seq("batch=consolidated"))
+    assert(tranches("fp") == Seq("batch=consolidated"))
     assert(ids(DedupOps.dedupAgainstIndex(day2, idx, "doc_id", "text")) == before)
+    // and appends continue to work on the consolidated index
+    DedupOps.appendToDedupIndex(
+      DedupOps.dedupAgainstIndex(day2, idx, "doc_id", "text"), idx, "doc_id", "text")
+    assert(tranches("sh").size == 2)
   }
 
   test("minhashDupGroups: identical docs group via banded signatures, disjoint docs stay singleton") {
