@@ -90,6 +90,14 @@ object Bench {
         graft.similarity.SimilarityOps.bruteForceTopK(
           emb.limit(4), emb, "vec_id", "vec_id", "embedding", k = 3)
           .write.format("noop").mode("overwrite").save()
+        // exact-decimal aggregation codegen (every oracle-parity sum
+        // uses it; q1_agg, alphabetically first over lineitem, was
+        // absorbing its JIT)
+        spark.read.parquet(s"$sfDir/lineitem.parquet").limit(20000)
+          .groupBy("l_returnflag")
+          .agg(sum(col("l_quantity").cast("decimal(20,4)")),
+            avg(col("l_extendedprice")), count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
       }
     } catch { case _: Throwable => }
