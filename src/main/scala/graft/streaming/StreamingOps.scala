@@ -141,26 +141,40 @@ object StreamingOps {
     val w = docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val spark = batch.sparkSession
-        val batchOut = s"$outDir/batch=$epoch"
-        val committed = new org.apache.hadoop.fs.Path(batchOut + "/_SUCCESS")
-        val fs = committed.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val survivors =
-          if (fs.exists(committed)) spark.read.parquet(batchOut) // replayed epoch: reuse the committed decision
-          else {
-            val (s, release) = graft.dedup.DedupOps.dedupAgainstIndexReleasable(
-              batch, indexDir, idCol, textCol, shingleN, threshold, maxBucket, portable)
-            val frozen = s.localCheckpoint(true)
-            release() // per-batch caches must not accumulate across a long stream
-            frozen.write.mode("overwrite").parquet(batchOut)
-            frozen
-          }
-        graft.dedup.DedupOps.appendToDedupIndex(
-          survivors, indexDir, idCol, textCol, shingleN, portable,
-          tag = epoch.toString)
-        ()
+        processIndexedDedupEpoch(batch, epoch, indexDir, outDir, idCol, textCol,
+          shingleN, threshold, maxBucket, portable)
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
+  /** One epoch of [[indexedDedupStream]], exposed so the replay
+    * protocol is testable without forcing stream re-delivery: calling
+    * it again for an epoch whose output committed reuses the committed
+    * decision and overwrite-re-appends the same index tranche — any
+    * replayed prefix of [decide, sink, append] converges.
+    */
+  private[graft] def processIndexedDedupEpoch(
+      batch: DataFrame, epoch: Long, indexDir: String, outDir: String,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxBucket: Int = 1000, portable: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val batchOut = s"$outDir/batch=$epoch"
+    val committed = new org.apache.hadoop.fs.Path(batchOut + "/_SUCCESS")
+    val hfs = committed.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val survivors =
+      if (hfs.exists(committed)) spark.read.parquet(batchOut) // replayed epoch: reuse the committed decision
+      else {
+        val (s, release) = graft.dedup.DedupOps.dedupAgainstIndexReleasable(
+          batch, indexDir, idCol, textCol, shingleN, threshold, maxBucket, portable)
+        val frozen = s.localCheckpoint(true)
+        release() // per-batch caches must not accumulate across a long stream
+        frozen.write.mode("overwrite").parquet(batchOut)
+        frozen
+      }
+    graft.dedup.DedupOps.appendToDedupIndex(
+      survivors, indexDir, idCol, textCol, shingleN, portable,
+      tag = epoch.toString)
   }
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -57,6 +57,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexedDedupStream replay: re-delivered epochs converge (decision reuse + tranche overwrite)") {
+    val base = Files.createTempDirectory("graft_idx_replay").toString
+    val idx = s"$base/idx"; val out = s"$base/out"
+    graft.dedup.DedupOps.writeDedupIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"),
+      idx, "doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of history
+      (11L, "an entirely new document about training corpora")
+    ).toDF("doc_id", "text")
+    def outIds = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
+    def shTranches = new java.io.File(s"$idx/sh").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    StreamingOps.processIndexedDedupEpoch(batch, 0L, idx, out, "doc_id", "text")
+    assert(outIds == Seq(11L) && shTranches == Seq("batch=0", "batch=build"))
+    val shFiles = new java.io.File(s"$idx/sh/batch=0").listFiles().map(_.getName).toSet
+    // full re-delivery of the SAME epoch: the committed decision is
+    // reused (recomputing would decide the empty set — doc 11's own
+    // fingerprint is in the index now — and wipe the output), and the
+    // index tranche is overwritten in place, not duplicated
+    StreamingOps.processIndexedDedupEpoch(batch, 0L, idx, out, "doc_id", "text")
+    assert(outIds == Seq(11L) && shTranches == Seq("batch=0", "batch=build"))
+    assert(spark.read.parquet(s"$idx/sh").where(col("doc_id") === 11L).count() ==
+      spark.read.parquet(s"$idx/sh/batch=0").count())
+    // partial replay: crash simulated AFTER the decision committed but
+    // BEFORE the index append (tranche deleted) — re-delivery restores it
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/sh/batch=0"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/fp/batch=0"), true)
+    StreamingOps.processIndexedDedupEpoch(batch, 0L, idx, out, "doc_id", "text")
+    assert(outIds == Seq(11L) && shTranches == Seq("batch=0", "batch=build"))
+    // a later epoch still dedups against everything epoch 0 kept
+    StreamingOps.processIndexedDedupEpoch(
+      Seq((20L, "an entirely new document about training corpora")).toDF("doc_id", "text"),
+      1L, idx, out, "doc_id", "text")
+    assert(outIds == Seq(11L))
+  }
+
   private def winTs(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
 
   test("windowedAgg produces correct event-time tumbling windows") {
