@@ -398,13 +398,23 @@ object DedupOps {
     */
   def writeDedupIndex(corpus: DataFrame, dir: String, idCol: String, textCol: String,
                       shingleN: Int = 3, portable: Boolean = false): Unit = {
-    // fresh build resets everything, appended tranches included
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    hashedShingleRows(corpus, idCol, textCol, shingleN, portable)
-      .write.mode("overwrite").parquet(s"$dir/sh/batch=build")
-    fingerprintRows(corpus, textCol).write.mode("overwrite").parquet(s"$dir/fp/batch=build")
+    val spark = corpus.sparkSession
+    // fresh build resets everything, appended tranches included — but a
+    // LIVE index must never have a no-index crash window: each artifact
+    // rebuilds through the atomic stage-swap (first-ever build writes
+    // directly; there is nothing to keep readable)
+    def rebuild(artifact: String, rows: DataFrame): Unit = {
+      val target = s"$dir/$artifact"
+      val fs = new org.apache.hadoop.fs.Path(target)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(target)))
+        graft.merge.Merge.atomicSwap(spark, target) { tmp =>
+          rows.write.mode("overwrite").parquet(s"$tmp/batch=build")
+        }
+      else rows.write.mode("overwrite").parquet(s"$target/batch=build")
+    }
+    rebuild("sh", hashedShingleRows(corpus, idCol, textCol, shingleN, portable))
+    rebuild("fp", fingerprintRows(corpus, textCol))
   }
 
   /** Append a tranche of SURVIVING rows to the index — the steady-state
@@ -429,13 +439,40 @@ object DedupOps {
     * mutated state.
     */
   def appendToDedupIndex(newRows: DataFrame, dir: String, idCol: String, textCol: String,
-                         shingleN: Int = 3, portable: Boolean = false,
-                         tag: String = java.util.UUID.randomUUID().toString): Unit = {
+                         tag: String,
+                         shingleN: Int = 3, portable: Boolean = false): Unit = {
+    // the tag is REQUIRED, not defaulted: a random default would defeat
+    // the whole contract (a retry would mint a new tranche and
+    // double-count every shingle row, silently inflating jaccard
+    // denominators). Callers own tag uniqueness per logical tranche —
+    // a date, an epoch id — and retries reuse it.
+    requireTrancheLayout(newRows.sparkSession, dir)
     val frozen = newRows.localCheckpoint(true)
     hashedShingleRows(frozen, idCol, textCol, shingleN, portable)
       .write.mode("overwrite").parquet(s"$dir/sh/batch=$tag")
     fingerprintRows(frozen, textCol).write.mode("overwrite").parquet(s"$dir/fp/batch=$tag")
   }
+
+  /** Refuse to append into a pre-tranche flat index: mixing loose part
+    * files and `batch=` subdirs makes Spark's partition discovery fail
+    * on the next read ("conflicting directory structures") — an
+    * unreadable index is worse than a failed append. Migration is one
+    * [[consolidateDedupIndex]] call (it reads any layout and writes the
+    * tranche layout).
+    */
+  private def requireTrancheLayout(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): Unit =
+    for (artifact <- Seq("sh", "fp")) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val loose = fs.listStatus(p).exists(st =>
+          st.isFile && st.getPath.getName != "_SUCCESS")
+        require(!loose,
+          s"dedup index $dir/$artifact has a flat (pre-tranche) layout; " +
+            "run consolidateDedupIndex first to migrate it to batch= tranches")
+      }
+    }
 
   /** Consolidate an appended dedup index: rewrite each artifact's
     * accumulated `batch=` tranches into ONE tranche through the atomic

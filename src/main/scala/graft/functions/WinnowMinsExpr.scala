@@ -43,11 +43,26 @@ case class WinnowMinsExpr(child: Expression, w: Int) extends UnaryExpression {
 
 object WinnowMinsExpr {
 
-  /** Sorted distinct minima of every `w`-window of `arr`. */
+  /** Sorted distinct minima of every `w`-window of `arr`. Null
+    * elements are SKIPPED (the same stance `array_min` takes inside
+    * the composable form) — [[graft.text.TextOps.winnowFingerprints]]
+    * null-guards at the text level so in practice no null reaches
+    * here, but a hash array that does carry one must not be silently
+    * read as the bogus fingerprint 0. */
   def mins(arr: ArrayData, w: Int): ArrayData = {
-    val n = arr.numElements()
+    val n0 = arr.numElements()
+    var nn = 0
+    var i0 = 0
+    while (i0 < n0) { if (!arr.isNullAt(i0)) nn += 1; i0 += 1 }
+    val hs = new Array[Long](nn)
+    var j0 = 0
+    i0 = 0
+    while (i0 < n0) {
+      if (!arr.isNullAt(i0)) { hs(j0) = arr.getLong(i0); j0 += 1 }
+      i0 += 1
+    }
+    val n = nn
     if (n == 0) return new GenericArrayData(Array.empty[Long])
-    val hs = arr.toLongArray()
     if (n < w) {
       var m = hs(0); var i = 1
       while (i < n) { if (hs(i) < m) m = hs(i); i += 1 }

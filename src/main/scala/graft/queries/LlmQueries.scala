@@ -485,7 +485,8 @@ object LlmQueries {
       val day1 = DedupOps.dedupAgainstIndex(
         docs.where(col("doc_id") >= 300 && col("doc_id") < 400), idx,
         "doc_id", "text", threshold = 0.5, portable = true)
-      DedupOps.appendToDedupIndex(day1, idx, "doc_id", "text", portable = true)
+      DedupOps.appendToDedupIndex(day1, idx, "doc_id", "text", tag = "day1",
+        portable = true)
       DedupOps.dedupAgainstIndex(docs.where(col("doc_id") >= 400), idx,
         "doc_id", "text", threshold = 0.5, portable = true)
         .select("doc_id")

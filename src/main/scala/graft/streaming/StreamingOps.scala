@@ -122,29 +122,39 @@ object StreamingOps {
     *
     * Re-delivery protocol (foreachBatch is at-least-once): the
     * survivor DECISION for an epoch is committed exactly once — if the
-    * epoch's output directory already committed, it is read back
-    * instead of recomputed (recomputing against an index that already
-    * absorbed this batch's fingerprints would decide the empty set and
-    * overwrite good output with nothing) — and the index append
-    * overwrites the epoch's own `batch=` tranche, so replaying any
-    * prefix of [decide, sink, append] converges to one copy of
+    * epoch's output directory already committed (an engine-owned
+    * marker, independent of committer `_SUCCESS` settings), it is read
+    * back instead of recomputed (recomputing against an index that
+    * already absorbed this batch's fingerprints would decide the empty
+    * set and overwrite good output with nothing) — and the index
+    * append overwrites the epoch's own `batch=` tranche, so replaying
+    * any prefix of [decide, sink, append] converges to one copy of
     * everything.
+    *
+    * `checkpointDir` is REQUIRED because the decision reuse is keyed
+    * by epoch id: without a checkpoint, a restarted stream numbers its
+    * epochs from 0 again, and a fresh batch would silently reuse an
+    * old epoch's committed decision — new data never deduped, never
+    * written, never indexed.
     *
     * Returns the started query; the caller owns termination.
     */
   def indexedDedupStream(docs: DataFrame, indexDir: String, outDir: String,
                          idCol: String, textCol: String,
+                         checkpointDir: String,
                          shingleN: Int = 3, threshold: Double = 0.5,
-                         maxBucket: Int = 1000, portable: Boolean = false,
-                         checkpointDir: Option[String] = None)
+                         maxBucket: Int = 1000, portable: Boolean = false)
   : org.apache.spark.sql.streaming.StreamingQuery = {
-    val w = docs.writeStream
+    require(checkpointDir.nonEmpty, "indexedDedupStream: checkpointDir is required " +
+      "(epoch-keyed decision reuse is only safe with durable epoch numbering)")
+    docs.writeStream
       .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         processIndexedDedupEpoch(batch, epoch, indexDir, outDir, idCol, textCol,
           shingleN, threshold, maxBucket, portable)
       }
-    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+      .start()
   }
 
   /** One epoch of [[indexedDedupStream]], exposed so the replay
@@ -160,7 +170,12 @@ object StreamingOps {
       maxBucket: Int = 1000, portable: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val batchOut = s"$outDir/batch=$epoch"
-    val committed = new org.apache.hadoop.fs.Path(batchOut + "/_SUCCESS")
+    // the decision marker is engine-owned, NOT the committer's _SUCCESS
+    // file: deployments routinely disable success markers on object
+    // stores, and mistaking a committed epoch for an unprocessed one
+    // recomputes against the already-absorbed index → empty set →
+    // good output wiped
+    val committed = new org.apache.hadoop.fs.Path(batchOut + "/_graft_decided")
     val hfs = committed.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val survivors =
       if (hfs.exists(committed)) spark.read.parquet(batchOut) // replayed epoch: reuse the committed decision
@@ -170,11 +185,12 @@ object StreamingOps {
         val frozen = s.localCheckpoint(true)
         release() // per-batch caches must not accumulate across a long stream
         frozen.write.mode("overwrite").parquet(batchOut)
+        hfs.create(committed, true).close() // marker AFTER the data commit
         frozen
       }
     graft.dedup.DedupOps.appendToDedupIndex(
-      survivors, indexDir, idCol, textCol, shingleN, portable,
-      tag = epoch.toString)
+      survivors, indexDir, idCol, textCol, tag = epoch.toString,
+      shingleN = shingleN, portable = portable)
   }
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

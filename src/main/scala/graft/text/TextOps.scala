@@ -286,7 +286,9 @@ object TextOps {
     require(k > 0 && w > 0, s"winnowFingerprints: need k > 0 and w > 0, got ($k, $w)")
     val h: Column => Column =
       if (portable) graft.functions.Hashes.portable else (c: Column) => xxhash64(c)
-    graft.functions.Let.bind(normalize(text)) { t =>
+    // null text → null fingerprints (not a bogus hash of nothing that
+    // every null-text doc would then "share")
+    when(text.isNotNull, graft.functions.Let.bind(normalize(text)) { t =>
       val grams = when(length(t) >= k,
         transform(sequence(lit(1), length(t) - (k - 1)), i => substr(t, i, lit(k))))
         .otherwise(array(t))
@@ -295,7 +297,7 @@ object TextOps {
       // slice+array_min form allocates a w-slice per position — O(n·w)
       // per document on the gram-hash hot path
       graft.functions.WinnowMinsExpr.winnowMins(transform(grams, g => h(g)), w)
-    }
+    })
   }
 
   /** The composable HOF form of [[winnowFingerprints]] (kept for
@@ -305,7 +307,7 @@ object TextOps {
     require(k > 0 && w > 0, s"winnowFingerprints: need k > 0 and w > 0, got ($k, $w)")
     val h: Column => Column =
       if (portable) graft.functions.Hashes.portable else (c: Column) => xxhash64(c)
-    graft.functions.Let.bind(normalize(text)) { t =>
+    when(text.isNotNull, graft.functions.Let.bind(normalize(text)) { t =>
       val grams = when(length(t) >= k,
         transform(sequence(lit(1), length(t) - (k - 1)), i => substr(t, i, lit(k))))
         .otherwise(array(t))
@@ -315,7 +317,7 @@ object TextOps {
             p => array_min(slice(hs, p, lit(w)))))))
           .otherwise(array(array_min(hs)))
       }
-    }
+    })
   }
 
   /** Partial-overlap candidate pairs from winnowing fingerprints:
@@ -333,7 +335,19 @@ object TextOps {
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, w: Int = 4, minShared: Int = 2,
                          portable: Boolean = false,
-                         maxBucket: Int = 1000): DataFrame = {
+                         maxBucket: Int = 1000): DataFrame =
+    winnowOverlapPairsReleasable(df, idCol, textCol, k, w, minShared,
+      portable, maxBucket)._1
+
+  /** [[winnowOverlapPairs]] plus a release thunk for the internal
+    * pruned-fingerprint cache (the same contract as
+    * `DedupOps.ngramJaccardPairsReleasable` — looped callers release
+    * after consuming each result). */
+  private[graft] def winnowOverlapPairsReleasable(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 2,
+      portable: Boolean = false,
+      maxBucket: Int = 1000): (DataFrame, () => Unit) = {
     val fps = df.select(col(idCol).as("__id"),
       explode(winnowFingerprints(col(textCol), k, w, portable)).as("__fp"))
     // persisted because the self-join forks the (expensive) winnow
@@ -344,10 +358,11 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = pruned.select(col("__fp"), col("__id").as("id_a"))
     val b = pruned.select(col("__fp"), col("__id").as("id_b"))
-    a.join(b, Seq("__fp"))
+    val pairs = a.join(b, Seq("__fp"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+    (pairs, () => { pruned.unpersist(); () })
   }
 
   /** Content fingerprint: md5 of the normalized text — the exact-dedup

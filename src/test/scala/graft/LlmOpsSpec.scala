@@ -254,7 +254,7 @@ class LlmOpsSpec extends SparkSpec {
     // regression was the second append write re-evaluating them against
     // the half-mutated index and appending zero shingles), then day-2
     // must equal a direct dedup against the cumulative history
-    DedupOps.appendToDedupIndex(s1Idx, idx, "doc_id", "text")
+    DedupOps.appendToDedupIndex(s1Idx, idx, "doc_id", "text", tag = "day1")
     val s2Idx = DedupOps.dedupAgainstIndex(day2, idx, "doc_id", "text")
     val s2Direct = DedupOps.dedupAgainstHistory(day2, hist.unionByName(s1Direct),
       "doc_id", "text")
@@ -283,7 +283,8 @@ class LlmOpsSpec extends SparkSpec {
     assert(ids(DedupOps.dedupAgainstIndex(day2, idx, "doc_id", "text")) == before)
     // and appends continue to work on the consolidated index
     DedupOps.appendToDedupIndex(
-      DedupOps.dedupAgainstIndex(day2, idx, "doc_id", "text"), idx, "doc_id", "text")
+      DedupOps.dedupAgainstIndex(day2, idx, "doc_id", "text"), idx, "doc_id", "text",
+      tag = "day2")
     assert(tranches("sh").size == 2)
   }
 

@@ -41,7 +41,7 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)](spark, 1)
     val q = StreamingOps.indexedDedupStream(
       mem.toDF.toDF("doc_id", "text"), idx, out, "doc_id", "text",
-      threshold = 0.5, checkpointDir = Some(ck))
+      checkpointDir = ck, threshold = 0.5)
     try {
       // batch 1: 10 exact-dups history, 11 is new
       mem.addData((10L, "the quick brown fox jumps over the lazy dog"),
