@@ -237,6 +237,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(cp("y") == ((3L, 1L, 2L, 10.0, 30.0)))
   }
 
+  test("dedupAgainstHistory is a fixpoint: survivors re-deduped against the same history survive") {
+    val all = Tables(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    val hist = all.where(col("doc_id") < 25)
+    val batch = all.where(col("doc_id") >= 25)
+    val once = DedupOps.dedupAgainstHistory(batch, hist, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(once.nonEmpty && once.size < batch.count())
+    val twice = DedupOps.dedupAgainstHistory(
+      all.where(col("doc_id") >= 25).join(
+        once.toDF("doc_id"), Seq("doc_id"), "left_semi"),
+      hist, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(twice == once)
+  }
+
   test("dedupAgainstIndex ≡ dedupAgainstHistory; appended index ≡ cumulative history") {
     val all = Tables(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
     val hist = all.where(col("doc_id") < 30)
