@@ -466,8 +466,12 @@ object DedupOps {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) {
-        val loose = fs.listStatus(p).exists(st =>
-          st.isFile && st.getPath.getName != "_SUCCESS")
+        val loose = fs.listStatus(p).exists { st =>
+          val n = st.getPath.getName
+          // underscore/dot files are committer metadata, invisible to
+          // the parquet reader — only loose DATA files break discovery
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
         require(!loose,
           s"dedup index $dir/$artifact has a flat (pre-tranche) layout; " +
             "run consolidateDedupIndex first to migrate it to batch= tranches")

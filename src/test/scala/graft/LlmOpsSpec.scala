@@ -237,6 +237,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(cp("y") == ((3L, 1L, 2L, 10.0, 30.0)))
   }
 
+  test("appendToDedupIndex refuses a legacy flat index layout with a migration hint") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_flat_idx").toString
+    // legacy flat artifact: loose part files (plus the committer's
+    // _SUCCESS, which must NOT be what trips the check) directly under sh
+    Seq((1L, 42L)).toDF("doc_id", "sh").write.parquet(s"$idx/sh")
+    Seq("aa").toDF("fp").write.parquet(s"$idx/fp")
+    val batch = Seq((2L, "some new text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.appendToDedupIndex(batch, idx, "doc_id", "text", tag = "t")
+    }
+    assert(e.getMessage.contains("consolidateDedupIndex"))
+    // ...and consolidation IS the migration: afterwards appends work
+    DedupOps.consolidateDedupIndex(spark, idx)
+    DedupOps.appendToDedupIndex(batch, idx, "doc_id", "text", tag = "t")
+    assert(spark.read.parquet(s"$idx/sh").where(col("doc_id") === 2L).count() > 0)
+  }
+
   test("dedupAgainstHistory is a fixpoint: survivors re-deduped against the same history survive") {
     val all = Tables(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
     val hist = all.where(col("doc_id") < 25)
