@@ -544,6 +544,20 @@ object CoreQueries {
     //      orderkeys (1-7 lineitems each) into genuinely-hot (salted)
     //      and tail (unsalted), so the oracle hash-checks BOTH paths
     //      and their union ----
+    // ---- bloom-filter pre-join pruning: the big side is probed
+    //      against a sketch of the selective small side's keys before
+    //      the join shuffle; false positives only waste shuffle — the
+    //      exact semi-join behind it makes the result exact ----
+    Q("q_bloom_join",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 7)""".stripMargin) { (s, dir) =>
+      RelationalOps.bloomPrefilteredJoin(
+        t(s, dir, "orders"),
+        t(s, dir, "customer").where(col("c_nationkey") === 7).select("c_custkey"),
+        "o_custkey", "c_custkey", joinType = "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
     Q("q_salted_join",
       """SELECT o.o_orderpriority,
         |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,

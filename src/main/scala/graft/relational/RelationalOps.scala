@@ -224,6 +224,37 @@ object RelationalOps {
 
   /** Equality filter with the reference's case modes
     * (`filter_list_of_dicts_on_key_value` `src/pyveb/common.py:375-384`). */
+  /** Bloom-filter pre-join pruning: probe every big-side row against a
+    * compact sketch of the small side's keys and drop certain misses
+    * BEFORE the join's shuffle — the classic selective-join move at
+    * 100 TB, where the join keeps 1% of the fact table and the other
+    * 99% should never cross the wire. The sketch is built in one pass
+    * over the small side (driver-held, size bounded by
+    * `expectedItems`/`fpp` — ~1 MB per million keys at 3%), probed
+    * inside whole-stage codegen
+    * ([[graft.functions.BloomMightContainExpr]]), and the surviving
+    * rows go through an EXACT join — false positives cost only wasted
+    * shuffle, never a wrong row, so the result is exactly the plain
+    * join's.
+    *
+    * Only join types where dropping non-matching big-side rows is
+    * sound are allowed (`inner`, `left_semi` with big on the left);
+    * an outer flavor would need the dropped rows back.
+    */
+  def bloomPrefilteredJoin(big: DataFrame, small: DataFrame,
+                           bigKey: String, smallKey: String,
+                           joinType: String = "inner",
+                           expectedItems: Long = 1L << 20,
+                           fpp: Double = 0.03): DataFrame = {
+    require(Set("inner", "left_semi", "leftsemi").contains(joinType.toLowerCase),
+      s"bloomPrefilteredJoin: pre-dropping big-side rows is only sound for " +
+        s"inner/left_semi joins, got '$joinType'")
+    val sketch = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val pruned = big.where(
+      graft.functions.BloomMightContainExpr.mightContain(col(bigKey), sketch))
+    pruned.join(small, pruned(bigKey) === small(smallKey), joinType)
+  }
+
   def filterEquals(df: DataFrame, c: String, value: String,
                    mode: String = "lower"): DataFrame = mode match {
     case "lower"     => df.where(lower(col(c)) === value.toLowerCase)

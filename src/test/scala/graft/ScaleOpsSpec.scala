@@ -332,6 +332,41 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloomPrefilteredJoin: exact vs plain join, actually prunes, stays in codegen") {
+    val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
+    val cust = Tables(spark, "/root/testdata/sf0.001", "customer")
+      .where(col("c_nationkey") === 7).select("c_custkey")
+    val bloomed = graft.relational.RelationalOps.bloomPrefilteredJoin(
+      orders, cust, "o_custkey", "c_custkey", joinType = "left_semi")
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    val plain = orders.join(cust, orders("o_custkey") === cust("c_custkey"), "left_semi")
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(bloomed == plain && bloomed.nonEmpty)
+    // the probe must drop (almost all) non-matching rows BEFORE the join
+    val sketch = cust.stat.bloomFilter("c_custkey", 1000, 0.03)
+    val kept = orders.where(graft.functions.BloomMightContainExpr
+      .mightContain(col("o_custkey"), sketch)).count()
+    assert(kept < orders.count() / 2, s"prefilter kept $kept of ${orders.count()}")
+    assert(kept >= plain.size) // never drops a true match
+    // the probe is an ordinary boolean expression inside codegen — the
+    // Filter node must carry the whole-stage marker (`*(n)` prefix),
+    // not fall back to interpreted evaluation
+    val plan = orders.where(graft.functions.BloomMightContainExpr
+      .mightContain(col("o_custkey"), sketch)).queryExecution.executedPlan.toString()
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Filter bloom_might_contain.*") &&
+      !plan.contains("Fallback"),
+      s"bloom probe fell out of codegen:\n${plan.take(1200)}")
+    // string keys probe through the same expression
+    val nat = Tables(spark, "/root/testdata/sf0.001", "nation")
+    val natSketch = nat.where(col("n_regionkey") === 1).stat.bloomFilter("n_name", 100, 0.01)
+    val natKept = nat.where(graft.functions.BloomMightContainExpr
+      .mightContain(col("n_name"), natSketch))
+      .select("n_name").as[String].collect().toSet
+    val natTrue = nat.where(col("n_regionkey") === 1)
+      .select("n_name").as[String].collect().toSet
+    assert(natTrue.subsetOf(natKept))
+  }
+
   test("plan shapes: chunking is shuffle-free, key profile is a bounded TakeOrdered") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     // chunking must stay a narrow per-row explode — ANY Exchange means
