@@ -85,6 +85,29 @@ object Bench {
         // jaccard path: shingle explode → two windows → self-join → agg
         DedupOps.ngramJaccardPairs(docs, "doc_id", "text")
           .write.format("noop").mode("overwrite").save()
+        // transitive-groups family (r6 cold-attribution finding: the
+        // alphabetically-first dedup query absorbed the banded
+        // collect_list buckets, pair-struct explode, connected-
+        // components and group-assembly codegen — compile them here)
+        DedupOps.nearDupGroups(docs, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+        DedupOps.minhashDupGroups(docs, "doc_id", "text", k = 16, bands = 8,
+          portable = true)
+          .write.format("noop").mode("overwrite").save()
+        // index-lifecycle queries pay the parquet WRITE path (committer
+        // + encoder codegen) on first touch; compile it on a throwaway
+        // index, then the cross-corpus dedup read path against it
+        try {
+          val wtmp = java.nio.file.Files.createTempDirectory("graft_warm").toFile
+          val idx = wtmp.getAbsolutePath + "/idx"
+          DedupOps.writeDedupIndex(docs.limit(64), idx, "doc_id", "text",
+            portable = true)
+          val surv = DedupOps.dedupAgainstIndex(docs.limit(32), idx,
+            "doc_id", "text", portable = true)
+          DedupOps.appendToDedupIndex(surv, idx, "doc_id", "text", tag = "warm",
+            portable = true)
+          org.apache.commons.io.FileUtils.deleteQuietly(wtmp)
+        } catch { case _: Throwable => }
         docs.unpersist()
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
         graft.similarity.SimilarityOps.bruteForceTopK(

@@ -34,6 +34,10 @@ object GraphOps {
 
   private val CheckpointEvery = 5
 
+  // debug-level: tier selection is diagnostic, not operational — four
+  // operators call this on their hot path and stderr is not a log sink
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Node ids must be integral (dedup ids are longs; hash string ids
     * first). Output: `(node, component)` with `component` = MINIMUM id
     * reachable from `node`, for every node incident to at least one
@@ -104,13 +108,13 @@ object GraphOps {
     var prev = checksum(cur)
     if (prev._1 <= localThreshold) {
       import spark.implicits._
-      System.err.println(
+      if (log.isDebugEnabled) log.debug(
         s"[graft.cc] tier=driver edges=${prev._1} (localThreshold=$localThreshold)")
       val local = cur.as[(Long, Long)].collect()
       cur.unpersist()
       return spark.createDataset(localComponents(local).toSeq).toDF("node", "component")
     }
-    System.err.println(
+    if (log.isDebugEnabled) log.debug(
       s"[graft.cc] tier=distributed edges=${prev._1} (localThreshold=$localThreshold)")
     var converged = false
     var i = 0

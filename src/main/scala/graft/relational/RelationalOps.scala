@@ -240,16 +240,29 @@ object RelationalOps {
     * Only join types where dropping non-matching big-side rows is
     * sound are allowed (`inner`, `left_semi` with big on the left);
     * an outer flavor would need the dropped rows back.
+    *
+    * `expectedItems` ≤ 0 (the default) sizes the sketch from
+    * `small.count()` — one cheap action against the already-small side.
+    * A fixed guess that undershoots the real cardinality saturates the
+    * filter: the result stays exact (the join behind it is), but the
+    * probe starts passing nearly everything and the pre-shuffle prune —
+    * the operator's entire reason to exist — silently evaporates.
     */
   def bloomPrefilteredJoin(big: DataFrame, small: DataFrame,
                            bigKey: String, smallKey: String,
                            joinType: String = "inner",
-                           expectedItems: Long = 1L << 20,
+                           expectedItems: Long = -1L,
                            fpp: Double = 0.03): DataFrame = {
     require(Set("inner", "left_semi", "leftsemi").contains(joinType.toLowerCase),
       s"bloomPrefilteredJoin: pre-dropping big-side rows is only sound for " +
         s"inner/left_semi joins, got '$joinType'")
-    val sketch = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(1L, small.count()) // auto-size: saturation-proof by construction
+    val sketch = small.stat.bloomFilter(smallKey, items, fpp)
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    if (log.isDebugEnabled) log.debug(
+      s"[graft.bloom] expectedItems=$items fpp=$fpp bitSize=${sketch.bitSize()}")
     val pruned = big.where(
       graft.functions.BloomMightContainExpr.mightContain(col(bigKey), sketch))
     pruned.join(small, pruned(bigKey) === small(smallKey), joinType)

@@ -367,6 +367,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(natTrue.subsetOf(natKept))
   }
 
+  test("bloomPrefilteredJoin auto-sizes the sketch: no saturation when the small side exceeds the old 2^20 default") {
+    // 1.6M distinct keys — a fixed 2^20-item sketch saturates here (its
+    // observed fpp climbs toward 1 and the prune evaporates); the
+    // auto-size path counts the small side and holds the design fpp
+    val small = spark.range(0, 1600000).select(col("id").as("k"))
+    // big side: half true matches, half certain misses (disjoint range)
+    val big = spark.range(0, 1600000)
+      .select((col("id") * 2 + lit(10000000L) * (col("id") % 2)).as("bk"))
+    val joined = RelationalOps.bloomPrefilteredJoin(
+      big, small, "bk", "k", joinType = "left_semi")
+    val expected = big.join(small, big("bk") === small("k"), "left_semi")
+    assert(joined.count() == expected.count())
+    // the probe alone must still drop (almost all) certain misses: the
+    // auto-sized sketch keeps ~matches + fpp·misses, nowhere near "all"
+    val sketch = small.stat.bloomFilter("k", math.max(1L, small.count()), 0.03)
+    val kept = big.where(graft.functions.BloomMightContainExpr
+      .mightContain(col("bk"), sketch)).count()
+    val misses = big.count() - expected.count()
+    assert(kept - expected.count() < misses / 5,
+      s"auto-sized sketch kept $kept of ${big.count()} (true matches ${expected.count()})")
+  }
+
   test("plan shapes: chunking is shuffle-free, key profile is a bounded TakeOrdered") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     // chunking must stay a narrow per-row explode — ANY Exchange means
