@@ -380,14 +380,96 @@ object DedupOps {
       .select(col("doc_id"), explode(col("__sh")).as("__s"))
       .select(col("doc_id"), baseHash(portable)(col("__s")).as("sh"))
 
+  /** Per-doc k-long MinHash signature rows `(doc_id, sig)` — the
+    * approximate tier's at-rest artifact: k longs per document instead
+    * of every hashed shingle. */
+  private def signatureRows(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int, k: Int, portable: Boolean): DataFrame =
+    df.select(col(idCol).as("doc_id"), wordShingles(col(textCol), shingleN).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("__sh"), k, portable).as("sig"))
+
+  /** The index's frozen parameter family, persisted in
+    * `dir/_graft_meta` at build time. The shingle/hash/signature params
+    * are a STRUCTURAL invariant of the artifacts (like the IVF index's
+    * frozen centroids): an append or probe with different params would
+    * silently diverge the shingle universe and the near-dup tier would
+    * find nothing. Every mutating/reading entry point validates against
+    * the file and fails fast on mismatch; a legacy (pre-meta) index has
+    * no file and skips the check. */
+  private[graft] final case class DedupIndexMeta(
+      shingleN: Int, portable: Boolean, sigK: Int, sigBands: Int)
+
+  private[graft] def hfs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private[graft] def pathExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    hfs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
+  private[graft] def writeSmallFile(spark: org.apache.spark.sql.SparkSession,
+                             path: String, content: String): Unit = {
+    val out = hfs(spark, path).create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def readSmallFile(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Option[String] = {
+    val fs = hfs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  private def metaString(m: DedupIndexMeta): String =
+    s"shingleN=${m.shingleN}\nportable=${m.portable}\nsigK=${m.sigK}\nsigBands=${m.sigBands}\n"
+
+  private[graft] def readDedupIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[DedupIndexMeta] =
+    readSmallFile(spark, s"$dir/_graft_meta").map { s =>
+      val kv = s.linesIterator.filter(_.contains('=')).map { l =>
+        val Array(k, v) = l.split("=", 2); (k.trim, v.trim)
+      }.toMap
+      DedupIndexMeta(kv("shingleN").toInt, kv("portable").toBoolean,
+        kv("sigK").toInt, kv("sigBands").toInt)
+    }
+
+  private def validateIndexParams(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, shingleN: Int, portable: Boolean): Unit =
+    readDedupIndexMeta(spark, dir).foreach { m =>
+      require(m.shingleN == shingleN && m.portable == portable,
+        s"dedup index $dir was built with shingleN=${m.shingleN} portable=${m.portable}, " +
+          s"got shingleN=$shingleN portable=$portable — mismatched params silently " +
+          "diverge the shingle universe (the near-dup tier would find nothing)")
+    }
+
+  /** Tranche tags absorbed into `batch=consolidated` by
+    * [[consolidateDedupIndex]]: a replayed append of an absorbed epoch
+    * must be a no-op, not a second copy of rows that already live in
+    * the consolidated tranche. */
+  private[graft] def readAbsorbedTags(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Set[String] =
+    readSmallFile(spark, s"$dir/_graft_absorbed")
+      .map(_.linesIterator.map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
   /** Materialize the dedup-history index at rest: `dir/fp` holds the
     * corpus's distinct content fingerprints, `dir/sh` its exploded
     * HASHED shingles `(doc_id, sh)` — 8 bytes per shingle instead of
-    * the text, so the daily [[dedupAgainstIndex]] never re-shingles or
-    * re-reads the 100 TB corpus text: consulting history becomes two
-    * column-pruned scans of compact artifacts. The hash tier (`portable`
-    * for the oracle-checkable md5 family, xxhash64 otherwise) is an
-    * append invariant, like the IVF index's frozen centroids.
+    * the text — and `dir/sig` one k-long MinHash signature per document
+    * (the approximate tier's input: k longs/doc, tens-of-× smaller
+    * again than `sh` at typical document lengths). The daily
+    * [[dedupAgainstIndex]] / [[dedupAgainstIndexApprox]] never
+    * re-shingles or re-reads the 100 TB corpus text: consulting history
+    * becomes column-pruned scans of compact artifacts. The parameter
+    * family (`shingleN`, the `portable` hash tier, `sigK`/`sigBands`)
+    * is frozen into `dir/_graft_meta` — an append invariant, like the
+    * IVF index's frozen centroids — and validated by every later
+    * mutation/probe.
     *
     * Layout: every tranche (the build and each append) lands under its
     * own `batch=<tag>` partition subdirectory, so a RE-APPEND with the
@@ -395,46 +477,60 @@ object DedupOps {
     * a mid-append crash converge instead of double-counting shingle
     * rows (duplicated `(doc_id, sh)` rows would silently inflate the
     * history-side jaccard denominators).
+    *
+    * A rebuild over a LIVE index stages ALL artifacts plus the meta
+    * file in ONE tmp tree and swaps the whole directory in two renames:
+    * a crash can never pair a new shingle corpus with stale
+    * fingerprints (the per-artifact swap's failure window — the exact
+    * tier would wrongly drop new-corpus batch docs whose text matched
+    * the OLD corpus until a rerun). The first-ever build writes
+    * directly; there is nothing to keep readable.
     */
   def writeDedupIndex(corpus: DataFrame, dir: String, idCol: String, textCol: String,
-                      shingleN: Int = 3, portable: Boolean = false): Unit = {
+                      shingleN: Int = 3, portable: Boolean = false,
+                      sigK: Int = 16, sigBands: Int = 8): Unit = {
+    require(sigK % sigBands == 0, s"sigK=$sigK must divide into sigBands=$sigBands")
     val spark = corpus.sparkSession
-    // fresh build resets everything, appended tranches included — but a
-    // LIVE index must never have a no-index crash window: each artifact
-    // rebuilds through the atomic stage-swap (first-ever build writes
-    // directly; there is nothing to keep readable)
-    def rebuild(artifact: String, rows: DataFrame): Unit = {
-      val target = s"$dir/$artifact"
-      val fs = new org.apache.hadoop.fs.Path(target)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(target)))
-        graft.merge.Merge.atomicSwap(spark, target) { tmp =>
-          rows.write.mode("overwrite").parquet(s"$tmp/batch=build")
-        }
-      else rows.write.mode("overwrite").parquet(s"$target/batch=build")
+    def buildInto(root: String): Unit = {
+      hashedShingleRows(corpus, idCol, textCol, shingleN, portable)
+        .write.mode("overwrite").parquet(s"$root/sh/batch=build")
+      fingerprintRows(corpus, textCol)
+        .write.mode("overwrite").parquet(s"$root/fp/batch=build")
+      signatureRows(corpus, idCol, textCol, shingleN, sigK, portable)
+        .write.mode("overwrite").parquet(s"$root/sig/batch=build")
+      writeSmallFile(spark, s"$root/_graft_meta",
+        metaString(DedupIndexMeta(shingleN, portable, sigK, sigBands)))
+      // a fresh build also resets the absorbed-tag ledger: the whole-dir
+      // swap drops any previous _graft_absorbed with the old tranches
     }
-    rebuild("sh", hashedShingleRows(corpus, idCol, textCol, shingleN, portable))
-    rebuild("fp", fingerprintRows(corpus, textCol))
+    if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
+    else buildInto(dir)
   }
 
   /** Append a tranche of SURVIVING rows to the index — the steady-state
     * loop is `dedupAgainstIndex(batch) → append(survivors, tag)`; the
-    * index only ever grows by deduplicated content. Same `shingleN` /
-    * `portable` as the build, or the shingle universes diverge.
+    * index only ever grows by deduplicated content. Params are
+    * validated against `dir/_graft_meta` (mismatch fails fast); a tag
+    * already ABSORBED by [[consolidateDedupIndex]] makes the call a
+    * NO-OP — a crashed stream re-delivering an epoch whose tranche was
+    * consolidated away must not re-append rows that already live in
+    * `batch=consolidated` (duplicated `(doc_id, sh)` rows permanently
+    * deflate history-side jaccard: 2i/(nl+2nr−2i) < J, silently
+    * missing near-dups).
     *
     * Crash-safety: the tranche writes OVERWRITE its own `batch=<tag>`
     * subdirs, so re-running the append with the same tag after any
-    * mid-append failure converges to exactly one copy. Shingles land
-    * BEFORE fingerprints: a crash in between leaves near-dup detection
-    * intact (the re-delivered identical doc drops at jaccard 1.0) and
-    * only the cheap exact tier briefly un-backed — the reverse order
-    * would commit fingerprints first and permanently blind the shingle
-    * tier to those documents if the retry recomputed survivors against
-    * the half-appended index.
+    * mid-append failure converges to exactly one copy. Shingles and
+    * signatures land BEFORE fingerprints: a crash in between leaves
+    * near-dup detection intact (the re-delivered identical doc drops
+    * at jaccard 1.0) and only the cheap exact tier briefly un-backed —
+    * the reverse order would commit fingerprints first and permanently
+    * blind the shingle tier to those documents if the retry recomputed
+    * survivors against the half-appended index.
     *
     * `newRows` is typically [[dedupAgainstIndex]]'s output, whose
     * LINEAGE READS THIS INDEX — and the append mutates it between the
-    * two writes. `localCheckpoint(eager)` freezes the survivor set
+    * writes. `localCheckpoint(eager)` freezes the survivor set
     * first; a lost block fails the job rather than recomputing against
     * mutated state.
     */
@@ -446,10 +542,21 @@ object DedupOps {
     // double-count every shingle row, silently inflating jaccard
     // denominators). Callers own tag uniqueness per logical tranche —
     // a date, an epoch id — and retries reuse it.
-    requireTrancheLayout(newRows.sparkSession, dir)
+    val spark = newRows.sparkSession
+    requireTrancheLayout(spark, dir)
+    validateIndexParams(spark, dir, shingleN, portable)
+    if (readAbsorbedTags(spark, dir).contains(tag)) return
     val frozen = newRows.localCheckpoint(true)
     hashedShingleRows(frozen, idCol, textCol, shingleN, portable)
       .write.mode("overwrite").parquet(s"$dir/sh/batch=$tag")
+    // a legacy (pre-sig) index has no sig artifact; appending one would
+    // cover only post-migration tranches — the approx tier needs a
+    // writeDedupIndex rebuild to exist at all
+    readDedupIndexMeta(spark, dir).foreach { m =>
+      if (pathExists(spark, s"$dir/sig"))
+        signatureRows(frozen, idCol, textCol, shingleN, m.sigK, portable)
+          .write.mode("overwrite").parquet(s"$dir/sig/batch=$tag")
+    }
     fingerprintRows(frozen, textCol).write.mode("overwrite").parquet(s"$dir/fp/batch=$tag")
   }
 
@@ -460,9 +567,11 @@ object DedupOps {
     * [[consolidateDedupIndex]] call (it reads any layout and writes the
     * tranche layout).
     */
+  private val IndexArtifacts = Seq("sh", "fp", "sig")
+
   private def requireTrancheLayout(spark: org.apache.spark.sql.SparkSession,
                                    dir: String): Unit =
-    for (artifact <- Seq("sh", "fp")) {
+    for (artifact <- IndexArtifacts) {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) {
@@ -487,25 +596,66 @@ object DedupOps {
     * (never a half-consolidated mix, which would double-count shingle
     * rows). Run it offline relative to appends — a tranche appended
     * between the consolidation read and its swap would be dropped.
+    *
+    * Two defenses against replayed absorbed epochs (a stream that
+    * crashed before checkpointing an epoch re-delivers it AFTER its
+    * tranche was consolidated away): the rewrite is SELF-HEALING — rows
+    * pass through `distinct()`, so any double-counted `(doc_id, sh)` /
+    * `fp` / `(doc_id, sig)` rows collapse back to one copy — and the
+    * absorbed tranche tags are recorded in `dir/_graft_absorbed`, so
+    * [[appendToDedupIndex]] turns a replayed append of an absorbed
+    * epoch into a no-op instead of deflating history-side jaccard
+    * until the next consolidation.
     */
   def consolidateDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): Unit =
-    for (artifact <- Seq("sh", "fp")) {
+                            dir: String): Unit = {
+    val present = IndexArtifacts.filter(a => pathExists(spark, s"$dir/$a"))
+    // tranche tags about to be absorbed, from the partition directory
+    // names (metadata-only; a legacy flat artifact contributes none)
+    val tags = present.flatMap { a =>
+      hfs(spark, dir).listStatus(new org.apache.hadoop.fs.Path(s"$dir/$a"))
+        .map(_.getPath.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch="))
+    }.toSet - "consolidated" - "build"
+    for (artifact <- present) {
       // no checkpoint needed: the single write action completes — fully
       // draining the read of the old tranches — BEFORE the renames
       // mutate anything (unlike the append path, where a second action
       // re-evaluated a plan over an already-mutated index)
-      val data = spark.read.parquet(s"$dir/$artifact").drop("batch")
+      val data = spark.read.parquet(s"$dir/$artifact").drop("batch").distinct()
       graft.merge.Merge.atomicSwap(spark, s"$dir/$artifact") { tmp =>
         data.write.mode("overwrite").parquet(s"$tmp/batch=consolidated")
       }
     }
+    // ledger last: a crash before this line leaves a replay window for
+    // the just-absorbed tags, but the NEXT consolidation's distinct()
+    // heals any double-append it allowed — the ledger is the fast path,
+    // the distinct is the guarantee
+    val absorbed = readAbsorbedTags(spark, dir) ++ tags
+    if (absorbed.nonEmpty)
+      writeSmallFile(spark, s"$dir/_graft_absorbed",
+        absorbed.toSeq.sorted.mkString("", "\n", "\n"))
+  }
 
   /** [[dedupAgainstHistory]] against the MATERIALIZED index instead of
     * the corpus: identical semantics (exact fingerprint anti-join +
     * cross-corpus post-prune Jaccard, up to shingle-hash collisions)
     * with history-side cost reduced from two text scans to two compact
     * index scans. Spec-proven equal to the direct path.
+    *
+    * `maxBucket` is TIME-VARYING by design: the cap is an absolute
+    * occurrence count over batch + history combined, so a shingle that
+    * was informative on day 1 can cross the cap on day 300 purely
+    * because the corpus grew, leaving the shingle universe — the same
+    * document pair can then flip from near-dup to survivor between
+    * runs against 1× and 2× history. This is stop-phrase pruning
+    * semantics (a shingle shared by `maxBucket` documents carries no
+    * dedup signal REGARDLESS of corpus size — but which shingles
+    * qualify depends on it), not a bug; pipelines that need
+    * decision-stable reruns should pin the index via
+    * [[consolidateDedupIndex]] snapshots or scale `maxBucket` with
+    * corpus size. Spec-demonstrated in `LlmOpsSpec`
+    * ("maxBucket universe drifts as history grows").
     */
   def dedupAgainstIndex(batch: DataFrame, dir: String, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5,
@@ -523,6 +673,7 @@ object DedupOps {
       shingleN: Int = 3, threshold: Double = 0.5,
       maxBucket: Int = 1000, portable: Boolean = false): (DataFrame, () => Unit) = {
     val spark = batch.sparkSession
+    validateIndexParams(spark, dir, shingleN, portable)
     // append tranches can re-add fps; distinct over the column alone
     // (the batch=<tag> partition column must not widen the key)
     val histFp = spark.read.parquet(s"$dir/fp").select("fp").distinct()
@@ -540,6 +691,95 @@ object DedupOps {
       .select(col("doc_id").as("__id"), col("sh").as("__s"))
     val (pairs, releasePairs) =
       crossJaccardFromExploded(batchSh, histSh, threshold, maxBucket)
+    val nearIds = pairs.select(col("id_l").as("__dup_id")).distinct()
+    (exactSurvivors.join(nearIds, col(idCol) === col("__dup_id"), "left_anti"),
+      () => { releasePairs(); exactSurvivors.unpersist(); () })
+  }
+
+  /** Cross-corpus MinHash candidate pairs over PER-DOC SIGNATURE rows
+    * `(doc_id, sig)` — the approximate twin of
+    * [[crossJaccardFromExploded]]: band the signatures, meet candidates
+    * in a (band, key) equi-join (left side × right side only — the two
+    * corpora never self-join), estimate Jaccard from signature
+    * agreement. `maxBucket` caps COMBINED (band, key) bucket size
+    * across both sides, mirroring the exact path's combined hot-shingle
+    * prune. Returns `(id_l, id_r, est_jaccard)` plus a release thunk
+    * for the internal banded-union cache.
+    */
+  private def crossMinhashFromSigs(left: DataFrame, right: DataFrame,
+                                   k: Int, bands: Int, threshold: Double,
+                                   maxBucket: Int): (DataFrame, () => Unit) = {
+    val rowsPer = k / bands
+    def banded(sigs: DataFrame, side: Int) = sigs
+      .select(lit(side).as("__side"), col("doc_id").as("__id"), col("sig").as("__sig"),
+        posexplode(bandKeys(col("sig"), bands, rowsPer)).as(Seq("__band", "__key")))
+    // one union feeds the combined hot-bucket prune and both join
+    // sides; persisted because the join forks it (same contract as the
+    // exact path — k longs/doc cross this shuffle, not shingles)
+    val pruned = banded(left, 0).unionByName(banded(right, 1))
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__band", "__key")))
+      .where(col("__bn") <= maxBucket).drop("__bn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = pruned.where(col("__side") === 0)
+      .select(col("__band"), col("__key"), col("__id").as("id_l"), col("__sig").as("__sl"))
+    val b = pruned.where(col("__side") === 1)
+      .select(col("__band"), col("__key"), col("__id").as("id_r"), col("__sig").as("__sr"))
+    val pairs = a.join(b, Seq("__band", "__key"))
+      .select(col("id_l"), col("id_r"), col("__sl"), col("__sr"))
+      .distinct() // a pair meets once per agreeing band
+      .select(col("id_l"), col("id_r"),
+        estJaccard(col("__sl"), col("__sr"), k).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+    (pairs, () => { pruned.unpersist(); () })
+  }
+
+  /** The APPROXIMATE tier of [[dedupAgainstIndex]] — the highest-
+    * leverage artifact at 100 TB: the exact tier's daily near-dup pass
+    * scans `dir/sh` (EVERY hashed shingle of a forever-growing
+    * history, hundreds of longs per document), while this one scans
+    * `dir/sig` (k longs per document) and meets candidates in the
+    * banded (band, key) equi-join — the same exact-vs-estimated
+    * tiering the in-memory path has ([[nearDupGroups]] vs
+    * [[minhashDupGroups]]). The exact fingerprint anti-join tier is
+    * unchanged (fingerprints are already one row per doc); only the
+    * near-dup tier trades exact post-prune Jaccard for signature-
+    * estimated Jaccard.
+    *
+    * The signature family (shingleN, hash tier, k, bands) is read from
+    * `dir/_graft_meta` — never passed by the caller — so a probe can
+    * never band with different params than the at-rest signatures were
+    * built with (the structural invariant the meta file exists for).
+    * Requires a sig-bearing index ([[writeDedupIndex]] always writes
+    * one; legacy pre-sig indexes need a rebuild).
+    */
+  def dedupAgainstIndexApprox(batch: DataFrame, dir: String, idCol: String, textCol: String,
+                              threshold: Double = 0.5,
+                              maxBucket: Int = 1000): DataFrame =
+    dedupAgainstIndexApproxReleasable(batch, dir, idCol, textCol, threshold, maxBucket)._1
+
+  /** [[dedupAgainstIndexApprox]] plus a release thunk (same contract
+    * as [[dedupAgainstIndexReleasable]]). */
+  private[graft] def dedupAgainstIndexApproxReleasable(
+      batch: DataFrame, dir: String, idCol: String, textCol: String,
+      threshold: Double = 0.5, maxBucket: Int = 1000): (DataFrame, () => Unit) = {
+    val spark = batch.sparkSession
+    val meta = readDedupIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"dedup index $dir has no _graft_meta — the approximate tier needs the frozen " +
+        "signature family; rebuild with writeDedupIndex"))
+    require(pathExists(spark, s"$dir/sig"),
+      s"dedup index $dir has no sig artifact; rebuild with writeDedupIndex")
+    val histFp = spark.read.parquet(s"$dir/fp").select("fp").distinct()
+    val exactSurvivors = batch
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .join(histFp.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
+      .drop("__fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchSigs = signatureRows(exactSurvivors, idCol, textCol,
+      meta.shingleN, meta.sigK, meta.portable)
+    val histSigs = spark.read.parquet(s"$dir/sig").select("doc_id", "sig")
+    val (pairs, releasePairs) = crossMinhashFromSigs(batchSigs, histSigs,
+      meta.sigK, meta.sigBands, threshold, maxBucket)
     val nearIds = pairs.select(col("id_l").as("__dup_id")).distinct()
     (exactSurvivors.join(nearIds, col(idCol) === col("__dup_id"), "left_anti"),
       () => { releasePairs(); exactSurvivors.unpersist(); () })

@@ -680,6 +680,35 @@ object CoreQueries {
           col("session_start"), col("session_end"))
     },
 
+    // ---- the EVENT-TIME sessionization tier (session_window) run in
+    //      batch mode — same function the stream runs, so this oracle
+    //      gates the replay path too. Boundary differs from the
+    //      lag-based tier: a gap of exactly the threshold SPLITS
+    //      (half-open session windows), hence >= in the oracle and
+    //      integer-microsecond comparison (session_window compares at
+    //      full timestamp precision, not floored seconds) ----
+    Q("q_sessionize_event",
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                              ROWS UNBOUNDED PRECEDING) AS sess FROM g)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY user_id, sess""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamingOps.sessionizeEventTime(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("value").cast(DecimalType(12, 2)).as("value")),
+        "user_id", "ts", "value", gapSecs = 1800)
+        .select(col("user_id"), col("n_events"),
+          col("sum_value").cast(DoubleType).as("sum_value"),
+          col("session_start"), col("session_end"))
+    },
+
     // ---- event-time tumbling window aggregation (§2.10) ----
     Q("q_events_hourly",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,

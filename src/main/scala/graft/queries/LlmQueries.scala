@@ -302,6 +302,50 @@ object LlmQueries {
       |         WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $threshold),
       |${p}surv AS (SELECT doc_id, text FROM ${p}ex WHERE doc_id NOT IN (SELECT id_l FROM ${p}dups))""".stripMargin
 
+  /** Cross-corpus APPROXIMATE dedup survivor chain — the sig-artifact
+    * twin of [[duckSurvivorCtes]]: batch rows surviving the exact
+    * fingerprint filter AND the banded MinHash estimated-jaccard
+    * against `histRel` (frozen affine family, combined hot-bucket
+    * prune, batch×hist only — never a self-join). Ends in
+    * `<p>surv(doc_id, text)`.
+    */
+  private def duckMinhashSurvivorCtes(p: String, batchRel: String, histRel: String,
+                                      threshold: Double, maxBucket: Int = 1000) = {
+    val rowsPer = SIG_K / BANDS
+    def sigCtes(side: String, rel: String) =
+      s"""${p}${side}sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM $rel)
+        |  WHERE len(w) >= 3),
+        |${p}${side}hs AS (
+        |  SELECT doc_id, list_transform(s, x -> ${duckHash("x")} % 1000000007) AS h
+        |  FROM ${p}${side}sh WHERE len(s) > 0),
+        |${p}${side}sg AS (
+        |  SELECT doc_id,
+        |    [list_min(list_transform(h, v -> ((2*j + 1) * v + j*j + 7) % 1000000007)) for j in range(0, $SIG_K)] AS sig
+        |  FROM ${p}${side}hs),
+        |${p}${side}b AS (
+        |  SELECT doc_id, sig, b, array_to_string(sig[$rowsPer*b+1:$rowsPer*b+$rowsPer], ',') AS key
+        |  FROM ${p}${side}sg, (SELECT unnest(range(0, $BANDS)) AS b))""".stripMargin
+    s"""${p}hfp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      |        FROM $histRel),
+      |${p}ex AS (SELECT b.doc_id, b.text FROM $batchRel b
+      |       WHERE md5(trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g')))
+      |             NOT IN (SELECT fp FROM ${p}hfp)),
+      |${sigCtes("l", s"${p}ex")},
+      |${sigCtes("r", histRel)},
+      |${p}bk AS (SELECT b, key FROM (
+      |    SELECT b, key FROM ${p}lb UNION ALL SELECT b, key FROM ${p}rb)
+      |  GROUP BY b, key HAVING count(*) <= $maxBucket),
+      |${p}cand AS (SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r,
+      |    l.sig AS sl, r.sig AS sr
+      |  FROM ${p}lb l JOIN ${p}rb r ON l.b = r.b AND l.key = r.key
+      |  JOIN ${p}bk bk ON bk.b = l.b AND bk.key = l.key),
+      |${p}dups AS (SELECT DISTINCT id_l FROM ${p}cand
+      |  WHERE list_sum([CASE WHEN sl[i] = sr[i] THEN 1 ELSE 0 END for i in range(1, ${SIG_K + 1})]) / $SIG_K.0 >= $threshold),
+      |${p}surv AS (SELECT doc_id, text FROM ${p}ex WHERE doc_id NOT IN (SELECT id_l FROM ${p}dups))""".stripMargin
+  }
+
   /** MinHash signature → banded buckets → candidate pairs, the CTE
     * chain shared by the pair query and the transitive-groups query.
     * `cand` carries (id_a, id_b, sa, sb); [[duckMinhashEst]] is the
@@ -487,8 +531,40 @@ object LlmQueries {
         "doc_id", "text", threshold = 0.5, portable = true)
       DedupOps.appendToDedupIndex(day1, idx, "doc_id", "text", tag = "day1",
         portable = true)
+      // mid-lifecycle maintenance: collapse build + day1 tranches into
+      // one — a pure rewrite (distinct of the same rows), so the oracle
+      // is unchanged by construction and day-2 gates that invariant
+      DedupOps.consolidateDedupIndex(s, idx)
       DedupOps.dedupAgainstIndex(docs.where(col("doc_id") >= 400), idx,
         "doc_id", "text", threshold = 0.5, portable = true)
+        .select("doc_id")
+    },
+
+    // ---- the APPROXIMATE index lifecycle: same two days, but the
+    //      daily near-dup pass reads the sig artifact (k longs/doc)
+    //      instead of every hashed shingle of the growing history —
+    //      banded signature equi-join, estimated jaccard. The oracle
+    //      replays both days with the frozen affine family ----
+    Q("q_dedup_index_minhash",
+      s"""WITH ${duckMinhashSurvivorCtes("a",
+           "(SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 400)",
+           "(SELECT doc_id, text FROM documents WHERE doc_id < 300)", 0.4)},
+        |${duckMinhashSurvivorCtes("b",
+           "(SELECT doc_id, text FROM documents WHERE doc_id >= 400)",
+           "(SELECT doc_id, text FROM documents WHERE doc_id < 300 UNION ALL SELECT doc_id, text FROM asurv)",
+           0.4)}
+        |SELECT doc_id FROM bsurv""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val idx = graft.util.Scratch.path("dedup_index_mh", dir)
+      DedupOps.writeDedupIndex(docs.where(col("doc_id") < 300), idx,
+        "doc_id", "text", portable = true, sigK = SIG_K, sigBands = BANDS)
+      val day1 = DedupOps.dedupAgainstIndexApprox(
+        docs.where(col("doc_id") >= 300 && col("doc_id") < 400), idx,
+        "doc_id", "text", threshold = 0.4)
+      DedupOps.appendToDedupIndex(day1, idx, "doc_id", "text", tag = "day1",
+        portable = true)
+      DedupOps.dedupAgainstIndexApprox(docs.where(col("doc_id") >= 400), idx,
+        "doc_id", "text", threshold = 0.4)
         .select("doc_id")
     },
 
@@ -648,6 +724,44 @@ object LlmQueries {
         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin) { (s, dir) =>
       TextOps.winnowOverlapPairs(Tables(s, dir, "documents"), "doc_id", "text",
         k = 12, w = 8, minShared = 5, portable = true, maxBucket = 50)
+    },
+
+    // ---- at-rest winnow index lifecycle: BUILD selected-hash rows
+    //      from the old corpus, APPEND a day's documents, then the
+    //      daily partial-overlap probe reads the compact artifact
+    //      instead of re-winnowing history text. Combined hot-hash
+    //      cap; batch × history only (never a self-join) ----
+    Q("q_winnow_index",
+      s"""WITH t AS (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(t) >= 12
+        |             THEN [${duckHash("substr(t, i, 12)")} for i in range(1, len(t) - 10)]
+        |             ELSE [${duckHash("t")}] END AS h
+        |      FROM t),
+        |fp AS (SELECT doc_id,
+        |         CASE WHEN len(h) >= 8
+        |              THEN list_distinct([list_min(h[p:p+7]) for p in range(1, len(h) - 6)])
+        |              ELSE [list_min(h)] END AS fps
+        |       FROM g),
+        |ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |l AS (SELECT doc_id, fp FROM ex WHERE doc_id >= 400),
+        |r AS (SELECT doc_id, fp FROM ex WHERE doc_id < 400),
+        |keep AS (SELECT fp FROM (SELECT fp FROM l UNION ALL SELECT fp FROM r) u
+        |         GROUP BY fp HAVING count(*) <= 50),
+        |pl AS (SELECT doc_id, l.fp AS fp FROM l JOIN keep USING (fp)),
+        |ph AS (SELECT doc_id, r.fp AS fp FROM r JOIN keep USING (fp))
+        |SELECT pl.doc_id AS id_l, ph.doc_id AS id_r, count(*) AS n_shared
+        |FROM pl JOIN ph USING (fp)
+        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val idx = graft.util.Scratch.path("winnow_index", dir)
+      TextOps.writeWinnowIndex(docs.where(col("doc_id") < 300), idx,
+        "doc_id", "text", k = 12, w = 8, portable = true)
+      TextOps.appendToWinnowIndex(docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
+        idx, "doc_id", "text", tag = "day1")
+      TextOps.winnowOverlapAgainstIndex(docs.where(col("doc_id") >= 400), idx,
+        "doc_id", "text", minShared = 5, maxBucket = 50)
     },
 
     // ---- SimHash document signatures (portable hash tier) ----

@@ -137,13 +137,22 @@ object StreamingOps {
     * old epoch's committed decision — new data never deduped, never
     * written, never indexed.
     *
+    * `approx = true` routes the near-dup decision through
+    * [[graft.dedup.DedupOps.dedupAgainstIndexApprox]] — the banded
+    * MinHash probe over the `sig` artifact (k longs/doc) instead of the
+    * full hashed-shingle scan; the steady-state tier once history
+    * outgrows the exact scan. The append path is unchanged (it always
+    * maintains every artifact, so the two tiers can be switched
+    * per-run).
+    *
     * Returns the started query; the caller owns termination.
     */
   def indexedDedupStream(docs: DataFrame, indexDir: String, outDir: String,
                          idCol: String, textCol: String,
                          checkpointDir: String,
                          shingleN: Int = 3, threshold: Double = 0.5,
-                         maxBucket: Int = 1000, portable: Boolean = false)
+                         maxBucket: Int = 1000, portable: Boolean = false,
+                         approx: Boolean = false)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     require(checkpointDir.nonEmpty, "indexedDedupStream: checkpointDir is required " +
       "(epoch-keyed decision reuse is only safe with durable epoch numbering)")
@@ -152,7 +161,7 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         processIndexedDedupEpoch(batch, epoch, indexDir, outDir, idCol, textCol,
-          shingleN, threshold, maxBucket, portable)
+          shingleN, threshold, maxBucket, portable, approx)
       }
       .start()
   }
@@ -167,7 +176,8 @@ object StreamingOps {
       batch: DataFrame, epoch: Long, indexDir: String, outDir: String,
       idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
-      maxBucket: Int = 1000, portable: Boolean = false): Unit = {
+      maxBucket: Int = 1000, portable: Boolean = false,
+      approx: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val batchOut = s"$outDir/batch=$epoch"
     // the decision marker is engine-owned, NOT the committer's _SUCCESS
@@ -180,8 +190,16 @@ object StreamingOps {
     val survivors =
       if (hfs.exists(committed)) spark.read.parquet(batchOut) // replayed epoch: reuse the committed decision
       else {
-        val (s, release) = graft.dedup.DedupOps.dedupAgainstIndexReleasable(
-          batch, indexDir, idCol, textCol, shingleN, threshold, maxBucket, portable)
+        // approx: the daily steady-state tier at corpus scale — the
+        // near-dup decision reads the k-longs/doc sig artifact instead
+        // of every hashed shingle of the growing history (params come
+        // from the index's _graft_meta, so the stream can never band
+        // against signatures built with a different family)
+        val (s, release) =
+          if (approx) graft.dedup.DedupOps.dedupAgainstIndexApproxReleasable(
+            batch, indexDir, idCol, textCol, threshold, maxBucket)
+          else graft.dedup.DedupOps.dedupAgainstIndexReleasable(
+            batch, indexDir, idCol, textCol, shingleN, threshold, maxBucket, portable)
         val frozen = s.localCheckpoint(true)
         release() // per-batch caches must not accumulate across a long stream
         frozen.write.mode("overwrite").parquet(batchOut)
@@ -227,6 +245,40 @@ object StreamingOps {
           }
       }
   }
+
+  /** EVENT-TIME sessionization via Spark's native `session_window` —
+    * the replay-safe tier of [[sessionize]]: that one times out on
+    * PROCESSING time, so a replayed or backfilled stream (events arrive
+    * in seconds, not over hours) sessionizes differently from live.
+    * Here session assembly and closing are keyed to the WATERMARK:
+    * sessions merge on event-time gaps and emit when the watermark
+    * passes session end, so replaying the same events in ANY
+    * micro-batch split yields identical sessions — and the SAME
+    * function runs in batch mode (`session_window` is an ordinary
+    * grouping expression), making stream ≡ backfill a single code
+    * path. Spec-proven: two different splits ≡ one batch ≡
+    * [[sessionizeBatch]].
+    *
+    * Output matches [[sessionizeBatch]]: `(user, n_events, sum_value,
+    * session_start, session_end)`. Boundary semantics: a gap of
+    * EXACTLY `gapSecs` splits here (session windows are half-open
+    * `[start, last+gap)`), while the lag-based batch path splits only
+    * on strictly-greater gaps — align `gapSecs` or avoid boundary-exact
+    * event spacing when mixing the two.
+    *
+    * State is watermark-bounded per open session (mandatory at scale);
+    * the shuffle is on the session-window key.
+    */
+  def sessionizeEventTime(events: DataFrame, userCol: String, tsCol: String,
+                          valCol: String, gapSecs: Long = 1800,
+                          lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), s"$gapSecs seconds"), col(userCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valCol)).as("sum_value"),
+        min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"))
+      .select(col(userCol), col("n_events"), col("sum_value"),
+        col("session_start"), col("session_end"))
 
   /** Batch-mode sessionization with the same gap semantics (event-time
     * gaps via lag + cumulative session ids) — for bounded backfills of

@@ -365,6 +365,132 @@ object TextOps {
     (pairs, () => { pruned.unpersist(); () })
   }
 
+  // ------------------------------------------------- at-rest winnow index
+
+  import graft.dedup.DedupOps.{hfs, pathExists, readSmallFile, writeSmallFile}
+
+  private def winnowRows(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int, portable: Boolean): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(winnowFingerprints(col(textCol), k, w, portable)).as("wfp"))
+
+  /** The winnow index's frozen parameter family (`dir/_graft_meta`) —
+    * same structural-invariant role as the dedup index's: fingerprints
+    * selected under different (k, w, hash) never meet their at-rest
+    * counterparts, so probes read the params from the file instead of
+    * trusting callers. */
+  private[graft] final case class WinnowIndexMeta(k: Int, w: Int, portable: Boolean)
+
+  private def winnowMetaString(m: WinnowIndexMeta): String =
+    s"k=${m.k}\nw=${m.w}\nportable=${m.portable}\n"
+
+  private[graft] def readWinnowIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[WinnowIndexMeta] =
+    readSmallFile(spark, s"$dir/_graft_meta").map { s =>
+      val kv = s.linesIterator.filter(_.contains('=')).map { l =>
+        val Array(a, b) = l.split("=", 2); (a.trim, b.trim)
+      }.toMap
+      WinnowIndexMeta(kv("k").toInt, kv("w").toInt, kv("portable").toBoolean)
+    }
+
+  /** Materialize winnowing fingerprints at rest: `dir/wfp` holds the
+    * corpus's exploded selected hashes `(doc_id, wfp)` — 8 bytes per
+    * selected gram, ~1/w of the gram count per document — so the daily
+    * [[winnowOverlapAgainstIndex]] never re-winnows or re-reads corpus
+    * text. Same lifecycle discipline as the dedup index
+    * ([[graft.dedup.DedupOps.writeDedupIndex]]): `batch=<tag>` tranche
+    * layout with overwrite-idempotent appends, params frozen in
+    * `_graft_meta`, rebuild over a live index via one whole-dir atomic
+    * swap.
+    */
+  def writeWinnowIndex(corpus: DataFrame, dir: String, idCol: String, textCol: String,
+                       k: Int = 8, w: Int = 4, portable: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
+    def buildInto(root: String): Unit = {
+      winnowRows(corpus, idCol, textCol, k, w, portable)
+        .write.mode("overwrite").parquet(s"$root/wfp/batch=build")
+      writeSmallFile(spark, s"$root/_graft_meta",
+        winnowMetaString(WinnowIndexMeta(k, w, portable)))
+    }
+    if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
+    else buildInto(dir)
+  }
+
+  /** Append a tranche of documents to the winnow index (params from
+    * `_graft_meta` — never caller-supplied). Unlike the dedup index,
+    * the natural loop appends the WHOLE probed batch, not survivors:
+    * overlap detection reports reuse, it does not drop documents.
+    * Overwrite-idempotent per tag; a tag absorbed by
+    * [[consolidateWinnowIndex]] is a no-op. */
+  def appendToWinnowIndex(newRows: DataFrame, dir: String, idCol: String, textCol: String,
+                          tag: String): Unit = {
+    val spark = newRows.sparkSession
+    val meta = readWinnowIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"winnow index $dir has no _graft_meta; build it with writeWinnowIndex"))
+    if (graft.dedup.DedupOps.readAbsorbedTags(spark, dir).contains(tag)) return
+    winnowRows(newRows, idCol, textCol, meta.k, meta.w, meta.portable)
+      .write.mode("overwrite").parquet(s"$dir/wfp/batch=$tag")
+  }
+
+  /** Collapse accumulated winnow tranches into one (atomic swap,
+    * `distinct()`-self-healing, absorbed-tag ledger) — the same
+    * maintenance contract as
+    * [[graft.dedup.DedupOps.consolidateDedupIndex]]. */
+  def consolidateWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit = {
+    val tags = hfs(spark, dir)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/wfp"))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=")).toSet - "consolidated" - "build"
+    val data = spark.read.parquet(s"$dir/wfp").drop("batch").distinct()
+    graft.merge.Merge.atomicSwap(spark, s"$dir/wfp") { tmp =>
+      data.write.mode("overwrite").parquet(s"$tmp/batch=consolidated")
+    }
+    val absorbed = graft.dedup.DedupOps.readAbsorbedTags(spark, dir) ++ tags
+    if (absorbed.nonEmpty)
+      writeSmallFile(spark, s"$dir/_graft_absorbed",
+        absorbed.toSeq.sorted.mkString("", "\n", "\n"))
+  }
+
+  /** Partial-overlap pairs of a NEW batch against the MATERIALIZED
+    * winnow index: the batch winnows from text (params from
+    * `_graft_meta`), the history side reads the compact `wfp` artifact
+    * — the daily partial-reuse scan without re-fingerprinting the
+    * corpus. Combined hot-hash cap across both sides (a fingerprint
+    * cliché on either side is cliché, mirroring
+    * [[graft.dedup.DedupOps.dedupAgainstIndex]]'s combined prune);
+    * the two sides never self-join. Returns `(id_l, id_r, n_shared)`
+    * with `id_l` from the batch.
+    */
+  def winnowOverlapAgainstIndex(batch: DataFrame, dir: String,
+                                idCol: String, textCol: String,
+                                minShared: Int = 2, maxBucket: Int = 1000): DataFrame =
+    winnowOverlapAgainstIndexReleasable(batch, dir, idCol, textCol,
+      minShared, maxBucket)._1
+
+  private[graft] def winnowOverlapAgainstIndexReleasable(
+      batch: DataFrame, dir: String, idCol: String, textCol: String,
+      minShared: Int = 2, maxBucket: Int = 1000): (DataFrame, () => Unit) = {
+    val spark = batch.sparkSession
+    val meta = readWinnowIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"winnow index $dir has no _graft_meta; build it with writeWinnowIndex"))
+    val l = winnowRows(batch, idCol, textCol, meta.k, meta.w, meta.portable)
+      .select(lit(0).as("__side"), col("doc_id").as("__id"), col("wfp").as("__fp"))
+    val r = spark.read.parquet(s"$dir/wfp")
+      .select(lit(1).as("__side"), col("doc_id").as("__id"), col("wfp").as("__fp"))
+    val pruned = l.unionByName(r)
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
+      .where(col("__bn") <= maxBucket).drop("__bn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = pruned.where(col("__side") === 0).select(col("__fp"), col("__id").as("id_l"))
+    val b = pruned.where(col("__side") === 1).select(col("__fp"), col("__id").as("id_r"))
+    val pairs = a.join(b, Seq("__fp"))
+      .groupBy("id_l", "id_r").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    (pairs, () => { pruned.unpersist(); () })
+  }
+
   /** Content fingerprint: md5 of the normalized text — the exact-dedup
     * identity (reference precedent: sha256 hash identity,
     * `/root/reference/src/pyveb/dbt_client.py:45-58`). */

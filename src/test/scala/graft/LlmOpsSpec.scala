@@ -320,6 +320,173 @@ class LlmOpsSpec extends SparkSpec {
     assert(tranches("sh").size == 2)
   }
 
+  test("dedupAgainstIndexApprox: sig-artifact lifecycle — append ≡ rebuild, consolidation answer-preserving") {
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet purple pink white")
+    ).toDF("doc_id", "text")
+    val day1 = Seq(
+      (30L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact dup of 1
+      (31L, "one two three four five six seven eight nine eleven"),      // near-dup of 2 (J=7/9)
+      (32L, "totally fresh content about distributed query engines today")
+    ).toDF("doc_id", "text")
+    val day2 = Seq(
+      (40L, "totally fresh content about distributed query engines today"), // exact dup of day-1 SURVIVOR 32
+      (41L, "red orange yellow green blue indigo violet purple pink gray"), // near-dup of hist 3
+      (42L, "another unrelated story with entirely distinct vocabulary whatsoever")
+    ).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    val idx = java.nio.file.Files.createTempDirectory("graft_sig_idx").toString
+    DedupOps.writeDedupIndex(hist, idx, "doc_id", "text")
+    val s1 = DedupOps.dedupAgainstIndexApprox(day1, idx, "doc_id", "text", threshold = 0.4)
+    // 30 drops at the exact tier, 31 at the banded-signature tier
+    assert(ids(s1) == Seq(32L))
+    DedupOps.appendToDedupIndex(s1, idx, "doc_id", "text", tag = "day1")
+    // append wrote the sig tranche, not just sh/fp
+    assert(new java.io.File(s"$idx/sig/batch=day1").exists())
+    val viaAppend = ids(DedupOps.dedupAgainstIndexApprox(day2, idx, "doc_id", "text",
+      threshold = 0.4))
+    // 40 exact-dups the APPENDED survivor, 41 near-dups original history
+    assert(viaAppend == Seq(42L))
+    // append ≡ rebuild: a fresh index over the cumulative corpus gives
+    // day-2 the same decisions (signatures are pure functions of text)
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_sig_idx2").toString
+    DedupOps.writeDedupIndex(
+      hist.unionByName(day1.where(col("doc_id") === 32L)), idx2, "doc_id", "text")
+    assert(ids(DedupOps.dedupAgainstIndexApprox(day2, idx2, "doc_id", "text",
+      threshold = 0.4)) == viaAppend)
+    // consolidation rewrites sig tranches too, answers unchanged
+    DedupOps.consolidateDedupIndex(spark, idx)
+    assert(new java.io.File(s"$idx/sig").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq == Seq("batch=consolidated"))
+    assert(ids(DedupOps.dedupAgainstIndexApprox(day2, idx, "doc_id", "text",
+      threshold = 0.4)) == viaAppend)
+    // a legacy pre-sig index fails fast instead of silently finding nothing
+    val flat = java.nio.file.Files.createTempDirectory("graft_nosig_idx").toString
+    Seq((1L, 42L)).toDF("doc_id", "sh").write.parquet(s"$flat/sh/batch=build")
+    Seq("aa").toDF("fp").write.parquet(s"$flat/fp/batch=build")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.dedupAgainstIndexApprox(day2, flat, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("_graft_meta"))
+  }
+
+  test("index meta: mismatched params fail fast; absorbed tags make replayed appends a no-op; distinct() self-heals") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different document about spark engines")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_meta_idx").toString
+    DedupOps.writeDedupIndex(docs, idx, "doc_id", "text", shingleN = 3)
+    val batch = Seq((3L, "some wholly new text about data pipelines at scale")).toDF("doc_id", "text")
+    // param mismatch = structural corruption; both mutation and probe refuse
+    val e1 = intercept[IllegalArgumentException] {
+      DedupOps.appendToDedupIndex(batch, idx, "doc_id", "text", tag = "t", shingleN = 4)
+    }
+    assert(e1.getMessage.contains("shingleN"))
+    val e2 = intercept[IllegalArgumentException] {
+      DedupOps.dedupAgainstIndex(batch, idx, "doc_id", "text", portable = true).count()
+    }
+    assert(e2.getMessage.contains("portable"))
+    // append day1, consolidate (absorbs it), then REPLAY the append:
+    // must be a no-op — no batch=day1 tranche reappears, no row growth
+    DedupOps.appendToDedupIndex(batch, idx, "doc_id", "text", tag = "day1")
+    DedupOps.consolidateDedupIndex(spark, idx)
+    assert(DedupOps.readAbsorbedTags(spark, idx) == Set("day1"))
+    val rowsAfterConsolidate = spark.read.parquet(s"$idx/sh").count()
+    DedupOps.appendToDedupIndex(batch, idx, "doc_id", "text", tag = "day1")
+    assert(!new java.io.File(s"$idx/sh/batch=day1").exists())
+    assert(spark.read.parquet(s"$idx/sh").count() == rowsAfterConsolidate)
+    // ledger lost (crash before it was written): the replayed append
+    // double-counts — and the NEXT consolidation's distinct() heals it
+    new java.io.File(s"$idx/_graft_absorbed").delete()
+    DedupOps.appendToDedupIndex(batch, idx, "doc_id", "text", tag = "day1")
+    assert(spark.read.parquet(s"$idx/sh").count() > rowsAfterConsolidate)
+    DedupOps.consolidateDedupIndex(spark, idx)
+    assert(spark.read.parquet(s"$idx/sh").count() == rowsAfterConsolidate)
+  }
+
+  test("writeDedupIndex rebuild over a live index is one whole-dir swap: all artifacts + meta, no stage orphans") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_swap_idx").toString
+    val idx = s"$base/idx"
+    DedupOps.writeDedupIndex(docs, idx, "doc_id", "text")
+    DedupOps.appendToDedupIndex(
+      Seq((2L, "eta theta iota kappa lambda mu")).toDF("doc_id", "text"),
+      idx, "doc_id", "text", tag = "day1")
+    // rebuild replaces everything — appended tranches, meta, ledger
+    DedupOps.writeDedupIndex(docs, idx, "doc_id", "text", shingleN = 4)
+    // dot-files are checksum/committer sidecars, not index structure
+    val entries = new java.io.File(idx).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(entries == Set("sh", "fp", "sig", "_graft_meta"))
+    assert(DedupOps.readDedupIndexMeta(spark, idx).map(_.shingleN).contains(4))
+    assert(new java.io.File(s"$idx/sh").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq == Seq("batch=build"))
+    // no __stage_/__old_ swap debris next to the index
+    assert(new java.io.File(base).listFiles().map(_.getName).toSeq == Seq("idx"))
+  }
+
+  test("winnow index: append ≡ rebuild, consolidation answer-preserving, meta-less probe fails fast") {
+    import graft.text.TextOps
+    val all = Tables(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    val hist = all.where(col("doc_id") < 25)
+    val day1 = all.where(col("doc_id") >= 25 && col("doc_id") < 35)
+    val batch = all.where(col("doc_id") >= 35)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().sorted.toSeq
+    val idx = java.nio.file.Files.createTempDirectory("graft_winnow_idx").toString
+    TextOps.writeWinnowIndex(hist, idx, "doc_id", "text", k = 8, w = 4, portable = true)
+    TextOps.appendToWinnowIndex(day1, idx, "doc_id", "text", tag = "day1")
+    val viaAppend = pairs(TextOps.winnowOverlapAgainstIndex(batch, idx,
+      "doc_id", "text", minShared = 2, maxBucket = 50))
+    assert(viaAppend.nonEmpty) // the probe finds real batch×history overlaps
+    // append ≡ rebuild: fingerprints are pure functions of (text, meta)
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_winnow_idx2").toString
+    TextOps.writeWinnowIndex(hist.unionByName(day1), idx2, "doc_id", "text",
+      k = 8, w = 4, portable = true)
+    assert(pairs(TextOps.winnowOverlapAgainstIndex(batch, idx2,
+      "doc_id", "text", minShared = 2, maxBucket = 50)) == viaAppend)
+    // consolidation collapses tranches without changing answers, and a
+    // replayed absorbed append is a no-op
+    TextOps.consolidateWinnowIndex(spark, idx)
+    assert(new java.io.File(s"$idx/wfp").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq == Seq("batch=consolidated"))
+    assert(pairs(TextOps.winnowOverlapAgainstIndex(batch, idx,
+      "doc_id", "text", minShared = 2, maxBucket = 50)) == viaAppend)
+    TextOps.appendToWinnowIndex(day1, idx, "doc_id", "text", tag = "day1")
+    assert(!new java.io.File(s"$idx/wfp/batch=day1").exists())
+    // probing a meta-less dir fails fast (params are structural)
+    val bare = java.nio.file.Files.createTempDirectory("graft_winnow_bare").toString
+    Seq((1L, 42L)).toDF("doc_id", "wfp").write.parquet(s"$bare/wfp/batch=build")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.winnowOverlapAgainstIndex(batch, bare, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("_graft_meta"))
+  }
+
+  test("maxBucket universe drifts as history grows (documented stop-phrase semantics)") {
+    // B shares shingles {w1w2w3, w2w3w4} with H: jaccard 2/4 = 0.5 → dup.
+    // Doubling history (H' = copy of H) pushes those shingles' combined
+    // occurrence over maxBucket=2; post-prune they leave the universe
+    // and the SAME pair flips to survivor — the cap is an absolute
+    // count, so decisions are a function of corpus size by design
+    val batch = Seq((10L, "w1 w2 w3 w4 x")).toDF("doc_id", "text")
+    val hist1 = Seq((1L, "w1 w2 w3 w4 y")).toDF("doc_id", "text")
+    val hist2 = hist1.unionByName(Seq((2L, "w1 w2 w3 w4 y")).toDF("doc_id", "text"))
+    val i1 = java.nio.file.Files.createTempDirectory("graft_drift1").toString
+    val i2 = java.nio.file.Files.createTempDirectory("graft_drift2").toString
+    DedupOps.writeDedupIndex(hist1, i1, "doc_id", "text")
+    DedupOps.writeDedupIndex(hist2, i2, "doc_id", "text")
+    def surv(idx: String) = DedupOps.dedupAgainstIndex(
+      batch, idx, "doc_id", "text", threshold = 0.5, maxBucket = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(surv(i1) == Seq.empty)  // 1× history: near-dup detected
+    assert(surv(i2) == Seq(10L))   // 2× history: shared shingles pruned → survivor
+  }
+
   test("minhashDupGroups: identical docs group via banded signatures, disjoint docs stay singleton") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -57,6 +57,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexedDedupStream approx tier: near-dup decisions read the sig artifact, survivors still append everywhere") {
+    val base = Files.createTempDirectory("graft_idx_stream_apx").toString
+    val idx = s"$base/idx"; val out = s"$base/out"; val ck = s"$base/ck"
+    graft.dedup.DedupOps.writeDedupIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"),
+      idx, "doc_id", "text")
+    val mem = MemoryStream[(Long, String)](spark, 1)
+    val q = StreamingOps.indexedDedupStream(
+      mem.toDF.toDF("doc_id", "text"), idx, out, "doc_id", "text",
+      checkpointDir = ck, threshold = 0.4, approx = true)
+    try {
+      mem.addData((10L, "the quick brown fox jumps over the lazy dog"), // exact dup of history
+        (11L, "an entirely new document about training corpora for large language models today"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet == Set(11L))
+      // 20 near-dups batch-1 SURVIVOR 11 (jaccard 9/11 — one word
+      // changed) — found via the sig tranche the append wrote, not via
+      // any shingle scan
+      mem.addData((20L, "an entirely new document about training corpora for large language models tomorrow"),
+        (21L, "completely unrelated content with different words"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet ==
+        Set(11L, 21L))
+      assert(new java.io.File(s"$idx/sig/batch=0").exists())
+    } finally q.stop()
+  }
+
   test("indexedDedupStream replay: re-delivered epochs converge (decision reuse + tranche overwrite)") {
     val base = Files.createTempDirectory("graft_idx_replay").toString
     val idx = s"$base/idx"; val out = s"$base/out"
@@ -235,5 +263,51 @@ class StreamingSpec extends SparkSpec {
       assert(u1.nonEmpty, "no session emitted for user 1 within deadline")
       assert(u1.get.n_events == 2 && u1.get.sum_value == 3.0 && u1.get.duration_secs == 300)
     } finally q.stop()
+  }
+
+  test("sessionizeEventTime is replay-invariant: any micro-batch split ≡ one batch ≡ sessionizeBatch") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    // roughly time-ordered so the per-event split never delivers an
+    // event behind the watermark (that would be genuine lateness, a
+    // different concern than split-invariance)
+    val events = Seq(
+      (1L, ts("10:00:00"), 1.0), (2L, ts("10:05:00"), 5.0), // user 2: one session
+      (1L, ts("10:10:00"), 2.0),                            // user 1 session 1 (gap 10m)
+      (1L, ts("11:30:00"), 3.0))                            // user 1 session 2 (gap 80m)
+    def sess(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, java.sql.Timestamp, java.sql.Timestamp)]
+        .collect().toSet
+    // reference 1: the lag-based batch path
+    val viaBatch = sess(StreamingOps.sessionizeBatch(
+      events.toDF("user_id", "ts", "value"), "user_id", "ts", "value", gapSecs = 1800))
+    // reference 2: the SAME session_window function in batch mode
+    val viaSessionWindowBatch = sess(StreamingOps.sessionizeEventTime(
+      events.toDF("user_id", "ts", "value"), "user_id", "ts", "value",
+      gapSecs = 1800))
+    assert(viaSessionWindowBatch == viaBatch)
+    // streaming, parameterized by how the same events split into
+    // micro-batches — the event-time timeout must make the split
+    // unobservable (a processing-time timeout sessionizes a replay
+    // differently from live; that is the defect this tier closes)
+    def runStream(splits: Seq[Seq[(Long, java.sql.Timestamp, Double)]],
+                  name: String) = {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Double)](spark, 10)
+      val q = StreamingOps.sessionizeEventTime(
+        mem.toDF.toDF("user_id", "ts", "value"), "user_id", "ts", "value",
+        gapSecs = 1800)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        splits.foreach { s => mem.addData(s: _*); q.processAllAvailable() }
+        // sentinel far in the future advances the watermark past every
+        // session end so Append mode flushes the final sessions
+        mem.addData((99L, ts("23:59:00"), 0.0)); q.processAllAvailable()
+        sess(spark.table(name)).filter(_._1 != 99L)
+      } finally q.stop()
+    }
+    val oneBatch = runStream(Seq(events), "sess_one")
+    val perEvent = runStream(events.map(Seq(_)), "sess_split")
+    assert(oneBatch == viaBatch, s"one-batch stream drifted: $oneBatch vs $viaBatch")
+    assert(perEvent == viaBatch, s"per-event stream drifted: $perEvent vs $viaBatch")
   }
 }
