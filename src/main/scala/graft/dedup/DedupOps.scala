@@ -821,6 +821,36 @@ object DedupOps {
     graft.graph.GraphOps.assignGroups(df, idCol, cc)
   }
 
+  /** Keep ONE representative per near-duplicate cluster by QUALITY
+    * rather than by min id — the selection step a curation pipeline
+    * actually wants: [[nearDupGroups]]' `group_id === id` rule keeps
+    * whichever duplicate happens to have the smallest id; this keeps
+    * the highest-`score` member (ties broken toward the smaller id, so
+    * the choice is deterministic). Returns one row per cluster:
+    * `(group_id, kept_id, group_size)`.
+    *
+    * Scale shape: clustering is [[nearDupGroups]] (bucketed pair join +
+    * CC over the pair set); winner selection is ONE `max_by`
+    * aggregation keyed by group — map-side combinable, no corpus-wide
+    * window sort (a `row_number` over groups would sort every
+    * partition for information a running maximum already holds).
+    */
+  def keepBestPerGroup(df: DataFrame, idCol: String, textCol: String,
+                       score: Column,
+                       shingleN: Int = 3, threshold: Double = 0.5,
+                       maxBucket: Int = 1000): DataFrame = {
+    val groups = nearDupGroups(df, idCol, textCol, shingleN, threshold, maxBucket)
+    val scored = df.select(col(idCol), score.cast(LongType).as("__score"))
+      .join(groups, Seq(idCol))
+    scored.groupBy(col("group_id"))
+      .agg(
+        // struct comparison is lexicographic and ids are unique, so the
+        // ordering key (score, -id) has no ties — max_by is deterministic
+        max_by(col(idCol),
+          struct(col("__score"), (-col(idCol)).cast(LongType))).as("kept_id"),
+        max(col("group_size")).as("group_size"))
+  }
+
   /** Global span-level exact dedup — remove REPEATED PASSAGES, not
     * repeated documents: boilerplate headers, license blocks, navboxes
     * that recur across an otherwise-unique corpus. The text is cut

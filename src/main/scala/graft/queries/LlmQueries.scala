@@ -492,6 +492,32 @@ object LlmQueries {
         shingleN = 3, threshold = 0.5)
     },
 
+    // ---- quality-based representative selection: one row per
+    //      near-dup cluster, keeping the member with the most tokens
+    //      (tie → smaller id) instead of the arbitrary min-id — winner
+    //      selection is a map-side-combinable max_by, never a
+    //      corpus-wide window sort ----
+    Q("q_dedup_keep_best",
+      s"""WITH RECURSIVE ${duckJaccardCtes(1000, 0.5, 3)},
+        |e AS (SELECT id_a AS u, id_b AS v FROM jp UNION SELECT id_b, id_a FROM jp),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+        |cc AS (SELECT u, min(v) AS comp FROM reach GROUP BY u),
+        |asg AS (SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS group_id,
+        |               CAST(len($duckWords) AS BIGINT) AS n_words
+        |        FROM documents d LEFT JOIN cc ON cc.u = d.doc_id)
+        |SELECT group_id, doc_id AS kept_id, CAST(group_size AS BIGINT) AS group_size
+        |FROM (SELECT doc_id, group_id,
+        |        count(*) OVER (PARTITION BY group_id) AS group_size,
+        |        row_number() OVER (PARTITION BY group_id ORDER BY n_words DESC, doc_id) AS rk
+        |      FROM asg)
+        |WHERE rk = 1""".stripMargin) { (s, dir) =>
+      DedupOps.keepBestPerGroup(Tables(s, dir, "documents"), "doc_id", "text",
+        TextOps.tokenCount(col("text")), shingleN = 3, threshold = 0.5)
+    },
+
     // ---- incremental-ingest dedup: a new batch (doc_id ≥ 400) is
     //      filtered against the existing corpus (doc_id < 400) —
     //      exact fingerprint anti-join, then cross-corpus jaccard

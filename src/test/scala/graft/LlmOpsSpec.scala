@@ -429,6 +429,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(new java.io.File(base).listFiles().map(_.getName).toSeq == Seq("idx"))
   }
 
+  test("keepBestPerGroup keeps the highest-score member per cluster, min-id on ties") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),       // 6 words
+      (2L, "alpha beta gamma delta epsilon zeta eta"),   // near-dup of 1 (J=0.8), 7 words → wins
+      (3L, "something else entirely different here now"),// singleton
+      (4L, "one two three four five six"),               // exact dup pair:
+      (5L, "one two three four five six")                //   tie → min id 4 wins
+    ).toDF("doc_id", "text")
+    val got = DedupOps.keepBestPerGroup(corpus, "doc_id", "text",
+      graft.text.TextOps.tokenCount(col("text")), threshold = 0.5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 2L), (3L, 3L, 1L), (4L, 4L, 2L)))
+  }
+
   test("winnow index: append ≡ rebuild, consolidation answer-preserving, meta-less probe fails fast") {
     import graft.text.TextOps
     val all = Tables(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
