@@ -897,6 +897,41 @@ object LlmQueries {
         "vec_id", "embedding", threshold = 0.3, nbits = 4)
     },
 
+    // ---- incremental SEMANTIC dedup against the materialized IVF
+    //      index: day-1 vectors dedup against the built history index,
+    //      survivors append (frozen centroids), day-2 dedups against
+    //      the grown index. nProbe = nLists ⇒ exact by construction,
+    //      so the oracle needs no frozen quantizer — it replays plain
+    //      cross-corpus cosine thresholds over both days ----
+    Q("q_semantic_dedup_index",
+      s"""WITH h1 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+        |b1 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 300 AND vec_id < 400),
+        |d1 AS (SELECT DISTINCT b1.vec_id FROM b1, h1
+        |       WHERE ${duckCos("b1.embedding", "h1.embedding")} >= 0.3),
+        |s1 AS (SELECT vec_id, embedding FROM b1
+        |       WHERE vec_id NOT IN (SELECT vec_id FROM d1)),
+        |h2 AS (SELECT vec_id, embedding FROM h1
+        |       UNION ALL SELECT vec_id, embedding FROM s1),
+        |b2 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 400),
+        |d2 AS (SELECT DISTINCT b2.vec_id FROM b2, h2
+        |       WHERE ${duckCos("b2.embedding", "h2.embedding")} >= 0.3)
+        |SELECT vec_id FROM b2 WHERE vec_id NOT IN (SELECT vec_id FROM d2)""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      val idx = graft.util.Scratch.path("sem_dedup_idx", dir)
+      val cents = sharedCentroids(s, dir)
+      SimilarityOps.ivfWriteIndex(emb.where(col("vec_id") < 300), idx,
+        "vec_id", "embedding", nLists = 16, precomputed = Some(cents))
+      val s1 = SimilarityOps.semanticDedupAgainstIndex(s, idx,
+        emb.where(col("vec_id") >= 300 && col("vec_id") < 400),
+        "vec_id", "embedding", cents, threshold = 0.3, nProbe = 16)
+      SimilarityOps.ivfAppendToIndex(
+        s1.localCheckpoint(true), idx, "vec_id", "embedding", cents)
+      SimilarityOps.semanticDedupAgainstIndex(s, idx,
+        emb.where(col("vec_id") >= 400),
+        "vec_id", "embedding", cents, threshold = 0.3, nProbe = 16)
+        .select("vec_id")
+    },
+
     // ---- SemDeDup-style semantic dedup: embedding near-dup pairs
     //      closed transitively → (id, group_id, group_size) for every
     //      vector; the oracle replays buckets, cosine gate, and the

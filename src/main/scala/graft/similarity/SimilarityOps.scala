@@ -729,6 +729,46 @@ object SimilarityOps {
     graft.graph.GraphOps.assignGroups(df, idCol, cc)
   }
 
+  /** Incremental-ingest SEMANTIC dedup against the MATERIALIZED IVF
+    * index — the embedding twin of
+    * [[graft.dedup.DedupOps.dedupAgainstIndex]]: drop from a new batch
+    * every vector whose cosine against ANY indexed history vector
+    * reaches `threshold`. The history is the at-rest index (partition-
+    * pruned code... vector rows under `ivf_list=` subdirs), never
+    * re-embedded, never self-joined; the daily loop is
+    * `semanticDedupAgainstIndex(batch) → ivfAppendToIndex(survivors)`
+    * with the build-time frozen centroids.
+    *
+    * `nProbe = nLists` makes the filter EXACT by construction (every
+    * history row is scored regardless of its home list — the oracle
+    * mode); serving budgets (`nProbe < nLists`) trade the same recall
+    * as [[ivfProbeTopK]]: a near-dup whose history vector lives in an
+    * unprobed list is missed. Scores round to 6 dp like every cosine
+    * in the engine, so decisions are replayable cross-engine.
+    *
+    * Scale shape: the batch (a day's vectors, bounded) broadcasts into
+    * the index partitions its probes select; one distinct on flagged
+    * ids; one anti-join. The 100 TB index contributes a partition-
+    * pruned scan, nothing more.
+    */
+  def semanticDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                batch: DataFrame, idCol: String, vecCol: String,
+                                centroids: Array[(Int, Array[Double])],
+                                threshold: Double, nProbe: Int): DataFrame = {
+    val q = batch.select(col(idCol).as("__qid"), col(vecCol).as("__qv"),
+      l2NormF(col(vecCol)).as("__qn"),
+      explode(nearestListsExpr(centroids, col(vecCol), nProbe)).as("ivf_list"))
+    // no same-id exclusion: a batch id already present in the index IS
+    // a duplicate delivery (it matches itself at cosine 1) — dropping
+    // it is the dedup contract, unlike top-k serving where a query
+    // finding itself is noise
+    val dupIds = spark.read.parquet(dir).join(broadcast(q), Seq("ivf_list"))
+      .where(round(dotF(col("__qv"), col("__cv")) / (l2NormF(col("__cv")) * col("__qn")), 6)
+          >= threshold)
+      .select(col("__qid")).distinct()
+    batch.join(dupIds, col(idCol) === col("__qid"), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: sign-LSH
     * bucket candidates (id_a < id_b in the same bucket), exact cosine
     * filter at `threshold`. Vectors that are near-duplicates at high

@@ -429,6 +429,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(new java.io.File(base).listFiles().map(_.getName).toSeq == Seq("idx"))
   }
 
+  test("semanticDedupAgainstIndex: full-probe ≡ brute-force filter; re-delivered id drops; survivors append") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val hist = emb.where(col("vec_id") < 200)
+    val batch = emb.where(col("vec_id") >= 200 && col("vec_id") < 260)
+    val idx = java.nio.file.Files.createTempDirectory("graft_sem_idx").toString + "/ivf"
+    val cents = SimilarityOps.ivfCentroids(hist, "embedding", nLists = 8)
+    SimilarityOps.ivfWriteIndex(hist, idx, "vec_id", "embedding",
+      nLists = 8, precomputed = Some(cents))
+    val got = SimilarityOps.semanticDedupAgainstIndex(spark, idx, batch,
+      "vec_id", "embedding", cents, threshold = 0.3, nProbe = 8)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // brute-force reference: batch ids with NO history cosine ≥ 0.3
+    val dup = batch.as("b").join(hist.as("h"),
+      round(SimilarityOps.dotF(col("b.embedding"), col("h.embedding")) /
+        (SimilarityOps.l2NormF(col("b.embedding")) *
+          SimilarityOps.l2NormF(col("h.embedding"))), 6) >= 0.3)
+      .select(col("b.vec_id")).distinct()
+    val want = batch.join(dup, Seq("vec_id"), "left_anti")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty && got.size < batch.count())
+    // a re-delivered id (already indexed) matches itself at cosine 1 → drops
+    SimilarityOps.ivfAppendToIndex(
+      batch.join(got.toDF("vec_id"), Seq("vec_id"), "left_semi").localCheckpoint(true),
+      idx, "vec_id", "embedding", cents)
+    val redelivered = SimilarityOps.semanticDedupAgainstIndex(spark, idx,
+      batch.join(got.toDF("vec_id"), Seq("vec_id"), "left_semi"),
+      "vec_id", "embedding", cents, threshold = 0.3, nProbe = 8)
+    assert(redelivered.count() == 0)
+  }
+
   test("keepBestPerGroup keeps the highest-score member per cluster, min-id on ties") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),       // 6 words
