@@ -45,6 +45,35 @@ object ProfileOps {
         round(col("n").cast(DoubleType) * col("__nkeys") / col("__total"), 6).as("skew"))
   }
 
+  /** Equi-width histogram of a numeric column over the FIXED range
+    * `[lo, hi)`: `bins` buckets of width `(hi − lo) / bins`, values
+    * outside the range clamped into the edge bins, nulls dropped.
+    * Output one row per non-empty bin: `(bin, bin_lo, bin_hi, n)`.
+    * The distribution-shape input the planner reads next to
+    * [[keyProfile]] — range-partition boundaries, bucket counts, and
+    * `maxPartitionBytes` sizing all start from a histogram.
+    *
+    * The range is caller-fixed rather than data-derived so the result
+    * is a pure one-pass aggregation (a data-derived range needs a min/
+    * max pass first — compose with [[columnProfile]] for that) and so
+    * the bin function is deterministic and replayable cross-engine.
+    * Scale shape: one map-side-combinable groupBy shuffle of at most
+    * `bins` groups.
+    */
+  def histogram(df: DataFrame, c: String, bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0, "histogram: bins must be > 0")
+    require(hi > lo, s"histogram: need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    df.where(col(c).isNotNull)
+      .select(least(lit(bins - 1), greatest(lit(0),
+        floor((col(c).cast(DoubleType) - lo) / width).cast(IntegerType))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * width).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * width).as("bin_hi"),
+        col("n"))
+  }
+
   /** Per-column statistics for NUMERIC columns: row count, null count,
     * exact distinct count, min and max (as doubles). One pass over the
     * data — a single aggregation computes every column's stats (Spark

@@ -639,6 +639,20 @@ object LlmQueries {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     },
 
+    // ---- equi-width histogram over a fixed range: the distribution-
+    //      shape input next to the key profile; one map-side-combinable
+    //      shuffle of ≤ bins groups ----
+    Q("q_histogram",
+      """WITH b AS (SELECT least(19, greatest(0,
+        |    CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 4000.0) AS INTEGER))) AS bin
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT bin, 0.0 + bin * 4000.0 AS bin_lo, 0.0 + (bin + 1) * 4000.0 AS bin_hi,
+        |  count(*) AS n
+        |FROM b GROUP BY bin""".stripMargin) { (s, dir) =>
+      graft.profile.ProfileOps.histogram(Tables(s, dir, "lineitem"),
+        "l_extendedprice", bins = 20, lo = 0.0, hi = 80000.0)
+    },
+
     // ---- span-level exact dedup: repeated 5-word passages survive
     //      only at their first corpus occurrence; docs reassembled
     //      from surviving spans (windowed approximation of substring

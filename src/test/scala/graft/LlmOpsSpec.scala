@@ -429,6 +429,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(new java.io.File(base).listFiles().map(_.getName).toSeq == Seq("idx"))
   }
 
+  test("histogram: fixed-range equi-width bins, edge clamping, nulls dropped") {
+    val df = Seq(Some(-5.0), Some(0.0), Some(3.9), Some(4.0), Some(7.5),
+      Some(12.0), Some(99.0), None).toDF("x")
+    val got = graft.profile.ProfileOps.histogram(df, "x", bins = 3, lo = 0.0, hi = 12.0)
+      .as[(Int, Double, Double, Long)].collect().toSet
+    // width 4: bin0 [0,4) gets {-5 clamped, 0, 3.9}; bin1 [4,8) gets
+    // {4, 7.5}; bin2 [8,12) gets {12 clamped, 99 clamped}; null dropped
+    assert(got == Set((0, 0.0, 4.0, 3L), (1, 4.0, 8.0, 2L), (2, 8.0, 12.0, 2L)))
+  }
+
   test("semanticDedupAgainstIndex: full-probe ≡ brute-force filter; re-delivered id drops; survivors append") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
