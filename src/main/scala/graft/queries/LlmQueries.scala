@@ -1364,6 +1364,26 @@ object LlmQueries {
 
     // ---- per-source cap: anti-domination gate (keep the n best docs
     //      per source so no domain swamps the corpus) ----
+    // ---- data-mixture sampling: downsample sources toward target
+    //      weights (no upsampling — the binding source keeps all its
+    //      rows and caps the feasible total); deterministic salted-
+    //      hash Bernoulli, rates frozen from per-source counts. The
+    //      oracle recomputes T = min(n/w) and the ppm cuts with the
+    //      same IEEE op order ----
+    Q("q_mixture",
+      s"""WITH wts AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) v(s, w)),
+        |cnt AS (SELECT source AS s, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source),
+        |jt AS (SELECT cnt.s, cnt.n, wts.w FROM cnt JOIN wts USING (s) WHERE cnt.n > 0),
+        |t AS (SELECT min(n / w) AS t FROM jt),
+        |rates AS (SELECT s, CAST(round(w * t.t / n * 1000000) AS BIGINT) AS cut FROM jt, t)
+        |SELECT d.doc_id, d.source FROM documents d
+        |JOIN rates ON rates.s = d.source
+        |WHERE ${duckHash("'mix|' || CAST(doc_id AS VARCHAR)")} % 1000000 < cut""".stripMargin) { (s, dir) =>
+      TrainingOps.sampleToMixture(Tables(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), portable = true)
+        .select("doc_id", "source")
+    },
+
     Q("q_source_cap",
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -86,6 +86,46 @@ object TrainingOps {
     df.where(bucket < cut)
   }
 
+  /** Downsample each source so the output approaches TARGET MIXTURE
+    * weights — the data-mixture step of training-corpus assembly
+    * ("webtext 60 / code 25 / academic 15" and so on). No source is
+    * upsampled: the feasible output size is capped by the BINDING
+    * source (the one whose current share falls shortest of its
+    * target, T = min over sources of nₛ/wₛ), every source keeps
+    * rate wₛ·T/nₛ of its rows (the binding source keeps all of
+    * them), and sources absent from `weights` are dropped. Selection
+    * is the engine's deterministic salted-hash Bernoulli — the same
+    * stable-id gate as [[hashSplit]]/[[stratifiedSample]], so the
+    * mixture is reproducible across runs, engines (portable tier) and
+    * partition layouts, and survivors are stable when quotas move.
+    *
+    * Scale shape: one per-source count aggregation (collected —
+    * bounded by the number of sources, a handful of rows), rates
+    * frozen into the plan as literals, then one shuffle-free filter
+    * projection over the corpus.
+    */
+  def sampleToMixture(df: DataFrame, idCol: String, sourceCol: String,
+                      weights: Map[String, Double],
+                      salt: String = "mix", portable: Boolean = false): DataFrame = {
+    require(weights.nonEmpty, "sampleToMixture: no target weights")
+    weights.foreach { case (s, w) =>
+      require(w > 0.0, s"sampleToMixture: weight for '$s' must be > 0, got $w") }
+    val counts = df.groupBy(col(sourceCol).cast(StringType).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.contains(s) && counts(s) > 0 }
+    require(present.nonEmpty,
+      s"sampleToMixture: none of ${weights.keys.mkString(",")} present in $sourceCol")
+    val t = present.map { case (s, w) => counts(s) / w }.min
+    val bucket = hashBucket(col(idCol), salt, portable)
+    // sorted fold for a deterministic expression tree; threshold math
+    // (w·T/n·Ppm, half-up) must match the oracle's literal replay
+    val cut = present.toSeq.sortBy(_._1).foldRight(lit(0L)) { case ((s, w), els) =>
+      when(col(sourceCol) === s, lit(math.round(w * t / counts(s) * Ppm))).otherwise(els)
+    }
+    df.where(bucket < cut)
+  }
+
   /** Cap the number of documents kept per group — the anti-domination
     * gate crawl curation applies before training (one domain/source
     * must not swamp the corpus): within each `groupCol` value keep the

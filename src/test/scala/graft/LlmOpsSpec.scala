@@ -429,6 +429,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(new java.io.File(base).listFiles().map(_.getName).toSeq == Seq("idx"))
   }
 
+  test("sampleToMixture: binding source keeps everything, others downsample, absent sources drop") {
+    import graft.training.TrainingOps
+    val df = (1L to 40L).map(i => (i, if (i <= 20) "a" else if (i <= 30) "b" else "c"))
+      .toDF("doc_id", "source")
+    // counts a=20 b=10 c=10; weights a:0.5 b:0.5 → T = min(40, 20) = 20;
+    // rate_a = 0.5·20/20 = 0.5, rate_b = 0.5·20/10 = 1.0 (binding), c dropped
+    val got = TrainingOps.sampleToMixture(df, "doc_id", "source",
+      Map("a" -> 0.5, "b" -> 0.5), portable = true)
+    val bySource = got.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(!bySource.contains("c"))
+    assert(bySource("b") == 10L) // binding source: keeps all rows
+    assert(bySource.getOrElse("a", 0L) > 0 && bySource("a") < 20L) // really downsampled
+    // deterministic: the same call returns the identical survivor set
+    val again = TrainingOps.sampleToMixture(df, "doc_id", "source",
+      Map("a" -> 0.5, "b" -> 0.5), portable = true)
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("histogram: fixed-range equi-width bins, edge clamping, nulls dropped") {
     val df = Seq(Some(-5.0), Some(0.0), Some(3.9), Some(4.0), Some(7.5),
       Some(12.0), Some(99.0), None).toDF("x")
