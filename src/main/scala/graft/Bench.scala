@@ -97,17 +97,19 @@ object Bench {
         // index-lifecycle queries pay the parquet WRITE path (committer
         // + encoder codegen) on first touch; compile it on a throwaway
         // index, then the cross-corpus dedup read path against it
-        try {
+        locally {
           val wtmp = java.nio.file.Files.createTempDirectory("graft_warm").toFile
-          val idx = wtmp.getAbsolutePath + "/idx"
-          DedupOps.writeDedupIndex(docs.limit(64), idx, "doc_id", "text",
-            portable = true)
-          val surv = DedupOps.dedupAgainstIndex(docs.limit(32), idx,
-            "doc_id", "text", portable = true)
-          DedupOps.appendToDedupIndex(surv, idx, "doc_id", "text", tag = "warm",
-            portable = true)
-          org.apache.commons.io.FileUtils.deleteQuietly(wtmp)
-        } catch { case _: Throwable => }
+          try {
+            val idx = wtmp.getAbsolutePath + "/idx"
+            DedupOps.writeDedupIndex(docs.limit(64), idx, "doc_id", "text",
+              portable = true)
+            val surv = DedupOps.dedupAgainstIndex(docs.limit(32), idx,
+              "doc_id", "text", portable = true)
+            DedupOps.appendToDedupIndex(surv, idx, "doc_id", "text", tag = "warm",
+              portable = true)
+          } catch { case scala.util.control.NonFatal(_) => // warmup is best-effort
+          } finally org.apache.commons.io.FileUtils.deleteQuietly(wtmp)
+        }
         docs.unpersist()
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
         graft.similarity.SimilarityOps.bruteForceTopK(

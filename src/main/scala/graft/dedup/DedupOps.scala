@@ -492,14 +492,18 @@ object DedupOps {
     require(sigK % sigBands == 0, s"sigK=$sigK must divide into sigBands=$sigBands")
     val spark = corpus.sparkSession
     def buildInto(root: String): Unit = {
+      // meta FIRST: a direct (first-ever) build that crashes mid-way
+      // must never leave complete-looking artifacts with param
+      // validation silently disabled — a meta-only or meta+partial dir
+      // fails loudly on read instead
+      writeSmallFile(spark, s"$root/_graft_meta",
+        metaString(DedupIndexMeta(shingleN, portable, sigK, sigBands)))
       hashedShingleRows(corpus, idCol, textCol, shingleN, portable)
         .write.mode("overwrite").parquet(s"$root/sh/batch=build")
       fingerprintRows(corpus, textCol)
         .write.mode("overwrite").parquet(s"$root/fp/batch=build")
       signatureRows(corpus, idCol, textCol, shingleN, sigK, portable)
         .write.mode("overwrite").parquet(s"$root/sig/batch=build")
-      writeSmallFile(spark, s"$root/_graft_meta",
-        metaString(DedupIndexMeta(shingleN, portable, sigK, sigBands)))
       // a fresh build also resets the absorbed-tag ledger: the whole-dir
       // swap drops any previous _graft_absorbed with the old tranches
     }
@@ -543,9 +547,24 @@ object DedupOps {
     // denominators). Callers own tag uniqueness per logical tranche —
     // a date, an epoch id — and retries reuse it.
     val spark = newRows.sparkSession
+    require(tag != "build" && tag != "consolidated",
+      s"appendToDedupIndex: tag '$tag' is reserved — build/consolidated name " +
+        "lifecycle tranches, and an append would overwrite the entire " +
+        "consolidated history with one day's rows")
     requireTrancheLayout(spark, dir)
     validateIndexParams(spark, dir, shingleN, portable)
-    if (readAbsorbedTags(spark, dir).contains(tag)) return
+    if (readAbsorbedTags(spark, dir).contains(tag)) {
+      // loud no-op: correct for a replayed epoch (its rows already live
+      // in batch=consolidated), data loss if the caller aliased a NEW
+      // tranche onto an absorbed tag (e.g. a stream restarted with a
+      // fresh checkpoint renumbering epochs from 0 — see
+      // indexedDedupStream's durable-numbering contract)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"appendToDedupIndex: tag '$tag' already absorbed by consolidation; " +
+          s"skipping append to $dir (replay convergence). If this tranche is " +
+          "NEW data, it was aliased onto an absorbed tag and is NOT indexed.")
+      return
+    }
     val frozen = newRows.localCheckpoint(true)
     hashedShingleRows(frozen, idCol, textCol, shingleN, portable)
       .write.mode("overwrite").parquet(s"$dir/sh/batch=$tag")
@@ -840,7 +859,11 @@ object DedupOps {
                        shingleN: Int = 3, threshold: Double = 0.5,
                        maxBucket: Int = 1000): DataFrame = {
     val groups = nearDupGroups(df, idCol, textCol, shingleN, threshold, maxBucket)
-    val scored = df.select(col(idCol), score.cast(LongType).as("__score"))
+    // the score keeps its own type: quality signals are usually
+    // fractional doubles in [0,1], and an integral cast would truncate
+    // them all to 0 — collapsing selection back to the min-id rule this
+    // operator exists to replace
+    val scored = df.select(col(idCol), score.as("__score"))
       .join(groups, Seq(idCol))
     scored.groupBy(col("group_id"))
       .agg(

@@ -64,7 +64,9 @@ object ProfileOps {
     require(bins > 0, "histogram: bins must be > 0")
     require(hi > lo, s"histogram: need hi > lo, got [$lo, $hi)")
     val width = (hi - lo) / bins
-    df.where(col(c).isNotNull)
+    // NaN drops with null: (NaN−lo)/width is NaN, whose non-ANSI int
+    // cast is 0 — silently inflating the lowest bin otherwise
+    df.where(col(c).isNotNull && !isnan(col(c).cast(DoubleType)))
       .select(least(lit(bins - 1), greatest(lit(0),
         floor((col(c).cast(DoubleType) - lo) / width).cast(IntegerType))).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))

@@ -135,7 +135,13 @@ object StreamingOps {
     * by epoch id: without a checkpoint, a restarted stream numbers its
     * epochs from 0 again, and a fresh batch would silently reuse an
     * old epoch's committed decision — new data never deduped, never
-    * written, never indexed.
+    * written, never indexed. The same durable-numbering requirement
+    * extends to consolidation's absorbed-tag ledger: consolidating the
+    * index and THEN restarting the stream with a fresh checkpoint
+    * would alias new epochs onto absorbed tags, and their survivors
+    * would no-op out of the index append (the append logs a warning).
+    * Keep one checkpoint for the life of the index, or consolidate
+    * only when retiring the stream.
     *
     * `approx = true` routes the near-dup decision through
     * [[graft.dedup.DedupOps.dedupAgainstIndexApprox]] — the banded

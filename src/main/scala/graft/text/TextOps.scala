@@ -407,10 +407,11 @@ object TextOps {
                        k: Int = 8, w: Int = 4, portable: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     def buildInto(root: String): Unit = {
-      winnowRows(corpus, idCol, textCol, k, w, portable)
-        .write.mode("overwrite").parquet(s"$root/wfp/batch=build")
+      // meta first — same crash-window reasoning as writeDedupIndex
       writeSmallFile(spark, s"$root/_graft_meta",
         winnowMetaString(WinnowIndexMeta(k, w, portable)))
+      winnowRows(corpus, idCol, textCol, k, w, portable)
+        .write.mode("overwrite").parquet(s"$root/wfp/batch=build")
     }
     if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
     else buildInto(dir)
@@ -425,9 +426,19 @@ object TextOps {
   def appendToWinnowIndex(newRows: DataFrame, dir: String, idCol: String, textCol: String,
                           tag: String): Unit = {
     val spark = newRows.sparkSession
+    require(tag != "build" && tag != "consolidated",
+      s"appendToWinnowIndex: tag '$tag' is reserved — build/consolidated name " +
+        "lifecycle tranches, and an append would overwrite the entire " +
+        "consolidated history with one day's rows")
     val meta = readWinnowIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
       s"winnow index $dir has no _graft_meta; build it with writeWinnowIndex"))
-    if (graft.dedup.DedupOps.readAbsorbedTags(spark, dir).contains(tag)) return
+    if (graft.dedup.DedupOps.readAbsorbedTags(spark, dir).contains(tag)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"appendToWinnowIndex: tag '$tag' already absorbed by consolidation; " +
+          s"skipping append to $dir (replay convergence). If this tranche is " +
+          "NEW data, it was aliased onto an absorbed tag and is NOT indexed.")
+      return
+    }
     winnowRows(newRows, idCol, textCol, meta.k, meta.w, meta.portable)
       .write.mode("overwrite").parquet(s"$dir/wfp/batch=$tag")
   }
@@ -438,6 +449,9 @@ object TextOps {
     * [[graft.dedup.DedupOps.consolidateDedupIndex]]. */
   def consolidateWinnowIndex(spark: org.apache.spark.sql.SparkSession,
                              dir: String): Unit = {
+    require(pathExists(spark, s"$dir/wfp"),
+      s"consolidateWinnowIndex: $dir has no wfp artifact — not a winnow index " +
+        "(build it with writeWinnowIndex)")
     val tags = hfs(spark, dir)
       .listStatus(new org.apache.hadoop.fs.Path(s"$dir/wfp"))
       .map(_.getPath.getName).filter(_.startsWith("batch="))
@@ -485,7 +499,13 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = pruned.where(col("__side") === 0).select(col("__fp"), col("__id").as("id_l"))
     val b = pruned.where(col("__side") === 1).select(col("__fp"), col("__id").as("id_r"))
+    // a batch doc that was already appended to the index (re-probe
+    // after the probe→append loop crashed and retried) would otherwise
+    // meet its own at-rest fingerprints and report a maximal-overlap
+    // "pair" with itself — the cross-index analog of the in-corpus
+    // path's id_a < id_b self-exclusion
     val pairs = a.join(b, Seq("__fp"))
+      .where(col("id_l") =!= col("id_r"))
       .groupBy("id_l", "id_r").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
     (pairs, () => { pruned.unpersist(); () })

@@ -451,11 +451,12 @@ class LlmOpsSpec extends SparkSpec {
 
   test("histogram: fixed-range equi-width bins, edge clamping, nulls dropped") {
     val df = Seq(Some(-5.0), Some(0.0), Some(3.9), Some(4.0), Some(7.5),
-      Some(12.0), Some(99.0), None).toDF("x")
+      Some(12.0), Some(99.0), Some(Double.NaN), None).toDF("x")
     val got = graft.profile.ProfileOps.histogram(df, "x", bins = 3, lo = 0.0, hi = 12.0)
       .as[(Int, Double, Double, Long)].collect().toSet
     // width 4: bin0 [0,4) gets {-5 clamped, 0, 3.9}; bin1 [4,8) gets
-    // {4, 7.5}; bin2 [8,12) gets {12 clamped, 99 clamped}; null dropped
+    // {4, 7.5}; bin2 [8,12) gets {12 clamped, 99 clamped}; null AND NaN
+    // dropped (a NaN's non-ANSI int cast is 0 — it must not inflate bin 0)
     assert(got == Set((0, 0.0, 4.0, 3L), (1, 4.0, 8.0, 2L), (2, 8.0, 12.0, 2L)))
   }
 
@@ -502,6 +503,13 @@ class LlmOpsSpec extends SparkSpec {
       graft.text.TextOps.tokenCount(col("text")), threshold = 0.5)
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 2L, 2L), (3L, 3L, 1L), (4L, 4L, 2L)))
+    // FRACTIONAL scores in [0,1] must not be truncated to a constant
+    // (an integral cast would silently collapse selection to min-id):
+    // score doc 1 higher than its longer near-dup 2 → 1 wins
+    val fractional = DedupOps.keepBestPerGroup(corpus, "doc_id", "text",
+      when(col("doc_id") === 1L, 0.9).otherwise(0.2), threshold = 0.5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fractional == Set((1L, 1L, 2L), (3L, 3L, 1L), (4L, 4L, 2L)))
   }
 
   test("winnow index: append ≡ rebuild, consolidation answer-preserving, meta-less probe fails fast") {
