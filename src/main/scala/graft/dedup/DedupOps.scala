@@ -715,6 +715,57 @@ object DedupOps {
       () => { releasePairs(); exactSurvivors.unpersist(); () })
   }
 
+  /** Per-document dedup DECISION REPORT against the materialized
+    * index — the observability twin of [[dedupAgainstIndex]]: instead
+    * of silently dropping duplicates, every batch document gets a row
+    * `(id, decision, best_jaccard)` with `decision` ∈ exact | near |
+    * unique and `best_jaccard` = the highest post-prune jaccard any
+    * history document reached (NULL for exact dups, which never enter
+    * the near tier, and for docs with no candidate at all). The triage
+    * view a pipeline operator reads when a day's drop-rate moves: what
+    * got dropped, why, and how close the near-misses were.
+    *
+    * Same tiering, same universe, same maxBucket semantics as
+    * [[dedupAgainstIndex]] — `decision != 'unique'` rows are exactly
+    * the documents that operator would drop (the candidate join runs
+    * unthresholded so near-miss scores survive to the report; the
+    * decision applies the threshold at the end).
+    */
+  def dedupDecisions(batch: DataFrame, dir: String, idCol: String, textCol: String,
+                     shingleN: Int = 3, threshold: Double = 0.5,
+                     maxBucket: Int = 1000, portable: Boolean = false): DataFrame = {
+    val spark = batch.sparkSession
+    validateIndexParams(spark, dir, shingleN, portable)
+    val histFp = spark.read.parquet(s"$dir/fp").select("fp").distinct()
+      .withColumnRenamed("fp", "__fp").withColumn("__hit", lit(true))
+    // persisted: forks into the shingle pipeline and the final report join
+    val flagged = batch
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .join(histFp, Seq("__fp"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchSh = hashedShingleRows(flagged.where(col("__hit").isNull),
+      idCol, textCol, shingleN, portable)
+      .select(col("doc_id").as("__id"), col("sh").as("__s"))
+    val histSh = spark.read.parquet(s"$dir/sh")
+      .select(col("doc_id").as("__id"), col("sh").as("__s"))
+    // threshold 0: keep every candidate pair so near-MISS scores reach
+    // the report (pairs always share ≥1 post-prune shingle ⇒ jaccard > 0)
+    val (pairs, releasePairs) = crossJaccardFromExploded(batchSh, histSh, 0.0, maxBucket)
+    val best = pairs.groupBy(col("id_l")).agg(max(col("jaccard")).as("best_jaccard"))
+    // releasePairs stays un-invoked here: the report is lazy, and the
+    // pruned-union cache must outlive the caller's action (the standard
+    // session-cache contract of the pair finders — clearCache between
+    // jobs). An eager release would demote the self-join fork to
+    // recompute-per-branch.
+    val _ = releasePairs
+    flagged.join(best, col(idCol) === col("id_l"), "left")
+      .select(col(idCol),
+        when(col("__hit"), "exact")
+          .when(col("best_jaccard") >= threshold, "near")
+          .otherwise("unique").as("decision"),
+        col("best_jaccard"))
+  }
+
   /** Cross-corpus MinHash candidate pairs over PER-DOC SIGNATURE rows
     * `(doc_id, sig)` — the approximate twin of
     * [[crossJaccardFromExploded]]: band the signatures, meet candidates

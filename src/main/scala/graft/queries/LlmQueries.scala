@@ -296,10 +296,11 @@ object LlmQueries {
       |${p}pairs AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS inter
       |          FROM ${p}pr a JOIN ${p}pr b ON a.s = b.s AND a.side = 0 AND b.side = 1
       |          GROUP BY 1, 2),
-      |${p}dups AS (SELECT DISTINCT id_l FROM ${p}pairs
-      |         JOIN ${p}cnt na ON na.side = 0 AND na.doc_id = ${p}pairs.id_l
-      |         JOIN ${p}cnt nb ON nb.side = 1 AND nb.doc_id = ${p}pairs.id_r
-      |         WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $threshold),
+      |${p}jac AS (SELECT id_l, id_r, CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS j
+      |        FROM ${p}pairs
+      |        JOIN ${p}cnt na ON na.side = 0 AND na.doc_id = ${p}pairs.id_l
+      |        JOIN ${p}cnt nb ON nb.side = 1 AND nb.doc_id = ${p}pairs.id_r),
+      |${p}dups AS (SELECT DISTINCT id_l FROM ${p}jac WHERE j >= $threshold),
       |${p}surv AS (SELECT doc_id, text FROM ${p}ex WHERE doc_id NOT IN (SELECT id_l FROM ${p}dups))""".stripMargin
 
   /** Cross-corpus APPROXIMATE dedup survivor chain — the sig-artifact
@@ -564,6 +565,31 @@ object LlmQueries {
       DedupOps.dedupAgainstIndex(docs.where(col("doc_id") >= 400), idx,
         "doc_id", "text", threshold = 0.5, portable = true)
         .select("doc_id")
+    },
+
+    // ---- per-document dedup decision report: every batch doc gets
+    //      (id, decision, best_jaccard) — exact | near | unique with
+    //      the best history jaccard (near-misses included: the
+    //      candidate join runs unthresholded) ----
+    Q("q_dedup_report",
+      s"""WITH ${duckSurvivorCtes("r",
+           "(SELECT doc_id, text FROM documents WHERE doc_id >= 400)",
+           "(SELECT doc_id, text FROM documents WHERE doc_id < 400)", 0.5)},
+        |best AS (SELECT id_l, max(j) AS best_jaccard FROM rjac GROUP BY id_l)
+        |SELECT d.doc_id,
+        |  CASE WHEN md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))
+        |            IN (SELECT fp FROM rhfp) THEN 'exact'
+        |       WHEN best.best_jaccard >= 0.5 THEN 'near'
+        |       ELSE 'unique' END AS decision,
+        |  best.best_jaccard
+        |FROM documents d LEFT JOIN best ON best.id_l = d.doc_id
+        |WHERE d.doc_id >= 400""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val idx = graft.util.Scratch.path("dedup_report_idx", dir)
+      DedupOps.writeDedupIndex(docs.where(col("doc_id") < 400), idx,
+        "doc_id", "text", portable = true)
+      DedupOps.dedupDecisions(docs.where(col("doc_id") >= 400), idx,
+        "doc_id", "text", threshold = 0.5, portable = true)
     },
 
     // ---- the APPROXIMATE index lifecycle: same two days, but the

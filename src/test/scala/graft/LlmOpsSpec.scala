@@ -429,6 +429,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(new java.io.File(base).listFiles().map(_.getName).toSeq == Seq("idx"))
   }
 
+  test("dedupDecisions: exact/near/unique triage with near-miss scores, NULL where no candidate") {
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),   // exact dup
+      (11L, "the quick brown fox jumps over the lazy dog tonight"), // near (J=7/9)
+      (12L, "the quick brown fox sleeps all day long instead"),     // shares shingles, J < 0.5
+      (13L, "completely unrelated words with no common phrases")    // no candidate
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_report_idx").toString
+    DedupOps.writeDedupIndex(hist, idx, "doc_id", "text")
+    val got = DedupOps.dedupDecisions(batch, idx, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(got(10L)._1 == "exact" && got(10L)._2.isEmpty)
+    assert(got(11L)._1 == "near" && got(11L)._2.exists(_ >= 0.5))
+    assert(got(12L)._1 == "unique" && got(12L)._2.exists(j => j > 0 && j < 0.5))
+    assert(got(13L)._1 == "unique" && got(13L)._2.isEmpty)
+    // the report's non-unique rows are exactly what dedupAgainstIndex drops
+    val dropped = batch.select("doc_id").as[Long].collect().toSet --
+      DedupOps.dedupAgainstIndex(batch, idx, "doc_id", "text", threshold = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+    assert(dropped == got.filter(_._2._1 != "unique").keySet)
+  }
+
   test("sampleToMixture: binding source keeps everything, others downsample, absent sources drop") {
     import graft.training.TrainingOps
     val df = (1L to 40L).map(i => (i, if (i <= 20) "a" else if (i <= 30) "b" else "c"))
