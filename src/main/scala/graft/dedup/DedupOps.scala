@@ -715,6 +715,30 @@ object DedupOps {
       () => { releasePairs(); exactSurvivors.unpersist(); () })
   }
 
+  /** At-rest index statistics: one row per artifact present —
+    * `(artifact, n_rows, n_docs, n_tranches)` with `n_docs` NULL for
+    * the doc-less `fp` artifact. The maintenance gauge the steady-state
+    * loop watches: tranche count says when to [[consolidateDedupIndex]]
+    * (hundreds of `batch=` dirs of splinter files), rows-per-doc says
+    * whether the shingle universe matches expectations, and a
+    * row-count jump after a replay incident is the double-append
+    * symptom the self-healing consolidation repairs. Counts are
+    * column-pruned scans of the compact artifacts — never the corpus.
+    */
+  def dedupIndexStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    IndexArtifacts.filter(a => pathExists(spark, s"$dir/$a")).map { a =>
+      val df = spark.read.parquet(s"$dir/$a")
+      val nTranches = hfs(spark, dir)
+        .listStatus(new org.apache.hadoop.fs.Path(s"$dir/$a"))
+        .count(_.getPath.getName.startsWith("batch="))
+      val nDocs =
+        if (df.columns.contains("doc_id")) Some(df.select("doc_id").distinct().count())
+        else None
+      (a, df.count(), nDocs, nTranches)
+    }.toDF("artifact", "n_rows", "n_docs", "n_tranches")
+  }
+
   /** Per-document dedup DECISION REPORT against the materialized
     * index — the observability twin of [[dedupAgainstIndex]]: instead
     * of silently dropping duplicates, every batch document gets a row

@@ -567,6 +567,50 @@ object LlmQueries {
         .select("doc_id")
     },
 
+    // ---- at-rest index statistics: the maintenance gauge — per
+    //      artifact (rows, docs, tranches) after a build + one append;
+    //      the oracle recomputes every count from the TEXT (distinct
+    //      shingles per doc, distinct fingerprints, survivor set), so
+    //      artifact integrity is gated end-to-end ----
+    Q("q_index_stats",
+      s"""WITH ${duckSurvivorCtes("a",
+           "(SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 400)",
+           "(SELECT doc_id, text FROM documents WHERE doc_id < 300)", 0.5)},
+        |hw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        |       FROM documents WHERE doc_id < 300),
+        |sw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM asurv),
+        |hn AS (SELECT doc_id, len(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS n
+        |       FROM hw WHERE len(w) >= 3),
+        |sn AS (SELECT doc_id, len(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS n
+        |       FROM sw WHERE len(w) >= 3),
+        |hfp2 AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |         FROM documents WHERE doc_id < 300),
+        |sfp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |        FROM asurv)
+        |SELECT 'sh' AS artifact,
+        |  CAST((SELECT COALESCE(sum(n), 0) FROM hn) + (SELECT COALESCE(sum(n), 0) FROM sn) AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(*) FROM hn) + (SELECT count(*) FROM sn) AS BIGINT) AS n_docs,
+        |  2 AS n_tranches
+        |UNION ALL
+        |SELECT 'fp',
+        |  CAST((SELECT count(*) FROM hfp2) + (SELECT count(*) FROM sfp) AS BIGINT),
+        |  CAST(NULL AS BIGINT), 2
+        |UNION ALL
+        |SELECT 'sig',
+        |  CAST((SELECT count(*) FROM hn) + (SELECT count(*) FROM sn) AS BIGINT),
+        |  CAST((SELECT count(*) FROM hn) + (SELECT count(*) FROM sn) AS BIGINT), 2""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val idx = graft.util.Scratch.path("dedup_stats_idx", dir)
+      DedupOps.writeDedupIndex(docs.where(col("doc_id") < 300), idx,
+        "doc_id", "text", portable = true)
+      val day1 = DedupOps.dedupAgainstIndex(
+        docs.where(col("doc_id") >= 300 && col("doc_id") < 400), idx,
+        "doc_id", "text", threshold = 0.5, portable = true)
+      DedupOps.appendToDedupIndex(day1, idx, "doc_id", "text", tag = "day1",
+        portable = true)
+      DedupOps.dedupIndexStats(s, idx)
+    },
+
     // ---- per-document dedup decision report: every batch doc gets
     //      (id, decision, best_jaccard) — exact | near | unique with
     //      the best history jaccard (near-misses included: the
@@ -615,6 +659,9 @@ object LlmQueries {
         "doc_id", "text", threshold = 0.4)
       DedupOps.appendToDedupIndex(day1, idx, "doc_id", "text", tag = "day1",
         portable = true)
+      // mid-lifecycle consolidation gates the SIG artifact's rewrite
+      // too (pure distinct of the same rows — oracle unchanged)
+      DedupOps.consolidateDedupIndex(s, idx)
       DedupOps.dedupAgainstIndexApprox(docs.where(col("doc_id") >= 400), idx,
         "doc_id", "text", threshold = 0.4)
         .select("doc_id")
