@@ -217,6 +217,61 @@ object StreamingOps {
       shingleN = shingleN, portable = portable)
   }
 
+  /** Streaming partial-overlap detection against the at-rest winnow
+    * index ([[graft.text.TextOps.winnowOverlapAgainstIndex]]): each
+    * micro-batch's documents are probed for fingerprint overlap with
+    * everything indexed so far, the pair report lands under
+    * `outDir/batch=<epoch>`, and the WHOLE batch appends to the index
+    * (overlap detection reports reuse — it drops nothing), so later
+    * batches detect overlap with earlier ones. The winnow twin of
+    * [[indexedDedupStream]], with the same epoch-replay protocol:
+    * the pair DECISION commits exactly once per epoch behind the
+    * engine-owned `_graft_decided` marker — recomputing after the
+    * append would pair batch docs against their own just-indexed
+    * tranche-mates, changing the report — and the append overwrites
+    * its own `batch=` tranche, so any replayed prefix of
+    * [decide, sink, append] converges. `checkpointDir` REQUIRED for
+    * the same durable-epoch-numbering reasons.
+    */
+  def indexedOverlapStream(docs: DataFrame, indexDir: String, outDir: String,
+                           idCol: String, textCol: String,
+                           checkpointDir: String,
+                           minShared: Int = 2, maxBucket: Int = 1000)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "indexedOverlapStream: checkpointDir is required " +
+      "(epoch-keyed decision reuse is only safe with durable epoch numbering)")
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        processIndexedOverlapEpoch(batch, epoch, indexDir, outDir, idCol, textCol,
+          minShared, maxBucket)
+      }
+      .start()
+  }
+
+  /** One epoch of [[indexedOverlapStream]], exposed for replay-protocol
+    * testing (same pattern as [[processIndexedDedupEpoch]]). */
+  private[graft] def processIndexedOverlapEpoch(
+      batch: DataFrame, epoch: Long, indexDir: String, outDir: String,
+      idCol: String, textCol: String,
+      minShared: Int = 2, maxBucket: Int = 1000): Unit = {
+    val spark = batch.sparkSession
+    val batchOut = s"$outDir/batch=$epoch"
+    val committed = new org.apache.hadoop.fs.Path(batchOut + "/_graft_decided")
+    val hfs = committed.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(committed)) {
+      val (pairs, release) = graft.text.TextOps.winnowOverlapAgainstIndexReleasable(
+        batch, indexDir, idCol, textCol, minShared, maxBucket)
+      val frozen = pairs.localCheckpoint(true)
+      release()
+      frozen.write.mode("overwrite").parquet(batchOut)
+      hfs.create(committed, true).close()
+    }
+    graft.text.TextOps.appendToWinnowIndex(batch, indexDir, idCol, textCol,
+      tag = epoch.toString)
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, sum: Double, start: Long, last: Long)
   final case class SessionOut(user_id: Long, n_events: Long, sum_value: Double,

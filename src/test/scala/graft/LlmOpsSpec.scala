@@ -373,6 +373,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("_graft_meta"))
   }
 
+  test("dedupAgainstIndexApprox: fixpoint at default cap; combined hot-bucket cap silences cliché bands") {
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (30L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 1
+      (31L, "totally fresh content about distributed query engines today")
+    ).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    val idx = java.nio.file.Files.createTempDirectory("graft_apx_fix").toString
+    DedupOps.writeDedupIndex(hist, idx, "doc_id", "text")
+    val s1 = ids(DedupOps.dedupAgainstIndexApprox(batch, idx, "doc_id", "text",
+      threshold = 0.4))
+    assert(s1 == Seq(31L)) // 30 flagged via banded signatures
+    // fixpoint: re-probing the survivors against the unchanged index
+    // keeps them (default cap — no pruning in play, so decisions are a
+    // pure function of (doc, index))
+    val s2 = ids(DedupOps.dedupAgainstIndexApprox(
+      batch.where(col("doc_id") === 31L), idx, "doc_id", "text", threshold = 0.4))
+    assert(s2 == s1)
+    // maxBucket = 1: EVERY (band, key) bucket with a candidate pair has
+    // ≥ 2 members and is pruned — the near-dup tier finds nothing and
+    // 30 survives (the cap's job is cliché bands; at 1 everything is
+    // cliché, the degenerate bound)
+    assert(ids(DedupOps.dedupAgainstIndexApprox(batch, idx, "doc_id", "text",
+      threshold = 0.4, maxBucket = 1)) == Seq(30L, 31L))
+  }
+
   test("index meta: mismatched params fail fast; absorbed tags make replayed appends a no-op; distinct() self-heals") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -123,6 +123,36 @@ class StreamingSpec extends SparkSpec {
     assert(outIds == Seq(11L))
   }
 
+  test("indexedOverlapStream: per-epoch overlap reports, whole batch appends, replay converges") {
+    val base = Files.createTempDirectory("graft_ovl_stream").toString
+    val idx = s"$base/idx"; val out = s"$base/out"
+    graft.text.TextOps.writeWinnowIndex(
+      Seq((1L, "the licensed header block follows here with standard terms"))
+        .toDF("doc_id", "text"),
+      idx, "doc_id", "text", k = 8, w = 4)
+    def pairsOf(epoch: Long) =
+      spark.read.parquet(s"$out/batch=$epoch").select("id_l", "id_r")
+        .as[(Long, Long)].collect().toSet
+    // epoch 0: doc 10 reuses history 1's license phrase, 11 is unrelated
+    val e0 = Seq(
+      (10L, "different document reusing the licensed header block follows here verbatim"),
+      (11L, "nothing in common with anything else whatsoever")).toDF("doc_id", "text")
+    StreamingOps.processIndexedOverlapEpoch(e0, 0L, idx, out, "doc_id", "text")
+    assert(pairsOf(0L) == Set((10L, 1L)))
+    // epoch 1: doc 20 reuses the same phrase — overlaps BOTH original
+    // history and epoch 0's appended doc
+    val e1 = Seq(
+      (20L, "another text reusing the licensed header block follows here again")).toDF("doc_id", "text")
+    StreamingOps.processIndexedOverlapEpoch(e1, 1L, idx, out, "doc_id", "text")
+    assert(pairsOf(1L) == Set((20L, 1L), (20L, 10L)))
+    // full replay of epoch 0: decision reused (recomputing would pair
+    // 10 with its own indexed tranche-mates), tranche overwritten once
+    StreamingOps.processIndexedOverlapEpoch(e0, 0L, idx, out, "doc_id", "text")
+    assert(pairsOf(0L) == Set((10L, 1L)))
+    assert(spark.read.parquet(s"$idx/wfp").where(col("doc_id") === 10L).count() ==
+      spark.read.parquet(s"$idx/wfp/batch=0").where(col("doc_id") === 10L).count())
+  }
+
   private def winTs(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
 
   test("windowedAgg produces correct event-time tumbling windows") {
