@@ -98,8 +98,11 @@ object Bench {
         // + encoder codegen) on first touch; compile it on a throwaway
         // index, then the cross-corpus dedup read path against it
         locally {
-          val wtmp = java.nio.file.Files.createTempDirectory("graft_warm").toFile
+          // best-effort INCLUDING the tmp-dir creation (a full /tmp must
+          // degrade to an unwarmed bench, not kill it); cleanup in finally
+          var wtmp: java.io.File = null
           try {
+            wtmp = java.nio.file.Files.createTempDirectory("graft_warm").toFile
             val idx = wtmp.getAbsolutePath + "/idx"
             DedupOps.writeDedupIndex(docs.limit(64), idx, "doc_id", "text",
               portable = true)
@@ -108,7 +111,7 @@ object Bench {
             DedupOps.appendToDedupIndex(surv, idx, "doc_id", "text", tag = "warm",
               portable = true)
           } catch { case scala.util.control.NonFatal(_) => // warmup is best-effort
-          } finally org.apache.commons.io.FileUtils.deleteQuietly(wtmp)
+          } finally if (wtmp != null) org.apache.commons.io.FileUtils.deleteQuietly(wtmp)
         }
         docs.unpersist()
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)

@@ -457,6 +457,29 @@ object DedupOps {
       .map(_.linesIterator.map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
 
+  /** Shared append-tag gate for every tranche-appending index (dedup
+    * and winnow): reserved lifecycle names are rejected outright (an
+    * append with tag `consolidated` would overwrite the whole
+    * consolidated history), and a consolidation-absorbed tag returns
+    * false — the caller no-ops, with a warning naming the aliasing
+    * hazard. ONE implementation so the replay-aliasing contract can
+    * never drift between the two index families. */
+  private[graft] def appendTagAllowed(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String, tag: String,
+                                      opName: String): Boolean = {
+    require(tag != "build" && tag != "consolidated",
+      s"$opName: tag '$tag' is reserved — build/consolidated name lifecycle " +
+        "tranches, and an append would overwrite the entire consolidated " +
+        "history with one day's rows")
+    if (readAbsorbedTags(spark, dir).contains(tag)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$opName: tag '$tag' already absorbed by consolidation; skipping " +
+          s"append to $dir (replay convergence). If this tranche is NEW data, " +
+          "it was aliased onto an absorbed tag and is NOT indexed.")
+      false
+    } else true
+  }
+
   /** Materialize the dedup-history index at rest: `dir/fp` holds the
     * corpus's distinct content fingerprints, `dir/sh` its exploded
     * HASHED shingles `(doc_id, sh)` — 8 bytes per shingle instead of
@@ -547,24 +570,9 @@ object DedupOps {
     // denominators). Callers own tag uniqueness per logical tranche —
     // a date, an epoch id — and retries reuse it.
     val spark = newRows.sparkSession
-    require(tag != "build" && tag != "consolidated",
-      s"appendToDedupIndex: tag '$tag' is reserved — build/consolidated name " +
-        "lifecycle tranches, and an append would overwrite the entire " +
-        "consolidated history with one day's rows")
     requireTrancheLayout(spark, dir)
     validateIndexParams(spark, dir, shingleN, portable)
-    if (readAbsorbedTags(spark, dir).contains(tag)) {
-      // loud no-op: correct for a replayed epoch (its rows already live
-      // in batch=consolidated), data loss if the caller aliased a NEW
-      // tranche onto an absorbed tag (e.g. a stream restarted with a
-      // fresh checkpoint renumbering epochs from 0 — see
-      // indexedDedupStream's durable-numbering contract)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"appendToDedupIndex: tag '$tag' already absorbed by consolidation; " +
-          s"skipping append to $dir (replay convergence). If this tranche is " +
-          "NEW data, it was aliased onto an absorbed tag and is NOT indexed.")
-      return
-    }
+    if (!appendTagAllowed(spark, dir, tag, "appendToDedupIndex")) return
     val frozen = newRows.localCheckpoint(true)
     hashedShingleRows(frozen, idCol, textCol, shingleN, portable)
       .write.mode("overwrite").parquet(s"$dir/sh/batch=$tag")
@@ -727,15 +735,25 @@ object DedupOps {
     */
   def dedupIndexStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    IndexArtifacts.filter(a => pathExists(spark, s"$dir/$a")).map { a =>
+    val present = IndexArtifacts.filter(a => pathExists(spark, s"$dir/$a"))
+    // a gauge that reads an empty frame for a typo'd path goes dark
+    // silently — fail like the other non-index entry points do
+    require(present.nonEmpty,
+      s"dedupIndexStats: $dir has none of ${IndexArtifacts.mkString("/")} — " +
+        "not a dedup index (build one with writeDedupIndex)")
+    present.map { a =>
       val df = spark.read.parquet(s"$dir/$a")
       val nTranches = hfs(spark, dir)
         .listStatus(new org.apache.hadoop.fs.Path(s"$dir/$a"))
         .count(_.getPath.getName.startsWith("batch="))
-      val nDocs =
-        if (df.columns.contains("doc_id")) Some(df.select("doc_id").distinct().count())
-        else None
-      (a, df.count(), nDocs, nTranches)
+      // one aggregation pass per artifact (rows + distinct docs in a
+      // single scan — the routine gauge must not read history twice)
+      val (nRows, nDocs) =
+        if (df.columns.contains("doc_id")) {
+          val r = df.agg(count(lit(1)), count_distinct(col("doc_id"))).head()
+          (r.getLong(0), Some(r.getLong(1)))
+        } else (df.count(), None)
+      (a, nRows, nDocs, nTranches)
     }.toDF("artifact", "n_rows", "n_docs", "n_tranches")
   }
 

@@ -172,6 +172,32 @@ object StreamingOps {
       .start()
   }
 
+  /** The once-per-epoch decision commit shared by the streaming index
+    * loops: if `batchOut` already committed — the engine-owned
+    * `_graft_decided` marker, NOT the committer's `_SUCCESS` file
+    * (deployments routinely disable success markers on object stores,
+    * and mistaking a committed epoch for an unprocessed one recomputes
+    * against the already-mutated index) — read the decision back;
+    * otherwise compute it, `localCheckpoint`-freeze BEFORE the caller
+    * mutates any index the computation's lineage reads, release the
+    * per-batch caches, write, then mark. ONE implementation so a fix
+    * to the commit protocol can never apply to one stream and not the
+    * other. */
+  private def decideEpochOnce(spark: SparkSession, batchOut: String)
+                             (compute: => (DataFrame, () => Unit)): DataFrame = {
+    val committed = new org.apache.hadoop.fs.Path(batchOut + "/_graft_decided")
+    val hfs = committed.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(committed)) spark.read.parquet(batchOut) // replayed epoch
+    else {
+      val (df, release) = compute
+      val frozen = df.localCheckpoint(true)
+      release() // per-batch caches must not accumulate across a long stream
+      frozen.write.mode("overwrite").parquet(batchOut)
+      hfs.create(committed, true).close() // marker AFTER the data commit
+      frozen
+    }
+  }
+
   /** One epoch of [[indexedDedupStream]], exposed so the replay
     * protocol is testable without forcing stream re-delivery: calling
     * it again for an epoch whose output committed reuses the committed
@@ -185,33 +211,17 @@ object StreamingOps {
       maxBucket: Int = 1000, portable: Boolean = false,
       approx: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    val batchOut = s"$outDir/batch=$epoch"
-    // the decision marker is engine-owned, NOT the committer's _SUCCESS
-    // file: deployments routinely disable success markers on object
-    // stores, and mistaking a committed epoch for an unprocessed one
-    // recomputes against the already-absorbed index → empty set →
-    // good output wiped
-    val committed = new org.apache.hadoop.fs.Path(batchOut + "/_graft_decided")
-    val hfs = committed.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val survivors =
-      if (hfs.exists(committed)) spark.read.parquet(batchOut) // replayed epoch: reuse the committed decision
-      else {
-        // approx: the daily steady-state tier at corpus scale — the
-        // near-dup decision reads the k-longs/doc sig artifact instead
-        // of every hashed shingle of the growing history (params come
-        // from the index's _graft_meta, so the stream can never band
-        // against signatures built with a different family)
-        val (s, release) =
-          if (approx) graft.dedup.DedupOps.dedupAgainstIndexApproxReleasable(
-            batch, indexDir, idCol, textCol, threshold, maxBucket)
-          else graft.dedup.DedupOps.dedupAgainstIndexReleasable(
-            batch, indexDir, idCol, textCol, shingleN, threshold, maxBucket, portable)
-        val frozen = s.localCheckpoint(true)
-        release() // per-batch caches must not accumulate across a long stream
-        frozen.write.mode("overwrite").parquet(batchOut)
-        hfs.create(committed, true).close() // marker AFTER the data commit
-        frozen
-      }
+    val survivors = decideEpochOnce(spark, s"$outDir/batch=$epoch") {
+      // approx: the daily steady-state tier at corpus scale — the
+      // near-dup decision reads the k-longs/doc sig artifact instead
+      // of every hashed shingle of the growing history (params come
+      // from the index's _graft_meta, so the stream can never band
+      // against signatures built with a different family)
+      if (approx) graft.dedup.DedupOps.dedupAgainstIndexApproxReleasable(
+        batch, indexDir, idCol, textCol, threshold, maxBucket)
+      else graft.dedup.DedupOps.dedupAgainstIndexReleasable(
+        batch, indexDir, idCol, textCol, shingleN, threshold, maxBucket, portable)
+    }
     graft.dedup.DedupOps.appendToDedupIndex(
       survivors, indexDir, idCol, textCol, tag = epoch.toString,
       shingleN = shingleN, portable = portable)
@@ -257,16 +267,9 @@ object StreamingOps {
       idCol: String, textCol: String,
       minShared: Int = 2, maxBucket: Int = 1000): Unit = {
     val spark = batch.sparkSession
-    val batchOut = s"$outDir/batch=$epoch"
-    val committed = new org.apache.hadoop.fs.Path(batchOut + "/_graft_decided")
-    val hfs = committed.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!hfs.exists(committed)) {
-      val (pairs, release) = graft.text.TextOps.winnowOverlapAgainstIndexReleasable(
+    decideEpochOnce(spark, s"$outDir/batch=$epoch") {
+      graft.text.TextOps.winnowOverlapAgainstIndexReleasable(
         batch, indexDir, idCol, textCol, minShared, maxBucket)
-      val frozen = pairs.localCheckpoint(true)
-      release()
-      frozen.write.mode("overwrite").parquet(batchOut)
-      hfs.create(committed, true).close()
     }
     graft.text.TextOps.appendToWinnowIndex(batch, indexDir, idCol, textCol,
       tag = epoch.toString)

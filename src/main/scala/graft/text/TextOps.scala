@@ -426,19 +426,10 @@ object TextOps {
   def appendToWinnowIndex(newRows: DataFrame, dir: String, idCol: String, textCol: String,
                           tag: String): Unit = {
     val spark = newRows.sparkSession
-    require(tag != "build" && tag != "consolidated",
-      s"appendToWinnowIndex: tag '$tag' is reserved — build/consolidated name " +
-        "lifecycle tranches, and an append would overwrite the entire " +
-        "consolidated history with one day's rows")
     val meta = readWinnowIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
       s"winnow index $dir has no _graft_meta; build it with writeWinnowIndex"))
-    if (graft.dedup.DedupOps.readAbsorbedTags(spark, dir).contains(tag)) {
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"appendToWinnowIndex: tag '$tag' already absorbed by consolidation; " +
-          s"skipping append to $dir (replay convergence). If this tranche is " +
-          "NEW data, it was aliased onto an absorbed tag and is NOT indexed.")
+    if (!graft.dedup.DedupOps.appendTagAllowed(spark, dir, tag, "appendToWinnowIndex"))
       return
-    }
     winnowRows(newRows, idCol, textCol, meta.k, meta.w, meta.portable)
       .write.mode("overwrite").parquet(s"$dir/wfp/batch=$tag")
   }
@@ -475,6 +466,15 @@ object TextOps {
     * [[graft.dedup.DedupOps.dedupAgainstIndex]]'s combined prune);
     * the two sides never self-join. Returns `(id_l, id_r, n_shared)`
     * with `id_l` from the batch.
+    *
+    * Same-ID pairs are excluded: a batch doc that was already appended
+    * (crashed probe→append loop retried) must not report maximal
+    * overlap with its own at-rest fingerprints. The flip side is a
+    * DOCUMENTED blind spot — a re-crawl carrying the SAME external id
+    * with revised content also reports nothing against its indexed
+    * predecessor, because id equality cannot distinguish the two
+    * cases. Pipelines that need revision-overlap tracking should key
+    * batches by (id, revision) or content hash.
     */
   def winnowOverlapAgainstIndex(batch: DataFrame, dir: String,
                                 idCol: String, textCol: String,
