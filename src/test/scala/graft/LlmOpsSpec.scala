@@ -373,6 +373,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("_graft_meta"))
   }
 
+  test("dedupIndexStats: the gauge surfaces double-append inflation and its consolidation repair") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different document about spark engines")).toDF("doc_id", "text")
+    val batch = Seq((3L, "some wholly new text about data pipelines at scale")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_stats_idx").toString
+    DedupOps.writeDedupIndex(docs, idx, "doc_id", "text")
+    DedupOps.appendToDedupIndex(batch, idx, "doc_id", "text", tag = "day1")
+    def stats = DedupOps.dedupIndexStats(spark, idx)
+      .as[(String, Long, Option[Long], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val healthy = stats
+    assert(healthy("sh")._3 == 2 && healthy("fp")._2.isEmpty && healthy("sig")._2.isDefined)
+    // simulate the replay incident: ledger lost, absorbed epoch re-appended
+    DedupOps.consolidateDedupIndex(spark, idx)
+    val consolidated = stats
+    assert(consolidated("sh")._1 == healthy("sh")._1) // same rows, one tranche
+    assert(consolidated("sh")._3 == 1)
+    new java.io.File(s"$idx/_graft_absorbed").delete()
+    DedupOps.appendToDedupIndex(batch, idx, "doc_id", "text", tag = "day1")
+    assert(stats("sh")._1 > healthy("sh")._1) // the double-append symptom, visible
+    DedupOps.consolidateDedupIndex(spark, idx)
+    assert(stats("sh")._1 == healthy("sh")._1) // distinct() repaired it, gauge confirms
+    // a typo'd path fails fast instead of reading as an empty-healthy gauge
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.dedupIndexStats(spark, idx + "_nope")
+    }
+    assert(e.getMessage.contains("not a dedup index"))
+  }
+
   test("dedupAgainstIndexApprox: fixpoint at default cap; combined hot-bucket cap silences cliché bands") {
     val hist = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
