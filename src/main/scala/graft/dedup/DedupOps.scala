@@ -400,30 +400,9 @@ object DedupOps {
   private[graft] final case class DedupIndexMeta(
       shingleN: Int, portable: Boolean, sigK: Int, sigBands: Int)
 
-  private[graft] def hfs(spark: org.apache.spark.sql.SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private[graft] def pathExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
-    hfs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
-
-  private[graft] def writeSmallFile(spark: org.apache.spark.sql.SparkSession,
-                             path: String, content: String): Unit = {
-    val out = hfs(spark, path).create(new org.apache.hadoop.fs.Path(path), true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-  }
-
-  private[graft] def readSmallFile(spark: org.apache.spark.sql.SparkSession,
-                            path: String): Option[String] = {
-    val fs = hfs(spark, path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
-      finally in.close()
-    }
-  }
+  // filesystem plumbing lives in graft.util.Fs (shared by every index
+  // family — no domain module should depend on dedup for FS access)
+  import graft.util.Fs.{hfs, pathExists, readSmallFile, writeSmallFile}
 
   private def metaString(m: DedupIndexMeta): String =
     s"shingleN=${m.shingleN}\nportable=${m.portable}\nsigK=${m.sigK}\nsigBands=${m.sigBands}\n"
@@ -635,21 +614,48 @@ object DedupOps {
     * until the next consolidation.
     */
   def consolidateDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): Unit = {
-    val present = IndexArtifacts.filter(a => pathExists(spark, s"$dir/$a"))
-    // tranche tags about to be absorbed, from the partition directory
-    // names (metadata-only; a legacy flat artifact contributes none)
-    val tags = present.flatMap { a =>
+                            dir: String): Unit =
+    consolidateArtifacts(spark, dir,
+      IndexArtifacts.filter(a => pathExists(spark, s"$dir/$a")),
+      commitWitness = "fp")
+
+  /** The consolidation protocol shared by every tranche-appending
+    * index family (dedup: sh/fp/sig; winnow: wfp) — ONE implementation
+    * so the rewrite/ledger contract can never drift between them.
+    *
+    * A tranche is COMMITTED only if it appears in `commitWitness` —
+    * the artifact the append path writes LAST. A tag present in
+    * earlier artifacts but missing there is a half-appended crash
+    * remnant whose documented recovery is "re-run the append with the
+    * same tag": such tranches are EXCLUDED from both the rewrite and
+    * the absorbed ledger (absorbing them would turn the recovery retry
+    * into a no-op and permanently lose the unwritten artifacts' rows),
+    * and the swap drops their partial rows — the retry regenerates
+    * every artifact from the frozen survivor set.
+    */
+  private[graft] def consolidateArtifacts(spark: org.apache.spark.sql.SparkSession,
+                                          dir: String, artifacts: Seq[String],
+                                          commitWitness: String): Unit = {
+    require(artifacts.nonEmpty, s"consolidate: $dir has no index artifacts")
+    def tagsOf(a: String): Set[String] =
       hfs(spark, dir).listStatus(new org.apache.hadoop.fs.Path(s"$dir/$a"))
         .map(_.getPath.getName).filter(_.startsWith("batch="))
-        .map(_.stripPrefix("batch="))
-    }.toSet - "consolidated" - "build"
-    for (artifact <- present) {
+        .map(_.stripPrefix("batch=")).toSet
+    val witness = if (artifacts.contains(commitWitness)) commitWitness else artifacts.head
+    val committed = tagsOf(witness) + "build" + "consolidated"
+    for (artifact <- artifacts) {
       // no checkpoint needed: the single write action completes — fully
       // draining the read of the old tranches — BEFORE the renames
       // mutate anything (unlike the append path, where a second action
-      // re-evaluated a plan over an already-mutated index)
-      val data = spark.read.parquet(s"$dir/$artifact").drop("batch").distinct()
+      // re-evaluated a plan over an already-mutated index).
+      // distinct(): self-healing against double-appended rows; the
+      // committed-tag filter keeps half-appended remnants out (partition
+      // values may be type-inferred, hence the string cast; a legacy
+      // flat artifact has no batch column and is read whole)
+      val all = spark.read.parquet(s"$dir/$artifact")
+      val data = (if (all.columns.contains("batch"))
+        all.where(col("batch").cast(StringType).isin(committed.toSeq: _*))
+      else all).drop("batch").distinct()
       graft.merge.Merge.atomicSwap(spark, s"$dir/$artifact") { tmp =>
         data.write.mode("overwrite").parquet(s"$tmp/batch=consolidated")
       }
@@ -658,7 +664,8 @@ object DedupOps {
     // the just-absorbed tags, but the NEXT consolidation's distinct()
     // heals any double-append it allowed — the ledger is the fast path,
     // the distinct is the guarantee
-    val absorbed = readAbsorbedTags(spark, dir) ++ tags
+    val absorbed = readAbsorbedTags(spark, dir) ++
+      (committed - "build" - "consolidated")
     if (absorbed.nonEmpty)
       writeSmallFile(spark, s"$dir/_graft_absorbed",
         absorbed.toSeq.sorted.mkString("", "\n", "\n"))
@@ -775,7 +782,18 @@ object DedupOps {
     */
   def dedupDecisions(batch: DataFrame, dir: String, idCol: String, textCol: String,
                      shingleN: Int = 3, threshold: Double = 0.5,
-                     maxBucket: Int = 1000, portable: Boolean = false): DataFrame = {
+                     maxBucket: Int = 1000, portable: Boolean = false): DataFrame =
+    dedupDecisionsReleasable(batch, dir, idCol, textCol, shingleN, threshold,
+      maxBucket, portable)._1
+
+  /** [[dedupDecisions]] plus a release thunk for the internal caches
+    * (flagged batch + pruned shingle union) — looped daily callers in a
+    * long-lived session release after consuming each report, the same
+    * contract as [[dedupAgainstIndexReleasable]]. */
+  private[graft] def dedupDecisionsReleasable(
+      batch: DataFrame, dir: String, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxBucket: Int = 1000, portable: Boolean = false): (DataFrame, () => Unit) = {
     val spark = batch.sparkSession
     validateIndexParams(spark, dir, shingleN, portable)
     val histFp = spark.read.parquet(s"$dir/fp").select("fp").distinct()
@@ -794,18 +812,16 @@ object DedupOps {
     // the report (pairs always share ≥1 post-prune shingle ⇒ jaccard > 0)
     val (pairs, releasePairs) = crossJaccardFromExploded(batchSh, histSh, 0.0, maxBucket)
     val best = pairs.groupBy(col("id_l")).agg(max(col("jaccard")).as("best_jaccard"))
-    // releasePairs stays un-invoked here: the report is lazy, and the
-    // pruned-union cache must outlive the caller's action (the standard
-    // session-cache contract of the pair finders — clearCache between
-    // jobs). An eager release would demote the self-join fork to
-    // recompute-per-branch.
-    val _ = releasePairs
-    flagged.join(best, col(idCol) === col("id_l"), "left")
+    // the release composes both caches and is ONLY safe after the
+    // caller's action has materialized the report — an eager release
+    // would demote the self-join fork to recompute-per-branch
+    (flagged.join(best, col(idCol) === col("id_l"), "left")
       .select(col(idCol),
         when(col("__hit"), "exact")
           .when(col("best_jaccard") >= threshold, "near")
           .otherwise("unique").as("decision"),
-        col("best_jaccard"))
+        col("best_jaccard")),
+      () => { releasePairs(); flagged.unpersist(); () })
   }
 
   /** Cross-corpus MinHash candidate pairs over PER-DOC SIGNATURE rows

@@ -256,9 +256,16 @@ object RelationalOps {
     require(Set("inner", "left_semi", "leftsemi").contains(joinType.toLowerCase),
       s"bloomPrefilteredJoin: pre-dropping big-side rows is only sound for " +
         s"inner/left_semi joins, got '$joinType'")
+    // auto-size: saturation-proof by construction. The small side is
+    // consumed three times on this path (count, sketch build, join
+    // build side) — persist it so a derived plan computes once (the
+    // session-cache contract of the pair finders: clearCache between
+    // jobs; `persist` returns the same frame, so the join below reuses it)
+    if (expectedItems <= 0)
+      small.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val items =
       if (expectedItems > 0) expectedItems
-      else math.max(1L, small.count()) // auto-size: saturation-proof by construction
+      else math.max(1L, small.count())
     val sketch = small.stat.bloomFilter(smallKey, items, fpp)
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     if (log.isDebugEnabled) log.debug(

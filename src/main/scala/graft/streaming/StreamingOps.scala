@@ -222,9 +222,20 @@ object StreamingOps {
       else graft.dedup.DedupOps.dedupAgainstIndexReleasable(
         batch, indexDir, idCol, textCol, shingleN, threshold, maxBucket, portable)
     }
+    // in approx mode the caller's shingleN/portable were never consulted
+    // (the probe reads the frozen family from _graft_meta) — the append
+    // must honor the same contract, or defaulted params wedge the
+    // stream permanently: the decision commits, then every replay dies
+    // on the append's param validation
+    val (apShingleN, apPortable) =
+      if (approx)
+        graft.dedup.DedupOps.readDedupIndexMeta(spark, indexDir)
+          .map(m => (m.shingleN, m.portable))
+          .getOrElse((shingleN, portable))
+      else (shingleN, portable)
     graft.dedup.DedupOps.appendToDedupIndex(
       survivors, indexDir, idCol, textCol, tag = epoch.toString,
-      shingleN = shingleN, portable = portable)
+      shingleN = apShingleN, portable = apPortable)
   }
 
   /** Streaming partial-overlap detection against the at-rest winnow

@@ -367,7 +367,7 @@ object TextOps {
 
   // ------------------------------------------------- at-rest winnow index
 
-  import graft.dedup.DedupOps.{hfs, pathExists, readSmallFile, writeSmallFile}
+  import graft.util.Fs.{pathExists, readSmallFile, writeSmallFile}
 
   private def winnowRows(df: DataFrame, idCol: String, textCol: String,
                          k: Int, w: Int, portable: Boolean): DataFrame =
@@ -435,26 +435,17 @@ object TextOps {
   }
 
   /** Collapse accumulated winnow tranches into one (atomic swap,
-    * `distinct()`-self-healing, absorbed-tag ledger) — the same
-    * maintenance contract as
-    * [[graft.dedup.DedupOps.consolidateDedupIndex]]. */
+    * `distinct()`-self-healing, absorbed-tag ledger) — the SHARED
+    * consolidation protocol
+    * ([[graft.dedup.DedupOps.consolidateArtifacts]]); the single `wfp`
+    * artifact is its own commit witness. */
   def consolidateWinnowIndex(spark: org.apache.spark.sql.SparkSession,
                              dir: String): Unit = {
     require(pathExists(spark, s"$dir/wfp"),
       s"consolidateWinnowIndex: $dir has no wfp artifact — not a winnow index " +
         "(build it with writeWinnowIndex)")
-    val tags = hfs(spark, dir)
-      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/wfp"))
-      .map(_.getPath.getName).filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=")).toSet - "consolidated" - "build"
-    val data = spark.read.parquet(s"$dir/wfp").drop("batch").distinct()
-    graft.merge.Merge.atomicSwap(spark, s"$dir/wfp") { tmp =>
-      data.write.mode("overwrite").parquet(s"$tmp/batch=consolidated")
-    }
-    val absorbed = graft.dedup.DedupOps.readAbsorbedTags(spark, dir) ++ tags
-    if (absorbed.nonEmpty)
-      writeSmallFile(spark, s"$dir/_graft_absorbed",
-        absorbed.toSeq.sorted.mkString("", "\n", "\n"))
+    graft.dedup.DedupOps.consolidateArtifacts(spark, dir, Seq("wfp"),
+      commitWitness = "wfp")
   }
 
   /** Partial-overlap pairs of a NEW batch against the MATERIALIZED

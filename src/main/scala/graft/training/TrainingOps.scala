@@ -113,9 +113,16 @@ object TrainingOps {
     val counts = df.groupBy(col(sourceCol).cast(StringType).as("__s"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val present = weights.filter { case (s, _) => counts.contains(s) && counts(s) > 0 }
-    require(present.nonEmpty,
-      s"sampleToMixture: none of ${weights.keys.mkString(",")} present in $sourceCol")
+    // every weighted source must exist: silently dropping a missing one
+    // renormalizes the OTHERS to 100% of the output — a corpus
+    // arbitrarily far from its target composition, shipped undetected
+    // (a typo'd label or an upstream filter is a misconfiguration, not
+    // a degenerate-mixture request)
+    val missing = weights.keys.filterNot(s => counts.getOrElse(s, 0L) > 0L)
+    require(missing.isEmpty,
+      s"sampleToMixture: weighted source(s) ${missing.mkString(", ")} absent " +
+        s"from $sourceCol — present: ${counts.keys.toSeq.sorted.take(20).mkString(", ")}")
+    val present = weights
     val t = present.map { case (s, w) => counts(s) / w }.min
     val bucket = hashBucket(col(idCol), salt, portable)
     // sorted fold for a deterministic expression tree; threshold math

@@ -373,6 +373,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("_graft_meta"))
   }
 
+  test("consolidation never absorbs a half-appended tranche: the documented same-tag retry still lands") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val batch = Seq((2L, "some wholly new text about data pipelines at scale")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_half_idx").toString
+    DedupOps.writeDedupIndex(docs, idx, "doc_id", "text")
+    DedupOps.appendToDedupIndex(batch, idx, "doc_id", "text", tag = "day1")
+    // simulate the append crash window: sh landed, sig and fp did not
+    // (fp is written LAST — it is the commit witness)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/fp/batch=day1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/sig/batch=day1"), true)
+    DedupOps.consolidateDedupIndex(spark, idx)
+    // the half-committed tranche is NOT in the ledger and its partial
+    // rows are NOT in the consolidated corpus
+    assert(DedupOps.readAbsorbedTags(spark, idx).isEmpty)
+    assert(spark.read.parquet(s"$idx/sh").where(col("doc_id") === 2L).count() == 0)
+    // the documented recovery — re-run the append with the same tag —
+    // still lands every artifact
+    DedupOps.appendToDedupIndex(batch, idx, "doc_id", "text", tag = "day1")
+    assert(spark.read.parquet(s"$idx/sh").where(col("doc_id") === 2L).count() > 0)
+    assert(new java.io.File(s"$idx/fp/batch=day1").exists())
+    assert(new java.io.File(s"$idx/sig/batch=day1").exists())
+    // and the doc is now actually deduppable
+    assert(DedupOps.dedupAgainstIndex(batch, idx, "doc_id", "text").count() == 0)
+  }
+
   test("dedupIndexStats: the gauge surfaces double-append inflation and its consolidation repair") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

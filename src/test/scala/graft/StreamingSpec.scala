@@ -85,6 +85,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("approx epoch honors the index's frozen params end-to-end (portable index, defaulted caller params)") {
+    // the probe reads _graft_meta; the APPEND must too — with caller
+    // defaults (portable = false) against a portable-built index the
+    // old code committed the decision then died on append validation,
+    // wedging the stream on every replay
+    val base = Files.createTempDirectory("graft_apx_meta").toString
+    val idx = s"$base/idx"; val out = s"$base/out"
+    graft.dedup.DedupOps.writeDedupIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"),
+      idx, "doc_id", "text", portable = true)
+    val batch = Seq((10L, "an entirely new document about training corpora")).toDF("doc_id", "text")
+    StreamingOps.processIndexedDedupEpoch(batch, 0L, idx, out, "doc_id", "text",
+      approx = true) // portable left at its default
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSeq == Seq(10L))
+    assert(new java.io.File(s"$idx/sh/batch=0").exists())
+  }
+
   test("indexedDedupStream replay: re-delivered epochs converge (decision reuse + tranche overwrite)") {
     val base = Files.createTempDirectory("graft_idx_replay").toString
     val idx = s"$base/idx"; val out = s"$base/out"
