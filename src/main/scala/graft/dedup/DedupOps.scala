@@ -439,22 +439,39 @@ object DedupOps {
   /** Shared append-tag gate for every tranche-appending index (dedup
     * and winnow): reserved lifecycle names are rejected outright (an
     * append with tag `consolidated` would overwrite the whole
-    * consolidated history), and a consolidation-absorbed tag returns
-    * false — the caller no-ops, with a warning naming the aliasing
-    * hazard. ONE implementation so the replay-aliasing contract can
-    * never drift between the two index families. */
+    * consolidated history), and a consolidation-absorbed tag is only a
+    * no-op when the tranche is PROVABLY a replay. `novelRows` is the
+    * caller's content probe — the count of batch artifact rows absent
+    * from the consolidated index — evaluated ONLY on the absorbed-tag
+    * path (the common un-absorbed case pays nothing). A replayed epoch
+    * counts 0 (its rows were absorbed) and no-ops with a warning; a
+    * non-zero count means genuinely NEW data was aliased onto an
+    * absorbed tag (a restarted stream with a fresh checkpoint
+    * re-numbering epochs from 0), and silently no-oping would drop it
+    * from the index forever — that fails fast instead, naming the fix
+    * (a fresh tag namespace). ONE implementation so the replay-aliasing
+    * contract can never drift between the index families. */
   private[graft] def appendTagAllowed(spark: org.apache.spark.sql.SparkSession,
                                       dir: String, tag: String,
-                                      opName: String): Boolean = {
+                                      opName: String,
+                                      novelRows: () => Long): Boolean = {
     require(tag != "build" && tag != "consolidated",
       s"$opName: tag '$tag' is reserved — build/consolidated name lifecycle " +
         "tranches, and an append would overwrite the entire consolidated " +
         "history with one day's rows")
     if (readAbsorbedTags(spark, dir).contains(tag)) {
+      val novel = novelRows()
+      if (novel > 0) throw new IllegalStateException(
+        s"$opName: tag '$tag' was already absorbed by consolidation, but this " +
+          s"tranche carries $novel artifact row(s) NOT present in the index — " +
+          "new data aliased onto an absorbed tag (e.g. a stream restarted with " +
+          "a fresh checkpoint re-numbering epochs from 0). A silent no-op would " +
+          s"permanently drop it from $dir. Append it under a tag never used " +
+          "before (e.g. prefix a new stream generation into the tag).")
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"$opName: tag '$tag' already absorbed by consolidation; skipping " +
-          s"append to $dir (replay convergence). If this tranche is NEW data, " +
-          "it was aliased onto an absorbed tag and is NOT indexed.")
+        s"$opName: tag '$tag' already absorbed by consolidation and every " +
+          s"artifact row is already indexed; skipping append to $dir " +
+          "(replay convergence).")
       false
     } else true
   }
@@ -551,7 +568,13 @@ object DedupOps {
     val spark = newRows.sparkSession
     requireTrancheLayout(spark, dir)
     validateIndexParams(spark, dir, shingleN, portable)
-    if (!appendTagAllowed(spark, dir, tag, "appendToDedupIndex")) return
+    // novelty probe for the absorbed-tag path: batch content
+    // fingerprints absent from the consolidated fp artifact. A true
+    // replay counts 0 (its fps were absorbed); new content counts > 0.
+    if (!appendTagAllowed(spark, dir, tag, "appendToDedupIndex", () =>
+      fingerprintRows(newRows, textCol)
+        .join(spark.read.parquet(s"$dir/fp").select("fp"), Seq("fp"), "left_anti")
+        .count())) return
     val frozen = newRows.localCheckpoint(true)
     hashedShingleRows(frozen, idCol, textCol, shingleN, portable)
       .write.mode("overwrite").parquet(s"$dir/sh/batch=$tag")
@@ -635,7 +658,8 @@ object DedupOps {
     */
   private[graft] def consolidateArtifacts(spark: org.apache.spark.sql.SparkSession,
                                           dir: String, artifacts: Seq[String],
-                                          commitWitness: String): Unit = {
+                                          commitWitness: String,
+                                          partitionCols: Seq[String] = Nil): Unit = {
     require(artifacts.nonEmpty, s"consolidate: $dir has no index artifacts")
     def tagsOf(a: String): Set[String] =
       hfs(spark, dir).listStatus(new org.apache.hadoop.fs.Path(s"$dir/$a"))
@@ -657,7 +681,13 @@ object DedupOps {
         all.where(col("batch").cast(StringType).isin(committed.toSeq: _*))
       else all).drop("batch").distinct()
       graft.merge.Merge.atomicSwap(spark, s"$dir/$artifact") { tmp =>
-        data.write.mode("overwrite").parquet(s"$tmp/batch=consolidated")
+        // sub-partitioning (e.g. the IVF index's ivf_list) must survive
+        // the rewrite as PARTITION columns — demoting one to a data
+        // column would silently retire partition pruning for every
+        // later probe
+        val w = data.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(s"$tmp/batch=consolidated")
       }
     }
     // ledger last: a crash before this line leaves a replay window for

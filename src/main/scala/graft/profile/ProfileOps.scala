@@ -65,10 +65,15 @@ object ProfileOps {
     require(hi > lo, s"histogram: need hi > lo, got [$lo, $hi)")
     val width = (hi - lo) / bins
     // NaN drops with null: (NaN−lo)/width is NaN, whose non-ANSI int
-    // cast is 0 — silently inflating the lowest bin otherwise
+    // cast is 0 — silently inflating the lowest bin otherwise.
+    // Clamp on floor()'s LongType BEFORE any narrowing cast: an
+    // outlier ≥ lo + 2^31·width (or +Infinity, floor → Long.MaxValue)
+    // would wrap negative under a non-ANSI int cast and land in bin 0
+    // instead of the top edge bin.
     df.where(col(c).isNotNull && !isnan(col(c).cast(DoubleType)))
-      .select(least(lit(bins - 1), greatest(lit(0),
-        floor((col(c).cast(DoubleType) - lo) / width).cast(IntegerType))).as("bin"))
+      .select(least(lit((bins - 1).toLong), greatest(lit(0L),
+        floor((col(c).cast(DoubleType) - lo) / width)))
+        .cast(IntegerType).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
       .select(col("bin"),
         (lit(lo) + col("bin") * width).as("bin_lo"),

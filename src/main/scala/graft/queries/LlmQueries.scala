@@ -716,8 +716,8 @@ object LlmQueries {
     //      shape input next to the key profile; one map-side-combinable
     //      shuffle of ≤ bins groups ----
     Q("q_histogram",
-      """WITH b AS (SELECT least(19, greatest(0,
-        |    CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 4000.0) AS INTEGER))) AS bin
+      """WITH b AS (SELECT CAST(least(19, greatest(0,
+        |    floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 4000.0))) AS INTEGER) AS bin
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
         |SELECT bin, 0.0 + bin * 4000.0 AS bin_lo, 0.0 + (bin + 1) * 4000.0 AS bin_hi,
         |  count(*) AS n
@@ -965,10 +965,10 @@ object LlmQueries {
       SimilarityOps.lshWriteIndex(e.where(col("vec_id") % 2 === 0),
         idx, "vec_id", "embedding", nbits = 4)
       SimilarityOps.lshAppendToIndex(e.where(col("vec_id") % 2 === 1),
-        idx, "vec_id", "embedding", nbits = 4)
+        idx, "vec_id", "embedding", tag = "odd")
       SimilarityOps.lshProbeTopK(s, idx,
         e.where(col("vec_id") < 20), "vec_id", "embedding",
-        k = 5, nbits = 4, multiProbe = true)
+        k = 5, multiProbe = true)
         .select("query_id", "corpus_id", "cos", "rank")
     },
 
@@ -1005,17 +1005,21 @@ object LlmQueries {
         |SELECT vec_id FROM b2 WHERE vec_id NOT IN (SELECT vec_id FROM d2)""".stripMargin) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings").select("vec_id", "embedding")
       val idx = graft.util.Scratch.path("sem_dedup_idx", dir)
-      val cents = sharedCentroids(s, dir)
       SimilarityOps.ivfWriteIndex(emb.where(col("vec_id") < 300), idx,
-        "vec_id", "embedding", nLists = 16, precomputed = Some(cents))
+        "vec_id", "embedding", nLists = 16,
+        precomputed = Some(sharedCentroids(s, dir)))
+      // day-1 batch dedups against the artifact (quantizer from
+      // _graft_meta), survivors append as a tagged tranche; mid-
+      // lifecycle consolidation is answer-preserving (same oracle)
       val s1 = SimilarityOps.semanticDedupAgainstIndex(s, idx,
         emb.where(col("vec_id") >= 300 && col("vec_id") < 400),
-        "vec_id", "embedding", cents, threshold = 0.3, nProbe = 16)
+        "vec_id", "embedding", threshold = 0.3, nProbe = 16)
       SimilarityOps.ivfAppendToIndex(
-        s1.localCheckpoint(true), idx, "vec_id", "embedding", cents)
+        s1.localCheckpoint(true), idx, "vec_id", "embedding", tag = "day1")
+      SimilarityOps.consolidateIvfIndex(s, idx)
       SimilarityOps.semanticDedupAgainstIndex(s, idx,
         emb.where(col("vec_id") >= 400),
-        "vec_id", "embedding", cents, threshold = 0.3, nProbe = 16)
+        "vec_id", "embedding", threshold = 0.3, nProbe = 16)
         .select("vec_id")
     },
 
@@ -1216,13 +1220,13 @@ object LlmQueries {
     Q("q_sim_topk_ivf_index", duckBruteTopKSql) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       val idx = graft.util.Scratch.path("ivf_index", dir)
-      val cents = SimilarityOps.ivfWriteIndex(e.where(col("vec_id") % 2 === 0),
+      SimilarityOps.ivfWriteIndex(e.where(col("vec_id") % 2 === 0),
         idx, "vec_id", "embedding",
         nLists = 16, precomputed = Some(sharedCentroids(s, dir)))
       SimilarityOps.ivfAppendToIndex(e.where(col("vec_id") % 2 === 1),
-        idx, "vec_id", "embedding", cents)
+        idx, "vec_id", "embedding", tag = "odd")
       SimilarityOps.ivfProbeTopK(s, idx,
-        e.where(col("vec_id") < 20), "vec_id", "embedding", cents,
+        e.where(col("vec_id") < 20), "vec_id", "embedding",
         k = 5, nProbe = 16)
         .select("query_id", "corpus_id", "cos", "rank")
     },
@@ -1281,16 +1285,16 @@ object LlmQueries {
     Q("q_sim_topk_ivfpq_index", duckBruteTopKSql) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       val idx = graft.util.Scratch.path("ivfpq_index", dir)
-      val (cents, books) = SimilarityOps.ivfPqWriteIndex(
+      SimilarityOps.ivfPqWriteIndex(
         e.where(col("vec_id") % 2 === 0), idx, "vec_id", "embedding",
         nLists = 16, m = 8, codebookK = 16,
         centroids = Some(sharedCentroids(s, dir)),
         codebooks = Some(sharedCodebooks(s, dir)))
       SimilarityOps.ivfPqAppendToIndex(e.where(col("vec_id") % 2 === 1),
-        idx, "vec_id", "embedding", cents, books)
+        idx, "vec_id", "embedding", tag = "odd")
       SimilarityOps.ivfPqProbeTopK(s, idx, e,
         e.where(col("vec_id") < 20), "vec_id", "vec_id", "embedding",
-        cents, books, k = 5, nProbe = 16, shortlist = Int.MaxValue)
+        k = 5, nProbe = 16, shortlist = Int.MaxValue)
         .select("query_id", "corpus_id", "cos", "rank")
     },
 

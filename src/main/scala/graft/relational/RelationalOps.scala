@@ -256,17 +256,24 @@ object RelationalOps {
     require(Set("inner", "left_semi", "leftsemi").contains(joinType.toLowerCase),
       s"bloomPrefilteredJoin: pre-dropping big-side rows is only sound for " +
         s"inner/left_semi joins, got '$joinType'")
-    // auto-size: saturation-proof by construction. The small side is
-    // consumed three times on this path (count, sketch build, join
-    // build side) — persist it so a derived plan computes once (the
-    // session-cache contract of the pair finders: clearCache between
-    // jobs; `persist` returns the same frame, so the join below reuses it)
-    if (expectedItems <= 0)
-      small.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val items =
-      if (expectedItems > 0) expectedItems
-      else math.max(1L, small.count())
-    val sketch = small.stat.bloomFilter(smallKey, items, fpp)
+    // auto-size: saturation-proof by construction. Count and sketch
+    // build are two EAGER passes over the small side — cache a
+    // function-owned identity projection (its own analyzed plan, so
+    // its own cache entry) across the pair and release it before
+    // returning. Persisting the caller's frame directly would mutate
+    // its storage level and leak an entry into a long-lived session
+    // cache (the engine's release-thunk contract: whoever persists,
+    // unpersists). The join below re-reads `small` once uncached —
+    // one extra scan of the already-small side, never a leak.
+    val (items, sketchSrc, release): (Long, DataFrame, () => Unit) =
+      if (expectedItems > 0) (expectedItems, small, () => ())
+      else {
+        val owned = small.select(small.columns.map(col): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (math.max(1L, owned.count()), owned, () => { owned.unpersist(); () })
+      }
+    val sketch = sketchSrc.stat.bloomFilter(smallKey, items, fpp)
+    release()
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     if (log.isDebugEnabled) log.debug(
       s"[graft.bloom] expectedItems=$items fpp=$fpp bitSize=${sketch.bitSize()}")

@@ -24,6 +24,8 @@ import org.apache.spark.sql.types._
   */
 object SimilarityOps {
 
+  import graft.util.Fs.{pathExists, readSmallFile, writeSmallFile}
+
   /** Deterministic sequential-fold dot product (double) — generic over
     * numeric array element types. For the float-array hot path use
     * [[dotF]] (bit-identical result, codegen'd). */
@@ -140,26 +142,63 @@ object SimilarityOps {
   /** Materialize the LSH layout at rest: the corpus written PARTITIONED
     * BY its sign bucket, the same at-rest shape as [[ivfWriteIndex]] —
     * a probe of b buckets is a partition-pruned read of b/2^nbits of
-    * the index. Unlike IVF there is NO fitted quantizer to freeze:
-    * [[signBucket]] is a pure function of (vector, nbits), so the only
-    * append invariant is reusing the build-time `nbits`.
-    */
+    * the index. Unlike IVF there is NO fitted quantizer, but `nbits`
+    * IS the structural invariant ([[signBucket]] is a pure function of
+    * (vector, nbits) — a probe under a different width re-buckets
+    * every query and silently stops finding neighbors), so it is
+    * frozen into `dir/_graft_meta` like every at-rest family's params
+    * and read back by append/probe. Rows live under
+    * `dir/vec/batch=<tag>/lsh_bucket=<b>` tranches — the shared
+    * lifecycle (overwrite-idempotent tagged appends, consolidation,
+    * rebuild via atomic swap). */
   def lshWriteIndex(corpus: DataFrame, dir: String, cidCol: String, vecCol: String,
-                    nbits: Int = 8): Unit =
-    lshIndexRows(corpus, cidCol, vecCol, nbits)
-      .write.mode("overwrite").partitionBy("lsh_bucket").parquet(dir)
+                    nbits: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    def buildInto(root: String): Unit = {
+      writeSmallFile(spark, s"$root/_graft_meta", s"nbits=$nbits\n")
+      lshIndexRows(corpus, cidCol, vecCol, nbits)
+        .write.mode("overwrite").partitionBy("lsh_bucket").parquet(s"$root/vec/batch=build")
+    }
+    if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
+    else buildInto(dir)
+  }
+
+  private[graft] def readLshNbits(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): Int =
+    readSmallFile(spark, s"$dir/_graft_meta")
+      .flatMap(_.linesIterator.find(_.startsWith("nbits=")).map(_.stripPrefix("nbits=").trim.toInt))
+      .getOrElse(throw new IllegalArgumentException(
+        s"LSH index $dir has no _graft_meta — not a written LSH index (build it " +
+          "with lshWriteIndex; the frozen nbits is the bucket-function contract)"))
 
   /** Incrementally append vectors to a written LSH layout — new rows
-    * land as new files under their bucket partitions only (untouched
-    * buckets see zero I/O). `nbits` MUST equal the build-time value:
-    * a different width re-buckets every vector and the index silently
-    * stops finding pre-append neighbors. Probe-after-append ≡ probe of
-    * a one-shot build over the unioned corpus (spec-proven).
+    * land under their own `batch=<tag>` tranche only (untouched
+    * tranches see zero I/O), bucketed with the INDEX's frozen `nbits`
+    * from `_graft_meta`. Same tagged-tranche contract as
+    * [[ivfAppendToIndex]]. Probe-after-append ≡ probe of a one-shot
+    * build over the unioned corpus (spec-proven).
     */
   def lshAppendToIndex(newRows: DataFrame, dir: String, cidCol: String, vecCol: String,
-                       nbits: Int): Unit =
+                       tag: String): Unit = {
+    val spark = newRows.sparkSession
+    val nbits = readLshNbits(spark, dir)
+    if (!graft.dedup.DedupOps.appendTagAllowed(spark, dir, tag, "lshAppendToIndex",
+      () => newRows.select(col(cidCol).as("corpus_id")).distinct()
+        .join(spark.read.parquet(s"$dir/vec").select("corpus_id"),
+          Seq("corpus_id"), "left_anti").count()))
+      return
     lshIndexRows(newRows, cidCol, vecCol, nbits)
-      .write.mode("append").partitionBy("lsh_bucket").parquet(dir)
+      .write.mode("overwrite").partitionBy("lsh_bucket").parquet(s"$dir/vec/batch=$tag")
+  }
+
+  /** [[consolidateIvfIndex]]'s twin for the LSH vector artifact —
+    * shared protocol, `lsh_bucket` partitioning preserved. */
+  def consolidateLshIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Unit = {
+    readLshNbits(spark, dir)
+    graft.dedup.DedupOps.consolidateArtifacts(spark, dir, Seq("vec"),
+      commitWitness = "vec", partitionCols = Seq("lsh_bucket"))
+  }
 
   private def lshIndexRows(df: DataFrame, cidCol: String, vecCol: String,
                            nbits: Int): DataFrame =
@@ -169,11 +208,13 @@ object SimilarityOps {
   /** Probe a written LSH layout: bucket each query (plus its hamming-1
     * neighborhood when `multiProbe`) and top-k score only the matching
     * bucket partitions — the broadcast bucket join dynamic-partition-
-    * prunes the index scan exactly like [[ivfProbeTopK]].
+    * prunes the index scan exactly like [[ivfProbeTopK]]. `nbits`
+    * comes from the index's `_graft_meta`, never callers.
     */
   def lshProbeTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                    queries: DataFrame, qidCol: String, vecCol: String,
-                   k: Int, nbits: Int = 8, multiProbe: Boolean = false): DataFrame = {
+                   k: Int, multiProbe: Boolean = false): DataFrame = {
+    val nbits = readLshNbits(spark, dir)
     val qBase = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
       l2NormF(col(vecCol)).as("__qn"), signBucket(col(vecCol), nbits).as("lsh_bucket"))
     val q =
@@ -181,7 +222,7 @@ object SimilarityOps {
       else qBase.withColumn("lsh_bucket",
         explode(array((col("lsh_bucket") +:
           (0 until nbits).map(i => col("lsh_bucket").bitwiseXOR(lit(1L << i)))): _*)))
-    val index = spark.read.parquet(dir)
+    val index = spark.read.parquet(s"$dir/vec").drop("batch")
     val scored = index.join(broadcast(q), Seq("lsh_bucket"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
@@ -334,60 +375,159 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** The IVF index's frozen quantizer, persisted in `dir/_graft_meta`
+    * at build time. The centroids are a STRUCTURAL invariant of the
+    * artifact (same role as the dedup index's shingle/hash params): a
+    * row's home list is a function of the centroid family, so probing
+    * or appending under DIFFERENT centroids silently prunes the wrong
+    * partitions and near-dups vanish without an error. Readers take
+    * the quantizer from the file, never from callers. Centroid doubles
+    * are serialized as raw IEEE-754 long bits — bit-exact round-trip,
+    * locale-proof (a decimal repr that loses one ulp would reassign
+    * boundary vectors). */
+  private[graft] final case class IvfIndexMeta(
+      nLists: Int, dim: Int, centroids: Array[(Int, Array[Double])])
+
+  private def ivfMetaString(m: IvfIndexMeta): String =
+    s"nLists=${m.nLists}\ndim=${m.dim}\n" +
+      m.centroids.map { case (i, v) =>
+        s"centroid=$i:" + v.map(java.lang.Double.doubleToRawLongBits).mkString(",")
+      }.mkString("", "\n", "\n")
+
+  private[graft] def readIvfIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[IvfIndexMeta] =
+    readSmallFile(spark, s"$dir/_graft_meta").map { s =>
+      val lines = s.linesIterator.toSeq
+      val kv = lines.filter(l => l.contains('=') && !l.startsWith("centroid="))
+        .map { l => val Array(k, v) = l.split("=", 2); (k.trim, v.trim) }.toMap
+      val cents = lines.filter(_.startsWith("centroid=")).map { l =>
+        val body = l.stripPrefix("centroid=")
+        val Array(i, bits) = body.split(":", 2)
+        (i.toInt, bits.split(",").map(b => java.lang.Double.longBitsToDouble(b.toLong)))
+      }.toArray
+      IvfIndexMeta(kv("nLists").toInt, kv("dim").toInt, cents)
+    }
+
+  private def requireIvfMeta(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): IvfIndexMeta =
+    readIvfIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"IVF index $dir has no _graft_meta — not a written IVF index (build it " +
+        "with ivfWriteIndex; the frozen quantizer IS the index contract, and a " +
+        "pre-meta index must be rebuilt so its centroids become part of the artifact)"))
+
   /** Materialize the IVF index: assign every corpus vector its nearest
     * list and write the corpus PARTITIONED BY the list id. This is the
     * 100 TB shape the in-memory `ivfTopK` simulates with an equi-join:
     * once the list is a partition column, a probe of nProbe lists is a
     * partition-PRUNED scan — the other nLists−nProbe partitions are
-    * never read. Returns the centroids used (persist them next to the
-    * index; search must quantize queries with the same centroids).
+    * never read.
+    *
+    * Layout: `dir/_graft_meta` freezes the quantizer (centroids +
+    * nLists + dim); vector rows live under `dir/vec/batch=<tag>/
+    * ivf_list=<n>` tranches — the same lifecycle discipline as the
+    * dedup/winnow indexes (overwrite-idempotent tagged appends,
+    * consolidation with an absorbed-tag ledger, rebuild over a live
+    * index via one whole-dir atomic swap). Returns the centroids for
+    * caller convenience (e.g. feeding the in-memory [[ivfTopK]]);
+    * every reader of THIS index takes them from the artifact.
     */
   def ivfWriteIndex(corpus: DataFrame, dir: String, cidCol: String, vecCol: String,
                     nLists: Int = 16, seed: Long = 42L,
                     precomputed: Option[Array[(Int, Array[Double])]] = None)
   : Array[(Int, Array[Double])] = {
+    val spark = corpus.sparkSession
     val centroids = precomputed.getOrElse(ivfCentroids(corpus, vecCol, nLists, seed))
-    ivfIndexRows(corpus, cidCol, vecCol, centroids)
-      .write.mode("overwrite").partitionBy("ivf_list").parquet(dir)
+    require(centroids.nonEmpty, "ivfWriteIndex: empty centroid family")
+    def buildInto(root: String): Unit = {
+      // meta first: the row write lands in a subdir, so the only crash
+      // window leaves meta-without-vectors — readers see an empty index
+      // (fail-safe), never vectors under an unrecorded quantizer
+      writeSmallFile(spark, s"$root/_graft_meta",
+        ivfMetaString(IvfIndexMeta(nLists, centroids.head._2.length, centroids)))
+      ivfIndexRows(corpus, cidCol, vecCol, centroids)
+        .write.mode("overwrite").partitionBy("ivf_list").parquet(s"$root/vec/batch=build")
+    }
+    if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
+    else buildInto(dir)
     centroids
   }
 
   /** Incrementally append vectors to a written IVF index — the index
     * lifecycle's add() step (a 100 TB index is never rebuilt for a
     * daily ingest batch). New rows are assigned with the index's
-    * FROZEN centroids — the quantizer is trained at build time, and
-    * appending must not move list boundaries or every existing row's
-    * home list would silently shift — and land as new files under
-    * their list partitions only; untouched lists see zero I/O.
-    * Probe-after-append ≡ probe of a one-shot build over the unioned
-    * corpus with the same centroids (spec-proven, and the driver gate
-    * probes a written-then-appended index at full budget).
+    * FROZEN centroids, read from `_graft_meta` — the quantizer is
+    * trained at build time, and appending must not move list
+    * boundaries or every existing row's home list would silently
+    * shift — and land under their own `batch=<tag>` tranche only;
+    * untouched tranches see zero I/O. The tag is REQUIRED and owned
+    * by the caller (a date, an epoch id): a retry after a mid-append
+    * crash reuses it and OVERWRITES exactly its own tranche, so
+    * double delivery converges to one copy instead of double-counting
+    * vectors (a duplicated history vector double-reports near-dups
+    * and inflates every list's scan). A tag already absorbed by
+    * [[consolidateIvfIndex]] no-ops only if provably a replay
+    * (every corpus_id already indexed) — new data aliased onto an
+    * absorbed tag fails fast. Probe-after-append ≡ probe of a
+    * one-shot build over the unioned corpus (spec-proven).
     */
   def ivfAppendToIndex(newRows: DataFrame, dir: String, cidCol: String, vecCol: String,
-                       centroids: Array[(Int, Array[Double])]): Unit =
-    ivfIndexRows(newRows, cidCol, vecCol, centroids)
-      .write.mode("append").partitionBy("ivf_list").parquet(dir)
+                       tag: String): Unit = {
+    val spark = newRows.sparkSession
+    val meta = requireIvfMeta(spark, dir)
+    if (!graft.dedup.DedupOps.appendTagAllowed(spark, dir, tag, "ivfAppendToIndex",
+      () => newRows.select(col(cidCol).as("corpus_id")).distinct()
+        .join(spark.read.parquet(s"$dir/vec").select("corpus_id"),
+          Seq("corpus_id"), "left_anti").count()))
+      return
+    ivfIndexRows(newRows, cidCol, vecCol, meta.centroids)
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(s"$dir/vec/batch=$tag")
+  }
+
+  /** Collapse accumulated IVF tranches into one (atomic swap,
+    * `distinct()`-self-healing, absorbed-tag ledger) — the SHARED
+    * consolidation protocol
+    * ([[graft.dedup.DedupOps.consolidateArtifacts]]). The rewrite
+    * preserves `ivf_list` as a PARTITION column: a consolidation that
+    * demoted it to a data column would silently retire partition
+    * pruning — every probe would scan the whole index. The single
+    * `vec` artifact is its own commit witness. */
+  def consolidateIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Unit = {
+    requireIvfMeta(spark, dir)
+    graft.dedup.DedupOps.consolidateArtifacts(spark, dir, Seq("vec"),
+      commitWitness = "vec", partitionCols = Seq("ivf_list"))
+  }
 
   private def ivfIndexRows(df: DataFrame, cidCol: String, vecCol: String,
                            centroids: Array[(Int, Array[Double])]): DataFrame =
     df.select(col(cidCol).as("corpus_id"), col(vecCol).as("__cv"),
       element_at(nearestListsExpr(centroids, col(vecCol), 1), 1).as("ivf_list"))
 
+  /** Read the index's vector rows (all tranches, partition columns
+    * `batch`/`ivf_list` discovered; `batch` dropped — tranching is a
+    * lifecycle detail, not a query dimension). */
+  private def ivfIndexVectors(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame =
+    spark.read.parquet(s"$dir/vec").drop("batch")
+
   /** Probe a written IVF index: quantize each query to its `nProbe`
-    * nearest lists and top-k score ONLY those partitions. The
+    * nearest lists (quantizer from `_graft_meta` — never
+    * caller-supplied) and top-k score ONLY those partitions. The
     * `ivf_list IN (…)` filter on the partition column prunes the scan
     * (verify with `.explain`: the FileScan's partitionFilters carry the
     * list predicate) — at 100 TB this reads nProbe/nLists of the index.
+    * The query side broadcasts by CONTRACT: top-k serving batches are
+    * bounded-small (unlike the dedup batch path, which shuffles).
     */
   def ivfProbeTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                    queries: DataFrame, qidCol: String, vecCol: String,
-                   centroids: Array[(Int, Array[Double])],
                    k: Int, nProbe: Int): DataFrame = {
+    val meta = requireIvfMeta(spark, dir)
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
       l2NormF(col(vecCol)).as("__qn"),
-      explode(nearestListsExpr(centroids, col(vecCol), nProbe)).as("ivf_list"))
-    val index = spark.read.parquet(dir)
-    val scored = index.join(broadcast(q), Seq("ivf_list"))
+      explode(nearestListsExpr(meta.centroids, col(vecCol),
+        math.min(nProbe, meta.nLists))).as("ivf_list"))
+    val scored = ivfIndexVectors(spark, dir).join(broadcast(q), Seq("ivf_list"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         round(dotF(col("__qv"), col("__cv")) / (l2NormF(col("__cv")) * col("__qn")), 6).as("cos"))
@@ -626,6 +766,57 @@ object SimilarityOps {
     exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** The IVF-PQ index's frozen quantizer PAIR (coarse centroids AND
+    * product-quantizer codebooks), persisted in `dir/_graft_meta` —
+    * re-encoding with refit codebooks would make old and new codes
+    * incomparable under one ADC table, so both fits are structural
+    * invariants of the artifact. Same bit-exact long-bits
+    * serialization as the IVF meta. */
+  private[graft] final case class IvfPqIndexMeta(
+      nLists: Int, m: Int, codebookK: Int,
+      centroids: Array[(Int, Array[Double])],
+      codebooks: Array[Array[Array[Double]]])
+
+  private def ivfPqMetaString(meta: IvfPqIndexMeta): String =
+    s"nLists=${meta.nLists}\nm=${meta.m}\ncodebookK=${meta.codebookK}\n" +
+      meta.centroids.map { case (i, v) =>
+        s"centroid=$i:" + v.map(java.lang.Double.doubleToRawLongBits).mkString(",")
+      }.mkString("\n") + "\n" +
+      meta.codebooks.zipWithIndex.flatMap { case (book, sub) =>
+        book.zipWithIndex.map { case (v, code) =>
+          s"book=$sub:$code:" + v.map(java.lang.Double.doubleToRawLongBits).mkString(",")
+        }
+      }.mkString("", "\n", "\n")
+
+  private[graft] def readIvfPqIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[IvfPqIndexMeta] =
+    readSmallFile(spark, s"$dir/_graft_meta").map { s =>
+      val lines = s.linesIterator.toSeq
+      val kv = lines.filter(l => l.contains('=') &&
+          !l.startsWith("centroid=") && !l.startsWith("book="))
+        .map { l => val Array(k, v) = l.split("=", 2); (k.trim, v.trim) }.toMap
+      val cents = lines.filter(_.startsWith("centroid=")).map { l =>
+        val Array(i, bits) = l.stripPrefix("centroid=").split(":", 2)
+        (i.toInt, bits.split(",").map(b => java.lang.Double.longBitsToDouble(b.toLong)))
+      }.toArray
+      val m = kv("m").toInt
+      val k = kv("codebookK").toInt
+      val books = Array.ofDim[Array[Double]](m, k)
+      lines.filter(_.startsWith("book=")).foreach { l =>
+        val Array(sub, code, bits) = l.stripPrefix("book=").split(":", 3)
+        books(sub.toInt)(code.toInt) =
+          bits.split(",").map(b => java.lang.Double.longBitsToDouble(b.toLong))
+      }
+      IvfPqIndexMeta(kv("nLists").toInt, m, k, cents, books)
+    }
+
+  private def requireIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): IvfPqIndexMeta =
+    readIvfPqIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"IVF-PQ index $dir has no _graft_meta — not a written IVF-PQ index (build " +
+        "it with ivfPqWriteIndex; the frozen centroid+codebook pair IS the index " +
+        "contract, and a pre-meta index must be rebuilt)"))
+
   /** Materialize the IVF-PQ index — the at-rest billion-scale ANN
     * layout: one row per corpus vector holding ONLY
     * `(corpus_id, pq_codes, pq_rn)`, partitioned by the inverted-list
@@ -633,35 +824,63 @@ object SimilarityOps {
     * source table and are touched only by the rerank join. A probe of
     * nProbe lists is then a partition-pruned scan of code rows —
     * at 100 TB the index is ~dim·4/m× smaller than the corpus and the
-    * probe reads nProbe/nLists of THAT. Returns (centroids, codebooks);
-    * persist both next to the index — probes must quantize with the
-    * same fits. */
+    * probe reads nProbe/nLists of THAT.
+    *
+    * Layout: `dir/_graft_meta` freezes BOTH quantizers; code rows live
+    * under `dir/pq/batch=<tag>/ivf_list=<n>` tranches (same lifecycle
+    * as [[ivfWriteIndex]]). Returns (centroids, codebooks) for caller
+    * convenience; every reader of this index takes them from the
+    * artifact. */
   def ivfPqWriteIndex(corpus: DataFrame, dir: String, cidCol: String, vecCol: String,
                       nLists: Int = 16, m: Int = 8, codebookK: Int = 16,
                       seed: Long = 42L,
                       centroids: Option[Array[(Int, Array[Double])]] = None,
                       codebooks: Option[Array[Array[Array[Double]]]] = None)
   : (Array[(Int, Array[Double])], Array[Array[Array[Double]]]) = {
+    val spark = corpus.sparkSession
     val cents = centroids.getOrElse(ivfCentroids(corpus, vecCol, nLists, seed))
     val books = codebooks.getOrElse {
       val dim = corpus.select(size(col(vecCol))).head().getInt(0)
       pqCodebooks(corpus, vecCol, dim, m, codebookK, seed)
     }
-    ivfPqIndexRows(corpus, cidCol, vecCol, cents, books)
-      .write.mode("overwrite").partitionBy("ivf_list").parquet(dir)
+    def buildInto(root: String): Unit = {
+      writeSmallFile(spark, s"$root/_graft_meta",
+        ivfPqMetaString(IvfPqIndexMeta(nLists, books.length,
+          books.head.length, cents, books)))
+      ivfPqIndexRows(corpus, cidCol, vecCol, cents, books)
+        .write.mode("overwrite").partitionBy("ivf_list").parquet(s"$root/pq/batch=build")
+    }
+    if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
+    else buildInto(dir)
     (cents, books)
   }
 
   /** Append to a written IVF-PQ index with the index's frozen
-    * quantizers (centroids AND codebooks — re-encoding with refit
-    * codebooks would make old and new codes incomparable under one ADC
-    * table). Same contract as [[ivfAppendToIndex]]: only the touched
-    * list partitions gain files. */
+    * quantizers, read from `_graft_meta`. Same tagged-tranche contract
+    * as [[ivfAppendToIndex]]: overwrite-idempotent per tag, absorbed
+    * tags no-op only on provable replay, untouched tranches see zero
+    * I/O. */
   def ivfPqAppendToIndex(newRows: DataFrame, dir: String, cidCol: String, vecCol: String,
-                         centroids: Array[(Int, Array[Double])],
-                         codebooks: Array[Array[Array[Double]]]): Unit =
-    ivfPqIndexRows(newRows, cidCol, vecCol, centroids, codebooks)
-      .write.mode("append").partitionBy("ivf_list").parquet(dir)
+                         tag: String): Unit = {
+    val spark = newRows.sparkSession
+    val meta = requireIvfPqMeta(spark, dir)
+    if (!graft.dedup.DedupOps.appendTagAllowed(spark, dir, tag, "ivfPqAppendToIndex",
+      () => newRows.select(col(cidCol).as("corpus_id")).distinct()
+        .join(spark.read.parquet(s"$dir/pq").select("corpus_id"),
+          Seq("corpus_id"), "left_anti").count()))
+      return
+    ivfPqIndexRows(newRows, cidCol, vecCol, meta.centroids, meta.codebooks)
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(s"$dir/pq/batch=$tag")
+  }
+
+  /** [[consolidateIvfIndex]]'s twin for the IVF-PQ code artifact —
+    * shared protocol, `ivf_list` partitioning preserved. */
+  def consolidateIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Unit = {
+    requireIvfPqMeta(spark, dir)
+    graft.dedup.DedupOps.consolidateArtifacts(spark, dir, Seq("pq"),
+      commitWitness = "pq", partitionCols = Seq("ivf_list"))
+  }
 
   private def ivfPqIndexRows(df: DataFrame, cidCol: String, vecCol: String,
                              cents: Array[(Int, Array[Double])],
@@ -680,16 +899,17 @@ object SimilarityOps {
   def ivfPqProbeTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                      vectors: DataFrame, queries: DataFrame,
                      qidCol: String, cidCol: String, vecCol: String,
-                     centroids: Array[(Int, Array[Double])],
-                     codebooks: Array[Array[Array[Double]]],
                      k: Int, nProbe: Int, shortlist: Int = 100): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val meta = requireIvfPqMeta(spark, dir)
+    val (centroids, codebooks) = (meta.centroids, meta.codebooks)
     val nSub = codebooks.length
     val q = queries.select(col(qidCol).as("query_id"),
       l2Norm(col(vecCol)).as("__qn"),
       pqLut(col(vecCol), codebooks).as("__lut"),
-      explode(nearestListsExpr(centroids, col(vecCol), nProbe)).as("ivf_list"))
-    val index = spark.read.parquet(dir)
+      explode(nearestListsExpr(centroids, col(vecCol),
+        math.min(nProbe, meta.nLists))).as("ivf_list"))
+    val index = spark.read.parquet(s"$dir/pq").drop("batch")
     val quantized = index.join(broadcast(q), Seq("ivf_list"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
@@ -743,26 +963,35 @@ object SimilarityOps {
     * history row is scored regardless of its home list — the oracle
     * mode); serving budgets (`nProbe < nLists`) trade the same recall
     * as [[ivfProbeTopK]]: a near-dup whose history vector lives in an
-    * unprobed list is missed. Scores round to 6 dp like every cosine
-    * in the engine, so decisions are replayable cross-engine.
+    * unprobed list is missed. The quantizer comes from the index's
+    * `_graft_meta` — never callers: batch vectors quantized under a
+    * different centroid family would probe the WRONG partitions and
+    * near-dups would vanish without an error. Scores round to 6 dp
+    * like every cosine in the engine, so decisions are replayable
+    * cross-engine.
     *
-    * Scale shape: the batch (a day's vectors, bounded) broadcasts into
-    * the index partitions its probes select; one distinct on flagged
-    * ids; one anti-join. The 100 TB index contributes a partition-
-    * pruned scan, nothing more.
+    * Scale shape: a plain equi-join on `ivf_list` — unlike top-k
+    * serving, the batch side is a day's INGEST, millions of embedding
+    * rows × nProbe after the probe explode, far past any sane
+    * broadcast threshold at 100 TB scale, so the join must NOT carry a
+    * forced broadcast hint (AQE still broadcasts it when a small batch
+    * makes that the right plan). One distinct on flagged ids; one
+    * anti-join. The 100 TB index contributes a partition-pruned scan,
+    * nothing more.
     */
   def semanticDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                                 batch: DataFrame, idCol: String, vecCol: String,
-                                centroids: Array[(Int, Array[Double])],
                                 threshold: Double, nProbe: Int): DataFrame = {
+    val meta = requireIvfMeta(spark, dir)
     val q = batch.select(col(idCol).as("__qid"), col(vecCol).as("__qv"),
       l2NormF(col(vecCol)).as("__qn"),
-      explode(nearestListsExpr(centroids, col(vecCol), nProbe)).as("ivf_list"))
+      explode(nearestListsExpr(meta.centroids, col(vecCol),
+        math.min(nProbe, meta.nLists))).as("ivf_list"))
     // no same-id exclusion: a batch id already present in the index IS
     // a duplicate delivery (it matches itself at cosine 1) — dropping
     // it is the dedup contract, unlike top-k serving where a query
     // finding itself is noise
-    val dupIds = spark.read.parquet(dir).join(broadcast(q), Seq("ivf_list"))
+    val dupIds = ivfIndexVectors(spark, dir).join(q, Seq("ivf_list"))
       .where(round(dotF(col("__qv"), col("__cv")) / (l2NormF(col("__cv")) * col("__qn")), 6)
           >= threshold)
       .select(col("__qid")).distinct()

@@ -138,10 +138,12 @@ object StreamingOps {
     * written, never indexed. The same durable-numbering requirement
     * extends to consolidation's absorbed-tag ledger: consolidating the
     * index and THEN restarting the stream with a fresh checkpoint
-    * would alias new epochs onto absorbed tags, and their survivors
-    * would no-op out of the index append (the append logs a warning).
-    * Keep one checkpoint for the life of the index, or consolidate
-    * only when retiring the stream.
+    * would alias new epochs onto absorbed tags. The index append
+    * detects that case — an absorbed tag whose tranche carries
+    * artifact rows absent from the index FAILS FAST instead of
+    * silently dropping the new data (only a provable replay, every
+    * row already indexed, no-ops). Keep one checkpoint for the life
+    * of the index, or consolidate only when retiring the stream.
     *
     * `approx = true` routes the near-dup decision through
     * [[graft.dedup.DedupOps.dedupAgainstIndexApprox]] — the banded

@@ -428,7 +428,15 @@ object TextOps {
     val spark = newRows.sparkSession
     val meta = readWinnowIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
       s"winnow index $dir has no _graft_meta; build it with writeWinnowIndex"))
-    if (!graft.dedup.DedupOps.appendTagAllowed(spark, dir, tag, "appendToWinnowIndex"))
+    // novelty probe for the absorbed-tag path: (doc_id, wfp) pairs
+    // absent from the consolidated artifact — pair granularity so a
+    // NEW document aliased onto an absorbed tag fails fast even when
+    // its selected fingerprints all happen to exist in the index.
+    if (!graft.dedup.DedupOps.appendTagAllowed(spark, dir, tag, "appendToWinnowIndex",
+      () => winnowRows(newRows, idCol, textCol, meta.k, meta.w, meta.portable)
+        .join(spark.read.parquet(s"$dir/wfp").select("doc_id", "wfp"),
+          Seq("doc_id", "wfp"), "left_anti")
+        .count()))
       return
     winnowRows(newRows, idCol, textCol, meta.k, meta.w, meta.portable)
       .write.mode("overwrite").parquet(s"$dir/wfp/batch=$tag")

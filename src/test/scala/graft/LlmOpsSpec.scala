@@ -486,6 +486,16 @@ class LlmOpsSpec extends SparkSpec {
     DedupOps.appendToDedupIndex(batch, idx, "doc_id", "text", tag = "day1")
     assert(!new java.io.File(s"$idx/sh/batch=day1").exists())
     assert(spark.read.parquet(s"$idx/sh").count() == rowsAfterConsolidate)
+    // NEW data aliased onto the absorbed tag (stream restarted with a
+    // fresh checkpoint re-numbering epochs): a silent no-op would drop
+    // it from the index forever — the append fails fast instead
+    val aliased = Seq((9L, "entirely novel content that the index has never seen"))
+      .toDF("doc_id", "text")
+    val e3 = intercept[IllegalStateException] {
+      DedupOps.appendToDedupIndex(aliased, idx, "doc_id", "text", tag = "day1")
+    }
+    assert(e3.getMessage.contains("absorbed") && e3.getMessage.contains("NOT present"))
+    assert(spark.read.parquet(s"$idx/sh").count() == rowsAfterConsolidate)
     // ledger lost (crash before it was written): the replayed append
     // double-counts — and the NEXT consolidation's distinct() heals it
     new java.io.File(s"$idx/_graft_absorbed").delete()
@@ -563,13 +573,18 @@ class LlmOpsSpec extends SparkSpec {
 
   test("histogram: fixed-range equi-width bins, edge clamping, nulls dropped") {
     val df = Seq(Some(-5.0), Some(0.0), Some(3.9), Some(4.0), Some(7.5),
-      Some(12.0), Some(99.0), Some(Double.NaN), None).toDF("x")
+      Some(12.0), Some(99.0), Some(1.0e18), Some(Double.PositiveInfinity),
+      Some(Double.NegativeInfinity), Some(Double.NaN), None).toDF("x")
     val got = graft.profile.ProfileOps.histogram(df, "x", bins = 3, lo = 0.0, hi = 12.0)
       .as[(Int, Double, Double, Long)].collect().toSet
-    // width 4: bin0 [0,4) gets {-5 clamped, 0, 3.9}; bin1 [4,8) gets
-    // {4, 7.5}; bin2 [8,12) gets {12 clamped, 99 clamped}; null AND NaN
-    // dropped (a NaN's non-ANSI int cast is 0 — it must not inflate bin 0)
-    assert(got == Set((0, 0.0, 4.0, 3L), (1, 4.0, 8.0, 2L), (2, 8.0, 12.0, 2L)))
+    // width 4: bin0 [0,4) gets {-5 clamped, 0, 3.9, -Inf clamped}; bin1
+    // [4,8) gets {4, 7.5}; bin2 [8,12) gets {12 clamped, 99 clamped,
+    // 1e18 clamped, +Inf clamped}; null AND NaN dropped (a NaN's
+    // non-ANSI int cast is 0 — it must not inflate bin 0). The 1e18 and
+    // +Inf rows land in the TOP bin: bin index is clamped on floor()'s
+    // Long before the narrowing int cast, so a past-2^31 index cannot
+    // wrap negative and fall into bin 0.
+    assert(got == Set((0, 0.0, 4.0, 4L), (1, 4.0, 8.0, 2L), (2, 8.0, 12.0, 4L)))
   }
 
   test("semanticDedupAgainstIndex: full-probe ≡ brute-force filter; re-delivered id drops; survivors append") {
@@ -581,8 +596,14 @@ class LlmOpsSpec extends SparkSpec {
     val cents = SimilarityOps.ivfCentroids(hist, "embedding", nLists = 8)
     SimilarityOps.ivfWriteIndex(hist, idx, "vec_id", "embedding",
       nLists = 8, precomputed = Some(cents))
+    // the quantizer is frozen into the artifact bit-exactly: what every
+    // probe/append reads back IS the family the build used
+    val meta = SimilarityOps.readIvfIndexMeta(spark, idx).get
+    assert(meta.nLists == 8 &&
+      meta.centroids.map { case (i, v) => (i, v.toSeq) }.toSeq ==
+        cents.map { case (i, v) => (i, v.toSeq) }.toSeq)
     val got = SimilarityOps.semanticDedupAgainstIndex(spark, idx, batch,
-      "vec_id", "embedding", cents, threshold = 0.3, nProbe = 8)
+      "vec_id", "embedding", threshold = 0.3, nProbe = 8)
       .select("vec_id").as[Long].collect().sorted.toSeq
     // brute-force reference: batch ids with NO history cosine ≥ 0.3
     val dup = batch.as("b").join(hist.as("h"),
@@ -596,11 +617,68 @@ class LlmOpsSpec extends SparkSpec {
     // a re-delivered id (already indexed) matches itself at cosine 1 → drops
     SimilarityOps.ivfAppendToIndex(
       batch.join(got.toDF("vec_id"), Seq("vec_id"), "left_semi").localCheckpoint(true),
-      idx, "vec_id", "embedding", cents)
+      idx, "vec_id", "embedding", tag = "day1")
     val redelivered = SimilarityOps.semanticDedupAgainstIndex(spark, idx,
       batch.join(got.toDF("vec_id"), Seq("vec_id"), "left_semi"),
-      "vec_id", "embedding", cents, threshold = 0.3, nProbe = 8)
+      "vec_id", "embedding", threshold = 0.3, nProbe = 8)
     assert(redelivered.count() == 0)
+    // probing a dir with no frozen quantizer fails fast — a caller-
+    // supplied centroid family could silently probe the wrong
+    // partitions, so meta-less (pre-contract) indexes must rebuild
+    val bare = java.nio.file.Files.createTempDirectory("graft_ivf_bare").toString
+    emb.limit(5).select(col("vec_id").as("corpus_id"),
+      col("embedding").as("__cv"), lit(0).as("ivf_list"))
+      .write.partitionBy("ivf_list").parquet(s"$bare/vec/batch=build")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.semanticDedupAgainstIndex(spark, bare, batch,
+        "vec_id", "embedding", threshold = 0.3, nProbe = 8)
+    }
+    assert(e.getMessage.contains("_graft_meta"))
+  }
+
+  test("IVF index lifecycle: tagged append idempotent, double delivery converges, consolidation answer-preserving") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val hist = emb.where(col("vec_id") < 150)
+    val day1 = emb.where(col("vec_id") >= 150 && col("vec_id") < 200)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_life").toString + "/ivf"
+    SimilarityOps.ivfWriteIndex(hist, idx, "vec_id", "embedding", nLists = 8)
+    def probe() = SimilarityOps.ivfProbeTopK(spark, idx,
+      emb.where(col("vec_id") >= 900), "vec_id", "embedding", k = 3, nProbe = 8)
+      .select("query_id", "corpus_id", "cos").collect().map(_.toString).sorted.toSeq
+    SimilarityOps.ivfAppendToIndex(day1, idx, "vec_id", "embedding", tag = "day1")
+    val afterAppend = probe()
+    val rows = spark.read.parquet(s"$idx/vec").count()
+    // double delivery (crash retry with the SAME tag) overwrites its
+    // own tranche — no vector is ever double-counted
+    SimilarityOps.ivfAppendToIndex(day1, idx, "vec_id", "embedding", tag = "day1")
+    assert(spark.read.parquet(s"$idx/vec").count() == rows)
+    assert(probe() == afterAppend)
+    // reserved lifecycle tags are rejected outright
+    intercept[IllegalArgumentException] {
+      SimilarityOps.ivfAppendToIndex(day1, idx, "vec_id", "embedding", tag = "build")
+    }
+    // consolidation collapses tranches into one, preserves answers AND
+    // the ivf_list partition layout (pruning must survive the rewrite)
+    SimilarityOps.consolidateIvfIndex(spark, idx)
+    assert(new java.io.File(s"$idx/vec").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq == Seq("batch=consolidated"))
+    assert(new java.io.File(s"$idx/vec/batch=consolidated").listFiles()
+      .exists(_.getName.startsWith("ivf_list=")))
+    assert(spark.read.parquet(s"$idx/vec").count() == rows)
+    assert(probe() == afterAppend)
+    // a replayed absorbed append is a provable replay → no-op
+    SimilarityOps.ivfAppendToIndex(day1, idx, "vec_id", "embedding", tag = "day1")
+    assert(!new java.io.File(s"$idx/vec/batch=day1").exists())
+    assert(probe() == afterAppend)
+    // NEW vectors aliased onto the absorbed tag would be silently
+    // dropped forever — fail fast instead
+    val eAlias = intercept[IllegalStateException] {
+      SimilarityOps.ivfAppendToIndex(
+        emb.where(col("vec_id") >= 200 && col("vec_id") < 210),
+        idx, "vec_id", "embedding", tag = "day1")
+    }
+    assert(eAlias.getMessage.contains("absorbed"))
   }
 
   test("keepBestPerGroup keeps the highest-score member per cluster, min-id on ties") {
@@ -653,6 +731,14 @@ class LlmOpsSpec extends SparkSpec {
       "doc_id", "text", minShared = 2, maxBucket = 50)) == viaAppend)
     TextOps.appendToWinnowIndex(day1, idx, "doc_id", "text", tag = "day1")
     assert(!new java.io.File(s"$idx/wfp/batch=day1").exists())
+    // NEW data aliased onto the absorbed tag fails fast (pair-granular
+    // novelty probe: a new doc_id is novel even over seen fingerprints)
+    val aliased = Seq((99L, "wholly new winnow content that was never fingerprinted before"))
+      .toDF("doc_id", "text")
+    val eAlias = intercept[IllegalStateException] {
+      TextOps.appendToWinnowIndex(aliased, idx, "doc_id", "text", tag = "day1")
+    }
+    assert(eAlias.getMessage.contains("absorbed"))
     // probing a meta-less dir fails fast (params are structural)
     val bare = java.nio.file.Files.createTempDirectory("graft_winnow_bare").toString
     Seq((1L, 42L)).toDF("doc_id", "wfp").write.parquet(s"$bare/wfp/batch=build")

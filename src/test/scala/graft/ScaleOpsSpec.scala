@@ -129,9 +129,9 @@ class ScaleOpsSpec extends SparkSpec {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 10)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-    val centroids = SimilarityOps.ivfWriteIndex(e, dir, "vec_id", "embedding", nLists = 8)
+    SimilarityOps.ivfWriteIndex(e, dir, "vec_id", "embedding", nLists = 8)
     val probed = SimilarityOps.ivfProbeTopK(spark, dir, q, "vec_id", "embedding",
-      centroids, k = 3, nProbe = 2)
+      k = 3, nProbe = 2)
     // identical (query, corpus, cos) sets as the in-memory join path at
     // the same centroids — same quantizer, same probes, same scoring
     val inMem = SimilarityOps.ivfTopK(q, e, "vec_id", "vec_id", "embedding",
@@ -163,19 +163,20 @@ class ScaleOpsSpec extends SparkSpec {
     val inc = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
     SimilarityOps.ivfWriteIndex(even, inc, "vec_id", "embedding",
       nLists = 8, precomputed = Some(cents))
-    def filesPerList(dir: String): Map[String, Set[String]] =
-      new java.io.File(dir).listFiles().filter(_.getName.startsWith("ivf_list="))
+    // the append lands as its OWN batch= tranche: the build tranche's
+    // files stay byte-identical (zero I/O on existing data), and the
+    // new tranche holds only the one home list's partition
+    def treeOf(dir: String): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory)
         .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
-    val before = filesPerList(inc)
-    SimilarityOps.ivfAppendToIndex(appendRows, inc, "vec_id", "embedding", cents)
-    val after = filesPerList(inc)
-    val untouched = before.keySet - s"ivf_list=$targetList"
-    assert(untouched.nonEmpty, "fixture should leave at least one list un-appended")
-    untouched.foreach(n => assert(after(n) == before(n), s"append touched $n"))
-    assert(after(s"ivf_list=$targetList") != before(s"ivf_list=$targetList"))
+    val before = treeOf(s"$inc/vec/batch=build")
+    SimilarityOps.ivfAppendToIndex(appendRows, inc, "vec_id", "embedding", tag = "odd")
+    assert(treeOf(s"$inc/vec/batch=build") == before,
+      "append touched the build tranche")
+    assert(treeOf(s"$inc/vec/batch=odd").keySet == Set(s"ivf_list=$targetList"))
     // appended index answers exactly like the one-shot build
     def probe(dir: String) =
-      SimilarityOps.ivfProbeTopK(spark, dir, q, "vec_id", "embedding", cents,
+      SimilarityOps.ivfProbeTopK(spark, dir, q, "vec_id", "embedding",
         k = 3, nProbe = 3)
         .select("query_id", "corpus_id", "cos").collect().map(_.toString).sorted.toSeq
     assert(probe(inc) == probe(full))
@@ -190,19 +191,20 @@ class ScaleOpsSpec extends SparkSpec {
     val full = java.nio.file.Files.createTempDirectory("graft_lsh_full").toString
     SimilarityOps.lshWriteIndex(e, full, "vec_id", "embedding", nbits = 8)
     val probedFull = SimilarityOps.lshProbeTopK(spark, full, q, "vec_id", "embedding",
-      k = 3, nbits = 8, multiProbe = true)
+      k = 3, multiProbe = true)
     assert(rows(probedFull) ==
       rows(SimilarityOps.lshTopK(q, e, "vec_id", "vec_id", "embedding",
         k = 3, nbits = 8, multiProbe = true)))
-    // build evens + append odds ≡ the one-shot build (no quantizer to
-    // freeze — the sign bucket is a pure function of vector and nbits)
+    // build evens + append odds ≡ the one-shot build (no fitted
+    // quantizer — the frozen invariant is nbits, read from _graft_meta
+    // so append and probe can never re-bucket under a different width)
     val inc = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
     SimilarityOps.lshWriteIndex(e.where(col("vec_id") % 2 === 0), inc,
       "vec_id", "embedding", nbits = 8)
     SimilarityOps.lshAppendToIndex(e.where(col("vec_id") % 2 === 1), inc,
-      "vec_id", "embedding", nbits = 8)
+      "vec_id", "embedding", tag = "odd")
     assert(rows(SimilarityOps.lshProbeTopK(spark, inc, q, "vec_id", "embedding",
-      k = 3, nbits = 8, multiProbe = true)) == rows(probedFull))
+      k = 3, multiProbe = true)) == rows(probedFull))
     // the bucket join key is a partition column → the scan must prune
     val plan = probedFull.queryExecution.executedPlan.toString()
     assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"),
@@ -222,12 +224,18 @@ class ScaleOpsSpec extends SparkSpec {
       "vec_id", "embedding", nLists = 8, m = 8, codebookK = 16,
       centroids = Some(cents), codebooks = Some(books))
     SimilarityOps.ivfPqAppendToIndex(e.where(col("vec_id") % 2 === 1), inc,
-      "vec_id", "embedding", cents, books)
+      "vec_id", "embedding", tag = "odd")
     def probe(dir: String) =
       SimilarityOps.ivfPqProbeTopK(spark, dir, e, q, "vec_id", "vec_id", "embedding",
-        cents, books, k = 3, nProbe = 3, shortlist = 20)
+        k = 3, nProbe = 3, shortlist = 20)
         .select("query_id", "corpus_id", "cos").collect().map(_.toString).sorted.toSeq
     assert(probe(inc) == probe(full))
+    // the frozen centroid+codebook pair round-trips bit-exactly
+    val meta = SimilarityOps.readIvfPqIndexMeta(spark, inc).get
+    assert(meta.centroids.map { case (i, v) => (i, v.toSeq) }.toSeq ==
+      cents.map { case (i, v) => (i, v.toSeq) }.toSeq)
+    assert(meta.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      books.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
   test("Z-order layout: box filter decodes a fraction of what a random layout decodes") {
@@ -493,13 +501,14 @@ class ScaleOpsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
     val (cents, books) = SimilarityOps.ivfPqWriteIndex(e, dir, "vec_id", "embedding",
       nLists = 8, m = 8, codebookK = 16)
-    // at-rest rows carry ONLY id + codes + code-norm (+ the partition col)
-    val index = spark.read.parquet(dir)
-    assert(index.columns.sorted.toSeq == Seq("corpus_id", "ivf_list", "pq_codes", "pq_rn"))
+    // at-rest rows carry ONLY id + codes + code-norm (+ partition cols)
+    val index = spark.read.parquet(s"$dir/pq")
+    assert(index.columns.sorted.toSeq ==
+      Seq("batch", "corpus_id", "ivf_list", "pq_codes", "pq_rn"))
     // approximate config: byte-identical to the in-memory composition at
     // the same fits (same quantizer, same probes, same ADC, same rerank)
     val probed = SimilarityOps.ivfPqProbeTopK(spark, dir, e, q,
-      "vec_id", "vec_id", "embedding", cents, books, k = 3, nProbe = 2, shortlist = 25)
+      "vec_id", "vec_id", "embedding", k = 3, nProbe = 2, shortlist = 25)
     val inMem = SimilarityOps.ivfPqTopK(q, e, "vec_id", "vec_id", "embedding",
       k = 3, nLists = 8, nProbe = 2, m = 8, codebookK = 16, shortlist = 25,
       centroids = Some(cents), codebooks = Some(books))
@@ -511,7 +520,7 @@ class ScaleOpsSpec extends SparkSpec {
       s"expected partition pruning in:\n${plan.take(2000)}")
     // full budget == exact brute force
     val full = SimilarityOps.ivfPqProbeTopK(spark, dir, e, q,
-      "vec_id", "vec_id", "embedding", cents, books, k = 3, nProbe = 8,
+      "vec_id", "vec_id", "embedding", k = 3, nProbe = 8,
       shortlist = Int.MaxValue)
     val brute = SimilarityOps.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", k = 3)
     assert(full.select("query_id", "corpus_id", "cos", "rank").collect().map(_.toString).sorted.toSeq ==
