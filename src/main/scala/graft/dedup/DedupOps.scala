@@ -771,14 +771,24 @@ object DedupOps {
     * column-pruned scans of the compact artifacts — never the corpus.
     */
   def dedupIndexStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val present = IndexArtifacts.filter(a => pathExists(spark, s"$dir/$a"))
     // a gauge that reads an empty frame for a typo'd path goes dark
     // silently — fail like the other non-index entry points do
     require(present.nonEmpty,
       s"dedupIndexStats: $dir has none of ${IndexArtifacts.mkString("/")} — " +
         "not a dedup index (build one with writeDedupIndex)")
-    present.map { a =>
+    artifactStats(spark, dir, present)
+  }
+
+  /** The family-generic core of the index gauge — one row per named
+    * artifact, `(artifact, n_rows, n_docs, n_tranches)` — shared by
+    * [[dedupIndexStats]] and the winnow twin
+    * ([[graft.text.TextOps.winnowIndexStats]]); callers validate the
+    * family layout/meta first. */
+  private[graft] def artifactStats(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, artifacts: Seq[String]): DataFrame = {
+    import spark.implicits._
+    artifacts.map { a =>
       val df = spark.read.parquet(s"$dir/$a")
       val nTranches = hfs(spark, dir)
         .listStatus(new org.apache.hadoop.fs.Path(s"$dir/$a"))
@@ -851,6 +861,59 @@ object DedupOps {
           .when(col("best_jaccard") >= threshold, "near")
           .otherwise("unique").as("decision"),
         col("best_jaccard")),
+      () => { releasePairs(); flagged.unpersist(); () })
+  }
+
+  /** [[dedupDecisions]]' APPROXIMATE-tier twin — the decision report
+    * of [[dedupAgainstIndexApprox]]: every batch document gets
+    * `(id, decision, best_est_jaccard)` with the best SIGNATURE-
+    * estimated jaccard any history document reached (NULL for exact
+    * dups and candidate-less docs). The steady-state loop runs the sig
+    * tier, so when ITS drop-rate moves, this is the triage view —
+    * same banded candidate generation, same signature family from
+    * `_graft_meta`, same maxBucket cap as the operator it explains;
+    * `decision != 'unique'` rows are exactly
+    * [[dedupAgainstIndexApprox]]'s drop set (spec-tied). The history
+    * side reads k longs/doc from `dir/sig`, never `dir/sh`.
+    */
+  def dedupDecisionsApprox(batch: DataFrame, dir: String, idCol: String, textCol: String,
+                           threshold: Double = 0.5,
+                           maxBucket: Int = 1000): DataFrame =
+    dedupDecisionsApproxReleasable(batch, dir, idCol, textCol, threshold, maxBucket)._1
+
+  /** [[dedupDecisionsApprox]] plus a release thunk (same contract as
+    * [[dedupDecisionsReleasable]]). */
+  private[graft] def dedupDecisionsApproxReleasable(
+      batch: DataFrame, dir: String, idCol: String, textCol: String,
+      threshold: Double = 0.5, maxBucket: Int = 1000): (DataFrame, () => Unit) = {
+    val spark = batch.sparkSession
+    val meta = readDedupIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"dedup index $dir has no _graft_meta — the approximate tier needs the frozen " +
+        "signature family; rebuild with writeDedupIndex"))
+    require(pathExists(spark, s"$dir/sig"),
+      s"dedup index $dir has no sig artifact; rebuild with writeDedupIndex")
+    val histFp = spark.read.parquet(s"$dir/fp").select("fp").distinct()
+      .withColumnRenamed("fp", "__fp").withColumn("__hit", lit(true))
+    // persisted: forks into the signature pipeline and the report join
+    val flagged = batch
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .join(histFp, Seq("__fp"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchSigs = signatureRows(flagged.where(col("__hit").isNull),
+      idCol, textCol, meta.shingleN, meta.sigK, meta.portable)
+    val histSigs = spark.read.parquet(s"$dir/sig").select("doc_id", "sig")
+    // threshold 0: candidates reach the report unthresholded so
+    // near-miss estimates survive (a banded candidate agrees on ≥ one
+    // whole band ⇒ estimate > 0)
+    val (pairs, releasePairs) = crossMinhashFromSigs(batchSigs, histSigs,
+      meta.sigK, meta.sigBands, 0.0, maxBucket)
+    val best = pairs.groupBy(col("id_l")).agg(max(col("est_jaccard")).as("best_est_jaccard"))
+    (flagged.join(best, col(idCol) === col("id_l"), "left")
+      .select(col(idCol),
+        when(col("__hit"), "exact")
+          .when(col("best_est_jaccard") >= threshold, "near")
+          .otherwise("unique").as("decision"),
+        col("best_est_jaccard")),
       () => { releasePairs(); flagged.unpersist(); () })
   }
 

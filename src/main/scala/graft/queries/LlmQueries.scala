@@ -135,6 +135,20 @@ object LlmQueries {
       |         WHERE ch.corpus_id <> qp.query_id),
       |${duckRerankTail("cand", k)}""".stripMargin
 
+  /** Oracle for `ivfIndexStats` over a build(<300)+append(300..400)
+    * lifecycle: replay the frozen-centroid home-list assignment for
+    * every indexed vector, then per-list counts. */
+  private def ivfStatsOracleSql(cents: Array[(Int, Array[Double])]): String =
+    s"""WITH ${centsCte(cents)},
+      |ch AS (SELECT corpus_id, l FROM (
+      |    SELECT d.corpus_id, d.l, row_number() OVER (PARTITION BY d.corpus_id ORDER BY d.d, d.l) AS rn
+      |    FROM (SELECT e.vec_id AS corpus_id, c.l, ${duckDist2("e.embedding", "c.cv")} AS d
+      |          FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 400) d)
+      |  WHERE rn = 1)
+      |SELECT CAST(l AS INTEGER) AS ivf_list, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT corpus_id) AS BIGINT) AS n_ids, 2 AS n_tranches
+      |FROM ch GROUP BY 1""".stripMargin
+
   /** Oracle for `pqTopKReranked` at a bounded shortlist: ADC scores
     * (subspace-ascending LUT sum / norms) ROUNDED to 6 dp pick the
     * shortlist with corpus_id tie-break — exactly `pqTopK`'s window —
@@ -667,6 +681,35 @@ object LlmQueries {
         .select("doc_id")
     },
 
+    // ---- per-document decision report for the APPROXIMATE tier —
+    //      the steady-state loop's triage view: exact | near | unique
+    //      with the best signature-ESTIMATED jaccard (matches/k is an
+    //      exact dyadic rational at k = 16, so the doubles hash-match
+    //      cross-engine). The oracle replays the frozen affine family
+    //      and takes max agreement over unthresholded candidates ----
+    Q("q_dedup_report_minhash",
+      s"""WITH ${duckMinhashSurvivorCtes("r",
+           "(SELECT doc_id, text FROM documents WHERE doc_id >= 400)",
+           "(SELECT doc_id, text FROM documents WHERE doc_id < 400)", 0.4)},
+        |best AS (SELECT id_l,
+        |    max(list_sum([CASE WHEN sl[i] = sr[i] THEN 1 ELSE 0 END for i in range(1, ${SIG_K + 1})]) / $SIG_K.0) AS best_est_jaccard
+        |  FROM rcand GROUP BY id_l)
+        |SELECT d.doc_id,
+        |  CASE WHEN md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))
+        |            IN (SELECT fp FROM rhfp) THEN 'exact'
+        |       WHEN best.best_est_jaccard >= 0.4 THEN 'near'
+        |       ELSE 'unique' END AS decision,
+        |  best.best_est_jaccard
+        |FROM documents d LEFT JOIN best ON best.id_l = d.doc_id
+        |WHERE d.doc_id >= 400""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val idx = graft.util.Scratch.path("dedup_report_mh", dir)
+      DedupOps.writeDedupIndex(docs.where(col("doc_id") < 400), idx,
+        "doc_id", "text", portable = true, sigK = SIG_K, sigBands = BANDS)
+      DedupOps.dedupDecisionsApprox(docs.where(col("doc_id") >= 400), idx,
+        "doc_id", "text", threshold = 0.4)
+    },
+
     // ---- RAG chunking: 40-word chunks, 10-word overlap (stride 30);
     //      a pure per-row explode — chunk text, ids, and tail sizes
     //      all hash-checked ----
@@ -875,6 +918,36 @@ object LlmQueries {
         idx, "doc_id", "text", tag = "day1")
       TextOps.winnowOverlapAgainstIndex(docs.where(col("doc_id") >= 400), idx,
         "doc_id", "text", minShared = 5, maxBucket = 50)
+    },
+
+    // ---- winnow-index stats gauge over the same build+append
+    //      lifecycle: the oracle re-winnows the indexed corpus from
+    //      text and recomputes every count the gauge reports ----
+    Q("q_winnow_stats",
+      s"""WITH t AS (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        |      FROM documents WHERE doc_id < 400),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(t) >= 12
+        |             THEN [${duckHash("substr(t, i, 12)")} for i in range(1, len(t) - 10)]
+        |             ELSE [${duckHash("t")}] END AS h
+        |      FROM t),
+        |fp AS (SELECT doc_id,
+        |         CASE WHEN len(h) >= 8
+        |              THEN list_distinct([list_min(h[p:p+7]) for p in range(1, len(h) - 6)])
+        |              ELSE [list_min(h)] END AS fps
+        |       FROM g),
+        |ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp)
+        |SELECT 'wfp' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, 2 AS n_tranches
+        |FROM ex""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val idx = graft.util.Scratch.path("winnow_stats_idx", dir)
+      TextOps.writeWinnowIndex(docs.where(col("doc_id") < 300), idx,
+        "doc_id", "text", k = 12, w = 8, portable = true)
+      TextOps.appendToWinnowIndex(docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
+        idx, "doc_id", "text", tag = "day1")
+      TextOps.winnowIndexStats(s, idx)
     },
 
     // ---- SimHash document signatures (portable hash tier) ----
@@ -1229,6 +1302,21 @@ object LlmQueries {
         e.where(col("vec_id") < 20), "vec_id", "embedding",
         k = 5, nProbe = 16)
         .select("query_id", "corpus_id", "cos", "rank")
+    },
+
+    // ---- IVF index per-list stats gauge (the skew signal partition-
+    //      prune economics depend on): build + tagged append, then one
+    //      pruned agg pass; the oracle replays the frozen-centroid
+    //      home-list assignment from the raw embeddings ----
+    Q.dynamic("q_ivf_stats")(soleFit(ivfFitCache).map(ivfStatsOracleSql)) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val idx = graft.util.Scratch.path("ivf_stats_idx", dir)
+      SimilarityOps.ivfWriteIndex(e.where(col("vec_id") < 300), idx,
+        "vec_id", "embedding", nLists = 16,
+        precomputed = Some(sharedCentroids(s, dir)))
+      SimilarityOps.ivfAppendToIndex(e.where(col("vec_id") >= 300 && col("vec_id") < 400),
+        idx, "vec_id", "embedding", tag = "day1")
+      SimilarityOps.ivfIndexStats(s, idx)
     },
 
     // ---- PQ shortlist + exact re-rank, full-budget configuration:

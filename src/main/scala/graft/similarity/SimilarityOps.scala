@@ -873,6 +873,28 @@ object SimilarityOps {
       .write.mode("overwrite").partitionBy("ivf_list").parquet(s"$dir/pq/batch=$tag")
   }
 
+  /** Per-list IVF index statistics: one row per inverted list,
+    * `(ivf_list, n_rows, n_ids, n_tranches)` — the skew gauge of the
+    * at-rest ANN family. Partition pruning's whole economics assume
+    * lists are near-uniform: a list holding 10× its share makes every
+    * probe that touches it read 10× the bytes, and the fix (refit +
+    * rebuild with more lists, or re-seed) is a planned operation the
+    * operator needs this gauge to schedule. `n_tranches` (constant
+    * per call) says when to [[consolidateIvfIndex]]. One map-side-
+    * combinable aggregation over ≤ nLists groups; column-pruned to
+    * the id and partition columns — the vectors never load. */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    requireIvfMeta(spark, dir)
+    val nTranches = graft.util.Fs.hfs(spark, dir)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/vec"))
+      .count(_.getPath.getName.startsWith("batch="))
+    spark.read.parquet(s"$dir/vec")
+      .groupBy(col("ivf_list").cast(IntegerType).as("ivf_list"))
+      .agg(count(lit(1)).as("n_rows"), count_distinct(col("corpus_id")).as("n_ids"))
+      .withColumn("n_tranches", lit(nTranches))
+  }
+
   /** [[consolidateIvfIndex]]'s twin for the IVF-PQ code artifact —
     * shared protocol, `ivf_list` partitioning preserved. */
   def consolidateIvfPqIndex(spark: org.apache.spark.sql.SparkSession,

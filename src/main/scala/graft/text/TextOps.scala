@@ -456,6 +456,24 @@ object TextOps {
       commitWitness = "wfp")
   }
 
+  /** At-rest winnow-index statistics — the [[graft.dedup.DedupOps
+    * .dedupIndexStats]] twin for the winnow family: one `wfp` row
+    * `(artifact, n_rows, n_docs, n_tranches)`. Same operational loop:
+    * tranche count says when to [[consolidateWinnowIndex]], rows-per-
+    * doc says whether (k, w) match the corpus's document lengths, and
+    * a row-count jump after a replay incident is the double-append
+    * symptom consolidation's distinct() repairs. One column-pruned
+    * aggregation pass; fails fast off-family. */
+  def winnowIndexStats(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    readWinnowIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"winnowIndexStats: $dir has no _graft_meta — not a winnow index " +
+        "(build it with writeWinnowIndex)"))
+    require(graft.util.Fs.pathExists(spark, s"$dir/wfp"),
+      s"winnowIndexStats: $dir has no wfp artifact — not a winnow index")
+    graft.dedup.DedupOps.artifactStats(spark, dir, Seq("wfp"))
+  }
+
   /** Partial-overlap pairs of a NEW batch against the MATERIALIZED
     * winnow index: the batch winnows from text (params from
     * `_graft_meta`), the history side reads the compact `wfp` artifact

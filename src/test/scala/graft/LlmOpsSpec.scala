@@ -551,6 +551,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(dropped == got.filter(_._2._1 != "unique").keySet)
   }
 
+  test("dedupDecisionsApprox: sig-tier triage; non-unique rows ≡ dedupAgainstIndexApprox drop set") {
+    // real corpus slice so banded signatures produce exact dups, near
+    // dups, AND unique docs (hand fixtures rarely collide in 8 bands)
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val hist = docs.where(col("doc_id") < 300)
+    // inject a verbatim re-delivery (exact tier) and a one-word edit of
+    // a history doc (near tier) so every decision branch is exercised
+    val h0 = hist.orderBy("doc_id").select("text").as[String].head()
+    val batch = docs.where(col("doc_id") >= 300 && col("doc_id") < 450)
+      .unionByName(Seq((9001L, h0), (9002L, h0 + " appended")).toDF("doc_id", "text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_report_mh_idx").toString
+    DedupOps.writeDedupIndex(hist, idx, "doc_id", "text", portable = true,
+      sigK = 16, sigBands = 8)
+    val report = DedupOps.dedupDecisionsApprox(batch, idx, "doc_id", "text",
+      threshold = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(report.size == batch.count())
+    // every tier is actually exercised by the fixture
+    assert(report.values.exists(_._1 == "exact"))
+    assert(report.values.exists(_._1 == "near"))
+    assert(report.values.exists(_._1 == "unique"))
+    // exact dups never enter the near tier → no estimate; near rows
+    // carry an estimate over threshold
+    assert(report.values.filter(_._1 == "exact").forall(_._2.isEmpty))
+    assert(report.values.filter(_._1 == "near").forall(_._2.exists(_ >= 0.4)))
+    // the report explains the operator: non-unique rows are exactly
+    // the sig-tier drop set
+    val dropped = batch.select("doc_id").as[Long].collect().toSet --
+      DedupOps.dedupAgainstIndexApprox(batch, idx, "doc_id", "text", threshold = 0.4)
+        .select("doc_id").as[Long].collect().toSet
+    assert(dropped == report.filter(_._2._1 != "unique").keySet)
+  }
+
   test("sampleToMixture: binding source keeps everything, others downsample, absent sources drop") {
     import graft.training.TrainingOps
     val df = (1L to 40L).map(i => (i, if (i <= 20) "a" else if (i <= 30) "b" else "c"))
@@ -679,6 +714,44 @@ class LlmOpsSpec extends SparkSpec {
         idx, "vec_id", "embedding", tag = "day1")
     }
     assert(eAlias.getMessage.contains("absorbed"))
+  }
+
+  test("index stats gauges: winnow + IVF counts match direct recomputation; consolidation visible") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val widx = java.nio.file.Files.createTempDirectory("graft_wstats").toString + "/w"
+    graft.text.TextOps.writeWinnowIndex(docs.where(col("doc_id") < 100), widx,
+      "doc_id", "text", k = 8, w = 4, portable = true)
+    graft.text.TextOps.appendToWinnowIndex(
+      docs.where(col("doc_id") >= 100 && col("doc_id") < 150), widx,
+      "doc_id", "text", tag = "d1")
+    val ws = graft.text.TextOps.winnowIndexStats(spark, widx)
+      .as[(String, Long, Option[Long], Int)].collect().toSeq
+    val wfp = spark.read.parquet(s"$widx/wfp")
+    assert(ws == Seq(("wfp", wfp.count(),
+      Some(wfp.select("doc_id").distinct().count()), 2)))
+    // gauge on a non-winnow dir fails fast instead of going dark
+    intercept[IllegalArgumentException] {
+      graft.text.TextOps.winnowIndexStats(spark,
+        java.nio.file.Files.createTempDirectory("graft_wstats_no").toString)
+    }
+    // IVF: per-list counts must sum to every indexed vector, and
+    // consolidation collapses tranches without moving any count
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val vidx = java.nio.file.Files.createTempDirectory("graft_ivfstats").toString + "/ivf"
+    SimilarityOps.ivfWriteIndex(emb.where(col("vec_id") < 200), vidx,
+      "vec_id", "embedding", nLists = 8)
+    SimilarityOps.ivfAppendToIndex(
+      emb.where(col("vec_id") >= 200 && col("vec_id") < 250), vidx,
+      "vec_id", "embedding", tag = "d1")
+    def stats() = SimilarityOps.ivfIndexStats(spark, vidx)
+      .as[(Int, Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    val before = stats()
+    assert(before.map(_._2).sum == 250L && before.map(_._3).sum == 250L)
+    assert(before.forall { case (l, _, _, t) => l >= 0 && l < 8 && t == 2 })
+    SimilarityOps.consolidateIvfIndex(spark, vidx)
+    assert(stats() == before.map { case (l, r, i, _) => (l, r, i, 1) })
   }
 
   test("keepBestPerGroup keeps the highest-score member per cluster, min-id on ties") {
