@@ -304,6 +304,84 @@ object DedupOps {
     * [[crossNgramJaccardPairs]] and [[dedupAgainstIndex]]. Returns the
     * pairs plus a release thunk for the internal pruned-union cache.
     */
+  /** [[crossJaccardFromExploded]] with the combined hot-shingle count
+    * driven by a MATERIALIZED per-shingle document-frequency frame
+    * (`histDf(__s, __hc)` — the at-rest `df` artifact, aggregated
+    * across tranches) instead of a window over the unioned shingle
+    * rows. Identical semantics: a shingle is pruned when its combined
+    * batch+history occurrence count exceeds `maxBucket` (history-only
+    * hot shingles included — they lower history docs' post-prune
+    * denominators, hence the full outer join), and both denominators
+    * count post-prune shingles.
+    *
+    * The scale win this buys (and why the df artifact exists): the
+    * union-window path re-shuffles EVERY history shingle row twice per
+    * daily run — once by shingle for the combined count, once by doc
+    * for the denominators — a cost that grows with history. Here the
+    * combined count is a map-side-combinable sum over the
+    * distinct-shingle-sized df artifact joined with the batch's own
+    * (batch-sized) shingle counts; history rows are touched only by a
+    * hot-set anti-join (the hot set is ≤ total-occurrences/maxBucket
+    * rows by construction — every member crossed the cap) and a
+    * map-side-combined per-doc count whose shuffle payload is one
+    * (doc, count) pair per doc. The history `sh` scan itself is read
+    * twice (denominators + candidate join) — scans are the unavoidable
+    * cost of consulting history; the shuffles no longer grow with it.
+    */
+  private def crossJaccardViaDf(left: DataFrame, right: DataFrame,
+                                histDf: DataFrame,
+                                threshold: Double, maxBucket: Int)
+  : (DataFrame, () => Unit) = {
+    import org.apache.spark.storage.StorageLevel
+    val batchCnt = left.groupBy("__s").agg(count(lit(1)).as("__bc"))
+    val hot = batchCnt.join(histDf, Seq("__s"), "full_outer")
+      .where(coalesce(col("__bc"), lit(0L)) + coalesce(col("__hc"), lit(0L)) > maxBucket)
+      .select("__s")
+      .persist(StorageLevel.MEMORY_AND_DISK) // consumed by three anti-joins
+    // batch side forks into its denominator count and the candidate
+    // join — persisted (batch-sized); the history side is NOT persisted:
+    // at scale it cannot be, so it costs two column-pruned artifact
+    // scans instead
+    val prunedL = left.join(hot, Seq("__s"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nl = prunedL.groupBy("__id").agg(count(lit(1)).as("__nl"))
+      .select(col("__id").as("id_l"), col("__nl"))
+    val prunedR = right.join(hot, Seq("__s"), "left_anti")
+    val nr = prunedR.groupBy("__id").agg(count(lit(1)).as("__nr"))
+      .select(col("__id").as("id_r"), col("__nr"))
+    val pairs = prunedL.select(col("__s"), col("__id").as("id_l"))
+      .join(prunedR.select(col("__s"), col("__id").as("id_r")), Seq("__s"))
+      .groupBy("id_l", "id_r").agg(count(lit(1)).as("__inter"))
+      .join(nl, "id_l").join(nr, "id_r")
+      .select(col("id_l"), col("id_r"),
+        (col("__inter").cast(DoubleType) /
+          (col("__nl") + col("__nr") - col("__inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    (pairs, () => { prunedL.unpersist(); hot.unpersist(); () })
+  }
+
+  /** Cross-corpus jaccard pairs of a batch against the INDEX's shingle
+    * artifact: the df-driven prune when the index carries the `df`
+    * artifact (every index built or consolidated since it exists), the
+    * union-window path for a legacy index that predates it (its
+    * migration is one [[consolidateDedupIndex]] call). Shared by
+    * [[dedupAgainstIndex]] and [[dedupDecisions]] so the two can never
+    * disagree on the candidate universe.
+    */
+  private def indexJaccardPairs(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, batchSh: DataFrame,
+                                threshold: Double, maxBucket: Int)
+  : (DataFrame, () => Unit) = {
+    val histSh = spark.read.parquet(s"$dir/sh")
+      .select(col("doc_id").as("__id"), col("sh").as("__s"))
+    if (graft.util.Fs.pathExists(spark, s"$dir/df")) {
+      val histDf = spark.read.parquet(s"$dir/df").drop("batch")
+        .groupBy("sh").agg(sum(col("df")).as("__hc"))
+        .select(col("sh").as("__s"), col("__hc"))
+      crossJaccardViaDf(batchSh, histSh, histDf, threshold, maxBucket)
+    } else crossJaccardFromExploded(batchSh, histSh, threshold, maxBucket)
+  }
+
   private def crossJaccardFromExploded(left: DataFrame, right: DataFrame,
                                        threshold: Double, maxBucket: Int)
   : (DataFrame, () => Unit) = {
@@ -481,7 +559,10 @@ object DedupOps {
     * HASHED shingles `(doc_id, sh)` — 8 bytes per shingle instead of
     * the text — and `dir/sig` one k-long MinHash signature per document
     * (the approximate tier's input: k longs/doc, tens-of-× smaller
-    * again than `sh` at typical document lengths). The daily
+    * again than `sh` at typical document lengths), and `dir/df` the
+    * per-shingle occurrence counts `(sh, df)` that drive the exact
+    * tier's hot-shingle prune without re-windowing history (additive
+    * across tranches — readers sum them). The daily
     * [[dedupAgainstIndex]] / [[dedupAgainstIndexApprox]] never
     * re-shingles or re-reads the 100 TB corpus text: consulting history
     * becomes column-pruned scans of compact artifacts. The parameter
@@ -519,10 +600,24 @@ object DedupOps {
         metaString(DedupIndexMeta(shingleN, portable, sigK, sigBands)))
       hashedShingleRows(corpus, idCol, textCol, shingleN, portable)
         .write.mode("overwrite").parquet(s"$root/sh/batch=build")
+      // df = per-shingle occurrence counts, derived by READING BACK the
+      // just-written sh tranche (not by re-evaluating the corpus plan):
+      // the artifact the daily prune trusts must count exactly the rows
+      // at rest. Map-side-combinable groupBy over a batch-sized tranche.
+      spark.read.parquet(s"$root/sh/batch=build")
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$root/df/batch=build")
       fingerprintRows(corpus, textCol)
         .write.mode("overwrite").parquet(s"$root/fp/batch=build")
       signatureRows(corpus, idCol, textCol, shingleN, sigK, portable)
         .write.mode("overwrite").parquet(s"$root/sig/batch=build")
+      // bf = per-(band, key) bucket sizes of the sig tranche at rest —
+      // the approximate tier's hot-bucket prune input (df's sig twin)
+      spark.read.parquet(s"$root/sig/batch=build")
+        .select(posexplode(bandKeys(col("sig"), sigBands, sigK / sigBands))
+          .as(Seq("band", "key")))
+        .groupBy("band", "key").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$root/bf/batch=build")
       // a fresh build also resets the absorbed-tag ledger: the whole-dir
       // swap drops any previous _graft_absorbed with the old tranches
     }
@@ -582,10 +677,28 @@ object DedupOps {
     // cover only post-migration tranches — the approx tier needs a
     // writeDedupIndex rebuild to exist at all
     readDedupIndexMeta(spark, dir).foreach { m =>
-      if (pathExists(spark, s"$dir/sig"))
+      if (pathExists(spark, s"$dir/sig")) {
         signatureRows(frozen, idCol, textCol, shingleN, m.sigK, portable)
           .write.mode("overwrite").parquet(s"$dir/sig/batch=$tag")
+        if (pathExists(spark, s"$dir/bf"))
+          spark.read.parquet(s"$dir/sig/batch=$tag")
+            .select(posexplode(bandKeys(col("sig"), m.sigBands, m.sigK / m.sigBands))
+              .as(Seq("band", "key")))
+            .groupBy("band", "key").agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$dir/bf/batch=$tag")
+      }
     }
+    // df tranche from the written sh tranche (read-back, like the
+    // build: counts must equal the at-rest rows exactly); a legacy
+    // pre-df index skips it — consolidateDedupIndex is its migration.
+    // Written BEFORE fp so the fp commit witness covers it: a crash in
+    // between leaves the prune slightly conservative (undercounted
+    // combined counts → fewer pruned shingles) until the documented
+    // same-tag retry overwrites both.
+    if (pathExists(spark, s"$dir/df"))
+      spark.read.parquet(s"$dir/sh/batch=$tag")
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$dir/df/batch=$tag")
     fingerprintRows(frozen, textCol).write.mode("overwrite").parquet(s"$dir/fp/batch=$tag")
   }
 
@@ -596,7 +709,17 @@ object DedupOps {
     * [[consolidateDedupIndex]] call (it reads any layout and writes the
     * tranche layout).
     */
-  private val IndexArtifacts = Seq("sh", "fp", "sig")
+  private val IndexArtifacts = Seq("sh", "fp", "sig", "df", "bf")
+
+  /** The artifacts consolidation row-rewrites through the generic
+    * distinct() protocol. The count artifacts `df` and `bf` are
+    * deliberately NOT here: their rows are ADDITIVE across tranches
+    * (the daily read sums them), so a distinct() rewrite would
+    * collapse two tranches that legitimately carry the same count row
+    * into one and silently undercount the prune.
+    * [[consolidateDedupIndex]] regenerates them from the consolidated
+    * sh/sig artifacts instead. */
+  private val RowDistinctArtifacts = Seq("sh", "fp", "sig")
 
   private def requireTrancheLayout(spark: org.apache.spark.sql.SparkSession,
                                    dir: String): Unit =
@@ -637,10 +760,41 @@ object DedupOps {
     * until the next consolidation.
     */
   def consolidateDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): Unit =
+                            dir: String): Unit = {
     consolidateArtifacts(spark, dir,
-      IndexArtifacts.filter(a => pathExists(spark, s"$dir/$a")),
+      RowDistinctArtifacts.filter(a => pathExists(spark, s"$dir/$a")),
       commitWitness = "fp")
+    // df is regenerated from the JUST-CONSOLIDATED sh artifact rather
+    // than summed from its own tranches: self-healing by construction
+    // (df ≡ exact counts of the post-distinct rows, so any
+    // double-append the ledger crash window let through is repaired
+    // here too), and the migration path that retrofits the artifact
+    // onto an index built before it existed.
+    if (pathExists(spark, s"$dir/sh")) {
+      def buildDf(root: String): Unit =
+        spark.read.parquet(s"$dir/sh").drop("batch")
+          .groupBy("sh").agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(s"$root/batch=consolidated")
+      val dfDir = s"$dir/df"
+      if (pathExists(spark, dfDir)) graft.merge.Merge.atomicSwap(spark, dfDir)(buildDf)
+      else buildDf(dfDir)
+    }
+    // same protocol for bf, the sig tier's bucket-size artifact —
+    // regenerated (banding needs the frozen family from _graft_meta)
+    readDedupIndexMeta(spark, dir).foreach { m =>
+      if (pathExists(spark, s"$dir/sig")) {
+        def buildBf(root: String): Unit =
+          spark.read.parquet(s"$dir/sig").drop("batch")
+            .select(posexplode(bandKeys(col("sig"), m.sigBands, m.sigK / m.sigBands))
+              .as(Seq("band", "key")))
+            .groupBy("band", "key").agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$root/batch=consolidated")
+        val bfDir = s"$dir/bf"
+        if (pathExists(spark, bfDir)) graft.merge.Merge.atomicSwap(spark, bfDir)(buildBf)
+        else buildBf(bfDir)
+      }
+    }
+  }
 
   /** The consolidation protocol shared by every tranche-appending
     * index family (dedup: sh/fp/sig; winnow: wfp) — ONE implementation
@@ -751,10 +905,8 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchSh = hashedShingleRows(exactSurvivors, idCol, textCol, shingleN, portable)
       .select(col("doc_id").as("__id"), col("sh").as("__s"))
-    val histSh = spark.read.parquet(s"$dir/sh")
-      .select(col("doc_id").as("__id"), col("sh").as("__s"))
     val (pairs, releasePairs) =
-      crossJaccardFromExploded(batchSh, histSh, threshold, maxBucket)
+      indexJaccardPairs(spark, dir, batchSh, threshold, maxBucket)
     val nearIds = pairs.select(col("id_l").as("__dup_id")).distinct()
     (exactSurvivors.join(nearIds, col(idCol) === col("__dup_id"), "left_anti"),
       () => { releasePairs(); exactSurvivors.unpersist(); () })
@@ -846,11 +998,9 @@ object DedupOps {
     val batchSh = hashedShingleRows(flagged.where(col("__hit").isNull),
       idCol, textCol, shingleN, portable)
       .select(col("doc_id").as("__id"), col("sh").as("__s"))
-    val histSh = spark.read.parquet(s"$dir/sh")
-      .select(col("doc_id").as("__id"), col("sh").as("__s"))
     // threshold 0: keep every candidate pair so near-MISS scores reach
     // the report (pairs always share ≥1 post-prune shingle ⇒ jaccard > 0)
-    val (pairs, releasePairs) = crossJaccardFromExploded(batchSh, histSh, 0.0, maxBucket)
+    val (pairs, releasePairs) = indexJaccardPairs(spark, dir, batchSh, 0.0, maxBucket)
     val best = pairs.groupBy(col("id_l")).agg(max(col("jaccard")).as("best_jaccard"))
     // the release composes both caches and is ONLY safe after the
     // caller's action has materialized the report — an eager release
@@ -901,11 +1051,10 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchSigs = signatureRows(flagged.where(col("__hit").isNull),
       idCol, textCol, meta.shingleN, meta.sigK, meta.portable)
-    val histSigs = spark.read.parquet(s"$dir/sig").select("doc_id", "sig")
     // threshold 0: candidates reach the report unthresholded so
     // near-miss estimates survive (a banded candidate agrees on ≥ one
     // whole band ⇒ estimate > 0)
-    val (pairs, releasePairs) = crossMinhashFromSigs(batchSigs, histSigs,
+    val (pairs, releasePairs) = indexMinhashPairs(spark, dir, batchSigs,
       meta.sigK, meta.sigBands, 0.0, maxBucket)
     val best = pairs.groupBy(col("id_l")).agg(max(col("est_jaccard")).as("best_est_jaccard"))
     (flagged.join(best, col(idCol) === col("id_l"), "left")
@@ -955,6 +1104,75 @@ object DedupOps {
     (pairs, () => { pruned.unpersist(); () })
   }
 
+  /** [[crossMinhashFromSigs]] with the combined hot-bucket count
+    * driven by the MATERIALIZED `bf` artifact — per-(band, key) bucket
+    * sizes `(band, key, n)`, additive across tranches — instead of a
+    * window over the unioned banded rows. Identical candidate
+    * universe: a bucket is dropped when its combined batch+history
+    * size exceeds `maxBucket` (history-only hot buckets contribute no
+    * candidates either way, so pruning them early only sheds rows).
+    *
+    * What this retires at 100 TB: the window formulation UNIONS every
+    * history signature's banded rows with the batch, shuffles and
+    * SORTS them all by (band, key), and — worse — PERSISTS the whole
+    * union (MEMORY_AND_DISK of the entire banded history, every daily
+    * run). Here history rows are touched by one anti-join against the
+    * small hot set (≤ combined-rows/maxBucket buckets by construction)
+    * on their way into the candidate equi-join — one shuffle, no sort,
+    * and the only persisted frames are the hot set and the batch's own
+    * banded rows (released via the thunk).
+    */
+  private def crossMinhashViaBf(left: DataFrame, right: DataFrame,
+                                histBf: DataFrame,
+                                k: Int, bands: Int, threshold: Double,
+                                maxBucket: Int): (DataFrame, () => Unit) = {
+    import org.apache.spark.storage.StorageLevel
+    val rowsPer = k / bands
+    def banded(sigs: DataFrame) = sigs
+      .select(col("doc_id").as("__id"), col("sig").as("__sig"),
+        posexplode(bandKeys(col("sig"), bands, rowsPer)).as(Seq("__band", "__key")))
+    // persisted: the batch's banded rows fork into their own bucket
+    // counts and the candidate join — recomputing would re-run the
+    // minhash kernel over the batch per consumer
+    val l = banded(left).persist(StorageLevel.MEMORY_AND_DISK)
+    val batchCnt = l.groupBy("__band", "__key").agg(count(lit(1)).as("__bc"))
+    val hot = batchCnt.join(histBf, Seq("__band", "__key"), "full_outer")
+      .where(coalesce(col("__bc"), lit(0L)) + coalesce(col("__hc"), lit(0L)) > maxBucket)
+      .select("__band", "__key")
+      .persist(StorageLevel.MEMORY_AND_DISK) // both anti-joins below
+    val a = l.join(hot, Seq("__band", "__key"), "left_anti")
+      .select(col("__band"), col("__key"), col("__id").as("id_l"), col("__sig").as("__sl"))
+    val b = banded(right).join(hot, Seq("__band", "__key"), "left_anti")
+      .select(col("__band"), col("__key"), col("__id").as("id_r"), col("__sig").as("__sr"))
+    val pairs = a.join(b, Seq("__band", "__key"))
+      .select(col("id_l"), col("id_r"), col("__sl"), col("__sr"))
+      .distinct() // a pair meets once per agreeing band
+      .select(col("id_l"), col("id_r"),
+        estJaccard(col("__sl"), col("__sr"), k).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+    (pairs, () => { l.unpersist(); hot.unpersist(); () })
+  }
+
+  /** Banded candidate pairs of batch signatures against the INDEX's
+    * sig artifact: the bf-driven prune when the index carries the `bf`
+    * artifact, the union-window path for a legacy index that predates
+    * it ([[consolidateDedupIndex]] retrofits it). Shared by
+    * [[dedupAgainstIndexApprox]] and [[dedupDecisionsApprox]] so the
+    * two can never disagree on the candidate universe.
+    */
+  private def indexMinhashPairs(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, batchSigs: DataFrame,
+                                k: Int, bands: Int, threshold: Double,
+                                maxBucket: Int): (DataFrame, () => Unit) = {
+    val histSigs = spark.read.parquet(s"$dir/sig").select("doc_id", "sig")
+    if (pathExists(spark, s"$dir/bf")) {
+      val histBf = spark.read.parquet(s"$dir/bf").drop("batch")
+        .groupBy("band", "key").agg(sum(col("n")).as("__hc"))
+        .select(col("band").as("__band"), col("key").as("__key"), col("__hc"))
+      crossMinhashViaBf(batchSigs, histSigs, histBf, k, bands, threshold, maxBucket)
+    } else crossMinhashFromSigs(batchSigs, histSigs, k, bands, threshold, maxBucket)
+  }
+
   /** The APPROXIMATE tier of [[dedupAgainstIndex]] — the highest-
     * leverage artifact at 100 TB: the exact tier's daily near-dup pass
     * scans `dir/sh` (EVERY hashed shingle of a forever-growing
@@ -998,8 +1216,7 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchSigs = signatureRows(exactSurvivors, idCol, textCol,
       meta.shingleN, meta.sigK, meta.portable)
-    val histSigs = spark.read.parquet(s"$dir/sig").select("doc_id", "sig")
-    val (pairs, releasePairs) = crossMinhashFromSigs(batchSigs, histSigs,
+    val (pairs, releasePairs) = indexMinhashPairs(spark, dir, batchSigs,
       meta.sigK, meta.sigBands, threshold, maxBucket)
     val nearIds = pairs.select(col("id_l").as("__dup_id")).distinct()
     (exactSurvivors.join(nearIds, col(idCol) === col("__dup_id"), "left_anti"),

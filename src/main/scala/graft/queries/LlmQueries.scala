@@ -600,7 +600,25 @@ object LlmQueries {
         |hfp2 AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
         |         FROM documents WHERE doc_id < 300),
         |sfp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-        |        FROM asurv)
+        |        FROM asurv),
+        |hds AS (SELECT count(DISTINCT s) AS n FROM (
+        |  SELECT unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+        |  FROM hw WHERE len(w) >= 3)),
+        |sds AS (SELECT count(DISTINCT s) AS n FROM (
+        |  SELECT unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+        |  FROM sw WHERE len(w) >= 3)),
+        |hsg AS (SELECT [list_min(list_transform(h, v -> ((2*j + 1) * v + j*j + 7) % 1000000007)) for j in range(0, $SIG_K)] AS sig
+        |  FROM (SELECT list_transform(s, x -> ${duckHash("x")} % 1000000007) AS h FROM (
+        |    SELECT list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |    FROM hw WHERE len(w) >= 3) WHERE len(s) > 0)),
+        |ssg AS (SELECT [list_min(list_transform(h, v -> ((2*j + 1) * v + j*j + 7) % 1000000007)) for j in range(0, $SIG_K)] AS sig
+        |  FROM (SELECT list_transform(s, x -> ${duckHash("x")} % 1000000007) AS h FROM (
+        |    SELECT list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |    FROM sw WHERE len(w) >= 3) WHERE len(s) > 0)),
+        |hbf AS (SELECT count(*) AS n FROM (SELECT DISTINCT b, sig[${SIG_K / BANDS}*b+1:${SIG_K / BANDS}*b+${SIG_K / BANDS}] AS key
+        |  FROM hsg, (SELECT unnest(range(0, $BANDS)) AS b))),
+        |sbf AS (SELECT count(*) AS n FROM (SELECT DISTINCT b, sig[${SIG_K / BANDS}*b+1:${SIG_K / BANDS}*b+${SIG_K / BANDS}] AS key
+        |  FROM ssg, (SELECT unnest(range(0, $BANDS)) AS b)))
         |SELECT 'sh' AS artifact,
         |  CAST((SELECT COALESCE(sum(n), 0) FROM hn) + (SELECT COALESCE(sum(n), 0) FROM sn) AS BIGINT) AS n_rows,
         |  CAST((SELECT count(*) FROM hn) + (SELECT count(*) FROM sn) AS BIGINT) AS n_docs,
@@ -612,7 +630,15 @@ object LlmQueries {
         |UNION ALL
         |SELECT 'sig',
         |  CAST((SELECT count(*) FROM hn) + (SELECT count(*) FROM sn) AS BIGINT),
-        |  CAST((SELECT count(*) FROM hn) + (SELECT count(*) FROM sn) AS BIGINT), 2""".stripMargin) { (s, dir) =>
+        |  CAST((SELECT count(*) FROM hn) + (SELECT count(*) FROM sn) AS BIGINT), 2
+        |UNION ALL
+        |SELECT 'df',
+        |  CAST((SELECT n FROM hds) + (SELECT n FROM sds) AS BIGINT),
+        |  CAST(NULL AS BIGINT), 2
+        |UNION ALL
+        |SELECT 'bf',
+        |  CAST((SELECT n FROM hbf) + (SELECT n FROM sbf) AS BIGINT),
+        |  CAST(NULL AS BIGINT), 2""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents").select("doc_id", "text")
       val idx = graft.util.Scratch.path("dedup_stats_idx", dir)
       DedupOps.writeDedupIndex(docs.where(col("doc_id") < 300), idx,
@@ -940,7 +966,12 @@ object LlmQueries {
         |ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp)
         |SELECT 'wfp' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, 2 AS n_tranches
-        |FROM ex""".stripMargin) { (s, dir) =>
+        |FROM ex
+        |UNION ALL
+        |SELECT 'wdf',
+        |  CAST((SELECT count(DISTINCT fp) FROM ex WHERE doc_id < 300)
+        |     + (SELECT count(DISTINCT fp) FROM ex WHERE doc_id >= 300) AS BIGINT),
+        |  CAST(NULL AS BIGINT), 2""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents").select("doc_id", "text")
       val idx = graft.util.Scratch.path("winnow_stats_idx", dir)
       TextOps.writeWinnowIndex(docs.where(col("doc_id") < 300), idx,

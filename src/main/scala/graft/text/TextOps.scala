@@ -412,6 +412,12 @@ object TextOps {
         winnowMetaString(WinnowIndexMeta(k, w, portable)))
       winnowRows(corpus, idCol, textCol, k, w, portable)
         .write.mode("overwrite").parquet(s"$root/wfp/batch=build")
+      // wdf = per-fingerprint occurrence counts of the tranche at rest
+      // (read back, not re-evaluated) — the overlap probe's hot-hash
+      // prune input, additive across tranches like the dedup df/bf
+      spark.read.parquet(s"$root/wfp/batch=build")
+        .groupBy("wfp").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$root/wdf/batch=build")
     }
     if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
     else buildInto(dir)
@@ -440,6 +446,15 @@ object TextOps {
       return
     winnowRows(newRows, idCol, textCol, meta.k, meta.w, meta.portable)
       .write.mode("overwrite").parquet(s"$dir/wfp/batch=$tag")
+    // wdf tranche from the written wfp tranche; written AFTER it (a
+    // crash in between leaves the prune conservative — undercounted
+    // combined counts — until the documented same-tag retry or the
+    // next consolidation's regeneration); pre-wdf legacy indexes skip
+    // (consolidateWinnowIndex retrofits the artifact)
+    if (pathExists(spark, s"$dir/wdf"))
+      spark.read.parquet(s"$dir/wfp/batch=$tag")
+        .groupBy("wfp").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$dir/wdf/batch=$tag")
   }
 
   /** Collapse accumulated winnow tranches into one (atomic swap,
@@ -454,6 +469,16 @@ object TextOps {
         "(build it with writeWinnowIndex)")
     graft.dedup.DedupOps.consolidateArtifacts(spark, dir, Seq("wfp"),
       commitWitness = "wfp")
+    // wdf rows are additive across tranches — regenerated from the
+    // consolidated wfp (never distinct()-rewritten, which would
+    // collapse equal count rows); doubles as the pre-wdf migration
+    def buildWdf(root: String): Unit =
+      spark.read.parquet(s"$dir/wfp").drop("batch")
+        .groupBy("wfp").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$root/batch=consolidated")
+    val wdfDir = s"$dir/wdf"
+    if (pathExists(spark, wdfDir)) graft.merge.Merge.atomicSwap(spark, wdfDir)(buildWdf)
+    else buildWdf(wdfDir)
   }
 
   /** At-rest winnow-index statistics — the [[graft.dedup.DedupOps
@@ -471,7 +496,8 @@ object TextOps {
         "(build it with writeWinnowIndex)"))
     require(graft.util.Fs.pathExists(spark, s"$dir/wfp"),
       s"winnowIndexStats: $dir has no wfp artifact — not a winnow index")
-    graft.dedup.DedupOps.artifactStats(spark, dir, Seq("wfp"))
+    graft.dedup.DedupOps.artifactStats(spark, dir,
+      Seq("wfp", "wdf").filter(a => graft.util.Fs.pathExists(spark, s"$dir/$a")))
   }
 
   /** Partial-overlap pairs of a NEW batch against the MATERIALIZED
@@ -506,16 +532,41 @@ object TextOps {
     val meta = readWinnowIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
       s"winnow index $dir has no _graft_meta; build it with writeWinnowIndex"))
     val l = winnowRows(batch, idCol, textCol, meta.k, meta.w, meta.portable)
-      .select(lit(0).as("__side"), col("doc_id").as("__id"), col("wfp").as("__fp"))
+      .select(col("doc_id").as("__id"), col("wfp").as("__fp"))
     val r = spark.read.parquet(s"$dir/wfp")
-      .select(lit(1).as("__side"), col("doc_id").as("__id"), col("wfp").as("__fp"))
-    val pruned = l.unionByName(r)
-      .withColumn("__bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
-      .where(col("__bn") <= maxBucket).drop("__bn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = pruned.where(col("__side") === 0).select(col("__fp"), col("__id").as("id_l"))
-    val b = pruned.where(col("__side") === 1).select(col("__fp"), col("__id").as("id_r"))
+      .select(col("doc_id").as("__id"), col("wfp").as("__fp"))
+    // combined hot-hash count: from the materialized wdf artifact when
+    // the index carries it (no batch+history re-window, no persist of
+    // the unioned history — the scale path); via the union window for
+    // a legacy pre-wdf index (consolidateWinnowIndex retrofits it)
+    val (a, b, release): (DataFrame, DataFrame, () => Unit) =
+      if (pathExists(spark, s"$dir/wdf")) {
+        // batch rows fork into their counts and the join — persisted
+        // so the winnow kernel runs once per consumer set; history is
+        // touched only by the hot anti-join into the candidate join
+        val lp = l.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val batchCnt = lp.groupBy("__fp").agg(count(lit(1)).as("__bc"))
+        val histCnt = spark.read.parquet(s"$dir/wdf").drop("batch")
+          .groupBy("wfp").agg(sum(col("n")).as("__hc"))
+          .select(col("wfp").as("__fp"), col("__hc"))
+        val hot = batchCnt.join(histCnt, Seq("__fp"), "full_outer")
+          .where(coalesce(col("__bc"), lit(0L)) + coalesce(col("__hc"), lit(0L)) > maxBucket)
+          .select("__fp")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (lp.join(hot, Seq("__fp"), "left_anti").select(col("__fp"), col("__id").as("id_l")),
+          r.join(hot, Seq("__fp"), "left_anti").select(col("__fp"), col("__id").as("id_r")),
+          () => { lp.unpersist(); hot.unpersist(); () })
+      } else {
+        val pruned = l.withColumn("__side", lit(0))
+          .unionByName(r.withColumn("__side", lit(1)))
+          .withColumn("__bn", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
+          .where(col("__bn") <= maxBucket).drop("__bn")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (pruned.where(col("__side") === 0).select(col("__fp"), col("__id").as("id_l")),
+          pruned.where(col("__side") === 1).select(col("__fp"), col("__id").as("id_r")),
+          () => { pruned.unpersist(); () })
+      }
     // a batch doc that was already appended to the index (re-probe
     // after the probe→append loop crashed and retried) would otherwise
     // meet its own at-rest fingerprints and report a maximal-overlap
@@ -525,7 +576,7 @@ object TextOps {
       .where(col("id_l") =!= col("id_r"))
       .groupBy("id_l", "id_r").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
-    (pairs, () => { pruned.unpersist(); () })
+    (pairs, () => { release(); () })
   }
 
   /** Content fingerprint: md5 of the normalized text — the exact-dedup

@@ -518,7 +518,7 @@ class LlmOpsSpec extends SparkSpec {
     // dot-files are checksum/committer sidecars, not index structure
     val entries = new java.io.File(idx).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).toSet
-    assert(entries == Set("sh", "fp", "sig", "_graft_meta"))
+    assert(entries == Set("sh", "fp", "sig", "df", "bf", "_graft_meta"))
     assert(DedupOps.readDedupIndexMeta(spark, idx).map(_.shingleN).contains(4))
     assert(new java.io.File(s"$idx/sh").listFiles().map(_.getName)
       .filter(_.startsWith("batch=")).toSeq == Seq("batch=build"))
@@ -716,6 +716,102 @@ class LlmOpsSpec extends SparkSpec {
     assert(eAlias.getMessage.contains("absorbed"))
   }
 
+  test("dedup index df artifact: tracks sh through build/append/consolidate; df path ≡ legacy path") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_df_idx").toString + "/idx"
+    DedupOps.writeDedupIndex(corpus.where(col("doc_id") < 300), idx,
+      "doc_id", "text", portable = true)
+    // invariant the prune trusts: sum of df tranches per shingle ==
+    // occurrence count over the sh artifact, at every lifecycle step
+    def dfAgg() = spark.read.parquet(s"$idx/df").drop("batch")
+      .groupBy("sh").agg(sum("df").as("n"))
+    def shAgg() = spark.read.parquet(s"$idx/sh").drop("batch")
+      .groupBy("sh").agg(count(lit(1)).as("n"))
+    def assertTracks(): Unit =
+      assert(dfAgg().unionByName(shAgg()).groupBy("sh", "n").agg(count(lit(1)).as("c"))
+        .where(col("c") =!= 2).isEmpty)
+    assertTracks()
+    val day1 = DedupOps.dedupAgainstIndex(
+      corpus.where(col("doc_id") >= 300 && col("doc_id") < 400), idx,
+      "doc_id", "text", threshold = 0.5, portable = true)
+    DedupOps.appendToDedupIndex(day1, idx, "doc_id", "text", tag = "d1",
+      portable = true)
+    assertTracks()
+    // tiny maxBucket so the hot-shingle prune actually bites: the
+    // df-driven result must equal the legacy union-window result
+    val batch = corpus.where(col("doc_id") >= 400 && col("doc_id") < 500)
+    def run() = DedupOps.dedupAgainstIndex(batch, idx, "doc_id", "text",
+      threshold = 0.3, maxBucket = 10, portable = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    def runReport() = DedupOps.dedupDecisions(batch, idx, "doc_id", "text",
+      threshold = 0.3, maxBucket = 10, portable = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val viaDf = run(); val reportViaDf = runReport()
+    val hadoopFs = new org.apache.hadoop.fs.Path(s"$idx/df")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hadoopFs.delete(new org.apache.hadoop.fs.Path(s"$idx/df"), true)
+    assert(run() == viaDf)
+    assert(runReport() == reportViaDf)
+    // a pre-df (legacy) index gets the artifact retrofitted by
+    // consolidation — and the regenerated df still tracks sh
+    DedupOps.consolidateDedupIndex(spark, idx)
+    assertTracks()
+    assert(spark.read.parquet(s"$idx/df").columns.contains("batch"))
+    assert(run() == viaDf)
+  }
+
+  test("bf/wdf count artifacts: approx tier + winnow probe ≡ their legacy window paths; counts track") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    // --- dedup index bf: the sig tier's hot-bucket prune input ---
+    val idx = java.nio.file.Files.createTempDirectory("graft_bf_idx").toString + "/idx"
+    DedupOps.writeDedupIndex(corpus.where(col("doc_id") < 300), idx,
+      "doc_id", "text", portable = true)
+    // bf tranche sums == banded counts over the sig artifact
+    val bfAgg = spark.read.parquet(s"$idx/bf").drop("batch")
+      .groupBy("band", "key").agg(sum("n").as("n"))
+    val bandedSig = spark.read.parquet(s"$idx/sig").drop("batch")
+      .select(posexplode(DedupOps.bandKeys(col("sig"), 8, 2)).as(Seq("band", "key")))
+      .groupBy("band", "key").agg(count(lit(1)).as("n"))
+    assert(bfAgg.unionByName(bandedSig).groupBy("band", "key", "n")
+      .agg(count(lit(1)).as("c")).where(col("c") =!= 2).isEmpty)
+    // tiny maxBucket so the prune bites; results must match the
+    // window path bit-for-bit, for the operator AND its report
+    val batch = corpus.where(col("doc_id") >= 300 && col("doc_id") < 450)
+    def runApprox() = DedupOps.dedupAgainstIndexApprox(batch, idx, "doc_id", "text",
+      threshold = 0.3, maxBucket = 5).select("doc_id").as[Long].collect().sorted.toSeq
+    def runReport() = DedupOps.dedupDecisionsApprox(batch, idx, "doc_id", "text",
+      threshold = 0.3, maxBucket = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val viaBf = runApprox(); val reportViaBf = runReport()
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/bf"), true)
+    assert(runApprox() == viaBf)
+    assert(runReport() == reportViaBf)
+    // consolidation retrofits bf onto the pre-bf index
+    DedupOps.consolidateDedupIndex(spark, idx)
+    assert(graft.util.Fs.pathExists(spark, s"$idx/bf"))
+    assert(runApprox() == viaBf)
+    // --- winnow index wdf: the overlap probe's hot-hash prune input ---
+    val widx = java.nio.file.Files.createTempDirectory("graft_wdf_idx").toString + "/w"
+    TextOps.writeWinnowIndex(corpus.where(col("doc_id") < 300), widx,
+      "doc_id", "text", k = 8, w = 4, portable = true)
+    def runOverlap() = TextOps.winnowOverlapAgainstIndex(batch, widx,
+      "doc_id", "text", minShared = 2, maxBucket = 20)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val viaWdf = runOverlap()
+    assert(viaWdf.nonEmpty) // the comparison must compare something
+    fs.delete(new org.apache.hadoop.fs.Path(s"$widx/wdf"), true)
+    assert(runOverlap() == viaWdf)
+    TextOps.consolidateWinnowIndex(spark, widx)
+    assert(graft.util.Fs.pathExists(spark, s"$widx/wdf"))
+    assert(runOverlap() == viaWdf)
+  }
+
   test("index stats gauges: winnow + IVF counts match direct recomputation; consolidation visible") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
@@ -728,8 +824,12 @@ class LlmOpsSpec extends SparkSpec {
     val ws = graft.text.TextOps.winnowIndexStats(spark, widx)
       .as[(String, Long, Option[Long], Int)].collect().toSeq
     val wfp = spark.read.parquet(s"$widx/wfp")
-    assert(ws == Seq(("wfp", wfp.count(),
-      Some(wfp.select("doc_id").distinct().count()), 2)))
+    val wdf = spark.read.parquet(s"$widx/wdf")
+    assert(ws == Seq(
+      ("wfp", wfp.count(), Some(wfp.select("doc_id").distinct().count()), 2),
+      ("wdf", wdf.count(), None, 2)))
+    // the count artifact's sums track the fingerprint rows exactly
+    assert(wdf.agg(sum("n")).as[Long].head() == wfp.count())
     // gauge on a non-winnow dir fails fast instead of going dark
     intercept[IllegalArgumentException] {
       graft.text.TextOps.winnowIndexStats(spark,
