@@ -174,9 +174,14 @@ object Bench {
     // estimate of what the code costs when the host cooperates.
     val rerun = results.filter(_._3).sortBy(-_._2).take(5).map {
       case (name, cold, _, _, _) =>
-        val w1 = runOne(s"$name(warm1)", queryMap(name))._2
-        val w2 = runOne(s"$name(warm2)", queryMap(name))._2
-        (name, cold, math.min(w1, w2))
+        // a failed warm run must not enter the min — a 0.4 s crash
+        // would report as a blazing warm time and turn the cold/warm
+        // ratio into a phantom regression; with no surviving warm run,
+        // fall back to the cold figure (ratio 1.0, attribution unknown)
+        val warms = Seq(runOne(s"$name(warm1)", queryMap(name)),
+          runOne(s"$name(warm2)", queryMap(name)))
+          .collect { case (_, sec, true, _, _) => sec }
+        (name, cold, if (warms.nonEmpty) warms.min else cold)
     }
     // a failed query must not read as a fast success: sentinel -1
     val failed = results.filterNot(_._3).map(_._1)

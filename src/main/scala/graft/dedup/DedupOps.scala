@@ -333,7 +333,11 @@ object DedupOps {
                                 threshold: Double, maxBucket: Int)
   : (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
-    val batchCnt = left.groupBy("__s").agg(count(lit(1)).as("__bc"))
+    // the batch shingle kernel feeds its own bucket counts AND the
+    // pruned fork — persisted so it runs once per call, not once per
+    // consumer (mirrors crossMinhashViaBf's banded-batch persist)
+    val l = left.persist(StorageLevel.MEMORY_AND_DISK)
+    val batchCnt = l.groupBy("__s").agg(count(lit(1)).as("__bc"))
     val hot = batchCnt.join(histDf, Seq("__s"), "full_outer")
       .where(coalesce(col("__bc"), lit(0L)) + coalesce(col("__hc"), lit(0L)) > maxBucket)
       .select("__s")
@@ -342,7 +346,7 @@ object DedupOps {
     // join — persisted (batch-sized); the history side is NOT persisted:
     // at scale it cannot be, so it costs two column-pruned artifact
     // scans instead
-    val prunedL = left.join(hot, Seq("__s"), "left_anti")
+    val prunedL = l.join(hot, Seq("__s"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nl = prunedL.groupBy("__id").agg(count(lit(1)).as("__nl"))
       .select(col("__id").as("id_l"), col("__nl"))
@@ -357,7 +361,7 @@ object DedupOps {
         (col("__inter").cast(DoubleType) /
           (col("__nl") + col("__nr") - col("__inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    (pairs, () => { prunedL.unpersist(); hot.unpersist(); () })
+    (pairs, () => { prunedL.unpersist(); hot.unpersist(); l.unpersist(); () })
   }
 
   /** Cross-corpus jaccard pairs of a batch against the INDEX's shingle
@@ -374,7 +378,7 @@ object DedupOps {
   : (DataFrame, () => Unit) = {
     val histSh = spark.read.parquet(s"$dir/sh")
       .select(col("doc_id").as("__id"), col("sh").as("__s"))
-    if (graft.util.Fs.pathExists(spark, s"$dir/df")) {
+    if (countArtifactFresh(spark, dir, "sh", "df")) {
       val histDf = spark.read.parquet(s"$dir/df").drop("batch")
         .groupBy("sh").agg(sum(col("df")).as("__hc"))
         .select(col("sh").as("__s"), col("__hc"))
@@ -702,6 +706,56 @@ object DedupOps {
     fingerprintRows(frozen, textCol).write.mode("overwrite").parquet(s"$dir/fp/batch=$tag")
   }
 
+  /** Is the COUNT artifact (`df`/`bf`/`wdf`) safe to drive a prune?
+    * Fresh ⇔ present AND its tranche tag set equals the row artifact's.
+    * Every crash window diverges the sets — append dying between the
+    * row tranche and its count tranche, consolidation dying after the
+    * row swap but before the count regeneration — and a diverged count
+    * artifact can OVERCOUNT (stale pre-consolidation sums against
+    * consolidated rows), which over-prunes and silently loses near-dup
+    * detections: the unsafe direction. The probes therefore fall back
+    * to the union-window path (exactly correct, just slower) whenever
+    * the sets differ; the next successful append or consolidation
+    * restores freshness. Two directory listings per probe. */
+  private[graft] def countArtifactFresh(spark: org.apache.spark.sql.SparkSession,
+                                        dir: String, rowArt: String,
+                                        cntArt: String): Boolean = {
+    // the count side additionally discounts tranches missing the
+    // job-commit marker: a count tranche that crashed mid-write is
+    // visible but incomplete, and its missing rows would silently
+    // undercount the prune — an unmarked tranche diverges the sets and
+    // routes to the fallback
+    def tags(a: String, marked: Boolean): Option[Set[String]] =
+      if (!graft.util.Fs.pathExists(spark, s"$dir/$a")) None
+      else Some((if (marked) committedTranches(spark, s"$dir/$a")
+                 else allTranches(spark, s"$dir/$a")).toSet)
+    tags(cntArt, marked = true).exists(c => tags(rowArt, marked = false).contains(c))
+  }
+
+  private def allTranches(spark: org.apache.spark.sql.SparkSession,
+                          artifactDir: String): Seq[String] =
+    graft.util.Fs.hfs(spark, artifactDir)
+      .listStatus(new org.apache.hadoop.fs.Path(artifactDir))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+
+  /** Tranche dirs of an artifact proven COMPLETE by the committer's
+    * `_SUCCESS` marker. A tranche dir without the marker is a
+    * mid-write crash remnant — visible, possibly partial — EXCEPT when
+    * NO tranche carries a marker, which means the deployment disabled
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs` (the engine
+    * must not treat an entire healthy index as uncommitted); then all
+    * tranches count, restoring the pre-marker behavior. */
+  private[graft] def committedTranches(spark: org.apache.spark.sql.SparkSession,
+                                       artifactDir: String): Seq[String] = {
+    val fs = graft.util.Fs.hfs(spark, artifactDir)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(artifactDir))
+      .filter(_.getPath.getName.startsWith("batch="))
+    val marked = dirs.filter(st =>
+      fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+    val chosen = if (marked.isEmpty && dirs.nonEmpty) dirs.toSeq else marked.toSeq
+    chosen.map(_.getPath.getName)
+  }
+
   /** Refuse to append into a pre-tranche flat index: mixing loose part
     * files and `batch=` subdirs makes Spark's partition discovery fail
     * on the next read ("conflicting directory structures") — an
@@ -815,12 +869,17 @@ object DedupOps {
                                           commitWitness: String,
                                           partitionCols: Seq[String] = Nil): Unit = {
     require(artifacts.nonEmpty, s"consolidate: $dir has no index artifacts")
-    def tagsOf(a: String): Set[String] =
-      hfs(spark, dir).listStatus(new org.apache.hadoop.fs.Path(s"$dir/$a"))
-        .map(_.getPath.getName).filter(_.startsWith("batch="))
-        .map(_.stripPrefix("batch=")).toSet
     val witness = if (artifacts.contains(commitWitness)) commitWitness else artifacts.head
-    val committed = tagsOf(witness) + "build" + "consolidated"
+    // committedTranches: a witness tranche dir missing the committer's
+    // _SUCCESS marker is a mid-append crash remnant — for the
+    // single-artifact families (IVF/PQ/LSH vec) the artifact is its own
+    // witness, and absorbing a partial tranche (plus recording its tag
+    // in the ledger) would turn the documented same-tag crash retry
+    // into a fail-fast instead of a convergent overwrite. Unmarked
+    // tranches stay out of the rewrite AND the ledger; the retry
+    // overwrites them in place.
+    val committed = committedTranches(spark, s"$dir/$witness")
+      .map(_.stripPrefix("batch=")).toSet + "build" + "consolidated"
     for (artifact <- artifacts) {
       // no checkpoint needed: the single write action completes — fully
       // draining the read of the old tranches — BEFORE the renames
@@ -1165,7 +1224,7 @@ object DedupOps {
                                 k: Int, bands: Int, threshold: Double,
                                 maxBucket: Int): (DataFrame, () => Unit) = {
     val histSigs = spark.read.parquet(s"$dir/sig").select("doc_id", "sig")
-    if (pathExists(spark, s"$dir/bf")) {
+    if (countArtifactFresh(spark, dir, "sig", "bf")) {
       val histBf = spark.read.parquet(s"$dir/bf").drop("batch")
         .groupBy("band", "key").agg(sum(col("n")).as("__hc"))
         .select(col("band").as("__band"), col("key").as("__key"), col("__hc"))

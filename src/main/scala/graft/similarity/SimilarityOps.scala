@@ -163,10 +163,26 @@ object SimilarityOps {
     else buildInto(dir)
   }
 
+  /** Meta-file key lookup that names the FAMILY MISMATCH when absent:
+    * pointing an IVF probe at an IVF-PQ dir (or any cross-family mixup)
+    * must fail with the dir, the missing key, and the remedy — not a
+    * bare `NoSuchElementException: key not found`. */
+  private def metaKey(kv: Map[String, String], key: String,
+                      dir: String, family: String): String =
+    kv.getOrElse(key, throw new IllegalArgumentException(
+      s"$family index $dir: _graft_meta has no '$key' — the directory holds a " +
+        s"DIFFERENT index family (meta keys: ${kv.keys.toSeq.sorted.mkString(", ")}); " +
+        s"probe it with its own family's operators, or rebuild it as $family"))
+
   private[graft] def readLshNbits(spark: org.apache.spark.sql.SparkSession,
                                   dir: String): Int =
     readSmallFile(spark, s"$dir/_graft_meta")
-      .flatMap(_.linesIterator.find(_.startsWith("nbits=")).map(_.stripPrefix("nbits=").trim.toInt))
+      .map { s =>
+        s.linesIterator.find(_.startsWith("nbits=")).map(_.stripPrefix("nbits=").trim.toInt)
+          .getOrElse(throw new IllegalArgumentException(
+            s"LSH index $dir: _graft_meta has no 'nbits' — the directory holds a " +
+              "DIFFERENT index family; probe it with its own family's operators"))
+      }
       .getOrElse(throw new IllegalArgumentException(
         s"LSH index $dir has no _graft_meta — not a written LSH index (build it " +
           "with lshWriteIndex; the frozen nbits is the bucket-function contract)"))
@@ -405,7 +421,8 @@ object SimilarityOps {
         val Array(i, bits) = body.split(":", 2)
         (i.toInt, bits.split(",").map(b => java.lang.Double.longBitsToDouble(b.toLong)))
       }.toArray
-      IvfIndexMeta(kv("nLists").toInt, kv("dim").toInt, cents)
+      IvfIndexMeta(metaKey(kv, "nLists", dir, "IVF").toInt,
+        metaKey(kv, "dim", dir, "IVF").toInt, cents)
     }
 
   private def requireIvfMeta(spark: org.apache.spark.sql.SparkSession,
@@ -799,15 +816,15 @@ object SimilarityOps {
         val Array(i, bits) = l.stripPrefix("centroid=").split(":", 2)
         (i.toInt, bits.split(",").map(b => java.lang.Double.longBitsToDouble(b.toLong)))
       }.toArray
-      val m = kv("m").toInt
-      val k = kv("codebookK").toInt
+      val m = metaKey(kv, "m", dir, "IVF-PQ").toInt
+      val k = metaKey(kv, "codebookK", dir, "IVF-PQ").toInt
       val books = Array.ofDim[Array[Double]](m, k)
       lines.filter(_.startsWith("book=")).foreach { l =>
         val Array(sub, code, bits) = l.stripPrefix("book=").split(":", 3)
         books(sub.toInt)(code.toInt) =
           bits.split(",").map(b => java.lang.Double.longBitsToDouble(b.toLong))
       }
-      IvfPqIndexMeta(kv("nLists").toInt, m, k, cents, books)
+      IvfPqIndexMeta(metaKey(kv, "nLists", dir, "IVF-PQ").toInt, m, k, cents, books)
     }
 
   private def requireIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
@@ -1009,11 +1026,25 @@ object SimilarityOps {
       l2NormF(col(vecCol)).as("__qn"),
       explode(nearestListsExpr(meta.centroids, col(vecCol),
         math.min(nProbe, meta.nLists))).as("ivf_list"))
+    // STATIC partition pruning: the batch is too big to force-broadcast
+    // (an OOM-or-die plan), but without a broadcast join Spark's
+    // dynamic partition pruning stays off by default
+    // (dynamicPartitionPruning.reuseBroadcastOnly) and a shuffle join
+    // would scan ALL nLists partitions of the 100 TB index. The set of
+    // probed lists is bounded by nLists regardless of batch size —
+    // collect it (one bounded driver round-trip over a distinct of the
+    // probe explode) and push it as a literal IN filter the FileScan
+    // prunes on, independent of join strategy. nProbe = nLists probes
+    // every list and the filter degenerates to a no-op, as it should.
+    val probedLists = q.select("ivf_list").distinct()
+      .collect().map(_.getInt(0)).sorted
     // no same-id exclusion: a batch id already present in the index IS
     // a duplicate delivery (it matches itself at cosine 1) — dropping
     // it is the dedup contract, unlike top-k serving where a query
     // finding itself is noise
-    val dupIds = ivfIndexVectors(spark, dir).join(q, Seq("ivf_list"))
+    val dupIds = ivfIndexVectors(spark, dir)
+      .where(col("ivf_list").isin(probedLists.map(Integer.valueOf): _*))
+      .join(q, Seq("ivf_list"))
       .where(round(dotF(col("__qv"), col("__cv")) / (l2NormF(col("__cv")) * col("__qn")), 6)
           >= threshold)
       .select(col("__qid")).distinct()

@@ -536,11 +536,12 @@ object TextOps {
     val r = spark.read.parquet(s"$dir/wfp")
       .select(col("doc_id").as("__id"), col("wfp").as("__fp"))
     // combined hot-hash count: from the materialized wdf artifact when
-    // the index carries it (no batch+history re-window, no persist of
-    // the unioned history — the scale path); via the union window for
-    // a legacy pre-wdf index (consolidateWinnowIndex retrofits it)
+    // the index carries it FRESH (tag sets equal — a crashed append or
+    // consolidation diverges them, and stale counts over-prune); via
+    // the union window for a legacy/stale index
+    // (consolidateWinnowIndex retrofits/refreshes it)
     val (a, b, release): (DataFrame, DataFrame, () => Unit) =
-      if (pathExists(spark, s"$dir/wdf")) {
+      if (graft.dedup.DedupOps.countArtifactFresh(spark, dir, "wfp", "wdf")) {
         // batch rows fork into their counts and the join — persisted
         // so the winnow kernel runs once per consumer set; history is
         // touched only by the hot anti-join into the candidate join

@@ -649,6 +649,15 @@ class LlmOpsSpec extends SparkSpec {
     val want = batch.join(dup, Seq("vec_id"), "left_anti")
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(got == want && got.nonEmpty && got.size < batch.count())
+    // partition pruning must hold WITHOUT a broadcast hint (the batch
+    // side must never be force-broadcast — it is a day's ingest): the
+    // probed-list set is collected and pushed as a STATIC partition
+    // filter, so the index scan prunes under any join strategy
+    val narrowPlan = SimilarityOps.semanticDedupAgainstIndex(spark, idx, batch,
+      "vec_id", "embedding", threshold = 0.3, nProbe = 2)
+      .queryExecution.executedPlan.toString()
+    assert(narrowPlan.matches("(?s).*PartitionFilters: \\[[^\\]]*ivf_list[^\\]]*\\].*"),
+      s"expected a static ivf_list partition filter in:\n${narrowPlan.take(2000)}")
     // a re-delivered id (already indexed) matches itself at cosine 1 → drops
     SimilarityOps.ivfAppendToIndex(
       batch.join(got.toDF("vec_id"), Seq("vec_id"), "left_semi").localCheckpoint(true),
@@ -810,6 +819,101 @@ class LlmOpsSpec extends SparkSpec {
     TextOps.consolidateWinnowIndex(spark, widx)
     assert(graft.util.Fs.pathExists(spark, s"$widx/wdf"))
     assert(runOverlap() == viaWdf)
+  }
+
+  test("stale count artifacts are ignored: tag-set freshness routes probes to the window path") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_stale_idx").toString + "/idx"
+    val hist = corpus.where(col("doc_id") < 300)
+    DedupOps.writeDedupIndex(hist, idx, "doc_id", "text", portable = true)
+    // plant a near-dup so the healthy runs demonstrably DROP something —
+    // a poisoned-but-consulted count artifact (every count 10^9 ⇒ every
+    // shingle/bucket hot ⇒ no candidates) would visibly un-drop it
+    val h0 = hist.orderBy("doc_id").select("text").as[String].head()
+    val batch = corpus.where(col("doc_id") >= 300 && col("doc_id") < 450)
+      .unionByName(Seq((9002L, h0 + " appended")).toDF("doc_id", "text"))
+    def run() = DedupOps.dedupAgainstIndex(batch, idx, "doc_id", "text",
+      threshold = 0.3, maxBucket = 10, portable = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    def runA() = DedupOps.dedupAgainstIndexApprox(batch, idx, "doc_id", "text",
+      threshold = 0.3, maxBucket = 5).select("doc_id").as[Long].collect().sorted.toSeq
+    val healthy = run(); val healthyA = runA()
+    assert(healthy.size < batch.count() && healthyA.size < batch.count())
+    // a count tranche under a tag the ROW artifact lacks = the stale
+    // state a crash between row swap and count regeneration leaves
+    spark.read.parquet(s"$idx/df").drop("batch").withColumn("df", lit(1000000000L))
+      .write.parquet(s"$idx/df/batch=stale")
+    spark.read.parquet(s"$idx/bf").drop("batch").withColumn("n", lit(1000000000L))
+      .write.parquet(s"$idx/bf/batch=stale")
+    assert(run() == healthy)
+    assert(runA() == healthyA)
+    // consolidation regenerates the artifacts; freshness is restored
+    // and the count-driven paths re-engage with the same answers
+    DedupOps.consolidateDedupIndex(spark, idx)
+    assert(spark.read.parquet(s"$idx/df").where(col("df") >= 1000000000L).isEmpty)
+    assert(run() == healthy && runA() == healthyA)
+    // winnow twin
+    val widx = java.nio.file.Files.createTempDirectory("graft_stale_w").toString + "/w"
+    TextOps.writeWinnowIndex(hist, widx, "doc_id", "text", k = 8, w = 4, portable = true)
+    def runW() = TextOps.winnowOverlapAgainstIndex(batch, widx, "doc_id", "text",
+      minShared = 2, maxBucket = 20).as[(Long, Long, Long)].collect().sorted.toSeq
+    val healthyW = runW()
+    assert(healthyW.nonEmpty)
+    spark.read.parquet(s"$widx/wdf").drop("batch").withColumn("n", lit(1000000000L))
+      .write.parquet(s"$widx/wdf/batch=stale")
+    assert(runW() == healthyW)
+    TextOps.consolidateWinnowIndex(spark, widx)
+    assert(runW() == healthyW)
+  }
+
+  test("unmarked tranche (mid-commit crash): consolidation excludes it and the same-tag retry converges") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val vidx = java.nio.file.Files.createTempDirectory("graft_partial_ivf").toString + "/ivf"
+    SimilarityOps.ivfWriteIndex(emb.where(col("vec_id") < 200), vidx,
+      "vec_id", "embedding", nLists = 8)
+    val day = emb.where(col("vec_id") >= 200 && col("vec_id") < 250)
+    SimilarityOps.ivfAppendToIndex(day, vidx, "vec_id", "embedding", tag = "d7")
+    // simulate the job-commit crash: tranche dir visible, marker absent
+    val fs = new org.apache.hadoop.fs.Path(vidx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$vidx/vec/batch=d7/_SUCCESS"), false))
+    SimilarityOps.consolidateIvfIndex(spark, vidx)
+    def total() = SimilarityOps.ivfIndexStats(spark, vidx)
+      .agg(sum("n_rows")).as[Long].head()
+    // the partial tranche is OUT of the consolidated data and OUT of
+    // the ledger — it must not have been absorbed as if complete
+    assert(total() == 200L)
+    // ...so the documented same-tag crash retry CONVERGES instead of
+    // failing fast on "new data aliased onto an absorbed tag"
+    SimilarityOps.ivfAppendToIndex(day, vidx, "vec_id", "embedding", tag = "d7")
+    assert(total() == 250L)
+  }
+
+  test("cross-family probes fail fast naming the family mismatch, not a bare key error") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val q = emb.where(col("vec_id") < 5)
+    val lshDir = java.nio.file.Files.createTempDirectory("graft_fam_lsh").toString + "/l"
+    SimilarityOps.lshWriteIndex(emb.where(col("vec_id") < 100), lshDir,
+      "vec_id", "embedding", nbits = 4)
+    val eIvf = intercept[IllegalArgumentException] {
+      SimilarityOps.ivfProbeTopK(spark, lshDir, q, "vec_id", "embedding", k = 3, nProbe = 2)
+    }
+    assert(eIvf.getMessage.contains("DIFFERENT index family"))
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_fam_ivf").toString + "/v"
+    SimilarityOps.ivfWriteIndex(emb.where(col("vec_id") < 100), ivfDir,
+      "vec_id", "embedding", nLists = 4)
+    val eLsh = intercept[IllegalArgumentException] {
+      SimilarityOps.lshProbeTopK(spark, ivfDir, q, "vec_id", "embedding", k = 3)
+    }
+    assert(eLsh.getMessage.contains("DIFFERENT index family"))
+    val ePq = intercept[IllegalArgumentException] {
+      SimilarityOps.ivfPqProbeTopK(spark, ivfDir, emb, q, "vec_id", "vec_id",
+        "embedding", k = 3, nProbe = 2, shortlist = 10)
+    }
+    assert(ePq.getMessage.contains("DIFFERENT index family"))
   }
 
   test("index stats gauges: winnow + IVF counts match direct recomputation; consolidation visible") {
