@@ -85,6 +85,28 @@ object Bench {
         // jaccard path: shingle explode → two windows → self-join → agg
         DedupOps.ngramJaccardPairs(docs, "doc_id", "text")
           .write.format("noop").mode("overwrite").save()
+        // the curation COMPOSITION generates its own fused codegen
+        // stages (quality+fingerprint+window over a union, anti-join +
+        // token count) distinct from the per-family classes above —
+        // r8: q_curation 4.4 s cold vs 1.5 s warm with every family
+        // individually warmed. Compile the composed shape itself.
+        locally {
+          val doubled = docs.unionByName(
+            docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          val dd = DedupOps.exactDedup(TextOps.qualityScore(doubled, "text"),
+            "text", Seq(col("doc_id").asc))
+            .select("doc_id", "text", "quality_score").persist()
+          val dr = DedupOps.ngramJaccardPairs(dd, "doc_id", "text",
+            shingleN = 3, threshold = 0.6)
+            .select(col("id_b").as("doc_id")).distinct()
+          dd.join(dr, Seq("doc_id"), "left_anti")
+            .where(col("quality_score") >= 0.4)
+            .select(col("doc_id"),
+              TextOps.tokenCount(col("text")).cast(org.apache.spark.sql.types.LongType)
+                .as("n_tokens"), col("quality_score"))
+            .write.format("noop").mode("overwrite").save()
+          dd.unpersist()
+        }
         // transitive-groups family (r6 cold-attribution finding: the
         // alphabetically-first dedup query absorbed the banded
         // collect_list buckets, pair-struct explode, connected-
