@@ -342,12 +342,13 @@ object DedupOps {
       .where(coalesce(col("__bc"), lit(0L)) + coalesce(col("__hc"), lit(0L)) > maxBucket)
       .select("__s")
       .persist(StorageLevel.MEMORY_AND_DISK) // consumed by three anti-joins
-    // batch side forks into its denominator count and the candidate
-    // join — persisted (batch-sized); the history side is NOT persisted:
-    // at scale it cannot be, so it costs two column-pruned artifact
-    // scans instead
+    // prunedL's two consumers (denominator count, candidate join) each
+    // recompute one cheap anti-join FROM the cached l — persisting
+    // prunedL too would hold a second near-full copy of the batch's
+    // shingle rows for the call's lifetime. The history side is NOT
+    // persisted: at scale it cannot be, so it costs two column-pruned
+    // artifact scans instead
     val prunedL = l.join(hot, Seq("__s"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nl = prunedL.groupBy("__id").agg(count(lit(1)).as("__nl"))
       .select(col("__id").as("id_l"), col("__nl"))
     val prunedR = right.join(hot, Seq("__s"), "left_anti")
@@ -361,7 +362,7 @@ object DedupOps {
         (col("__inter").cast(DoubleType) /
           (col("__nl") + col("__nr") - col("__inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    (pairs, () => { prunedL.unpersist(); hot.unpersist(); l.unpersist(); () })
+    (pairs, () => { hot.unpersist(); l.unpersist(); () })
   }
 
   /** Cross-corpus jaccard pairs of a batch against the INDEX's shingle
@@ -729,7 +730,11 @@ object DedupOps {
       if (!graft.util.Fs.pathExists(spark, s"$dir/$a")) None
       else Some((if (marked) committedTranches(spark, s"$dir/$a")
                  else allTranches(spark, s"$dir/$a")).toSet)
-    tags(cntArt, marked = true).exists(c => tags(rowArt, marked = false).contains(c))
+    // fresh ⇔ both artifacts exist AND the tag sets are EQUAL
+    (tags(cntArt, marked = true), tags(rowArt, marked = false)) match {
+      case (Some(cnt), Some(row)) => cnt == row
+      case _                      => false
+    }
   }
 
   private def allTranches(spark: org.apache.spark.sql.SparkSession,
@@ -750,10 +755,16 @@ object DedupOps {
     val fs = graft.util.Fs.hfs(spark, artifactDir)
     val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(artifactDir))
       .filter(_.getPath.getName.startsWith("batch="))
-    val marked = dirs.filter(st =>
-      fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-    val chosen = if (marked.isEmpty && dirs.nonEmpty) dirs.toSeq else marked.toSeq
-    chosen.map(_.getPath.getName)
+      .map(_.getPath.getName)
+    // ONE globStatus resolves every marker — a per-tranche fs.exists
+    // would be N+1 HEAD requests against an object store on the daily
+    // probe path (a year of appends = ~365 round-trips per probe)
+    val marked = fs.globStatus(
+      new org.apache.hadoop.fs.Path(artifactDir, "batch=*/_SUCCESS"))
+      .map(_.getPath.getParent.getName).toSet
+    val chosen = if (marked.isEmpty && dirs.nonEmpty) dirs.toSeq
+                 else dirs.filter(marked.contains).toSeq
+    chosen
   }
 
   /** Refuse to append into a pre-tranche flat index: mixing loose part
@@ -855,13 +866,17 @@ object DedupOps {
     * so the rewrite/ledger contract can never drift between them.
     *
     * A tranche is COMMITTED only if it appears in `commitWitness` —
-    * the artifact the append path writes LAST. A tag present in
-    * earlier artifacts but missing there is a half-appended crash
+    * the artifact the append path writes LAST — AND carries the
+    * committer's `_SUCCESS` marker there ([[committedTranches]]). A
+    * tag failing either test is unproven: a half-appended crash
     * remnant whose documented recovery is "re-run the append with the
-    * same tag": such tranches are EXCLUDED from both the rewrite and
-    * the absorbed ledger (absorbing them would turn the recovery retry
-    * into a no-op and permanently lose the unwritten artifacts' rows),
-    * and the swap drops their partial rows — the retry regenerates
+    * same tag", or a complete tranche whose marker was stripped.
+    * Unproven tranches are EXCLUDED from the rewrite and the absorbed
+    * ledger (absorbing them would turn the recovery retry into a no-op
+    * and permanently lose the unwritten artifacts' rows) but their
+    * dirs are PRESERVED byte-for-byte through the swap — dropping them
+    * would silently destroy a stripped-marker tranche's data. The
+    * retry overwrites a preserved remnant in place and regenerates
     * every artifact from the frozen survivor set.
     */
   private[graft] def consolidateArtifacts(spark: org.apache.spark.sql.SparkSession,
@@ -871,13 +886,18 @@ object DedupOps {
     require(artifacts.nonEmpty, s"consolidate: $dir has no index artifacts")
     val witness = if (artifacts.contains(commitWitness)) commitWitness else artifacts.head
     // committedTranches: a witness tranche dir missing the committer's
-    // _SUCCESS marker is a mid-append crash remnant — for the
-    // single-artifact families (IVF/PQ/LSH vec) the artifact is its own
-    // witness, and absorbing a partial tranche (plus recording its tag
-    // in the ledger) would turn the documented same-tag crash retry
-    // into a fail-fast instead of a convergent overwrite. Unmarked
-    // tranches stay out of the rewrite AND the ledger; the retry
-    // overwrites them in place.
+    // _SUCCESS marker is not PROVEN complete — a mid-append crash
+    // remnant, or a complete tranche whose zero-byte marker an
+    // object-store lifecycle rule stripped. The two are
+    // indistinguishable from here, so consolidation must neither
+    // absorb such a tranche (a partial one's ledger entry would turn
+    // the documented same-tag crash retry into a fail-fast) NOR drop
+    // its rows (a stripped-marker complete one would silently lose
+    // every document it holds, with nobody left to retry). Unproven
+    // tranches are therefore PRESERVED as-is through the swap,
+    // unconsolidated and unabsorbed: a crash retry overwrites them in
+    // place, a stripped-marker tranche just stays a splinter tranche
+    // (visible in the stats gauge) until a marker-bearing rewrite.
     val committed = committedTranches(spark, s"$dir/$witness")
       .map(_.stripPrefix("batch=")).toSet + "build" + "consolidated"
     for (artifact <- artifacts) {
@@ -886,13 +906,15 @@ object DedupOps {
       // mutate anything (unlike the append path, where a second action
       // re-evaluated a plan over an already-mutated index).
       // distinct(): self-healing against double-appended rows; the
-      // committed-tag filter keeps half-appended remnants out (partition
-      // values may be type-inferred, hence the string cast; a legacy
-      // flat artifact has no batch column and is read whole)
+      // committed-tag filter keeps unproven tranches out of the rewrite
+      // (partition values may be type-inferred, hence the string cast;
+      // a legacy flat artifact has no batch column and is read whole)
       val all = spark.read.parquet(s"$dir/$artifact")
       val data = (if (all.columns.contains("batch"))
         all.where(col("batch").cast(StringType).isin(committed.toSeq: _*))
       else all).drop("batch").distinct()
+      val unproven = allTranches(spark, s"$dir/$artifact")
+        .filterNot(t => committed.contains(t.stripPrefix("batch=")))
       graft.merge.Merge.atomicSwap(spark, s"$dir/$artifact") { tmp =>
         // sub-partitioning (e.g. the IVF index's ivf_list) must survive
         // the rewrite as PARTITION columns — demoting one to a data
@@ -901,6 +923,16 @@ object DedupOps {
         val w = data.write.mode("overwrite")
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
           .parquet(s"$tmp/batch=consolidated")
+        // carry unproven tranche dirs into the new tree byte-for-byte —
+        // the swap must not be the thing that deletes unproven data
+        val fs = hfs(spark, dir)
+        val conf = spark.sparkContext.hadoopConfiguration
+        unproven.foreach { t =>
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, new org.apache.hadoop.fs.Path(s"$dir/$artifact/$t"),
+            fs, new org.apache.hadoop.fs.Path(s"$tmp/$t"),
+            false, conf)
+        }
       }
     }
     // ledger last: a crash before this line leaves a replay window for

@@ -1022,10 +1022,16 @@ object SimilarityOps {
                                 batch: DataFrame, idCol: String, vecCol: String,
                                 threshold: Double, nProbe: Int): DataFrame = {
     val meta = requireIvfMeta(spark, dir)
+    // persisted: the probe pipeline (norms + fused nearest-centroids +
+    // explode) forks into the probed-list collect below and the
+    // candidate join — unpersisted it would run the whole batch twice.
+    // Same session-cache contract as the text-side dedup operators
+    // (`clearCache()` between jobs releases it).
     val q = batch.select(col(idCol).as("__qid"), col(vecCol).as("__qv"),
       l2NormF(col(vecCol)).as("__qn"),
       explode(nearestListsExpr(meta.centroids, col(vecCol),
         math.min(nProbe, meta.nLists))).as("ivf_list"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // STATIC partition pruning: the batch is too big to force-broadcast
     // (an OOM-or-die plan), but without a broadcast join Spark's
     // dynamic partition pruning stays off by default

@@ -386,10 +386,15 @@ class LlmOpsSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(s"$idx/fp/batch=day1"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$idx/sig/batch=day1"), true)
     DedupOps.consolidateDedupIndex(spark, idx)
-    // the half-committed tranche is NOT in the ledger and its partial
-    // rows are NOT in the consolidated corpus
+    // the half-committed tranche is NOT in the ledger and NOT in the
+    // consolidated rewrite, but its dir is PRESERVED — consolidation
+    // cannot distinguish a crash remnant from a complete tranche whose
+    // _SUCCESS marker was stripped, and deleting the latter would be
+    // silent data loss; the same-tag retry overwrites the remnant
     assert(DedupOps.readAbsorbedTags(spark, idx).isEmpty)
-    assert(spark.read.parquet(s"$idx/sh").where(col("doc_id") === 2L).count() == 0)
+    assert(spark.read.parquet(s"$idx/sh/batch=consolidated")
+      .where(col("doc_id") === 2L).count() == 0)
+    assert(new java.io.File(s"$idx/sh/batch=day1").exists())
     // the documented recovery — re-run the append with the same tag —
     // still lands every artifact
     DedupOps.appendToDedupIndex(batch, idx, "doc_id", "text", tag = "day1")
@@ -882,12 +887,21 @@ class LlmOpsSpec extends SparkSpec {
     SimilarityOps.consolidateIvfIndex(spark, vidx)
     def total() = SimilarityOps.ivfIndexStats(spark, vidx)
       .agg(sum("n_rows")).as[Long].head()
-    // the partial tranche is OUT of the consolidated data and OUT of
-    // the ledger — it must not have been absorbed as if complete
-    assert(total() == 200L)
-    // ...so the documented same-tag crash retry CONVERGES instead of
-    // failing fast on "new data aliased onto an absorbed tag"
+    def tranches() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$vidx/vec"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    // the unproven tranche is OUT of the consolidated rewrite and OUT
+    // of the ledger, but its dir (and rows) are PRESERVED — an
+    // unmarked-but-complete tranche (marker stripped) must not lose
+    // data, and a genuinely partial one is about to be overwritten
+    assert(tranches() == Seq("batch=consolidated", "batch=d7"))
+    assert(total() == 250L)
+    // ...so the documented same-tag crash retry CONVERGES in place
+    // instead of failing fast on "new data aliased onto an absorbed
+    // tag", and the NEXT consolidation (marker restored) absorbs it
     SimilarityOps.ivfAppendToIndex(day, vidx, "vec_id", "embedding", tag = "d7")
+    assert(total() == 250L)
+    SimilarityOps.consolidateIvfIndex(spark, vidx)
+    assert(tranches() == Seq("batch=consolidated"))
     assert(total() == 250L)
   }
 
