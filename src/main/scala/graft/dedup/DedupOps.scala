@@ -1047,6 +1047,45 @@ object DedupOps {
     }.toDF("artifact", "n_rows", "n_docs", "n_tranches")
   }
 
+  /** At-rest index HEALTH: one row per present artifact,
+    * `(artifact, n_tranches, n_unproven, count_fresh)` — the
+    * fs-metadata companion to [[dedupIndexStats]]'s row counts, read
+    * without touching any data file. `n_unproven` counts tranche dirs
+    * missing the committer's `_SUCCESS` marker (a pending same-tag
+    * retry, or a stripped marker — either way consolidation will
+    * preserve-not-absorb them until resolved); `count_fresh` says
+    * whether the df/bf count artifacts currently drive the fast prune
+    * path or the probes are on the window fallback (NULL for row
+    * artifacts). The triage order an operator follows: `count_fresh =
+    * false` → consolidate; `n_unproven > 0` → find and re-run the
+    * owning append; large `n_tranches` → consolidate for splinter-file
+    * economics.
+    */
+  def dedupIndexHealth(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val present = IndexArtifacts.filter(a => pathExists(spark, s"$dir/$a"))
+    require(present.nonEmpty,
+      s"dedupIndexHealth: $dir has none of ${IndexArtifacts.mkString("/")} — " +
+        "not a dedup index (build one with writeDedupIndex)")
+    artifactHealth(spark, dir, present, Map("df" -> "sh", "bf" -> "sig"))
+  }
+
+  /** Family-generic core of the health gauge (shared with the winnow
+    * and IVF twins): `countPairs` maps each count artifact to the row
+    * artifact whose tag set proves it fresh. Pure directory listings —
+    * no data file is opened. */
+  private[graft] def artifactHealth(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String, artifacts: Seq[String],
+                                    countPairs: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    artifacts.map { a =>
+      val all = allTranches(spark, s"$dir/$a")
+      val marked = committedTranches(spark, s"$dir/$a").toSet
+      val fresh: Option[Boolean] =
+        countPairs.get(a).map(row => countArtifactFresh(spark, dir, row, a))
+      (a, all.size, all.count(t => !marked.contains(t)), fresh)
+    }.toDF("artifact", "n_tranches", "n_unproven", "count_fresh")
+  }
+
   /** Per-document dedup DECISION REPORT against the materialized
     * index — the observability twin of [[dedupAgainstIndex]]: instead
     * of silently dropping duplicates, every batch document gets a row

@@ -651,6 +651,31 @@ object LlmQueries {
       DedupOps.dedupIndexStats(s, idx)
     },
 
+    // ---- at-rest index HEALTH gauge: tranche counts, unproven
+    //      (marker-less) tranches, count-artifact freshness — pure
+    //      directory metadata; a healthy build+append lifecycle reads
+    //      all-clear, and the sick states (pending retry, stale
+    //      counts) are spec-exercised where the oracle can't follow ----
+    Q("q_index_health",
+      s"""SELECT 'sh' AS artifact, CAST(2 AS INTEGER) AS n_tranches,
+        |  CAST(0 AS INTEGER) AS n_unproven, CAST(NULL AS VARCHAR) AS count_fresh
+        |UNION ALL SELECT 'fp', 2, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'sig', 2, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'df', 2, 0, 'true'
+        |UNION ALL SELECT 'bf', 2, 0, 'true'""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val idx = graft.util.Scratch.path("dedup_health_idx", dir)
+      DedupOps.writeDedupIndex(docs.where(col("doc_id") < 300), idx,
+        "doc_id", "text", portable = true)
+      DedupOps.appendToDedupIndex(
+        docs.where(col("doc_id") >= 300 && col("doc_id") < 400), idx,
+        "doc_id", "text", tag = "day1", portable = true)
+      // boolean-with-NULL trips the arrow compare (NaN vs None) — the
+      // gauge keeps its boolean schema; only the gate projects varchar
+      DedupOps.dedupIndexHealth(s, idx)
+        .withColumn("count_fresh", col("count_fresh").cast(StringType))
+    },
+
     // ---- per-document dedup decision report: every batch doc gets
     //      (id, decision, best_jaccard) — exact | near | unique with
     //      the best history jaccard (near-misses included: the

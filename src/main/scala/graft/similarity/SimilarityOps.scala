@@ -912,6 +912,19 @@ object SimilarityOps {
       .withColumn("n_tranches", lit(nTranches))
   }
 
+  /** [[graft.dedup.DedupOps.dedupIndexHealth]]'s vector-family twin:
+    * tranche/marker triage for whichever of the `vec`/`pq` artifacts
+    * the directory holds (IVF, LSH, and IVF-PQ layouts all qualify) —
+    * the vector families carry no count artifact, so `count_fresh` is
+    * always NULL here. Directory metadata only. */
+  def ivfIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    val present = Seq("vec", "pq").filter(a => graft.util.Fs.pathExists(spark, s"$dir/$a"))
+    require(present.nonEmpty,
+      s"ivfIndexHealth: $dir has neither vec nor pq — not a written vector index")
+    graft.dedup.DedupOps.artifactHealth(spark, dir, present, Map.empty)
+  }
+
   /** [[consolidateIvfIndex]]'s twin for the IVF-PQ code artifact —
     * shared protocol, `ivf_list` partitioning preserved. */
   def consolidateIvfPqIndex(spark: org.apache.spark.sql.SparkSession,

@@ -500,6 +500,19 @@ object TextOps {
       Seq("wfp", "wdf").filter(a => graft.util.Fs.pathExists(spark, s"$dir/$a")))
   }
 
+  /** [[graft.dedup.DedupOps.dedupIndexHealth]]'s winnow twin: tranche/
+    * marker/freshness triage per artifact from directory metadata
+    * alone. */
+  def winnowIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    readWinnowIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"winnowIndexHealth: $dir has no _graft_meta — not a winnow index " +
+        "(build it with writeWinnowIndex)"))
+    graft.dedup.DedupOps.artifactHealth(spark, dir,
+      Seq("wfp", "wdf").filter(a => graft.util.Fs.pathExists(spark, s"$dir/$a")),
+      Map("wdf" -> "wfp"))
+  }
+
   /** Partial-overlap pairs of a NEW batch against the MATERIALIZED
     * winnow index: the batch winnows from text (params from
     * `_graft_meta`), the history side reads the compact `wfp` artifact

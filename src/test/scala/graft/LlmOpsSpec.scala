@@ -930,6 +930,58 @@ class LlmOpsSpec extends SparkSpec {
     assert(ePq.getMessage.contains("DIFFERENT index family"))
   }
 
+  test("index health gauges: unproven tranches and count staleness become visible rows") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_health_idx").toString + "/idx"
+    DedupOps.writeDedupIndex(corpus.where(col("doc_id") < 200), idx,
+      "doc_id", "text", portable = true)
+    DedupOps.appendToDedupIndex(corpus.where(col("doc_id") >= 200 && col("doc_id") < 250),
+      idx, "doc_id", "text", tag = "d1", portable = true)
+    def health() = DedupOps.dedupIndexHealth(spark, idx)
+      .as[(String, Int, Int, Option[Boolean])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val ok = health()
+    assert(ok.keySet == Set("sh", "fp", "sig", "df", "bf"))
+    assert(ok.values.forall { case (t, u, _) => t == 2 && u == 0 })
+    assert(ok("df")._3.contains(true) && ok("bf")._3.contains(true) && ok("sh")._3.isEmpty)
+    // stale count artifact (tag the row artifact lacks) flips fresh off
+    spark.read.parquet(s"$idx/df").drop("batch").limit(1)
+      .write.parquet(s"$idx/df/batch=stale")
+    assert(health()("df")._3.contains(false) && health()("bf")._3.contains(true))
+    // an unmarked tranche surfaces as unproven
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/sh/batch=d1/_SUCCESS"), false))
+    assert(health()("sh")._2 == 1)
+    // consolidation heals everything the gauge flagged
+    DedupOps.consolidateDedupIndex(spark, idx)
+    val healed = health()
+    assert(healed("df")._3.contains(true) && healed("bf")._3.contains(true))
+    assert(healed.values.forall(_._2 == 0))
+    // winnow + vector twins
+    val widx = java.nio.file.Files.createTempDirectory("graft_health_w").toString + "/w"
+    TextOps.writeWinnowIndex(corpus.where(col("doc_id") < 100), widx,
+      "doc_id", "text", k = 8, w = 4, portable = true)
+    val wh = graft.text.TextOps.winnowIndexHealth(spark, widx)
+      .as[(String, Int, Int, Option[Boolean])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(wh.keySet == Set("wfp", "wdf") && wh("wdf")._3.contains(true))
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val vidx = java.nio.file.Files.createTempDirectory("graft_health_v").toString + "/v"
+    SimilarityOps.ivfWriteIndex(emb.where(col("vec_id") < 100), vidx,
+      "vec_id", "embedding", nLists = 4)
+    SimilarityOps.ivfAppendToIndex(emb.where(col("vec_id") >= 100 && col("vec_id") < 120),
+      vidx, "vec_id", "embedding", tag = "d1")
+    val vh0 = SimilarityOps.ivfIndexHealth(spark, vidx)
+      .as[(String, Int, Int, Option[Boolean])].collect().toSeq
+    assert(vh0 == Seq(("vec", 2, 0, None)))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$vidx/vec/batch=d1/_SUCCESS"), false))
+    assert(SimilarityOps.ivfIndexHealth(spark, vidx)
+      .as[(String, Int, Int, Option[Boolean])].collect().toSeq == Seq(("vec", 2, 1, None)))
+  }
+
   test("index stats gauges: winnow + IVF counts match direct recomputation; consolidation visible") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
