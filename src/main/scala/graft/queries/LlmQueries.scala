@@ -135,6 +135,37 @@ object LlmQueries {
       |         WHERE ch.corpus_id <> qp.query_id),
       |${duckRerankTail("cand", k)}""".stripMargin
 
+  /** Oracle for `recallAtK(ivfTopK(nProbe), bruteForceTopK)`: replay
+    * BOTH top-k selections (frozen-centroid probe + brute force) and
+    * the per-query overlap fraction. Membership-only comparison — the
+    * 6 dp cosine rounding both engines share decides identical sets
+    * under the same ulp bet every ANN oracle makes; the final division
+    * is one IEEE op on small ints, identical cross-engine. */
+  private def annRecallOracleSql(cents: Array[(Int, Array[Double])],
+                                 nProbe: Int, k: Int): String =
+    s"""WITH ${centsCte(cents)},
+      |${ivfAssignCtes(nProbe)},
+      |cand AS (SELECT qp.query_id, ch.corpus_id FROM qp JOIN ch USING (l)
+      |         WHERE ch.corpus_id <> qp.query_id),
+      |aex AS (SELECT cand.query_id, cand.corpus_id, ${duckCos("eq.embedding", "ec.embedding")} AS cos
+      |        FROM cand JOIN embeddings eq ON eq.vec_id = cand.query_id
+      |        JOIN embeddings ec ON ec.vec_id = cand.corpus_id),
+      |atop AS (SELECT query_id, corpus_id, 1 AS hit FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+      |    FROM aex) WHERE rank <= $k),
+      |bex AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |          ${duckCos("q.embedding", "c.embedding")} AS cos
+      |        FROM embeddings q CROSS JOIN embeddings c
+      |        WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      |btop AS (SELECT query_id, corpus_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+      |    FROM bex) WHERE rank <= $k)
+      |SELECT b.query_id,
+      |  CAST(sum(COALESCE(a.hit, 0)) AS DOUBLE) / count(*) AS recall
+      |FROM btop b LEFT JOIN atop a
+      |  ON a.query_id = b.query_id AND a.corpus_id = b.corpus_id
+      |GROUP BY 1""".stripMargin
+
   /** Oracle for `ivfIndexStats` over a build(<300)+append(300..400)
     * lifecycle: replay the frozen-centroid home-list assignment for
     * every indexed vector, then per-list counts. */
@@ -1338,6 +1369,20 @@ object LlmQueries {
         k = 5, nLists = 16, nProbe = 4,
         centroids = Some(sharedCentroids(s, dir)))
         .select("query_id", "corpus_id", "cos", "rank")
+    },
+
+    // ---- ANN recall gauge: the measurement every budget knob is
+    //      tuned against — per-query recall@5 of the nProbe=4 config
+    //      vs exact brute force on a sampled query set; the oracle
+    //      replays BOTH selections and the overlap fraction ----
+    Q.dynamic("q_ann_recall")(
+      soleFit(ivfFitCache).map(c => annRecallOracleSql(c, nProbe = 4, k = 5))) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 20)
+      val approx = SimilarityOps.ivfTopK(q, e, "vec_id", "vec_id", "embedding",
+        k = 5, nLists = 16, nProbe = 4, centroids = Some(sharedCentroids(s, dir)))
+      val exact = SimilarityOps.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", k = 5)
+      SimilarityOps.recallAtK(approx, exact)
     },
 
     // ---- materialized IVF index, full lifecycle: BUILD from the even

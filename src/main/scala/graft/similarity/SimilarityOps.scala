@@ -79,6 +79,26 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Per-query recall@k of an APPROXIMATE top-k result against the
+    * exact one: `|approx ∩ exact| / |exact|` per query — the tuning
+    * gauge every ANN budget knob (nProbe, nbits, multiProbe,
+    * shortlist) is turned against. Both inputs are any of this
+    * module's top-k shapes (`query_id, corpus_id, ...`); ground truth
+    * is typically [[bruteForceTopK]] on a SAMPLED query set — recall
+    * measurement costs one exact search per sampled query, so at
+    * corpus scale the operator's input is hundreds of queries, not
+    * the serving load. Scale shape: two k×|queries| frames through
+    * one equi-join and a map-side-combinable per-query aggregate —
+    * negligible next to the searches that produced them.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("corpus_id"))
+      .join(approx.select(col("query_id"), col("corpus_id"), lit(1L).as("__hit")),
+        Seq("query_id", "corpus_id"), "left")
+      .groupBy("query_id")
+      .agg((sum(coalesce(col("__hit"), lit(0L))).cast(DoubleType) /
+        count(lit(1))).as("recall"))
+
   /** Deterministic sign-LSH bucket: bit i = sign of component i of the
     * first `nbits` dimensions (a fixed axis-aligned "hyperplane" set —
     * deterministic and engine-portable; swap in seeded random

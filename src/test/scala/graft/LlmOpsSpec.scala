@@ -930,6 +930,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(ePq.getMessage.contains("DIFFERENT index family"))
   }
 
+  test("recallAtK: exact-vs-itself is 1.0; misses and extras counted against the exact set only") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L)).toDF("query_id", "corpus_id")
+    // q1: approx found 2 of 4 (plus an extra the exact set lacks —
+    // extras must not inflate recall); q2: found both
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L),
+      (2L, 20L), (2L, 21L)).toDF("query_id", "corpus_id")
+    val got = SimilarityOps.recallAtK(approx, exact)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 0.5, 2L -> 1.0))
+    assert(SimilarityOps.recallAtK(exact, exact)
+      .as[(Long, Double)].collect().forall(_._2 == 1.0))
+    // the real gauge: a full-probe IVF config is exact by construction
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val q = emb.where(col("vec_id") < 10)
+    val brute = SimilarityOps.bruteForceTopK(q, emb, "vec_id", "vec_id", "embedding", k = 5)
+    val full = SimilarityOps.ivfTopK(q, emb, "vec_id", "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 8)
+    assert(SimilarityOps.recallAtK(full, brute)
+      .as[(Long, Double)].collect().forall(_._2 == 1.0))
+  }
+
   test("index health gauges: unproven tranches and count staleness become visible rows") {
     val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
