@@ -751,21 +751,27 @@ object DedupOps {
     * must not treat an entire healthy index as uncommitted); then all
     * tranches count, restoring the pre-marker behavior. */
   private[graft] def committedTranches(spark: org.apache.spark.sql.SparkSession,
-                                       artifactDir: String): Seq[String] = {
-    val fs = graft.util.Fs.hfs(spark, artifactDir)
-    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(artifactDir))
-      .filter(_.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName)
-    // ONE globStatus resolves every marker — a per-tranche fs.exists
-    // would be N+1 HEAD requests against an object store on the daily
-    // probe path (a year of appends = ~365 round-trips per probe)
-    val marked = fs.globStatus(
+                                       artifactDir: String): Seq[String] =
+    chooseCommitted(allTranches(spark, artifactDir),
+      markedTranches(spark, artifactDir))
+
+  /** Tranche dirs carrying the committer's `_SUCCESS` marker. ONE
+    * globStatus resolves every marker — a per-tranche fs.exists would
+    * be N+1 HEAD requests against an object store on the daily probe
+    * path (a year of appends = ~365 round-trips per probe). */
+  private[graft] def markedTranches(spark: org.apache.spark.sql.SparkSession,
+                                    artifactDir: String): Set[String] =
+    graft.util.Fs.hfs(spark, artifactDir).globStatus(
       new org.apache.hadoop.fs.Path(artifactDir, "batch=*/_SUCCESS"))
       .map(_.getPath.getParent.getName).toSet
-    val chosen = if (marked.isEmpty && dirs.nonEmpty) dirs.toSeq
-                 else dirs.filter(marked.contains).toSeq
-    chosen
-  }
+
+  /** The single implementation of the no-marker fallback rule: when NO
+    * tranche carries a marker the deployment disabled
+    * `marksuccessfuljobs` and every tranche counts; otherwise only the
+    * marked ones do. */
+  private[graft] def chooseCommitted(all: Seq[String],
+                                     marked: Set[String]): Seq[String] =
+    if (marked.isEmpty && all.nonEmpty) all else all.filter(marked.contains)
 
   /** Refuse to append into a pre-tranche flat index: mixing loose part
     * files and `batch=` subdirs makes Spark's partition discovery fail
@@ -1048,42 +1054,74 @@ object DedupOps {
   }
 
   /** At-rest index HEALTH: one row per present artifact,
-    * `(artifact, n_tranches, n_unproven, count_fresh)` — the
+    * `(artifact, n_tranches, n_marked, n_unproven, count_fresh)` — the
     * fs-metadata companion to [[dedupIndexStats]]'s row counts, read
-    * without touching any data file. `n_unproven` counts tranche dirs
-    * missing the committer's `_SUCCESS` marker (a pending same-tag
-    * retry, or a stripped marker — either way consolidation will
-    * preserve-not-absorb them until resolved); `count_fresh` says
-    * whether the df/bf count artifacts currently drive the fast prune
-    * path or the probes are on the window fallback (NULL for row
-    * artifacts). The triage order an operator follows: `count_fresh =
-    * false` → consolidate; `n_unproven > 0` → find and re-run the
-    * owning append; large `n_tranches` → consolidate for splinter-file
-    * economics.
+    * without touching any data file. `n_unproven` uses the SAME
+    * definition consolidation acts on ([[consolidateArtifacts]]): a
+    * tranche tag is unproven iff the fp commit-witness — the artifact
+    * the append path writes LAST — does not prove it committed. A
+    * mid-append crash (tag present in sh/sig/bf/df but absent from, or
+    * unmarked in, fp) therefore shows `n_unproven > 0` on every
+    * half-written artifact, and the documented recovery is a same-tag
+    * re-run of the owning append (consolidation PRESERVES, not
+    * absorbs, unproven tranches until then). `n_marked` counts tranche
+    * dirs carrying the committer's `_SUCCESS` marker: `n_marked <
+    * n_tranches` with `n_unproven = 0` is a stripped marker on a
+    * witness-proven tranche (harmless — the next consolidation absorbs
+    * it), while `n_marked = 0` with tranches present is EITHER a
+    * marker-disabled deployment or a fleet-wide lifecycle-rule strip —
+    * indistinguishable from metadata, so the committed fallback counts
+    * every tranche and the operator must know which deployment they
+    * run. `count_fresh` says whether the df/bf count artifacts
+    * currently drive the fast prune path or the probes are on the
+    * window fallback (NULL for row artifacts); `false` → consolidate.
+    * Large `n_tranches` → consolidate for splinter-file economics.
     */
   def dedupIndexHealth(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val present = IndexArtifacts.filter(a => pathExists(spark, s"$dir/$a"))
     require(present.nonEmpty,
       s"dedupIndexHealth: $dir has none of ${IndexArtifacts.mkString("/")} — " +
         "not a dedup index (build one with writeDedupIndex)")
-    artifactHealth(spark, dir, present, Map("df" -> "sh", "bf" -> "sig"))
+    artifactHealth(spark, dir, present, Map("df" -> "sh", "bf" -> "sig"),
+      witness = Some("fp"))
   }
 
   /** Family-generic core of the health gauge (shared with the winnow
     * and IVF twins): `countPairs` maps each count artifact to the row
-    * artifact whose tag set proves it fresh. Pure directory listings —
-    * no data file is opened. */
+    * artifact whose tag set proves it fresh; `witness` names the
+    * family's commit-witness artifact (None → each artifact witnesses
+    * itself, the single-artifact vector families). ONE listing + ONE
+    * marker glob per artifact, threaded through every derived column —
+    * the triage gauge must not double the object-store round-trips it
+    * exists to economize. No data file is opened. */
   private[graft] def artifactHealth(spark: org.apache.spark.sql.SparkSession,
                                     dir: String, artifacts: Seq[String],
-                                    countPairs: Map[String, String]): DataFrame = {
+                                    countPairs: Map[String, String],
+                                    witness: Option[String]): DataFrame = {
     import spark.implicits._
+    val meta: Map[String, (Seq[String], Set[String])] = artifacts.map { a =>
+      a -> ((allTranches(spark, s"$dir/$a"), markedTranches(spark, s"$dir/$a")))
+    }.toMap
+    def committedOf(a: String): Set[String] = {
+      val (all, marked) = meta(a)
+      chooseCommitted(all, marked).toSet
+    }
+    // the witness's proven-tag set, exactly as consolidateArtifacts
+    // computes it (build/consolidated predate the witness protocol and
+    // are always committed)
+    def provenTags(a: String): Set[String] =
+      committedOf(witness.filter(meta.contains).getOrElse(a))
+        .map(_.stripPrefix("batch=")) + "build" + "consolidated"
     artifacts.map { a =>
-      val all = allTranches(spark, s"$dir/$a")
-      val marked = committedTranches(spark, s"$dir/$a").toSet
-      val fresh: Option[Boolean] =
-        countPairs.get(a).map(row => countArtifactFresh(spark, dir, row, a))
-      (a, all.size, all.count(t => !marked.contains(t)), fresh)
-    }.toDF("artifact", "n_tranches", "n_unproven", "count_fresh")
+      val (all, marked) = meta(a)
+      val proven = provenTags(a)
+      // same comparison countArtifactFresh makes — committed count
+      // tranches vs ALL row tranches — from the already-listed metadata
+      val fresh: Option[Boolean] = countPairs.get(a).map(row =>
+        meta.get(row).exists(r => committedOf(a) == r._1.toSet))
+      (a, all.size, all.count(marked.contains),
+        all.count(t => !proven.contains(t.stripPrefix("batch="))), fresh)
+    }.toDF("artifact", "n_tranches", "n_marked", "n_unproven", "count_fresh")
   }
 
   /** Per-document dedup DECISION REPORT against the materialized

@@ -689,11 +689,12 @@ object LlmQueries {
     //      counts) are spec-exercised where the oracle can't follow ----
     Q("q_index_health",
       s"""SELECT 'sh' AS artifact, CAST(2 AS INTEGER) AS n_tranches,
+        |  CAST(2 AS INTEGER) AS n_marked,
         |  CAST(0 AS INTEGER) AS n_unproven, CAST(NULL AS VARCHAR) AS count_fresh
-        |UNION ALL SELECT 'fp', 2, 0, CAST(NULL AS VARCHAR)
-        |UNION ALL SELECT 'sig', 2, 0, CAST(NULL AS VARCHAR)
-        |UNION ALL SELECT 'df', 2, 0, 'true'
-        |UNION ALL SELECT 'bf', 2, 0, 'true'""".stripMargin) { (s, dir) =>
+        |UNION ALL SELECT 'fp', 2, 2, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'sig', 2, 2, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'df', 2, 2, 0, 'true'
+        |UNION ALL SELECT 'bf', 2, 2, 0, 'true'""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents").select("doc_id", "text")
       val idx = graft.util.Scratch.path("dedup_health_idx", dir)
       DedupOps.writeDedupIndex(docs.where(col("doc_id") < 300), idx,
@@ -1711,6 +1712,33 @@ object LlmQueries {
       TrainingOps.packSequences(docs, "doc_id", "n_tokens",
         maxTokens = 512, nShards = 8, portable = true)
         .select("doc_id", "shard", "n_tokens", "seq_start", "seq_end", "offset")
+    },
+
+    // ---- deterministic epoch shuffle: seeded-hash total order as
+    //      (bucket, rank-within-bucket) — reproducible across runs,
+    //      engines, and partition layouts, unlike orderBy(rand()) ----
+    Q("q_epoch_shuffle",
+      s"""WITH h AS (SELECT doc_id,
+        |    ${duckHash("'shuffle|1|' || CAST(doc_id AS VARCHAR)")} AS hv
+        |  FROM documents)
+        |SELECT doc_id, CAST(hv % 64 AS INTEGER) AS shuffle_bucket,
+        |  CAST(row_number() OVER (PARTITION BY hv % 64 ORDER BY hv, doc_id)
+        |       AS INTEGER) AS shuffle_rank
+        |FROM h""".stripMargin) { (s, dir) =>
+      TrainingOps.epochShuffle(Tables(s, dir, "documents").select("doc_id"),
+        "doc_id", epoch = 1, nBuckets = 64, portable = true)
+    },
+
+    // ---- corpus-level quality gate: keep EXACTLY the top 25% by
+    //      score (ties id-broken) via the two-phase bucketed
+    //      cumulative count — no global-order window ----
+    Q("q_quantile_gate",
+      s"""WITH n AS (SELECT CAST(floor(count(*) * 0.25) AS BIGINT) AS k FROM documents)
+        |SELECT doc_id, n_chars FROM documents, n
+        |QUALIFY row_number() OVER (ORDER BY n_chars DESC, doc_id) <= k""".stripMargin) {
+      (s, dir) =>
+        TrainingOps.quantileGate(Tables(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", keepFraction = 0.25)
     },
 
     // ---- multimodal: binary payload + stub decode metadata ----

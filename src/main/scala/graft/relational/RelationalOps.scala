@@ -268,7 +268,7 @@ object RelationalOps {
     val (items, sketchSrc, release): (Long, DataFrame, () => Unit) =
       if (expectedItems > 0) (expectedItems, small, () => ())
       else {
-        val owned = small.select(small.columns.map(col): _*)
+        val owned = small.select(small.columns.toIndexedSeq.map(col): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (math.max(1L, owned.count()), owned, () => { owned.unpersist(); () })
       }

@@ -92,8 +92,13 @@ object SimilarityOps {
     * negligible next to the searches that produced them.
     */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
-    exact.select(col("query_id"), col("corpus_id"))
-      .join(approx.select(col("query_id"), col("corpus_id"), lit(1L).as("__hit")),
+    // distinct on both projections: a duplicated (query_id, corpus_id)
+    // row — e.g. a multi-probe candidate frame passed instead of a
+    // deduped top-k — would fan out the join and corrupt BOTH the hit
+    // count and the denominator; negligible cost on k×|queries| rows
+    exact.select(col("query_id"), col("corpus_id")).distinct()
+      .join(approx.select(col("query_id"), col("corpus_id")).distinct()
+        .withColumn("__hit", lit(1L)),
         Seq("query_id", "corpus_id"), "left")
       .groupBy("query_id")
       .agg((sum(coalesce(col("__hit"), lit(0L))).cast(DoubleType) /
@@ -942,7 +947,9 @@ object SimilarityOps {
     val present = Seq("vec", "pq").filter(a => graft.util.Fs.pathExists(spark, s"$dir/$a"))
     require(present.nonEmpty,
       s"ivfIndexHealth: $dir has neither vec nor pq — not a written vector index")
-    graft.dedup.DedupOps.artifactHealth(spark, dir, present, Map.empty)
+    // vec/pq are single-artifact protocols — each is its own witness
+    graft.dedup.DedupOps.artifactHealth(spark, dir, present, Map.empty,
+      witness = None)
   }
 
   /** [[consolidateIvfIndex]]'s twin for the IVF-PQ code artifact —
@@ -1053,7 +1060,18 @@ object SimilarityOps {
     */
   def semanticDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                                 batch: DataFrame, idCol: String, vecCol: String,
-                                threshold: Double, nProbe: Int): DataFrame = {
+                                threshold: Double, nProbe: Int): DataFrame =
+    semanticDedupAgainstIndexReleasable(spark, dir, batch, idCol, vecCol,
+      threshold, nProbe)._1
+
+  /** [[semanticDedupAgainstIndex]] plus a release thunk for the
+    * persisted probe pipeline — looped callers (the streaming epoch
+    * loop) release after materializing each decision, the same
+    * contract as the text side's `dedupAgainstIndexReleasable`. */
+  private[graft] def semanticDedupAgainstIndexReleasable(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nProbe: Int): (DataFrame, () => Unit) = {
     val meta = requireIvfMeta(spark, dir)
     // persisted: the probe pipeline (norms + fused nearest-centroids +
     // explode) forks into the probed-list collect below and the
@@ -1082,12 +1100,12 @@ object SimilarityOps {
     // it is the dedup contract, unlike top-k serving where a query
     // finding itself is noise
     val dupIds = ivfIndexVectors(spark, dir)
-      .where(col("ivf_list").isin(probedLists.map(Integer.valueOf): _*))
+      .where(col("ivf_list").isin(probedLists.toIndexedSeq.map(Integer.valueOf): _*))
       .join(q, Seq("ivf_list"))
       .where(round(dotF(col("__qv"), col("__cv")) / (l2NormF(col("__cv")) * col("__qn")), 6)
           >= threshold)
       .select(col("__qid")).distinct()
-    batch.join(dupIds, col(idCol) === col("__qid"), "left_anti")
+    (batch.join(dupIds, col(idCol) === col("__qid"), "left_anti"), () => { q.unpersist(); () })
   }
 
   /** Embedding-cosine near-duplicate pairs over one corpus: sign-LSH

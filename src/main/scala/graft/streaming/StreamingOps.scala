@@ -288,6 +288,54 @@ object StreamingOps {
       tag = epoch.toString)
   }
 
+  /** Streaming SEMANTIC dedup against the at-rest IVF index — the
+    * vector-family member of the indexed-stream trio
+    * ([[indexedDedupStream]] text, [[indexedOverlapStream]] winnow):
+    * each micro-batch's embeddings probe the index for cosine
+    * near-duplicates (quantizer frozen in the index's `_graft_meta`,
+    * probed lists partition-pruned), the SURVIVORS land under
+    * `outDir/batch=<epoch>` and append to the index as tranche
+    * `batch=<epoch>`, so later batches dedup against earlier ones.
+    * Same epoch-replay protocol as the other two: the decision commits
+    * exactly once behind the engine-owned `_graft_decided` marker —
+    * recomputing after the append would match batch vectors against
+    * their own just-indexed tranche-mates and drop everything — and
+    * the tagged append overwrites its own tranche, so any replayed
+    * prefix of [decide, sink, append] converges. `checkpointDir`
+    * REQUIRED for durable epoch numbering.
+    */
+  def semanticDedupStream(docs: DataFrame, indexDir: String, outDir: String,
+                          idCol: String, vecCol: String,
+                          checkpointDir: String,
+                          threshold: Double = 0.95, nProbe: Int = 4)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "semanticDedupStream: checkpointDir is required " +
+      "(epoch-keyed decision reuse is only safe with durable epoch numbering)")
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        processSemanticDedupEpoch(batch, epoch, indexDir, outDir, idCol, vecCol,
+          threshold, nProbe)
+      }
+      .start()
+  }
+
+  /** One epoch of [[semanticDedupStream]], exposed for replay-protocol
+    * testing (same pattern as [[processIndexedDedupEpoch]]). */
+  private[graft] def processSemanticDedupEpoch(
+      batch: DataFrame, epoch: Long, indexDir: String, outDir: String,
+      idCol: String, vecCol: String,
+      threshold: Double, nProbe: Int): Unit = {
+    val spark = batch.sparkSession
+    val survivors = decideEpochOnce(spark, s"$outDir/batch=$epoch") {
+      graft.similarity.SimilarityOps.semanticDedupAgainstIndexReleasable(
+        spark, indexDir, batch, idCol, vecCol, threshold, nProbe)
+    }
+    graft.similarity.SimilarityOps.ivfAppendToIndex(
+      survivors, indexDir, idCol, vecCol, tag = epoch.toString)
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, sum: Double, start: Long, last: Long)
   final case class SessionOut(user_id: Long, n_events: Long, sum_value: Double,

@@ -510,7 +510,7 @@ object TextOps {
         "(build it with writeWinnowIndex)"))
     graft.dedup.DedupOps.artifactHealth(spark, dir,
       Seq("wfp", "wdf").filter(a => graft.util.Fs.pathExists(spark, s"$dir/$a")),
-      Map("wdf" -> "wfp"))
+      Map("wdf" -> "wfp"), witness = Some("wfp"))
   }
 
   /** Partial-overlap pairs of a NEW batch against the MATERIALIZED

@@ -276,4 +276,60 @@ object TrainingOps {
         pmod(col("__cum") - col(tokensCol), lit(maxTokens.toLong)))
       .drop("__cum")
   }
+
+  /** Deterministic EPOCH SHUFFLE: a seeded hash totally orders the
+    * corpus, expressed as `(shuffle_bucket, shuffle_rank)` — the
+    * global shuffled order is (bucket asc, rank asc). Changing `epoch`
+    * reshuffles; the same epoch always reproduces the same order, on
+    * any cluster size and partition layout — the property
+    * `orderBy(rand())` cannot give you (and non-determinism under
+    * task retry makes `rand()` actively dangerous in a write path: a
+    * re-executed partition draws a different sample).
+    *
+    * Scale shape: the hash is a per-row projection; the rank window is
+    * PARTITIONED by the hash bucket (`nBuckets` parallel windows, one
+    * hash shuffle), never a global single-task window. A writer lays
+    * out the epoch with
+    * `repartitionByRange(col("shuffle_bucket")).sortWithinPartitions("shuffle_bucket", "shuffle_rank")`
+    * — one range shuffle, files in shuffled order. Within a bucket the
+    * order is (hash, id): unique via the id tiebreak, so ties cannot
+    * reorder across runs.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   nBuckets: Int = 1024, salt: String = "shuffle",
+                   portable: Boolean = false): DataFrame = {
+    require(nBuckets > 0, "epochShuffle: nBuckets must be > 0")
+    val h = concat(lit(salt), lit("|"), lit(epoch.toString), lit("|"),
+      col(idCol).cast(StringType))
+    // portable tier is nonnegative (60-bit); xxhash64 needs pmod
+    val hv = if (portable) Hashes.portable(h) else xxhash64(h)
+    val w = Window.partitionBy("shuffle_bucket")
+      .orderBy(col("__sh").asc, col(idCol).asc)
+    df.withColumn("__sh", hv)
+      .withColumn("shuffle_bucket",
+        pmod(col("__sh"), lit(nBuckets.toLong)).cast(IntegerType))
+      .withColumn("shuffle_rank", row_number().over(w))
+      .drop("__sh")
+  }
+
+  /** Corpus-level QUALITY GATE: keep exactly the top
+    * `floor(keepFraction · n)` rows by `scoreCol` (desc by default),
+    * ties broken by `idCol` so the cut is reproducible — the "train on
+    * the best X% by quality score" step, as an EXACT global top-k
+    * rather than a per-row threshold guess (a fixed threshold drifts
+    * with the corpus; a fraction is what the mixture plan specifies).
+    *
+    * Delegates to [[selectToTokenBudget]] with unit cost per row, so
+    * the selection is the two-phase bucketed cumulative count — one
+    * bounded count job + one hash shuffle, no global-order window,
+    * regardless of corpus size.
+    */
+  def quantileGate(df: DataFrame, idCol: String, scoreCol: String,
+                   keepFraction: Double, descending: Boolean = true): DataFrame = {
+    require(keepFraction >= 0.0 && keepFraction <= 1.0,
+      s"quantileGate: keepFraction must be in [0,1], got $keepFraction")
+    val k = math.floor(df.count() * keepFraction).toLong
+    selectToTokenBudget(df.withColumn("__one", lit(1L)), idCol, "__one",
+      scoreCol, k, descending).drop("__one")
+  }
 }

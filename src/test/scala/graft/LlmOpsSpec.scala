@@ -942,6 +942,10 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 0.5, 2L -> 1.0))
     assert(SimilarityOps.recallAtK(exact, exact)
       .as[(Long, Double)].collect().forall(_._2 == 1.0))
+    // duplicated pairs (a multi-probe candidate frame instead of a
+    // deduped top-k) must not fan out the join: same recall either way
+    assert(SimilarityOps.recallAtK(approx.union(approx), exact.union(exact))
+      .as[(Long, Double)].collect().toMap == Map(1L -> 0.5, 2L -> 1.0))
     // the real gauge: a full-probe IVF config is exact by construction
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
@@ -959,37 +963,56 @@ class LlmOpsSpec extends SparkSpec {
     val idx = java.nio.file.Files.createTempDirectory("graft_health_idx").toString + "/idx"
     DedupOps.writeDedupIndex(corpus.where(col("doc_id") < 200), idx,
       "doc_id", "text", portable = true)
-    DedupOps.appendToDedupIndex(corpus.where(col("doc_id") >= 200 && col("doc_id") < 250),
-      idx, "doc_id", "text", tag = "d1", portable = true)
+    val day1 = corpus.where(col("doc_id") >= 200 && col("doc_id") < 250)
+    DedupOps.appendToDedupIndex(day1, idx, "doc_id", "text", tag = "d1", portable = true)
     def health() = DedupOps.dedupIndexHealth(spark, idx)
-      .as[(String, Int, Int, Option[Boolean])].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      .as[(String, Int, Int, Int, Option[Boolean])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     val ok = health()
     assert(ok.keySet == Set("sh", "fp", "sig", "df", "bf"))
-    assert(ok.values.forall { case (t, u, _) => t == 2 && u == 0 })
-    assert(ok("df")._3.contains(true) && ok("bf")._3.contains(true) && ok("sh")._3.isEmpty)
-    // stale count artifact (tag the row artifact lacks) flips fresh off
+    assert(ok.values.forall { case (t, m, u, _) => t == 2 && m == 2 && u == 0 })
+    assert(ok("df")._4.contains(true) && ok("bf")._4.contains(true) && ok("sh")._4.isEmpty)
+    // a rogue count tranche (tag the witness never committed) flips
+    // fresh off AND reads unproven under the witness definition
     spark.read.parquet(s"$idx/df").drop("batch").limit(1)
       .write.parquet(s"$idx/df/batch=stale")
-    assert(health()("df")._3.contains(false) && health()("bf")._3.contains(true))
-    // an unmarked tranche surfaces as unproven
+    val rogue = health()
+    assert(rogue("df")._4.contains(false) && rogue("bf")._4.contains(true))
+    assert(rogue("df")._3 == 1)
+    // a stripped marker on a WITNESS-PROVEN tranche is not unproven
+    // (consolidation will absorb it, same definition) — it shows as
+    // n_marked < n_tranches only
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/sh/batch=d1/_SUCCESS"), false))
-    assert(health()("sh")._2 == 1)
-    // consolidation heals everything the gauge flagged
+    assert(health()("sh") == ((2, 1, 0, None)))
+    // the PRINCIPAL crash state — append died before the fp witness —
+    // flags every half-written artifact even though their own markers
+    // are (mostly) intact
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/fp/batch=d1"), true))
+    val crashed = health()
+    assert(crashed("fp")._3 == 0 && crashed("sh")._3 == 1 && crashed("sig")._3 == 1)
+    assert(crashed("df")._3 == 2 && crashed("bf")._3 == 1)
+    assert(crashed("df")._4.contains(false))
+    // the documented recovery — same-tag re-append — proves d1 again
+    DedupOps.appendToDedupIndex(day1, idx, "doc_id", "text", tag = "d1", portable = true)
+    val retried = health()
+    assert(retried("df")._3 == 1) // only the rogue stale tranche remains unproven
+    assert(retried.forall { case (k, v) => k == "df" || v._3 == 0 })
+    // consolidation heals everything the gauge flagged (df regenerated
+    // from consolidated rows retires the rogue tranche too)
     DedupOps.consolidateDedupIndex(spark, idx)
     val healed = health()
-    assert(healed("df")._3.contains(true) && healed("bf")._3.contains(true))
-    assert(healed.values.forall(_._2 == 0))
+    assert(healed("df")._4.contains(true) && healed("bf")._4.contains(true))
+    assert(healed.values.forall(_._3 == 0))
     // winnow + vector twins
     val widx = java.nio.file.Files.createTempDirectory("graft_health_w").toString + "/w"
     TextOps.writeWinnowIndex(corpus.where(col("doc_id") < 100), widx,
       "doc_id", "text", k = 8, w = 4, portable = true)
     val wh = graft.text.TextOps.winnowIndexHealth(spark, widx)
-      .as[(String, Int, Int, Option[Boolean])].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    assert(wh.keySet == Set("wfp", "wdf") && wh("wdf")._3.contains(true))
+      .as[(String, Int, Int, Int, Option[Boolean])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(wh.keySet == Set("wfp", "wdf") && wh("wdf")._4.contains(true))
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
     val vidx = java.nio.file.Files.createTempDirectory("graft_health_v").toString + "/v"
@@ -998,11 +1021,13 @@ class LlmOpsSpec extends SparkSpec {
     SimilarityOps.ivfAppendToIndex(emb.where(col("vec_id") >= 100 && col("vec_id") < 120),
       vidx, "vec_id", "embedding", tag = "d1")
     val vh0 = SimilarityOps.ivfIndexHealth(spark, vidx)
-      .as[(String, Int, Int, Option[Boolean])].collect().toSeq
-    assert(vh0 == Seq(("vec", 2, 0, None)))
+      .as[(String, Int, Int, Int, Option[Boolean])].collect().toSeq
+    assert(vh0 == Seq(("vec", 2, 2, 0, None)))
+    // vec is its own witness: a stripped marker IS unproven here
     assert(fs.delete(new org.apache.hadoop.fs.Path(s"$vidx/vec/batch=d1/_SUCCESS"), false))
     assert(SimilarityOps.ivfIndexHealth(spark, vidx)
-      .as[(String, Int, Int, Option[Boolean])].collect().toSeq == Seq(("vec", 2, 1, None)))
+      .as[(String, Int, Int, Int, Option[Boolean])].collect().toSeq ==
+      Seq(("vec", 2, 1, 1, None)))
   }
 
   test("index stats gauges: winnow + IVF counts match direct recomputation; consolidation visible") {

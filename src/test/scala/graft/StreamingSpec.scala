@@ -170,6 +170,79 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(s"$idx/wfp/batch=0").where(col("doc_id") === 10L).count())
   }
 
+  test("semanticDedupStream epochs: batch-operator parity, crash-window replay, convergence") {
+    val base = Files.createTempDirectory("graft_sem_stream").toString
+    val idx = s"$base/idx"; val out = s"$base/out"
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    graft.similarity.SimilarityOps.ivfWriteIndex(emb.where(col("vec_id") < 200), idx,
+      "vec_id", "embedding", nLists = 4)
+    def decided(epoch: Long) =
+      spark.read.parquet(s"$out/batch=$epoch").select("vec_id")
+        .as[Long].collect().toSet
+    // epoch 0: 150-199 are re-deliveries of indexed vectors (self-match
+    // at cosine 1), 200-249 are new; the streaming decision must equal
+    // the batch operator's against the same index state
+    val e0 = emb.where(col("vec_id") >= 150 && col("vec_id") < 250)
+    val exp0 = graft.similarity.SimilarityOps.semanticDedupAgainstIndex(spark, idx,
+      e0, "vec_id", "embedding", threshold = 0.3, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    StreamingOps.processSemanticDedupEpoch(e0, 0L, idx, out, "vec_id", "embedding",
+      threshold = 0.3, nProbe = 4)
+    assert(decided(0L) == exp0)
+    assert(decided(0L).forall(_ >= 200L))
+    // epoch 1 dedups against the GROWN index: epoch-0 survivors are
+    // indexed now, so a re-delivery of any of them is dropped
+    val e1 = emb.where(col("vec_id") >= 220 && col("vec_id") < 300)
+    val exp1 = graft.similarity.SimilarityOps.semanticDedupAgainstIndex(spark, idx,
+      e1, "vec_id", "embedding", threshold = 0.3, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    StreamingOps.processSemanticDedupEpoch(e1, 1L, idx, out, "vec_id", "embedding",
+      threshold = 0.3, nProbe = 4)
+    assert(decided(1L) == exp1)
+    assert(decided(1L).intersect(decided(0L)).isEmpty)
+    // crash window: decision committed but the index tranche was lost —
+    // the replay must REUSE the decision (recomputing against the
+    // half-mutated index would differ) and regenerate the tranche
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBefore = spark.read.parquet(s"$idx/vec").count()
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/vec/batch=1"), true))
+    StreamingOps.processSemanticDedupEpoch(e1, 1L, idx, out, "vec_id", "embedding",
+      threshold = 0.3, nProbe = 4)
+    assert(decided(1L) == exp1)
+    assert(spark.read.parquet(s"$idx/vec").count() == nBefore)
+    // full replay of epoch 0 converges: same decision, index unchanged
+    StreamingOps.processSemanticDedupEpoch(e0, 0L, idx, out, "vec_id", "embedding",
+      threshold = 0.3, nProbe = 4)
+    assert(decided(0L) == exp0)
+    assert(spark.read.parquet(s"$idx/vec").count() == nBefore)
+  }
+
+  test("semanticDedupStream live: foreachBatch wiring drops indexed re-deliveries, keeps novel vectors") {
+    val base = Files.createTempDirectory("graft_sem_live").toString
+    val idx = s"$base/idx"; val out = s"$base/out"; val ck = s"$base/ck"
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    graft.similarity.SimilarityOps.ivfWriteIndex(emb.where(col("vec_id") < 100), idx,
+      "vec_id", "embedding", nLists = 4)
+    val rows = emb.where(col("vec_id") >= 80 && col("vec_id") < 120)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val expected = graft.similarity.SimilarityOps.semanticDedupAgainstIndex(spark, idx,
+      emb.where(col("vec_id") >= 80 && col("vec_id") < 120),
+      "vec_id", "embedding", threshold = 0.3, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val mem = MemoryStream[(Long, Seq[Float])](spark, 1)
+    val q = StreamingOps.semanticDedupStream(
+      mem.toDF.toDF("vec_id", "embedding"), idx, out, "vec_id", "embedding",
+      checkpointDir = ck, threshold = 0.3, nProbe = 4)
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).select("vec_id").as[Long].collect().toSet == expected)
+    } finally q.stop()
+  }
+
   private def winTs(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
 
   test("windowedAgg produces correct event-time tumbling windows") {

@@ -163,4 +163,38 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(1L) == ((3L, 0.666667, 0.333333)))
     assert(out(2L) == ((2L, 0.5, 0.0)))
   }
+
+  test("epochShuffle: total order is reproducible per epoch, different across epochs") {
+    val df = (1L to 200L).toDF("id")
+    def order(epoch: Int) =
+      TrainingOps.epochShuffle(df, "id", epoch, nBuckets = 8)
+        .orderBy("shuffle_bucket", "shuffle_rank").select("id")
+        .as[Long].collect().toSeq
+    val e1 = order(1)
+    assert(e1 == order(1))                       // same epoch → same order
+    assert(e1 != order(2))                       // new epoch → reshuffled
+    assert(e1.sorted == (1L to 200L))            // a permutation, nothing lost
+    // ranks are dense and 1-based within each bucket
+    val byBucket = TrainingOps.epochShuffle(df, "id", 1, nBuckets = 8)
+      .groupBy("shuffle_bucket")
+      .agg(count(lit(1)).as("n"), max("shuffle_rank").as("mx"), min("shuffle_rank").as("mn"))
+      .as[(Int, Long, Int, Int)].collect()
+    assert(byBucket.forall { case (_, n, mx, mn) => mn == 1 && mx == n })
+  }
+
+  test("quantileGate: exact top-fraction with id tiebreak; degenerate fractions") {
+    val df = Seq((1L, 10.0), (2L, 30.0), (3L, 20.0), (4L, 30.0), (5L, 5.0))
+      .toDF("id", "score")
+    // floor(5 * 0.4) = 2: the two best are the tied 30s, id-tiebroken
+    assert(TrainingOps.quantileGate(df, "id", "score", 0.4)
+      .select("id").as[Long].collect().toSet == Set(2L, 4L))
+    // ascending keeps the worst
+    assert(TrainingOps.quantileGate(df, "id", "score", 0.2, descending = false)
+      .select("id").as[Long].collect().toSet == Set(5L))
+    assert(TrainingOps.quantileGate(df, "id", "score", 0.0).count() == 0)
+    assert(TrainingOps.quantileGate(df, "id", "score", 1.0).count() == 5)
+    intercept[IllegalArgumentException] {
+      TrainingOps.quantileGate(df, "id", "score", 1.5)
+    }
+  }
 }
