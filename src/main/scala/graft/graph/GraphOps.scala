@@ -184,4 +184,73 @@ object GraphOps {
     }
     local.flatMap(e => Seq(e._1, e._2)).distinct.map(n => (n, find(n)))
   }
+
+  /** Fixed-iteration PageRank over an edge list, in FIXED-POINT
+    * integer arithmetic — the web/domain-graph centrality signal a
+    * corpus pipeline gates crawl quality on (rank a domain too low
+    * and its pages leave the mixture). Why integers: floating-point
+    * PageRank is not reproducible — parallel summation order changes
+    * the low bits, iteration compounds them, and two runs (or two
+    * engines) disagree on ranks near a gating threshold. Here every
+    * rank is a BIGINT in units of 1/`scale` (default ppb): division
+    * truncates identically everywhere, long sums are order-free, so
+    * the result is bit-identical across runs, partitionings, AND
+    * engines — the DuckDB oracle replays it exactly.
+    *
+    * Semantics per iteration (damping 0.85 in exact integer form):
+    * `rank' = (scale·3/20)/n  +  (85 · Σ_in (rank_src div outdeg_src)) div 100`.
+    * Dangling-node mass is dropped (no redistribution), the standard
+    * simplification; ranks then sum to slightly under `scale` —
+    * callers gate on relative rank, which is unaffected.
+    *
+    * Scale shape: edges are distinct-ed, pre-partitioned on `src`
+    * ONCE and persisted — every iteration's contribution join reuses
+    * that layout without reshuffling the (large) edge side. Per
+    * iteration: one co-partitioned join edges⋈ranks, one map-side-
+    * combinable sum shuffle on `dst`, one join back to the node
+    * universe. Rank state is `localCheckpoint`ed each iteration (it
+    * is |V|-sized, small next to edges) so lineage never re-runs
+    * earlier iterations, and the superseded state is unpersisted.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 10, scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, "pageRank: iterations must be >= 1")
+    require(scale >= 1000000L,
+      s"pageRank: scale < 1e6 leaves too few integer rank levels (got $scale)")
+    val spark = edges.sparkSession
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty edge list")
+    // (scale·3/20)/n and scale/n in this exact operation order — the
+    // oracle spells the same integer expressions
+    val base = (scale * 3L / 20L) / n
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+    var rank = nodes.withColumn("rank", lit(scale / n)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "src").withColumnRenamed("rank", "__r"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), expr("__r div __outdeg").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__s"))
+      val next = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(__s, 0L)) div 100")).as("rank"))
+        .localCheckpoint(true)
+      rank.unpersist()
+      rank = next
+    }
+    // the final state is checkpoint-severed from the edge/node plans —
+    // their caches are released here, not left to the session
+    e.unpersist(); nodes.unpersist()
+    rank
+  }
 }

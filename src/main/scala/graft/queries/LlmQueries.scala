@@ -5,6 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.dedup.DedupOps
+import graft.graph.GraphOps
 import graft.multimodal.MultimodalOps
 import graft.similarity.SimilarityOps
 import graft.text.TextOps
@@ -238,6 +239,42 @@ object LlmQueries {
   // DuckDB fragments reused across oracles.
   private val duckWords = "string_split_regex(trim(lower(text)), '\\s+')"
   private def duckHash(e: String) = s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+
+  /** Fixed-point PageRank replay: the same integer expressions as
+    * [[graft.graph.GraphOps.pageRank]] — `//` (DuckDB floor division)
+    * equals Spark's `div` on the nonnegative ranks — with each
+    * iteration unrolled as its own CTE (aggregates are not allowed in
+    * a recursive term) and every rank CAST back to BIGINT (DuckDB
+    * widens sum(BIGINT) to HUGEINT, which the arrow compare can't
+    * take). Edge set: supplier↔customer via lineitem⋈orders,
+    * customers offset into their own id space.
+    */
+  private def duckPageRankSql(iters: Int, scale: Long): String = {
+    val head =
+      s"""WITH e AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |    CAST(o_custkey + 1000000 AS BIGINT) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  UNION
+        |  SELECT DISTINCT CAST(o_custkey + 1000000 AS BIGINT) AS src,
+        |    CAST(l_suppkey AS BIGINT) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |p AS (SELECT count(*) AS n FROM nodes),
+        |outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, $scale::BIGINT // p.n AS rank FROM nodes, p)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s"""r$i AS (SELECT nd.node,
+        |  CAST((($scale::BIGINT * 3 // 20) // p.n)
+        |       + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+        |  FROM nodes nd CROSS JOIN p
+        |  LEFT JOIN (SELECT e.dst AS node, sum(r.rank // o.outdeg) AS s
+        |             FROM e JOIN r${i - 1} r ON r.node = e.src
+        |             JOIN outd o ON o.src = e.src
+        |             GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+    }
+    (head +: its).mkString(",\n") + s"\nSELECT node, rank AS rank_ppb FROM r$iters"
+  }
 
   /** Exact n-gram Jaccard pairs with the engine's maxBucket semantics:
     * shingles in more than `maxBucket` docs are removed from the
@@ -1739,6 +1776,21 @@ object LlmQueries {
       (s, dir) =>
         TrainingOps.quantileGate(Tables(s, dir, "documents").select("doc_id", "n_chars"),
           "doc_id", "n_chars", keepFraction = 0.25)
+    },
+
+    // ---- fixed-point PageRank over the supplier↔customer trade
+    //      graph: integer (ppb-scaled) arithmetic makes every rank
+    //      bit-identical across runs, partitionings, and engines —
+    //      the oracle replays all iterations exactly, no FP drift ----
+    Q("q_pagerank", duckPageRankSql(iters = 6, scale = 1000000000L)) { (s, dir) =>
+      val sc = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(Tables(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast(LongType).as("src"),
+          (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
+      GraphOps.pageRank(sc.unionAll(sc.select(col("dst").as("src"), col("src").as("dst"))),
+        "src", "dst", iterations = 6)
+        .withColumnRenamed("rank", "rank_ppb")
     },
 
     // ---- multimodal: binary payload + stub decode metadata ----

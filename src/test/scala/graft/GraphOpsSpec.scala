@@ -137,4 +137,33 @@ class GraphOpsSpec extends SparkSpec {
       docs.where(col("doc_id").isin(1L, 3L)), "doc_id", "text", threshold = 0.5)
     assert(pairs.count() == 0)
   }
+
+  test("pageRank: bit-identical to a driver integer replay; in-degree raises rank") {
+    // 1→2, 1→3, 2→3, 3→1: node 3 has two in-edges and should outrank 2
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val iters = 10
+    val got = GraphOps.pageRank(edges, "src", "dst", iterations = iters)
+      .as[(Long, Long)].collect().toMap
+    // replay with the same fixed-point arithmetic, sequentially
+    val S = 1000000000L
+    val base = (S * 3 / 20) / 3
+    val adj = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L)
+    val out = adj.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = Map(1L -> S / 3, 2L -> S / 3, 3L -> S / 3)
+    for (_ <- 1 to iters) {
+      val in = adj.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / out(src) }.sum
+      }
+      r = Seq(1L, 2L, 3L).map(nd => nd -> (base + (85 * in.getOrElse(nd, 0L)) / 100)).toMap
+    }
+    assert(got == r)
+    assert(got(3L) > got(2L))
+    // duplicate edge rows must not double-count contributions
+    val dup = GraphOps.pageRank(edges.unionAll(edges), "src", "dst", iterations = iters)
+      .as[(Long, Long)].collect().toMap
+    assert(dup == got)
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges.where(lit(false)), "src", "dst")
+    }
+  }
 }
