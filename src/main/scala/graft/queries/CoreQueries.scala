@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.analytics.EventAnalytics
 import graft.clean.CleanOps
 import graft.extract.Extract
 import graft.merge.Merge
@@ -720,6 +721,50 @@ object CoreQueries {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           expr("cast(sum(cast(value as decimal(12,2))) as double)").as("sum_value"))
+    },
+
+    // ---- ordered funnel: view→click→signup→purchase, every step's
+    //      cumulative min over ONE shared window partitioning; the
+    //      oracle replays the same chained windows ----
+    Q("q_funnel",
+      """WITH w1 AS (SELECT user_id, ts, event_type, event_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) OVER pw AS r0
+        |  FROM events
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > r0 THEN ts END) OVER pw AS r1
+        |  FROM w1
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > r1 THEN ts END) OVER pw AS r2
+        |  FROM w2
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |w4 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > r2 THEN ts END) OVER pw AS r3
+        |  FROM w3
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |u AS (SELECT user_id, min(r0) AS t0, min(r1) AS t1, min(r2) AS t2, min(r3) AS t3
+        |      FROM w4 GROUP BY user_id)
+        |SELECT 1 AS step, 'view' AS step_name, count(t0) AS n_users FROM u
+        |UNION ALL SELECT 2, 'click', count(t1) FROM u
+        |UNION ALL SELECT 3, 'signup', count(t2) FROM u
+        |UNION ALL SELECT 4, 'purchase', count(t3) FROM u""".stripMargin) { (s, dir) =>
+      EventAnalytics.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "signup", "purchase"), tieCol = "event_id")
+    },
+
+    // ---- cohort retention: anchor-relative week offsets (not
+    //      calendar truncation of the activity) ----
+    Q("q_retention",
+      """WITH a AS (SELECT user_id, min(ts) AS anchor FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |x AS (SELECT e.user_id,
+        |        strftime(date_trunc('week', a.anchor), '%Y-%m-%d') AS cohort_week,
+        |        CAST(floor(date_diff('day', CAST(a.anchor AS DATE), CAST(e.ts AS DATE)) / 7.0)
+        |             AS INTEGER) AS week_offset
+        |      FROM events e JOIN a USING (user_id)
+        |      WHERE e.ts >= a.anchor)
+        |SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
+        |FROM x WHERE week_offset < 8 GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      EventAnalytics.retention(t(s, dir, "events"), "user_id", "ts", "event_type",
+        cohortType = "signup", weeks = 8)
     }
   )
 }

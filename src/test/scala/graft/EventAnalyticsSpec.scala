@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+import graft.analytics.EventAnalytics
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(rows: (String, String, String, Long)*): DataFrame =
+    rows.toSeq.map { case (u, t, typ, id) => (u, ts(t), typ, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+
+  private val STEPS = Seq("view", "click", "buy")
+
+  private def funnelCounts(df: DataFrame): Map[String, Long] =
+    EventAnalytics.funnel(df, "user_id", "ts", "event_type", STEPS, "event_id")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+
+  test("funnel counts only in-order completions") {
+    // u1 completes the whole chain in order; u2 clicks BEFORE viewing and
+    // never clicks again — ordered semantics credit u2 with view only.
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "view", 1),
+      ("u1", "2024-01-01 10:01:00", "click", 2),
+      ("u1", "2024-01-01 10:02:00", "buy", 3),
+      ("u2", "2024-01-01 09:00:00", "click", 4),
+      ("u2", "2024-01-01 09:30:00", "view", 5),
+      ("u2", "2024-01-01 09:45:00", "buy", 6))
+    assert(funnelCounts(df) == Map("view" -> 2L, "click" -> 1L, "buy" -> 1L))
+  }
+
+  test("funnel requires strictly-later timestamps between steps") {
+    // click at the SAME instant as the view does not advance the chain
+    // (ts > r0 is strict), but a later click does.
+    val same = ev(
+      ("u1", "2024-01-01 10:00:00", "view", 1),
+      ("u1", "2024-01-01 10:00:00", "click", 2))
+    assert(funnelCounts(same) == Map("view" -> 1L, "click" -> 0L, "buy" -> 0L))
+    val later = ev(
+      ("u1", "2024-01-01 10:00:00", "view", 1),
+      ("u1", "2024-01-01 10:00:01", "click", 2))
+    assert(funnelCounts(later) == Map("view" -> 1L, "click" -> 1L, "buy" -> 0L))
+  }
+
+  test("funnel uses earliest valid completion, not latest") {
+    // u1 views at 10:00 and 12:00; a click at 11:00 follows the FIRST
+    // view, so the chain completes even though it precedes the second.
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "view", 1),
+      ("u1", "2024-01-01 11:00:00", "click", 2),
+      ("u1", "2024-01-01 12:00:00", "view", 3))
+    assert(funnelCounts(df) == Map("view" -> 1L, "click" -> 1L, "buy" -> 0L))
+  }
+
+  test("funnel step counts are monotonically non-increasing") {
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "view", 1),
+      ("u2", "2024-01-01 10:00:00", "view", 2),
+      ("u2", "2024-01-01 10:05:00", "click", 3),
+      ("u3", "2024-01-01 10:00:00", "buy", 4))
+    val rows = EventAnalytics
+      .funnel(df, "user_id", "ts", "event_type", STEPS, "event_id")
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(rows.toSeq == Seq(2L, 1L, 0L))
+    assert(rows.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("funnel rejects duplicate step types") {
+    val df = ev(("u1", "2024-01-01 10:00:00", "view", 1))
+    val e = intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "view"), "event_id")
+    }
+    assert(e.getMessage.contains("duplicate step"))
+  }
+
+  private def retCells(df: DataFrame, weeks: Int = 4): Map[(String, Int), Long] =
+    EventAnalytics.retention(df, "user_id", "ts", "event_type",
+      cohortType = "signup", weeks = weeks)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  test("retention offsets are anchor-relative, not calendar-truncated") {
+    // Anchor Wed 2024-01-03; day+6 (Tue) is still offset 0, day+7 is
+    // offset 1 — calendar-week truncation would have split at Monday.
+    val df = ev(
+      ("u1", "2024-01-03 12:00:00", "signup", 1),
+      ("u1", "2024-01-09 08:00:00", "view", 2),   // +6 days → offset 0
+      ("u1", "2024-01-10 08:00:00", "view", 3))   // +7 days → offset 1
+    // cohort week of Wed 2024-01-03 is Monday 2024-01-01
+    assert(retCells(df) == Map(
+      ("2024-01-01", 0) -> 1L,
+      ("2024-01-01", 1) -> 1L))
+  }
+
+  test("retention excludes pre-anchor activity and non-cohort users") {
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "view", 1),   // before anchor: dropped
+      ("u1", "2024-01-08 10:00:00", "signup", 2),
+      ("u2", "2024-01-08 11:00:00", "view", 3))   // never signs up: dropped
+    assert(retCells(df) == Map(("2024-01-08", 0) -> 1L))
+  }
+
+  test("retention caps at the weeks horizon and counts distinct users") {
+    val df = ev(
+      ("u1", "2024-01-01 09:00:00", "signup", 1),
+      ("u1", "2024-01-01 10:00:00", "view", 2),   // same cell as anchor
+      ("u1", "2024-01-01 11:00:00", "view", 3),   // still one distinct user
+      ("u1", "2024-01-30 10:00:00", "view", 4))   // +29d → offset 4 ≥ weeks: cut
+    assert(retCells(df, weeks = 4) == Map(("2024-01-01", 0) -> 1L))
+  }
+}
