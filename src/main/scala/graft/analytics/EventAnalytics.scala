@@ -64,18 +64,26 @@ object EventAnalytics {
     // one row per step from the single aggregated row — stack is the
     // k-literal unpivot, bounded by the step count
     val stackArgs = steps.zipWithIndex
-      .map { case (s, i) => s"${i + 1}, '$s', n$i" }.mkString(", ")
+      .map { case (s, i) =>
+        // step names come from arbitrary event-type strings — escape
+        // them before interpolation into the stack() SQL fragment
+        val esc = s.replace("\\", "\\\\").replace("'", "\\'")
+        s"${i + 1}, '$esc', n$i"
+      }.mkString(", ")
     counts
       .select(expr(s"stack(${steps.size}, $stackArgs) AS (step, step_name, n_users)"))
       .select(col("step").cast(IntegerType), col("step_name"), col("n_users"))
   }
 
   /** Cohort RETENTION: users are cohorted by the week of their first
-    * `cohortType` event, and counted active in week-offset k if ANY of
-    * their events lands in `[cohort_ts + 7k days, cohort_ts + 7(k+1))`
-    * — offsets from each user's own anchor (not calendar-week
+    * `cohortType` event, and counted active in week-offset
+    * `k = floor((event_date − anchor_date) / 7)` — DAY-granular
+    * offsets from each user's own anchor date (an event 6 calendar
+    * days after the anchor is offset 0 regardless of time of day; the
+    * anchor's sub-day time never shifts a bucket), not calendar-week
     * truncation of the activity, which would split a cohort's day-6
-    * activity across two buckets). Returns
+    * activity across two buckets. The only timestamp-precise bound is
+    * the pre-anchor cut (`ts >= anchor`). Returns
     * `(cohort_week, week_offset, n_users)` for offsets `0 until weeks`;
     * offset 0 always counts the full cohort (the anchor event itself
     * is in its own window). `cohort_week` is the anchor week's Monday

@@ -203,14 +203,20 @@ object GraphOps {
     * simplification; ranks then sum to slightly under `scale` —
     * callers gate on relative rank, which is unaffected.
     *
-    * Scale shape: edges are distinct-ed, pre-partitioned on `src`
-    * ONCE and persisted — every iteration's contribution join reuses
-    * that layout without reshuffling the (large) edge side. Per
-    * iteration: one co-partitioned join edges⋈ranks, one map-side-
-    * combinable sum shuffle on `dst`, one join back to the node
-    * universe. Rank state is `localCheckpoint`ed each iteration (it
-    * is |V|-sized, small next to edges) so lineage never re-runs
-    * earlier iterations, and the superseded state is unpersisted.
+    * Scale shape: edges are deduped, pre-partitioned on `src` ONCE
+    * and persisted WITH their out-degree attached (dedup and the
+    * degree window both ride the single src exchange — no second
+    * edge shuffle, no per-iteration degree join) — every iteration's
+    * contribution join reuses that layout without reshuffling the
+    * (large) edge side. Per iteration: one join edges⋈ranks, one
+    * map-side-combinable sum shuffle on `dst`, one join back to the
+    * node universe. Rank state lives in an explicitly persisted
+    * |V|-sized RDD re-wrapped per iteration (plan depth stays
+    * constant), and the superseded iteration's RDD is released by
+    * handle — `Dataset.unpersist` after `localCheckpoint` would be a
+    * no-op (the checkpoint RDD never enters the CacheManager), which
+    * at `iterations`×|V| pinned rows is a real leak. The RETURNED
+    * frame is backed by the final persisted rank RDD.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 10, scale: Long = 1000000000L): DataFrame = {
@@ -218,39 +224,48 @@ object GraphOps {
     require(scale >= 1000000L,
       s"pageRank: scale < 1e6 leaves too few integer rank levels (got $scale)")
     val spark = edges.sparkSession
+    import spark.implicits._
     val e = edges
       .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .withColumn("__outdeg",
+        count(lit(1)).over(Window.partitionBy("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
-    require(n > 0, "pageRank: empty edge list")
+    if (n == 0) {
+      e.unpersist(); nodes.unpersist()
+      throw new IllegalArgumentException("pageRank: empty edge list")
+    }
     // (scale·3/20)/n and scale/n in this exact operation order — the
     // oracle spells the same integer expressions
     val base = (scale * 3L / 20L) / n
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
-    var rank = nodes.withColumn("rank", lit(scale / n)).localCheckpoint(true)
+    var rankRdd = nodes.select(col("node"), lit(scale / n).as("rank"))
+      .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rankRdd.count()
     for (_ <- 1 to iterations) {
+      val rank = rankRdd.toDF("node", "rank")
       val contrib = e
         .join(rank.withColumnRenamed("node", "src").withColumnRenamed("rank", "__r"), "src")
-        .join(outdeg, "src")
         .select(col("dst").as("node"), expr("__r div __outdeg").as("__c"))
         .groupBy("node").agg(sum("__c").as("__s"))
       val next = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(__s, 0L)) div 100")).as("rank"))
-        .localCheckpoint(true)
-      rank.unpersist()
-      rank = next
+        .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      rankRdd.unpersist()
+      rankRdd = next
     }
-    // the final state is checkpoint-severed from the edge/node plans —
-    // their caches are released here, not left to the session
+    // the final state is RDD-severed from the edge/node plans — their
+    // caches are released here, not left to the session
+    val out = rankRdd.toDF("node", "rank")
     e.unpersist(); nodes.unpersist()
-    rank
+    out
   }
 }

@@ -70,6 +70,18 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("funnel step names with quotes/backslashes survive the unpivot") {
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "add'l \\view", 1),
+      ("u1", "2024-01-01 10:01:00", "click", 2))
+    val rows = EventAnalytics
+      .funnel(df, "user_id", "ts", "event_type",
+        Seq("add'l \\view", "click"), "event_id")
+      .orderBy("step").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("add'l \\view", "click"))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(1L, 1L))
+  }
+
   test("funnel rejects duplicate step types") {
     val df = ev(("u1", "2024-01-01 10:00:00", "view", 1))
     val e = intercept[IllegalArgumentException] {
