@@ -22,8 +22,10 @@ object Graft {
   def tune(spark: SparkSession): SparkSession = {
     val c = spark.conf
     c.set("spark.sql.session.timeZone", "UTC")
-    // testdata `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark
-    // refuses by default; read as Long and convert explicitly (Tables.events).
+    // older fixture generations wrote `events.ts` as parquet INT64
+    // TIMESTAMP(NANOS) which Spark refuses by default; with this conf the
+    // column surfaces as Long and Tables.normalizeEventTs converts it.
+    // Current fixtures are timestamp[us] and ignore this conf entirely.
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -44,18 +46,99 @@ object Graft {
 
 /** Loader for the driver-generated test tables (TESTDATA.md). */
 object Tables {
+  import org.apache.spark.sql.types._
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table; `events` gets its ns-precision timestamp converted
-    * to TIMESTAMP_NTZ (µs, truncating — same as DuckDB's ns→µs cast).
+  /** Expected post-normalization schema per table (FIXTURES.md §A).
+    * Timestamp columns are asserted by FAMILY (TimestampType or
+    * TimestampNTZType both accepted — which one Spark infers from a µs
+    * parquet column depends on `inferTimestampNTZ` and the writer's
+    * isAdjustedToUTC flag) except `events.ts`, which the loader
+    * normalizes to TIMESTAMP_NTZ unconditionally for oracle parity.
+    */
+  private val expected: Map[String, Seq[(String, Any)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> "timestamp"),
+    "events" -> Seq("event_id" -> LongType, "ts" -> TimestampNTZType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+
+  /** The fixture's `ts` has drifted across driver generations — parquet
+    * INT64 TIMESTAMP(NANOS) (surfaced as Long under `nanosAsLong`)
+    * through round 7, plain timestamp[us] from round 8 on. Handle both,
+    * and normalize the result to TIMESTAMP_NTZ unconditionally: the
+    * DuckDB oracle compares against naive µs timestamps, so a
+    * session-tz-dependent TimestampType must not leak out of the loader.
+    */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => // legacy ns-as-long fixture: truncate ns→µs (DuckDB cast semantics)
+        df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case other =>
+        throw new IllegalStateException(
+          s"fixture drift: events.ts is $other; expected INT64-nanos (legacy) " +
+            "or a timestamp column — regenerated fixtures changed shape again?")
+    }
+
+  /** Fail fast, by name, when a regenerated fixture no longer matches
+    * FIXTURES.md — round 8 lost 7 queries to a silent dtype drift that
+    * surfaced only as analyzer errors deep inside unrelated plans.
+    */
+  private def assertSchema(name: String, df: DataFrame): DataFrame = {
+    expected.get(name).foreach { cols =>
+      val actual = df.schema.map(f => f.name -> f.dataType).toMap
+      val drift = cols.flatMap { case (c, want) =>
+        actual.get(c) match {
+          case None => Some(s"$c: MISSING (expected $want)")
+          case Some(got) =>
+            val ok = want match {
+              case "timestamp" => got == TimestampType || got == TimestampNTZType
+              case dt: DataType => got == dt
+            }
+            if (ok) None else Some(s"$c: got $got, expected $want")
+        }
+      }
+      if (drift.nonEmpty)
+        throw new IllegalStateException(
+          s"fixture drift in table '$name' (update FIXTURES.md + Tables.expected " +
+            s"if intentional): ${drift.mkString("; ")}")
+    }
+    df
+  }
+
+  /** Read one table; `events` gets its timestamp normalized to
+    * TIMESTAMP_NTZ µs regardless of which fixture generation is on disk.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     Graft.tune(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-    else df
+    assertSchema(name, if (name == "events") normalizeEventTs(df) else df)
   }
 }
