@@ -38,26 +38,59 @@ object EventAnalytics {
     * collapse is a groupBy on the already-partitioned key. `tieCol`
     * (a unique event id) pins the within-timestamp order so equal
     * timestamps cannot reorder across runs or engines.
+    *
+    * `horizonSecs` bounds the CONVERSION WINDOW: with `Some(h)`, a
+    * step-i (i ≥ 1) event only completes the funnel chain when it falls
+    * within `h` seconds of the user's step-0 completion ("purchase
+    * within 7 days of first view"). The horizon anchors on the EARLIEST
+    * step-0 event — the cumulative-min formulation has no funnel
+    * re-entry, so a user whose first view expired unconverted does not
+    * restart the clock at their next view; that determinism is what
+    * keeps the whole funnel one exchange + one sort and lets the oracle
+    * replay it. The predicate reads the row's own `__r0` running min,
+    * so it stays inside the same shared window — a horizon adds zero
+    * shuffles.
     */
-  def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String],
-             tieCol: String): DataFrame = {
+  /** Shared chained-cumulative-min core: one row per user with
+    * `__t0..__tk` = that user's earliest valid completion timestamp of
+    * each step (NULL where the chain broke). One exchange + one sort
+    * for all k steps — both [[funnel]] and [[funnelTimes]] ride it.
+    */
+  private def funnelCompletions(events: DataFrame, userCol: String,
+                                tsCol: String, typeCol: String,
+                                steps: Seq[String], tieCol: String,
+                                horizonSecs: Option[Long]): DataFrame = {
     require(steps.nonEmpty, "funnel: steps must be non-empty")
     require(steps.distinct.size == steps.size,
       s"funnel: duplicate step types in ${steps.mkString(",")} — a repeated " +
         "type makes 'strictly after the previous step' ambiguous")
+    require(horizonSecs.forall(_ > 0), "funnel: horizonSecs must be positive")
     val w = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(tieCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var df = events.select(col(userCol), col(tsCol), col(typeCol), col(tieCol))
     steps.zipWithIndex.foreach { case (s, i) =>
       val valid =
         if (i == 0) col(typeCol) === s
-        else col(typeCol) === s && col(tsCol) > col(s"__r${i - 1}")
+        else {
+          val chained = col(typeCol) === s && col(tsCol) > col(s"__r${i - 1}")
+          horizonSecs match {
+            case Some(h) =>
+              chained && col(tsCol) <= expr(s"timestampadd(SECOND, $h, __r0)")
+            case None => chained
+          }
+        }
       df = df.withColumn(s"__r$i", min(when(valid, col(tsCol))).over(w))
     }
-    val perUser = df.groupBy(col(userCol)).agg(
+    df.groupBy(col(userCol)).agg(
       min(col("__r0")).as("__t0"),
       steps.indices.tail.map(i => min(col(s"__r$i")).as(s"__t$i")): _*)
+  }
+
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             tieCol: String, horizonSecs: Option[Long] = None): DataFrame = {
+    val perUser = funnelCompletions(events, userCol, tsCol, typeCol, steps,
+      tieCol, horizonSecs)
     val counts = perUser.agg(
       count(col("__t0")).as("n0"),
       steps.indices.tail.map(i => count(col(s"__t$i")).as(s"n$i")): _*)
@@ -73,6 +106,50 @@ object EventAnalytics {
     counts
       .select(expr(s"stack(${steps.size}, $stackArgs) AS (step, step_name, n_users)"))
       .select(col("step").cast(IntegerType), col("step_name"), col("n_users"))
+  }
+
+  /** FUNNEL TRANSITION TIMES: for each adjacent step pair, how many
+    * users completed the transition and their average time-to-convert —
+    * the "where does the funnel stall" companion to [[funnel]]'s "where
+    * does it leak". Returns one row per transition:
+    * `(step, from_step, to_step, n_users, avg_secs)` with `step` the
+    * 1-based index of the DESTINATION step.
+    *
+    * Same single window + per-user collapse as [[funnel]] (shared
+    * [[funnelCompletions]] core — by construction `t_i > t_(i-1)`
+    * whenever `t_i` is non-null, so every diff is positive). The
+    * average goes through an exact integer-microsecond sum divided out
+    * to double at the end, so partition summation order can never
+    * change a digit.
+    */
+  def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String],
+                  tieCol: String, horizonSecs: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, "funnelTimes: need at least 2 steps for a transition")
+    val perUser = funnelCompletions(events, userCol, tsCol, typeCol, steps,
+      tieCol, horizonSecs)
+    // integer-µs transition gaps (session tz is UTC: the NTZ→timestamp
+    // cast under unix_micros is wall-clock identity)
+    val withDiffs = perUser.select(
+      steps.indices.tail.map(i =>
+        (unix_micros(col(s"__t$i").cast(TimestampType)) -
+          unix_micros(col(s"__t${i - 1}").cast(TimestampType))).as(s"__d$i")): _*)
+    val agged = withDiffs.agg(
+      count(col("__d1")).as("n1"),
+      (steps.indices.tail.map(i => sum(col(s"__d$i")).as(s"s$i")) ++
+        steps.indices.drop(2).map(i => count(col(s"__d$i")).as(s"n$i"))): _*)
+    val withAvgs = steps.indices.tail.foldLeft(agged) { (df, i) =>
+      df.withColumn(s"a$i",
+        col(s"s$i").cast(DoubleType) / col(s"n$i") / lit(1000000.0))
+    }
+    val stackArgs = steps.indices.tail.map { i =>
+      def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+      s"${i + 1}, '${esc(steps(i - 1))}', '${esc(steps(i))}', n$i, a$i"
+    }.mkString(", ")
+    withAvgs.select(expr(
+      s"stack(${steps.size - 1}, $stackArgs) AS (step, from_step, to_step, n_users, avg_secs)"))
+      .select(col("step").cast(IntegerType), col("from_step"), col("to_step"),
+        col("n_users"), col("avg_secs"))
   }
 
   /** Cohort RETENTION: users are cohorted by the week of their first
@@ -111,5 +188,81 @@ object EventAnalytics {
           .as("cohort_week"),
         col("week_offset"))
       .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+
+  /** LAST-TOUCH ATTRIBUTION: each `conversionType` event is credited to
+    * the user's most recent preceding event whose type is in
+    * `touchTypes` (strictly preceding in the deterministic `(ts, tie)`
+    * order — a touch sharing the conversion's timestamp counts when its
+    * tie id is lower, so runs and engines can never disagree on equal
+    * timestamps). `lookbackSecs` bounds the credit window ("a view
+    * older than 30 days gets no credit"); conversions with no qualifying
+    * touch report as `touch_type = 'unattributed'`. Returns
+    * `(touch_type, n_conversions)`.
+    *
+    * One window over the same `(user, ts, tie)` partitioning the funnel
+    * uses: two `last(..., ignoreNulls)` running values (touch type +
+    * its timestamp — non-null on exactly the same rows, so they always
+    * describe the same touch event) and a per-row frame ending at
+    * `-1 row`. No join, no per-touch-type pass, one shuffle total.
+    */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, touchTypes: Seq[String],
+                  conversionType: String, tieCol: String,
+                  lookbackSecs: Option[Long] = None): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution: touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      "attribution: the conversion type cannot also be a touch type")
+    require(lookbackSecs.forall(_ > 0), "attribution: lookbackSecs must be positive")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol).isin(touchTypes.map(lit): _*)
+    val credited = events
+      .select(col(userCol), col(tsCol), col(typeCol), col(tieCol))
+      .withColumn("__touch_type", last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+      .withColumn("__touch_ts", last(when(isTouch, col(tsCol)), ignoreNulls = true).over(w))
+      .where(col(typeCol) === conversionType)
+    val inWindow = lookbackSecs match {
+      case Some(lb) =>
+        col("__touch_ts").isNotNull &&
+          col(tsCol) <= expr(s"timestampadd(SECOND, $lb, __touch_ts)")
+      case None => col("__touch_ts").isNotNull
+    }
+    credited
+      .select(when(inWindow, col("__touch_type")).otherwise(lit("unattributed"))
+        .as("touch_type"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
+  /** ROLLING ACTIVE USERS: for every calendar day with any activity,
+    * the distinct-user count over the trailing `windowDays` days — the
+    * DAU/WAU/MAU dashboard series (`windowDays` 1/7/30). Returns
+    * `(day, n_users)` with `day` a `yyyy-MM-dd` label.
+    *
+    * Scale shape: collapse to distinct `(user, day)` first (one
+    * map-side-combinable agg that shrinks events to at most
+    * users × days rows), then explode each pair into the ≤`windowDays`
+    * future days it keeps its user active in — a bounded fan-out of the
+    * ALREADY-collapsed set, not of the raw events — and count distinct
+    * users per day. The day dimension is tiny, so the days-with-activity
+    * filter join broadcasts. No global-order window, no range self-join
+    * (a range join on days would rescan the activity set per day;
+    * the bounded explode ships each pair exactly `windowDays` times).
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "rollingActiveUsers: windowDays must be >= 1")
+    val activity = events
+      .select(col(userCol).as("__user"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+    val days = activity.select(col("__d").as("day")).distinct()
+    activity
+      .select(col("__user"),
+        explode(sequence(col("__d"),
+          date_add(col("__d"), windowDays - 1))).as("day"))
+      .join(broadcast(days), "day")
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count_distinct(col("__user")).as("n_users"))
   }
 }

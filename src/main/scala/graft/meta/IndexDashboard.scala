@@ -1,0 +1,40 @@
+package graft.meta
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-family index observability roll-up. The three at-rest index
+  * families each expose a per-artifact health gauge
+  * ([[graft.dedup.DedupOps.dedupIndexHealth]],
+  * [[graft.text.TextOps.winnowIndexHealth]],
+  * [[graft.similarity.SimilarityOps.ivfIndexHealth]]); the query an
+  * operator actually runs every morning is "are ALL my indexes
+  * healthy", so this unions whichever families are present into one
+  * frame with a leading `family` column. Families whose directory is
+  * not passed (or passed as None) are simply absent from the output —
+  * a deployment rarely runs all three.
+  *
+  * Same cost contract as the per-family gauges: directory metadata
+  * only, no data file opened; the union is a driver-side concat of
+  * three tiny (≤5-row) local frames.
+  */
+object IndexDashboard {
+
+  def indexHealthAll(spark: SparkSession,
+                     dedupDir: Option[String] = None,
+                     winnowDir: Option[String] = None,
+                     vectorDir: Option[String] = None): DataFrame = {
+    require(dedupDir.orElse(winnowDir).orElse(vectorDir).isDefined,
+      "indexHealthAll: pass at least one index directory")
+    val parts = Seq(
+      dedupDir.map(d => graft.dedup.DedupOps.dedupIndexHealth(spark, d)
+        .withColumn("family", lit("dedup"))),
+      winnowDir.map(d => graft.text.TextOps.winnowIndexHealth(spark, d)
+        .withColumn("family", lit("winnow"))),
+      vectorDir.map(d => graft.similarity.SimilarityOps.ivfIndexHealth(spark, d)
+        .withColumn("family", lit("vector")))).flatten
+    parts.reduce(_.unionByName(_))
+      .select(col("family"), col("artifact"), col("n_tranches"),
+        col("n_marked"), col("n_unproven"), col("count_fresh"))
+  }
+}

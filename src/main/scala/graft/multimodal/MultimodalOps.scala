@@ -53,6 +53,41 @@ object MultimodalOps {
       .withColumn("channels", lit(3))
   }
 
+  /** REAL image metadata, native-expression tier: payloads that carry a
+    * well-formed PNG signature + IHDR chunk get their true dimensions
+    * parsed straight from the header bytes — `substring` on binary +
+    * `hex`/`conv` big-endian reads, all built-in codegen'd expressions,
+    * so the 100 TB posture is identical to the stub's (shuffle-free
+    * projection, no UDF, payload column prunable). Channels map from
+    * the IHDR color-type byte (grayscale 1, rgb 3, palette 1, gray+α 2,
+    * rgb+α 4). Non-PNG payloads fall back to [[fakeDecodeMeta]]'s
+    * deterministic stub, keeping the operator total on mixed corpora.
+    *
+    * Header layout parsed (byte positions 1-based): 1-8 signature
+    * `89 50 4E 47 0D 0A 1A 0A`, 13-16 ASCII "IHDR", 17-20 width,
+    * 21-24 height, 26 color type.
+    */
+  def decodeMeta(df: DataFrame): DataFrame = {
+    def beInt(pos: Int, len: Int) =
+      conv(hex(substring(col("content"), pos, len)), 16, 10).cast(LongType)
+    val isPng = octet_length(col("content")) >= 33 &&
+      hex(substring(col("content"), 1, 8)) === lit("89504E470D0A1A0A") &&
+      hex(substring(col("content"), 13, 4)) === lit("49484452")
+    val channels = beInt(26, 1)
+    val pngChannels = when(channels === 0, 1).when(channels === 2, 3)
+      .when(channels === 3, 1).when(channels === 4, 2).when(channels === 6, 4)
+      .otherwise(3)
+    val h = Hashes.portable(md5(col("content")))
+    df.withColumn("width",
+        when(isPng, beInt(17, 4)).otherwise(lit(64) + pmod(h, lit(1217)))
+          .cast(IntegerType))
+      .withColumn("height",
+        when(isPng, beInt(21, 4)).otherwise(lit(64) + pmod(h, lit(977)))
+          .cast(IntegerType))
+      .withColumn("channels", when(isPng, pngChannels).otherwise(lit(3))
+        .cast(IntegerType))
+  }
+
   final case class MediaFeatures(media_id: Long, n_bytes: Long,
                                  mean_byte: Double, first_byte: Int)
 
@@ -72,6 +107,58 @@ object MultimodalOps {
           val n = bytes.length
           val mean = if (n == 0) 0.0 else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
           MediaFeatures(id, n.toLong, mean, if (n == 0) -1 else bytes(0) & 0xff)
+        }
+      }
+  }
+
+  final case class ImageFeatures(media_id: Long, n_bytes: Long,
+                                 width: Int, height: Int,
+                                 mean_luma: Double, decoded: Boolean)
+
+  /** REAL batched image decode via the JDK's built-in `javax.imageio`
+    * (PNG/JPEG/GIF/BMP — an actual codec, no external dependency):
+    * same per-partition iterator shape as [[decodeBatched]], one image
+    * in flight per task at a time (constant memory regardless of
+    * payload size). Payloads ImageIO cannot decode degrade to the
+    * deterministic byte-statistics stub with `decoded = false` — the
+    * operator stays total on mixed/corrupt corpora, and the flag lets
+    * a pipeline route failures to quarantine instead of silently
+    * training on stub features.
+    */
+  def decodeImageBatched(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    implicit val enc = Encoders.product[ImageFeatures]
+    media.select("media_id", "content").as(Encoders.tuple(
+      Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          img match {
+            case Some(im) =>
+              val (w, hgt) = (im.getWidth, im.getHeight)
+              // mean luminance over the decoded raster — bounded work:
+              // one pass, no intermediate image copy
+              var sum = 0.0
+              var y = 0
+              while (y < hgt) {
+                var x = 0
+                while (x < w) {
+                  val rgb = im.getRGB(x, y)
+                  sum += 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              ImageFeatures(id, bytes.length.toLong, w, hgt,
+                sum / math.max(1, w * hgt), decoded = true)
+            case None =>
+              val n = bytes.length
+              val mean = if (n == 0) 0.0
+                else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
+              ImageFeatures(id, n.toLong, -1, -1, mean, decoded = false)
+          }
         }
       }
   }

@@ -765,6 +765,106 @@ object CoreQueries {
         |FROM x WHERE week_offset < 8 GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       EventAnalytics.retention(t(s, dir, "events"), "user_id", "ts", "event_type",
         cohortType = "signup", weeks = 8)
+    },
+
+    // ---- funnel with a bounded CONVERSION WINDOW: every post-view
+    //      step must land within 7 days of the user's first view; the
+    //      horizon predicate reads the row's own r0 running min, so
+    //      it rides the same single window partitioning ----
+    Q("q_funnel_window",
+      """WITH w1 AS (SELECT user_id, ts, event_type, event_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) OVER pw AS r0
+        |  FROM events
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > r0 AND ts <= r0 + INTERVAL 7 DAY THEN ts END) OVER pw AS r1
+        |  FROM w1
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > r1 AND ts <= r0 + INTERVAL 7 DAY THEN ts END) OVER pw AS r2
+        |  FROM w2
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |w4 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > r2 AND ts <= r0 + INTERVAL 7 DAY THEN ts END) OVER pw AS r3
+        |  FROM w3
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |u AS (SELECT user_id, min(r0) AS t0, min(r1) AS t1, min(r2) AS t2, min(r3) AS t3
+        |      FROM w4 GROUP BY user_id)
+        |SELECT 1 AS step, 'view' AS step_name, count(t0) AS n_users FROM u
+        |UNION ALL SELECT 2, 'click', count(t1) FROM u
+        |UNION ALL SELECT 3, 'signup', count(t2) FROM u
+        |UNION ALL SELECT 4, 'purchase', count(t3) FROM u""".stripMargin) { (s, dir) =>
+      EventAnalytics.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "signup", "purchase"), tieCol = "event_id",
+        horizonSecs = Some(7L * 86400))
+    },
+
+    // ---- funnel transition times: users + exact-integer-µs average
+    //      seconds per adjacent step pair, same shared single window;
+    //      the oracle replays the chained mins and the same
+    //      sum-then-divide order so no FP digit can drift ----
+    Q("q_funnel_times",
+      """WITH w1 AS (SELECT user_id, ts, event_type, event_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) OVER pw AS r0
+        |  FROM events
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > r0 THEN ts END) OVER pw AS r1
+        |  FROM w1
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > r1 THEN ts END) OVER pw AS r2
+        |  FROM w2
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |w4 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > r2 THEN ts END) OVER pw AS r3
+        |  FROM w3
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |u AS (SELECT user_id, min(r0) AS t0, min(r1) AS t1, min(r2) AS t2, min(r3) AS t3
+        |      FROM w4 GROUP BY user_id)
+        |SELECT 2 AS step, 'view' AS from_step, 'click' AS to_step, count(t1) AS n_users,
+        |  CAST(sum(epoch_us(t1) - epoch_us(t0)) AS DOUBLE) / count(t1) / 1000000.0 AS avg_secs
+        |FROM u
+        |UNION ALL SELECT 3, 'click', 'signup', count(t2),
+        |  CAST(sum(epoch_us(t2) - epoch_us(t1)) AS DOUBLE) / count(t2) / 1000000.0 FROM u
+        |UNION ALL SELECT 4, 'signup', 'purchase', count(t3),
+        |  CAST(sum(epoch_us(t3) - epoch_us(t2)) AS DOUBLE) / count(t3) / 1000000.0 FROM u""".stripMargin) {
+      (s, dir) =>
+        EventAnalytics.funnelTimes(t(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "signup", "purchase"), tieCol = "event_id")
+    },
+
+    // ---- last-touch attribution: each purchase credited to the most
+    //      recent preceding view/click within a 30-day lookback; one
+    //      window over the funnel's (user, ts, tie) partitioning ----
+    Q("q_attribution",
+      """WITH c AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |    last_value(CASE WHEN event_type IN ('view','click') THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_type,
+        |    last_value(CASE WHEN event_type IN ('view','click') THEN ts END IGNORE NULLS)
+        |      OVER w AS touch_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN touch_ts IS NOT NULL AND ts <= touch_ts + INTERVAL 30 DAY
+        |            THEN touch_type ELSE 'unattributed' END AS touch_type,
+        |  count(*) AS n_conversions
+        |FROM c WHERE event_type = 'purchase' GROUP BY 1""".stripMargin) { (s, dir) =>
+      EventAnalytics.attribution(t(s, dir, "events"), "user_id", "ts", "event_type",
+        touchTypes = Seq("view", "click"), conversionType = "purchase",
+        tieCol = "event_id", lookbackSecs = Some(30L * 86400))
+    },
+
+    // ---- rolling 7-day distinct purchasers per active day (the
+    //      DAU/WAU dashboard series): collapse to distinct (user, day),
+    //      bounded 7× explode of the collapsed set, broadcast
+    //      days-with-activity filter — no range self-join, no global
+    //      window ----
+    Q("q_rolling_dau",
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |           WHERE event_type = 'purchase'),
+        |days AS (SELECT DISTINCT d FROM a)
+        |SELECT strftime(days.d, '%Y-%m-%d') AS day, count(DISTINCT a.user_id) AS n_users
+        |FROM days JOIN a ON a.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      EventAnalytics.rollingActiveUsers(
+        t(s, dir, "events").where(col("event_type") === "purchase"),
+        "user_id", "ts", windowDays = 7)
     }
   )
 }

@@ -745,6 +745,50 @@ object LlmQueries {
         .withColumn("count_fresh", col("count_fresh").cast(StringType))
     },
 
+    // ---- the cross-family health DASHBOARD: all three index families
+    //      (dedup text tiers, winnow fingerprints, IVF vectors) built
+    //      through their build+append lifecycles, one unioned gauge —
+    //      the single query an index operator runs every morning.
+    //      Directory metadata only, 8 rows, no data file opened ----
+    Q("q_index_health_all",
+      s"""SELECT 'dedup' AS family, 'sh' AS artifact, CAST(2 AS INTEGER) AS n_tranches,
+        |  CAST(2 AS INTEGER) AS n_marked, CAST(0 AS INTEGER) AS n_unproven,
+        |  CAST(NULL AS VARCHAR) AS count_fresh
+        |UNION ALL SELECT 'dedup', 'fp', 2, 2, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'dedup', 'sig', 2, 2, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'dedup', 'df', 2, 2, 0, 'true'
+        |UNION ALL SELECT 'dedup', 'bf', 2, 2, 0, 'true'
+        |UNION ALL SELECT 'winnow', 'wfp', 2, 2, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'winnow', 'wdf', 2, 2, 0, 'true'
+        |UNION ALL SELECT 'vector', 'vec', 2, 2, 0, CAST(NULL AS VARCHAR)""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val e = Tables(s, dir, "embeddings")
+        val dedupIdx = graft.util.Scratch.path("health_all_dedup", dir)
+        DedupOps.writeDedupIndex(docs.where(col("doc_id") < 300), dedupIdx,
+          "doc_id", "text", portable = true)
+        DedupOps.appendToDedupIndex(
+          docs.where(col("doc_id") >= 300 && col("doc_id") < 400), dedupIdx,
+          "doc_id", "text", tag = "day1", portable = true)
+        val winnowIdx = graft.util.Scratch.path("health_all_winnow", dir)
+        TextOps.writeWinnowIndex(docs.where(col("doc_id") < 300), winnowIdx,
+          "doc_id", "text", k = 12, w = 8, portable = true)
+        TextOps.appendToWinnowIndex(
+          docs.where(col("doc_id") >= 300 && col("doc_id") < 400), winnowIdx,
+          "doc_id", "text", tag = "day1")
+        val ivfIdx = graft.util.Scratch.path("health_all_ivf", dir)
+        SimilarityOps.ivfWriteIndex(e.where(col("vec_id") < 300), ivfIdx,
+          "vec_id", "embedding", nLists = 16,
+          precomputed = Some(sharedCentroids(s, dir)))
+        SimilarityOps.ivfAppendToIndex(
+          e.where(col("vec_id") >= 300 && col("vec_id") < 400), ivfIdx,
+          "vec_id", "embedding", tag = "day1")
+        graft.meta.IndexDashboard.indexHealthAll(s,
+          dedupDir = Some(dedupIdx), winnowDir = Some(winnowIdx),
+          vectorDir = Some(ivfIdx))
+          .withColumn("count_fresh", col("count_fresh").cast(StringType))
+    },
+
     // ---- per-document dedup decision report: every batch doc gets
     //      (id, decision, best_jaccard) — exact | near | unique with
     //      the best history jaccard (near-misses included: the
@@ -1793,14 +1837,17 @@ object LlmQueries {
         .withColumnRenamed("rank", "rank_ppb")
     },
 
-    // ---- multimodal: binary payload + stub decode metadata ----
+    // ---- multimodal: payload metadata through the REAL decode path
+    //      (PNG headers parse to true dimensions; the text fixtures are
+    //      not PNGs, so they exercise the deterministic stub fallback
+    //      the oracle replays — the real-parse branch is spec-gated) ----
     Q("q_mm_meta",
       s"""SELECT doc_id AS media_id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
         |  CAST(64 + (${duckHash("md5(text)")} % 1217) AS INTEGER) AS width,
         |  CAST(64 + (${duckHash("md5(text)")} % 977) AS INTEGER) AS height,
         |  3 AS channels
         |FROM documents""".stripMargin) { (s, dir) =>
-      MultimodalOps.fakeDecodeMeta(
+      MultimodalOps.decodeMeta(
         MultimodalOps.attachBinary(Tables(s, dir, "documents"), "doc_id", "text", "text"))
         .select("media_id", "n_bytes", "width", "height", "channels")
     },
@@ -1818,7 +1865,7 @@ object LlmQueries {
         |  CAST(floor(h * sc) AS INTEGER) AS height
         |FROM s""".stripMargin) { (s, dir) =>
       MultimodalOps.fakeResize(
-        MultimodalOps.fakeDecodeMeta(
+        MultimodalOps.decodeMeta(
           MultimodalOps.attachBinary(Tables(s, dir, "documents"), "doc_id", "text", "image")),
         maxSide = 128)
         .select("media_id", "width", "height")

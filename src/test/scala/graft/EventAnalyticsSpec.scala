@@ -125,4 +125,142 @@ class EventAnalyticsSpec extends SparkSpec {
       ("u1", "2024-01-30 10:00:00", "view", 4))   // +29d → offset 4 ≥ weeks: cut
     assert(retCells(df, weeks = 4) == Map(("2024-01-01", 0) -> 1L))
   }
+
+  // ---- conversion-window (horizon) funnel ----
+
+  test("funnel horizon cuts steps outside the window, anchored on first view") {
+    // u1 buys 2 days after first view: inside a 3-day horizon.
+    // u2 clicks inside but buys 4 days after their first view: buy cut.
+    // u3's only view expires unconverted; the later view does NOT
+    // restart the clock (no re-entry): their click stays uncredited.
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "view", 1),
+      ("u1", "2024-01-02 10:00:00", "click", 2),
+      ("u1", "2024-01-03 09:00:00", "buy", 3),
+      ("u2", "2024-01-01 10:00:00", "view", 4),
+      ("u2", "2024-01-02 10:00:00", "click", 5),
+      ("u2", "2024-01-05 11:00:00", "buy", 6),
+      ("u3", "2024-01-01 10:00:00", "view", 7),
+      ("u3", "2024-01-10 10:00:00", "view", 8),
+      ("u3", "2024-01-10 10:05:00", "click", 9))
+    val got = EventAnalytics.funnel(df, "user_id", "ts", "event_type", STEPS,
+      "event_id", horizonSecs = Some(3L * 86400))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("view" -> 3L, "click" -> 2L, "buy" -> 1L))
+  }
+
+  test("funnel horizon boundary is inclusive") {
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "view", 1),
+      ("u1", "2024-01-01 10:01:00", "click", 2))  // exactly +60s
+    def at(h: Long) = EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+      STEPS, "event_id", horizonSecs = Some(h))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(at(60L)("click") == 1L)   // ts <= r0 + horizon: inclusive
+    assert(at(59L)("click") == 0L)
+  }
+
+  // ---- funnel transition times ----
+
+  test("funnelTimes averages per-transition gaps over completing users only") {
+    // u1: view→click 60s, click→buy 120s. u2: view→click 180s, no buy.
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "view", 1),
+      ("u1", "2024-01-01 10:01:00", "click", 2),
+      ("u1", "2024-01-01 10:03:00", "buy", 3),
+      ("u2", "2024-01-01 09:00:00", "view", 4),
+      ("u2", "2024-01-01 09:03:00", "click", 5))
+    val rows = EventAnalytics.funnelTimes(df, "user_id", "ts", "event_type",
+      STEPS, "event_id").orderBy("step").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((2, "view", "click"), (3, "click", "buy")))
+    assert(rows(0).getLong(3) == 2L && math.abs(rows(0).getDouble(4) - 120.0) < 1e-9)
+    assert(rows(1).getLong(3) == 1L && math.abs(rows(1).getDouble(4) - 120.0) < 1e-9)
+  }
+
+  test("funnelTimes reports NULL average for a transition nobody completes") {
+    val df = ev(("u1", "2024-01-01 10:00:00", "view", 1))
+    val rows = EventAnalytics.funnelTimes(df, "user_id", "ts", "event_type",
+      STEPS, "event_id").orderBy("step").collect()
+    assert(rows.forall(_.getLong(3) == 0L))
+    assert(rows.forall(_.isNullAt(4)))
+  }
+
+  // ---- last-touch attribution ----
+
+  private def attr(df: DataFrame, lookback: Option[Long] = None): Map[String, Long] =
+    EventAnalytics.attribution(df, "user_id", "ts", "event_type",
+      touchTypes = Seq("view", "click"), conversionType = "buy",
+      tieCol = "event_id", lookbackSecs = lookback)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("attribution credits the most recent preceding touch") {
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "view", 1),
+      ("u1", "2024-01-01 10:05:00", "click", 2),
+      ("u1", "2024-01-01 10:10:00", "buy", 3),    // last touch: click
+      ("u2", "2024-01-01 09:00:00", "click", 4),
+      ("u2", "2024-01-01 09:30:00", "view", 5),
+      ("u2", "2024-01-01 09:45:00", "buy", 6),    // last touch: view
+      ("u3", "2024-01-01 09:00:00", "buy", 7))    // no touch at all
+    assert(attr(df) == Map("click" -> 1L, "view" -> 1L, "unattributed" -> 1L))
+  }
+
+  test("attribution lookback expires old touches") {
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "view", 1),
+      ("u1", "2024-01-20 10:00:00", "buy", 2))    // 19 days later
+    assert(attr(df, lookback = Some(30L * 86400)) == Map("view" -> 1L))
+    assert(attr(df, lookback = Some(7L * 86400)) == Map("unattributed" -> 1L))
+  }
+
+  test("attribution breaks equal timestamps by the tie column") {
+    // touch shares the conversion's timestamp; its tie id is LOWER, so
+    // it sorts strictly before the conversion and gets the credit
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "click", 1),
+      ("u1", "2024-01-01 10:00:00", "buy", 2))
+    assert(attr(df) == Map("click" -> 1L))
+    // with the tie order reversed the touch sorts after: no credit
+    val rev = ev(
+      ("u1", "2024-01-01 10:00:00", "click", 9),
+      ("u1", "2024-01-01 10:00:00", "buy", 2))
+    assert(attr(rev) == Map("unattributed" -> 1L))
+  }
+
+  test("attribution rejects a conversion type that is also a touch") {
+    val df = ev(("u1", "2024-01-01 10:00:00", "view", 1))
+    val e = intercept[IllegalArgumentException] {
+      EventAnalytics.attribution(df, "user_id", "ts", "event_type",
+        touchTypes = Seq("view", "buy"), conversionType = "buy", tieCol = "event_id")
+    }
+    assert(e.getMessage.contains("conversion type"))
+  }
+
+  // ---- rolling active users ----
+
+  test("rollingActiveUsers counts trailing-window distinct users per active day") {
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "view", 1),
+      ("u2", "2024-01-01 11:00:00", "view", 2),
+      ("u1", "2024-01-03 10:00:00", "view", 3),
+      ("u3", "2024-01-09 10:00:00", "view", 4))
+    val got = EventAnalytics.rollingActiveUsers(df, "user_id", "ts", windowDays = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // active days only: 01 (u1,u2), 03 (u1 new + u1,u2 from 01), 09 (u3)
+    assert(got == Map(
+      "2024-01-01" -> 2L,   // u1, u2
+      "2024-01-03" -> 2L,   // u1 (both days), u2 from 01 (within 3 days)
+      "2024-01-09" -> 1L))  // u3 alone; nothing from the gap carries in
+  }
+
+  test("rollingActiveUsers dedups multiple same-day events per user") {
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "view", 1),
+      ("u1", "2024-01-01 12:00:00", "view", 2),
+      ("u1", "2024-01-01 14:00:00", "view", 3))
+    val got = EventAnalytics.rollingActiveUsers(df, "user_id", "ts", windowDays = 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("2024-01-01" -> 1L))
+  }
 }

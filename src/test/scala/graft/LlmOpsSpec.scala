@@ -1232,4 +1232,47 @@ class LlmOpsSpec extends SparkSpec {
     val frames = graft.multimodal.MultimodalOps.sampleFrames(media, bytesPerFrame = 10, step = 2)
     assert(frames.where(col("media_id") === 1L).count() == 3) // 43/10=4 → 0,2,4
   }
+
+  private def pngBytes(w: Int, h: Int, imgType: Int, rgb: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h, imgType)
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal: decodeMeta parses real PNG headers, stubs the rest") {
+    import java.awt.image.BufferedImage._
+    val rows = Seq(
+      (1L, pngBytes(7, 5, TYPE_INT_RGB, 0xffffff)),      // color type 2 → 3ch
+      (2L, pngBytes(3, 9, TYPE_BYTE_GRAY, 0x000000)),    // color type 0 → 1ch
+      (3L, "definitely not a png".getBytes("UTF-8")))
+    val df = rows.toDF("media_id", "content")
+    val got = graft.multimodal.MultimodalOps.decodeMeta(df)
+      .select("media_id", "width", "height", "channels")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L) == ((7, 5, 3)))
+    assert(got(2L) == ((3, 9, 1)))
+    // the non-PNG row falls back to the SAME deterministic stub dims
+    val stub = graft.multimodal.MultimodalOps.fakeDecodeMeta(
+      df.where(col("media_id") === 3L))
+      .select("width", "height", "channels").head()
+    assert(got(3L) == ((stub.getInt(0), stub.getInt(1), stub.getInt(2))))
+  }
+
+  test("multimodal: decodeImageBatched really decodes via ImageIO") {
+    import java.awt.image.BufferedImage._
+    val rows = Seq(
+      (1L, pngBytes(4, 4, TYPE_INT_RGB, 0xffffff)),      // white → luma 255
+      (2L, pngBytes(2, 3, TYPE_INT_RGB, 0x000000)),      // black → luma 0
+      (3L, "corrupt payload".getBytes("UTF-8")))
+    val f = graft.multimodal.MultimodalOps
+      .decodeImageBatched(spark, rows.toDF("media_id", "content"))
+      .collect().map(x => x.media_id -> x).toMap
+    assert(f(1L).decoded && f(1L).width == 4 && f(1L).height == 4 &&
+      math.abs(f(1L).mean_luma - 255.0) < 1.0)
+    assert(f(2L).decoded && f(2L).width == 2 && f(2L).height == 3 &&
+      f(2L).mean_luma < 1.0)
+    assert(!f(3L).decoded && f(3L).width == -1 && f(3L).mean_luma > 0.0)
+  }
 }
