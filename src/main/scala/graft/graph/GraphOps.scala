@@ -268,4 +268,52 @@ object GraphOps {
     e.unpersist(); nodes.unpersist()
     out
   }
+
+  /** CO-OCCURRENCE projection of a bipartite membership table ("parts
+    * bought in the same order", "tokens sharing a document"): pairs of
+    * items appearing in the same group, with the number of groups
+    * witnessing each pair. Returns `(item_a, item_b, n_groups)` with
+    * `item_a < item_b` (each unordered pair once) and
+    * `n_groups >= minCount`.
+    *
+    * The naive projection is quadratic in the hottest group — one
+    * mega-group ("the empty-string document") can emit more pairs than
+    * the rest of the corpus combined. `maxPerGroup` caps every group
+    * at its `maxPerGroup` smallest item ids BEFORE any pair exists
+    * (deterministic truncation, same id-order rule both engines), so
+    * the fan-out is ≤ C(maxPerGroup, 2) per group — bounded by design,
+    * not by hoping the data is nice.
+    *
+    * Plan shape: distinct membership → per-group rank window (sort
+    * spills, never OOMs on a hot group) → collect the ≤cap survivors
+    * per group (rides the window's partitioning — no extra exchange)
+    * → in-row pair expansion over the ≤cap array → one pair-keyed
+    * count. No self-join: the group key never re-shuffles against
+    * itself, and nothing unbounded is ever collected per group.
+    */
+  def coOccurrencePairs(df: DataFrame, groupCol: String, itemCol: String,
+                        maxPerGroup: Int = 64, minCount: Long = 1L): DataFrame = {
+    require(maxPerGroup >= 2, s"coOccurrencePairs: maxPerGroup=$maxPerGroup < 2")
+    require(minCount >= 1, s"coOccurrencePairs: minCount=$minCount < 1")
+    val members = df
+      .select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .where(col("__g").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val capped = members
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("__g").orderBy("__i")))
+      .where(col("__rn") <= maxPerGroup)
+    capped
+      .groupBy("__g")
+      // ≤ maxPerGroup elements by construction; sort_array pins the
+      // collect_list's nondeterministic arrival order
+      .agg(sort_array(collect_list(col("__i"))).as("__items"))
+      .select(explode(flatten(expr(
+        // (x_j, x_k) for j < k — index-driven so no value comparisons
+        "transform(__items, (x, j) -> transform(slice(__items, j + 2, size(__items)), y -> struct(x AS a, y AS b)))"
+      ))).as("__p"))
+      .groupBy(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
+      .agg(count(lit(1)).as("n_groups"))
+      .where(col("n_groups") >= minCount)
+  }
 }

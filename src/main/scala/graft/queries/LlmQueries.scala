@@ -1896,6 +1896,69 @@ object LlmQueries {
       MultimodalOps.decodeBatched(s,
         MultimodalOps.attachBinary(Tables(s, dir, "documents"), "doc_id", "text", "image"))
         .toDF()
+    },
+
+    // ---- mergeable distinct sketch: HLL register build + raw
+    //      estimate, every register bit integer-replayed (the rho CASE
+    //      chain and scaled-term literals come from the same generator
+    //      both engines run — no libm op anywhere) ----
+    Q("q_hll_estimate", {
+      import graft.profile.Sketches._
+      val b = 10; val m = 1L << b; val nb = 60 - b
+      s"""WITH h AS (SELECT ${duckHash("CAST(l_partkey AS VARCHAR)")} AS hv FROM lineitem),
+        |r AS (SELECT CAST(hv & ${m - 1} AS INTEGER) AS bucket, (hv // $m) AS w FROM h),
+        |rr AS (SELECT bucket, ${rhoCaseSql("w", nb, "//")} AS rho FROM r),
+        |sk AS (SELECT bucket, max(rho) AS max_rho FROM rr GROUP BY bucket),
+        |s AS (SELECT count(*) AS n_present,
+        |        CAST(sum(${termCaseSql("max_rho", b)}) AS BIGINT) AS sp FROM sk)
+        |SELECT CAST(${alphaNumerator(b)} AS DOUBLE)
+        |         / CAST(sp + ($m - n_present) * ${1L << (nb + 1)} AS DOUBLE) AS n_estimate,
+        |  n_present,
+        |  (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_exact
+        |FROM s""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.Sketches
+      val li = Tables(s, dir, "lineitem")
+      val est = Sketches.hllEstimate(Sketches.hllSketch(li, "l_partkey", b = 10), b = 10)
+      // 1×1 broadcast singleton join: calibration column, not a fan-out
+      est.crossJoin(
+        li.agg(count_distinct(col("l_partkey")).as("n_exact")))
+    },
+
+    // ---- sketch MERGE ≡ sketch of the union: the engine sketches two
+    //      disjoint halves and merges register-wise; the oracle
+    //      sketches the whole table in one pass. Register-row identity
+    //      proves the mergeability a daily rollup relies on ----
+    Q("q_hll_merge", {
+      import graft.profile.Sketches._
+      val b = 10; val m = 1L << b; val nb = 60 - b
+      s"""WITH h AS (SELECT ${duckHash("CAST(o_custkey AS VARCHAR)")} AS hv FROM orders),
+        |r AS (SELECT CAST(hv & ${m - 1} AS INTEGER) AS bucket, (hv // $m) AS w FROM h),
+        |rr AS (SELECT bucket, ${rhoCaseSql("w", nb, "//")} AS rho FROM r)
+        |SELECT bucket, CAST(max(rho) AS INTEGER) AS max_rho FROM rr GROUP BY bucket""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.Sketches
+      val o = Tables(s, dir, "orders")
+      Sketches.hllMerge(
+        Sketches.hllSketch(o.where(col("o_orderkey") % 2 === 0), "o_custkey"),
+        Sketches.hllSketch(o.where(col("o_orderkey") % 2 === 1), "o_custkey"))
+    },
+
+    // ---- capped co-occurrence projection (market-basket pairs):
+    //      parts meeting in the same order, every group truncated to
+    //      its 8 smallest part ids BEFORE any pair exists — bounded
+    //      fan-out, no self-join in the engine plan (in-row pair
+    //      expansion); the oracle takes the self-join road to the same
+    //      rows ----
+    Q("q_cooccurrence",
+      """WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |c AS (SELECT g, i FROM m
+        |      QUALIFY row_number() OVER (PARTITION BY g ORDER BY i) <= 8)
+        |SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_groups
+        |FROM c a JOIN c b ON a.g = b.g AND a.i < b.i
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
+      GraphOps.coOccurrencePairs(Tables(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxPerGroup = 8, minCount = 2)
     }
   )
 }

@@ -166,4 +166,25 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.pageRank(edges.where(lit(false)), "src", "dst")
     }
   }
+
+  test("coOccurrencePairs: counts witnessing groups, dedups, filters by minCount") {
+    val df = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L), (20L, 2L),   // duplicate membership row
+      (30L, 2L), (30L, 3L)).toDF("g", "i")
+    val got = GraphOps.coOccurrencePairs(df, "g", "i")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 2L))
+    val filtered = GraphOps.coOccurrencePairs(df, "g", "i", minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered == Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("coOccurrencePairs: hot group truncates to its maxPerGroup smallest ids") {
+    val hot = (1L to 6L).map(i => (99L, i)).toDF("g", "i")
+    val got = GraphOps.coOccurrencePairs(hot, "g", "i", maxPerGroup = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only items 1,2,3 survive the cap → C(3,2) pairs, none involving 4..6
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }
