@@ -235,6 +235,28 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_conversions"))
   }
 
+  /** EVENT TRANSITION MATRIX (first-order Markov counts): how often
+    * each event type is immediately followed by each other type within
+    * a user's stream — the empirical input to funnel DISCOVERY (which
+    * step orderings actually happen) where [[funnel]] measures a
+    * hypothesized one. Returns `(from_type, to_type, n_transitions)`.
+    *
+    * One `lag` over the shared deterministic `(user, ts, tie)` window
+    * (the same single exchange+sort every operator in this file
+    * rides), then a map-side-combinable pair count. Stream boundaries
+    * (each user's first event) have no predecessor and count nothing.
+    */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    events
+      .select(col(userCol), col(tsCol), col(typeCol), col(tieCol))
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** ROLLING ACTIVE USERS: for every calendar day with any activity,
     * the distinct-user count over the trailing `windowDays` days — the
     * DAU/WAU/MAU dashboard series (`windowDays` 1/7/30). Returns

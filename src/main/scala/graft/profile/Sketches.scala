@@ -110,4 +110,95 @@ object Sketches {
             .cast(DoubleType)).as("n_estimate"),
         col("n_present"))
   }
+
+  /** ROLLING distinct estimate from per-day sketches — the sketch-side
+    * twin of `EventAnalytics.rollingActiveUsers`: for every day with
+    * activity, estimate the distinct `keyCol` count over the trailing
+    * `windowDays` days by MERGING the per-day register sets instead of
+    * re-touching any event. Returns `(day 'yyyy-MM-dd', n_estimate
+    * DOUBLE, n_present BIGINT)`.
+    *
+    * Scale shape: events collapse to ≤ days × m register rows FIRST
+    * (one map-side-combinable groupBy — this is the sketch artifact a
+    * real pipeline would persist per day); the bounded ≤windowDays
+    * explode then fans out REGISTERS, not events or user-days, so a
+    * 90-day MAU series over a year of 100 TB events merges
+    * 365 × 1024-row artifacts. Exact rolling distinct
+    * (`rollingActiveUsers`) fans out the user×day set — fine while
+    * users×days is small, linear-in-users when it is not; this is
+    * O(m) per day regardless of cardinality.
+    */
+  def hllRollingEstimate(df: DataFrame, keyCol: String, tsCol: String,
+                         windowDays: Int, b: Int = DefaultB): DataFrame = {
+    require(windowDays >= 1, "hllRollingEstimate: windowDays must be >= 1")
+    val m = 1L << b
+    val emptyTerm = 1L << maxRho(b)
+    val h: Column = Hashes.portable(col(keyCol).cast(StringType))
+    val perDay = df
+      .select(to_date(col(tsCol)).as("__d"),
+        h.bitwiseAND(lit(m - 1)).cast(IntegerType).as("bucket"),
+        shiftright(h, b).as("__w"))
+      .withColumn("__rho", expr(rhoCaseSql("__w", bits(b), "div")))
+      .groupBy(col("__d"), col("bucket"))
+      .agg(max(col("__rho")).cast(IntegerType).as("max_rho"))
+    val days = perDay.select(col("__d").as("day")).distinct()
+    perDay
+      .select(col("bucket"), col("max_rho"),
+        explode(sequence(col("__d"), date_add(col("__d"), windowDays - 1)))
+          .as("day"))
+      .join(broadcast(days), "day")
+      .groupBy(col("day"), col("bucket"))
+      .agg(max(col("max_rho")).as("max_rho"))
+      .withColumn("__term", expr(termCaseSql("max_rho", b)))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_present"), sum(col("__term")).as("__sp"))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (lit(alphaNumerator(b)) /
+          (col("__sp") + (lit(m) - col("n_present")) * lit(emptyTerm))
+            .cast(DoubleType)).as("n_estimate"),
+        col("n_present"))
+  }
+
+  /** AT-REST sketch artifact, same tagged-tranche layout as the dedup/
+    * winnow/IVF index families: each ingest writes its registers under
+    * `dir/batch=<tag>`, overwriting ITS OWN tranche — so a replayed
+    * batch (at-least-once delivery, task retry, backfill re-run)
+    * converges to one copy and the artifact needs no decide-once
+    * protocol (register max is idempotent; there is no "decision"
+    * output to freeze). Merge happens at READ: union every tranche,
+    * register-wise max — associativity means tranche boundaries never
+    * change the answer.
+    */
+  def writeSketchTranche(sketch: DataFrame, dir: String, tag: String): Unit =
+    sketch.write.mode("overwrite").parquet(s"$dir/batch=$tag")
+
+  /** Merge-on-read of an at-rest sketch artifact: one ≤tranches×m-row
+    * scan, never a corpus. */
+  def readSketch(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("bucket")
+      .agg(max(col("max_rho")).cast(IntegerType).as("max_rho"))
+
+  /** Intersection-cardinality estimate of two SKETCHES by
+    * inclusion–exclusion: `est(A) + est(B) − est(A ∪ B)` with the
+    * union estimated from the register-wise merge — three ≤m-row
+    * aggregations over already-built sketches, no corpus access.
+    * Returns `(n_intersect_estimate DOUBLE, n_a DOUBLE, n_b DOUBLE,
+    * n_union DOUBLE)`. The difference of estimates inherits BOTH
+    * operands' error, so small true intersections can estimate
+    * negative — that is the honest raw-sketch answer (report it, let
+    * the caller clamp), not a defect to hide with a max(0, ·).
+    */
+  def hllIntersectEstimate(sketchA: DataFrame, sketchB: DataFrame,
+                           b: Int = DefaultB): DataFrame = {
+    val ea = hllEstimate(sketchA, b).select(col("n_estimate").as("n_a"))
+    val eb = hllEstimate(sketchB, b).select(col("n_estimate").as("n_b"))
+    val eu = hllEstimate(hllMerge(sketchA, sketchB), b)
+      .select(col("n_estimate").as("n_union"))
+    // 1×1×1 broadcast singletons — scalar composition, not a fan-out
+    ea.crossJoin(eb).crossJoin(eu)
+      .select((col("n_a") + col("n_b") - col("n_union")).as("n_intersect_estimate"),
+        col("n_a"), col("n_b"), col("n_union"))
+  }
 }

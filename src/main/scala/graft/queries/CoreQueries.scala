@@ -850,6 +850,20 @@ object CoreQueries {
         tieCol = "event_id", lookbackSecs = Some(30L * 86400))
     },
 
+    // ---- first-order Markov transition counts over per-user event
+    //      streams: one lag over the shared (user, ts, tie) window ----
+    Q("q_event_transitions",
+      """WITH t AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS from_type,
+        |         event_type AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n_transitions
+        |FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      EventAnalytics.eventTransitions(t(s, dir, "events"), "user_id", "ts",
+        "event_type", tieCol = "event_id")
+    },
+
     // ---- rolling 7-day distinct purchasers per active day (the
     //      DAU/WAU dashboard series): collapse to distinct (user, day),
     //      bounded 7× explode of the collapsed set, broadcast

@@ -1944,6 +1944,96 @@ object LlmQueries {
         Sketches.hllSketch(o.where(col("o_orderkey") % 2 === 1), "o_custkey"))
     },
 
+    // ---- the at-rest sketch ARTIFACT path: two tagged tranches
+    //      written, merged on read — register-identical to one pass
+    //      over the whole table (tranche boundaries can't change the
+    //      answer; the streaming loop rides the same protocol) ----
+    Q("q_hll_tranches", {
+      import graft.profile.Sketches._
+      val b = 10; val m = 1L << b; val nb = 60 - b
+      s"""WITH h AS (SELECT ${duckHash("CAST(l_suppkey AS VARCHAR)")} AS hv FROM lineitem),
+        |r AS (SELECT CAST(hv & ${m - 1} AS INTEGER) AS bucket, (hv // $m) AS w FROM h),
+        |rr AS (SELECT bucket, ${rhoCaseSql("w", nb, "//")} AS rho FROM r)
+        |SELECT bucket, CAST(max(rho) AS INTEGER) AS max_rho FROM rr GROUP BY bucket""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.Sketches
+      val li = Tables(s, dir, "lineitem")
+      val skDir = graft.util.Scratch.path("hll_tranches", dir)
+      Sketches.writeSketchTranche(
+        Sketches.hllSketch(li.where(col("l_orderkey") % 2 === 0), "l_suppkey"),
+        skDir, tag = "day0")
+      Sketches.writeSketchTranche(
+        Sketches.hllSketch(li.where(col("l_orderkey") % 2 === 1), "l_suppkey"),
+        skDir, tag = "day1")
+      Sketches.readSketch(s, skDir)
+    },
+
+    // ---- sketch-side intersection estimate (inclusion–exclusion over
+    //      three register-replay estimates; negative results possible
+    //      and honest — the raw-sketch error contract) ----
+    Q("q_hll_intersect", {
+      import graft.profile.Sketches._
+      val b = 10; val m = 1L << b; val nb = 60 - b
+      def sk(p: String, where: String) =
+        s"""${p}h AS (SELECT ${duckHash("CAST(o_custkey AS VARCHAR)")} AS hv
+          |  FROM orders WHERE $where),
+          |${p}r AS (SELECT CAST(hv & ${m - 1} AS INTEGER) AS bucket, (hv // $m) AS w FROM ${p}h),
+          |${p}sk AS (SELECT bucket, max(${rhoCaseSql("w", nb, "//")}) AS max_rho
+          |  FROM ${p}r GROUP BY bucket)""".stripMargin
+      def est(p: String, skName: String) =
+        s"""$p AS (SELECT CAST(${alphaNumerator(b)} AS DOUBLE)
+          |  / CAST(sp + ($m - np) * ${1L << (nb + 1)} AS DOUBLE) AS v
+          |  FROM (SELECT count(*) AS np,
+          |          CAST(sum(${termCaseSql("max_rho", b)}) AS BIGINT) AS sp
+          |        FROM (SELECT bucket, max(max_rho) AS max_rho FROM $skName GROUP BY bucket)))""".stripMargin
+      s"""WITH ${sk("a", "o_orderkey % 2 = 0")},
+        |${sk("b", "o_orderkey % 3 = 0")},
+        |usk AS (SELECT * FROM ask UNION ALL SELECT * FROM bsk),
+        |${est("ea", "ask")},
+        |${est("eb", "bsk")},
+        |${est("eu", "usk")}
+        |SELECT ea.v + eb.v - eu.v AS n_intersect_estimate,
+        |  ea.v AS n_a, eb.v AS n_b, eu.v AS n_union
+        |FROM ea, eb, eu""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.Sketches
+      val o = Tables(s, dir, "orders")
+      Sketches.hllIntersectEstimate(
+        Sketches.hllSketch(o.where(col("o_orderkey") % 2 === 0), "o_custkey"),
+        Sketches.hllSketch(o.where(col("o_orderkey") % 3 === 0), "o_custkey"))
+    },
+
+    // ---- rolling distinct from per-day sketch artifacts: the sketch
+    //      twin of q_rolling_dau — registers fan out across the
+    //      trailing window, never events or user-days; O(m) per day
+    //      at any cardinality ----
+    Q("q_hll_rolling", {
+      import graft.profile.Sketches._
+      val b = 10; val m = 1L << b; val nb = 60 - b
+      s"""WITH h AS (SELECT CAST(ts AS DATE) AS d,
+        |    ${duckHash("CAST(user_id AS VARCHAR)")} AS hv
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT d, CAST(hv & ${m - 1} AS INTEGER) AS bucket, (hv // $m) AS w FROM h),
+        |pd AS (SELECT d, bucket, max(${rhoCaseSql("w", nb, "//")}) AS max_rho
+        |       FROM r GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT d FROM pd),
+        |fan AS (SELECT days.d AS day, pd.bucket, max(pd.max_rho) AS max_rho
+        |        FROM days JOIN pd ON pd.d BETWEEN days.d - 6 AND days.d
+        |        GROUP BY 1, 2),
+        |s AS (SELECT day, count(*) AS np,
+        |        CAST(sum(${termCaseSql("max_rho", b)}) AS BIGINT) AS sp
+        |      FROM fan GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(${alphaNumerator(b)} AS DOUBLE)
+        |    / CAST(sp + ($m - np) * ${1L << (nb + 1)} AS DOUBLE) AS n_estimate,
+        |  np AS n_present
+        |FROM s""".stripMargin
+    }) { (s, dir) =>
+      graft.profile.Sketches.hllRollingEstimate(
+        Tables(s, dir, "events").where(col("event_type") === "purchase"),
+        "user_id", "ts", windowDays = 7)
+    },
+
     // ---- capped co-occurrence projection (market-basket pairs):
     //      parts meeting in the same order, every group truncated to
     //      its 8 smallest part ids BEFORE any pair exists — bounded

@@ -336,6 +336,36 @@ object StreamingOps {
       survivors, indexDir, idCol, vecCol, tag = epoch.toString)
   }
 
+  /** Streaming maintenance of an at-rest distinct SKETCH: each epoch
+    * reduces its micro-batch to ≤2^b registers and overwrites its own
+    * `batch=<epoch>` tranche of the artifact
+    * ([[graft.profile.Sketches.writeSketchTranche]]) — the cheapest
+    * member of the streaming at-rest-artifact family, because sketch
+    * building needs NO replay protocol at all: the per-epoch registers
+    * are a pure function of the batch, the tranche overwrite is
+    * idempotent, and merge-on-read max is insensitive to re-delivery.
+    * Readers get "distinct keys ever seen" at any moment via
+    * `Sketches.readSketch` + `hllEstimate` without touching the
+    * stream. `checkpointDir` still required: durable epoch numbering
+    * is what pins a replayed batch to the SAME tranche.
+    */
+  def sketchStream(rows: DataFrame, sketchDir: String, keyCol: String,
+                   checkpointDir: String,
+                   b: Int = graft.profile.Sketches.DefaultB)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "sketchStream: checkpointDir is required " +
+      "(tranche idempotence relies on durable epoch numbering)")
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.profile.Sketches.writeSketchTranche(
+          graft.profile.Sketches.hllSketch(batch, keyCol, b),
+          sketchDir, epoch.toString)
+      }
+      .start()
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, sum: Double, start: Long, last: Long)
   final case class SessionOut(user_id: Long, n_events: Long, sum_value: Double,

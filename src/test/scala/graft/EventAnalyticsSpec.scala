@@ -237,6 +237,30 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(e.getMessage.contains("conversion type"))
   }
 
+  // ---- event transitions ----
+
+  test("eventTransitions counts adjacent pairs per user, tie-ordered") {
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "view", 1),
+      ("u1", "2024-01-01 10:01:00", "click", 2),
+      ("u1", "2024-01-01 10:02:00", "view", 3),
+      ("u1", "2024-01-01 10:03:00", "click", 4),
+      // u2's equal-timestamp pair orders by event_id: view(5) → click(6)
+      ("u2", "2024-01-01 09:00:00", "view", 5),
+      ("u2", "2024-01-01 09:00:00", "click", 6))
+    val got = EventAnalytics.eventTransitions(df, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("view", "click") -> 3L,   // u1 twice + u2 once
+      ("click", "view") -> 1L))  // never crosses users
+  }
+
+  test("eventTransitions emits nothing for single-event users") {
+    val df = ev(("u1", "2024-01-01 10:00:00", "view", 1))
+    assert(EventAnalytics.eventTransitions(df, "user_id", "ts", "event_type", "event_id")
+      .count() == 0L)
+  }
+
   // ---- rolling active users ----
 
   test("rollingActiveUsers counts trailing-window distinct users per active day") {

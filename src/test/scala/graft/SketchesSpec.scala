@@ -53,4 +53,40 @@ class SketchesSpec extends SparkSpec {
     val big = (1 to 20000).map(i => s"v$i").toDF("k")
     assert(Sketches.hllSketch(big, "k", b = 6).count() <= 64)
   }
+
+  test("rolling estimate tracks exact trailing-window distincts per active day") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // 3 active days: 400 users on d1, the SAME 400 on d3, 300 new on d9
+    val rows =
+      (1 to 400).map(u => (s"u$u", ts(1))) ++
+      (1 to 400).map(u => (s"u$u", ts(3))) ++
+      (1000 to 1299).map(u => (s"u$u", ts(9)))
+    val df = rows.toDF("user_id", "ts")
+    // b=6 (m=64): the RAW estimator needs n >> m — at b=10 these
+    // cardinalities sit below the register count, where only the
+    // deliberately-excluded linear-counting branch is accurate
+    val got = Sketches.hllRollingEstimate(df, "user_id", "ts", windowDays = 3, b = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set("2024-01-01", "2024-01-03", "2024-01-09"))
+    // d3's window covers d1+d3 = the same 400 users (merge must not
+    // double count); d9 sees only its own 300
+    assert(math.abs(got("2024-01-01") - 400) / 400.0 < 0.30)
+    assert(math.abs(got("2024-01-03") - 400) / 400.0 < 0.30)
+    assert(got("2024-01-03") == got("2024-01-01")) // identical register sets
+    assert(math.abs(got("2024-01-09") - 300) / 300.0 < 0.30)
+  }
+
+  test("intersection estimate: inclusion-exclusion lands near the true overlap") {
+    // |A| = 3000 (1..3000), |B| = 3000 (2001..5000), |A∩B| = 1000
+    val a = (1 to 3000).map(i => s"id_$i").toDF("k")
+    val b = (2001 to 5000).map(i => s"id_$i").toDF("k")
+    val r = Sketches.hllIntersectEstimate(
+      Sketches.hllSketch(a, "k"), Sketches.hllSketch(b, "k")).head()
+    val (inter, na, nb, nu) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(math.abs(inter - 1000.0) < 500.0, s"intersect estimate $inter")
+    // internal consistency: the output IS the inclusion-exclusion identity
+    assert(math.abs((na + nb - nu) - inter) < 1e-9)
+    assert(nu <= na + nb)
+  }
 }

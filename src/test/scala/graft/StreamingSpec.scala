@@ -243,6 +243,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sketchStream: tranche-per-epoch artifact merges to the whole-corpus sketch") {
+    import graft.profile.Sketches
+    val base = Files.createTempDirectory("graft_sketch_stream").toString
+    val dir = s"$base/sk"; val ck = s"$base/ck"
+    val keys = (1 to 800).map(i => s"user_$i")
+    val expected = Sketches.hllSketch(keys.toDF("k"), "k")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val mem = MemoryStream[String](spark, 1)
+    val q = StreamingOps.sketchStream(mem.toDF.toDF("k"), dir, "k", checkpointDir = ck)
+    try {
+      mem.addData(keys.take(500): _*)   // epoch 0
+      q.processAllAvailable()
+      mem.addData(keys.drop(400): _*)   // epoch 1, overlapping re-delivery
+      q.processAllAvailable()
+      val merged = Sketches.readSketch(spark, dir)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(merged == expected)
+    } finally q.stop()
+    // replaying an epoch's tranche (at-least-once) converges: overwrite
+    // the same tag with the same batch, answer unchanged
+    Sketches.writeSketchTranche(
+      Sketches.hllSketch(keys.take(500).toDF("k"), "k"), dir, "0")
+    val replayed = Sketches.readSketch(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(replayed == expected)
+  }
+
   private def winTs(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
 
   test("windowedAgg produces correct event-time tumbling windows") {
