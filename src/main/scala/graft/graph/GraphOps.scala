@@ -3,7 +3,7 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over an edge list — the missing
@@ -295,14 +295,20 @@ object GraphOps {
                         maxPerGroup: Int = 64, minCount: Long = 1L): DataFrame = {
     require(maxPerGroup >= 2, s"coOccurrencePairs: maxPerGroup=$maxPerGroup < 2")
     require(minCount >= 1, s"coOccurrencePairs: minCount=$minCount < 1")
-    val members = df
-      .select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+    pairsOf(cappedMembers(df, groupCol, itemCol, maxPerGroup))
+      .where(col("n_groups") >= minCount)
+  }
+
+  private def cappedMembers(df: DataFrame, groupCol: String, itemCol: String,
+                            maxPerGroup: Int): DataFrame =
+    df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
       .where(col("__g").isNotNull && col("__i").isNotNull)
       .distinct()
-    val capped = members
       .withColumn("__rn",
         row_number().over(Window.partitionBy("__g").orderBy("__i")))
       .where(col("__rn") <= maxPerGroup)
+
+  private def pairsOf(capped: DataFrame): DataFrame =
     capped
       .groupBy("__g")
       // ≤ maxPerGroup elements by construction; sort_array pins the
@@ -314,6 +320,35 @@ object GraphOps {
       ))).as("__p"))
       .groupBy(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
       .agg(count(lit(1)).as("n_groups"))
-      .where(col("n_groups") >= minCount)
+
+  /** Association-strength scoring over the capped co-occurrence pairs:
+    * `lift = P(a,b) / (P(a)·P(b)) = n_pair·N / (n_a·n_b)` with all
+    * counts taken over the SAME capped membership set (cap first, then
+    * count — mixing capped pairs with uncapped margins would bias every
+    * hot item's lift downward). Returns `(item_a, item_b, n_groups,
+    * lift)`; lift > 1 means the pair co-occurs more than independent
+    * items would. Exact integer counts and ONE IEEE division keep the
+    * score engine-replayable.
+    *
+    * Adds to the pair plan: one item-count aggregation (map-side
+    * combinable) joined twice — item margins are |items| rows, AQE
+    * broadcasts them against the pair set — and a 1×1 broadcast of the
+    * group total. No new corpus pass.
+    */
+  def coOccurrenceLift(df: DataFrame, groupCol: String, itemCol: String,
+                       maxPerGroup: Int = 64, minCount: Long = 1L): DataFrame = {
+    require(maxPerGroup >= 2, s"coOccurrenceLift: maxPerGroup=$maxPerGroup < 2")
+    require(minCount >= 1, s"coOccurrenceLift: minCount=$minCount < 1")
+    val capped = cappedMembers(df, groupCol, itemCol, maxPerGroup)
+    val pairs = pairsOf(capped).where(col("n_groups") >= minCount)
+    val itemCounts = capped.groupBy(col("__i")).agg(count(lit(1)).as("__n_i"))
+    val total = capped.agg(count_distinct(col("__g")).as("__ng"))
+    pairs
+      .join(itemCounts.select(col("__i").as("item_a"), col("__n_i").as("__na")), "item_a")
+      .join(itemCounts.select(col("__i").as("item_b"), col("__n_i").as("__nb")), "item_b")
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n_groups"),
+        ((col("n_groups") * col("__ng")).cast(DoubleType) /
+          (col("__na") * col("__nb")).cast(DoubleType)).as("lift"))
   }
 }

@@ -2049,6 +2049,29 @@ object LlmQueries {
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
       GraphOps.coOccurrencePairs(Tables(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", maxPerGroup = 8, minCount = 2)
+    },
+
+    // ---- association strength over the same capped projection:
+    //      lift = n_pair·N / (n_a·n_b), margins counted over the SAME
+    //      capped set the pairs came from; exact integer counts, one
+    //      IEEE division ----
+    Q("q_cooccurrence_lift",
+      """WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |c AS (SELECT g, i FROM m
+        |      QUALIFY row_number() OVER (PARTITION BY g ORDER BY i) <= 8),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_groups
+        |      FROM c a JOIN c b ON a.g = b.g AND a.i < b.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ic AS (SELECT i, count(*) AS n_i FROM c GROUP BY 1),
+        |n AS (SELECT count(DISTINCT g) AS ng FROM c)
+        |SELECT p.item_a, p.item_b, p.n_groups,
+        |  CAST(p.n_groups * n.ng AS DOUBLE) / CAST(ia.n_i * ib.n_i AS DOUBLE) AS lift
+        |FROM p
+        |CROSS JOIN n
+        |JOIN ic ia ON ia.i = p.item_a
+        |JOIN ic ib ON ib.i = p.item_b""".stripMargin) { (s, dir) =>
+      GraphOps.coOccurrenceLift(Tables(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxPerGroup = 8, minCount = 2)
     }
   )
 }

@@ -187,4 +187,17 @@ class GraphOpsSpec extends SparkSpec {
     // only items 1,2,3 survive the cap → C(3,2) pairs, none involving 4..6
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("coOccurrenceLift: exact n_pair·N/(n_a·n_b) over the capped set") {
+    // N=4 groups; a in 3, b in 3, pair (a,b) in 2 → lift = 2·4/9
+    val df = Seq(
+      (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (4L, "b")).toDF("g", "i")
+    val rows = GraphOps.coOccurrenceLift(df, "g", "i").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == (("a", "b", 2L)))
+    assert(math.abs(r.getDouble(3) - 8.0 / 9.0) < 1e-12)
+  }
 }
