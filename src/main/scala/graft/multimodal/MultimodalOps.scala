@@ -70,9 +70,14 @@ object MultimodalOps {
   def decodeMeta(df: DataFrame): DataFrame = {
     def beInt(pos: Int, len: Int) =
       conv(hex(substring(col("content"), pos, len)), 16, 10).cast(LongType)
+    // malformed headers claiming a dimension > Int.MaxValue (e.g.
+    // 0xFFFFFFFF) would wrap negative under the non-ANSI Int cast —
+    // bounds-gate them into the deterministic stub fallback instead
     val isPng = octet_length(col("content")) >= 33 &&
       hex(substring(col("content"), 1, 8)) === lit("89504E470D0A1A0A") &&
-      hex(substring(col("content"), 13, 4)) === lit("49484452")
+      hex(substring(col("content"), 13, 4)) === lit("49484452") &&
+      beInt(17, 4) <= lit(Int.MaxValue.toLong) &&
+      beInt(21, 4) <= lit(Int.MaxValue.toLong)
     val channels = beInt(26, 1)
     val pngChannels = when(channels === 0, 1).when(channels === 2, 3)
       .when(channels === 3, 1).when(channels === 4, 2).when(channels === 6, 4)

@@ -77,7 +77,12 @@ object Sketches {
   def hllSketch(df: DataFrame, keyCol: String, b: Int = DefaultB): DataFrame = {
     require(b >= 4 && b <= 16, s"hllSketch: b=$b outside [4,16]")
     val h: Column = Hashes.portable(col(keyCol).cast(StringType))
-    df.select(
+    // NULL keys are not elements: count_distinct ignores them, and an
+    // unfiltered NULL hashes to NULL → every rho branch NULL → the ELSE
+    // maximum lands in a phantom NULL-bucket register inflating the
+    // estimate. Oracle SQL filters identically.
+    df.where(col(keyCol).isNotNull)
+      .select(
         h.bitwiseAND(lit((1L << b) - 1)).cast(IntegerType).as("bucket"),
         shiftright(h, b).as("__w"))   // h ≥ 0 (60-bit), so >> is the unsigned shift
       .withColumn("__rho", expr(rhoCaseSql("__w", bits(b), "div")))
@@ -102,7 +107,16 @@ object Sketches {
     val m = 1L << b
     val emptyTerm = 1L << maxRho(b)
     sketch
-      .withColumn("__term", expr(termCaseSql("max_rho", b)))
+      // b-mismatch tripwire, in-plan and per register row (≤m·tranches
+      // rows — negligible): a sketch built with b' > b carries buckets
+      // ≥ 2^b, and estimating it at the wrong b silently reads garbage
+      // (or overflows the empty-register arithmetic). assert_true is
+      // NULL when the guard holds, so `when` passes the term through.
+      .withColumn("__term",
+        when(assert_true(col("bucket") < lit(m),
+            lit(s"hllEstimate: sketch has bucket >= 2^$b — " +
+              "built with a larger b than it is being estimated with")).isNull,
+          expr(termCaseSql("max_rho", b))))
       .agg(count(lit(1)).as("n_present"), sum(col("__term")).as("__sp"))
       .select(
         (lit(alphaNumerator(b)) /
@@ -134,7 +148,9 @@ object Sketches {
     val m = 1L << b
     val emptyTerm = 1L << maxRho(b)
     val h: Column = Hashes.portable(col(keyCol).cast(StringType))
+    // same NULL-key exclusion as hllSketch (phantom-register hazard)
     val perDay = df
+      .where(col(keyCol).isNotNull)
       .select(to_date(col(tsCol)).as("__d"),
         h.bitwiseAND(lit(m - 1)).cast(IntegerType).as("bucket"),
         shiftright(h, b).as("__w"))
@@ -179,6 +195,40 @@ object Sketches {
     spark.read.parquet(dir)
       .groupBy("bucket")
       .agg(max(col("max_rho")).cast(IntegerType).as("max_rho"))
+
+  /** Fold every tranche of an at-rest sketch artifact into ONE — the
+    * consolidation path a long-running [[graft.streaming.StreamingOps
+    * .sketchStream]] needs: without it the artifact accumulates one
+    * `batch=<epoch>` directory per micro-batch forever and merge-on-read
+    * cost grows linearly with epoch count. Register-max idempotence
+    * makes the fold crash-safe without a decide-once protocol, in this
+    * order: (1) the merged registers are written to a dot-prefixed
+    * scratch dir (invisible to `readSketch` — Spark's file listing
+    * skips hidden paths), (2) renamed into a new `batch=consolidated-
+    * <stable hash of the folded tranche names>` tranche, (3) only THEN
+    * are the superseded tranches deleted. A crash after (2) leaves
+    * duplicates whose merge is the identity; a re-run over the same
+    * tranche set derives the same tag and overwrites its own output.
+    * No timestamps anywhere — the tag is a pure function of what was
+    * folded, so replays converge.
+    */
+  def consolidateSketch(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val tranches = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).sortBy(_.getName)
+    if (tranches.length <= 1) return   // already consolidated
+    val names = tranches.map(_.getName).mkString("\n")
+    val tag = "consolidated-" +
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(names))
+    val scratch = new org.apache.hadoop.fs.Path(root, s".consolidating-$tag")
+    readSketch(spark, dir).write.mode("overwrite").parquet(scratch.toString)
+    val dest = new org.apache.hadoop.fs.Path(root, s"batch=$tag")
+    if (fs.exists(dest)) fs.delete(dest, true)
+    fs.rename(scratch, dest)
+    tranches.foreach(t => fs.delete(t, true))
+  }
 
   /** Intersection-cardinality estimate of two SKETCHES by
     * inclusion–exclusion: `est(A) + est(B) − est(A ∪ B)` with the

@@ -1905,7 +1905,8 @@ object LlmQueries {
     Q("q_hll_estimate", {
       import graft.profile.Sketches._
       val b = 10; val m = 1L << b; val nb = 60 - b
-      s"""WITH h AS (SELECT ${duckHash("CAST(l_partkey AS VARCHAR)")} AS hv FROM lineitem),
+      s"""WITH h AS (SELECT ${duckHash("CAST(l_partkey AS VARCHAR)")} AS hv
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
         |r AS (SELECT CAST(hv & ${m - 1} AS INTEGER) AS bucket, (hv // $m) AS w FROM h),
         |rr AS (SELECT bucket, ${rhoCaseSql("w", nb, "//")} AS rho FROM r),
         |sk AS (SELECT bucket, max(rho) AS max_rho FROM rr GROUP BY bucket),
@@ -1932,7 +1933,8 @@ object LlmQueries {
     Q("q_hll_merge", {
       import graft.profile.Sketches._
       val b = 10; val m = 1L << b; val nb = 60 - b
-      s"""WITH h AS (SELECT ${duckHash("CAST(o_custkey AS VARCHAR)")} AS hv FROM orders),
+      s"""WITH h AS (SELECT ${duckHash("CAST(o_custkey AS VARCHAR)")} AS hv
+        |  FROM orders WHERE o_custkey IS NOT NULL),
         |r AS (SELECT CAST(hv & ${m - 1} AS INTEGER) AS bucket, (hv // $m) AS w FROM h),
         |rr AS (SELECT bucket, ${rhoCaseSql("w", nb, "//")} AS rho FROM r)
         |SELECT bucket, CAST(max(rho) AS INTEGER) AS max_rho FROM rr GROUP BY bucket""".stripMargin
@@ -1951,7 +1953,8 @@ object LlmQueries {
     Q("q_hll_tranches", {
       import graft.profile.Sketches._
       val b = 10; val m = 1L << b; val nb = 60 - b
-      s"""WITH h AS (SELECT ${duckHash("CAST(l_suppkey AS VARCHAR)")} AS hv FROM lineitem),
+      s"""WITH h AS (SELECT ${duckHash("CAST(l_suppkey AS VARCHAR)")} AS hv
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL),
         |r AS (SELECT CAST(hv & ${m - 1} AS INTEGER) AS bucket, (hv // $m) AS w FROM h),
         |rr AS (SELECT bucket, ${rhoCaseSql("w", nb, "//")} AS rho FROM r)
         |SELECT bucket, CAST(max(rho) AS INTEGER) AS max_rho FROM rr GROUP BY bucket""".stripMargin
@@ -1976,7 +1979,7 @@ object LlmQueries {
       val b = 10; val m = 1L << b; val nb = 60 - b
       def sk(p: String, where: String) =
         s"""${p}h AS (SELECT ${duckHash("CAST(o_custkey AS VARCHAR)")} AS hv
-          |  FROM orders WHERE $where),
+          |  FROM orders WHERE ($where) AND o_custkey IS NOT NULL),
           |${p}r AS (SELECT CAST(hv & ${m - 1} AS INTEGER) AS bucket, (hv // $m) AS w FROM ${p}h),
           |${p}sk AS (SELECT bucket, max(${rhoCaseSql("w", nb, "//")}) AS max_rho
           |  FROM ${p}r GROUP BY bucket)""".stripMargin
@@ -2012,7 +2015,7 @@ object LlmQueries {
       val b = 10; val m = 1L << b; val nb = 60 - b
       s"""WITH h AS (SELECT CAST(ts AS DATE) AS d,
         |    ${duckHash("CAST(user_id AS VARCHAR)")} AS hv
-        |  FROM events WHERE event_type = 'purchase'),
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
         |r AS (SELECT d, CAST(hv & ${m - 1} AS INTEGER) AS bucket, (hv // $m) AS w FROM h),
         |pd AS (SELECT d, bucket, max(${rhoCaseSql("w", nb, "//")}) AS max_rho
         |       FROM r GROUP BY 1, 2),

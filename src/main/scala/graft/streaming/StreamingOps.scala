@@ -348,13 +348,24 @@ object StreamingOps {
     * `Sketches.readSketch` + `hllEstimate` without touching the
     * stream. `checkpointDir` still required: durable epoch numbering
     * is what pins a replayed batch to the SAME tranche.
+    *
+    * `consolidateEvery = n` folds the accumulated tranches into one
+    * every n epochs ([[graft.profile.Sketches.consolidateSketch]]) —
+    * without it a long-running stream grows one tranche directory per
+    * micro-batch forever and merge-on-read cost grows with epoch
+    * count. Consolidation AFTER the epoch's own tranche write keeps
+    * the replay contract: a re-delivered epoch re-writes its tranche
+    * (now redundant next to the consolidated one — register max
+    * absorbs it) and re-consolidation folds it away again.
     */
   def sketchStream(rows: DataFrame, sketchDir: String, keyCol: String,
                    checkpointDir: String,
-                   b: Int = graft.profile.Sketches.DefaultB)
+                   b: Int = graft.profile.Sketches.DefaultB,
+                   consolidateEvery: Int = 0)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     require(checkpointDir.nonEmpty, "sketchStream: checkpointDir is required " +
       "(tranche idempotence relies on durable epoch numbering)")
+    require(consolidateEvery >= 0, "sketchStream: consolidateEvery must be >= 0")
     rows.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -362,6 +373,8 @@ object StreamingOps {
         graft.profile.Sketches.writeSketchTranche(
           graft.profile.Sketches.hllSketch(batch, keyCol, b),
           sketchDir, epoch.toString)
+        if (consolidateEvery > 0 && epoch > 0 && epoch % consolidateEvery == 0)
+          graft.profile.Sketches.consolidateSketch(batch.sparkSession, sketchDir)
       }
       .start()
   }

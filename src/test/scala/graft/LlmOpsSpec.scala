@@ -1260,6 +1260,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(3L) == ((stub.getInt(0), stub.getInt(1), stub.getInt(2))))
   }
 
+  test("multimodal: decodeMeta routes out-of-range PNG dimensions to the stub") {
+    // hand-built header claiming width 0xFFFFFFFF (> Int.MaxValue): a
+    // naive big-endian read would wrap negative under the non-ANSI cast
+    val bogus: Array[Byte] =
+      (Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,     // signature
+           0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52,     // len + "IHDR"
+           0xFF, 0xFF, 0xFF, 0xFF,                             // width (bogus)
+           0x00, 0x00, 0x00, 0x05,                             // height 5
+           0x08, 0x02, 0x00, 0x00, 0x00,                       // depth/color/...
+           0x00, 0x00, 0x00, 0x00, 0x00                        // CRC + pad
+      ).map(_.toByte)).toArray
+    val df = Seq((9L, bogus)).toDF("media_id", "content")
+    val got = graft.multimodal.MultimodalOps.decodeMeta(df)
+      .select("width", "height", "channels").head()
+    val stub = graft.multimodal.MultimodalOps.fakeDecodeMeta(df)
+      .select("width", "height", "channels").head()
+    assert(got.getInt(0) == stub.getInt(0) && got.getInt(1) == stub.getInt(1) &&
+      got.getInt(2) == stub.getInt(2))
+    assert(got.getInt(0) > 0 && got.getInt(1) > 0)
+  }
+
   test("multimodal: decodeImageBatched really decodes via ImageIO") {
     import java.awt.image.BufferedImage._
     val rows = Seq(

@@ -89,4 +89,60 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs((na + nb - nu) - inter) < 1e-9)
     assert(nu <= na + nb)
   }
+
+  test("NULL keys are not elements: sketch ignores them like count_distinct") {
+    val withNulls = (1 to 300).map(i => Option(s"k$i")).toDF("k")
+      .unionByName(Seq.fill(50)(Option.empty[String]).toDF("k"))
+    val clean = (1 to 300).map(i => s"k$i").toDF("k")
+    val a = Sketches.hllSketch(withNulls, "k").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val b = Sketches.hllSketch(clean, "k").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(a == b)   // no phantom NULL-bucket register
+  }
+
+  test("estimating a sketch with a smaller b than it was built with fails loudly") {
+    val df = (1 to 2000).map(i => s"k$i").toDF("k")
+    val sk12 = Sketches.hllSketch(df, "k", b = 12)
+    val err = intercept[Exception] {
+      Sketches.hllEstimate(sk12, b = 8).collect()
+    }
+    assert(err.getMessage.contains("bucket >= 2^8") ||
+      Option(err.getCause).exists(_.getMessage.contains("bucket >= 2^8")))
+    // matched b still estimates fine
+    assert(Sketches.hllEstimate(sk12, b = 12).head().getDouble(0) > 0)
+  }
+
+  test("consolidateSketch folds tranches to one with identical registers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_skcons").toString
+    try {
+      val a = (1 to 800).map(i => s"a$i").toDF("k")
+      val b = (500 to 1500).map(i => s"a$i").toDF("k")
+      val c = (1400 to 2000).map(i => s"a$i").toDF("k")
+      Sketches.writeSketchTranche(Sketches.hllSketch(a, "k"), dir, "0")
+      Sketches.writeSketchTranche(Sketches.hllSketch(b, "k"), dir, "1")
+      Sketches.writeSketchTranche(Sketches.hllSketch(c, "k"), dir, "2")
+      val before = Sketches.readSketch(spark, dir).collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      Sketches.consolidateSketch(spark, dir)
+      val fs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("batch="))
+      assert(fs.length == 1 && fs.head.startsWith("batch=consolidated-"))
+      val after = Sketches.readSketch(spark, dir).collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(after == before)
+      // replayed epoch tranche after consolidation is absorbed by the
+      // register max, and a second consolidation folds it away again
+      Sketches.writeSketchTranche(Sketches.hllSketch(b, "k"), dir, "1")
+      assert(Sketches.readSketch(spark, dir).collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap == before)
+      Sketches.consolidateSketch(spark, dir)
+      assert(Sketches.readSketch(spark, dir).collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap == before)
+      // idempotent no-op on a single-tranche artifact
+      Sketches.consolidateSketch(spark, dir)
+      assert(Sketches.readSketch(spark, dir).collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap == before)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

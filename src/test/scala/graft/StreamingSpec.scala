@@ -270,6 +270,30 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == expected)
   }
 
+  test("sketchStream consolidates tranches periodically without changing registers") {
+    import graft.profile.Sketches
+    val base = Files.createTempDirectory("graft_sketch_cons").toString
+    val dir = s"$base/sk"; val ck = s"$base/ck"
+    val keys = (1 to 900).map(i => s"cuser_$i")
+    val expected = Sketches.hllSketch(keys.toDF("k"), "k")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val mem = MemoryStream[String](spark, 1)
+    val q = StreamingOps.sketchStream(mem.toDF.toDF("k"), dir, "k",
+      checkpointDir = ck, consolidateEvery = 2)
+    try {
+      mem.addData(keys.take(400): _*); q.processAllAvailable()   // epoch 0
+      mem.addData(keys.slice(300, 700): _*); q.processAllAvailable() // epoch 1
+      mem.addData(keys.drop(600): _*); q.processAllAvailable()   // epoch 2 → fold
+      val tranches = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("batch="))
+      // epochs 0/1/2 folded into one consolidated tranche at epoch 2
+      assert(tranches.length == 1 && tranches.head.startsWith("batch=consolidated-"),
+        tranches.mkString(","))
+      assert(Sketches.readSketch(spark, dir)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap == expected)
+    } finally q.stop()
+  }
+
   private def winTs(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
 
   test("windowedAgg produces correct event-time tumbling windows") {
