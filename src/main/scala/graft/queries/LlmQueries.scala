@@ -2075,6 +2075,83 @@ object LlmQueries {
         |JOIN ic ib ON ib.i = p.item_b""".stripMargin) { (s, dir) =>
       GraphOps.coOccurrenceLift(Tables(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", maxPerGroup = 8, minCount = 2)
+    },
+
+    // ---- mergeable QUANTILE sketch over the at-rest tranche artifact:
+    //      three tranches (one consolidated mid-stream) merge by
+    //      bucket-count SUM and the quantile reads the ≤1k-row
+    //      histogram; the oracle replays the identical integer octave
+    //      CASE + one IEEE rank multiply over the whole table in one
+    //      pass — tranche boundaries and consolidation cannot change a
+    //      digit ----
+    Q("q_quantile_sketch", {
+      import graft.profile.HistSketch._
+      s"""WITH v AS (SELECT n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT ${bucketCaseSql("v", 16, "//")} AS bucket FROM v),
+        |sk AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+        |c AS (SELECT bucket, cnt,
+        |        sum(cnt) OVER (ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER () AS total
+        |      FROM sk),
+        |pp AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+        |sel AS (SELECT pp.p AS p, min(c.bucket) AS b
+        |        FROM pp JOIN c
+        |          ON c.cum >= greatest(1, CAST(ceil(pp.p * c.total) AS BIGINT))
+        |        GROUP BY 1)
+        |SELECT p, CAST(${lowerBoundCaseSql("b", 16, "//")} AS BIGINT) AS value
+        |FROM sel""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.HistSketch
+      val docs = Tables(s, dir, "documents")
+      val hDir = graft.util.Scratch.path("hist_tranches", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(hDir))
+      HistSketch.writeHistTranche(
+        HistSketch.histSketch(docs.where(col("doc_id") % 3 === 0), "n_chars"),
+        hDir, tag = "d0")
+      HistSketch.writeHistTranche(
+        HistSketch.histSketch(docs.where(col("doc_id") % 3 === 1), "n_chars"),
+        hDir, tag = "d1")
+      HistSketch.consolidateHist(s, hDir)   // fold d0+d1, then append d2
+      HistSketch.writeHistTranche(
+        HistSketch.histSketch(docs.where(col("doc_id") % 3 === 2), "n_chars"),
+        hDir, tag = "d2")
+      HistSketch.histQuantiles(HistSketch.readHist(s, hDir), Seq(0.5, 0.9, 0.99))
+    },
+
+    // ---- rolling per-day quantiles from per-day histograms: the
+    //      quantile twin of q_hll_rolling — bucket rows fan out across
+    //      the trailing window, never events; O(63·s) per day at any
+    //      corpus size. Spark truncates double→long where DuckDB
+    //      rounds, so the oracle spells TRUNC ----
+    Q("q_quantile_rolling", {
+      import graft.profile.HistSketch._
+      s"""WITH v AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(trunc(value) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT d, ${bucketCaseSql("v", 16, "//")} AS bucket FROM v),
+        |pd AS (SELECT d, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT d FROM pd),
+        |fan AS (SELECT days.d AS day, pd.bucket, sum(pd.cnt) AS cnt
+        |        FROM days JOIN pd ON pd.d BETWEEN days.d - 6 AND days.d
+        |        GROUP BY 1, 2),
+        |c AS (SELECT day, bucket,
+        |        sum(cnt) OVER (PARTITION BY day ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER (PARTITION BY day) AS total
+        |      FROM fan),
+        |pp AS (SELECT unnest([0.5, 0.95]) AS p),
+        |sel AS (SELECT c.day AS day, pp.p AS p, min(c.bucket) AS b
+        |        FROM pp JOIN c
+        |          ON c.cum >= greatest(1, CAST(ceil(pp.p * c.total) AS BIGINT))
+        |        GROUP BY 1, 2)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, p,
+        |  CAST(${lowerBoundCaseSql("b", 16, "//")} AS BIGINT) AS value
+        |FROM sel""".stripMargin
+    }) { (s, dir) =>
+      graft.profile.HistSketch.histRollingQuantiles(
+        Tables(s, dir, "events"), "value", "ts",
+        windowDays = 7, ps = Seq(0.5, 0.95))
     }
   )
 }

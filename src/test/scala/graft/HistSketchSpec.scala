@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.profile.HistSketch
+
+class HistSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference bucketization in plain Scala — the spec's independent
+    * model of the generated CASE chain. */
+  private def refBucket(v: Long, s: Int): Int =
+    if (v <= 0) 0
+    else {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      val sub = java.math.BigInteger.valueOf(v - (1L << e))
+        .multiply(java.math.BigInteger.valueOf(s))
+        .shiftRight(e).intValueExact()
+      1 + e * s + sub
+    }
+
+  private def refLowerBound(b: Int, s: Int): Long =
+    if (b <= 0) 0L
+    else {
+      val e = (b - 1) / s
+      val j = (b - 1) % s
+      (1L << e) + java.math.BigInteger.valueOf(j.toLong)
+        .multiply(java.math.BigInteger.valueOf(1L << e))
+        .add(java.math.BigInteger.valueOf(s - 1L))
+        .divide(java.math.BigInteger.valueOf(s.toLong)).longValueExact()
+    }
+
+  test("bucket CASE chain matches the reference model across the domain") {
+    val vs = Seq(-5L, 0L, 1L, 2L, 3L, 7L, 15L, 16L, 17L, 100L, 1023L, 1024L,
+      999999L, (1L << 40) + 12345L, (1L << 62) + 7L, Long.MaxValue)
+    val got = vs.toDF("v")
+      .select(col("v"), expr(HistSketch.bucketCaseSql("v", 16, "div")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vs.foreach(v => assert(got(v) == refBucket(v, 16), s"v=$v"))
+  }
+
+  test("lower bound is the smallest value mapping into the bucket") {
+    // for a spread of values: lb(bucket(v)) <= v and bucket(lb) == bucket(v)
+    val vs = (Seq(1L, 2L, 3L, 5L, 9L, 14L, 15L, 16L, 31L, 33L, 100L, 8191L,
+      1000000L, (1L << 50) + 999L) ++ (1 to 200).map(_ * 37L)).distinct
+    val rows = vs.toDF("v")
+      .select(col("v"), expr(HistSketch.bucketCaseSql("v", 16, "div")).as("b"))
+      .select(col("v"), col("b"),
+        expr(HistSketch.lowerBoundCaseSql("b", 16, "div")).as("lb"))
+      .collect()
+    rows.foreach { r =>
+      val (v, b, lb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(lb <= v, s"v=$v b=$b lb=$lb")
+      assert(refBucket(lb, 16) == b, s"lb=$lb not in bucket $b of v=$v")
+      assert(lb == refLowerBound(b.toInt, 16))
+      // relative bucket width bound: v < lb·(1 + 2/s) + 1 loosely
+      assert(v - lb <= math.max(1L, lb / 8), s"bucket too wide: v=$v lb=$lb")
+    }
+  }
+
+  test("quantiles land within one bucket width of exact, rank selection exact") {
+    val n = 10000
+    // skewed data: lengths ~ i² spread over 5 decades
+    val data = (1 to n).map(i => (i.toLong * i.toLong) % 1000000L + 1L)
+    val df = data.toDF("v")
+    val ps = Seq(0.5, 0.9, 0.99)
+    val got = HistSketch.histQuantiles(HistSketch.histSketch(df, "v"), ps)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val sorted = data.sorted
+    ps.foreach { p =>
+      val exact = sorted(math.ceil(p * n).toInt - 1)
+      val v = got(p)
+      assert(v <= exact, s"p=$p got $v > exact $exact")
+      // value error bounded by one sub-bucket: 1/16 relative
+      assert(exact - v <= math.max(1L, exact / 8), s"p=$p got $v exact $exact")
+    }
+  }
+
+  test("merge of disjoint halves == sketch of the union, count-exact") {
+    val a = (1 to 4000).map(i => (i % 977).toLong + 1).toDF("v")
+    val b = (1 to 3000).map(i => (i % 1553).toLong * 3 + 2).toDF("v")
+    val whole = HistSketch.histSketch(a.unionByName(b), "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val merged = HistSketch.histMerge(
+      HistSketch.histSketch(a, "v"), HistSketch.histSketch(b, "v"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged == whole)
+  }
+
+  test("NULL values are excluded like every aggregate") {
+    val df = ((1 to 500).map(i => Option(i.toLong)) ++ Seq.fill(40)(Option.empty[Long]))
+      .toDF("v")
+    val clean = (1 to 500).map(_.toLong).toDF("v")
+    assert(HistSketch.histSketch(df, "v").collect().map(r => (r.getInt(0), r.getLong(1))).toMap ==
+      HistSketch.histSketch(clean, "v").collect().map(r => (r.getInt(0), r.getLong(1))).toMap)
+  }
+
+  test("rolling quantiles merge trailing-window histograms per day") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-03-$d%02d 09:00:00")
+    // d1: values 1..100; d2: 1000..1100; d5: 10..20
+    val rows = (1 to 100).map(v => (ts(1), v.toLong)) ++
+      (1000 to 1100).map(v => (ts(2), v.toLong)) ++
+      (10 to 20).map(v => (ts(5), v.toLong))
+    val df = rows.toDF("ts", "v")
+    val got = HistSketch.histRollingQuantiles(df, "v", "ts", windowDays = 2, ps = Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(got.keySet.map(_._1) == Set("2024-03-01", "2024-03-02", "2024-03-05"))
+    // d2's window = d1+d2: 100 values ≤100 plus 101 values ≥1000 → the
+    // rank-101 median is 1000, reported as its bucket boundary 992
+    val d2 = got(("2024-03-02", 0.5))
+    assert(d2 <= 1000 && d2 >= 930, s"d2 median $d2")
+    val d5 = got(("2024-03-05", 0.5))
+    assert(d5 <= 15 && d5 >= 14, s"d5 median $d5")
+    // d1 alone: median of 1..100 = 50 → bucket lb ≤ 50, within 1/8
+    val d1 = got(("2024-03-01", 0.5))
+    assert(d1 <= 50 && d1 >= 44, s"d1 median $d1")
+  }
+
+  test("at-rest tranches: append == rebuild, consolidation crash-safe under sum") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    try {
+      val a = (1 to 900).map(i => (i % 317).toLong + 1).toDF("v")
+      val b = (1 to 700).map(i => (i % 523).toLong * 2 + 1).toDF("v")
+      val c = (1 to 400).map(i => (i % 89).toLong + 5).toDF("v")
+      val expected = HistSketch.histSketch(a.unionByName(b).unionByName(c), "v")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      HistSketch.writeHistTranche(HistSketch.histSketch(a, "v"), dir, "d0")
+      HistSketch.writeHistTranche(HistSketch.histSketch(b, "v"), dir, "d1")
+      HistSketch.writeHistTranche(HistSketch.histSketch(c, "v"), dir, "d2")
+      def readMap() = HistSketch.readHist(spark, dir)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(readMap() == expected)
+      // replayed ingest overwrites its own tranche → no double count
+      HistSketch.writeHistTranche(HistSketch.histSketch(b, "v"), dir, "d1")
+      assert(readMap() == expected)
+      HistSketch.consolidateHist(spark, dir)
+      val names = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("batch="))
+      assert(names.length == 1 && names.head.startsWith("batch=consolidated-"))
+      assert(readMap() == expected)
+      // simulate the crash window: a folded tranche resurfaces AFTER the
+      // consolidated tranche exists (deletes never ran) — the manifest
+      // must exclude it from the read, or counts double
+      HistSketch.writeHistTranche(HistSketch.histSketch(c, "v"), dir, "d2")
+      assert(readMap() == expected)
+      // the next consolidation completes the crash recovery (GCs d2)
+      HistSketch.consolidateHist(spark, dir)
+      assert(readMap() == expected)
+      val after = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("batch="))
+      assert(after.length == 1)
+      // fresh tranche after consolidation merges on read
+      HistSketch.writeHistTranche(HistSketch.histSketch(a, "v"), dir, "d9")
+      val doubledA = HistSketch.histMerge(
+        HistSketch.histSketch(a.unionByName(b).unionByName(c), "v"),
+        HistSketch.histSketch(a, "v"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(readMap() == doubledA)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+}
