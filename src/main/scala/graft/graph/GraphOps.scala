@@ -351,4 +351,77 @@ object GraphOps {
         ((col("n_groups") * col("__ng")).cast(DoubleType) /
           (col("__na") * col("__nb")).cast(DoubleType)).as("lift"))
   }
+
+  // ---- at-rest co-occurrence artifact ---------------------------------
+
+  /** AT-REST co-occurrence index: pair counts, item margins, and the
+    * group total each live as a SUM-algebra tranche artifact
+    * ([[graft.util.SumTranches]] — tagged tranches, superseding-
+    * manifest consolidation), so a daily lift dashboard reads bounded
+    * pair/margin frames instead of re-projecting the whole membership
+    * table. CONTRACT: tranches must PARTITION THE GROUPS — every
+    * group's membership wholly inside one ingest (orders of a day,
+    * sessions closed in a batch). Then per-tranche capped pairs /
+    * margins / totals sum to exactly the whole-corpus capped
+    * projection, because the cap and the pair expansion are per-group.
+    * A group split across tranches would lose its cross-tranche pairs
+    * — that is a data-layout error, not a merge-algebra one.
+    *
+    * Layout: `dir/pairs`, `dir/margins` (`item, n_i` over the capped
+    * membership), `dir/totals` (1-row distinct-group count) — the
+    * three ingredients of [[coOccurrenceLift]], all merge-by-sum.
+    * `minCount` filtering happens at READ (tranches keep every pair:
+    * a pair rare in each tranche can be common in the union).
+    */
+  def writeCoocTranche(df: DataFrame, groupCol: String, itemCol: String,
+                       dir: String, tag: String, maxPerGroup: Int = 64): Unit = {
+    require(maxPerGroup >= 2, s"writeCoocTranche: maxPerGroup=$maxPerGroup < 2")
+    val capped = cappedMembers(df, groupCol, itemCol, maxPerGroup)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.util.SumTranches.write(pairsOf(capped), s"$dir/pairs", tag)
+      graft.util.SumTranches.write(
+        capped.groupBy(col("__i").as("item")).agg(count(lit(1)).as("n_i")),
+        s"$dir/margins", tag)
+      graft.util.SumTranches.write(
+        capped.agg(count_distinct(col("__g")).as("n_g")), s"$dir/totals", tag)
+    } finally capped.unpersist()
+  }
+
+  /** Merge-on-read pair counts from the artifact (`item_a, item_b,
+    * n_groups`), `minCount` applied AFTER the cross-tranche sum. */
+  def readCoocPairs(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    minCount: Long = 1L): DataFrame =
+    graft.util.SumTranches.read(spark, s"$dir/pairs",
+        Seq("item_a", "item_b"), "n_groups")
+      .where(col("n_groups") >= minCount)
+
+  /** Association lift straight from the artifact — the read-side twin
+    * of [[coOccurrenceLift]], byte-identical to it when the tranches
+    * partition the groups, with zero corpus access: margins are
+    * |items| rows (AQE-broadcastable), the group total a 1-row
+    * broadcast. */
+  def coocLiftFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        minCount: Long = 1L): DataFrame = {
+    val pairs = readCoocPairs(spark, dir, minCount)
+    val margins = graft.util.SumTranches.read(spark, s"$dir/margins", Seq("item"), "n_i")
+    val total = graft.util.SumTranches.read(spark, s"$dir/totals", Seq.empty, "n_g")
+    pairs
+      .join(margins.select(col("item").as("item_a"), col("n_i").as("__na")), "item_a")
+      .join(margins.select(col("item").as("item_b"), col("n_i").as("__nb")), "item_b")
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n_groups"),
+        ((col("n_groups") * col("n_g")).cast(DoubleType) /
+          (col("__na") * col("__nb")).cast(DoubleType)).as("lift"))
+  }
+
+  /** Fold each of the three tranche families to one tranche
+    * (crash-safe superseding-manifest protocol —
+    * [[graft.util.SumTranches.consolidate]]). */
+  def consolidateCooc(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    graft.util.SumTranches.consolidate(spark, s"$dir/pairs",
+      Seq("item_a", "item_b"), "n_groups")
+    graft.util.SumTranches.consolidate(spark, s"$dir/margins", Seq("item"), "n_i")
+    graft.util.SumTranches.consolidate(spark, s"$dir/totals", Seq.empty, "n_g")
+  }
 }

@@ -212,85 +212,27 @@ object HistSketch {
 
   // ---- at-rest artifact ------------------------------------------------
 
-  private val ManifestName = "_graft_folded.txt"
-
   /** AT-REST histogram artifact, tagged-tranche layout like
     * `Sketches.writeSketchTranche`: each ingest overwrites ITS OWN
     * `batch=<tag>` tranche, so a replayed batch (at-least-once
     * delivery, task retry, backfill) converges to one copy. The
     * difference from the HLL artifact is the merge algebra: SUM is not
-    * idempotent, so crash-safe CONSOLIDATION needs the superseding
-    * manifest ([[consolidateHist]]) where register-max needed nothing.
+    * idempotent, so crash-safe CONSOLIDATION needs the superseding-
+    * manifest protocol ([[graft.util.SumTranches]]) where register-max
+    * needed nothing.
     */
   def writeHistTranche(sketch: DataFrame, dir: String, tag: String): Unit =
-    sketch.write.mode("overwrite").parquet(s"$dir/batch=$tag")
-
-  /** Tranche directories that readers should count: every `batch=*`
-    * minus any tranche named in a surviving consolidated tranche's
-    * manifest (those are folded in already — counting both would
-    * double). */
-  private def liveTranches(spark: SparkSession, dir: String)
-  : Seq[org.apache.hadoop.fs.Path] = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Seq.empty
-    val tranches = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith("batch=")).sortBy(_.getName).toSeq
-    val superseded: Set[String] = tranches.flatMap { t =>
-      val mf = new org.apache.hadoop.fs.Path(t, ManifestName)
-      if (fs.exists(mf)) {
-        val in = fs.open(mf)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      } else Nil
-    }.toSet
-    tranches.filterNot(t => superseded(t.getName))
-  }
+    graft.util.SumTranches.write(sketch, dir, tag)
 
   /** Merge-on-read of the at-rest artifact: one ≤tranches×(63·s+1)-row
     * scan, manifest-aware (a half-finished consolidation can never
     * double-count). */
-  def readHist(spark: SparkSession, dir: String): DataFrame = {
-    val live = liveTranches(spark, dir)
-    require(live.nonEmpty, s"readHist: no live tranches under $dir")
-    spark.read.parquet(live.map(_.toString): _*)
-      .groupBy("bucket")
-      .agg(sum(col("cnt")).as("cnt"))
-  }
+  def readHist(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SumTranches.read(spark, dir, Seq("bucket"), "cnt")
 
-  /** Fold the live tranches into ONE, crash-safe under a sum algebra:
-    * (1) merged counts are written to a dot-prefixed scratch dir
-    * (invisible to readers), (2) a manifest naming every folded tranche
-    * is written inside it, (3) the scratch dir is renamed to
-    * `batch=consolidated-<stable hash of folded names>`, (4) only then
-    * are the folded tranches deleted (plus any stale superseded
-    * leftovers from an earlier crash). A crash after (3) leaves the
-    * originals on disk but [[readHist]] excludes them by manifest — no
-    * double count, and the next consolidation run completes the
-    * deletes. The tag is a pure function of what was folded (no
-    * timestamps), so a replayed consolidation overwrites its own
-    * output. */
-  def consolidateHist(spark: SparkSession, dir: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    val all = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith("batch=")).sortBy(_.getName).toSeq
-    val live = liveTranches(spark, dir)
-    // opportunistic GC of tranches a prior crash left superseded
-    all.filterNot(live.contains).foreach(t => fs.delete(t, true))
-    if (live.length <= 1) return
-    val names = live.map(_.getName)
-    val tag = "consolidated-" +
-      java.lang.Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(names.mkString("\n")))
-    val scratch = new org.apache.hadoop.fs.Path(root, s".consolidating-$tag")
-    readHist(spark, dir).write.mode("overwrite").parquet(scratch.toString)
-    val mf = fs.create(new org.apache.hadoop.fs.Path(scratch, ManifestName), true)
-    try mf.write(names.mkString("\n").getBytes("UTF-8")) finally mf.close()
-    val dest = new org.apache.hadoop.fs.Path(root, s"batch=$tag")
-    if (fs.exists(dest)) fs.delete(dest, true)
-    fs.rename(scratch, dest)
-    names.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
-  }
+  /** Fold the live tranches into ONE, crash-safe under the sum algebra
+    * via the superseding manifest (protocol and crash analysis:
+    * [[graft.util.SumTranches.consolidate]]). */
+  def consolidateHist(spark: SparkSession, dir: String): Unit =
+    graft.util.SumTranches.consolidate(spark, dir, Seq("bucket"), "cnt")
 }

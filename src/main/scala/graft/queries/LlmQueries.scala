@@ -2077,6 +2077,40 @@ object LlmQueries {
         "l_orderkey", "l_partkey", maxPerGroup = 8, minCount = 2)
     },
 
+    // ---- the at-rest CO-OCCURRENCE index: three order-partitioned
+    //      tranches (pairs/margins/totals), one consolidated
+    //      mid-stream, then lift computed from the ARTIFACT only —
+    //      byte-identical to q_cooccurrence_lift's whole-corpus
+    //      projection because the cap is per-group and orders
+    //      partition cleanly across tranches ----
+    Q("q_cooccurrence_index",
+      """WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |c AS (SELECT g, i FROM m
+        |      QUALIFY row_number() OVER (PARTITION BY g ORDER BY i) <= 8),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_groups
+        |      FROM c a JOIN c b ON a.g = b.g AND a.i < b.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ic AS (SELECT i, count(*) AS n_i FROM c GROUP BY 1),
+        |n AS (SELECT count(DISTINCT g) AS ng FROM c)
+        |SELECT p.item_a, p.item_b, p.n_groups,
+        |  CAST(p.n_groups * n.ng AS DOUBLE) / CAST(ia.n_i * ib.n_i AS DOUBLE) AS lift
+        |FROM p
+        |CROSS JOIN n
+        |JOIN ic ia ON ia.i = p.item_a
+        |JOIN ic ib ON ib.i = p.item_b""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val cDir = graft.util.Scratch.path("cooc_index", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cDir))
+      GraphOps.writeCoocTranche(li.where(col("l_orderkey") % 3 === 0),
+        "l_orderkey", "l_partkey", cDir, tag = "d0", maxPerGroup = 8)
+      GraphOps.writeCoocTranche(li.where(col("l_orderkey") % 3 === 1),
+        "l_orderkey", "l_partkey", cDir, tag = "d1", maxPerGroup = 8)
+      GraphOps.consolidateCooc(s, cDir)   // fold d0+d1, then append d2
+      GraphOps.writeCoocTranche(li.where(col("l_orderkey") % 3 === 2),
+        "l_orderkey", "l_partkey", cDir, tag = "d2", maxPerGroup = 8)
+      GraphOps.coocLiftFromIndex(s, cDir, minCount = 2)
+    },
+
     // ---- mergeable QUANTILE sketch over the at-rest tranche artifact:
     //      three tranches (one consolidated mid-stream) merge by
     //      bucket-count SUM and the quantile reads the ≤1k-row

@@ -379,6 +379,36 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming maintenance of the at-rest CO-OCCURRENCE index
+    * ([[graft.graph.GraphOps.writeCoocTranche]]): each epoch projects
+    * its micro-batch's groups to capped pair/margin/total counts and
+    * overwrites its own tranche of each family — replay converges, and
+    * a lift dashboard reads [[graft.graph.GraphOps.coocLiftFromIndex]]
+    * without ever touching the stream. CONTRACT (inherited from the
+    * artifact): every group must arrive WHOLLY inside one micro-batch
+    * — feed this closed sessions / completed orders, not raw clicks;
+    * a group split across epochs loses its cross-epoch pairs.
+    * `consolidateEvery = n` folds each family every n epochs.
+    */
+  def coocStream(rows: DataFrame, indexDir: String, groupCol: String,
+                 itemCol: String, checkpointDir: String,
+                 maxPerGroup: Int = 64, consolidateEvery: Int = 0)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "coocStream: checkpointDir is required " +
+      "(tranche idempotence relies on durable epoch numbering)")
+    require(consolidateEvery >= 0, "coocStream: consolidateEvery must be >= 0")
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.graph.GraphOps.writeCoocTranche(
+          batch, groupCol, itemCol, indexDir, epoch.toString, maxPerGroup)
+        if (consolidateEvery > 0 && epoch > 0 && epoch % consolidateEvery == 0)
+          graft.graph.GraphOps.consolidateCooc(batch.sparkSession, indexDir)
+      }
+      .start()
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, sum: Double, start: Long, last: Long)
   final case class SessionOut(user_id: Long, n_events: Long, sum_value: Double,

@@ -1,0 +1,89 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared at-rest machinery for SUM-algebra artifacts — keyed count
+  * frames whose tranches merge by adding counts per key (histogram
+  * sketches, co-occurrence pair counts, item margins). The layout is
+  * the tagged-tranche one every index family here uses
+  * (`dir/batch=<tag>`, ingest overwrites its OWN tranche so replays
+  * converge), but sum changes the crash story relative to the HLL
+  * register-max artifact: max is idempotent, so consolidation there
+  * needs no protocol; SUM double-counts if a half-finished
+  * consolidation leaves both the folded output and its inputs visible.
+  * Hence the SUPERSEDING MANIFEST: a consolidated tranche carries a
+  * `_graft_folded.txt` naming every tranche it absorbed, and readers
+  * exclude those names — so the consolidate sequence (write scratch →
+  * write manifest → rename into place → delete inputs) is crash-safe
+  * at every boundary. Underscore-prefixed files are invisible to
+  * Spark's parquet listing, so the manifest rides inside the tranche
+  * directory itself and can never be separated from it.
+  */
+object SumTranches {
+
+  private val ManifestName = "_graft_folded.txt"
+
+  /** One ingest = one tranche, overwriting its own tag (replay-safe). */
+  def write(counts: DataFrame, dir: String, tag: String): Unit =
+    counts.write.mode("overwrite").parquet(s"$dir/batch=$tag")
+
+  /** Tranches a reader should count: every `batch=*` minus any named
+    * in a surviving consolidated tranche's manifest. */
+  def live(spark: SparkSession, dir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val tranches = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).sortBy(_.getName).toSeq
+    val superseded: Set[String] = tranches.flatMap { t =>
+      val mf = new org.apache.hadoop.fs.Path(t, ManifestName)
+      if (fs.exists(mf)) {
+        val in = fs.open(mf)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      } else Nil
+    }.toSet
+    tranches.filterNot(t => superseded(t.getName))
+  }
+
+  /** Merge-on-read: one scan over the live tranches, key-wise sum —
+    * bounded by Σ tranche sizes, never a corpus. */
+  def read(spark: SparkSession, dir: String,
+           keyCols: Seq[String], cntCol: String): DataFrame = {
+    val paths = live(spark, dir)
+    require(paths.nonEmpty, s"SumTranches.read: no live tranches under $dir")
+    spark.read.parquet(paths.map(_.toString): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(cntCol)).as(cntCol))
+  }
+
+  /** Fold the live tranches into one, crash-safe under sum (see object
+    * doc for the manifest protocol). The tag is a pure function of the
+    * folded names — a replayed consolidation overwrites its own
+    * output; stale superseded leftovers from an earlier crash are
+    * GC'd first. */
+  def consolidate(spark: SparkSession, dir: String,
+                  keyCols: Seq[String], cntCol: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val all = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).sortBy(_.getName).toSeq
+    val liveNow = live(spark, dir)
+    all.filterNot(liveNow.contains).foreach(t => fs.delete(t, true))
+    if (liveNow.length <= 1) return
+    val names = liveNow.map(_.getName)
+    val tag = "consolidated-" +
+      java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(names.mkString("\n")))
+    val scratch = new org.apache.hadoop.fs.Path(root, s".consolidating-$tag")
+    read(spark, dir, keyCols, cntCol).write.mode("overwrite").parquet(scratch.toString)
+    val mf = fs.create(new org.apache.hadoop.fs.Path(scratch, ManifestName), true)
+    try mf.write(names.mkString("\n").getBytes("UTF-8")) finally mf.close()
+    val dest = new org.apache.hadoop.fs.Path(root, s"batch=$tag")
+    if (fs.exists(dest)) fs.delete(dest, true)
+    fs.rename(scratch, dest)
+    names.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+  }
+}

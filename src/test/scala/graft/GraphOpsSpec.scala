@@ -200,4 +200,35 @@ class GraphOpsSpec extends SparkSpec {
     assert((r.getString(0), r.getString(1), r.getLong(2)) == (("a", "b", 2L)))
     assert(math.abs(r.getDouble(3) - 8.0 / 9.0) < 1e-12)
   }
+
+  test("cooc index: group-partitioned tranches + consolidation ≡ whole-corpus lift") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cooc").toString
+    try {
+      // 9 groups over 6 items, skewed memberships
+      val rows = (1L to 9L).flatMap { g =>
+        (1L to 6L).filter(i => (g * 7 + i * 3) % (i + 1) == 0).map(i => (g, i))
+      }
+      val df = rows.toDF("g", "i")
+      def liftMap(f: org.apache.spark.sql.DataFrame) = f.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      val direct = liftMap(GraphOps.coOccurrenceLift(df, "g", "i", maxPerGroup = 3))
+      // tranches partition the GROUPS (the artifact contract)
+      GraphOps.writeCoocTranche(df.where(col("g") % 3 === 0), "g", "i", dir, "t0", 3)
+      GraphOps.writeCoocTranche(df.where(col("g") % 3 === 1), "g", "i", dir, "t1", 3)
+      GraphOps.consolidateCooc(spark, dir)
+      GraphOps.writeCoocTranche(df.where(col("g") % 3 === 2), "g", "i", dir, "t2", 3)
+      assert(liftMap(GraphOps.coocLiftFromIndex(spark, dir)) == direct)
+      // replayed ingest overwrites its own tranche → unchanged
+      GraphOps.writeCoocTranche(df.where(col("g") % 3 === 2), "g", "i", dir, "t2", 3)
+      assert(liftMap(GraphOps.coocLiftFromIndex(spark, dir)) == direct)
+      // minCount filters AFTER the cross-tranche sum: a pair seen once
+      // per tranche but ≥2 in total must survive
+      val pairTotals = GraphOps.readCoocPairs(spark, dir, minCount = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val directPairs = GraphOps.coOccurrencePairs(df, "g", "i",
+        maxPerGroup = 3, minCount = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(pairTotals == directPairs)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

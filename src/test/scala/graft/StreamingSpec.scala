@@ -294,6 +294,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("coocStream maintains the at-rest pair index from group-complete batches") {
+    import graft.graph.GraphOps
+    val base = Files.createTempDirectory("graft_cooc_stream").toString
+    val dir = s"$base/idx"; val ck = s"$base/ck"
+    // groups 1..6, each wholly inside one epoch (the artifact contract)
+    val all = (1L to 6L).flatMap(g => (1L to 4L).filter(i => (g + i) % 2 == 0)
+      .map(i => (g, i)))
+    val expected = GraphOps.coOccurrenceLift(all.toDF("g", "i"), "g", "i")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val mem = MemoryStream[(Long, Long)](spark, 1)
+    val q = StreamingOps.coocStream(mem.toDF.toDF("g", "i"), dir, "g", "i",
+      checkpointDir = ck, consolidateEvery = 1)
+    try {
+      mem.addData(all.filter(_._1 <= 3): _*); q.processAllAvailable()  // epoch 0
+      mem.addData(all.filter(_._1 > 3): _*); q.processAllAvailable()   // epoch 1 → fold
+      val got = GraphOps.coocLiftFromIndex(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      assert(got == expected)
+      // epoch-1 consolidation folded each family to one tranche
+      val pairTranches = new java.io.File(s"$dir/pairs").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch="))
+      assert(pairTranches.length == 1 &&
+        pairTranches.head.startsWith("batch=consolidated-"))
+    } finally q.stop()
+  }
+
   private def winTs(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
 
   test("windowedAgg produces correct event-time tumbling windows") {
