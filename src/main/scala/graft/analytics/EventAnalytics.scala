@@ -152,6 +152,87 @@ object EventAnalytics {
         col("n_users"), col("avg_secs"))
   }
 
+  /** FUNNEL WITH RE-ENTRY — the windowed-restart twin of [[funnel]]
+    * with a horizon: where [[funnel]] anchors the conversion clock on
+    * the user's FIRST step-0 forever (a user whose first view expired
+    * unconverted never restarts), here the user opens a NEW ATTEMPT at
+    * their next step-0 after the horizon lapses, and completes step i
+    * if ANY attempt converts through step i inside its own window.
+    * Returns the same `(step, step_name, n_users)` shape; counts are
+    * ≥ [[funnel]]'s with the same horizon by construction.
+    *
+    * Attempt semantics are the SESSION-WINDOW ones over step-0 events:
+    * a step-0 event starts a new attempt when it falls more than
+    * `horizonSecs` after the PREVIOUS step-0 event, and the attempt's
+    * anchor is that starting event. Chained step-0 events each within
+    * the horizon of the one before EXTEND the attempt without moving
+    * its anchor — so a view every 23 h under a 24 h horizon is one
+    * attempt anchored at the first view, and a purchase 30 h in does
+    * NOT convert. That is the deterministic, windowed-recursion-free
+    * reading of "restart on expiry" (the literal reading — anchor
+    * restarts when `ts > anchor + h` — is a row-recursive scan no
+    * window function expresses); it is also exactly what
+    * `session_window(step0, h)` would assemble.
+    *
+    * Plan shape: TWO exchanges instead of [[funnel]]'s one — the
+    * (user)-partitioned window derives each row's current attempt
+    * anchor (previous-step-0 running max + anchor running max, two
+    * frames on one sort), then the (user, anchor)-partitioned window
+    * runs the identical chained cumulative-min as [[funnelCompletions]]
+    * within each attempt. The per-attempt collapse rides the second
+    * window's partitioning, and the per-user OR over attempts is a
+    * tiny attempt-level aggregate. Still no self-join, no collect, no
+    * per-step pass.
+    */
+  def funnelReentry(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String],
+                    tieCol: String, horizonSecs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnelReentry: steps must be non-empty")
+    require(steps.distinct.size == steps.size,
+      s"funnelReentry: duplicate step types in ${steps.mkString(",")}")
+    require(horizonSecs > 0, "funnelReentry: horizonSecs must be positive")
+    val ord = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val is0 = col(typeCol) === steps.head
+    var df = events.select(col(userCol), col(tsCol), col(typeCol), col(tieCol))
+      .withColumn("__prev0", max(when(is0, col(tsCol))).over(wPrev))
+      .withColumn("__na",
+        when(is0 && (col("__prev0").isNull ||
+            col(tsCol) > expr(s"timestampadd(SECOND, $horizonSecs, __prev0)")),
+          col(tsCol)))
+      .withColumn("__anchor", max(col("__na")).over(w))
+    val wa = Window.partitionBy(col(userCol), col("__anchor"))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inHorizon =
+      col(tsCol) <= expr(s"timestampadd(SECOND, $horizonSecs, __anchor)")
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val valid =
+        if (i == 0) col(typeCol) === s && inHorizon
+        else col(typeCol) === s && col(tsCol) > col(s"__r${i - 1}") && inHorizon
+      df = df.withColumn(s"__r$i", min(when(valid, col(tsCol))).over(wa))
+    }
+    val perAttempt = df.where(col("__anchor").isNotNull)
+      .groupBy(col(userCol), col("__anchor"))
+      .agg(min(col("__r0")).as("__t0"),
+        steps.indices.tail.map(i => min(col(s"__r$i")).as(s"__t$i")): _*)
+    val perUser = perAttempt.groupBy(col(userCol))
+      .agg(max(when(col("__t0").isNotNull, 1).otherwise(0)).as("__f0"),
+        steps.indices.tail.map(i =>
+          max(when(col(s"__t$i").isNotNull, 1).otherwise(0)).as(s"__f$i")): _*)
+    val counts = perUser.agg(sum(col("__f0")).as("n0"),
+      steps.indices.tail.map(i => sum(col(s"__f$i")).as(s"n$i")): _*)
+    val stackArgs = steps.zipWithIndex
+      .map { case (s, i) =>
+        val esc = s.replace("\\", "\\\\").replace("'", "\\'")
+        s"${i + 1}, '$esc', n$i"
+      }.mkString(", ")
+    counts
+      .select(expr(s"stack(${steps.size}, $stackArgs) AS (step, step_name, n_users)"))
+      .select(col("step").cast(IntegerType), col("step_name"), col("n_users"))
+  }
+
   /** Cohort RETENTION: users are cohorted by the week of their first
     * `cohortType` event, and counted active in week-offset
     * `k = floor((event_date − anchor_date) / 7)` — DAY-granular

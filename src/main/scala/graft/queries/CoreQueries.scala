@@ -796,6 +796,58 @@ object CoreQueries {
         horizonSecs = Some(7L * 86400))
     },
 
+    // ---- funnel with RE-ENTRY: expired horizons restart at the next
+    //      view (session-window attempts over step-0 events); the
+    //      oracle replays the anchor derivation (prev-step-0 running
+    //      max + anchor running max) and the same chained mins
+    //      partitioned by (user, attempt anchor) ----
+    Q("q_funnel_reentry",
+      """WITH p0 AS (SELECT user_id, ts, event_type, event_id,
+        |    max(CASE WHEN event_type = 'view' THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev0
+        |  FROM events),
+        |a0 AS (SELECT *, CASE WHEN event_type = 'view'
+        |         AND (prev0 IS NULL OR ts > prev0 + INTERVAL 7 DAY)
+        |         THEN ts END AS na
+        |  FROM p0),
+        |an AS (SELECT *, max(na) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS anchor
+        |  FROM a0),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view'
+        |           AND ts <= anchor + INTERVAL 7 DAY THEN ts END) OVER aw AS r0
+        |  FROM an WHERE anchor IS NOT NULL
+        |  WINDOW aw AS (PARTITION BY user_id, anchor ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > r0
+        |           AND ts <= anchor + INTERVAL 7 DAY THEN ts END) OVER aw AS r1
+        |  FROM w1
+        |  WINDOW aw AS (PARTITION BY user_id, anchor ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > r1
+        |           AND ts <= anchor + INTERVAL 7 DAY THEN ts END) OVER aw AS r2
+        |  FROM w2
+        |  WINDOW aw AS (PARTITION BY user_id, anchor ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |w4 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > r2
+        |           AND ts <= anchor + INTERVAL 7 DAY THEN ts END) OVER aw AS r3
+        |  FROM w3
+        |  WINDOW aw AS (PARTITION BY user_id, anchor ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |att AS (SELECT user_id, anchor, min(r0) AS t0, min(r1) AS t1,
+        |          min(r2) AS t2, min(r3) AS t3
+        |        FROM w4 GROUP BY 1, 2),
+        |f AS (SELECT user_id,
+        |        max(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS f0,
+        |        max(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS f1,
+        |        max(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS f2,
+        |        max(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS f3
+        |      FROM att GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS step_name, CAST(sum(f0) AS BIGINT) AS n_users FROM f
+        |UNION ALL SELECT 2, 'click', CAST(sum(f1) AS BIGINT) FROM f
+        |UNION ALL SELECT 3, 'signup', CAST(sum(f2) AS BIGINT) FROM f
+        |UNION ALL SELECT 4, 'purchase', CAST(sum(f3) AS BIGINT) FROM f""".stripMargin) { (s, dir) =>
+      EventAnalytics.funnelReentry(t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "signup", "purchase"), tieCol = "event_id",
+        horizonSecs = 7L * 86400)
+    },
+
     // ---- funnel transition times: users + exact-integer-µs average
     //      seconds per adjacent step pair, same shared single window;
     //      the oracle replays the chained mins and the same

@@ -160,6 +160,94 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(at(59L)("click") == 0L)
   }
 
+  // ---- funnel with re-entry ----
+
+  private def reentryCounts(df: DataFrame, h: Long): Map[String, Long] =
+    EventAnalytics.funnelReentry(df, "user_id", "ts", "event_type", STEPS,
+      "event_id", horizonSecs = h)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+
+  test("funnelReentry: an expired attempt restarts at the next view") {
+    // u3 from the no-re-entry horizon test: first view expires
+    // unconverted, second view (9 days later, > horizon after the
+    // first) opens attempt 2, whose click now counts.
+    val df = ev(
+      ("u3", "2024-01-01 10:00:00", "view", 7),
+      ("u3", "2024-01-10 10:00:00", "view", 8),
+      ("u3", "2024-01-10 10:05:00", "click", 9))
+    val h = 3L * 86400
+    val noReentry = EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+      STEPS, "event_id", horizonSecs = Some(h))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(noReentry == Map("view" -> 1L, "click" -> 0L, "buy" -> 0L))
+    assert(reentryCounts(df, h) == Map("view" -> 1L, "click" -> 1L, "buy" -> 0L))
+  }
+
+  test("funnelReentry: any attempt converting credits the user once") {
+    // attempt 1 (day 1) reaches click and expires; attempt 2 (day 10)
+    // converts the full chain — the user counts once per step, and a
+    // user with two fully-converting attempts still counts once.
+    val df = ev(
+      ("a", "2024-01-01 10:00:00", "view", 1),
+      ("a", "2024-01-01 11:00:00", "click", 2),
+      ("a", "2024-01-10 10:00:00", "view", 3),
+      ("a", "2024-01-10 11:00:00", "click", 4),
+      ("a", "2024-01-10 12:00:00", "buy", 5),
+      ("b", "2024-01-01 10:00:00", "view", 6),
+      ("b", "2024-01-01 10:30:00", "click", 7),
+      ("b", "2024-01-01 11:00:00", "buy", 8),
+      ("b", "2024-01-20 10:00:00", "view", 9),
+      ("b", "2024-01-20 10:30:00", "click", 10),
+      ("b", "2024-01-20 11:00:00", "buy", 11))
+    assert(reentryCounts(df, 86400L) ==
+      Map("view" -> 2L, "click" -> 2L, "buy" -> 2L))
+  }
+
+  test("funnelReentry: chained views extend the attempt without moving its anchor") {
+    // session-window semantics: views every 20h under a 24h horizon
+    // stay ONE attempt anchored at the first view, so a buy 30h after
+    // the anchor does not convert even though it is within 24h of the
+    // last view; the chain also never restarts (no view is > h after
+    // the previous one).
+    val df = ev(
+      ("c", "2024-01-01 00:00:00", "view", 1),
+      ("c", "2024-01-01 20:00:00", "view", 2),
+      ("c", "2024-01-02 16:00:00", "view", 3),
+      ("c", "2024-01-02 05:00:00", "click", 4),   // +29h > 24h horizon
+      ("c", "2024-01-02 06:00:00", "buy", 5))
+    assert(reentryCounts(df, 86400L) ==
+      Map("view" -> 1L, "click" -> 0L, "buy" -> 0L))
+    // same shape with the click INSIDE the anchor window converts
+    val df2 = ev(
+      ("c", "2024-01-01 00:00:00", "view", 1),
+      ("c", "2024-01-01 20:00:00", "view", 2),
+      ("c", "2024-01-01 22:00:00", "click", 3),
+      ("c", "2024-01-01 23:00:00", "buy", 4))
+    assert(reentryCounts(df2, 86400L) ==
+      Map("view" -> 1L, "click" -> 1L, "buy" -> 1L))
+  }
+
+  test("funnelReentry: counts are monotone and never below the no-re-entry funnel") {
+    // randomized-ish mixed corpus: every step count must dominate the
+    // no-re-entry horizon funnel and stay monotone across steps
+    val rows = (1 to 40).flatMap { u =>
+      val base = ts("2024-01-01 00:00:00").getTime
+      (0 until 12).map { k =>
+        val t = new Timestamp(base + (u * 7 + k * 13) % 29 * 86400000L + k * 3600000L)
+        val typ = Seq("view", "click", "buy", "other")((u * 3 + k) % 4)
+        (s"u$u", t, typ, (u * 100 + k).toLong)
+      }
+    }
+    val df = rows.toDF("user_id", "ts", "event_type", "event_id")
+    val h = 2L * 86400
+    val re = reentryCounts(df, h)
+    val no = EventAnalytics.funnel(df, "user_id", "ts", "event_type", STEPS,
+      "event_id", horizonSecs = Some(h))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    STEPS.foreach(s => assert(re(s) >= no(s), s"step $s: ${re(s)} < ${no(s)}"))
+    assert(re("view") >= re("click") && re("click") >= re("buy"))
+  }
+
   // ---- funnel transition times ----
 
   test("funnelTimes averages per-transition gaps over completing users only") {
