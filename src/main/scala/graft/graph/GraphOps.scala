@@ -219,10 +219,50 @@ object GraphOps {
     * frame is backed by the final persisted rank RDD.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 10, scale: Long = 1000000000L): DataFrame = {
+               iterations: Int = 10, scale: Long = 1000000000L): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, None, iterations, scale, None)._1
+
+  /** WARM-START PageRank: continue the exact integer recursion from a
+    * PRIOR rank vector instead of the uniform start — the incremental
+    * path when the edge set grows by a tranche. Nodes new since the
+    * prior (absent from it) start at the uniform `scale div n` of the
+    * CURRENT node universe; departed nodes are dropped. Because the
+    * per-iteration map is a pure function of (edges, rank vector),
+    * `pageRankFrom(e, pageRank(e, k−j), j)` is BIT-IDENTICAL to
+    * `pageRank(e, k)` — continuation is exact, not approximate — and
+    * when the edge delta is small the prior is already near the fixed
+    * point, so convergence needs fewer iterations than from uniform
+    * ([[pageRankConverged]] measures exactly that). `priorRanks` must
+    * have `(node, rank)` columns in the same `scale` units.
+    */
+  def pageRankFrom(edges: DataFrame, srcCol: String, dstCol: String,
+                   priorRanks: DataFrame, iterations: Int = 10,
+                   scale: Long = 1000000000L): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, Some(priorRanks), iterations, scale, None)._1
+
+  /** Iterate until the total absolute rank movement `Σ|Δrank|` (in
+    * 1/`scale` units) drops to `tol` or below, up to `maxIterations`.
+    * Returns `(ranks, iterationsRun)` — the iteration count is the
+    * warm-start dividend: re-converging after an appended edge tranche
+    * from the prior vector takes measurably fewer rounds than from
+    * uniform. The convergence test costs one |V|-sized join + a
+    * 1-scalar driver read per iteration (the same checksum discipline
+    * as the connected-components rounds). Integer arithmetic makes the
+    * test exact and replayable — no FP noise floor to tune around.
+    */
+  def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                        start: Option[DataFrame] = None,
+                        tol: Long = 0L, maxIterations: Int = 50,
+                        scale: Long = 1000000000L): (DataFrame, Int) =
+    pageRankCore(edges, srcCol, dstCol, start, maxIterations, scale, Some(tol))
+
+  private def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,
+                           start: Option[DataFrame], iterations: Int,
+                           scale: Long, tol: Option[Long]): (DataFrame, Int) = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
     require(scale >= 1000000L,
       s"pageRank: scale < 1e6 leaves too few integer rank levels (got $scale)")
+    require(tol.forall(_ >= 0), "pageRank: tol must be >= 0")
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges
@@ -244,10 +284,28 @@ object GraphOps {
     // (scale·3/20)/n and scale/n in this exact operation order — the
     // oracle spells the same integer expressions
     val base = (scale * 3L / 20L) / n
-    var rankRdd = nodes.select(col("node"), lit(scale / n).as("rank"))
-      .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val init = start match {
+      case None => nodes.select(col("node"), lit(scale / n).as("rank"))
+      case Some(prior) =>
+        nodes.join(
+            prior.select(col("node"), col("rank").cast(LongType).as("__pr")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("__pr"), lit(scale / n)).as("rank"))
+    }
+    var rankRdd = init.as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
     rankRdd.count()
-    for (_ <- 1 to iterations) {
+    // persisting alone truncates RECOMPUTATION but not the serialized
+    // dependency graph — task closures carry every prior iteration's
+    // plan, and past ~40 iterations deserialization overflows the
+    // stack. Every CheckpointEvery rounds the fresh state is local-
+    // checkpointed (marked BEFORE its first action, as required) to
+    // sever lineage; the latest root stays pinned until superseded so
+    // an evicted intermediate can always rebuild from a truncated,
+    // ≤CheckpointEvery-deep chain.
+    var ckptRoot: org.apache.spark.rdd.RDD[(Long, Long)] = null
+    var itersRun = 0
+    var converged = false
+    while (itersRun < iterations && !converged) {
       val rank = rankRdd.toDF("node", "rank")
       val contrib = e
         .join(rank.withColumnRenamed("node", "src").withColumnRenamed("rank", "__r"), "src")
@@ -258,15 +316,34 @@ object GraphOps {
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(__s, 0L)) div 100")).as("rank"))
         .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      itersRun += 1
+      val isCkpt = itersRun % CheckpointEvery == 0
+      if (isCkpt) next.localCheckpoint()
       next.count()
-      rankRdd.unpersist()
+      tol.foreach { t =>
+        // 1-scalar convergence checksum, exact integer movement
+        val delta = next.toDF("node", "rank")
+          .join(rank.withColumnRenamed("rank", "__prev"), "node")
+          .agg(coalesce(sum(abs(col("rank") - col("__prev"))), lit(0L)).as("d"))
+          .head().getLong(0)
+        if (delta <= t) converged = true
+      }
+      // release everything but the new state and the active root
+      val prev = rankRdd
       rankRdd = next
+      if (isCkpt) {
+        // next is checkpointed (owns its blocks): both the old root and
+        // the previous generation are now releasable
+        if ((ckptRoot ne null) && (ckptRoot ne prev)) ckptRoot.unpersist()
+        prev.unpersist()
+        ckptRoot = next
+      } else if (prev ne ckptRoot) prev.unpersist()
     }
     // the final state is RDD-severed from the edge/node plans — their
     // caches are released here, not left to the session
     val out = rankRdd.toDF("node", "rank")
     e.unpersist(); nodes.unpersist()
-    out
+    (out, itersRun)
   }
 
   /** CO-OCCURRENCE projection of a bipartite membership table ("parts

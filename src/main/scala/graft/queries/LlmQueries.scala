@@ -1837,6 +1837,25 @@ object LlmQueries {
         .withColumnRenamed("rank", "rank_ppb")
     },
 
+    // ---- WARM-START PageRank: 3 iterations from uniform produce the
+    //      prior vector, 3 more continue from it — bit-identical to 6
+    //      straight iterations (the oracle replays 6), proving the
+    //      warm-start API is exact continuation of the integer
+    //      recursion, not an approximation. The convergence dividend
+    //      (fewer rounds to tol after an edge-tranche append) is
+    //      spec-gated in GraphOpsSpec ----
+    Q("q_pagerank_warm", duckPageRankSql(iters = 6, scale = 1000000000L)) { (s, dir) =>
+      val sc = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(Tables(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast(LongType).as("src"),
+          (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
+      val edges = sc.unionAll(sc.select(col("dst").as("src"), col("src").as("dst")))
+      val prior = GraphOps.pageRank(edges, "src", "dst", iterations = 3)
+      GraphOps.pageRankFrom(edges, "src", "dst", prior, iterations = 3)
+        .withColumnRenamed("rank", "rank_ppb")
+    },
+
     // ---- multimodal: payload metadata through the REAL decode path
     //      (PNG headers parse to true dimensions; the text fixtures are
     //      not PNGs, so they exercise the deterministic stub fallback

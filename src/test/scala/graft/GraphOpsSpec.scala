@@ -167,6 +167,49 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("pageRankFrom: warm continuation is bit-identical to straight iterations") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val straight = GraphOps.pageRank(edges, "src", "dst", iterations = 8)
+      .as[(Long, Long)].collect().toMap
+    val prior = GraphOps.pageRank(edges, "src", "dst", iterations = 5)
+    val continued = GraphOps.pageRankFrom(edges, "src", "dst", prior, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(continued == straight)
+    // a node NEW since the prior starts uniform: result well-defined
+    // (no nulls) and covers the grown node universe
+    val grown = edges.unionAll(Seq((4L, 5L), (5L, 3L)).toDF("src", "dst"))
+    val g = GraphOps.pageRankFrom(grown, "src", "dst", prior, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(g.keySet == Set(1L, 2L, 3L, 4L, 5L) && g.values.forall(_ > 0))
+  }
+
+  test("pageRankConverged: warm start after a tranche append converges in fewer rounds") {
+    // ring + an irregular hub: ASYMMETRIC chords so incoming
+    // rank/outdeg weights do NOT sum to 1 per node (a modular chord
+    // pattern turned out weight-regular — uniform was already the
+    // fixed point and the cold run "converged" in one round)
+    val ring = (1L to 60L).map(i => (i, i % 60 + 1)) ++
+      Seq((1L, 30L), (2L, 30L), (3L, 30L), (30L, 7L), (7L, 45L), (45L, 7L))
+    val base = ring.toDF("src", "dst")
+    // 0.002 relative total movement: tight enough that cold needs ~20
+    // rounds (0.85-damping: each round cuts movement ~15%), loose
+    // enough to converge well inside maxIterations
+    val tol = 2000000L
+    val (r0, kCold) = GraphOps.pageRankConverged(base, "src", "dst", tol = tol)
+    assert(kCold >= 2, s"cold run converged suspiciously fast ($kCold)")
+    val appended = base.unionAll(Seq((2L, 17L)).toDF("src", "dst"))
+    val (_, kWarm) = GraphOps.pageRankConverged(appended, "src", "dst",
+      start = Some(r0), tol = tol)
+    val (_, kCold2) = GraphOps.pageRankConverged(appended, "src", "dst", tol = tol)
+    assert(kWarm < kCold2, s"warm $kWarm not fewer than cold $kCold2")
+    // converged state is stable: one more round from it moves ≤ tol
+    val (_, kAgain) = GraphOps.pageRankConverged(appended, "src", "dst",
+      start = Some(GraphOps.pageRankConverged(appended, "src", "dst", tol = tol)._1),
+      tol = tol)
+    assert(kAgain == 1)
+  }
+
   test("coOccurrencePairs: counts witnessing groups, dedups, filters by minCount") {
     val df = Seq(
       (10L, 1L), (10L, 2L), (10L, 3L),
