@@ -163,7 +163,12 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
       }
-    } catch { case _: Throwable => }
+    } catch { case e: Throwable =>
+      // warmup stays best-effort, but a silent failure makes cold
+      // numbers unattributable (r9 verdict: the q_curation warm drift
+      // could not be adjudicated without knowing if warmup ran)
+      System.err.println(s"[bench] WARMUP FAILED (degrading to unwarmed): $e")
+    }
     val mem = java.lang.management.ManagementFactory.getMemoryMXBean
     var gcForced = 0
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -213,9 +218,13 @@ object Bench {
     val slowest5 = coldOk.sortBy(-_._2).take(5).map(_._1).toSet
     val warmRuns: Map[String, Double] = coldOk
       .filter { case (name, cold, _, _, _) => cold >= 1.0 || slowest5(name) }
-      .map { case (name, _, _, _, _) =>
-        // a failed warm run must not enter the min — fall back to cold
-        val reps = if (slowest5(name)) 2 else 1
+      .map { case (name, cold, _, _, _) =>
+        // a failed warm run must not enter the min — fall back to cold.
+        // ≥2.5s-cold queries get two reruns, not just the top-5: the
+        // composed shapes (r10 adjudication: q_curation 11.4→3.2→1.76s
+        // in isolation) need TWO warm executions to reach steady state,
+        // and one rerun books the half-warmed middle as "warm"
+        val reps = if (slowest5(name) || cold >= 2.5) 2 else 1
         val warms = (1 to reps)
           .map(i => runOne(s"$name(warm$i)", queryMap(name)))
           .collect { case (_, sec, true, _, _) => sec }

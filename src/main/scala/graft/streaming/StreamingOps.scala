@@ -379,6 +379,36 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming maintenance of an at-rest QUANTILE-HISTOGRAM artifact
+    * ([[graft.profile.HistSketch]]): each epoch reduces its micro-batch
+    * to ≤63·s+1 bucket counts and overwrites its own tranche — replay
+    * converges by own-tranche overwrite (sum algebra, so unlike the
+    * HLL stream the CONSOLIDATION path relies on the superseding
+    * manifest, not idempotence). Readers get rolling corpus quantiles
+    * at any moment via `HistSketch.readHist` + `histQuantiles` without
+    * touching the stream.
+    */
+  def histStream(rows: DataFrame, histDir: String, valCol: String,
+                 checkpointDir: String,
+                 subBuckets: Int = graft.profile.HistSketch.DefaultSubBuckets,
+                 consolidateEvery: Int = 0)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "histStream: checkpointDir is required " +
+      "(tranche idempotence relies on durable epoch numbering)")
+    require(consolidateEvery >= 0, "histStream: consolidateEvery must be >= 0")
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.profile.HistSketch.writeHistTranche(
+          graft.profile.HistSketch.histSketch(batch, valCol, subBuckets),
+          histDir, epoch.toString)
+        if (consolidateEvery > 0 && epoch > 0 && epoch % consolidateEvery == 0)
+          graft.profile.HistSketch.consolidateHist(batch.sparkSession, histDir)
+      }
+      .start()
+  }
+
   /** Streaming maintenance of the at-rest CO-OCCURRENCE index
     * ([[graft.graph.GraphOps.writeCoocTranche]]): each epoch projects
     * its micro-batch's groups to capped pair/margin/total counts and

@@ -294,6 +294,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("histStream maintains the at-rest histogram with in-loop consolidation") {
+    import graft.profile.HistSketch
+    val base = Files.createTempDirectory("graft_hist_stream").toString
+    val dir = s"$base/h"; val ck = s"$base/ck"
+    val vals = (1 to 900).map(i => (i % 613).toLong + 1)
+    val expected = HistSketch.histQuantiles(
+        HistSketch.histSketch(vals.toDF("v"), "v"), Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[Long](spark, 1)
+    val q = StreamingOps.histStream(mem.toDF.toDF("v"), dir, "v",
+      checkpointDir = ck, consolidateEvery = 2)
+    try {
+      mem.addData(vals.take(300): _*); q.processAllAvailable()       // epoch 0
+      mem.addData(vals.slice(300, 600): _*); q.processAllAvailable() // epoch 1
+      mem.addData(vals.drop(600): _*); q.processAllAvailable()       // epoch 2 → fold
+      val tranches = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("batch="))
+      assert(tranches.length == 1 && tranches.head.startsWith("batch=consolidated-"),
+        tranches.mkString(","))
+      val got = HistSketch.histQuantiles(HistSketch.readHist(spark, dir), Seq(0.5, 0.9))
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("coocStream maintains the at-rest pair index from group-complete batches") {
     import graft.graph.GraphOps
     val base = Files.createTempDirectory("graft_cooc_stream").toString
