@@ -122,6 +122,58 @@ object Sketches {
           lit("linear")).otherwise(lit("raw")).as("tier"))
   }
 
+  /** GROUPED sketch: one register set per group key — "distinct users
+    * per source", "distinct docs per language" at sketch cost. One
+    * map-side-combinable shuffle of ≤|groups|·m rows; grouped sketches
+    * merge with [[hllMergeBy]] (register max within group), so per-day
+    * grouped artifacts roll up exactly like the global ones. Output:
+    * `(groupCols…, bucket, max_rho)`. */
+  def hllSketchBy(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                  b: Int = DefaultB): DataFrame = {
+    require(b >= 4 && b <= 16, s"hllSketchBy: b=$b outside [4,16]")
+    require(groupCols.nonEmpty, "hllSketchBy: need at least one group column")
+    val h: Column = Hashes.portable(col(keyCol).cast(StringType))
+    df.where(col(keyCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        h.bitwiseAND(lit((1L << b) - 1)).cast(IntegerType).as("bucket"),
+        shiftright(h, b).as("__w")): _*)
+      .withColumn("__rho", expr(rhoCaseSql("__w", bits(b), "div")))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("__rho")).cast(IntegerType).as("max_rho"))
+  }
+
+  /** Merge grouped sketches: register-wise max WITHIN each group. */
+  def hllMergeBy(groupCols: Seq[String], sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "hllMergeBy: need at least one sketch")
+    sketches.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("max_rho")).cast(IntegerType).as("max_rho"))
+  }
+
+  /** Per-group estimate from a grouped sketch: `(groupCols…,
+    * n_estimate, n_present)`, one ≤|groups|·m-row aggregation with the
+    * same integer term algebra (and b-mismatch tripwire) as
+    * [[hllEstimate]]. */
+  def hllEstimateBy(sketch: DataFrame, groupCols: Seq[String],
+                    b: Int = DefaultB): DataFrame = {
+    require(groupCols.nonEmpty, "hllEstimateBy: need at least one group column")
+    val m = 1L << b
+    val emptyTerm = 1L << maxRho(b)
+    sketch
+      .withColumn("__term",
+        when(assert_true(col("bucket") < lit(m),
+            lit(s"hllEstimateBy: sketch has bucket >= 2^$b — " +
+              "built with a larger b than it is being estimated with")).isNull,
+          expr(termCaseSql("max_rho", b))))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_present"), sum(col("__term")).as("__sp"))
+      .select(groupCols.map(col) ++ Seq(
+        (lit(alphaNumerator(b)) /
+          (col("__sp") + (lit(m) - col("n_present")) * lit(emptyTerm))
+            .cast(DoubleType)).as("n_estimate"),
+        col("n_present")): _*)
+  }
+
   /** Union cardinality without touching either corpus: register-wise
     * max. Associative + commutative + idempotent, so daily sketches
     * roll up in any order and replays are harmless. */

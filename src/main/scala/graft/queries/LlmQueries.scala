@@ -2205,6 +2205,86 @@ object LlmQueries {
       graft.profile.HistSketch.histRollingQuantiles(
         Tables(s, dir, "events"), "value", "ts",
         windowDays = 7, ps = Seq(0.5, 0.95))
+    },
+
+    // ---- GROUPED distinct sketch: one register set per order
+    //      priority, built from two disjoint halves and merged
+    //      register-wise within group — "distinct customers per
+    //      segment" at sketch cost, with the exact per-group count as
+    //      a calibration column; every register bit replayed ----
+    Q("q_hll_grouped", {
+      import graft.profile.Sketches._
+      val b = 10; val m = 1L << b; val nb = 60 - b
+      s"""WITH h AS (SELECT o_orderpriority AS g,
+        |    ${duckHash("CAST(o_custkey AS VARCHAR)")} AS hv
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |r AS (SELECT g, CAST(hv & ${m - 1} AS INTEGER) AS bucket, (hv // $m) AS w FROM h),
+        |sk AS (SELECT g, bucket, max(${rhoCaseSql("w", nb, "//")}) AS max_rho
+        |       FROM r GROUP BY 1, 2),
+        |s AS (SELECT g, count(*) AS n_present,
+        |        CAST(sum(${termCaseSql("max_rho", b)}) AS BIGINT) AS sp
+        |      FROM sk GROUP BY 1),
+        |ex AS (SELECT o_orderpriority AS g, count(DISTINCT o_custkey) AS n_exact
+        |       FROM orders GROUP BY 1)
+        |SELECT s.g AS o_orderpriority,
+        |  CAST(${alphaNumerator(b)} AS DOUBLE)
+        |    / CAST(sp + ($m - n_present) * ${1L << (nb + 1)} AS DOUBLE) AS n_estimate,
+        |  n_present, ex.n_exact
+        |FROM s JOIN ex ON ex.g = s.g""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.Sketches
+      val o = Tables(s, dir, "orders")
+      val gk = Seq("o_orderpriority")
+      val est = Sketches.hllEstimateBy(
+        Sketches.hllMergeBy(gk,
+          Sketches.hllSketchBy(o.where(col("o_orderkey") % 2 === 0), gk, "o_custkey"),
+          Sketches.hllSketchBy(o.where(col("o_orderkey") % 2 === 1), gk, "o_custkey")),
+        gk)
+      est.join(o.groupBy(col("o_orderpriority"))
+        .agg(count_distinct(col("o_custkey")).as("n_exact")), "o_orderpriority")
+    },
+
+    // ---- count-min frequency grid: per-key occurrence estimates from
+    //      a d×w cell artifact built as two sum-tranches and merged on
+    //      read; deterministic seeded hashes make every cell and every
+    //      row-minimum engine-replayable, and the exact counts ride
+    //      along to exhibit the never-undercount contract ----
+    Q("q_cm_counts", {
+      val w = graft.profile.CountMin.DefaultWidth
+      val d = graft.profile.CountMin.DefaultDepth
+      val cells = (0 until d).map(r =>
+        s"""SELECT $r AS r,
+          |    CAST(${duckHash(s"'$r|' || CAST(l_partkey AS VARCHAR)")} % $w AS INTEGER) AS c
+          |  FROM lineitem WHERE l_partkey IS NOT NULL""".stripMargin)
+        .mkString("\n  UNION ALL ")
+      val probes = (0 until d).map(r =>
+        s"""SELECT key, $r AS r,
+          |    CAST(${duckHash(s"'$r|' || CAST(key AS VARCHAR)")} % $w AS INTEGER) AS c
+          |  FROM ks""".stripMargin)
+        .mkString("\n  UNION ALL ")
+      s"""WITH cm AS (SELECT r, c, count(*) AS cnt FROM ($cells) GROUP BY 1, 2),
+        |ks AS (SELECT DISTINCT l_partkey AS key FROM lineitem WHERE l_partkey <= 50),
+        |p AS ($probes),
+        |est AS (SELECT p.key, min(COALESCE(cm.cnt, 0)) AS n_est
+        |        FROM p LEFT JOIN cm USING (r, c) GROUP BY 1),
+        |ex AS (SELECT l_partkey AS key, count(*) AS n_exact FROM lineitem GROUP BY 1)
+        |SELECT est.key AS l_partkey, est.n_est, ex.n_exact
+        |FROM est JOIN ex ON ex.key = est.key""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.CountMin
+      val li = Tables(s, dir, "lineitem")
+      val cmDir = graft.util.Scratch.path("cm_counts", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cmDir))
+      CountMin.writeCmTranche(
+        CountMin.cmSketch(li.where(col("l_orderkey") % 2 === 0), "l_partkey"),
+        cmDir, tag = "d0")
+      CountMin.writeCmTranche(
+        CountMin.cmSketch(li.where(col("l_orderkey") % 2 === 1), "l_partkey"),
+        cmDir, tag = "d1")
+      CountMin.cmLookup(CountMin.readCm(s, cmDir),
+          li.where(col("l_partkey") <= 50), "l_partkey")
+        .join(li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_exact")),
+          "l_partkey")
     }
   )
 }

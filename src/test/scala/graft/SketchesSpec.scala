@@ -138,6 +138,34 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.hllEstimate(sk12, b = 12).head().getDouble(0) > 0)
   }
 
+  test("grouped sketch: per-group registers match per-group global sketches") {
+    val rows = (1 to 3000).map(i => (s"g${i % 3}", s"k${i % 700}"))
+    val df = rows.toDF("g", "k")
+    val grouped = Sketches.hllSketchBy(df, Seq("g"), "k")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Sketches.hllSketch(df.where(col("g") === g), "k")
+        .collect().map(r => (g, r.getInt(0)) -> r.getInt(1)).toMap
+      assert(grouped.view.filterKeys(_._1 == g).toMap == solo, s"group $g")
+    }
+    // grouped merge of disjoint halves ≡ grouped sketch of the union,
+    // and the per-group estimate tracks each group's true cardinality
+    val (a, b) = (df.where(col("k").substr(2, 10).cast("int") % 2 === 0),
+      df.where(col("k").substr(2, 10).cast("int") % 2 === 1))
+    val merged = Sketches.hllMergeBy(Seq("g"),
+      Sketches.hllSketchBy(a, Seq("g"), "k"), Sketches.hllSketchBy(b, Seq("g"), "k"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(merged == grouped)
+    val est = Sketches.hllEstimateBy(
+        Sketches.hllSketchBy(df, Seq("g"), "k", b = 6), Seq("g"), b = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = df.groupBy("g").agg(count_distinct(col("k")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) / n < 0.35, s"group $g est ${est(g)} exact $n")
+    }
+  }
+
   test("consolidateSketch folds tranches to one with identical registers") {
     val dir = java.nio.file.Files.createTempDirectory("graft_skcons").toString
     try {
