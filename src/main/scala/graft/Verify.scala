@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev knob: GRAFT_VERIFY_ONLY=q_a,q_b restricts the dump to named
+    // queries for fast local oracle iteration; unset (the driver path)
+    // runs everything.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

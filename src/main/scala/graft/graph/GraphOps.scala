@@ -501,4 +501,147 @@ object GraphOps {
     graft.util.SumTranches.consolidate(spark, s"$dir/margins", Seq("item"), "n_i")
     graft.util.SumTranches.consolidate(spark, s"$dir/totals", Seq.empty, "n_g")
   }
+
+  /** Multi-source BFS distances: the minimum hop count from any seed
+    * node to every node reachable within `maxHops` — the reachability
+    * primitive behind "everything within 2 links of these flagged
+    * items" expansion queries (contamination spread, related-item
+    * neighborhoods, blast-radius estimates on the co-occurrence
+    * graph).
+    *
+    * Frontier iteration: level h = (frontier ⋈ edges) minus everything
+    * already labeled — each node is labeled exactly once, at its BFS
+    * level, so `dist` is the minimum by construction. `maxHops` is a
+    * REQUIRED bound (neighborhood queries want 1–4 hops; unbounded
+    * reachability is [[connectedComponents]]' job, which converges in
+    * O(log²) rounds instead of diameter).
+    *
+    * Scale shape: one hop = one frontier⋈edges equi-join (frontier is
+    * the NEW nodes only, never the cumulative set) + one anti-join
+    * against the labeled set — both keyed on node id, AQE-handled.
+    * Each level is persisted and the driver reads one count per hop
+    * (the empty-frontier early stop — same bounded-scalar discipline
+    * as the CC convergence checksum). Seeds appear with dist 0 whether
+    * or not they occur in the edge set (the caller asked about them).
+    *
+    * Determinism: pure integer hop counts — trivially replayable; the
+    * oracle is a recursive CTE with UNION dedup and `min(dist)`.
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: Seq[Long], maxHops: Int): DataFrame = {
+    require(sources.nonEmpty, "bfsDistances: empty source set")
+    require(maxHops >= 0, s"bfsDistances: maxHops=$maxHops must be >= 0")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seed = sources.distinct.toDF("node").withColumn("dist", lit(0L))
+    var labeled = seed.persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = labeled
+    var prevFrontier: DataFrame = null // released once its successor exists
+    var h = 0
+    var frontierSize = 1L // seeds are nonempty by the require
+    while (h < maxHops && frontierSize > 0) {
+      h += 1
+      // using-column joins on RENAMED frames: hop ≥ 2 frontiers derive
+      // from `e` itself, and dataset-column equality predicates would
+      // hit the ambiguous-self-join check
+      val next = e.join(frontier.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(labeled, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontierSize = next.count() // bounded scalar: the early-stop gauge
+      if (frontierSize > 0) {
+        val grown = labeled.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
+        grown.count() // materialize before releasing the parents
+        labeled.unpersist()
+        if (prevFrontier != null) prevFrontier.unpersist()
+        labeled = grown
+        prevFrontier = next
+        frontier = next
+      } else next.unpersist()
+    }
+    if (prevFrontier != null) prevFrontier.unpersist()
+    e.unpersist()
+    labeled
+  }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected edge list — the community-structure gauge for the
+    * graphs this module already builds (co-occurrence projections,
+    * near-dup pair sets): a high-clustering neighborhood is a genuine
+    * community, a hub with zero closure is a stop-item / boilerplate
+    * artifact.
+    *
+    * Algorithm: degree-ordered edge orientation (Cohen 2009 /
+    * Suri–Vassilvitskii "Counting Triangles and the Curse of the Last
+    * Reducer", WWW 2011). Every edge is oriented from its lower
+    * endpoint to its higher endpoint in the total order `(degree,
+    * id)`; each triangle then has exactly ONE wedge at its
+    * lowest-ordered vertex, so `wedges ⋈ edges` counts every triangle
+    * once with no dedup pass. The orientation is the scale story: a
+    * hub of degree d sits at the HIGH end of the order, so its
+    * oriented out-degree — and therefore its wedge fan-out — is
+    * bounded by O(√m) regardless of d. The naive all-wedges join
+    * explodes quadratically on the hottest node (the "last reducer");
+    * this shape provably cannot.
+    *
+    * Shuffle plan: canonicalize+distinct (one exchange), degree count
+    * (one), two degree joins to orient, the wedge self-join on the
+    * low vertex (one), the closing-edge equi-join, then an explode +
+    * count per vertex. Everything keys on node ids — AQE handles skew;
+    * nothing is collected.
+    *
+    * Determinism: counts are exact integers; `clustering` =
+    * `2·tri / (deg·(deg−1))` is one IEEE division on exact integer
+    * operands (0.0 when deg < 2), rounded 6 dp — bit-replayable in
+    * any engine.
+    *
+    * Output: one row per node — `(item, degree, n_triangles,
+    * clustering)`, nodes without triangles included with 0.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).cast(LongType).as("a"),
+        greatest(col(aCol), col(bCol)).cast(LongType).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient by the (deg, id) total order; carry the head's (deg, id)
+    // so the wedge join can compare orders without re-joining degrees
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("deg").as("__da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("__db")), "b")
+    val aFirst = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("__db")).otherwise(col("__da")).as("__dv"))
+    // wedges at the lowest-ordered vertex: out-neighbors v < w in
+    // (deg, id) order; the closing edge, if present, is oriented v→w
+    val o1 = oriented.select(col("u"), col("v").as("x"), col("__dv").as("__dx"))
+    val o2 = oriented.select(col("u"), col("v").as("y"), col("__dv").as("__dy"))
+    val wedges = o1.join(o2, "u").where(
+      col("__dx") < col("__dy") ||
+        (col("__dx") === col("__dy") && col("x") < col("y")))
+    val tris = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("item"), col("deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round((coalesce(col("n_triangles"), lit(0L)) * lit(2L)).cast(DoubleType) /
+            (col("deg") * (col("deg") - lit(1L))).cast(DoubleType), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

@@ -931,6 +931,37 @@ object CoreQueries {
       EventAnalytics.rollingActiveUsers(
         t(s, dir, "events").where(col("event_type") === "purchase"),
         "user_id", "ts", windowDays = 7)
+    },
+
+    // ---- regular-grid resampling with last-observation-carried-
+    //      forward fill: each user's event series onto an hourly
+    //      grid spanning their own [first, last] bucket; empty hours
+    //      inherit the prior value (src='fill'). Values are COPIED,
+    //      never combined — no float arithmetic anywhere, trivially
+    //      engine-replayable; grid fan-out = span/step per key off a
+    //      bounded per-key aggregate, not the event volume ----
+    Q("q_resample_fill",
+      """WITH b AS (SELECT user_id, ts, event_id, value,
+        |    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_ts
+        |  FROM events WHERE user_id < 50),
+        |lastv AS (SELECT user_id, bucket_ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, bucket_ts
+        |                                 ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM b) WHERE rn = 1),
+        |rng AS (SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx
+        |        FROM b GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(mn, mx + 3600, 3600)) AS bucket_ts
+        |         FROM rng),
+        |j AS (SELECT g.user_id, g.bucket_ts, lastv.value AS obs
+        |      FROM grid g LEFT JOIN lastv USING (user_id, bucket_ts))
+        |SELECT user_id, bucket_ts,
+        |  last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  CASE WHEN obs IS NULL THEN 'fill' ELSE 'obs' END AS src
+        |FROM j""".stripMargin) { (s, dir) =>
+      graft.analytics.TimeSeriesOps.resampleFill(
+        t(s, dir, "events").where(col("user_id") < 50),
+        "user_id", "ts", "value", "event_id", stepSeconds = 3600L)
     }
   )
 }

@@ -8,7 +8,7 @@ import graft.dedup.DedupOps
 import graft.graph.GraphOps
 import graft.multimodal.MultimodalOps
 import graft.similarity.SimilarityOps
-import graft.text.TextOps
+import graft.text.{RetrievalOps, TextOps}
 import graft.training.TrainingOps
 
 /** LLM-training-data pipeline queries (dedup / similarity / text /
@@ -238,6 +238,43 @@ object LlmQueries {
 
   // DuckDB fragments reused across oracles.
   private val duckWords = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** BM25 replay CTEs ending in `bs(query_id, doc_id, s8sum, n_terms)`.
+    * The Okapi constants are rendered from the SAME JVM arithmetic the
+    * engine bakes into its plan (`k1+1`, `k1(1−b)`, `k1·b` computed
+    * here, serialized shortest-roundtrip), so both engines evaluate an
+    * identical IEEE expression tree; the per-term score is snapped to
+    * 1e-8 fixed point before the order-free integer sum — the
+    * `unigramLogProb` determinism contract. `qCte` supplies the
+    * `(query_id, term)` seed set (literal VALUES or a derivation from
+    * the corpus). */
+  private def duckBm25Ctes(qCte: String, k1: Double = 1.2, b: Double = 0.75): String = {
+    val k11 = (k1 + 1.0).toString
+    val k1b1 = (k1 * (1.0 - b)).toString
+    val k1b = (k1 * b).toString
+    s"""WITH q AS ($qCte),
+      |toks AS (SELECT doc_id, unnest($duckWords) AS term FROM documents),
+      |dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS d,
+      |              CAST((SELECT count(*) FROM toks) AS DOUBLE) AS t),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |       JOIN (SELECT DISTINCT term FROM q) USING (term) GROUP BY 1, 2),
+      |dfr AS (SELECT term, df,
+      |    CAST(floor(ln(1.0 + (st.d - df + 0.5) / (df + 0.5)) * 1e8 + 0.5) AS BIGINT) AS idf8
+      |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN st),
+      |sc AS (SELECT q.query_id, tf.doc_id,
+      |    CAST(floor(CAST(dfr.idf8 AS DOUBLE) / 1e8
+      |      * (tf.tf * $k11)
+      |      / (tf.tf + $k1b1 + ($k1b * dlen.dl * st.d) / st.t) * 1e8 + 0.5) AS BIGINT) AS s8
+      |  FROM tf JOIN dfr USING (term) JOIN dlen USING (doc_id)
+      |  JOIN q USING (term) CROSS JOIN st),
+      |bs AS (SELECT query_id, doc_id, sum(s8) AS s8sum, count(*) AS n_terms
+      |       FROM sc GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Snapped reciprocal-rank contribution — `rrfFuse`'s exact term. */
+  private def duckRrfTerm(kConst: Int) =
+    s"CAST(floor(1e12 / ($kConst.0 + rank) + 0.5) AS BIGINT)"
   private def duckHash(e: String) = s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
 
   /** Fixed-point PageRank replay: the same integer expressions as
@@ -2285,6 +2322,138 @@ object LlmQueries {
           li.where(col("l_partkey") <= 50), "l_partkey")
         .join(li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_exact")),
           "l_partkey")
+    },
+
+    // ---- Okapi BM25 lexical retrieval: three seed keyword queries
+    //      scored against every matching document — corpus side is
+    //      filtered to query terms BEFORE any shuffle; per-term scores
+    //      snapped to 1e-8 fixed point so the cross-term sum is
+    //      order-free (the unigramLogProb contract) ----
+    Q("q_bm25",
+      s"""${duckBm25Ctes(
+        """SELECT * FROM (VALUES
+          |    ('q1', 'spark'), ('q1', 'join'), ('q1', 'window'),
+          |    ('q2', 'hash'), ('q2', 'merge'),
+          |    ('q3', 'vector'), ('q3', 'stream'), ('q3', 'customer')) t(query_id, term)""".stripMargin)}
+        |SELECT query_id, doc_id, CAST(s8sum AS DOUBLE) / 1e8 AS bm25,
+        |  CAST(n_terms AS BIGINT) AS n_terms
+        |FROM bs""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val qs = Seq(("q1", "spark"), ("q1", "join"), ("q1", "window"),
+        ("q2", "hash"), ("q2", "merge"),
+        ("q3", "vector"), ("q3", "stream"), ("q3", "customer"))
+        .toDF("query_id", "term")
+      RetrievalOps.bm25Scores(Tables(s, dir, "documents"), "doc_id", "text", qs)
+        .select("query_id", "doc_id", "bm25", "n_terms")
+    },
+
+    // ---- hybrid search: BM25 lexical top-20 (query terms = the seed
+    //      docs' own distinct words) fused with exact-cosine semantic
+    //      top-20 (the paired seed embeddings) by reciprocal-rank
+    //      fusion — rank-based, so neither score scale needs
+    //      calibration; fusion inputs are k·|queries| rows regardless
+    //      of corpus size ----
+    Q("q_hybrid_rrf",
+      s"""${duckBm25Ctes(
+        s"""SELECT DISTINCT CAST(doc_id AS VARCHAR) AS query_id, unnest($duckWords) AS term
+          |    FROM documents WHERE doc_id < 5""".stripMargin)},
+        |lexk AS (SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY s8sum DESC, doc_id) AS rank
+        |    FROM bs) WHERE rank <= 20),
+        |sem0 AS (SELECT CAST(q.vec_id AS VARCHAR) AS query_id, c.vec_id AS doc_id,
+        |           ${duckCos("q.embedding", "c.embedding")} AS cos
+        |         FROM embeddings q CROSS JOIN embeddings c
+        |         WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |semk AS (SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+        |    FROM sem0) WHERE rank <= 20),
+        |u AS (SELECT query_id, doc_id, ${duckRrfTerm(60)} AS c12 FROM lexk
+        |      UNION ALL SELECT query_id, doc_id, ${duckRrfTerm(60)} FROM semk),
+        |f AS (SELECT query_id, doc_id, sum(c12) AS s12, count(*) AS n_sources
+        |      FROM u GROUP BY 1, 2)
+        |SELECT query_id, doc_id, CAST(s12 AS DOUBLE) / 1e12 AS rrf,
+        |  CAST(n_sources AS BIGINT) AS n_sources, rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s12 DESC, doc_id) AS rank
+        |      FROM f) WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val e = Tables(s, dir, "embeddings")
+      val qterms = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").cast(StringType).as("query_id"),
+          explode(TextOps.words(col("text"))).as("term"))
+      val lex = RetrievalOps.bm25TopK(docs, "doc_id", "text", qterms, k = 20)
+        .select("query_id", "doc_id", "rank")
+      val sem = SimilarityOps.bruteForceTopK(
+        e.where(col("vec_id") < 5), e, "vec_id", "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+      RetrievalOps.rrfFuse(Seq(lex, sem), "doc_id", k = 10)
+    },
+
+    // ---- triangle counts + local clustering over the part
+    //      co-purchase graph (the capped co-occurrence projection as
+    //      the edge set): degree-ordered orientation — each triangle
+    //      counted at its lowest-(deg,id) vertex, hub wedge fan-out
+    //      bounded O(√m) — the "last reducer" killer ----
+    Q("q_triangles",
+      """WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |c AS (SELECT g, i FROM m
+        |      QUALIFY row_number() OVER (PARTITION BY g ORDER BY i) <= 8),
+        |e AS (SELECT a.i AS a, b.i AS b FROM c a JOIN c b ON a.g = b.g AND a.i < b.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT v, count(*) AS deg
+        |        FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |         THEN e.a ELSE e.b END AS u,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |         THEN e.b ELSE e.a END AS v
+        |  FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+        |w AS (SELECT o1.u AS u, o1.v AS x, o2.v AS y
+        |      FROM o o1 JOIN o o2 ON o1.u = o2.u
+        |      JOIN deg dx ON dx.v = o1.v JOIN deg dy ON dy.v = o2.v
+        |      WHERE dx.deg < dy.deg OR (dx.deg = dy.deg AND o1.v < o2.v)),
+        |tri AS (SELECT w.u, w.x, w.y FROM w JOIN o ON o.u = w.x AND o.v = w.y),
+        |pn AS (SELECT v, count(*) AS t FROM (
+        |    SELECT u AS v FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri)
+        |  GROUP BY 1)
+        |SELECT deg.v AS item, CAST(deg.deg AS BIGINT) AS degree,
+        |  CAST(COALESCE(pn.t, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN deg.deg >= 2
+        |       THEN round(CAST(COALESCE(pn.t, 0) * 2 AS DOUBLE)
+        |                  / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6)
+        |       ELSE 0.0 END AS clustering
+        |FROM deg LEFT JOIN pn ON pn.v = deg.v""".stripMargin) { (s, dir) =>
+      GraphOps.triangleCounts(
+        GraphOps.coOccurrencePairs(Tables(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxPerGroup = 8, minCount = 2),
+        "item_a", "item_b")
+    },
+
+    // ---- multi-source BFS over the co-purchase graph: min hops from
+    //      seed items {1,2,3} within a 3-hop horizon — the "related
+    //      items within k links" expansion; oracle = recursive CTE
+    //      with UNION dedup (each level bounded by |V|, no walk
+    //      explosion) + min(dist) ----
+    Q("q_bfs_reach",
+      """WITH RECURSIVE m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |c AS (SELECT g, i FROM m
+        |      QUALIFY row_number() OVER (PARTITION BY g ORDER BY i) <= 8),
+        |p AS (SELECT a.i AS a, b.i AS b FROM c a JOIN c b ON a.g = b.g AND a.i < b.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+        |d(node, dist) AS (
+        |  SELECT * FROM (VALUES (CAST(1 AS BIGINT), 0), (CAST(2 AS BIGINT), 0),
+        |                        (CAST(3 AS BIGINT), 0)) t(node, dist)
+        |  UNION
+        |  SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node WHERE d.dist < 3)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM d GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        val pairs = GraphOps.coOccurrencePairs(Tables(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxPerGroup = 8, minCount = 2)
+        val und = pairs.select(col("item_a").as("src"), col("item_b").as("dst"))
+          .unionAll(pairs.select(col("item_b").as("src"), col("item_a").as("dst")))
+        GraphOps.bfsDistances(und, "src", "dst", Seq(1L, 2L, 3L), maxHops = 3)
     }
   )
 }

@@ -274,4 +274,91 @@ class GraphOpsSpec extends SparkSpec {
       assert(pairTotals == directPairs)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  // ---------------- triangle counts ----------------
+
+  /** Driver-side reference count over adjacency sets. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      if (a != b) { adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    }
+    val nodes = adj.keys.toSeq.sorted
+    nodes.map { v =>
+      val n = adj(v).toSeq
+      val t = (for {
+        i <- n.indices; j <- (i + 1) until n.length
+        if adj(n(i)).contains(n(j))
+      } yield 1).size.toLong
+      v -> t
+    }.toMap
+  }
+
+  test("triangleCounts matches the driver reference on a known graph") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5 + path 6-7
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L))
+    val out = GraphOps.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getAs[Long]("item") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"), r.getAs[Double]("clustering"))).toMap
+    val ref = refTriangles(edges)
+    assert(out.keySet == ref.keySet)
+    ref.foreach { case (v, t) => assert(out(v)._2 == t, s"node $v") }
+    // K4 interior nodes: deg 3, 3 triangles -> clustering 1.0
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(4L)._1 == 4L && out(4L)._2 == 3L &&
+      math.abs(out(4L)._3 - 0.5) < 1e-9) // 2*3/(4*3)
+    assert(out(5L) == ((1L, 0L, 0.0)))   // deg<2 -> clustering 0.0, no div-by-zero
+    assert(out(6L) == ((1L, 0L, 0.0)))
+  }
+
+  test("triangleCounts: duplicate / reversed / self-loop edges are canonicalized away") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assertSameRows(
+      GraphOps.triangleCounts(messy.toDF("a", "b"), "a", "b"),
+      GraphOps.triangleCounts(clean.toDF("a", "b"), "a", "b"))
+    val one = GraphOps.triangleCounts(clean.toDF("a", "b"), "a", "b").collect()
+    assert(one.forall(_.getAs[Long]("n_triangles") == 1L))
+  }
+
+  test("triangleCounts on a hub star: zero triangles, bounded wedge fan-out shape") {
+    val star = (2L to 40L).map(i => (1L, i))
+    val out = GraphOps.triangleCounts(star.toDF("a", "b"), "a", "b").collect()
+    assert(out.forall(_.getAs[Long]("n_triangles") == 0L))
+    assert(out.find(_.getAs[Long]("item") == 1L).get.getAs[Long]("degree") == 39L)
+  }
+
+  // ---------------- BFS distances ----------------
+
+  test("bfsDistances: min hop levels on a known graph, early stop, horizon cap") {
+    // path 1-2-3-4-5 plus shortcut 1-4; undirected via both directions
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val d = GraphOps.bfsDistances(e, "src", "dst", Seq(1L), maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shortcut beats the long path: 4 is one hop, 5 two
+    assert(d == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+    val capped = GraphOps.bfsDistances(e, "src", "dst", Seq(1L), maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("bfsDistances: multi-source min, absent seeds kept at 0, directed edges respected") {
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst") // directed
+    val d = GraphOps.bfsDistances(e, "src", "dst", Seq(3L, 10L, 99L), maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 has no out-edges (directed), 10 reaches 11, 99 not in graph
+    assert(d == Map(3L -> 0L, 10L -> 0L, 99L -> 0L, 11L -> 1L))
+  }
+
+  test("triangleCounts matches reference on a random graph (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val out = GraphOps.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getAs[Long]("item") -> r.getAs[Long]("n_triangles")).toMap
+    val ref = refTriangles(edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct)
+    assert(out == ref)
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.RetrievalOps
+
+/** BM25 + RRF against hand-computed fixtures (the per-term Okapi
+  * arithmetic worked out on paper) plus the determinism/ranking
+  * invariants the oracle rows lean on.
+  */
+class RetrievalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark join join"),
+    (2L, "spark window"),
+    (3L, "filter scan scan scan")).toDF("doc_id", "text")
+
+  private def q1 = Seq(("q1", "spark"), ("q1", "join")).toDF("query_id", "term")
+
+  // D=3 docs, T=9 tokens, avgdl=3; k1=1.2, b=0.75
+  // idf(spark)=ln(1.6), idf(join)=ln(8/3)
+  // d1: spark tf=1 dl=3 -> ln(1.6)*2.2/2.2 ; join tf=2 -> ln(8/3)*4.4/3.2
+  // d2: spark tf=1 dl=2 -> ln(1.6)*2.2/1.9
+  test("bm25Scores matches the hand-computed Okapi values") {
+    val out = RetrievalOps.bm25Scores(corpus, "doc_id", "text", q1)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2) // d3 matches no query term
+    val d1 = out(0); val d2 = out(1)
+    assert(d1.getLong(1) == 1L && d2.getLong(1) == 2L)
+    val expD1 = math.log(1.6) + math.log(8.0 / 3.0) * 4.4 / 3.2
+    val expD2 = math.log(1.6) * 2.2 / 1.9
+    assert(math.abs(d1.getAs[Double]("bm25") - expD1) < 1e-6, s"d1 ${d1}")
+    assert(math.abs(d2.getAs[Double]("bm25") - expD2) < 1e-6, s"d2 ${d2}")
+    assert(d1.getAs[Long]("n_terms") == 2L)
+    assert(d2.getAs[Long]("n_terms") == 1L)
+  }
+
+  test("bm25TopK ranks by exact fixed-point sum, id-tiebroken, capped at k") {
+    val top = RetrievalOps.bm25TopK(corpus, "doc_id", "text", q1, k = 1).collect()
+    assert(top.length == 1 && top(0).getAs[Long]("doc_id") == 1L
+      && top(0).getAs[Int]("rank") == 1)
+    // identical docs tie on the snapped sum -> lower id wins
+    val tied = Seq((7L, "spark"), (5L, "spark")).toDF("doc_id", "text")
+    val r = RetrievalOps.bm25TopK(tied, "doc_id", "text",
+      Seq(("q", "spark")).toDF("query_id", "term"), k = 2)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(5L, 7L))
+  }
+
+  test("bm25 ignores query-side duplicate terms and is stable under re-run") {
+    val dup = Seq(("q1", "spark"), ("q1", "spark"), ("q1", "join")).toDF("query_id", "term")
+    assertSameRows(
+      RetrievalOps.bm25Scores(corpus, "doc_id", "text", dup),
+      RetrievalOps.bm25Scores(corpus, "doc_id", "text", q1))
+  }
+
+  test("rrfFuse sums snapped reciprocal ranks across sources, ranks by the exact sum") {
+    val a = Seq(("q1", 1L, 1), ("q1", 2L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq(("q1", 2L, 1), ("q1", 3L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = RetrievalOps.rrfFuse(Seq(a, b), "doc_id", k = 3).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L, 3L))
+    assert(out.map(_.getAs[Long]("n_sources")).toSeq == Seq(2L, 1L, 1L))
+    val d2 = out(0).getAs[Double]("rrf")
+    assert(math.abs(d2 - (1.0 / 61 + 1.0 / 62)) < 1e-6)
+    // single-source fusion preserves the input order
+    val solo = RetrievalOps.rrfFuse(Seq(a), "doc_id", k = 2).orderBy("rank").collect()
+    assert(solo.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+  }
+
+  test("rrfFuse ties broken by id; kConst shifts the scores") {
+    val a = Seq(("q1", 9L, 1), ("q1", 4L, 1)).toDF("query_id", "doc_id", "rank")
+    val out = RetrievalOps.rrfFuse(Seq(a), "doc_id", k = 2, kConst = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L, 9L))
+    assert(math.abs(out(0).getAs[Double]("rrf") - 1.0 / 11) < 1e-6)
+  }
+}
