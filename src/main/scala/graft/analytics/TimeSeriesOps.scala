@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Regular-grid resampling over irregular event streams — the
   * gap-filling step between raw events and anything that assumes a
@@ -64,5 +64,40 @@ object TimeSeriesOps {
       .select(col(keyCol), col("bucket_ts"),
         last(col("__v"), ignoreNulls = true).over(fillW).as("value"),
         when(col("__v").isNull, lit("fill")).otherwise(lit("obs")).as("src"))
+  }
+
+  /** Trailing-window rolling aggregates per key: over the `nRows` most
+    * recent rows in `orderCol` order (inclusive of the current one),
+    * the exact sum, the window row count, and their ratio. Meant to
+    * run over [[resampleFill]]'s dense grid, where "last 24 rows" IS
+    * "last 24 hours" — on an irregular series a row window is not a
+    * time window, which is why this composes with the resampler
+    * instead of guessing.
+    *
+    * Determinism: the windowed sum runs over DECIMAL(12,2)-cast values
+    * — exact, so the within-frame accumulation order (and DuckDB's
+    * segment-tree window evaluation vs Spark's running frame) cannot
+    * flip a digit; `roll_sum` is the exact decimal cast to double
+    * (value-determined, identical everywhere) and `roll_avg` is ONE
+    * IEEE division of that by the exact count. The usual
+    * exact-decimal-sum oracle discipline, applied inside a window
+    * frame.
+    *
+    * Scale shape: one key-partitioned ordered window — a single
+    * exchange + sort, reused for all three outputs. Ties in
+    * `orderCol` make the frame CONTENTS order-dependent, so the
+    * caller's order column must be unique per key (the resampler's
+    * grid is).
+    */
+  def rollingAgg(df: DataFrame, keyCol: String, orderCol: String,
+                 valueCol: String, nRows: Int): DataFrame = {
+    require(nRows >= 1, s"rollingAgg: nRows=$nRows must be >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(nRows - 1).toLong, Window.currentRow)
+    val exact = sum(col(valueCol).cast(DecimalType(12, 2))).over(w)
+    val cnt = count(col(valueCol)).over(w)
+    df.withColumn("roll_sum", exact.cast(DoubleType))
+      .withColumn("roll_n", cnt)
+      .withColumn("roll_avg", exact.cast(DoubleType) / cnt)
   }
 }

@@ -962,6 +962,66 @@ object CoreQueries {
       graft.analytics.TimeSeriesOps.resampleFill(
         t(s, dir, "events").where(col("user_id") < 50),
         "user_id", "ts", "value", "event_id", stepSeconds = 3600L)
+    },
+
+    // ---- trailing 24-row rolling aggregates over the resampled grid
+    //      (dense hourly grid ⇒ "24 rows" IS "24 hours"): exact
+    //      DECIMAL window sums cast to double, one IEEE division for
+    //      the average — the exact-decimal oracle discipline inside a
+    //      window frame, immune to each engine's frame-evaluation
+    //      order ----
+    Q("q_rolling_avg",
+      """WITH b AS (SELECT user_id, ts, event_id, value,
+        |    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_ts
+        |  FROM events WHERE user_id < 50),
+        |lastv AS (SELECT user_id, bucket_ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, bucket_ts
+        |                                 ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM b) WHERE rn = 1),
+        |rng AS (SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx
+        |        FROM b GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(mn, mx + 3600, 3600)) AS bucket_ts
+        |         FROM rng),
+        |r AS (SELECT g.user_id, g.bucket_ts,
+        |    last_value(lastv.value IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |      ORDER BY g.bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |  FROM grid g LEFT JOIN lastv USING (user_id, bucket_ts))
+        |SELECT user_id, bucket_ts,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER wnd AS DOUBLE) AS roll_sum,
+        |  count(value) OVER wnd AS roll_n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER wnd AS DOUBLE)
+        |    / count(value) OVER wnd AS roll_avg
+        |FROM r
+        |WINDOW wnd AS (PARTITION BY user_id ORDER BY bucket_ts
+        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin) {
+      (s, dir) =>
+        val grid = graft.analytics.TimeSeriesOps.resampleFill(
+          t(s, dir, "events").where(col("user_id") < 50),
+          "user_id", "ts", "value", "event_id", stepSeconds = 3600L)
+        graft.analytics.TimeSeriesOps.rollingAgg(grid,
+          "user_id", "bucket_ts", "value", nRows = 24)
+          .select("user_id", "bucket_ts", "roll_sum", "roll_n", "roll_avg")
+    },
+
+    // ---- k-sigma outlier flags per event type with ZERO floating
+    //      point: the test (n·x−S)² > k²·(n·Q−S²) is exact integer
+    //      arithmetic over fixed-point-snapped values — no mean, no
+    //      variance, no sqrt, order-free by construction; oracle
+    //      replays it in HUGEINT ----
+    Q("q_anomaly_sigma",
+      """WITH u AS (SELECT event_id, event_type, value,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS u FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(u) AS HUGEINT) AS s, sum(CAST(u AS HUGEINT) * u) AS q
+        |       FROM u GROUP BY 1)
+        |SELECT u.event_id, u.event_type, u.value,
+        |  CAST(st.n AS BIGINT) AS n_group,
+        |  (st.n * u.u - st.s) * (st.n * u.u - st.s) > 9 * (st.n * st.q - st.s * st.s)
+        |    AS is_anomaly
+        |FROM u JOIN st USING (event_type)""".stripMargin) { (s, dir) =>
+      graft.analytics.AnomalyOps.sigmaFlags(
+        t(s, dir, "events").select("event_id", "event_type", "value"),
+        "event_type", "value", k = 3)
     }
   )
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.AnomalyOps
+
+class AnomalyOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sigmaFlags: integer k-sigma test flags the planted outlier, spares the cluster") {
+    // group A: tight cluster {10,10,10,12} + outlier 100
+    // mean=28.4, sd(pop)=~35.5 at k=1: |100-28.4|=71.6 > 35.5 -> flagged
+    val df = Seq(("a", 10.0), ("a", 10.0), ("a", 10.0), ("a", 12.0), ("a", 100.0),
+      ("b", 5.0), ("b", 5.0)).toDF("grp", "value")
+    val out = AnomalyOps.sigmaFlags(df, "grp", "value", k = 1)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Double]("value"),
+        r.getAs[Boolean]("is_anomaly")))
+    assert(out.count { case (_, v, f) => f && v == 100.0 } == 1)
+    assert(out.forall { case (_, v, f) => v == 100.0 || !f })
+    // zero-variance group flags nothing (strict inequality on 0 > 0)
+    assert(out.filter(_._1 == "b").forall(!_._3))
+  }
+
+  test("sigmaFlags: hand-checked boundary — k chooses the cut, n_group carried") {
+    // {0, 0, 0, 8}: S=8, Q=64, n=4 -> n*Q - S^2 = 192
+    // x=8: (4*8-8)^2 = 576; k=2 -> 4*192=768 no; k=1 -> 192 yes
+    val df = Seq(("g", 0.0), ("g", 0.0), ("g", 0.0), ("g", 8.0)).toDF("grp", "value")
+    val k1 = AnomalyOps.sigmaFlags(df, "grp", "value", k = 1).collect()
+    val k2 = AnomalyOps.sigmaFlags(df, "grp", "value", k = 2).collect()
+    assert(k1.count(_.getAs[Boolean]("is_anomaly")) == 1)
+    assert(k2.forall(!_.getAs[Boolean]("is_anomaly")))
+    assert(k1.forall(_.getAs[Long]("n_group") == 4L))
+  }
+
+  test("sigmaFlags: fractional values snap at the decimals knob, both tails flagged") {
+    val df = (Seq.fill(20)(50.0) ++ Seq(0.25, 99.75)).map(("g", _)).toDF("grp", "value")
+    val out = AnomalyOps.sigmaFlags(df, "grp", "value", k = 3)
+      .collect().map(r => r.getAs[Double]("value") -> r.getAs[Boolean]("is_anomaly"))
+    assert(out.count(_._2) == 2)
+    assert(out.filter(_._2).map(_._1).sorted.toSeq == Seq(0.25, 99.75))
+  }
+
+  test("sigmaFlags rejects bad knobs") {
+    val df = Seq(("g", 1.0)).toDF("grp", "value")
+    intercept[IllegalArgumentException] { AnomalyOps.sigmaFlags(df, "grp", "value", k = 0) }
+    intercept[IllegalArgumentException] {
+      AnomalyOps.sigmaFlags(df, "grp", "value", decimals = 9)
+    }
+  }
+}

@@ -52,6 +52,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(1).getAs[String]("src") == "fill" && out(1).getAs[Double]("value") == 5.0)
   }
 
+  test("rollingAgg: trailing-row sums/avgs per key, partial head windows") {
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0), (1L, 4L, 4.0),
+      (2L, 1L, 10.0)).toDF("user_id", "bucket_ts", "value")
+    val out = TimeSeriesOps.rollingAgg(df, "user_id", "bucket_ts", "value", nRows = 3)
+      .orderBy("user_id", "bucket_ts").collect()
+    assert(out.map(_.getAs[Double]("roll_sum")).toSeq == Seq(1.0, 3.0, 6.0, 9.0, 10.0))
+    assert(out.map(_.getAs[Long]("roll_n")).toSeq == Seq(1L, 2L, 3L, 3L, 1L))
+    assert(math.abs(out(3).getAs[Double]("roll_avg") - 3.0) < 1e-12)
+  }
+
+  test("rollingAgg over the resampled grid: fills participate in the window") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 6.0),
+      (1L, ts("2024-01-01 02:00:00"), 2L, 12.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val grid = TimeSeriesOps.resampleFill(df, "user_id", "ts", "value", "event_id", 3600L)
+    val out = TimeSeriesOps.rollingAgg(grid, "user_id", "bucket_ts", "value", nRows = 2)
+      .orderBy("bucket_ts").collect()
+    // grid values: 6 (obs), 6 (fill), 12 (obs) -> trailing-2 sums 6, 12, 18
+    assert(out.map(_.getAs[Double]("roll_sum")).toSeq == Seq(6.0, 12.0, 18.0))
+  }
+
   test("resampleFill rejects nonpositive steps") {
     val df = Seq((1L, ts("2024-01-01 00:00:00"), 1L, 1.0))
       .toDF("user_id", "ts", "event_id", "value")
