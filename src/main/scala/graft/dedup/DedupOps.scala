@@ -243,14 +243,34 @@ object DedupOps {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       maxBucket: Int = 1000): (DataFrame, () => Unit) = {
-    // Shuffle plan: window on __s (hot-shingle prune) → window on __id
-    // (post-prune set sizes, so the denominator matches the pruned
-    // universe) → self-join on __s → pair aggregation. The pruned+sized
-    // frame is persisted because the self-join forks the plan — each
-    // join side would otherwise re-run the shingle pipeline and both
-    // windows (no ReusedExchange across differing projections). At
-    // warehouse scale the equivalent is checkpointing the shingle
-    // table; MLlib's LSH persists internally too.
+    val (counts, release) = pairOverlapCountsReleasable(df, idCol, textCol,
+      shingleN, maxBucket)
+    val pairs = counts
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast(DoubleType) /
+          (col("__na") + col("__nb") - col("__inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    (pairs, release)
+  }
+
+  /** Shared candidate core of the exact set-overlap family: every
+    * same-corpus document pair sharing ≥1 post-prune shingle, with the
+    * exact intersection size and both post-prune set sizes —
+    * [[ngramJaccardPairs]] and [[ngramContainmentPairs]] are
+    * projections of this one frame.
+    *
+    * Shuffle plan: window on __s (hot-shingle prune) → window on __id
+    * (post-prune set sizes, so the denominator matches the pruned
+    * universe) → self-join on __s → pair aggregation. The pruned+sized
+    * frame is persisted because the self-join forks the plan — each
+    * join side would otherwise re-run the shingle pipeline and both
+    * windows (no ReusedExchange across differing projections). At
+    * warehouse scale the equivalent is checkpointing the shingle
+    * table; MLlib's LSH persists internally too.
+    */
+  private def pairOverlapCountsReleasable(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, maxBucket: Int): (DataFrame, () => Unit) = {
     val sh = df
       .select(col(idCol).as("__id"), wordShingles(col(textCol), shingleN).as("__sh"))
       .where(size(col("__sh")) > 0)
@@ -266,14 +286,39 @@ object DedupOps {
     // exploded shingle so no join back to a per-doc size table is needed.
     val a = pruned.select(col("__s"), col("__id").as("id_a"), col("__n").as("__na"))
     val b = pruned.select(col("__s"), col("__id").as("id_b"), col("__n").as("__nb"))
-    val pairs = a.join(b, Seq("__s"))
+    val counts = a.join(b, Seq("__s"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "__na", "__nb").agg(count(lit(1)).as("__inter"))
+    (counts, () => { pruned.unpersist(); () })
+  }
+
+  /** Asymmetric near-dup detection: shingle-set CONTAINMENT
+    * `c(A→B) = |A∩B| / |A|` in both directions per candidate pair —
+    * the measure Jaccard structurally cannot deliver when sizes
+    * differ. A 200-word article quoted whole inside a 20k-word page
+    * has Jaccard ≈ 0.01 (invisible at any sane threshold) but
+    * containment(article→page) ≈ 1.0; curation drops or
+    * cross-references the contained side. Broder's (1997) resemblance
+    * vs containment distinction, on the same exact-overlap candidate
+    * core as [[ngramJaccardPairs]] — same hot-shingle prune, same
+    * post-prune denominators, one extra projection, zero extra
+    * shuffles.
+    *
+    * A pair survives when `max(c_a_in_b, c_b_in_a) >= threshold`.
+    * Each containment is ONE IEEE division of exact integers —
+    * deterministic, oracle-replayable. Output:
+    * `(id_a, id_b, c_a_in_b, c_b_in_a)`.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3, threshold: Double = 0.8,
+                            maxBucket: Int = 1000): DataFrame = {
+    val (counts, _) = pairOverlapCountsReleasable(df, idCol, textCol,
+      shingleN, maxBucket)
+    counts
       .select(col("id_a"), col("id_b"),
-        (col("__inter").cast(DoubleType) /
-          (col("__na") + col("__nb") - col("__inter"))).as("jaccard"))
-      .where(col("jaccard") >= threshold)
-    (pairs, () => { pruned.unpersist(); () })
+        (col("__inter").cast(DoubleType) / col("__na")).as("c_a_in_b"),
+        (col("__inter").cast(DoubleType) / col("__nb")).as("c_b_in_a"))
+      .where(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
   }
 
   /** Cross-corpus exact n-gram Jaccard pairs: candidates are (left,

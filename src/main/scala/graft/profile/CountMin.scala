@@ -83,6 +83,49 @@ object CountMin {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
 
+  /** Equi-join OUTPUT-SIZE estimate from two CM grids — the classic
+    * count-min inner product (Cormode & Muthukrishnan 2005): the true
+    * join size on a shared key is `Σ_k f_A(k)·f_B(k)`, and
+    * `min_r Σ_c A[r][c]·B[r][c]` NEVER undercounts it (matching keys
+    * land in matching cells; collisions only add mass) while
+    * overcounting by at most `e·N_A·N_B/w` per row with the usual
+    * `1 − e^(−d)` confidence. This is the shuffle-planning gauge: "is
+    * tomorrow's batch ⋈ history a 10^9-row output or a 10^13-row
+    * output" answered from two ≤d·w-cell AT-REST artifacts
+    * ([[readCm]]) without touching either table — the decision input
+    * for broadcast-vs-shuffle, salting, and AQE skew thresholds.
+    *
+    * Both grids must share (width, depth) — they are joined cell-by-
+    * cell, so a mismatched geometry silently estimates garbage; keep
+    * grids in [[graft.util.SumTranches]] dirs per key-column and the
+    * frozen defaults make that structural.
+    *
+    * Exactness: cell counts are exact integers and the row inner
+    * products are DECIMAL(38,0) sums (a 100 TB pair of tables can put
+    * ~10^8 in a cell — products overflow BIGINT), so the minimum is
+    * deterministic; the single output value is the exact integer cast
+    * to double (value-determined, identical in any engine; exact to
+    * 2^53, beyond which a planning gauge does not care). A row with NO
+    * overlapping occupied cells has inner product 0 — the range(d)
+    * left join keeps those zeros in the minimum instead of silently
+    * dropping the row.
+    *
+    * Output: one row, `n_est: double`.
+    */
+  def cmJoinSize(a: DataFrame, b: DataFrame,
+                 depth: Int = DefaultDepth): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"cmJoinSize: depth=$depth out of range")
+    val spark = a.sparkSession
+    val prod = a.select(col("r"), col("c"), col("cnt").as("__ca"))
+      .join(b.select(col("r"), col("c"), col("cnt").as("__cb")), Seq("r", "c"))
+      .groupBy(col("r"))
+      .agg(sum(col("__ca").cast(DecimalType(38, 0)) * col("__cb")).as("__ip"))
+    spark.range(depth).select(col("id").cast(IntegerType).as("r"))
+      .join(prod, Seq("r"), "left")
+      .agg(min(coalesce(col("__ip"), lit(0).cast(DecimalType(38, 0))))
+        .cast(DoubleType).as("n_est"))
+  }
+
   /** One ingest = one tranche ([[graft.util.SumTranches]] layout). */
   def writeCmTranche(sketch: DataFrame, dir: String, tag: String): Unit =
     graft.util.SumTranches.write(sketch, dir, tag)

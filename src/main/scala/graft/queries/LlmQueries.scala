@@ -604,6 +604,42 @@ object LlmQueries {
         shingleN = 3, threshold = 0.5, maxBucket = 5)
     },
 
+    // ---- asymmetric CONTAINMENT pairs: excerpts planted as new docs
+    //      (first 12 words of every 10th document) are invisible to
+    //      Jaccard against their long sources but score containment
+    //      ≈ 1.0 — Broder's resemblance-vs-containment split on the
+    //      same exact-overlap candidate core ----
+    Q("q_dedup_containment",
+      """WITH d2 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, array_to_string(w[1:12], ' ')
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |        FROM documents)
+        |  WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM d2)
+        |  WHERE len(w) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+        |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
+        |pr AS (SELECT doc_id, ex.s AS s FROM ex JOIN keep USING (s)),
+        |n AS (SELECT doc_id, count(*) AS n FROM pr GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |          FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / na.n AS c_a_in_b,
+        |  CAST(inter AS DOUBLE) / nb.n AS c_b_in_a
+        |FROM pairs JOIN n na ON na.doc_id = pairs.id_a JOIN n nb ON nb.doc_id = pairs.id_b
+        |WHERE greatest(CAST(inter AS DOUBLE) / na.n, CAST(inter AS DOUBLE) / nb.n) >= 0.8""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val excerpts = docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", slice(TextOps.words(col("text")), 1, 12)).as("text"))
+        DedupOps.ngramContainmentPairs(docs.unionByName(excerpts),
+          "doc_id", "text", shingleN = 3, threshold = 0.8)
+    },
+
     // ---- transitive near-dup clusters: jaccard pairs closed with
     //      distributed connected components (large-star/small-star);
     //      the oracle recomputes the closure with a recursive CTE ----
@@ -2322,6 +2358,47 @@ object LlmQueries {
           li.where(col("l_partkey") <= 50), "l_partkey")
         .join(li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_exact")),
           "l_partkey")
+    },
+
+    // ---- CM inner-product JOIN-SIZE estimate: "today's batch ⋈
+    //      history on part" answered from two at-rest count grids
+    //      without touching either table — the broadcast-vs-shuffle /
+    //      salting decision input; never undercounts; row products in
+    //      HUGEINT/DECIMAL(38), min over rows, zero-overlap rows kept
+    //      in the min ----
+    Q("q_cm_join_size", {
+      val w = graft.profile.CountMin.DefaultWidth
+      val d = graft.profile.CountMin.DefaultDepth
+      def cells(parity: Int) = (0 until d).map(r =>
+        s"""SELECT $r AS r,
+          |    CAST(${duckHash(s"'$r|' || CAST(l_partkey AS VARCHAR)")} % $w AS INTEGER) AS c
+          |  FROM lineitem WHERE l_partkey IS NOT NULL AND l_orderkey % 2 = $parity""".stripMargin)
+        .mkString("\n  UNION ALL ")
+      s"""WITH cma AS (SELECT r, c, count(*) AS cnt FROM (${cells(0)}) GROUP BY 1, 2),
+        |cmb AS (SELECT r, c, count(*) AS cnt FROM (${cells(1)}) GROUP BY 1, 2),
+        |prod AS (SELECT cma.r, sum(CAST(cma.cnt AS HUGEINT) * cmb.cnt) AS ip
+        |         FROM cma JOIN cmb USING (r, c) GROUP BY 1),
+        |est AS (SELECT CAST(min(COALESCE(prod.ip, 0)) AS DOUBLE) AS n_est
+        |        FROM range($d) rs(r) LEFT JOIN prod ON prod.r = rs.r),
+        |ea AS (SELECT l_partkey, count(*) AS na FROM lineitem
+        |       WHERE l_orderkey % 2 = 0 GROUP BY 1),
+        |eb AS (SELECT l_partkey, count(*) AS nb FROM lineitem
+        |       WHERE l_orderkey % 2 = 1 GROUP BY 1),
+        |ex AS (SELECT CAST(sum(CAST(na AS HUGEINT) * nb) AS BIGINT) AS n_exact
+        |       FROM ea JOIN eb USING (l_partkey))
+        |SELECT n_est, n_exact FROM est CROSS JOIN ex""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.CountMin
+      val li = Tables(s, dir, "lineitem")
+      val even = li.where(col("l_orderkey") % 2 === 0)
+      val odd = li.where(col("l_orderkey") % 2 === 1)
+      val est = CountMin.cmJoinSize(
+        CountMin.cmSketch(even, "l_partkey"), CountMin.cmSketch(odd, "l_partkey"))
+      val exact = even.groupBy(col("l_partkey")).agg(count(lit(1)).as("__na"))
+        .join(odd.groupBy(col("l_partkey")).agg(count(lit(1)).as("__nb")), "l_partkey")
+        .agg(sum(col("__na").cast(DecimalType(38, 0)) * col("__nb"))
+          .cast(LongType).as("n_exact"))
+      est.crossJoin(exact)
     },
 
     // ---- Okapi BM25 lexical retrieval: three seed keyword queries

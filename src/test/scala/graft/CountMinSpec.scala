@@ -71,4 +71,37 @@ class CountMinSpec extends SparkSpec {
       assert(names.length == 1 && names.head.startsWith("batch=consolidated-"))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("cmJoinSize: never undercounts the true inner product, exact when collision-free") {
+    // a: keys x(3), y(2); b: keys x(4), z(5) -> true join size 3*4 = 12
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y")).toDF("k")
+    val b = (Seq.fill(4)("x") ++ Seq.fill(5)("z")).toDF("k")
+    val est = CountMin.cmJoinSize(CountMin.cmSketch(a, "k"), CountMin.cmSketch(b, "k"))
+      .head.getDouble(0)
+    assert(est >= 12.0)
+    // 3 keys in 8192-wide rows: collisions essentially impossible -> exact
+    assert(est == 12.0, s"unexpected collision inflation: $est")
+  }
+
+  test("cmJoinSize: disjoint key sets estimate 0; sketch-vs-self estimates sum of squares") {
+    val a = Seq("p", "q").toDF("k")
+    val b = Seq("r", "s").toDF("k")
+    val zero = CountMin.cmJoinSize(CountMin.cmSketch(a, "k"), CountMin.cmSketch(b, "k"))
+      .head.getDouble(0)
+    assert(zero == 0.0)
+    val c = (Seq.fill(3)("u") ++ Seq.fill(4)("v")).toDF("k")
+    val self = CountMin.cmSketch(c, "k")
+    assert(CountMin.cmJoinSize(self, self).head.getDouble(0) == 25.0) // 9 + 16
+  }
+
+  test("cmJoinSize over merged at-rest grids equals over the one-shot sketch") {
+    val d1 = (1 to 300).map(i => s"k${i % 37}").toDF("k")
+    val d2 = (1 to 200).map(i => s"k${i % 53}").toDF("k")
+    val probe = (1 to 100).map(i => s"k${i % 41}").toDF("k")
+    val merged = CountMin.cmMerge(CountMin.cmSketch(d1, "k"), CountMin.cmSketch(d2, "k"))
+    val oneShot = CountMin.cmSketch(d1.unionByName(d2), "k")
+    val pb = CountMin.cmSketch(probe, "k")
+    assert(CountMin.cmJoinSize(merged, pb).head.getDouble(0)
+      == CountMin.cmJoinSize(oneShot, pb).head.getDouble(0))
+  }
 }

@@ -67,6 +67,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 4L, 1.0)))
   }
 
+  test("ngramContainmentPairs: asymmetric excerpt detection Jaccard misses") {
+    import spark.implicits._
+    // long doc (20 words) + a 6-word excerpt of it: Jaccard tiny,
+    // containment(excerpt -> long) = 1.0
+    val long = (1 to 20).map(i => s"w$i").mkString(" ")
+    val excerpt = (3 to 8).map(i => s"w$i").mkString(" ")
+    val other = "completely different words here entirely"
+    val df = Seq((1L, long), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+    val out = DedupOps.ngramContainmentPairs(df, "doc_id", "text",
+      shingleN = 3, threshold = 0.8)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 4.0 / 18.0, 1.0)))
+    // the same pair at the same threshold is invisible to Jaccard
+    val jac = DedupOps.ngramJaccardPairs(df, "doc_id", "text",
+      shingleN = 3, threshold = 0.8).count()
+    assert(jac == 0L)
+  }
+
+  test("ngramContainmentPairs: exact duplicates score 1.0 both ways, threshold gates") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon"
+    val df = Seq((1L, t), (2L, t), (3L, "alpha beta gamma zeta eta theta"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.ngramContainmentPairs(df, "doc_id", "text",
+      shingleN = 3, threshold = 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0, 1.0)))
+  }
+
   test("minhash est-jaccard ≈ true jaccard; LSH finds planted pairs") {
     val pairs = DedupOps.minhashNearDupPairs(docs, "doc_id", "text",
       shingleN = 3, k = 32, bands = 16, threshold = 0.4)
