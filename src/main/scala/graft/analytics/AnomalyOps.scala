@@ -49,25 +49,80 @@ object AnomalyOps {
     * are 0 and the strict inequality fails).
     */
   def sigmaFlags(df: DataFrame, keyCol: String, valueCol: String,
-                 k: Int = 3, decimals: Int = 4): DataFrame = {
-    require(k >= 1, s"sigmaFlags: k=$k must be >= 1")
+                 k: Int = 3, decimals: Int = 4): DataFrame =
+    sigmaFlagsAgainstStats(df, statsSketch(df, keyCol, valueCol, decimals),
+      keyCol, valueCol, k, decimals)
+
+  private val D38 = DecimalType(38, 0)
+
+  private def snapped(valueCol: String, decimals: Int) = {
     require(decimals >= 0 && decimals <= 6,
-      s"sigmaFlags: decimals=$decimals outside [0, 6]")
+      s"sigma stats: decimals=$decimals outside [0, 6]")
     val unit = math.pow(10, decimals).toLong // exact: decimals <= 6
-    val d38 = DecimalType(38, 0)
-    val u = (col(valueCol).cast(DecimalType(18, decimals)) * lit(unit))
-      .cast(LongType)
-    val rows = df.withColumn("__u", u)
-    val stats = rows.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("__n"),
-        sum(col("__u")).as("__s"),
-        sum(col("__u").cast(d38) * col("__u")).as("__q"))
-    val n38 = col("__n").cast(d38)
-    val s38 = col("__s").cast(d38)
-    val dev = n38 * col("__u").cast(d38) - s38
-    val rhs = lit(k.toLong * k) * (n38 * col("__q") - s38 * s38)
-    rows.join(stats, keyCol)
-      .withColumn("n_group", col("__n"))
+    (col(valueCol).cast(DecimalType(18, decimals)) * lit(unit)).cast(LongType)
+  }
+
+  /** The group-stats SKETCH behind the k-sigma test: per key, the
+    * exact integer triple `(n, S = Σx, Q = Σx²)` over fixed-point-
+    * snapped values, melted to `(key, stat ∈ {n,s,q}, val)` rows —
+    * every component merges by SUM, so this is a
+    * [[graft.util.SumTranches]] citizen like the histogram and
+    * co-occurrence artifacts: per-day tranches, merge-on-read,
+    * crash-safe superseding-manifest consolidation. "Flag today's
+    * readings against ALL of history's distribution" reads a
+    * ≤3·|groups|-row artifact, never history.
+    */
+  def statsSketch(df: DataFrame, keyCol: String, valueCol: String,
+                  decimals: Int = 4): DataFrame = {
+    val rows = df.withColumn("__u", snapped(valueCol, decimals))
+    rows.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast(D38).as("__n"),
+        sum(col("__u")).cast(D38).as("__s"),
+        sum(col("__u").cast(D38) * col("__u")).as("__q"))
+      .select(col(keyCol), explode(array(
+        struct(lit("n").as("stat"), col("__n").as("val")),
+        struct(lit("s").as("stat"), col("__s").as("val")),
+        struct(lit("q").as("stat"), col("__q").as("val")))).as("__sv"))
+      .select(col(keyCol), col("__sv.stat").as("stat"), col("__sv.val").as("val"))
+  }
+
+  /** One ingest = one tranche ([[graft.util.SumTranches]] layout). */
+  def writeStatsTranche(sketch: DataFrame, dir: String, tag: String): Unit =
+    graft.util.SumTranches.write(sketch, dir, tag)
+
+  /** Merge-on-read of the at-rest stats, superseding-manifest-aware. */
+  def readStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+                keyCol: String): DataFrame =
+    graft.util.SumTranches.read(spark, dir, Seq(keyCol, "stat"), "val")
+
+  /** Crash-safe fold of the live tranches. */
+  def consolidateStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       keyCol: String): Unit =
+    graft.util.SumTranches.consolidate(spark, dir, Seq(keyCol, "stat"), "val")
+
+  /** [[sigmaFlags]] with the reference distribution supplied as a
+    * [[statsSketch]]-shaped frame instead of recomputed from `df` —
+    * the daily loop: `writeStatsTranche(statsSketch(today))`, then
+    * flag today against `readStats(...)` (cumulative through today).
+    * Because tranche sums over row-disjoint ingests equal the
+    * one-shot stats, flagging a batch against the merged artifact is
+    * BIT-IDENTICAL to flagging it inside a whole-history
+    * [[sigmaFlags]] run — the append ≡ rebuild property every at-rest
+    * family here proves, inherited from exact integer sum algebra.
+    */
+  def sigmaFlagsAgainstStats(df: DataFrame, stats: DataFrame,
+                             keyCol: String, valueCol: String,
+                             k: Int = 3, decimals: Int = 4): DataFrame = {
+    require(k >= 1, s"sigmaFlagsAgainstStats: k=$k must be >= 1")
+    val rows = df.withColumn("__u", snapped(valueCol, decimals))
+    val wide = stats.groupBy(col(keyCol))
+      .agg(max(when(col("stat") === "n", col("val"))).as("__n"),
+        max(when(col("stat") === "s", col("val"))).as("__s"),
+        max(when(col("stat") === "q", col("val"))).as("__q"))
+    val dev = col("__n") * col("__u").cast(D38) - col("__s")
+    val rhs = lit(k.toLong * k) * (col("__n") * col("__q") - col("__s") * col("__s"))
+    rows.join(wide, keyCol)
+      .withColumn("n_group", col("__n").cast(LongType))
       .withColumn("is_anomaly", dev * dev > rhs)
       .drop("__u", "__n", "__s", "__q")
   }

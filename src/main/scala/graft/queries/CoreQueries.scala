@@ -1022,6 +1022,37 @@ object CoreQueries {
       graft.analytics.AnomalyOps.sigmaFlags(
         t(s, dir, "events").select("event_id", "event_type", "value"),
         "event_type", "value", k = 3)
+    },
+
+    // ---- the AT-REST anomaly-stats lifecycle: three day tranches of
+    //      (n, S, Q) written, one consolidation mid-stream, then the
+    //      LAST day's rows flagged against the cumulative artifact —
+    //      exact integer sum algebra makes append ≡ rebuild, so the
+    //      oracle is simply the whole-history flags restricted to the
+    //      last day ----
+    Q("q_anomaly_index",
+      """WITH u AS (SELECT event_id, event_type, value,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS u FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(u) AS HUGEINT) AS s, sum(CAST(u AS HUGEINT) * u) AS q
+        |       FROM u GROUP BY 1)
+        |SELECT u.event_id, u.event_type, u.value,
+        |  CAST(st.n AS BIGINT) AS n_group,
+        |  (st.n * u.u - st.s) * (st.n * u.u - st.s) > 9 * (st.n * st.q - st.s * st.s)
+        |    AS is_anomaly
+        |FROM u JOIN st USING (event_type)
+        |WHERE u.event_id % 3 = 2""".stripMargin) { (s, dir) =>
+      import graft.analytics.AnomalyOps
+      val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+      val sDir = graft.util.Scratch.path("sigma_stats", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sDir))
+      for (d <- 0 to 2)
+        AnomalyOps.writeStatsTranche(
+          AnomalyOps.statsSketch(ev.where(col("event_id") % 3 === d),
+            "event_type", "value"), sDir, tag = s"d$d")
+      AnomalyOps.consolidateStats(s, sDir, "event_type")
+      AnomalyOps.sigmaFlagsAgainstStats(ev.where(col("event_id") % 3 === 2),
+        AnomalyOps.readStats(s, sDir, "event_type"), "event_type", "value", k = 3)
     }
   )
 }

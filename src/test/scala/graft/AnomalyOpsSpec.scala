@@ -39,6 +39,34 @@ class AnomalyOpsSpec extends SparkSpec {
     assert(out.filter(_._2).map(_._1).sorted.toSeq == Seq(0.25, 99.75))
   }
 
+  test("at-rest stats: tranche sums ≡ one-shot stats; flags vs artifact ≡ whole-run flags") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigma").toString
+    try {
+      val d1 = Seq(("g", 10.0), ("g", 11.0), ("h", 5.0)).toDF("grp", "value")
+      val d2 = Seq(("g", 9.0), ("g", 55.0), ("h", 5.5)).toDF("grp", "value")
+      val whole = d1.unionByName(d2)
+      AnomalyOps.writeStatsTranche(AnomalyOps.statsSketch(d1, "grp", "value"), dir, "d1")
+      AnomalyOps.writeStatsTranche(AnomalyOps.statsSketch(d2, "grp", "value"), dir, "d2")
+      val merged = AnomalyOps.readStats(spark, dir, "grp")
+      assertSameRows(merged, AnomalyOps.statsSketch(whole, "grp", "value"))
+      // flagging day-2 rows against the cumulative artifact is
+      // bit-identical to their rows inside a whole-history run
+      val viaIndex = AnomalyOps.sigmaFlagsAgainstStats(d2, merged, "grp", "value", k = 1)
+      val wholeRun = AnomalyOps.sigmaFlags(whole, "grp", "value", k = 1)
+        .where(col("value").isin(9.0, 55.0, 5.5)) // the d2 rows, unique values
+      assertSameRows(
+        viaIndex.select("grp", "value", "n_group", "is_anomaly"),
+        wholeRun.select("grp", "value", "n_group", "is_anomaly"))
+      // replayed ingest overwrites its own tranche; consolidation folds
+      AnomalyOps.writeStatsTranche(AnomalyOps.statsSketch(d2, "grp", "value"), dir, "d2")
+      assertSameRows(AnomalyOps.readStats(spark, dir, "grp"),
+        AnomalyOps.statsSketch(whole, "grp", "value"))
+      AnomalyOps.consolidateStats(spark, dir, "grp")
+      assertSameRows(AnomalyOps.readStats(spark, dir, "grp"),
+        AnomalyOps.statsSketch(whole, "grp", "value"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("sigmaFlags rejects bad knobs") {
     val df = Seq(("g", 1.0)).toDF("grp", "value")
     intercept[IllegalArgumentException] { AnomalyOps.sigmaFlags(df, "grp", "value", k = 0) }
