@@ -1704,6 +1704,41 @@ object LlmQueries {
         "doc_id", "text", shingleN = 8)
     },
 
+    // ---- web-text scrub: planted HTML wrappers / script payloads /
+    //      escaped entities around the corpus text, then the full
+    //      clean chain (block-drop → tag-strip → entity unescape →
+    //      whitespace collapse) replayed step-for-step — every
+    //      pattern in the shared Java-regex ∩ RE2 subset ----
+    Q("q_clean_html",
+      """WITH raw AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN '<html><body><p>' || text ||
+        |           '</p><script type="text/javascript">var x = 1 &amp;&amp; 2;</script></body></html>'
+        |         WHEN doc_id % 3 = 1 THEN '<div class="a">' || text ||
+        |           ' &amp; more &lt;tags&gt;&nbsp;here</div>'
+        |         ELSE text END AS r
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |    regexp_replace(r, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS r
+        |  FROM raw),
+        |s2 AS (SELECT doc_id, regexp_replace(r, '<[^>]*>', ' ', 'g') AS r FROM s1),
+        |s3 AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(r,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&') AS r
+        |  FROM s2)
+        |SELECT doc_id, trim(regexp_replace(r, '\s+', ' ', 'g')) AS text FROM s3""".stripMargin) {
+      (s, dir) =>
+        val raw = when(col("doc_id") % 3 === 0,
+            concat(lit("<html><body><p>"), col("text"),
+              lit("</p><script type=\"text/javascript\">var x = 1 &amp;&amp; 2;</script></body></html>")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("<div class=\"a\">"), col("text"),
+              lit(" &amp; more &lt;tags&gt;&nbsp;here</div>")))
+          .otherwise(col("text"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), TextOps.cleanWebText(raw).as("text"))
+    },
+
     // ---- TF-IDF sparse text representation ----
     Q("q_tfidf",
       s"""WITH t AS (SELECT doc_id, unnest($duckWords) AS term FROM documents),

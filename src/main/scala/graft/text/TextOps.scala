@@ -151,6 +151,36 @@ object TextOps {
       regexp_replace(c, pat, repl)
     }
 
+  /** Common HTML entities, unescape order-sensitive: `&amp;` LAST, so
+    * double-escaped text (`&amp;lt;`) resolves one level per pass like
+    * every standard unescaper — running it first would turn
+    * `&amp;lt;` into a live `<` that the caller never wrote. All
+    * literal patterns, regex-safe in both Java regex and RE2. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Web-text scrub — the boilerplate-removal step between a crawl and
+    * every text operator in this module: drop `<script>`/`<style>`
+    * blocks WITH their payload (executable/style text is never
+    * training text), strip remaining tags to spaces, unescape the
+    * common entities ([[HtmlEntities]] order), collapse whitespace,
+    * trim. A pure per-row regex projection: shuffle-free, codegen'd,
+    * linear — and every pattern parses identically under Java regex
+    * (engine) and RE2 (oracle/production scanners): `(?is)` flags,
+    * lazy `.*?`, and the literal entity patterns are all in the RE2
+    * subset, the same portability contract as [[PiiPatterns]].
+    */
+  def cleanWebText(text: Column): Column = {
+    val noBlocks = regexp_replace(text,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val unescaped = HtmlEntities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** TF-IDF weights per (document, term): tf = term occurrences in the
     * doc, idf = ln(N / df) with df = docs containing the term. The
     * classic sparse text representation (retrieval scoring, cheap

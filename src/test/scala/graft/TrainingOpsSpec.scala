@@ -134,6 +134,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(3) == "no pii here at all")
   }
 
+  test("cleanWebText: script/style payload dropped, tags stripped, entities unescaped once") {
+    val df = Seq(
+      "<html><head><style>p { color: red }</style></head><body><p>hello  world</p></body></html>",
+      "before<script type=\"text/javascript\">var x = 1 && 2;</script>after",
+      "a &lt;b&gt; c &amp; d&nbsp;e &quot;f&quot; &#39;g&#39;",
+      "&amp;lt; stays escaped one level",
+      "plain text untouched").toDF("t")
+    val out = df.select(TextOps.cleanWebText(col("t")).as("r")).as[String].collect()
+    assert(out(0) == "hello world")
+    assert(out(1) == "before after")
+    assert(out(2) == "a <b> c & d e \"f\" 'g'")
+    assert(out(3) == "&lt; stays escaped one level")
+    assert(out(4) == "plain text untouched")
+  }
+
   test("contaminationCheck: full/partial/zero overlap + shingle-less docs") {
     val mk = (id: Long, t: String) => (id, t)
     val corpus = Seq(
