@@ -2459,6 +2459,38 @@ object LlmQueries {
         .select("query_id", "doc_id", "bm25", "n_terms")
     },
 
+    // ---- the at-rest BM25 POSTINGS index lifecycle: build from the
+    //      even docs, append the odd docs, consolidate, probe — the
+    //      partition-pruned lexical search (≤|query terms| of the
+    //      nbuckets partitions read) matching the one-shot in-memory
+    //      ranking row-for-row; oracle = the whole-corpus BM25 replay
+    //      with the same rank window ----
+    Q("q_bm25_index",
+      s"""${duckBm25Ctes(
+        """SELECT * FROM (VALUES
+          |    ('q1', 'spark'), ('q1', 'join'), ('q1', 'window'),
+          |    ('q2', 'hash'), ('q2', 'merge'),
+          |    ('q3', 'vector'), ('q3', 'stream'), ('q3', 'customer')) t(query_id, term)""".stripMargin)}
+        |SELECT query_id, doc_id, CAST(s8sum AS DOUBLE) / 1e8 AS bm25, rank
+        |FROM (SELECT query_id, doc_id, s8sum,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY s8sum DESC, doc_id) AS rank
+        |      FROM bs) WHERE rank <= 20""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val idx = graft.util.Scratch.path("bm25_index", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+      RetrievalOps.bm25WriteIndex(docs.where(col("doc_id") % 2 === 0),
+        idx, "doc_id", "text", nBuckets = 16)
+      RetrievalOps.bm25AppendToIndex(docs.where(col("doc_id") % 2 === 1),
+        idx, "doc_id", "text", tag = "odd")
+      RetrievalOps.bm25ConsolidateIndex(s, idx)
+      val qs = Seq(("q1", "spark"), ("q1", "join"), ("q1", "window"),
+        ("q2", "hash"), ("q2", "merge"),
+        ("q3", "vector"), ("q3", "stream"), ("q3", "customer"))
+        .toDF("query_id", "term")
+      RetrievalOps.bm25ProbeIndex(s, idx, qs, k = 20)
+    },
+
     // ---- hybrid search: BM25 lexical top-20 (query terms = the seed
     //      docs' own distinct words) fused with exact-cosine semantic
     //      top-20 (the paired seed embeddings) by reciprocal-rank

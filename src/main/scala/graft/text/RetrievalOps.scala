@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -72,8 +72,7 @@ object RetrievalOps {
     */
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
                  queries: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val qt = queries.select(col("query_id").cast(StringType).as("query_id"),
-      col("term")).distinct()
+    val qt = normalizedQueries(queries)
     val toks = docs.select(col(idCol), explode(TextOps.words(col(textCol))).as("term"))
     // corpus stats: one map-side-combinable agg (dl), two bounded scalars
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
@@ -85,6 +84,20 @@ object RetrievalOps {
     // corpus side filtered to query terms BEFORE the (doc, term) shuffle
     val tf = toks.join(broadcast(qt.select("term").distinct()), "term")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    bm25FromCounts(tf, dl, qt, idCol, dT, tT, k1, b)
+  }
+
+  private def normalizedQueries(queries: DataFrame): DataFrame =
+    queries.select(col("query_id").cast(StringType).as("query_id"),
+      col("term")).distinct()
+
+  /** The scoring tail shared by the in-memory path and the at-rest
+    * index probe: identical expression tree, so probe ≡ in-memory is
+    * structural, not coincidental. `tf` = `(idCol, term, tf)` already
+    * restricted to query terms; `dl` = `(idCol, dl)`. */
+  private def bm25FromCounts(tf: DataFrame, dl: DataFrame, qt: DataFrame,
+                             idCol: String, dT: Double, tT: Double,
+                             k1: Double, b: Double): DataFrame = {
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("__idf8", floor(
         log(lit(1.0) + (lit(dT) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -118,6 +131,152 @@ object RetrievalOps {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col(idCol), col("bm25"), col("rank"))
+  }
+
+  // ------------------- at-rest BM25 postings index -------------------
+
+  /** The lexical search index at rest — the BM25 twin of the IVF/LSH
+    * vector layouts: postings `(doc_id, term, tf)` partitioned by a
+    * term-hash BUCKET column, plus a compact per-doc length artifact.
+    * A probe reads ONLY the buckets its query terms hash to (bounded
+    * partition-pruning literals, the `ivfProbeTopK` discipline — at
+    * most |query terms| of the `nBuckets` partitions, whatever the
+    * corpus size), computes `df` for exactly the query terms from
+    * those pruned postings, and reuses the identical scoring tail as
+    * [[bm25Scores]] — so probe ≡ in-memory is structural.
+    *
+    * Layout: `dir/_graft_meta` freezes `nbuckets` (the bucket function
+    * is the probe contract, like LSH's nbits); postings/doclen tranches
+    * append under `batch=<tag>` (an ingest overwrites its OWN tag —
+    * replay-safe; docs must be tranche-disjoint, the same data-layout
+    * obligation as the co-occurrence groups). [[bm25ConsolidateIndex]]
+    * folds tranches through the whole-dir atomic swap and records the
+    * absorbed tags so a replayed absorbed append no-ops.
+    *
+    * Corpus-level D/T are aggregated from the doclen artifact at probe
+    * time: |docs| rows of two longs — a bounded-metadata scan, orders
+    * of magnitude under the corpus text, and exact under any tranche
+    * layout (counts/sums of disjoint ingests).
+    */
+  def bm25WriteIndex(docs: DataFrame, dir: String, idCol: String, textCol: String,
+                     nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"bm25WriteIndex: nBuckets=$nBuckets must be >= 1")
+    val spark = docs.sparkSession
+    def buildInto(root: String): Unit = {
+      graft.util.Fs.writeSmallFile(spark, s"$root/_graft_meta",
+        s"family=bm25\nnbuckets=$nBuckets\n")
+      writeTranche(docs, root, idCol, textCol, nBuckets, "build")
+    }
+    if (graft.util.Fs.pathExists(spark, dir))
+      graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
+    else buildInto(dir)
+  }
+
+  private def termBucket(term: Column, nBuckets: Int): Column =
+    pmod(xxhash64(term), lit(nBuckets.toLong)).cast(IntegerType)
+
+  private def writeTranche(docs: DataFrame, root: String, idCol: String,
+                           textCol: String, nBuckets: Int, tag: String): Unit = {
+    val toks = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      explode(TextOps.words(col(textCol))).as("term"))
+    toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucket(col("term"), nBuckets))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$root/postings/batch=$tag")
+    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .write.mode("overwrite").parquet(s"$root/doclen/batch=$tag")
+  }
+
+  private def readNBuckets(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Int =
+    graft.util.Fs.readSmallFile(spark, s"$dir/_graft_meta")
+      .map { s =>
+        s.linesIterator.find(_.startsWith("nbuckets="))
+          .map(_.stripPrefix("nbuckets=").trim.toInt)
+          .getOrElse(throw new IllegalArgumentException(
+            s"BM25 index $dir: _graft_meta has no 'nbuckets' — the directory " +
+              "holds a DIFFERENT index family; probe it with its own operators"))
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"BM25 index $dir has no _graft_meta — not a written BM25 index " +
+          "(build it with bm25WriteIndex; the frozen nbuckets is the " +
+          "bucket-function contract)"))
+
+  /** Append a doc tranche under its own `batch=<tag>`, bucketed with
+    * the index's frozen `nbuckets`. Tagged-tranche replay contract via
+    * the shared append gate (absorbed-tag no-op vs aliased-new-data
+    * fail-fast). */
+  def bm25AppendToIndex(newDocs: DataFrame, dir: String, idCol: String,
+                        textCol: String, tag: String): Unit = {
+    val spark = newDocs.sparkSession
+    val nBuckets = readNBuckets(spark, dir)
+    if (!graft.dedup.DedupOps.appendTagAllowed(spark, dir, tag, "bm25AppendToIndex",
+      () => newDocs.select(col(idCol).cast(LongType).as("doc_id")).distinct()
+        .join(spark.read.parquet(s"$dir/doclen").select("doc_id"),
+          Seq("doc_id"), "left_anti").count()))
+      return
+    writeTranche(newDocs, dir, idCol, textCol, nBuckets, tag)
+  }
+
+  /** Fold every tranche into a fresh `batch=build` through the
+    * whole-dir atomic swap (tranches are row-disjoint unions — no sum
+    * protocol needed), recording the absorbed tags so a replayed
+    * absorbed append no-ops instead of resurrecting folded rows. */
+  def bm25ConsolidateIndex(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Unit = {
+    val nBuckets = readNBuckets(spark, dir)
+    val tags = graft.util.Fs.hfs(spark, dir)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/postings"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=")).sorted.toSeq
+    val postings = spark.read.parquet(s"$dir/postings")
+      .select("doc_id", "term", "tf", "bucket")
+    val doclen = spark.read.parquet(s"$dir/doclen").select("doc_id", "dl")
+    val absorbed = graft.dedup.DedupOps.readAbsorbedTags(spark, dir) ++
+      tags.filterNot(_ == "build")
+    graft.merge.Merge.atomicSwap(spark, dir) { root =>
+      graft.util.Fs.writeSmallFile(spark, s"$root/_graft_meta",
+        s"family=bm25\nnbuckets=$nBuckets\n")
+      postings.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/postings/batch=build")
+      doclen.write.mode("overwrite").parquet(s"$root/doclen/batch=build")
+      if (absorbed.nonEmpty)
+        graft.util.Fs.writeSmallFile(spark, s"$root/_graft_absorbed",
+          absorbed.toSeq.sorted.mkString("\n"))
+    }
+  }
+
+  /** Top-k BM25 from the at-rest index: partition-pruned postings
+    * probe + the shared scoring tail. The pruning literals are the
+    * ≤|query terms| buckets the terms hash to — collected from the
+    * (tiny) query frame, never the index. Output matches [[bm25TopK]]:
+    * `(query_id, doc_id, bm25, rank)`. */
+  def bm25ProbeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     queries: DataFrame, k: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val nBuckets = readNBuckets(spark, dir)
+    val qt = normalizedQueries(queries)
+    val qTerms = qt.select(col("term")).distinct()
+      .withColumn("bucket", termBucket(col("term"), nBuckets))
+    // bounded literal prune: ≤|terms| bucket ids, read from the query
+    // frame (the ivfProbeTopK discipline — a broadcast join alone
+    // would not prune the partition listing)
+    val buckets = qTerms.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val postings = spark.read.parquet(s"$dir/postings")
+      .where(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val tf = postings.join(broadcast(qTerms.select("term")), "term")
+    val doclen = spark.read.parquet(s"$dir/doclen").select(col("doc_id"), col("dl"))
+    val (dT, tT) = {
+      val r = doclen.agg(count(lit(1)), sum("dl")).head
+      (r.getLong(0).toDouble, if (r.isNullAt(1)) 0.0 else r.getLong(1).toDouble)
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("s8").desc, col("doc_id"))
+    bm25FromCounts(tf, doclen, qt, "doc_id", dT, tT, k1, b)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("bm25"), col("rank"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009): fuse N per-query

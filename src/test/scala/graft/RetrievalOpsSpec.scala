@@ -67,6 +67,77 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(solo.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
   }
 
+  // ------------------- at-rest BM25 index -------------------
+
+  private def idxCorpus = Seq(
+    (1L, "spark join join window"),
+    (2L, "spark window filter"),
+    (3L, "filter scan scan scan"),
+    (4L, "join scan spark table"),
+    (5L, "table merge hash batch"),
+    (6L, "spark spark join table")).toDF("doc_id", "text")
+
+  private def idxQueries =
+    Seq(("q1", "spark"), ("q1", "join"), ("q2", "table")).toDF("query_id", "term")
+
+  test("bm25 index: probe ≡ in-memory topK; scan is partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString + "/idx"
+    try {
+      RetrievalOps.bm25WriteIndex(idxCorpus, dir, "doc_id", "text", nBuckets = 8)
+      val probed = RetrievalOps.bm25ProbeIndex(spark, dir, idxQueries, k = 10)
+      val inMem = RetrievalOps.bm25TopK(idxCorpus, "doc_id", "text", idxQueries, k = 10)
+      assertSameRows(probed, inMem)
+      val plan = probed.queryExecution.executedPlan.toString()
+      assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"),
+        s"expected partition pruning in:\n${plan.take(2000)}")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
+  test("bm25 index: append ≡ one-shot rebuild; consolidation answer-preserving; absorbed replay no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString + "/idx"
+    try {
+      val half1 = idxCorpus.where(col("doc_id") <= 3)
+      val half2 = idxCorpus.where(col("doc_id") > 3)
+      RetrievalOps.bm25WriteIndex(half1, dir, "doc_id", "text", nBuckets = 8)
+      RetrievalOps.bm25AppendToIndex(half2, dir, "doc_id", "text", tag = "day2")
+      val appended = RetrievalOps.bm25ProbeIndex(spark, dir, idxQueries, k = 10)
+      val oneShot = RetrievalOps.bm25TopK(idxCorpus, "doc_id", "text", idxQueries, k = 10)
+      assertSameRows(appended, oneShot)
+      RetrievalOps.bm25ConsolidateIndex(spark, dir)
+      assertSameRows(RetrievalOps.bm25ProbeIndex(spark, dir, idxQueries, k = 10), oneShot)
+      // one postings tranche left after the fold
+      val tranches = new java.io.File(s"$dir/postings").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch="))
+      assert(tranches.toSeq == Seq("batch=build"))
+      // replayed absorbed append: provably-replay rows -> no-op
+      RetrievalOps.bm25AppendToIndex(half2, dir, "doc_id", "text", tag = "day2")
+      assertSameRows(RetrievalOps.bm25ProbeIndex(spark, dir, idxQueries, k = 10), oneShot)
+      // NEW data aliased onto the absorbed tag -> fail fast
+      val novel = Seq((99L, "spark novel doc")).toDF("doc_id", "text")
+      intercept[IllegalStateException] {
+        RetrievalOps.bm25AppendToIndex(novel, dir, "doc_id", "text", tag = "day2")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
+  test("bm25 index: meta-less dir and reserved tags fail fast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString + "/raw"
+    try {
+      new java.io.File(dir).mkdirs()
+      intercept[IllegalArgumentException] {
+        RetrievalOps.bm25ProbeIndex(spark, dir, idxQueries, k = 5)
+      }
+      val idx = dir + "/real"
+      RetrievalOps.bm25WriteIndex(idxCorpus, idx, "doc_id", "text", nBuckets = 4)
+      intercept[IllegalArgumentException] {
+        RetrievalOps.bm25AppendToIndex(idxCorpus, idx, "doc_id", "text", tag = "build")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("rrfFuse ties broken by id; kConst shifts the scores") {
     val a = Seq(("q1", 9L, 1), ("q1", 4L, 1)).toDF("query_id", "doc_id", "rank")
     val out = RetrievalOps.rrfFuse(Seq(a), "doc_id", k = 2, kConst = 10)
