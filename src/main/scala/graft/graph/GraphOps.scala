@@ -240,6 +240,28 @@ object GraphOps {
                    scale: Long = 1000000000L): DataFrame =
     pageRankCore(edges, srcCol, dstCol, Some(priorRanks), iterations, scale, None)._1
 
+  /** PERSONALIZED PageRank: the same exactly-replayable integer
+    * recursion with the teleport re-aimed at a seed set — random walks
+    * restart at the seeds instead of uniformly, so rank measures
+    * proximity-weighted importance RELATIVE to the seeds ("items
+    * related to this basket", "suppliers in this network
+    * neighborhood" — the graph-walk recommendation primitive).
+    * `base` and the initial mass are `(scale·3/20)/|seeds|` /
+    * `scale/|seeds|` on seeds and ZERO elsewhere; everything else —
+    * integer div contributions, 85/100 damping, per-iteration state
+    * release — is [[pageRank]]'s machinery unchanged, so the oracle
+    * replays every iteration bit-for-bit with one CASE swapped in.
+    * Seeds are a bounded literal list (a query parameter, like the
+    * BFS sources); duplicate seeds are collapsed.
+    */
+  def pageRankPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: Seq[Long], iterations: Int = 10,
+                           scale: Long = 1000000000L): DataFrame = {
+    require(seeds.nonEmpty, "pageRankPersonalized: empty seed set")
+    pageRankCore(edges, srcCol, dstCol, None, iterations, scale, None,
+      Some(seeds.distinct))._1
+  }
+
   /** Iterate until the total absolute rank movement `Σ|Δrank|` (in
     * 1/`scale` units) drops to `tol` or below, up to `maxIterations`.
     * Returns `(ranks, iterationsRun)` — the iteration count is the
@@ -258,7 +280,8 @@ object GraphOps {
 
   private def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,
                            start: Option[DataFrame], iterations: Int,
-                           scale: Long, tol: Option[Long]): (DataFrame, Int) = {
+                           scale: Long, tol: Option[Long],
+                           seeds: Option[Seq[Long]] = None): (DataFrame, Int) = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
     require(scale >= 1000000L,
       s"pageRank: scale < 1e6 leaves too few integer rank levels (got $scale)")
@@ -282,11 +305,22 @@ object GraphOps {
       throw new IllegalArgumentException("pageRank: empty edge list")
     }
     // (scale·3/20)/n and scale/n in this exact operation order — the
-    // oracle spells the same integer expressions
-    val base = (scale * 3L / 20L) / n
-    val init = start match {
-      case None => nodes.select(col("node"), lit(scale / n).as("rank"))
-      case Some(prior) =>
+    // oracle spells the same integer expressions. Personalization
+    // re-aims the SAME integer recursion: teleport mass lands only on
+    // the seed set (base and init divided by |seeds|, zero elsewhere)
+    // — a bounded literal membership test, the BFS-seeds discipline.
+    val baseCol = seeds match {
+      case None => lit((scale * 3L / 20L) / n)
+      case Some(ss) =>
+        when(col("node").isin(ss.map(Long.box): _*),
+          lit((scale * 3L / 20L) / ss.size)).otherwise(lit(0L))
+    }
+    val init = (start, seeds) match {
+      case (None, None) => nodes.select(col("node"), lit(scale / n).as("rank"))
+      case (None, Some(ss)) => nodes.select(col("node"),
+        when(col("node").isin(ss.map(Long.box): _*), lit(scale / ss.size))
+          .otherwise(lit(0L)).as("rank"))
+      case (Some(prior), _) =>
         nodes.join(
             prior.select(col("node"), col("rank").cast(LongType).as("__pr")),
             Seq("node"), "left")
@@ -314,7 +348,7 @@ object GraphOps {
       val next = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(__s, 0L)) div 100")).as("rank"))
+          (baseCol + expr("(85 * coalesce(__s, 0L)) div 100")).as("rank"))
         .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
       itersRun += 1
       val isCkpt = itersRun % CheckpointEvery == 0

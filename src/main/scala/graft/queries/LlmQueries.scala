@@ -313,6 +313,43 @@ object LlmQueries {
     (head +: its).mkString(",\n") + s"\nSELECT node, rank AS rank_ppb FROM r$iters"
   }
 
+  /** [[duckPageRankSql]] with the teleport re-aimed at a literal seed
+    * set: base/init become a CASE over the seed membership divided by
+    * |seeds| (computed HERE with the same JVM integer ops the engine
+    * bakes in), zero elsewhere — one CASE swapped into the otherwise
+    * identical unrolled integer recursion. */
+  private def duckPprSql(iters: Int, scale: Long, seeds: Seq[Long]): String = {
+    val s = seeds.distinct
+    val init = scale / s.size
+    val base = (scale * 3L / 20L) / s.size
+    val inList = s.mkString(", ")
+    val head =
+      s"""WITH e AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |    CAST(o_custkey + 1000000 AS BIGINT) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  UNION
+        |  SELECT DISTINCT CAST(o_custkey + 1000000 AS BIGINT) AS src,
+        |    CAST(l_suppkey AS BIGINT) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node,
+        |  CASE WHEN node IN ($inList) THEN $init::BIGINT ELSE 0::BIGINT END AS rank
+        |  FROM nodes)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s"""r$i AS (SELECT nd.node,
+        |  CAST(CASE WHEN nd.node IN ($inList) THEN $base::BIGINT ELSE 0::BIGINT END
+        |       + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+        |  FROM nodes nd
+        |  LEFT JOIN (SELECT e.dst AS node, sum(r.rank // o.outdeg) AS s
+        |             FROM e JOIN r${i - 1} r ON r.node = e.src
+        |             JOIN outd o ON o.src = e.src
+        |             GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+    }
+    (head +: its).mkString(",\n") + s"\nSELECT node, rank AS rank_ppb FROM r$iters"
+  }
+
   /** Exact n-gram Jaccard pairs with the engine's maxBucket semantics:
     * shingles in more than `maxBucket` docs are removed from the
     * universe, and per-doc set sizes are recomputed POST-prune so the
@@ -1942,6 +1979,25 @@ object LlmQueries {
           (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
       GraphOps.pageRank(sc.unionAll(sc.select(col("dst").as("src"), col("src").as("dst"))),
         "src", "dst", iterations = 6)
+        .withColumnRenamed("rank", "rank_ppb")
+    },
+
+    // ---- PERSONALIZED PageRank: teleport re-aimed at suppliers
+    //      {1,2,3} — random walks restart at the seeds, so rank is
+    //      proximity-weighted importance relative to them (the
+    //      graph-walk recommendation primitive); same integer
+    //      recursion, oracle replays all 6 iterations with the seed
+    //      CASE swapped in ----
+    Q("q_pagerank_seeded", duckPprSql(iters = 6, scale = 1000000000L,
+      seeds = Seq(1L, 2L, 3L))) { (s, dir) =>
+      val sc = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(Tables(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast(LongType).as("src"),
+          (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
+      GraphOps.pageRankPersonalized(
+        sc.unionAll(sc.select(col("dst").as("src"), col("src").as("dst"))),
+        "src", "dst", seeds = Seq(1L, 2L, 3L), iterations = 6)
         .withColumnRenamed("rank", "rank_ppb")
     },
 

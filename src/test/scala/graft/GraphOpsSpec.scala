@@ -329,6 +329,56 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.find(_.getAs[Long]("item") == 1L).get.getAs[Long]("degree") == 39L)
   }
 
+  // ---------------- personalized PageRank ----------------
+
+  /** Driver replay of the seed-teleport integer recursion. */
+  private def pprReplay(edges: Seq[(Long, Long)], seeds: Set[Long],
+                        iters: Int, scale: Long = 1000000000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = (scale * 3L / 20L) / seeds.size
+    val init = scale / seeds.size
+    var rank = nodes.map(v => v -> (if (seeds(v)) init else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      e.foreach { case (u, v) => contrib(v) += rank(u) / outdeg(u) }
+      rank = nodes.map(v =>
+        v -> ((if (seeds(v)) base else 0L) + 85L * contrib(v) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("pageRankPersonalized: bit-identical to driver replay; mass stays near seeds") {
+    // path 1-2-3-4 plus a disconnected pair 10-11, symmetrized
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val edges = und ++ und.map(_.swap)
+    val out = GraphOps.pageRankPersonalized(edges.toDF("src", "dst"), "src", "dst",
+      seeds = Seq(1L, 1L), iterations = 5) // dup seed collapsed
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == pprReplay(edges, Set(1L), 5))
+    // unreachable-from-seed component holds zero mass; the seed's own
+    // neighborhood outranks the chain's far end (rank ordering WITHIN
+    // the walk is iteration-shaped — the seed's sole neighbor can
+    // outrank the seed itself, which is correct walk arithmetic)
+    assert(out(10L) == 0L && out(11L) == 0L)
+    assert(out(1L) > 0L && out(2L) > out(4L))
+  }
+
+  test("pageRankPersonalized: two seeds split the teleport; empty seeds rejected") {
+    val und = Seq((1L, 2L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.pageRankPersonalized(edges, "src", "dst",
+      seeds = Seq(1L, 3L), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out ==
+      pprReplay(und ++ und.map(_.swap), Set(1L, 3L), 3))
+    assert(out(1L) == out(3L) && out(2L) == out(4L)) // symmetric components
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRankPersonalized(edges, "src", "dst", seeds = Nil)
+    }
+  }
+
   // ---------------- BFS distances ----------------
 
   test("bfsDistances: min hop levels on a known graph, early stop, horizon cap") {
