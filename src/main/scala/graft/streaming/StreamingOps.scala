@@ -439,6 +439,67 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming maintenance of the at-rest anomaly-stats artifact
+    * ([[graft.analytics.AnomalyOps.statsSketch]]): each micro-batch's
+    * `(n, S, Q)` triple lands as its own `batch=<epoch>` sum tranche —
+    * re-delivered epochs overwrite their OWN tranche, and per-epoch
+    * stats are a pure function of the batch, so the merged artifact
+    * converges under any replay (the sum-algebra protocol shared with
+    * the histogram/co-occurrence/CM streams). The stream keeps ZERO
+    * state: "flag a reading against everything ever seen" is a
+    * reader-side [[graft.analytics.AnomalyOps.sigmaFlagsAgainstStats]]
+    * against the artifact, not stream state. `consolidateEvery` folds
+    * in-loop so a long-lived stream's merge-on-read stays bounded.
+    */
+  def sigmaStatsStream(rows: DataFrame, indexDir: String, keyCol: String,
+                       valueCol: String, checkpointDir: String,
+                       decimals: Int = 4, consolidateEvery: Int = 0)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "sigmaStatsStream: checkpointDir is " +
+      "required (tranche idempotence relies on durable epoch numbering)")
+    require(consolidateEvery >= 0, "sigmaStatsStream: consolidateEvery must be >= 0")
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.analytics.AnomalyOps.writeStatsTranche(
+          graft.analytics.AnomalyOps.statsSketch(batch, keyCol, valueCol, decimals),
+          indexDir, epoch.toString)
+        if (consolidateEvery > 0 && epoch > 0 && epoch % consolidateEvery == 0)
+          graft.analytics.AnomalyOps.consolidateStats(batch.sparkSession, indexDir, keyCol)
+      }
+      .start()
+  }
+
+  /** Streaming maintenance of the at-rest BM25 postings index
+    * ([[graft.text.RetrievalOps.bm25WriteIndex]] must have built the
+    * layout — the frozen `nbuckets` is the bucket-function contract):
+    * each micro-batch's docs append as their own `batch=e<epoch>`
+    * tranche through the shared absorbed-tag gate, so a replayed epoch
+    * after an in-loop consolidation no-ops instead of resurrecting
+    * folded postings. Docs must be epoch-disjoint (the per-doc tranche
+    * contract). Probes stay partition-pruned reader-side queries —
+    * the stream holds no state.
+    */
+  def bm25Stream(docs: DataFrame, indexDir: String, idCol: String,
+                 textCol: String, checkpointDir: String,
+                 consolidateEvery: Int = 0)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "bm25Stream: checkpointDir is required " +
+      "(tranche idempotence relies on durable epoch numbering)")
+    require(consolidateEvery >= 0, "bm25Stream: consolidateEvery must be >= 0")
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.text.RetrievalOps.bm25AppendToIndex(
+          batch, indexDir, idCol, textCol, s"e$epoch")
+        if (consolidateEvery > 0 && epoch > 0 && epoch % consolidateEvery == 0)
+          graft.text.RetrievalOps.bm25ConsolidateIndex(batch.sparkSession, indexDir)
+      }
+      .start()
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, sum: Double, start: Long, last: Long)
   final case class SessionOut(user_id: Long, n_events: Long, sum_value: Double,

@@ -345,6 +345,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sigmaStatsStream: live epochs + fold converge to whole-corpus stats; flags match") {
+    import graft.analytics.AnomalyOps
+    val base = Files.createTempDirectory("graft_sigma_stream").toString
+    val dir = s"$base/idx"; val ck = s"$base/ck"
+    val day1 = Seq(("g", 10.0), ("g", 11.0), ("h", 5.0))
+    val day2 = Seq(("g", 9.0), ("g", 55.0), ("h", 5.5))
+    val whole = (day1 ++ day2).toDF("grp", "value")
+    val mem = MemoryStream[(String, Double)](spark, 1)
+    val q = StreamingOps.sigmaStatsStream(mem.toDF.toDF("grp", "value"), dir,
+      "grp", "value", checkpointDir = ck, consolidateEvery = 1)
+    try {
+      mem.addData(day1: _*); q.processAllAvailable() // epoch 0
+      mem.addData(day2: _*); q.processAllAvailable() // epoch 1 → fold
+      assertSameRows(AnomalyOps.readStats(spark, dir, "grp"),
+        AnomalyOps.statsSketch(whole, "grp", "value"))
+      // reader-side flags off the streamed artifact ≡ whole-history run
+      assertSameRows(
+        AnomalyOps.sigmaFlagsAgainstStats(day2.toDF("grp", "value"),
+            AnomalyOps.readStats(spark, dir, "grp"), "grp", "value", k = 1)
+          .select("grp", "value", "n_group", "is_anomaly"),
+        AnomalyOps.sigmaFlags(whole, "grp", "value", k = 1)
+          .where(col("value").isin(9.0, 55.0, 5.5))
+          .select("grp", "value", "n_group", "is_anomaly"))
+      val tranches = new java.io.File(dir).listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch="))
+      assert(tranches.length == 1 && tranches.head.startsWith("batch=consolidated-"))
+    } finally q.stop()
+  }
+
+  test("bm25Stream: epoch appends + in-loop fold probe identically to a one-shot build") {
+    import graft.text.RetrievalOps
+    val base = Files.createTempDirectory("graft_bm25_stream").toString
+    val dir = s"$base/idx"; val ck = s"$base/ck"
+    val d1 = Seq((1L, "spark join join window"), (2L, "spark window filter"))
+    val d2 = Seq((3L, "join scan spark table"), (4L, "table merge hash batch"))
+    val queries = Seq(("q1", "spark"), ("q1", "join"), ("q2", "table"))
+      .toDF("query_id", "term")
+    // the stream APPENDS into a built layout: seed with an empty build
+    RetrievalOps.bm25WriteIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), dir, "doc_id", "text",
+      nBuckets = 8)
+    val mem = MemoryStream[(Long, String)](spark, 1)
+    val q = StreamingOps.bm25Stream(mem.toDF.toDF("doc_id", "text"), dir,
+      "doc_id", "text", checkpointDir = ck, consolidateEvery = 1)
+    try {
+      mem.addData(d1: _*); q.processAllAvailable() // epoch 0
+      mem.addData(d2: _*); q.processAllAvailable() // epoch 1 → fold
+      val oneShot = RetrievalOps.bm25TopK((d1 ++ d2).toDF("doc_id", "text"),
+        "doc_id", "text", queries, k = 10)
+      assertSameRows(RetrievalOps.bm25ProbeIndex(spark, dir, queries, k = 10), oneShot)
+      val tranches = new java.io.File(s"$dir/postings").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch="))
+      assert(tranches.toSeq == Seq("batch=build"))
+    } finally q.stop()
+  }
+
   private def winTs(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
 
   test("windowedAgg produces correct event-time tumbling windows") {
