@@ -23,8 +23,9 @@ object IndexDashboard {
   def indexHealthAll(spark: SparkSession,
                      dedupDir: Option[String] = None,
                      winnowDir: Option[String] = None,
-                     vectorDir: Option[String] = None): DataFrame = {
-    require(dedupDir.orElse(winnowDir).orElse(vectorDir).isDefined,
+                     vectorDir: Option[String] = None,
+                     bm25Dir: Option[String] = None): DataFrame = {
+    require(dedupDir.orElse(winnowDir).orElse(vectorDir).orElse(bm25Dir).isDefined,
       "indexHealthAll: pass at least one index directory")
     val parts = Seq(
       dedupDir.map(d => graft.dedup.DedupOps.dedupIndexHealth(spark, d)
@@ -32,7 +33,9 @@ object IndexDashboard {
       winnowDir.map(d => graft.text.TextOps.winnowIndexHealth(spark, d)
         .withColumn("family", lit("winnow"))),
       vectorDir.map(d => graft.similarity.SimilarityOps.ivfIndexHealth(spark, d)
-        .withColumn("family", lit("vector")))).flatten
+        .withColumn("family", lit("vector"))),
+      bm25Dir.map(d => graft.text.RetrievalOps.bm25IndexHealth(spark, d)
+        .withColumn("family", lit("bm25")))).flatten
     parts.reduce(_.unionByName(_))
       .select(col("family"), col("artifact"), col("n_tranches"),
         col("n_marked"), col("n_unproven"), col("count_fresh"))

@@ -870,7 +870,9 @@ object LlmQueries {
         |UNION ALL SELECT 'dedup', 'bf', 2, 2, 0, 'true'
         |UNION ALL SELECT 'winnow', 'wfp', 2, 2, 0, CAST(NULL AS VARCHAR)
         |UNION ALL SELECT 'winnow', 'wdf', 2, 2, 0, 'true'
-        |UNION ALL SELECT 'vector', 'vec', 2, 2, 0, CAST(NULL AS VARCHAR)""".stripMargin) {
+        |UNION ALL SELECT 'vector', 'vec', 2, 2, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'bm25', 'postings', 2, 2, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'bm25', 'doclen', 2, 2, 0, CAST(NULL AS VARCHAR)""".stripMargin) {
       (s, dir) =>
         val docs = Tables(s, dir, "documents").select("doc_id", "text")
         val e = Tables(s, dir, "embeddings")
@@ -893,9 +895,16 @@ object LlmQueries {
         SimilarityOps.ivfAppendToIndex(
           e.where(col("vec_id") >= 300 && col("vec_id") < 400), ivfIdx,
           "vec_id", "embedding", tag = "day1")
+        val bm25Idx = graft.util.Scratch.path("health_all_bm25", dir)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bm25Idx))
+        RetrievalOps.bm25WriteIndex(docs.where(col("doc_id") < 300), bm25Idx,
+          "doc_id", "text", nBuckets = 16)
+        RetrievalOps.bm25AppendToIndex(
+          docs.where(col("doc_id") >= 300 && col("doc_id") < 400), bm25Idx,
+          "doc_id", "text", tag = "day1")
         graft.meta.IndexDashboard.indexHealthAll(s,
           dedupDir = Some(dedupIdx), winnowDir = Some(winnowIdx),
-          vectorDir = Some(ivfIdx))
+          vectorDir = Some(ivfIdx), bm25Dir = Some(bm25Idx))
           .withColumn("count_fresh", col("count_fresh").cast(StringType))
     },
 

@@ -246,6 +246,30 @@ object RetrievalOps {
     }
   }
 
+  /** Index statistics gauge, the family-generic shape shared with the
+    * dedup/winnow twins: one row per artifact
+    * `(artifact, n_rows, n_docs, n_tranches)` — the consolidation
+    * gauge for the postings/doclen tranches. Validates the family
+    * meta first (a typo'd path must fail, not read empty). */
+  def bm25IndexStats(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    readNBuckets(spark, dir)
+    graft.dedup.DedupOps.artifactStats(spark, dir, Seq("postings", "doclen"))
+  }
+
+  /** Health gauge (directory metadata only, no data file opened):
+    * tranche/marker/unproven counts per artifact. The BM25 family
+    * writes no decide-once markers — its appends are pure functions of
+    * the batch, replay-safe via own-tag overwrite — so `n_marked` is 0
+    * and every tranche counts committed (the pre-witness convention
+    * the shared gauge encodes). */
+  def bm25IndexHealth(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    readNBuckets(spark, dir)
+    graft.dedup.DedupOps.artifactHealth(spark, dir, Seq("postings", "doclen"),
+      Map.empty, witness = None)
+  }
+
   /** Top-k BM25 from the at-rest index: partition-pruned postings
     * probe + the shared scoring tail. The pruning literals are the
     * ≤|query terms| buckets the terms hash to — collected from the

@@ -122,6 +122,29 @@ class RetrievalOpsSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
+  test("bm25 index gauges: stats rows per artifact, health counts tranches, dashboard row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString + "/idx"
+    try {
+      RetrievalOps.bm25WriteIndex(idxCorpus.where(col("doc_id") <= 3), dir,
+        "doc_id", "text", nBuckets = 8)
+      RetrievalOps.bm25AppendToIndex(idxCorpus.where(col("doc_id") > 3), dir,
+        "doc_id", "text", tag = "day1")
+      val stats = RetrievalOps.bm25IndexStats(spark, dir)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(3)))).toMap
+      // postings: one row per (doc, term); doclen: one per doc; 2 tranches each
+      assert(stats("doclen") == ((6L, 2)))
+      assert(stats("postings")._2 == 2 && stats("postings")._1 >= 6L)
+      val health = RetrievalOps.bm25IndexHealth(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+      assert(health == Map("postings" -> ((2, 2, 0)), "doclen" -> ((2, 2, 0))))
+      val dash = graft.meta.IndexDashboard.indexHealthAll(spark, bm25Dir = Some(dir))
+        .collect()
+      assert(dash.length == 2 && dash.forall(_.getAs[String]("family") == "bm25"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("bm25 index: meta-less dir and reserved tags fail fast") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString + "/raw"
     try {
