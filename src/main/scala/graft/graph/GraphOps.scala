@@ -536,6 +536,51 @@ object GraphOps {
     graft.util.SumTranches.consolidate(spark, s"$dir/totals", Seq.empty, "n_g")
   }
 
+  /** Graph FEATURE aggregation: for every node, exact aggregates of a
+    * value column over its distinct ≤`hops`-hop neighborhood (self
+    * excluded) — "average account balance of my trading partners (and
+    * their partners)", the classic graph feature a downstream model
+    * consumes. `hops` ∈ {1, 2}: the 2-hop expansion is one edge
+    * self-join whose fan-out is Σ deg² — bounded when the edge set is
+    * a capped projection ([[coOccurrencePairs]]) or any
+    * degree-bounded graph, and honestly quadratic on raw hub graphs
+    * (cap first; 3-hop is deliberately unsupported because its cost
+    * model is a different operator).
+    *
+    * Neighbors without a value row drop (inner join — features over
+    * the valued universe). Determinism: counts exact, `sum_val` an
+    * exact DECIMAL(12,2) sum cast to double, `avg_val` ONE IEEE
+    * division of that by the exact count — the oracle-parity sum
+    * discipline. Output: `(node, n_neighbors, sum_val, avg_val)`.
+    */
+  def neighborhoodAgg(edges: DataFrame, srcCol: String, dstCol: String,
+                      values: DataFrame, nodeCol: String, valueCol: String,
+                      hops: Int = 1): DataFrame = {
+    require(hops == 1 || hops == 2, s"neighborhoodAgg: hops=$hops not in {1, 2}")
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+    val nbr =
+      if (hops == 1) e
+      else {
+        val e2 = e.select(col("src").as("__m"), col("dst").as("__d2"))
+        val two = e.join(e2, col("dst") === col("__m"))
+          .where(col("__d2") =!= col("src"))
+          .select(col("src"), col("__d2").as("dst"))
+        e.unionAll(two).distinct()
+      }
+    val v = values.select(col(nodeCol).cast(LongType).as("dst"),
+      col(valueCol).cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("__v"))
+    nbr.join(v, "dst")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(col("__v")).as("__sum"))
+      .select(col("src").as("node"), col("n_neighbors"),
+        col("__sum").cast(DoubleType).as("sum_val"),
+        (col("__sum").cast(DoubleType) / col("n_neighbors")).as("avg_val"))
+  }
+
   /** Multi-source BFS distances: the minimum hop count from any seed
     * node to every node reachable within `maxHops` — the reachability
     * primitive behind "everything within 2 links of these flagged

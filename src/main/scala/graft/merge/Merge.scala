@@ -212,6 +212,44 @@ object Merge {
     }.toSeq: _*)
   }
 
+  /** Snapshot DIFF — the observability twin of [[upsertOnDiffFrame]]:
+    * instead of silently merging, classify every key across two
+    * snapshots as `added` (new only), `removed` (old only), `changed`
+    * (both, any compare column differs null-safely), or `unchanged` —
+    * the CDC-style audit a pipeline operator reads when a day's merge
+    * volume moves ("what did yesterday's load actually do"). Same
+    * null-safe `<=>` compare-set semantics as the merge itself, so the
+    * report provably describes what [[upsertOnDiff]] would write:
+    * `changed ∪ added` is exactly its take-stage set.
+    *
+    * Shuffle plan: ONE full-outer join on the keys (AQE-handled),
+    * every comparison a codegen'd null-safe equality — no hashing, no
+    * second pass. Output: key columns + `change`; filter
+    * `change != 'unchanged'` for the delta view.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    val cmp =
+      if (compareCols.nonEmpty) compareCols
+      else oldDf.columns.toSeq.filterNot(keys.contains).filter(newDf.columns.contains)
+    require(cmp.nonEmpty, "snapshotDiff: no columns to compare")
+    val nPref = newDf.columns.foldLeft(newDf.withColumn("__n_present", lit(true))) {
+      (df, c) => df.withColumnRenamed(c, s"__n_$c")
+    }
+    val o = oldDf.withColumn("__o_present", lit(true))
+    val joined = o.join(nPref,
+      keys.map(k => col(k) <=> col(s"__n_$k")).reduce(_ && _), "full_outer")
+    val differs = cmp.map(c => !(col(c) <=> col(s"__n_$c"))).reduce(_ || _)
+    joined.select(
+      keys.map(k => coalesce(col(k), col(s"__n_$k")).as(k)) :+
+        when(col("__o_present").isNull, lit("added"))
+          .when(col("__n_present").isNull, lit("removed"))
+          .when(differs, lit("changed"))
+          .otherwise(lit("unchanged")).as("change"): _*)
+  }
+
   /** Writing form of [[upsertOnDiffFrame]]: merge against the stored
     * target and swap the result in atomically (same protocol as
     * [[upsert]]; creates the target if absent). Idempotent: a second

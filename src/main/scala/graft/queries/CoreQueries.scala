@@ -1024,6 +1024,39 @@ object CoreQueries {
         "event_type", "value", k = 3)
     },
 
+    // ---- CDC-style snapshot diff: yesterday's orders vs today's
+    //      (deterministically planted adds/removes/changes) classified
+    //      added | removed | changed | unchanged with the same
+    //      null-safe compare-set semantics the upsert-on-diff merge
+    //      applies — the "what did the load actually do" audit ----
+    Q("q_snapshot_diff",
+      """WITH oldk AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |              WHERE o_orderkey % 7 <> 0),
+        |newk AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0
+        |         THEN CAST(o_totalprice AS DECIMAL(12,2)) + 1 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT COALESCE(oldk.o_orderkey, newk.o_orderkey) AS o_orderkey,
+        |  CASE WHEN oldk.o_orderkey IS NULL THEN 'added'
+        |       WHEN newk.o_orderkey IS NULL THEN 'removed'
+        |       WHEN oldk.o_totalprice IS DISTINCT FROM newk.o_totalprice
+        |         OR oldk.o_orderstatus IS DISTINCT FROM newk.o_orderstatus THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |FROM oldk FULL OUTER JOIN newk ON oldk.o_orderkey = newk.o_orderkey""".stripMargin) {
+      (s, dir) =>
+        val orders = t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        val oldDf = orders.where(col("o_orderkey") % 7 =!= 0)
+        val newDf = orders.where(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 5 === 0,
+              col("o_totalprice").cast(DecimalType(12, 2)) + 1)
+              .otherwise(col("o_totalprice")).as("o_totalprice"),
+            col("o_orderstatus"))
+        Merge.snapshotDiff(oldDf, newDf, Seq("o_orderkey"))
+    },
+
     // ---- the AT-REST anomaly-stats lifecycle: three day tranches of
     //      (n, S, Q) written, one consolidation mid-stream, then the
     //      LAST day's rows flagged against the cumulative artifact —

@@ -1991,6 +1991,43 @@ object LlmQueries {
         .withColumnRenamed("rank", "rank_ppb")
     },
 
+    // ---- graph FEATURE aggregation: average/sum account balance over
+    //      every node's distinct 2-hop trade neighborhood (for a
+    //      supplier: its customers + suppliers sharing a customer) —
+    //      exact decimal sums, one IEEE division; the feature column a
+    //      downstream model joins on ----
+    Q("q_neighborhood_agg",
+      """WITH sc AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |    CAST(o_custkey + 1000000 AS BIGINT) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM sc UNION SELECT dst, src FROM sc),
+        |two AS (SELECT e.src, e2.dst FROM e JOIN e e2 ON e.dst = e2.src
+        |        WHERE e2.dst <> e.src),
+        |nbr AS (SELECT src, dst FROM e UNION SELECT src, dst FROM two),
+        |v AS (SELECT CAST(s_suppkey AS BIGINT) AS node,
+        |        CAST(s_acctbal AS DECIMAL(12,2)) AS val FROM supplier
+        |      UNION ALL
+        |      SELECT CAST(c_custkey + 1000000 AS BIGINT),
+        |        CAST(c_acctbal AS DECIMAL(12,2)) FROM customer)
+        |SELECT nbr.src AS node, count(*) AS n_neighbors,
+        |  CAST(sum(v.val) AS DOUBLE) AS sum_val,
+        |  CAST(sum(v.val) AS DOUBLE) / count(*) AS avg_val
+        |FROM nbr JOIN v ON v.node = nbr.dst
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val sc = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(Tables(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast(LongType).as("src"),
+          (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
+      val edges = sc.unionAll(sc.select(col("dst").as("src"), col("src").as("dst")))
+      val values = Tables(s, dir, "supplier")
+        .select(col("s_suppkey").cast(LongType).as("node"), col("s_acctbal").as("val"))
+        .unionAll(Tables(s, dir, "customer")
+          .select((col("c_custkey") + 1000000L).cast(LongType).as("node"),
+            col("c_acctbal").as("val")))
+      GraphOps.neighborhoodAgg(edges, "src", "dst", values, "node", "val", hops = 2)
+    },
+
     // ---- PERSONALIZED PageRank: teleport re-aimed at suppliers
     //      {1,2,3} — random walks restart at the seeds, so rank is
     //      proximity-weighted importance relative to them (the

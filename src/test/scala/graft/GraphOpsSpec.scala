@@ -329,6 +329,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.find(_.getAs[Long]("item") == 1L).get.getAs[Long]("degree") == 39L)
   }
 
+  // ---------------- neighborhood aggregation ----------------
+
+  test("neighborhoodAgg: 1-hop exact sums; 2-hop unions distinct, excludes self") {
+    // path 1-2-3 (undirected) + values
+    val und = Seq((1L, 2L), (2L, 3L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val vals = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("node", "val")
+    val h1 = GraphOps.neighborhoodAgg(e, "src", "dst", vals, "node", "val", hops = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(h1 == Map(1L -> ((1L, 20.0)), 2L -> ((2L, 40.0)), 3L -> ((1L, 20.0))))
+    val h2 = GraphOps.neighborhoodAgg(e, "src", "dst", vals, "node", "val", hops = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // node 1's 2-hop set = {2, 3}, never itself; node 2 unchanged
+    assert(h2 == Map(1L -> ((2L, 50.0)), 2L -> ((2L, 40.0)), 3L -> ((2L, 30.0))))
+    assert(math.abs(GraphOps.neighborhoodAgg(e, "src", "dst", vals, "node", "val", 2)
+      .where(col("node") === 1L).head.getAs[Double]("avg_val") - 25.0) < 1e-12)
+    intercept[IllegalArgumentException] {
+      GraphOps.neighborhoodAgg(e, "src", "dst", vals, "node", "val", hops = 3)
+    }
+  }
+
+  test("neighborhoodAgg: neighbors without values drop; duplicate edges collapse") {
+    val e = Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val vals = Seq((2L, 5.0)).toDF("node", "val") // 3 has no value
+    val out = GraphOps.neighborhoodAgg(e, "src", "dst", vals, "node", "val")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(1L -> ((1L, 5.0))))
+  }
+
   // ---------------- personalized PageRank ----------------
 
   /** Driver replay of the seed-teleport integer recursion. */

@@ -172,4 +172,30 @@ class RelationalMergeSpec extends SparkSpec {
     val twice = Merge.readTarget(spark, dir).as[(Int, String, String)].collect().toSet
     assert(twice == once)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-safe") {
+    val oldDf = Seq((1, Some("a")), (2, Some("b")), (3, None: Option[String]),
+      (4, Some("d"))).toDF("k", "v")
+    val newDf = Seq((2, Some("B")), (3, None: Option[String]), (4, Some("d")),
+      (5, Some("e"))).toDF("k", "v")
+    val out = Merge.snapshotDiff(oldDf, newDf, Seq("k"))
+      .as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "removed", 2 -> "changed", 3 -> "unchanged",
+      4 -> "unchanged", 5 -> "added"))
+    // changed ∪ added is exactly upsertOnDiffFrame's take-stage set
+    val merged = Merge.upsertOnDiffFrame(oldDf, newDf, Seq("k"))
+      .as[(Int, Option[String])].collect().toMap
+    assert(merged(2) == Some("B") && merged(1) == Some("a"))
+  }
+
+  test("snapshotDiff: compareCols restricts the change test; bad args rejected") {
+    val oldDf = Seq((1, "a", "x")).toDF("k", "v", "meta")
+    val newDf = Seq((1, "a", "y")).toDF("k", "v", "meta")
+    import org.apache.spark.sql.functions.col
+    assert(Merge.snapshotDiff(oldDf, newDf, Seq("k"), compareCols = Seq("v"))
+      .where(col("change") === "unchanged").count() == 1)
+    assert(Merge.snapshotDiff(oldDf, newDf, Seq("k"))
+      .where(col("change") === "changed").count() == 1)
+    intercept[IllegalArgumentException] { Merge.snapshotDiff(oldDf, newDf, Nil) }
+  }
 }
