@@ -100,6 +100,45 @@ object AnomalyOps {
                        keyCol: String): Unit =
     graft.util.SumTranches.consolidate(spark, dir, Seq(keyCol, "stat"), "val")
 
+  /** ROLLING k-sigma flags: each row tested against the distribution
+    * of its key's `nRows` PRIOR rows in `orderCol` order (the current
+    * row never sits in its own baseline — a level shift should flag
+    * its first row, not absorb it). The monitoring shape: "is this
+    * hour's metric anomalous versus the trailing day", run over
+    * [[TimeSeriesOps.resampleFill]]'s dense grid where row windows ARE
+    * time windows.
+    *
+    * Same float-free inequality as [[sigmaFlags]] — `(n·x − S)² >
+    * k²·(n·Q − S²)` — with (n, S, Q) as exact integer WINDOW sums
+    * (one key-partitioned ordered window, reused for all three), so
+    * within-frame evaluation strategy is invisible. Rows whose prior
+    * window holds fewer than 2 observations are never flagged
+    * (variance undefined). `orderCol` must be unique per key
+    * (the resampler's grid is) — ties would make frame CONTENTS
+    * nondeterministic.
+    *
+    * Output: input columns + `(n_window: long, is_anomaly: boolean)`.
+    */
+  def rollingSigmaFlags(df: DataFrame, keyCol: String, orderCol: String,
+                        valueCol: String, nRows: Int,
+                        k: Int = 3, decimals: Int = 4): DataFrame = {
+    require(nRows >= 2, s"rollingSigmaFlags: nRows=$nRows must be >= 2")
+    require(k >= 1, s"rollingSigmaFlags: k=$k must be >= 1")
+    val rows = df.withColumn("__u", snapped(valueCol, decimals))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-nRows.toLong, -1L)
+    val n = count(col("__u")).over(w)
+    val s = sum(col("__u")).over(w)
+    val q = sum(col("__u").cast(D38) * col("__u")).over(w)
+    val dev = n.cast(D38) * col("__u").cast(D38) - s.cast(D38)
+    val rhs = lit(k.toLong * k) * (n.cast(D38) * q - s.cast(D38) * s.cast(D38))
+    rows
+      .withColumn("n_window", n)
+      .withColumn("is_anomaly", when(n >= 2, dev * dev > rhs).otherwise(lit(false)))
+      .drop("__u")
+  }
+
   /** [[sigmaFlags]] with the reference distribution supplied as a
     * [[statsSketch]]-shaped frame instead of recomputed from `df` —
     * the daily loop: `writeStatsTranche(statsSketch(today))`, then

@@ -368,4 +368,43 @@ object EventAnalytics {
       .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
       .agg(count_distinct(col("__user")).as("n_users"))
   }
+
+  /** Top-k frequent event PATHS: the most common length-`len`
+    * consecutive event-type sequences across all users' ordered
+    * streams — "what do people actually do in order" (the lightweight
+    * sequential-pattern answer behind navigation analysis and
+    * funnel-candidate discovery; the transition matrix is its len=2
+    * marginal).
+    *
+    * A path occurrence = `len` CONSECUTIVE events of one user in
+    * `(tsCol, tieCol)` order (strictly consecutive, not subsequence —
+    * gaps break a path, which is what makes counts interpretable as
+    * journeys). Plan: one (user, ts, tie) window provides `len−1`
+    * `lead` columns (a single exchange + sort), paths concatenate with
+    * `>`, then one map-side-combinable count and a TopK rank window.
+    * Ranks tie-break by path string — fully deterministic.
+    *
+    * Output: `(path, n_occurrences, rank)`, rank ≤ k.
+    */
+  def frequentPaths(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, tieCol: String,
+                    len: Int = 3, k: Int = 20): DataFrame = {
+    require(len >= 2, s"frequentPaths: len=$len must be >= 2")
+    require(k >= 1, s"frequentPaths: k=$k must be >= 1")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val leads = (1 until len).map(i => lead(col(typeCol), i).over(w))
+    val path = concat_ws(">", (col(typeCol) +: leads): _*)
+    val complete = leads.map(_.isNotNull).reduce(_ && _)
+    events
+      .select(path.as("path"), complete.as("__ok"))
+      .where(col("__ok"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_occurrences"))
+      // global-order window, deliberately: its input is the PATH
+      // VOCABULARY (≤ |event types|^len rows — 5³ here, never
+      // data-sized), the one case where a single-task rank is cheaper
+      // than any distributed alternative
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("path"))))
+      .where(col("rank") <= k)
+  }
 }

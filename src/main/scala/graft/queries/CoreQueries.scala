@@ -1024,6 +1024,66 @@ object CoreQueries {
         "event_type", "value", k = 3)
     },
 
+    // ---- ROLLING k-sigma monitoring over the resampled grid: each
+    //      hour's value tested against the trailing 24 PRIOR hours —
+    //      the same float-free integer inequality, with (n,S,Q) as
+    //      exact window sums; the level-shift hour flags on arrival
+    //      because the current row never sits in its own baseline ----
+    Q("q_rolling_anomaly",
+      """WITH b AS (SELECT user_id, ts, event_id, value,
+        |    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_ts
+        |  FROM events WHERE user_id < 50),
+        |lastv AS (SELECT user_id, bucket_ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, bucket_ts
+        |                                 ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM b) WHERE rn = 1),
+        |rng AS (SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx
+        |        FROM b GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(mn, mx + 3600, 3600)) AS bucket_ts
+        |         FROM rng),
+        |r AS (SELECT g.user_id, g.bucket_ts,
+        |    last_value(lastv.value IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |      ORDER BY g.bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |  FROM grid g LEFT JOIN lastv USING (user_id, bucket_ts)),
+        |u AS (SELECT user_id, bucket_ts, value,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS u FROM r),
+        |wn AS (SELECT user_id, bucket_ts, value,
+        |    CAST(u AS HUGEINT) AS u,
+        |    count(u) OVER wnd AS n, CAST(sum(u) OVER wnd AS HUGEINT) AS s,
+        |    sum(CAST(u AS HUGEINT) * u) OVER wnd AS q
+        |  FROM u
+        |  WINDOW wnd AS (PARTITION BY user_id ORDER BY bucket_ts
+        |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, bucket_ts, value, n AS n_window,
+        |  CASE WHEN n >= 2
+        |       THEN (n * u - s) * (n * u - s) > 9 * (n * q - s * s)
+        |       ELSE FALSE END AS is_anomaly
+        |FROM wn""".stripMargin) { (s, dir) =>
+      val grid = graft.analytics.TimeSeriesOps.resampleFill(
+        t(s, dir, "events").where(col("user_id") < 50),
+        "user_id", "ts", "value", "event_id", stepSeconds = 3600L)
+        .select("user_id", "bucket_ts", "value")
+      graft.analytics.AnomalyOps.rollingSigmaFlags(grid,
+        "user_id", "bucket_ts", "value", nRows = 24, k = 3)
+    },
+
+    // ---- top-k frequent event PATHS: the most common consecutive
+    //      3-step journeys across all users — gaps break paths,
+    //      ties rank by path string ----
+    Q("q_frequent_paths",
+      """WITH o AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT event_type || '>' || t1 || '>' || t2 AS path
+        |      FROM o WHERE t1 IS NOT NULL AND t2 IS NOT NULL),
+        |c AS (SELECT path, count(*) AS n_occurrences FROM p GROUP BY 1)
+        |SELECT path, n_occurrences,
+        |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, path) AS INTEGER) AS rank
+        |FROM c QUALIFY rank <= 20""".stripMargin) { (s, dir) =>
+      graft.analytics.EventAnalytics.frequentPaths(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id", len = 3, k = 20)
+    },
+
     // ---- CDC-style snapshot diff: yesterday's orders vs today's
     //      (deterministically planted adds/removes/changes) classified
     //      added | removed | changed | unchanged with the same

@@ -67,6 +67,30 @@ class AnomalyOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("rollingSigmaFlags: level shift flags on arrival; current row outside its baseline") {
+    // steady 10s then a jump to 100 at t=6: the jump must flag against
+    // the PRIOR window; later rows see the shift in their baseline
+    val df = (1 to 5).map(t => ("g", t.toLong, 10.0)) ++ Seq(("g", 6L, 100.0))
+    val out = AnomalyOps.rollingSigmaFlags(df.toDF("grp", "t", "value"),
+      "grp", "t", "value", nRows = 5, k = 3)
+      .orderBy("t").collect()
+    assert(out.map(_.getAs[Boolean]("is_anomaly")).toSeq ==
+      Seq(false, false, false, false, false, true))
+    // n_window counts PRIOR rows only
+    assert(out.map(_.getAs[Long]("n_window")).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("rollingSigmaFlags: under-2 windows never flag; slow drift within k sigma stays quiet") {
+    val drift = (1 to 10).map(t => ("g", t.toLong, 10.0 + t * 0.1))
+    val out = AnomalyOps.rollingSigmaFlags(drift.toDF("grp", "t", "value"),
+      "grp", "t", "value", nRows = 4, k = 3).collect()
+    assert(out.forall(!_.getAs[Boolean]("is_anomaly")))
+    intercept[IllegalArgumentException] {
+      AnomalyOps.rollingSigmaFlags(drift.toDF("grp", "t", "value"),
+        "grp", "t", "value", nRows = 1)
+    }
+  }
+
   test("sigmaFlags rejects bad knobs") {
     val df = Seq(("g", 1.0)).toDF("grp", "value")
     intercept[IllegalArgumentException] { AnomalyOps.sigmaFlags(df, "grp", "value", k = 0) }

@@ -375,4 +375,35 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("2024-01-01" -> 1L))
   }
+
+  test("frequentPaths: consecutive trigrams per user, gaps break paths, tie ranks by path") {
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "view", 1),
+      ("u1", "2024-01-01 10:01:00", "click", 2),
+      ("u1", "2024-01-01 10:02:00", "buy", 3),
+      ("u1", "2024-01-01 10:03:00", "view", 4),
+      ("u2", "2024-01-01 11:00:00", "view", 5),
+      ("u2", "2024-01-01 11:01:00", "click", 6),
+      ("u2", "2024-01-01 11:02:00", "buy", 7))
+    val out = EventAnalytics.frequentPaths(df, "user_id", "ts", "event_type",
+      "event_id", len = 3, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // u1 contributes view>click>buy AND click>buy>view; u2 only the first
+    assert(out.toSeq == Seq(("view>click>buy", 2L, 1), ("click>buy>view", 1L, 2)))
+    // paths never cross users: u2's stream ends at buy, no buy>view from u2
+    val bigrams = EventAnalytics.frequentPaths(df, "user_id", "ts", "event_type",
+      "event_id", len = 2, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bigrams == Map("view>click" -> 2L, "click>buy" -> 2L, "buy>view" -> 1L))
+  }
+
+  test("frequentPaths: same-timestamp events order by the tie column; k caps output") {
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "b", 2),
+      ("u1", "2024-01-01 10:00:00", "a", 1),
+      ("u1", "2024-01-01 10:00:00", "c", 3))
+    val out = EventAnalytics.frequentPaths(df, "user_id", "ts", "event_type",
+      "event_id", len = 3, k = 1).collect()
+    assert(out.length == 1 && out(0).getString(0) == "a>b>c")
+  }
 }
