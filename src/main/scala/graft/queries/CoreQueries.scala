@@ -1084,6 +1084,42 @@ object CoreQueries {
         "user_id", "ts", "event_type", "event_id", len = 3, k = 20)
     },
 
+    // ---- experiment readout: per-segment two-proportion z-test with
+    //      ZERO floating point — arms split deterministically over
+    //      users, conversion = any purchase; the verdict is exact
+    //      integer arithmetic (HUGEINT replay), never a rate or a
+    //      square root ----
+    Q("q_ab_test",
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT user_id % 3 AS segment,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm, c FROM u),
+        |st AS (SELECT segment,
+        |    sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN arm = 'a' AND c = 1 THEN 1 ELSE 0 END) AS conv_a,
+        |    sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS n_b,
+        |    sum(CASE WHEN arm = 'b' AND c = 1 THEN 1 ELSE 0 END) AS conv_b
+        |  FROM t GROUP BY 1)
+        |SELECT segment, CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    (CAST(conv_a AS HUGEINT) * n_b - CAST(conv_b AS HUGEINT) * n_a)
+        |      * (CAST(conv_a AS HUGEINT) * n_b - CAST(conv_b AS HUGEINT) * n_a)
+        |      * (CAST(n_a AS HUGEINT) + n_b)
+        |    > 4 * (CAST(conv_a AS HUGEINT) + conv_b)
+        |      * (CAST(n_a AS HUGEINT) + n_b - conv_a - conv_b)
+        |      * n_a * n_b
+        |  ELSE FALSE END AS significant
+        |FROM st""".stripMargin) { (s, dir) =>
+      val users = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("__c"))
+        .select((col("user_id") % 3).as("segment"),
+          when(col("user_id") % 2 === 0, "a").otherwise("b").as("arm"),
+          (col("__c") === 1).as("ok"))
+      graft.analytics.ExperimentOps.twoProportionTest(users, "segment", "arm", "ok")
+    },
+
     // ---- CDC-style snapshot diff: yesterday's orders vs today's
     //      (deterministically planted adds/removes/changes) classified
     //      added | removed | changed | unchanged with the same
