@@ -158,6 +158,33 @@ object HistSketch {
           .cast(LongType).as("value"))
   }
 
+  /** Quantile-BAND assignment from a histogram sketch: label every row
+    * with how many of the `ps` quantile thresholds its value reaches —
+    * "which band of HISTORY's length distribution is this new doc in"
+    * (the curation gate that keeps a stable meaning as the corpus
+    * grows, because the thresholds come from the at-rest artifact, not
+    * from the batch being scored). `band` ∈ 0..|ps|: 0 = below every
+    * threshold, |ps| = at or above all of them; NULL values get a NULL
+    * band.
+    *
+    * The thresholds are a ≤|ps|-row [[histQuantiles]] result collected
+    * at plan-build time (the fitted-quantizer precedent) and baked in
+    * as literals — scoring is then a pure per-row integer-compare
+    * projection, shuffle-free, over ANY batch size. Thresholds are
+    * exact longs, so the comparison is bit-deterministic in every
+    * engine.
+    */
+  def histBucketize(df: DataFrame, valCol: String, sketch: DataFrame,
+                    ps: Seq[Double],
+                    subBuckets: Int = DefaultSubBuckets): DataFrame = {
+    val thr = histQuantiles(sketch, ps, subBuckets)
+      .collect().map(_.getLong(1)) // bounded: ≤ |ps| rows
+    val v = col(valCol).cast(LongType)
+    val band = thr.map(t => when(v >= lit(t), 1).otherwise(0)).reduce(_ + _)
+    df.withColumn("band",
+      when(v.isNull, lit(null)).otherwise(band).cast(IntegerType))
+  }
+
   /** ROLLING per-day quantiles — the quantile twin of
     * `Sketches.hllRollingEstimate`: for every day with data, the
     * trailing-`windowDays` quantiles of `valCol`, by merging per-day

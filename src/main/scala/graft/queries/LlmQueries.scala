@@ -2382,6 +2382,46 @@ object LlmQueries {
       HistSketch.histQuantiles(HistSketch.readHist(s, hDir), Seq(0.5, 0.9, 0.99))
     },
 
+    // ---- quantile-band assignment from the AT-REST histogram: every
+    //      doc labeled with how many of history's {p50, p90} length
+    //      thresholds it reaches — thresholds from the artifact, so
+    //      the gate keeps a stable meaning as the corpus grows;
+    //      scoring is a pure per-row integer-compare projection ----
+    Q("q_hist_bucketize", {
+      import graft.profile.HistSketch._
+      s"""WITH v AS (SELECT n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT ${bucketCaseSql("v", 16, "//")} AS bucket FROM v),
+        |sk AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+        |c AS (SELECT bucket, cnt,
+        |        sum(cnt) OVER (ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER () AS total
+        |      FROM sk),
+        |pp AS (SELECT unnest([0.5, 0.9]) AS p),
+        |sel AS (SELECT pp.p AS p, min(c.bucket) AS b
+        |        FROM pp JOIN c
+        |          ON c.cum >= greatest(1, CAST(ceil(pp.p * c.total) AS BIGINT))
+        |        GROUP BY 1),
+        |thr AS (SELECT CAST(${lowerBoundCaseSql("b", 16, "//")} AS BIGINT) AS t FROM sel)
+        |SELECT d.doc_id, d.n_chars,
+        |  CAST(sum(CASE WHEN d.n_chars >= thr.t THEN 1 ELSE 0 END) AS INTEGER) AS band
+        |FROM documents d CROSS JOIN thr
+        |GROUP BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.HistSketch
+      val docs = Tables(s, dir, "documents")
+      val hDir = graft.util.Scratch.path("hist_bucketize", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(hDir))
+      HistSketch.writeHistTranche(
+        HistSketch.histSketch(docs.where(col("doc_id") % 2 === 0), "n_chars"),
+        hDir, tag = "d0")
+      HistSketch.writeHistTranche(
+        HistSketch.histSketch(docs.where(col("doc_id") % 2 === 1), "n_chars"),
+        hDir, tag = "d1")
+      HistSketch.histBucketize(docs.select("doc_id", "n_chars"), "n_chars",
+        HistSketch.readHist(s, hDir), Seq(0.5, 0.9))
+    },
+
     // ---- rolling per-day quantiles from per-day histograms: the
     //      quantile twin of q_hll_rolling — bucket rows fan out across
     //      the trailing window, never events; O(63·s) per day at any

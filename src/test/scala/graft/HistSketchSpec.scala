@@ -158,4 +158,22 @@ class HistSketchSpec extends SparkSpec {
       assert(readMap() == doubledA)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("histBucketize: bands count reached thresholds, exact at sketch boundaries, null-safe") {
+    import spark.implicits._
+    // history: 1..100 → p50 threshold ≈ 50, p90 ≈ 90 (bucket lower bounds)
+    val hist = HistSketch.histSketch((1L to 100L).toDF("v"), "v")
+    val thr = HistSketch.histQuantiles(hist, Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val batch = Seq(Some(1L), Some(thr(0.5)), Some(thr(0.5) - 1),
+      Some(thr(0.9)), Some(200L), None).toDF("v")
+    val bands = HistSketch.histBucketize(batch, "v", hist, Seq(0.5, 0.9))
+      .collect().map(r => Option(r.get(0)).map(_.toString) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(bands(Some("1")) == 0)
+    assert(bands(Some(thr(0.5).toString)) == 1)       // at the p50 threshold
+    assert(bands(Some((thr(0.5) - 1).toString)) == 0) // just below it
+    assert(bands(Some("200")) == 2)                   // above both
+    assert(bands(None) == -1)                         // null value -> null band
+  }
 }
