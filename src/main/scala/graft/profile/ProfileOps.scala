@@ -106,4 +106,38 @@ object ProfileOps {
     }
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** Shannon diversity of a categorical column — the corpus-balance
+    * gauge ("is this training mix one domain wearing a trenchcoat"):
+    * `H = log2 N − (Σ c_i·log2 c_i)/N` in bits over the group counts,
+    * plus the group count and row count it was computed from. H = 0 ⇔
+    * one group; H = log2(n_groups) ⇔ perfectly uniform — the two ends
+    * a mixture designer steers between ([[graft.training.TrainingOps
+    * .sampleToMixture]] is the steering wheel; this is the dial).
+    *
+    * Determinism (the `unigramLogProb` snap): each `log2` of an exact
+    * integer count is snapped to 1e-8 fixed point, the weighted sum
+    * runs over exact DECIMAL(38,0) integers (order-free, overflow-safe
+    * at any corpus size), and the result is a fixed two-division IEEE
+    * chain over exact operands — deliberately NOT re-rounded (the
+    * bm25 half-boundary lesson). Cross-engine exposure: one snap
+    * boundary per DISTINCT count value.
+    *
+    * One map-side-combinable count pass + a ≤|groups|-row aggregate.
+    * Output: one row `(n_groups, n_rows, entropy_bits)`.
+    */
+  def groupEntropy(df: DataFrame, keyCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def l8(e: Column): Column =
+      floor(log2(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
+    df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__c")).as("n_rows"),
+        sum(l8(col("__c")).cast(d38) * col("__c")).as("__s8"))
+      .select(col("n_groups"), col("n_rows"),
+        ((l8(col("n_rows")).cast(d38) * col("n_rows") - col("__s8"))
+          .cast(DoubleType) / lit(1e8) / col("n_rows").cast(DoubleType))
+          .as("entropy_bits"))
+  }
 }

@@ -1825,6 +1825,24 @@ object LlmQueries {
       TextOps.topNgrams(Tables(s, dir, "documents"), "text", n = 2, k = 50)
     },
 
+    // ---- corpus diversity: Shannon entropy of the source mix in
+    //      bits — the balance dial for the mixture designer; snapped
+    //      log2 of exact counts, order-free integer sum, fixed IEEE
+    //      division chain, never re-rounded ----
+    Q("q_source_entropy",
+      """WITH c AS (SELECT source, count(*) AS c FROM documents
+        |           WHERE source IS NOT NULL GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |        CAST(sum(c) AS BIGINT) AS n_rows,
+        |        sum(CAST(floor(log2(CAST(c AS DOUBLE)) * 1e8 + 0.5) AS HUGEINT) * c) AS s8
+        |      FROM c)
+        |SELECT n_groups, n_rows,
+        |  CAST(CAST(floor(log2(CAST(n_rows AS DOUBLE)) * 1e8 + 0.5) AS HUGEINT)
+        |         * n_rows - s8 AS DOUBLE) / 1e8 / CAST(n_rows AS DOUBLE) AS entropy_bits
+        |FROM a""".stripMargin) { (s, dir) =>
+      graft.profile.ProfileOps.groupEntropy(Tables(s, dir, "documents"), "source")
+    },
+
     // ---- corpus profiling: per-language length quantiles ----
     Q("q_len_quantiles",
       """SELECT lang, CAST(0.5 AS DOUBLE) AS p,

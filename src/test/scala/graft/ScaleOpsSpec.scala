@@ -555,4 +555,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(cents.count(_(0) > 5.0) == 1, s"one centroid in cluster A: ${cents.map(_.toSeq).toSeq}")
     assert(cents.count(_(0) < -5.0) == 1, s"one centroid in cluster B: ${cents.map(_.toSeq).toSeq}")
   }
+
+  test("groupEntropy: 0 bits for one group, log2(k) for uniform, skew in between") {
+    import spark.implicits._
+    import graft.profile.ProfileOps
+    val mono = Seq.fill(64)("a").toDF("src")
+    val m = ProfileOps.groupEntropy(mono, "src").head
+    assert(m.getLong(0) == 1L && m.getLong(1) == 64L && m.getDouble(2) == 0.0)
+    // 4 groups × 16 rows: exactly 2 bits (all logs are exact powers of two)
+    val uniform = (0 until 64).map(i => s"g${i % 4}").toDF("src")
+    val u = ProfileOps.groupEntropy(uniform, "src").head
+    assert(u.getLong(0) == 4L && math.abs(u.getDouble(2) - 2.0) < 1e-7)
+    // skewed 56/4/2/2 must land strictly between
+    val skew = (Seq.fill(56)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(2)("d")).toDF("src")
+    val sH = ProfileOps.groupEntropy(skew, "src").head.getDouble(2)
+    assert(sH > 0.0 && sH < 2.0)
+    // nulls excluded from the universe
+    val withNull = Seq(Some("a"), Some("a"), None).toDF("src")
+    assert(ProfileOps.groupEntropy(withNull, "src").head.getLong(1) == 2L)
+  }
 }
