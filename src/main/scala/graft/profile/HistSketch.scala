@@ -1,6 +1,6 @@
 package graft.profile
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -235,6 +235,97 @@ object HistSketch {
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("p"),
         expr(lowerBoundCaseSql("__b", subBuckets, "div"))
           .cast(LongType).as("value"))
+  }
+
+  /** Population-stability-index DRIFT gauge between two histogram
+    * sketches — "did this week's length distribution move away from
+    * the at-rest profile": `PSI = Σ_i (p_i − q_i)·log2(p_i/q_i)` over
+    * the union bucket set, in bits (the conventional nats figure is
+    * `psi_bits·ln 2`; the industry rules of thumb 0.1/0.25 scale the
+    * same way). Output is one row `(n_buckets, n_a, n_b, psi_bits)`
+    * with the raw pre-smoothing totals for context. PSI = 0 ⇔
+    * identical bucket distributions; each side of a bucket the other
+    * side lacks contributes a large positive term.
+    *
+    * Empty-bucket smoothing is Laplace +1 over the UNION bucket set
+    * (the integer-exact choice — the usual "replace 0 with ε" injects
+    * an arbitrary float): `a_i = c_i + 1`, `N = Σc + K` for K union
+    * buckets. Deterministic by the [[Sketches]] discipline:
+    * probabilities are snapped to 1e-9 fixed point by EXACT integer
+    * floor-division (`(a·10⁹) div N` over DECIMAL(38,0) — no IEEE
+    * divide), the log-ratio `log2(p_i/q_i)` decomposes into four
+    * snapped integer log2 terms (`floor(log2(n)·10⁸ + 0.5)`, the
+    * `groupEntropy` snap — one snap boundary per distinct count), the
+    * weighted sum runs over exact DECIMAL(38,0) products (order-free),
+    * and the only IEEE ops are the final cast + one division by the
+    * 1e17 combined scale. A DuckDB oracle replays every digit with
+    * HUGEINT `//` in place of DECIMAL `div`.
+    *
+    * Scale shape: both inputs are ≤63·s+1-row sketches, so the full
+    * outer join, the 1-row totals broadcast, and the closing aggregate
+    * are all sketch-sized regardless of the corpora the sketches
+    * summarize — comparing two 100 TB corpora costs two at-rest
+    * artifact reads.
+    */
+  def histDriftPsi(sketchA: DataFrame, sketchB: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def l8(e: Column): Column =
+      floor(log2(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
+    val a = sketchA.select(col("bucket").as("__ab"), col("cnt").as("__ca"))
+    val b = sketchB.select(col("bucket").as("__bb"), col("cnt").as("__cb"))
+    val j = a.join(b, col("__ab") === col("__bb"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("ca"),
+        coalesce(col("__cb"), lit(0L)).as("cb"))
+    val totals = j.agg(count(lit(1)).as("__k"),
+      (sum(col("ca")) + count(lit(1))).as("__na"),
+      (sum(col("cb")) + count(lit(1))).as("__nb"))
+    // p snapped to 1e-9 by EXACT integer floor-division — `div` (not
+    // `/`) so no decimal-division rounding mode is in play
+    def q(c: String, n: String): Column =
+      expr(s"CAST((CAST($c + 1 AS DECIMAL(38,0)) * 1000000000) div $n AS BIGINT)")
+    j.crossJoin(broadcast(totals))        // 1-row scalar singleton
+      .select(col("ca"), col("cb"), col("__k"), col("__na"), col("__nb"),
+        q("ca", "__na").as("__qa"),
+        q("cb", "__nb").as("__qb"),
+        (l8(col("ca") + 1) - l8(col("__na"))
+          - l8(col("cb") + 1) + l8(col("__nb"))).as("__l"))
+      .agg(max(col("__k")).as("n_buckets"),
+        (max(col("__na")) - max(col("__k"))).as("n_a"),
+        (max(col("__nb")) - max(col("__k"))).as("n_b"),
+        (sum((col("__qa") - col("__qb")).cast(d38) * col("__l"))
+          .cast(DoubleType) / lit(1e17)).as("psi_bits"))
+  }
+
+  /** WINSORIZE a column against the at-rest histogram artifact: clamp
+    * `valCol` into the `[pLo, pHi]` quantile band of HISTORY's
+    * distribution — the outlier guard a feature pipeline wants before
+    * normalization, with bounds that keep a stable meaning as the
+    * corpus grows because they come from the artifact, not from the
+    * batch being scored (the [[histBucketize]] stance). Adds
+    * `<valCol>_w` (clamped, NULL stays NULL) plus the applied `lo`/`hi`
+    * bound columns so downstream audits see which bounds fired.
+    *
+    * Bounds are a ≤2-row [[histQuantiles]] read collected at
+    * plan-build time and baked in as exact long literals (the
+    * fitted-quantizer precedent) — scoring is a shuffle-free per-row
+    * `least/greatest` projection over any batch size, and the bounds
+    * are bucket lower boundaries, so they are bit-identical in any
+    * engine.
+    */
+  def histWinsorize(df: DataFrame, valCol: String, sketch: DataFrame,
+                    pLo: Double, pHi: Double,
+                    subBuckets: Int = DefaultSubBuckets): DataFrame = {
+    require(pLo > 0 && pLo < pHi && pHi <= 1,
+      s"histWinsorize: need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    val bounds = histQuantiles(sketch, Seq(pLo, pHi), subBuckets)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap // ≤2 rows
+    val (lo, hi) = (bounds(pLo), bounds(pHi))
+    val v = col(valCol).cast(LongType)
+    df.withColumn("lo", lit(lo))
+      .withColumn("hi", lit(hi))
+      .withColumn(s"${valCol}_w",
+        when(v.isNull, lit(null).cast(LongType))
+          .otherwise(least(greatest(v, lit(lo)), lit(hi))))
   }
 
   // ---- at-rest artifact ------------------------------------------------

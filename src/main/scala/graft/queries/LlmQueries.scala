@@ -2475,6 +2475,91 @@ object LlmQueries {
         windowDays = 7, ps = Seq(0.5, 0.95))
     },
 
+    // ---- PSI drift gauge between two histogram-sketch artifacts:
+    //      "did the English docs' length distribution move away from
+    //      the rest of the corpus" answered from two ≤1k-row sketches
+    //      (one assembled from tranches, proving artifact-merge ≡
+    //      direct-build); Laplace-+1 smoothing over the union bucket
+    //      set, probabilities snapped by exact integer floor-division,
+    //      log-ratios by the snapped-log2 decomposition — the oracle
+    //      replays every digit with HUGEINT // ----
+    Q("q_psi_drift", {
+      import graft.profile.HistSketch._
+      def l8(x: String) =
+        s"CAST(floor(log2(CAST($x AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)"
+      s"""WITH va AS (SELECT n_chars AS v FROM documents
+        |    WHERE lang = 'en' AND n_chars IS NOT NULL),
+        |vb AS (SELECT n_chars AS v FROM documents
+        |    WHERE lang <> 'en' AND n_chars IS NOT NULL),
+        |ha AS (SELECT ${bucketCaseSql("v", 16, "//")} AS bucket, count(*) AS cnt
+        |       FROM va GROUP BY 1),
+        |hb AS (SELECT ${bucketCaseSql("v", 16, "//")} AS bucket, count(*) AS cnt
+        |       FROM vb GROUP BY 1),
+        |j AS (SELECT coalesce(ha.cnt, 0) AS ca, coalesce(hb.cnt, 0) AS cb
+        |      FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(ca) + count(*) AS BIGINT) AS na,
+        |        CAST(sum(cb) + count(*) AS BIGINT) AS nb FROM j),
+        |term AS (SELECT k, na, nb,
+        |    CAST((CAST(ca + 1 AS HUGEINT) * 1000000000) // na AS BIGINT) AS qa,
+        |    CAST((CAST(cb + 1 AS HUGEINT) * 1000000000) // nb AS BIGINT) AS qb,
+        |    ${l8("ca + 1")} - ${l8("na")} - ${l8("cb + 1")} + ${l8("nb")} AS l
+        |  FROM j CROSS JOIN t)
+        |SELECT max(k) AS n_buckets, max(na) - max(k) AS n_a,
+        |  max(nb) - max(k) AS n_b,
+        |  CAST(sum(CAST(qa - qb AS HUGEINT) * l) AS DOUBLE) / 1e17 AS psi_bits
+        |FROM term""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.HistSketch
+      val docs = Tables(s, dir, "documents")
+      val en = docs.where(col("lang") === "en")
+      val hDir = graft.util.Scratch.path("psi_drift", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(hDir))
+      HistSketch.writeHistTranche(
+        HistSketch.histSketch(en.where(col("doc_id") % 2 === 0), "n_chars"),
+        hDir, tag = "d0")
+      HistSketch.writeHistTranche(
+        HistSketch.histSketch(en.where(col("doc_id") % 2 === 1), "n_chars"),
+        hDir, tag = "d1")
+      HistSketch.histDriftPsi(
+        HistSketch.readHist(s, hDir),
+        HistSketch.histSketch(docs.where(col("lang") =!= "en"), "n_chars"))
+    },
+
+    // ---- winsorize against the at-rest histogram: clamp doc lengths
+    //      into HISTORY's [p05, p95] band — bounds from the artifact
+    //      (stable meaning as the corpus grows), baked in as exact
+    //      long literals, scoring a shuffle-free per-row projection ----
+    Q("q_winsorize", {
+      import graft.profile.HistSketch._
+      s"""WITH v AS (SELECT n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT ${bucketCaseSql("v", 16, "//")} AS bucket FROM v),
+        |sk AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+        |c AS (SELECT bucket, cnt,
+        |        sum(cnt) OVER (ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER () AS total
+        |      FROM sk),
+        |pp AS (SELECT unnest([0.05, 0.95]) AS p),
+        |sel AS (SELECT pp.p AS p, min(c.bucket) AS b
+        |        FROM pp JOIN c
+        |          ON c.cum >= greatest(1, CAST(ceil(pp.p * c.total) AS BIGINT))
+        |        GROUP BY 1),
+        |bv AS (SELECT p, CAST(${lowerBoundCaseSql("b", 16, "//")} AS BIGINT) AS val
+        |       FROM sel),
+        |bounds AS (SELECT min(CASE WHEN p < 0.5 THEN val END) AS lo,
+        |                  max(CASE WHEN p > 0.5 THEN val END) AS hi FROM bv)
+        |SELECT d.doc_id, d.n_chars, bounds.lo, bounds.hi,
+        |  CASE WHEN d.n_chars IS NULL THEN NULL
+        |       ELSE least(greatest(d.n_chars, bounds.lo), bounds.hi) END AS n_chars_w
+        |FROM documents d CROSS JOIN bounds""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.HistSketch
+      val docs = Tables(s, dir, "documents")
+      HistSketch.histWinsorize(docs.select("doc_id", "n_chars"), "n_chars",
+        HistSketch.histSketch(docs, "n_chars"), pLo = 0.05, pHi = 0.95)
+    },
+
     // ---- GROUPED distinct sketch: one register set per order
     //      priority, built from two disjoint halves and merged
     //      register-wise within group — "distinct customers per

@@ -159,6 +159,54 @@ class HistSketchSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("histDriftPsi: zero on identical sketches, grows with shift, symmetric sign flip") {
+    val a = (1 to 2000).map(i => (i % 997).toLong + 1).toDF("v")
+    val sa = HistSketch.histSketch(a, "v")
+    def psi(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) = {
+      val r = HistSketch.histDriftPsi(x, y).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    // identical sketches: every p_i == q_i exactly → PSI is exactly 0
+    val (k0, na0, nb0, p0) = psi(sa, sa)
+    assert(p0 == 0.0, s"identical sketches must give PSI 0, got $p0")
+    assert(na0 == 2000 && nb0 == 2000 && k0 > 0)
+    // a mild shift (values ×2 moves everything one octave up)
+    val b = (1 to 2000).map(i => ((i % 997).toLong + 1) * 2).toDF("v")
+    val (_, _, _, pShift) = psi(sa, HistSketch.histSketch(b, "v"))
+    assert(pShift > 0.5, s"octave shift should register strongly, got $pShift")
+    // a disjoint distribution drifts further than the mild shift
+    val c = (1 to 2000).map(i => (i % 997).toLong + 1000000L).toDF("v")
+    val (_, _, _, pFar) = psi(sa, HistSketch.histSketch(c, "v"))
+    assert(pFar > pShift, s"disjoint $pFar should exceed shifted $pShift")
+    // PSI is symmetric in (p−q)·log(p/q): swapping arguments preserves it
+    val fwd = psi(sa, HistSketch.histSketch(b, "v"))._4
+    val rev = psi(HistSketch.histSketch(b, "v"), sa)._4
+    assert(math.abs(fwd - rev) < 1e-9, s"fwd $fwd vs rev $rev")
+  }
+
+  test("histWinsorize: clamps into the sketch band, null-safe, bounds exposed") {
+    val hist = HistSketch.histSketch((1L to 1000L).toDF("v"), "v")
+    val bounds = HistSketch.histQuantiles(hist, Seq(0.05, 0.95))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val (lo, hi) = (bounds(0.05), bounds(0.95))
+    assert(lo > 0 && hi > lo)
+    val batch = Seq(Some(-50L), Some(lo), Some(lo + 1), Some(500L), Some(hi),
+      Some(999999L), Option.empty[Long]).toDF("v")
+    val got = HistSketch.histWinsorize(batch, "v", hist, 0.05, 0.95)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    got.values.foreach { case (l, h, _) => assert(l == lo && h == hi) }
+    assert(got(Some(-50L))._3.contains(lo))        // below band → lo
+    assert(got(Some(lo))._3.contains(lo))
+    assert(got(Some(lo + 1))._3.contains(lo + 1))  // inside band untouched
+    assert(got(Some(500L))._3.contains(500L))
+    assert(got(Some(999999L))._3.contains(hi))     // above band → hi
+    assert(got(None)._3.isEmpty)                   // NULL stays NULL
+    intercept[IllegalArgumentException] {
+      HistSketch.histWinsorize(batch, "v", hist, 0.95, 0.05)
+    }
+  }
+
   test("histBucketize: bands count reached thresholds, exact at sketch boundaries, null-safe") {
     import spark.implicits._
     // history: 1..100 → p50 threshold ≈ 50, p90 ≈ 90 (bucket lower bounds)
