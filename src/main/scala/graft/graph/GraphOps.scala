@@ -139,6 +139,55 @@ object GraphOps {
       .distinct()
   }
 
+  /** WARM-START connected components over appended edge tranches —
+    * the CC twin of [[pageRankFrom]]: recompute components from a
+    * PRIOR `(node, component)` assignment plus only the NEW edges,
+    * instead of re-reading the historical edge set. The prior
+    * assignment is re-encoded as its spanning star (`node → component`
+    * for every non-root member) and unioned with the new edges; the
+    * alternating-star fixpoint of that graph is EXACTLY the fixpoint
+    * of `old ∪ new` — star edges connect precisely the same node set
+    * per old component, so the connectivity classes are identical and
+    * the min-id root rule picks the same representative. Append ≡
+    * rebuild, bit for bit.
+    *
+    * Why it is faster at scale: old components enter the recursion
+    * already min-rooted at depth 1 (the fixpoint shape), so rounds are
+    * spent only on the structure the NEW edges introduce — a daily
+    * dedup-group refresh over a 100 TB corpus replays yesterday's
+    * ≤|nodes|-row assignment artifact plus today's pair set, never the
+    * season's pair history. The prior frame also usually shrinks the
+    * driver-tier decision: assignments compact one row per node where
+    * the raw edge history can be many multiples of that.
+    *
+    * `prior` rows with `node = component` (roots / singletons) carry
+    * no connectivity and are dropped by the self-edge filter — same
+    * contract as [[connectedComponents]]: nodes only appear in the
+    * output while incident to at least one non-self edge, so callers
+    * coalesce absent ids to themselves via [[assignGroups]].
+    */
+  def connectedComponentsFrom(prior: DataFrame, newEdges: DataFrame,
+                              srcCol: String, dstCol: String,
+                              maxIterations: Int = 50,
+                              localThreshold: Int = 100000): DataFrame = {
+    // Sever the prior's lineage before re-entering the recursion: in a
+    // pipeline the prior is an artifact read (a scan), but a same-run
+    // composition hands over the final star round's plan — nesting a
+    // second iterative stack on top of it makes analysis/plan-string
+    // cost explode. Reliable checkpoint when a dir is configured,
+    // local checkpoint otherwise (fine on local[*]; a cluster run that
+    // can lose executors should either set a checkpoint dir or pass an
+    // artifact-backed prior).
+    val sc = prior.sparkSession.sparkContext
+    val pruned =
+      if (sc.getCheckpointDir.isDefined) prior.checkpoint()
+      else prior.localCheckpoint()
+    val starred = pruned.select(col("node").as(srcCol), col("component").as(dstCol))
+    connectedComponents(
+      newEdges.select(col(srcCol), col(dstCol)).unionByName(starred),
+      srcCol, dstCol, maxIterations, localThreshold)
+  }
+
   /** Join a [[connectedComponents]] output back onto a full id
     * universe: every id gets `(id, group_id, group_size)` with
     * `group_id` = its component's min id and ids absent from the CC

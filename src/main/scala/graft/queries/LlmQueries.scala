@@ -2084,6 +2084,25 @@ object LlmQueries {
         .withColumnRenamed("rank", "rank_ppb")
     },
 
+    // ---- WARM-START connected components: yesterday's group
+    //      assignment (CC over half the near-dup pairs, re-encoded as
+    //      its spanning star) plus only today's new pairs reproduces
+    //      the full-rebuild grouping bit for bit — the oracle is the
+    //      very q_dedup_groups closure over ALL pairs, so append ≡
+    //      rebuild is proven by hash match, not by a self-comparison ----
+    Q("q_cc_incremental", duckDupGroupsSql(maxBucket = 1000, threshold = 0.5)) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val (pairs, release) = DedupOps.ngramJaccardPairsReleasable(
+        docs, "doc_id", "text", shingleN = 3, threshold = 0.5, maxBucket = 1000)
+      val half = pmod(xxhash64(lit("ccw"), col("id_a"), col("id_b")), lit(2))
+      val prior = GraphOps.connectedComponents(
+        pairs.where(half === 0), "id_a", "id_b")
+      val cc = GraphOps.connectedComponentsFrom(
+        prior, pairs.where(half === 1), "id_a", "id_b")
+      release()
+      GraphOps.assignGroups(docs, "doc_id", cc)
+    },
+
     // ---- multimodal: payload metadata through the REAL decode path
     //      (PNG headers parse to true dimensions; the text fixtures are
     //      not PNGs, so they exercise the deterministic stub fallback

@@ -57,6 +57,34 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsFrom: prior star + new edges ≡ full rebuild, both tiers") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(120 + trial * 40) {
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)
+      }.filter(e => e._1 != e._2)
+      val (oldE, newE) = edges.splitAt(edges.length / 2)
+      val want = ufComponents(edges)
+      for (thr <- Seq(0, Int.MaxValue)) {
+        val prior = GraphOps.connectedComponents(oldE.toDF("a", "b"), "a", "b",
+          localThreshold = thr)
+        val got = GraphOps.connectedComponentsFrom(prior, newE.toDF("a", "b"),
+          "a", "b", localThreshold = thr)
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"trial $trial thr=$thr")
+      }
+    }
+    // merging case: two previously separate components bridged by ONE
+    // new edge must re-root at the global min across both
+    val prior = GraphOps.connectedComponents(
+      Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("a", "b"), "a", "b",
+      localThreshold = 0)
+    val got = GraphOps.connectedComponentsFrom(prior,
+      Seq((12L, 20L)).toDF("a", "b"), "a", "b", localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 10L, 21L -> 10L))
+  }
+
   test("driver union-find survives a 100k descending-ordered chain (stack safety)") {
     // processing (k+1,k) edges in DESCENDING k order builds parent(k)=k-1
     // for every k — a 100k-deep chain. The first find() from the top
