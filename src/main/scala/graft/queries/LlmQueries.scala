@@ -2147,6 +2147,27 @@ object LlmQueries {
         bytesPerFrame = 100, step = 10)
     },
 
+    // ---- multimodal: audio metadata through the REAL decode path
+    //      (canonical PCM WAV headers parse to true rate/channels/
+    //      duration; the text fixtures are not WAVs, so they exercise
+    //      the deterministic stub fallback the oracle replays — the
+    //      real-parse branch is spec-gated like the PNG one) ----
+    Q("q_mm_audio",
+      s"""SELECT doc_id AS media_id,
+        |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |  16000 AS sample_rate,
+        |  CAST(1 + (${duckHash("md5(text)")} % 2) AS INTEGER) AS channels,
+        |  16 AS bits_per_sample,
+        |  CAST((500 + (${duckHash("md5(text)")} % 60000)) * 16 AS BIGINT) AS n_frames,
+        |  CAST(500 + (${duckHash("md5(text)")} % 60000) AS BIGINT) AS duration_ms,
+        |  false AS decoded_wav
+        |FROM documents""".stripMargin) { (s, dir) =>
+      MultimodalOps.decodeAudioMeta(
+        MultimodalOps.attachBinary(Tables(s, dir, "documents"), "doc_id", "text", "audio"))
+        .select("media_id", "n_bytes", "sample_rate", "channels",
+          "bits_per_sample", "n_frames", "duration_ms", "decoded_wav")
+    },
+
     // ---- multimodal: batched per-partition feature extraction. The
     //      kernel is a deterministic byte-statistics STUB, so DuckDB can
     //      reproduce it exactly (documents.text is ASCII: char codes =

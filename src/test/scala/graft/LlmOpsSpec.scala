@@ -1310,6 +1310,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.getInt(0) > 0 && got.getInt(1) > 0)
   }
 
+  private def wavBytes(rate: Float, channels: Int, bits: Int, nFrames: Int): Array[Byte] = {
+    // genuine header via the JDK's own WAV writer (PCM: 16-bit signed /
+    // 8-bit unsigned little-endian, the canonical 44-byte layout)
+    val fmt = new javax.sound.sampled.AudioFormat(rate, bits, channels, bits > 8, false)
+    val data = new Array[Byte](nFrames * fmt.getFrameSize)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("multimodal: decodeAudioMeta parses real PCM WAV headers, stubs the rest") {
+    val stereo = wavBytes(44100f, 2, 16, 44100)       // 1 s stereo 16-bit
+    val mono = wavBytes(8000f, 1, 8, 2000)            // 250 ms mono 8-bit
+    // corrupt variants of a REAL header: zeroed block-align / sample
+    // rate must route to the stub, not divide by zero
+    val zeroBa = stereo.clone(); zeroBa(32) = 0; zeroBa(33) = 0
+    val zeroSr = stereo.clone(); (24 to 27).foreach(zeroSr(_) = 0)
+    val rows = Seq(
+      (1L, stereo), (2L, mono),
+      (3L, "definitely not audio".getBytes("UTF-8")),
+      (4L, zeroBa), (5L, zeroSr),
+      (6L, "RIFF".getBytes("UTF-8")))                 // truncated magic
+    val got = graft.multimodal.MultimodalOps.decodeAudioMeta(rows.toDF("media_id", "content"))
+      .select("media_id", "sample_rate", "channels", "bits_per_sample",
+        "n_frames", "duration_ms", "decoded_wav")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got(1L) == ((44100, 2, 16, 44100L, 1000L, true)))
+    assert(got(2L) == ((8000, 1, 8, 2000L, 250L, true)))
+    Seq(3L, 4L, 5L, 6L).foreach { id =>
+      val (sr, ch, bits, nf, dur, dec) = got(id)
+      assert(!dec, s"id=$id must stub")
+      assert(sr == 16000 && bits == 16 && (ch == 1 || ch == 2))
+      assert(dur >= 500L && dur < 60500L && nf == dur * 16)
+    }
+  }
+
   test("multimodal: decodeImageBatched really decodes via ImageIO") {
     import java.awt.image.BufferedImage._
     val rows = Seq(
