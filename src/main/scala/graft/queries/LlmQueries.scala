@@ -2566,6 +2566,45 @@ object LlmQueries {
         HistSketch.histSketch(docs.where(col("lang") =!= "en"), "n_chars"))
     },
 
+    // ---- Jensen–Shannon divergence between two corpora's unigram
+    //      mixes — the vocabulary-drift twin of q_psi_drift (that
+    //      gauges a numeric distribution; this gauges what the corpora
+    //      are ABOUT); Laplace-+1 over the union vocabulary, snapped
+    //      log2 decomposition, exact HUGEINT weighted sums ----
+    Q("q_js_divergence", {
+      def l8(x: String) =
+        s"CAST(floor(log2(CAST($x AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)"
+      s"""WITH ta AS (SELECT unnest($duckWords) AS term FROM documents
+        |    WHERE lang = 'en'),
+        |tb AS (SELECT unnest($duckWords) AS term FROM documents
+        |    WHERE lang <> 'en'),
+        |ga AS (SELECT term, count(*) AS c FROM ta GROUP BY 1),
+        |gb AS (SELECT term, count(*) AS c FROM tb GROUP BY 1),
+        |j AS (SELECT coalesce(ga.c, 0) AS ca, coalesce(gb.c, 0) AS cb
+        |      FROM ga FULL OUTER JOIN gb ON ga.term = gb.term),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(ca) + count(*) AS BIGINT) AS na,
+        |        CAST(sum(cb) + count(*) AS BIGINT) AS nb FROM j),
+        |term AS (SELECT k, na, nb, ca, cb,
+        |    CAST(ca + 1 AS HUGEINT) * nb + CAST(cb + 1 AS HUGEINT) * na AS mix
+        |  FROM j CROSS JOIN t),
+        |s AS (SELECT max(k) AS k, max(na) AS na, max(nb) AS nb,
+        |    sum(CAST(ca + 1 AS HUGEINT) *
+        |        (100000000 + ${l8("ca + 1")} + ${l8("nb")} - ${l8("mix")})) AS sa,
+        |    sum(CAST(cb + 1 AS HUGEINT) *
+        |        (100000000 + ${l8("cb + 1")} + ${l8("na")} - ${l8("mix")})) AS sb
+        |  FROM term)
+        |SELECT k AS n_terms, na - k AS n_a, nb - k AS n_b,
+        |  (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |    + CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2e8 AS js_bits
+        |FROM s""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      TextOps.jsDivergence(
+        docs.where(col("lang") === "en"),
+        docs.where(col("lang") =!= "en"), "text")
+    },
+
     // ---- winsorize against the at-rest histogram: clamp doc lengths
     //      into HISTORY's [p05, p95] band — bounds from the artifact
     //      (stable meaning as the corpus grows), baked in as exact

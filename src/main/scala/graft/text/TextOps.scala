@@ -248,6 +248,65 @@ object TextOps {
           / lit(1e8) / col("n_tokens"), 6).as("mean_logp"))
   }
 
+  /** Jensen–Shannon divergence between two corpora's unigram
+    * distributions — the vocabulary-drift twin of
+    * `HistSketch.histDriftPsi` (that gauges a NUMERIC column's
+    * distribution; this gauges what the corpora are ABOUT): "did the
+    * new crawl shift the token mix away from the training corpus".
+    * `JS = ½·KL(A‖M) + ½·KL(B‖M)`, `M = (p+q)/2`, in bits — bounded
+    * [0, 1] and exactly symmetric; identical token distributions read
+    * as 0 within the snap tolerance (~1e-8 — unlike PSI's difference
+    * form, the KL terms don't cancel algebraically, so the log snaps
+    * leave a bounded residue). No
+    * division-by-zero pathologies (every term has M > 0). Output: one
+    * row `(n_terms, n_a, n_b, js_bits)` with the union vocabulary size
+    * and raw token totals.
+    *
+    * Laplace-+1 smoothing over the UNION vocabulary (so Σ(c+1) = N
+    * exactly, keeping the weighted sums integer-exact). Deterministic
+    * by the sketch-family discipline: with `a = cA+1, b = cB+1`,
+    * `log2(p_t/M_t) = 1 + log2 a + log2 NB − log2(a·NB + b·NA)` — each
+    * log2 of an exact integer snapped to 1e-8 fixed point, the
+    * per-term weights are exact longs summed over DECIMAL(38,0)
+    * (order-free), and the result is a fixed four-op IEEE chain over
+    * exact operands. A DuckDB oracle replays every digit.
+    *
+    * Scale shape: one map-side-combinable term count per corpus, one
+    * vocabulary-sized full outer join (shuffled on term — vocabulary,
+    * not corpus, cardinality), a 1-row totals broadcast, and a closing
+    * aggregate. No corpus-sized shuffle and nothing driver-side.
+    */
+  def jsDivergence(dfA: DataFrame, dfB: DataFrame, textCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def l8(e: Column): Column =
+      floor(log2(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
+    def termCounts(df: DataFrame) =
+      df.select(explode(words(col(textCol))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+    val a = termCounts(dfA).select(col("term"), col("c").as("__cta"))
+    val b = termCounts(dfB).select(col("term").as("__tb"), col("c").as("__ctb"))
+    val j = a.join(b, col("term") === col("__tb"), "full_outer")
+      .select(coalesce(col("__cta"), lit(0L)).as("ca"),
+        coalesce(col("__ctb"), lit(0L)).as("cb"))
+    val totals = j.agg(count(lit(1)).as("__k"),
+      (sum(col("ca")) + count(lit(1))).as("__na"),
+      (sum(col("cb")) + count(lit(1))).as("__nb"))
+    val mix = ((col("ca") + 1).cast(d38) * col("__nb")
+      + (col("cb") + 1).cast(d38) * col("__na"))
+    j.crossJoin(broadcast(totals))          // 1-row scalar singleton
+      .select(col("__k"), col("__na"), col("__nb"),
+        ((col("ca") + 1).cast(d38) *
+          (lit(100000000L) + l8(col("ca") + 1) + l8(col("__nb")) - l8(mix))).as("__ta"),
+        ((col("cb") + 1).cast(d38) *
+          (lit(100000000L) + l8(col("cb") + 1) + l8(col("__na")) - l8(mix))).as("__tb"))
+      .agg(max(col("__k")).as("n_terms"),
+        (max(col("__na")) - max(col("__k"))).as("n_a"),
+        (max(col("__nb")) - max(col("__k"))).as("n_b"),
+        ((sum(col("__ta")).cast(DoubleType) / max(col("__na")).cast(DoubleType)
+          + sum(col("__tb")).cast(DoubleType) / max(col("__nb")).cast(DoubleType))
+          / lit(2e8)).as("js_bits"))
+  }
+
   /** Corpus-level top-k n-grams by total occurrence count (vocabulary /
     * boilerplate profiling; at k ≪ vocabulary this is a partial-agg
     * shuffle plus a TakeOrdered — no full sort materializes). */

@@ -186,6 +186,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(d == 4)
   }
 
+  test("jsDivergence: ~0 on identical corpora, near 1 on disjoint vocab, exactly symmetric") {
+    // corpora big enough that +1 smoothing is marginal (on a
+    // handful-of-tokens fixture the smoothing mass dominates and JS of
+    // even disjoint vocabularies deflates to ~0.2 — verified against a
+    // driver replay of the smoothed formula)
+    val a = (1L to 200L).map(i => (i, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
+    val b = (1L to 200L).map(i => (i, "zeta eta theta iota")).toDF("doc_id", "text")
+    def js(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) = {
+      val r = TextOps.jsDivergence(x, y, "text").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    val (kAA, naAA, nbAA, same) = js(a, a)
+    assert(kAA == 3 && naAA == 1000 && nbAA == 1000)
+    // KL terms don't cancel algebraically, so the log snap leaves a
+    // bounded residue instead of an exact 0
+    assert(math.abs(same) < 1e-6, s"identical corpora gave $same")
+    val dj = js(a, b)._4
+    assert(dj > 0.8 && dj <= 1.0 + 1e-6, s"disjoint vocab gave $dj")
+    assert(js(b, a)._4 == dj, "swap must be digit-identical")   // exact symmetry
+    // partial overlap sits strictly between identical and disjoint
+    val part = js(a, a.unionByName(b))._4
+    assert(part > 0.01 && part < dj, s"partial overlap gave $part")
+  }
+
   test("text quality/langid/tokens behave on markers") {
     val df = Seq(
       (1L, "the cat and the dog in the house"),
