@@ -296,6 +296,76 @@ object HistSketch {
           .cast(DoubleType) / lit(1e17)).as("psi_bits"))
   }
 
+  /** ROLLING drift monitor — the per-day twin of [[histDriftPsi]] and
+    * the PSI member of the rolling-gauge family
+    * (`Sketches.hllRollingEstimate`, [[histRollingQuantiles]]): for
+    * every day with data AND a non-empty trailing reference, the PSI
+    * of that day's `valCol` distribution against the merged histograms
+    * of the `windowDays` days strictly BEFORE it — "which ingest day
+    * broke the profile", answered without re-touching any event row.
+    * Returns `(day 'yyyy-MM-dd', n_buckets, n_cur, n_ref, psi_bits)`;
+    * days with an empty reference window (e.g. the first day) are
+    * omitted rather than reported as all-smoothing noise.
+    *
+    * Same snapped-exact arithmetic as [[histDriftPsi]], applied
+    * per-day. Scale shape: the corpus collapses to per-day histograms
+    * first (one map-side-combinable groupBy); the bounded ≤windowDays
+    * explode fans out BUCKET rows into the days they serve as
+    * reference, the day×bucket join is sketch-sized, and the per-day
+    * totals frame is |days| rows (AQE-broadcastable). A year of
+    * 100 TB events costs 365 ≤1k-row histogram merges.
+    */
+  def histRollingPsi(df: DataFrame, valCol: String, tsCol: String,
+                     windowDays: Int,
+                     subBuckets: Int = DefaultSubBuckets): DataFrame = {
+    logS(subBuckets)
+    require(windowDays >= 1, "histRollingPsi: windowDays must be >= 1")
+    val d38 = DecimalType(38, 0)
+    def l8(e: Column): Column =
+      floor(log2(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
+    val perDay = df.where(col(valCol).isNotNull)
+      .select(to_date(col(tsCol)).as("__d"),
+        col(valCol).cast(LongType).as("__v"))
+      .select(col("__d"),
+        expr(bucketCaseSql("__v", subBuckets, "div")).cast(IntegerType).as("bucket"))
+      .groupBy(col("__d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = perDay.select(col("__d").as("day")).distinct()
+    // each day's buckets serve as REFERENCE for the next windowDays days
+    val ref = perDay
+      .select(col("bucket"), col("cnt").as("cb"),
+        explode(sequence(date_add(col("__d"), 1),
+          date_add(col("__d"), windowDays))).as("day"))
+      .join(broadcast(days), "day")
+      .groupBy(col("day"), col("bucket"))
+      .agg(sum(col("cb")).as("cb"))
+    val cur = perDay.select(col("__d").as("day"), col("bucket"),
+      col("cnt").as("ca"))
+    val j = cur.join(ref, Seq("day", "bucket"), "full_outer")
+      .select(col("day"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = j.groupBy("day").agg(count(lit(1)).as("__k"),
+      (sum(col("ca")) + count(lit(1))).as("__na"),
+      (sum(col("cb")) + count(lit(1))).as("__nb"),
+      sum(col("ca")).as("__ra"), sum(col("cb")).as("__rb"))
+    def q(c: String, n: String): Column =
+      expr(s"CAST((CAST($c + 1 AS DECIMAL(38,0)) * 1000000000) div $n AS BIGINT)")
+    j.join(totals, "day")                   // |days| rows, AQE-broadcastable
+      .where(col("__ra") > 0 && col("__rb") > 0)
+      .select(col("day"), col("__k"), col("__na"), col("__nb"),
+        q("ca", "__na").as("__qa"), q("cb", "__nb").as("__qb"),
+        (l8(col("ca") + 1) - l8(col("__na"))
+          - l8(col("cb") + 1) + l8(col("__nb"))).as("__l"))
+      .groupBy(col("day"))
+      .agg(max(col("__k")).as("n_buckets"),
+        (max(col("__na")) - max(col("__k"))).as("n_cur"),
+        (max(col("__nb")) - max(col("__k"))).as("n_ref"),
+        (sum((col("__qa") - col("__qb")).cast(d38) * col("__l"))
+          .cast(DoubleType) / lit(1e17)).as("psi_bits"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_buckets"), col("n_cur"), col("n_ref"), col("psi_bits"))
+  }
+
   /** WINSORIZE a column against the at-rest histogram artifact: clamp
     * `valCol` into the `[pLo, pHi]` quantile band of HISTORY's
     * distribution — the outlier guard a feature pipeline wants before

@@ -2566,6 +2566,47 @@ object LlmQueries {
         HistSketch.histSketch(docs.where(col("lang") =!= "en"), "n_chars"))
     },
 
+    // ---- ROLLING drift monitor: per-day PSI of the event-value
+    //      distribution against the trailing-7-day histogram — "which
+    //      ingest day broke the profile" from per-day bucket rows,
+    //      never event rows; first day (empty reference) omitted ----
+    Q("q_psi_rolling", {
+      import graft.profile.HistSketch._
+      def l8(x: String) =
+        s"CAST(floor(log2(CAST($x AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)"
+      s"""WITH v AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(trunc(value) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT d, ${bucketCaseSql("v", 16, "//")} AS bucket FROM v),
+        |pd AS (SELECT d, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT d FROM pd),
+        |ref AS (SELECT days.d AS day, pd.bucket, sum(pd.cnt) AS cb
+        |        FROM days JOIN pd ON pd.d BETWEEN days.d - 7 AND days.d - 1
+        |        GROUP BY 1, 2),
+        |cur AS (SELECT d AS day, bucket, cnt AS ca FROM pd),
+        |j AS (SELECT coalesce(cur.day, ref.day) AS day,
+        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM cur FULL OUTER JOIN ref
+        |        ON cur.day = ref.day AND cur.bucket = ref.bucket),
+        |t AS (SELECT day, CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(ca) + count(*) AS BIGINT) AS na,
+        |        CAST(sum(cb) + count(*) AS BIGINT) AS nb,
+        |        sum(ca) AS ra, sum(cb) AS rb
+        |      FROM j GROUP BY 1),
+        |term AS (SELECT j.day AS day, k, na, nb,
+        |    CAST((CAST(ca + 1 AS HUGEINT) * 1000000000) // na AS BIGINT) AS qa,
+        |    CAST((CAST(cb + 1 AS HUGEINT) * 1000000000) // nb AS BIGINT) AS qb,
+        |    ${l8("ca + 1")} - ${l8("na")} - ${l8("cb + 1")} + ${l8("nb")} AS l
+        |  FROM j JOIN t ON t.day = j.day WHERE ra > 0 AND rb > 0)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, max(k) AS n_buckets,
+        |  max(na) - max(k) AS n_cur, max(nb) - max(k) AS n_ref,
+        |  CAST(sum(CAST(qa - qb AS HUGEINT) * l) AS DOUBLE) / 1e17 AS psi_bits
+        |FROM term GROUP BY 1""".stripMargin
+    }) { (s, dir) =>
+      graft.profile.HistSketch.histRollingPsi(
+        Tables(s, dir, "events"), "value", "ts", windowDays = 7)
+    },
+
     // ---- Jensen–Shannon divergence between two corpora's unigram
     //      mixes — the vocabulary-drift twin of q_psi_drift (that
     //      gauges a numeric distribution; this gauges what the corpora

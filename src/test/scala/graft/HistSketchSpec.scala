@@ -184,6 +184,25 @@ class HistSketchSpec extends SparkSpec {
     assert(math.abs(fwd - rev) < 1e-9, s"fwd $fwd vs rev $rev")
   }
 
+  test("histRollingPsi: 0 on a repeat day, fires on a shifted day, omits empty references") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-03-$d%02d 09:00:00")
+    val rows = (1 to 100).map(v => (ts(1), v.toLong)) ++      // d1: baseline
+      (1 to 100).map(v => (ts(2), v.toLong)) ++               // d2: identical repeat
+      (500 to 600).map(v => (ts(3), v.toLong)) ++             // d3: shifted
+      (1 to 100).map(v => (ts(10), v.toLong))                 // d10: ref window empty
+    val got = HistSketch.histRollingPsi(rows.toDF("ts", "v"), "v", "ts", windowDays = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // d1 (no trailing data) and d10 (trailing window d8-d9 empty) are omitted
+    assert(got.keySet == Set("2024-03-02", "2024-03-03"))
+    val (cur2, ref2, psi2) = got("2024-03-02")
+    assert(cur2 == 100 && ref2 == 100)
+    // identical per-bucket counts → qa == qb on every bucket → exact 0
+    assert(psi2 == 0.0, s"repeat day gave $psi2")
+    val (cur3, ref3, psi3) = got("2024-03-03")
+    assert(cur3 == 101 && ref3 == 200)
+    assert(psi3 > 1.0, s"shifted day gave $psi3")
+  }
+
   test("histWinsorize: clamps into the sketch band, null-safe, bounds exposed") {
     val hist = HistSketch.histSketch((1L to 1000L).toDF("v"), "v")
     val bounds = HistSketch.histQuantiles(hist, Seq(0.05, 0.95))
