@@ -2646,6 +2646,53 @@ object LlmQueries {
         docs.where(col("lang") =!= "en"), "text")
     },
 
+    // ---- per-source divergence dashboard: every source's JS against
+    //      the REST of the corpus, complement derived by subtraction
+    //      from global counts (one tokenize pass for all sources);
+    //      vocabulary coarsened to top-50 + a NULL-keyed OTHER bucket
+    //      so the dense source×term grid is bounded by construction ----
+    Q("q_source_divergence", {
+      def l8(x: String) =
+        s"CAST(floor(log2(CAST($x AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)"
+      s"""WITH toks AS (SELECT source AS src, unnest($duckWords) AS term
+        |    FROM documents WHERE source IS NOT NULL),
+        |tc AS (SELECT src, term, count(*) AS c FROM toks GROUP BY 1, 2),
+        |gt AS (SELECT term, sum(c) AS c FROM tc GROUP BY 1),
+        |top AS (SELECT term FROM gt ORDER BY c DESC, term LIMIT 50),
+        |tc2 AS (SELECT src,
+        |          CASE WHEN term IN (SELECT term FROM top) THEN term END AS t,
+        |          sum(c) AS c
+        |        FROM tc GROUP BY 1, 2),
+        |gt2 AS (SELECT t, sum(c) AS ctot FROM tc2 GROUP BY 1),
+        |grid AS (SELECT s.src, g.t, g.ctot
+        |         FROM (SELECT DISTINCT src FROM tc2) s CROSS JOIN gt2 g),
+        |g2 AS (SELECT grid.src, coalesce(tc2.c, 0) AS ca,
+        |         grid.ctot - coalesce(tc2.c, 0) AS cb
+        |       FROM grid LEFT JOIN tc2
+        |         ON tc2.src = grid.src AND tc2.t IS NOT DISTINCT FROM grid.t),
+        |t AS (SELECT src, CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(ca) + count(*) AS BIGINT) AS na,
+        |        CAST(sum(cb) + count(*) AS BIGINT) AS nb,
+        |        sum(cb) AS rb
+        |      FROM g2 GROUP BY 1),
+        |term AS (SELECT g2.src AS src, k, na, nb, ca, cb,
+        |    CAST(ca + 1 AS HUGEINT) * nb + CAST(cb + 1 AS HUGEINT) * na AS mix
+        |  FROM g2 JOIN t ON t.src = g2.src WHERE rb > 0),
+        |s AS (SELECT src, max(k) AS k, max(na) AS na, max(nb) AS nb,
+        |    sum(CAST(ca + 1 AS HUGEINT) *
+        |        (100000000 + ${l8("ca + 1")} + ${l8("nb")} - ${l8("mix")})) AS sa,
+        |    sum(CAST(cb + 1 AS HUGEINT) *
+        |        (100000000 + ${l8("cb + 1")} + ${l8("na")} - ${l8("mix")})) AS sb
+        |  FROM term GROUP BY 1)
+        |SELECT src AS source, k AS n_terms, na - k AS n_src, nb - k AS n_rest,
+        |  (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |    + CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2e8 AS js_bits
+        |FROM s""".stripMargin
+    }) { (s, dir) =>
+      TextOps.sourceDivergence(Tables(s, dir, "documents"), "source", "text",
+        vocabLimit = 50)
+    },
+
     // ---- winsorize against the at-rest histogram: clamp doc lengths
     //      into HISTORY's [p05, p95] band — bounds from the artifact
     //      (stable meaning as the corpus grows), baked in as exact

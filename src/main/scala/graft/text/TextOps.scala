@@ -307,6 +307,83 @@ object TextOps {
           / lit(2e8)).as("js_bits"))
   }
 
+  /** Per-source divergence dashboard — "which source is the odd one
+    * out": for every value of `groupCol`, the [[jsDivergence]] of that
+    * source's unigram mix against THE REST OF THE CORPUS. The
+    * complement counts are derived by subtraction from the global term
+    * counts (`cb = ctot − ca`), so the corpus is tokenized ONCE however
+    * many sources there are. Output: `(groupCol, n_terms, n_src,
+    * n_rest, js_bits)`; sources that constitute the whole corpus
+    * (empty complement) are omitted rather than scored against pure
+    * smoothing.
+    *
+    * The KL sum needs a DENSE source×term grid (absent terms still
+    * contribute their smoothed mass), which at raw vocabulary scale is
+    * |sources|·|vocab| — the quadratic hot spot. It is bounded BY
+    * CONSTRUCTION the way the co-occurrence projection bounds pair
+    * fan-out: the vocabulary is coarsened to the `vocabLimit` globally
+    * most frequent terms (ties broken by term) plus one OTHER bucket
+    * that absorbs the whole tail's mass, so the grid is
+    * |sources|·(vocabLimit+1) whatever the corpus. Probabilities still
+    * sum exactly (the tail's counts move, they don't vanish), and the
+    * reported figure is the exact JS of the COARSENED distributions —
+    * a deterministic lower bound of the raw-vocabulary JS (data-
+    * processing inequality), which is the stable choice for a drift
+    * dashboard. The OTHER bucket is keyed as NULL and joined
+    * null-safely, so it can never collide with a real token.
+    *
+    * Same snapped-exact arithmetic as [[jsDivergence]], per source.
+    * The term-count subtree feeds three branches; they are identical,
+    * so exchange reuse materializes the token shuffle once.
+    */
+  def sourceDivergence(df: DataFrame, groupCol: String, textCol: String,
+                       vocabLimit: Int = 10000): DataFrame = {
+    require(vocabLimit >= 1, s"sourceDivergence: vocabLimit must be >= 1")
+    val d38 = DecimalType(38, 0)
+    def l8(e: Column): Column =
+      floor(log2(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
+    val tc = df
+      .select(col(groupCol).cast(StringType).as("src"),
+        explode(words(col(textCol))).as("term"))
+      .where(col("src").isNotNull)
+      .groupBy(col("src"), col("term")).agg(count(lit(1)).as("c"))
+    val gt = tc.groupBy("term").agg(sum(col("c")).as("c"))
+    val top = gt.orderBy(col("c").desc, col("term").asc).limit(vocabLimit)
+      .select(col("term").as("__kept"))
+    // coarsen: tail terms collapse onto the NULL-keyed OTHER bucket
+    val tc2 = tc.join(broadcast(top), col("term") === col("__kept"), "left")
+      .groupBy(col("src"), col("__kept").as("t")).agg(sum(col("c")).as("c"))
+    val gt2 = tc2.groupBy("t").agg(sum(col("c")).as("ctot"))
+    val grid = tc2.select("src").distinct().crossJoin(broadcast(gt2))
+    val tc3 = tc2.select(col("src").as("__s2"), col("t").as("__t2"),
+      col("c").as("__ca"))
+    val g2 = grid.join(tc3,
+        col("src") === col("__s2") && col("t") <=> col("__t2"), "left")
+      .select(col("src"), coalesce(col("__ca"), lit(0L)).as("ca"),
+        (col("ctot") - coalesce(col("__ca"), lit(0L))).as("cb"))
+    val totals = g2.groupBy("src").agg(count(lit(1)).as("__k"),
+      (sum(col("ca")) + count(lit(1))).as("__na"),
+      (sum(col("cb")) + count(lit(1))).as("__nb"),
+      sum(col("cb")).as("__rb"))
+    val mix = ((col("ca") + 1).cast(d38) * col("__nb")
+      + (col("cb") + 1).cast(d38) * col("__na"))
+    g2.join(totals, "src")                  // |sources| rows, AQE-broadcastable
+      .where(col("__rb") > 0)
+      .select(col("src"), col("__k"), col("__na"), col("__nb"),
+        ((col("ca") + 1).cast(d38) *
+          (lit(100000000L) + l8(col("ca") + 1) + l8(col("__nb")) - l8(mix))).as("__ta"),
+        ((col("cb") + 1).cast(d38) *
+          (lit(100000000L) + l8(col("cb") + 1) + l8(col("__na")) - l8(mix))).as("__tb"))
+      .groupBy(col("src"))
+      .agg(max(col("__k")).as("n_terms"),
+        (max(col("__na")) - max(col("__k"))).as("n_src"),
+        (max(col("__nb")) - max(col("__k"))).as("n_rest"),
+        ((sum(col("__ta")).cast(DoubleType) / max(col("__na")).cast(DoubleType)
+          + sum(col("__tb")).cast(DoubleType) / max(col("__nb")).cast(DoubleType))
+          / lit(2e8)).as("js_bits"))
+      .withColumnRenamed("src", groupCol)
+  }
+
   /** Corpus-level top-k n-grams by total occurrence count (vocabulary /
     * boilerplate profiling; at k ≪ vocabulary this is a partial-agg
     * shuffle plus a TakeOrdered — no full sort materializes). */

@@ -210,6 +210,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(part > 0.01 && part < dj, s"partial overlap gave $part")
   }
 
+  test("sourceDivergence: odd source scores highest, totals reconcile, OTHER bucket bounds grid") {
+    val rows =
+      (1L to 50L).map(i => (i, "srcA", "the quick brown fox jumps")) ++
+      (51L to 100L).map(i => (i, "srcB", "the quick brown fox runs")) ++
+      (101L to 150L).map(i => (i, "srcC", "zygote xylem qanat vortex"))
+    val df = rows.toDF("doc_id", "source", "text")
+    val got = TextOps.sourceDivergence(df, "source", "text", vocabLimit = 1000)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set("srcA", "srcB", "srcC"))
+    val total = 50 * 5 + 50 * 5 + 50 * 4
+    got.foreach { case (src, (k, nSrc, nRest, js)) =>
+      assert(nSrc + nRest == total, s"$src totals")
+      assert(k == 10, s"$src vocab")        // 6 shared-ish + 4 alien terms
+      assert(js > 0 && js <= 1.0 + 1e-6, s"$src js=$js")
+    }
+    // the alien-vocabulary source diverges far more than the two
+    // near-identical ones
+    assert(got("srcC")._4 > 2 * got("srcA")._4 && got("srcC")._4 > 2 * got("srcB")._4)
+    // coarsening to top-3 + OTHER: the grid shrinks to 4 terms per
+    // source and the coarsened JS can only shrink (data-processing
+    // inequality), never grow
+    val coarse = TextOps.sourceDivergence(df, "source", "text", vocabLimit = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
+    coarse.foreach { case (src, (k, js)) =>
+      assert(k == 4, s"$src coarse vocab")
+      assert(js <= got(src)._4 + 1e-9, s"$src coarse $js vs full ${got(src)._4}")
+    }
+    // a single-source corpus has an empty complement -> omitted
+    val solo = TextOps.sourceDivergence(
+      df.where(col("source") === "srcA"), "source", "text")
+    assert(solo.count() == 0)
+  }
+
   test("text quality/langid/tokens behave on markers") {
     val df = Seq(
       (1L, "the cat and the dog in the house"),
