@@ -115,6 +115,67 @@ object HistSketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** GROUPED histogram build — the quantile twin of
+    * `Sketches.hllSketchBy`: one ≤63·s+1-bucket histogram per group
+    * key, `(groupCols..., bucket, cnt)`. Still ONE map-side-combinable
+    * shuffle; the sketch frame is |groups|·buckets rows. Grouped
+    * sketches with matching `groupCols` merge by per-(group, bucket)
+    * SUM ([[histMergeBy]]). */
+  def histSketchBy(df: DataFrame, groupCols: Seq[String], valCol: String,
+                   subBuckets: Int = DefaultSubBuckets): DataFrame = {
+    logS(subBuckets)
+    require(groupCols.nonEmpty, "histSketchBy: need at least one group column")
+    df.where(col(valCol).isNotNull)
+      .select(groupCols.map(col) :+ col(valCol).cast(LongType).as("__v"): _*)
+      .select(groupCols.map(col) :+
+        expr(bucketCaseSql("__v", subBuckets, "div"))
+          .cast(IntegerType).as("bucket"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Union of grouped histograms with identical `groupCols`:
+    * per-(group, bucket) SUM. */
+  def histMergeBy(groupCols: Seq[String], sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "histMergeBy: need at least one sketch")
+    sketches.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Per-group quantiles from a [[histSketchBy]] result —
+    * `(groupCols..., p, value)`: rank selection exactly as
+    * [[histQuantiles]], with the cumulative window PARTITIONED by the
+    * group key (each partition is one ≤63·s+1-row histogram — bounded,
+    * so no global-order hazard) and the per-group totals joined back
+    * (|groups| rows, AQE-broadcastable). "p95 doc length per source"
+    * at sketch cost, any number of groups. */
+  def histQuantilesBy(sketch: DataFrame, groupCols: Seq[String],
+                      ps: Seq[Double],
+                      subBuckets: Int = DefaultSubBuckets): DataFrame = {
+    logS(subBuckets)
+    require(groupCols.nonEmpty, "histQuantilesBy: need at least one group column")
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "histQuantilesBy: quantiles must be in (0,1]")
+    val spark = sketch.sparkSession
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = sketch.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("__total"))
+    val pDf = spark.range(1).select(explode(array(ps.map(lit): _*)).as("p"))
+    sketch
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .join(totals, groupCols)              // |groups| rows
+      .crossJoin(broadcast(pDf))
+      .where(col("__cum") >=
+        greatest(lit(1L), ceil(col("p") * col("__total"))))
+      .groupBy(groupCols.map(col) :+ col("p"): _*)
+      .agg(min(col("bucket")).as("__b"))
+      .select(groupCols.map(col) :+ col("p") :+
+        expr(lowerBoundCaseSql("__b", subBuckets, "div"))
+          .cast(LongType).as("value"): _*)
+  }
+
   /** Union of histograms = bucket-wise SUM (associative + commutative,
     * so daily tranches roll up in any order — but unlike the HLL
     * register max it is NOT idempotent: replay safety comes from each

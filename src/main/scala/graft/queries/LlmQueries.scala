@@ -2566,6 +2566,41 @@ object LlmQueries {
         HistSketch.histSketch(docs.where(col("lang") =!= "en"), "n_chars"))
     },
 
+    // ---- GROUPED quantiles from grouped histograms — the quantile
+    //      twin of q_hll_grouped: per-source p50/p95 doc length, built
+    //      from two disjoint halves merged per-(group, bucket) by sum;
+    //      cumulative window partitioned by group (bounded sketch
+    //      partitions, no global order) ----
+    Q("q_quantile_by", {
+      import graft.profile.HistSketch._
+      s"""WITH v AS (SELECT source AS g, n_chars AS v FROM documents
+        |    WHERE n_chars IS NOT NULL),
+        |b AS (SELECT g, ${bucketCaseSql("v", 16, "//")} AS bucket FROM v),
+        |sk AS (SELECT g, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT g, bucket, cnt,
+        |        sum(cnt) OVER (PARTITION BY g ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER (PARTITION BY g) AS total
+        |      FROM sk),
+        |pp AS (SELECT unnest([0.5, 0.95]) AS p),
+        |sel AS (SELECT c.g AS g, pp.p AS p, min(c.bucket) AS b
+        |        FROM pp JOIN c
+        |          ON c.cum >= greatest(1, CAST(ceil(pp.p * c.total) AS BIGINT))
+        |        GROUP BY 1, 2)
+        |SELECT g AS source, p,
+        |  CAST(${lowerBoundCaseSql("b", 16, "//")} AS BIGINT) AS value
+        |FROM sel""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.HistSketch
+      val docs = Tables(s, dir, "documents")
+      val gk = Seq("source")
+      HistSketch.histQuantilesBy(
+        HistSketch.histMergeBy(gk,
+          HistSketch.histSketchBy(docs.where(col("doc_id") % 2 === 0), gk, "n_chars"),
+          HistSketch.histSketchBy(docs.where(col("doc_id") % 2 === 1), gk, "n_chars")),
+        gk, ps = Seq(0.5, 0.95))
+    },
+
     // ---- ROLLING drift monitor: per-day PSI of the event-value
     //      distribution against the trailing-7-day histogram — "which
     //      ingest day broke the profile" from per-day bucket rows,

@@ -184,6 +184,31 @@ class HistSketchSpec extends SparkSpec {
     assert(math.abs(fwd - rev) < 1e-9, s"fwd $fwd vs rev $rev")
   }
 
+  test("grouped histograms: per-group quantiles match per-group builds, merge is per-key sum") {
+    val rows = (1 to 400).map(i => ("a", (i % 100).toLong + 1)) ++
+      (1 to 300).map(i => ("b", (i % 1000).toLong * 5 + 2))
+    val df = rows.toDF("g", "v")
+    val gk = Seq("g")
+    // merge of disjoint halves == grouped sketch of the whole
+    val whole = HistSketch.histSketchBy(df, gk, "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val merged = HistSketch.histMergeBy(gk,
+      HistSketch.histSketchBy(df.where(col("v") % 2 === 0), gk, "v"),
+      HistSketch.histSketchBy(df.where(col("v") % 2 === 1), gk, "v"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+    // per-group quantiles == running histQuantiles on each group alone
+    val got = HistSketch.histQuantilesBy(
+      HistSketch.histSketchBy(df, gk, "v"), gk, Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = HistSketch.histQuantiles(
+        HistSketch.histSketch(df.where(col("g") === g), "v"), Seq(0.5, 0.9))
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      assert(got((g, 0.5)) == solo(0.5) && got((g, 0.9)) == solo(0.9), s"group $g")
+    }
+  }
+
   test("histRollingPsi: 0 on a repeat day, fires on a shifted day, omits empty references") {
     val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-03-$d%02d 09:00:00")
     val rows = (1 to 100).map(v => (ts(1), v.toLong)) ++      // d1: baseline
