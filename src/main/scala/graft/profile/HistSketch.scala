@@ -427,6 +427,63 @@ object HistSketch {
         col("n_buckets"), col("n_cur"), col("n_ref"), col("psi_bits"))
   }
 
+  /** ROBUST anomaly band from the histogram sketch: `[med − k·MAD,
+    * med + k·MAD]` with both the median and the median absolute
+    * deviation read from the ≤63·s+1-row sketch — the robust
+    * alternative to `AnomalyOps.sigmaFlags`' mean/σ band, which the
+    * outliers being hunted inflate (one 10⁹-length document moves a
+    * mean; it cannot move a median). Returns one row
+    * `(med, mad, lo, hi)`, all exact longs.
+    *
+    * The deviation distribution is approximated AT BUCKET GRANULARITY:
+    * each bucket's mass sits at its lower boundary, so `MAD` carries
+    * the sketch's 1/s relative value error (and up to one bucket width
+    * of absolute error near the median) — the price of computing a
+    * second-order statistic from the at-rest artifact without a second
+    * corpus pass. Rank selection on both medians is exact integer
+    * arithmetic; the windows order ≤sketch-sized frames only.
+    */
+  def histMadBand(sketch: DataFrame, k: Int = 3,
+                  subBuckets: Int = DefaultSubBuckets): DataFrame = {
+    require(k >= 1, s"histMadBand: k must be >= 1, got $k")
+    val med = histQuantiles(sketch, Seq(0.5), subBuckets)
+      .collect()(0).getLong(1)              // 1-row sketch read
+    val dev = sketch.select(
+        abs(expr(lowerBoundCaseSql("bucket", subBuckets, "div"))
+          .cast(LongType) - lit(med)).as("d"),
+        col("cnt"))
+      .groupBy("d").agg(sum(col("cnt")).as("cnt"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = dev.agg(sum(col("cnt")).as("__total"))
+    dev.withColumn("__cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(total))          // 1-row scalar singleton
+      .where(col("__cum") >=
+        greatest(lit(1L), ceil(lit(0.5) * col("__total"))))
+      .agg(min(col("d")).as("mad"))
+      .select(lit(med).as("med"), col("mad"),
+        (lit(med) - lit(k.toLong) * col("mad")).as("lo"),
+        (lit(med) + lit(k.toLong) * col("mad")).as("hi"))
+  }
+
+  /** Flag rows outside the [[histMadBand]] of HISTORY's distribution —
+    * the robust outlier gate: band collected at plan-build time as
+    * exact long literals (the [[histWinsorize]] stance), scoring a
+    * shuffle-free per-row compare over any batch size. Adds
+    * `med`/`mad` audit columns and `is_anomaly` (NULL value → NULL
+    * flag). */
+  def histMadFlags(df: DataFrame, valCol: String, sketch: DataFrame,
+                   k: Int = 3,
+                   subBuckets: Int = DefaultSubBuckets): DataFrame = {
+    val r = histMadBand(sketch, k, subBuckets).head()
+    val (med, mad, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val v = col(valCol).cast(LongType)
+    df.withColumn("med", lit(med))
+      .withColumn("mad", lit(mad))
+      .withColumn("is_anomaly",
+        when(v.isNull, lit(null).cast(BooleanType))
+          .otherwise(v < lit(lo) || v > lit(hi)))
+  }
+
   /** WINSORIZE a column against the at-rest histogram artifact: clamp
     * `valCol` into the `[pLo, pHi]` quantile band of HISTORY's
     * distribution — the outlier guard a feature pipeline wants before

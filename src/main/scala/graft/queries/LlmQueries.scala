@@ -2728,6 +2728,46 @@ object LlmQueries {
         vocabLimit = 50)
     },
 
+    // ---- robust MAD outlier gate from the at-rest histogram: median
+    //      and median-absolute-deviation both read from the sketch
+    //      (outliers can't move them the way they inflate a mean/σ
+    //      band), flags a pure per-row integer compare ----
+    Q("q_mad_flags", {
+      import graft.profile.HistSketch._
+      s"""WITH v AS (SELECT n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT ${bucketCaseSql("v", 16, "//")} AS bucket FROM v),
+        |sk AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+        |c AS (SELECT bucket, cnt,
+        |        sum(cnt) OVER (ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER () AS total
+        |      FROM sk),
+        |msel AS (SELECT min(bucket) AS b FROM c
+        |         WHERE cum >= greatest(1, CAST(ceil(0.5 * total) AS BIGINT))),
+        |med AS (SELECT CAST(${lowerBoundCaseSql("b", 16, "//")} AS BIGINT) AS med
+        |        FROM msel),
+        |dev AS (SELECT abs(CAST(${lowerBoundCaseSql("bucket", 16, "//")} AS BIGINT)
+        |          - med.med) AS d, sum(cnt) AS cnt
+        |        FROM sk CROSS JOIN med GROUP BY 1),
+        |dc AS (SELECT d, cnt,
+        |        sum(cnt) OVER (ORDER BY d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER () AS total
+        |      FROM dev),
+        |mad AS (SELECT min(d) AS mad FROM dc
+        |        WHERE cum >= greatest(1, CAST(ceil(0.5 * total) AS BIGINT)))
+        |SELECT d.doc_id, d.n_chars, med.med, mad.mad,
+        |  CASE WHEN d.n_chars IS NULL THEN NULL
+        |       ELSE d.n_chars < med.med - 3 * mad.mad
+        |         OR d.n_chars > med.med + 3 * mad.mad END AS is_anomaly
+        |FROM documents d CROSS JOIN med CROSS JOIN mad""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.HistSketch
+      val docs = Tables(s, dir, "documents")
+      HistSketch.histMadFlags(docs.select("doc_id", "n_chars"), "n_chars",
+        HistSketch.histSketch(docs, "n_chars"), k = 3)
+    },
+
     // ---- winsorize against the at-rest histogram: clamp doc lengths
     //      into HISTORY's [p05, p95] band — bounds from the artifact
     //      (stable meaning as the corpus grows), baked in as exact

@@ -251,6 +251,28 @@ class HistSketchSpec extends SparkSpec {
     }
   }
 
+  test("histMadBand/histMadFlags: robust to outliers that wreck a mean/sigma band") {
+    // 997 inliers near 100, 3 monster outliers — a mean/σ band would be
+    // dragged to cover the outliers; the MAD band must not move
+    val vals = (1 to 997).map(i => 90L + (i % 21)) ++ Seq(5000000L, 9000000L, 9999999L)
+    val df = vals.toDF("v")
+    val sk = HistSketch.histSketch(df, "v")
+    val band = HistSketch.histMadBand(sk, k = 3).head()
+    val (med, mad, lo, hi) = (band.getLong(0), band.getLong(1), band.getLong(2), band.getLong(3))
+    assert(med >= 90 && med <= 110, s"median $med")
+    assert(mad >= 0 && mad <= 16, s"mad $mad (bucket-granular)")
+    assert(lo == med - 3 * mad && hi == med + 3 * mad)
+    assert(hi < 1000, s"band [$lo,$hi] must not stretch toward the outliers")
+    val flags = HistSketch.histMadFlags(
+      (vals.map(Option(_)) :+ Option.empty[Long]).toDF("v"), "v", sk, k = 3)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        (if (r.isNullAt(3)) None else Some(r.getBoolean(3)))).toMap
+    assert(flags(Some(5000000L)).contains(true))
+    assert(flags(Some(9999999L)).contains(true))
+    assert(flags(Some(100L)).contains(false))
+    assert(flags(None).isEmpty)              // NULL value -> NULL flag
+  }
+
   test("histBucketize: bands count reached thresholds, exact at sketch boundaries, null-safe") {
     import spark.implicits._
     // history: 1..100 → p50 threshold ≈ 50, p90 ≈ 90 (bucket lower bounds)
