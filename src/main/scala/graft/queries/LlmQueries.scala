@@ -2642,6 +2642,39 @@ object LlmQueries {
         Tables(s, dir, "events"), "value", "ts", windowDays = 7)
     },
 
+    // ---- embedding-space drift: cosine between two corpus-half
+    //      centroid directions — the third leg of the drift triad
+    //      (PSI = numeric column, JS = vocabulary, this = where the
+    //      vectors live); snapped-long per-dim sums, exact decimal
+    //      dot/norms, one IEEE closing chain ----
+    Q("q_centroid_drift",
+      s"""WITH ea AS (SELECT embedding AS e FROM embeddings
+        |    WHERE vec_id % 2 = 0 AND embedding IS NOT NULL),
+        |eb AS (SELECT embedding AS e FROM embeddings
+        |    WHERE vec_id % 2 = 1 AND embedding IS NOT NULL),
+        |ua AS (SELECT generate_subscripts(e, 1) AS pos,
+        |         CAST(trunc(CAST(unnest(e) AS DOUBLE) * 1000000) AS BIGINT) AS u
+        |       FROM ea),
+        |ub AS (SELECT generate_subscripts(e, 1) AS pos,
+        |         CAST(trunc(CAST(unnest(e) AS DOUBLE) * 1000000) AS BIGINT) AS u
+        |       FROM eb),
+        |sa AS (SELECT pos, CAST(sum(u) AS HUGEINT) AS s, count(*) AS c
+        |       FROM ua GROUP BY 1),
+        |sb AS (SELECT pos, CAST(sum(u) AS HUGEINT) AS s, count(*) AS c
+        |       FROM ub GROUP BY 1),
+        |j AS (SELECT sa.s AS x, sb.s AS y, sa.c AS ca, sb.c AS cb
+        |      FROM sa JOIN sb ON sa.pos = sb.pos)
+        |SELECT max(ca) AS n_a, max(cb) AS n_b, CAST(count(*) AS BIGINT) AS dim,
+        |  CAST(sum(x * y) AS DOUBLE)
+        |    / (sqrt(CAST(sum(x * x) AS DOUBLE)) * sqrt(CAST(sum(y * y) AS DOUBLE)))
+        |    AS cosine
+        |FROM j""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      SimilarityOps.centroidDrift(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1), "embedding")
+    },
+
     // ---- Jensen–Shannon divergence between two corpora's unigram
     //      mixes — the vocabulary-drift twin of q_psi_drift (that
     //      gauges a numeric distribution; this gauges what the corpora

@@ -1126,4 +1126,49 @@ object SimilarityOps {
         round(dotF(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** EMBEDDING-space drift gauge — the third leg of the drift triad
+    * (`HistSketch.histDriftPsi` gauges a numeric column,
+    * `TextOps.jsDivergence` the vocabulary; this gauges the
+    * representation space): cosine similarity between two corpora's
+    * centroid directions, `(n_a, n_b, dim, cosine)` in one row.
+    * cos = 1 ⇔ the mean embeddings point the same way; a drop says the
+    * new batch lives in a different region of embedding space even if
+    * lengths and vocabulary look stable. The centroid-SUM vectors are
+    * compared (cosine is scale-invariant, so the ÷n never happens and
+    * no per-corpus normalization rounding exists).
+    *
+    * Deterministic by the sketch-family discipline: coordinates snap
+    * to exact longs (`trunc(x·10⁶)` — mirror `trunc` in any oracle,
+    * Spark's long cast truncates where engines may round), per-dim
+    * sums and the dot/norm products run over exact DECIMAL(38,0)
+    * (order-free — float summation order can never flip a digit), and
+    * the result is a fixed cast–sqrt–multiply–divide IEEE chain.
+    *
+    * Scale shape: each corpus collapses to `dim` rows in ONE
+    * map-side-combinable explode+sum pass; the join and closing
+    * aggregate touch `dim` rows. Headroom: per-dim snapped sums enter
+    * squares, so the d38 products hold to ~10¹⁸ vectors at the 10⁶
+    * snap — beyond any corpus.
+    */
+  def centroidDrift(dfA: DataFrame, dfB: DataFrame, vecCol: String,
+                    scale: Long = 1000000L): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dimSums(df: DataFrame, s: String, c: String) =
+      df.where(col(vecCol).isNotNull)
+        .select(posexplode(col(vecCol)).as(Seq("pos", "__x")))
+        .select(col("pos"),
+          (col("__x").cast(DoubleType) * lit(scale.toDouble)).cast(LongType).as("__u"))
+        .groupBy("pos")
+        .agg(sum(col("__u").cast(d38)).as(s), count(lit(1)).as(c))
+    val a = dimSums(dfA, "__sa", "__ca")
+    val b = dimSums(dfB, "__sb", "__cb").withColumnRenamed("pos", "__pb")
+    a.join(b, col("pos") === col("__pb"))   // dim-sized join
+      .agg(max(col("__ca")).as("n_a"), max(col("__cb")).as("n_b"),
+        count(lit(1)).as("dim"),
+        (sum((col("__sa") * col("__sb")).cast(d38)).cast(DoubleType)
+          / (sqrt(sum((col("__sa") * col("__sa")).cast(d38)).cast(DoubleType))
+            * sqrt(sum((col("__sb") * col("__sb")).cast(d38)).cast(DoubleType))))
+          .as("cosine"))
+  }
 }

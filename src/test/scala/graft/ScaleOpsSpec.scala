@@ -91,6 +91,28 @@ class ScaleOpsSpec extends SparkSpec {
       RelationalOps.rangeJoin(points, intervals, "p", "lo", "hi", 0))
   }
 
+  test("centroidDrift: 1.0 on identical corpora, sign flips on opposed, orthogonal near 0") {
+    def vecs(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+    val a = vecs((1L to 50L).map(i => i -> Seq(1.0f, 0.5f, 0.25f, 0.125f)))
+    def drift(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) = {
+      val r = SimilarityOps.centroidDrift(x, y, "embedding").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    val (na, nb, dim, same) = drift(a, a)
+    assert(na == 50 && nb == 50 && dim == 4)
+    // sqrt(x)·sqrt(x) can land one ulp off x, so 1.0 up to 1 ulp
+    assert(math.abs(same - 1.0) < 1e-12, s"identical corpora gave $same")
+    val opposed = vecs((1L to 30L).map(i => i -> Seq(-1.0f, -0.5f, -0.25f, -0.125f)))
+    assert(math.abs(drift(a, opposed)._4 + 1.0) < 1e-12)
+    val ortho = vecs((1L to 30L).map(i => i -> Seq(0.0f, 0.0f, 0.0f, 2.0f)))
+    val c = drift(a, ortho)._4
+    assert(math.abs(c) < 0.15, s"near-orthogonal gave $c")
+    // real fixture: gaussian-ish halves give SOME finite cosine in range
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val h = drift(e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1))._4
+    assert(h >= -1.0 - 1e-12 && h <= 1.0 + 1e-12 && !h.isNaN, s"fixture halves gave $h")
+  }
+
   test("multi-probe LSH recall >= single-probe, still a subset of brute force") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 30)
