@@ -25,6 +25,10 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    // GRAFT_EXPLAIN=1 dumps the formatted physical plan before timing —
+    // the plan-audit loop (exchange reuse, pushed filters, codegen spans)
+    if (sys.env.get("GRAFT_EXPLAIN").contains("1"))
+      fn(spark, sfDir).explain("formatted")
     for (i <- 1 to reps) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

@@ -333,8 +333,16 @@ object TextOps {
     * null-safely, so it can never collide with a real token.
     *
     * Same snapped-exact arithmetic as [[jsDivergence]], per source.
-    * The term-count subtree feeds three branches; they are identical,
-    * so exchange reuse materializes the token shuffle once.
+    * The corpus is tokenized exactly TWICE — once to elect the top-K
+    * vocabulary (irreducible: coarsening needs the global counts
+    * first), once to build the coarsened per-source counts — and the
+    * coarsened frame is checkpoint-materialized at plan-build time
+    * (it is bounded at |sources|·(vocabLimit+1) rows by construction),
+    * so the five downstream references read the small frame instead of
+    * re-expanding the corpus subtree (verified against
+    * `.explain("formatted")`: without the materialization the token
+    * scan appears five times and exchange reuse does not collapse the
+    * near-identical-but-not-canonical aggregates).
     */
   def sourceDivergence(df: DataFrame, groupCol: String, textCol: String,
                        vocabLimit: Int = 10000): DataFrame = {
@@ -342,17 +350,27 @@ object TextOps {
     val d38 = DecimalType(38, 0)
     def l8(e: Column): Column =
       floor(log2(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
+    val spark = df.sparkSession
     val tc = df
       .select(col(groupCol).cast(StringType).as("src"),
         explode(words(col(textCol))).as("term"))
       .where(col("src").isNotNull)
       .groupBy(col("src"), col("term")).agg(count(lit(1)).as("c"))
-    val gt = tc.groupBy("term").agg(sum(col("c")).as("c"))
-    val top = gt.orderBy(col("c").desc, col("term").asc).limit(vocabLimit)
-      .select(col("term").as("__kept"))
-    // coarsen: tail terms collapse onto the NULL-keyed OTHER bucket
-    val tc2 = tc.join(broadcast(top), col("term") === col("__kept"), "left")
+    // pass 1: elect the kept vocabulary — ≤vocabLimit strings on the
+    // driver (the fitted-quantizer precedent for plan-build collects)
+    val topTerms = tc.groupBy("term").agg(sum(col("c")).as("c"))
+      .orderBy(col("c").desc, col("term").asc).limit(vocabLimit)
+      .collect().map(_.getString(0)).toSeq
+    import spark.implicits._
+    val top = broadcast(topTerms.toDF("__kept"))
+    // pass 2: coarsen — tail terms collapse onto the NULL-keyed OTHER
+    // bucket; materialize the bounded result so downstream branches
+    // never re-expand the corpus subtree
+    val tc2raw = tc.join(top, col("term") === col("__kept"), "left")
       .groupBy(col("src"), col("__kept").as("t")).agg(sum(col("c")).as("c"))
+    val tc2 =
+      if (spark.sparkContext.getCheckpointDir.isDefined) tc2raw.checkpoint()
+      else tc2raw.localCheckpoint()
     val gt2 = tc2.groupBy("t").agg(sum(col("c")).as("ctot"))
     val grid = tc2.select("src").distinct().crossJoin(broadcast(gt2))
     val tc3 = tc2.select(col("src").as("__s2"), col("t").as("__t2"),
