@@ -174,14 +174,8 @@ object GraphOps {
     // pipeline the prior is an artifact read (a scan), but a same-run
     // composition hands over the final star round's plan — nesting a
     // second iterative stack on top of it makes analysis/plan-string
-    // cost explode. Reliable checkpoint when a dir is configured,
-    // local checkpoint otherwise (fine on local[*]; a cluster run that
-    // can lose executors should either set a checkpoint dir or pass an
-    // artifact-backed prior).
-    val sc = prior.sparkSession.sparkContext
-    val pruned =
-      if (sc.getCheckpointDir.isDefined) prior.checkpoint()
-      else prior.localCheckpoint()
+    // cost explode (graft.util.Materialize rationale).
+    val pruned = graft.util.Materialize.bounded(prior)
     val starred = pruned.select(col("node").as(srcCol), col("component").as(dstCol))
     connectedComponents(
       newEdges.select(col(srcCol), col(dstCol)).unionByName(starred),

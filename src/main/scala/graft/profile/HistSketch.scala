@@ -334,9 +334,13 @@ object HistSketch {
       floor(log2(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
     val a = sketchA.select(col("bucket").as("__ab"), col("cnt").as("__ca"))
     val b = sketchB.select(col("bucket").as("__bb"), col("cnt").as("__cb"))
-    val j = a.join(b, col("__ab") === col("__bb"), "full_outer")
-      .select(coalesce(col("__ca"), lit(0L)).as("ca"),
-        coalesce(col("__cb"), lit(0L)).as("cb"))
+    // j feeds the totals AND the main path; materialize the ≤2k-row
+    // frame so sketches built inline from a corpus don't scan it once
+    // per branch (graft.util.Materialize rationale)
+    val j = graft.util.Materialize.bounded(
+      a.join(b, col("__ab") === col("__bb"), "full_outer")
+        .select(coalesce(col("__ca"), lit(0L)).as("ca"),
+          coalesce(col("__cb"), lit(0L)).as("cb")))
     val totals = j.agg(count(lit(1)).as("__k"),
       (sum(col("ca")) + count(lit(1))).as("__na"),
       (sum(col("cb")) + count(lit(1))).as("__nb"))
@@ -384,13 +388,17 @@ object HistSketch {
     val d38 = DecimalType(38, 0)
     def l8(e: Column): Column =
       floor(log2(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
-    val perDay = df.where(col(valCol).isNotNull)
-      .select(to_date(col(tsCol)).as("__d"),
-        col(valCol).cast(LongType).as("__v"))
-      .select(col("__d"),
-        expr(bucketCaseSql("__v", subBuckets, "div")).cast(IntegerType).as("bucket"))
-      .groupBy(col("__d"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    // perDay feeds days, the reference fan-out AND the current side —
+    // materialize the bounded |days|·buckets frame so the corpus
+    // collapses exactly once (graft.util.Materialize rationale)
+    val perDay = graft.util.Materialize.bounded(
+      df.where(col(valCol).isNotNull)
+        .select(to_date(col(tsCol)).as("__d"),
+          col(valCol).cast(LongType).as("__v"))
+        .select(col("__d"),
+          expr(bucketCaseSql("__v", subBuckets, "div")).cast(IntegerType).as("bucket"))
+        .groupBy(col("__d"), col("bucket"))
+        .agg(count(lit(1)).as("cnt")))
     val days = perDay.select(col("__d").as("day")).distinct()
     // each day's buckets serve as REFERENCE for the next windowDays days
     val ref = perDay

@@ -285,9 +285,13 @@ object TextOps {
         .groupBy("term").agg(count(lit(1)).as("c"))
     val a = termCounts(dfA).select(col("term"), col("c").as("__cta"))
     val b = termCounts(dfB).select(col("term").as("__tb"), col("c").as("__ctb"))
-    val j = a.join(b, col("term") === col("__tb"), "full_outer")
-      .select(coalesce(col("__cta"), lit(0L)).as("ca"),
-        coalesce(col("__ctb"), lit(0L)).as("cb"))
+    // j feeds the totals AND the main path; materialize the
+    // vocabulary-sized frame so each corpus tokenizes exactly once
+    // (graft.util.Materialize rationale)
+    val j = graft.util.Materialize.bounded(
+      a.join(b, col("term") === col("__tb"), "full_outer")
+        .select(coalesce(col("__cta"), lit(0L)).as("ca"),
+          coalesce(col("__ctb"), lit(0L)).as("cb")))
     val totals = j.agg(count(lit(1)).as("__k"),
       (sum(col("ca")) + count(lit(1))).as("__na"),
       (sum(col("cb")) + count(lit(1))).as("__nb"))
@@ -366,11 +370,9 @@ object TextOps {
     // pass 2: coarsen — tail terms collapse onto the NULL-keyed OTHER
     // bucket; materialize the bounded result so downstream branches
     // never re-expand the corpus subtree
-    val tc2raw = tc.join(top, col("term") === col("__kept"), "left")
-      .groupBy(col("src"), col("__kept").as("t")).agg(sum(col("c")).as("c"))
-    val tc2 =
-      if (spark.sparkContext.getCheckpointDir.isDefined) tc2raw.checkpoint()
-      else tc2raw.localCheckpoint()
+    val tc2 = graft.util.Materialize.bounded(
+      tc.join(top, col("term") === col("__kept"), "left")
+        .groupBy(col("src"), col("__kept").as("t")).agg(sum(col("c")).as("c")))
     val gt2 = tc2.groupBy("t").agg(sum(col("c")).as("ctot"))
     val grid = tc2.select("src").distinct().crossJoin(broadcast(gt2))
     val tc3 = tc2.select(col("src").as("__s2"), col("t").as("__t2"),
