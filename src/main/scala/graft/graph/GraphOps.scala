@@ -584,11 +584,19 @@ object GraphOps {
     * excluded) — "average account balance of my trading partners (and
     * their partners)", the classic graph feature a downstream model
     * consumes. `hops` ∈ {1, 2}: the 2-hop expansion is one edge
-    * self-join whose fan-out is Σ deg² — bounded when the edge set is
-    * a capped projection ([[coOccurrencePairs]]) or any
-    * degree-bounded graph, and honestly quadratic on raw hub graphs
-    * (cap first; 3-hop is deliberately unsupported because its cost
-    * model is a different operator).
+    * self-join whose fan-out is Σ deg² — honestly quadratic on raw
+    * hub graphs, so `maxDegree` caps it the way
+    * [[coOccurrencePairs]]' `maxPerGroup` caps pair fan-out: each
+    * INTERMEDIATE node expands only its `maxDegree` smallest-id
+    * neighbors, bounding the self-join at |E|·maxDegree rows BY
+    * CONSTRUCTION (a dense bipartite graph otherwise produces
+    * hundreds of millions of 2-hop rows — measured at sf0.1, not
+    * hypothetical). `maxDegree = 0` keeps the exact uncapped
+    * semantics for degree-bounded edge sets (a capped projection like
+    * [[coOccurrencePairs]] output); the capped figure is the exact
+    * aggregate over a DETERMINISTIC (smallest-id) neighborhood
+    * sample. 3-hop is deliberately unsupported because its cost
+    * model is a different operator.
     *
     * Neighbors without a value row drop (inner join — features over
     * the valued universe). Determinism: counts exact, `sum_val` an
@@ -598,8 +606,9 @@ object GraphOps {
     */
   def neighborhoodAgg(edges: DataFrame, srcCol: String, dstCol: String,
                       values: DataFrame, nodeCol: String, valueCol: String,
-                      hops: Int = 1): DataFrame = {
+                      hops: Int = 1, maxDegree: Int = 0): DataFrame = {
     require(hops == 1 || hops == 2, s"neighborhoodAgg: hops=$hops not in {1, 2}")
+    require(maxDegree >= 0, s"neighborhoodAgg: maxDegree=$maxDegree < 0")
     val e = edges
       .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
@@ -607,7 +616,13 @@ object GraphOps {
     val nbr =
       if (hops == 1) e
       else {
-        val e2 = e.select(col("src").as("__m"), col("dst").as("__d2"))
+        val e2base = e.select(col("src").as("__m"), col("dst").as("__d2"))
+        val e2 =
+          if (maxDegree == 0) e2base
+          else e2base
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy("__m").orderBy(col("__d2").asc)))
+            .where(col("__rn") <= maxDegree).drop("__rn")
         val two = e.join(e2, col("dst") === col("__m"))
           .where(col("__d2") =!= col("src"))
           .select(col("src"), col("__d2").as("dst"))

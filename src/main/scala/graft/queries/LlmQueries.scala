@@ -2014,13 +2014,21 @@ object LlmQueries {
     //      supplier: its customers + suppliers sharing a customer) —
     //      exact decimal sums, one IEEE division; the feature column a
     //      downstream model joins on ----
+    // ---- 2-hop feature aggregation with the fan-out cap engaged: the
+    //      supplier↔customer graph is DENSE bipartite (uncapped 2-hop
+    //      = hundreds of millions of rows at sf0.1 — measured at
+    //      240 s), so each intermediate node expands only its 64
+    //      smallest-id neighbors, bounding the self-join at |E|·64 ----
     Q("q_neighborhood_agg",
       """WITH sc AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
         |    CAST(o_custkey + 1000000 AS BIGINT) AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |e AS (SELECT src, dst FROM sc UNION SELECT dst, src FROM sc),
-        |two AS (SELECT e.src, e2.dst FROM e JOIN e e2 ON e.dst = e2.src
-        |        WHERE e2.dst <> e.src),
+        |e2c AS (SELECT m, d2 FROM (SELECT src AS m, dst AS d2,
+        |          row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM e)
+        |        WHERE rn <= 64),
+        |two AS (SELECT e.src, c.d2 AS dst FROM e JOIN e2c c ON e.dst = c.m
+        |        WHERE c.d2 <> e.src),
         |nbr AS (SELECT src, dst FROM e UNION SELECT src, dst FROM two),
         |v AS (SELECT CAST(s_suppkey AS BIGINT) AS node,
         |        CAST(s_acctbal AS DECIMAL(12,2)) AS val FROM supplier
@@ -2043,7 +2051,8 @@ object LlmQueries {
         .unionAll(Tables(s, dir, "customer")
           .select((col("c_custkey") + 1000000L).cast(LongType).as("node"),
             col("c_acctbal").as("val")))
-      GraphOps.neighborhoodAgg(edges, "src", "dst", values, "node", "val", hops = 2)
+      GraphOps.neighborhoodAgg(edges, "src", "dst", values, "node", "val",
+        hops = 2, maxDegree = 64)
     },
 
     // ---- PERSONALIZED PageRank: teleport re-aimed at suppliers

@@ -378,6 +378,28 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("neighborhoodAgg: maxDegree caps the intermediate expansion deterministically") {
+    // hub 10 connects to 20,21,22,23 (undirected); leaf 1 - 10
+    val und = Seq((1L, 10L), (10L, 20L), (10L, 21L), (10L, 22L), (10L, 23L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val vals = (Seq(1L, 10L) ++ (20L to 23L)).map(n => (n, n.toDouble)).toDF("node", "val")
+    // uncapped: node 1's 2-hop set via hub 10 = {10, 20, 21, 22, 23}
+    val full = GraphOps.neighborhoodAgg(e, "src", "dst", vals, "node", "val", hops = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(full(1L) == ((5L, 10.0 + 20 + 21 + 22 + 23)))
+    // cap 2: hub 10 expands only its two SMALLEST-id neighbors {1, 20},
+    // so node 1 reaches {10} (1-hop) + {20} (capped 2-hop; self excluded)
+    val capped = GraphOps.neighborhoodAgg(e, "src", "dst", vals, "node", "val",
+      hops = 2, maxDegree = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(capped(1L) == ((2L, 10.0 + 20)), s"got ${capped(1L)}")
+    // 1-hop edges are never capped: every direct neighbor still counted
+    assert(capped(10L)._1 == 5L)
+    intercept[IllegalArgumentException] {
+      GraphOps.neighborhoodAgg(e, "src", "dst", vals, "node", "val", 2, maxDegree = -1)
+    }
+  }
+
   test("neighborhoodAgg: neighbors without values drop; duplicate edges collapse") {
     val e = Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
     val vals = Seq((2L, 5.0)).toDF("node", "val") // 3 has no value
