@@ -435,6 +435,56 @@ object HistSketch {
         col("n_buckets"), col("n_cur"), col("n_ref"), col("psi_bits"))
   }
 
+  /** PERCENTILE-RANK normalization against the at-rest histogram —
+    * the feature transform ("what fraction of history is below this
+    * value") done scale-right: a naive `percent_rank()` window is a
+    * GLOBAL SORT of the corpus; this instead maps each row to its
+    * bucket with the generated integer CASE and broadcast-joins the
+    * ≤63·s+1-row cumulative table, so scoring is shuffle-free at any
+    * batch size and the reference distribution is the artifact, not
+    * the batch. Adds `pct_rank` ∈ [0, 1): the exact fraction of the
+    * sketch's mass in STRICTLY LOWER buckets (one IEEE division of
+    * exact longs per row — engine-identical); same-bucket mass is
+    * excluded, so the rank is granular to the sketch's 1/s value
+    * resolution. NULL value → NULL rank; values below every occupied
+    * bucket rank 0, above every occupied bucket rank 1.
+    *
+    * The cumulative table is DENSIFIED over the full 63·s+1 bucket
+    * domain (a bounded `spark.range`), so a value landing in a gap
+    * bucket the sketch never saw still ranks by the mass genuinely
+    * below it — no range-lookup join needed, the equi-join always
+    * hits.
+    */
+  def histPercentileRank(df: DataFrame, valCol: String, sketch: DataFrame,
+                         subBuckets: Int = DefaultSubBuckets): DataFrame = {
+    logS(subBuckets)
+    val spark = sketch.sparkSession
+    val w = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // dense feeds both the cum table and its totals aggregate —
+    // materialize the bounded frame so a corpus-built sketch collapses
+    // once (graft.util.Materialize rationale)
+    val dense = graft.util.Materialize.bounded(
+      spark.range(0, 63L * subBuckets + 1)
+        .select(col("id").cast(IntegerType).as("__bk"))
+        .join(sketch.select(col("bucket").as("__bk"), col("cnt")), Seq("__bk"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .withColumn("__below", sum(col("cnt")).over(w) - col("cnt")))
+    val cum = dense
+      .crossJoin(broadcast(dense.agg(sum(col("cnt")).as("__total"))))
+      .select(col("__bk"), col("__below"), col("__total"))
+    val v = col(valCol).cast(LongType)
+    df.withColumn("__bv",
+        when(v.isNull, lit(null).cast(IntegerType))
+          .otherwise(expr(bucketCaseSql(s"CAST($valCol AS BIGINT)", subBuckets, "div"))
+            .cast(IntegerType)))
+      // the cum side is 63·s+1 rows: forced broadcast, no shuffle
+      .join(broadcast(cum), col("__bv") === col("__bk"), "left")
+      .withColumn("pct_rank",
+        when(col("__bv").isNull, lit(null).cast(DoubleType))
+          .otherwise(col("__below").cast(DoubleType) / col("__total").cast(DoubleType)))
+      .drop("__bv", "__bk", "__below", "__total")
+  }
+
   /** ROBUST anomaly band from the histogram sketch: `[med − k·MAD,
     * med + k·MAD]` with both the median and the median absolute
     * deviation read from the ≤63·s+1-row sketch — the robust

@@ -2770,6 +2770,35 @@ object LlmQueries {
         vocabLimit = 50)
     },
 
+    // ---- percentile-rank normalization against the at-rest
+    //      histogram: what a global-sort percent_rank() would cost a
+    //      corpus-wide shuffle, answered per row by a broadcast join
+    //      against the densified ≤1k-row cumulative table ----
+    Q("q_pct_rank", {
+      import graft.profile.HistSketch._
+      s"""WITH v AS (SELECT n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT ${bucketCaseSql("v", 16, "//")} AS bucket FROM v),
+        |sk AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+        |dense AS (SELECT r.bk AS bk, coalesce(sk.cnt, 0) AS cnt
+        |          FROM (SELECT unnest(range(0, ${63 * 16 + 1})) AS bk) r
+        |          LEFT JOIN sk ON sk.bucket = r.bk),
+        |c AS (SELECT bk,
+        |        sum(cnt) OVER (ORDER BY bk
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS below,
+        |        sum(cnt) OVER () AS total
+        |      FROM dense)
+        |SELECT d.doc_id, d.n_chars,
+        |  CASE WHEN d.n_chars IS NULL THEN NULL
+        |       ELSE CAST(c.below AS DOUBLE) / CAST(c.total AS DOUBLE) END AS pct_rank
+        |FROM documents d
+        |LEFT JOIN c ON c.bk = (${bucketCaseSql("d.n_chars", 16, "//")})""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.HistSketch
+      val docs = Tables(s, dir, "documents")
+      HistSketch.histPercentileRank(docs.select("doc_id", "n_chars"), "n_chars",
+        HistSketch.histSketch(docs, "n_chars"))
+    },
+
     // ---- robust MAD outlier gate from the at-rest histogram: median
     //      and median-absolute-deviation both read from the sketch
     //      (outliers can't move them the way they inflate a mean/σ

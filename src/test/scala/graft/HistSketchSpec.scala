@@ -251,6 +251,28 @@ class HistSketchSpec extends SparkSpec {
     }
   }
 
+  test("histPercentileRank: monotone, exact at bucket boundaries, gap/extreme/null safe") {
+    val hist = HistSketch.histSketch((1L to 1000L).toDF("v"), "v")
+    val batch = Seq(Some(-5L), Some(1L), Some(500L), Some(1000L), Some(999999L),
+      Option.empty[Long]).toDF("v")
+    val got = HistSketch.histPercentileRank(batch, "v", hist)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(Some(-5L)).contains(0.0))          // below everything
+    assert(got(Some(1L)).contains(0.0))           // smallest value's bucket
+    val mid = got(Some(500L)).get
+    assert(mid > 0.3 && mid < 0.5, s"mid rank $mid (strictly-below semantics)")
+    val top = got(Some(1000L)).get
+    assert(top > 0.9 && top < 1.0, s"top-bucket rank $top")
+    assert(got(Some(999999L)).contains(1.0))      // above every occupied bucket
+    assert(got(None).isEmpty)                     // NULL -> NULL
+    // monotonicity across a sweep (gap buckets included)
+    val sweep = (0L to 2000L by 50L).toDF("v")
+    val ranks = HistSketch.histPercentileRank(sweep, "v", hist)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a <= b }, "must be monotone")
+  }
+
   test("histMadBand/histMadFlags: robust to outliers that wreck a mean/sigma band") {
     // 997 inliers near 100, 3 monster outliers — a mean/σ band would be
     // dragged to cover the outliers; the MAD band must not move
