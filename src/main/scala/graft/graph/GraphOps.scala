@@ -182,6 +182,61 @@ object GraphOps {
       srcCol, dstCol, maxIterations, localThreshold)
   }
 
+  /** AT-REST group-assignment artifact — the operational shell around
+    * [[connectedComponentsFrom]]: the index tier's answer for
+    * transitive dup GROUPS. Unlike the signature/sketch artifacts,
+    * group identity is NOT append-only (a new edge can merge two old
+    * components), so the artifact is an atomically REPLACED whole
+    * (stage → rename swap, readers never see a half-written state),
+    * not a tranche family. The stored frame is `(node, component)` —
+    * one row per non-singleton-incident node, the compact fixpoint
+    * star. */
+  def writeGroupIndex(assignment: DataFrame, dir: String): Unit = {
+    val norm = assignment.select(col("node").cast(LongType).as("node"),
+      col("component").cast(LongType).as("component"))
+    val spark = assignment.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (f.exists(p)) graft.merge.Merge.atomicReplace(norm, dir)
+    else {
+      // first publish: no readers yet — stage + one rename is the
+      // atomic birth (the swap protocol needs an existing target)
+      val tmp = new org.apache.hadoop.fs.Path(
+        dir + "__stage_" + java.util.UUID.randomUUID().toString.take(8))
+      try graft.io.Writers.parquet(norm, tmp.toString)
+      catch { case e: Throwable => f.delete(tmp, true); throw e }
+      if (!f.rename(tmp, p)) {
+        f.delete(tmp, true)
+        throw new IllegalStateException(s"rename $tmp -> $p failed")
+      }
+    }
+  }
+
+  /** Read the stored assignment (a plain bounded parquet scan). */
+  def readGroupIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Daily group refresh: warm-start CC from the STORED assignment
+    * plus only the new edges, atomically swap the updated assignment
+    * in, and return it. Append ≡ rebuild bit for bit
+    * ([[connectedComponentsFrom]]'s identity), and the refresh is
+    * IDEMPOTENT: re-running with the same edges re-derives the same
+    * fixpoint (the star of a fixpoint is itself), so a replayed
+    * scheduler tick converges instead of corrupting. Cost per refresh
+    * is the node-sized artifact + today's pair set — never the
+    * historical edge volume.
+    */
+  def updateGroupIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       newEdges: DataFrame, srcCol: String, dstCol: String,
+                       maxIterations: Int = 50,
+                       localThreshold: Int = 100000): DataFrame = {
+    val updated = connectedComponentsFrom(readGroupIndex(spark, dir),
+      newEdges, srcCol, dstCol, maxIterations, localThreshold)
+    writeGroupIndex(updated, dir)
+    readGroupIndex(spark, dir)
+  }
+
   /** Join a [[connectedComponents]] output back onto a full id
     * universe: every id gets `(id, group_id, group_size)` with
     * `group_id` = its component's min id and ids absent from the CC

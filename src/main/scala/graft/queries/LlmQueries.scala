@@ -2093,6 +2093,26 @@ object LlmQueries {
         .withColumnRenamed("rank", "rank_ppb")
     },
 
+    // ---- at-rest GROUP index lifecycle: CC over half the pairs →
+    //      atomic-swap artifact → warm-start refresh with the other
+    //      half through the stored assignment → read back; the oracle
+    //      is the whole-history closure, so artifact round-trip +
+    //      incremental refresh ≡ rebuild is proven by hash match ----
+    Q("q_cc_index", duckDupGroupsSql(maxBucket = 1000, threshold = 0.5)) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val (pairs, release) = DedupOps.ngramJaccardPairsReleasable(
+        docs, "doc_id", "text", shingleN = 3, threshold = 0.5, maxBucket = 1000)
+      val half = pmod(xxhash64(lit("cci"), col("id_a"), col("id_b")), lit(2))
+      val gDir = graft.util.Scratch.path("cc_group_index", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(gDir))
+      GraphOps.writeGroupIndex(
+        GraphOps.connectedComponents(pairs.where(half === 0), "id_a", "id_b"), gDir)
+      val cc = GraphOps.updateGroupIndex(s, gDir,
+        pairs.where(half === 1), "id_a", "id_b")
+      release()
+      GraphOps.assignGroups(docs, "doc_id", cc)
+    },
+
     // ---- WARM-START connected components: yesterday's group
     //      assignment (CC over half the near-dup pairs, re-encoded as
     //      its spanning star) plus only today's new pairs reproduces

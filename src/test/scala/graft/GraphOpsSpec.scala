@@ -85,6 +85,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 10L, 21L -> 10L))
   }
 
+  test("group index lifecycle: write -> warm refresh ≡ rebuild, replayed refresh idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccidx").toString + "/idx"
+    try {
+      val rnd = new scala.util.Random(17)
+      val edges = Seq.fill(160)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+      val (oldE, newE) = edges.splitAt(edges.length / 2)
+      val want = ufComponents(edges)
+      GraphOps.writeGroupIndex(
+        GraphOps.connectedComponents(oldE.toDF("a", "b"), "a", "b", localThreshold = 0), dir)
+      val got = GraphOps.updateGroupIndex(spark, dir, newE.toDF("a", "b"), "a", "b",
+        localThreshold = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want)
+      // replayed scheduler tick: same edges again — the fixpoint's star
+      // is itself, so the artifact is unchanged
+      val replay = GraphOps.updateGroupIndex(spark, dir, newE.toDF("a", "b"), "a", "b",
+        localThreshold = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(replay == want)
+      // the stored artifact round-trips
+      assert(GraphOps.readGroupIndex(spark, dir)
+        .as[(Long, Long)].collect().toMap == want)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("driver union-find survives a 100k descending-ordered chain (stack safety)") {
     // processing (k+1,k) edges in DESCENDING k order builds parent(k)=k-1
     // for every k — a 100k-deep chain. The first find() from the top
