@@ -231,11 +231,29 @@ object GraphOps {
                        newEdges: DataFrame, srcCol: String, dstCol: String,
                        maxIterations: Int = 50,
                        localThreshold: Int = 100000): DataFrame = {
-    val updated = connectedComponentsFrom(readGroupIndex(spark, dir),
-      newEdges, srcCol, dstCol, maxIterations, localThreshold)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val updated =
+      if (exists) connectedComponentsFrom(readGroupIndex(spark, dir),
+        newEdges, srcCol, dstCol, maxIterations, localThreshold)
+      else connectedComponents(newEdges, srcCol, dstCol,
+        maxIterations, localThreshold)   // first tick births the index
     writeGroupIndex(updated, dir)
     readGroupIndex(spark, dir)
   }
+
+  /** Content gauge over the stored [[writeGroupIndex]] artifact: one
+    * row `(n_nodes, n_components, max_group_size)` — the dup-cluster
+    * shape an operator sanity-checks after a refresh ("did one giant
+    * component eat the corpus"). One bounded scan of the node-sized
+    * assignment; no edge data touched. */
+  def groupIndexStats(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame =
+    readGroupIndex(spark, dir)
+      .groupBy(col("component")).agg(count(lit(1)).as("__sz"))
+      .agg(sum(col("__sz")).as("n_nodes"),
+        count(lit(1)).as("n_components"),
+        max(col("__sz")).as("max_group_size"))
 
   /** Join a [[connectedComponents]] output back onto a full id
     * universe: every id gets `(id, group_id, group_size)` with

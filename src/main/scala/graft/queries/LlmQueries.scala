@@ -2113,6 +2113,33 @@ object LlmQueries {
       GraphOps.assignGroups(docs, "doc_id", cc)
     },
 
+    // ---- group-index content gauge: cluster-shape sanity ("did one
+    //      giant component eat the corpus") from the stored node-sized
+    //      assignment; oracle recomputes the closure and aggregates ----
+    Q("q_cc_index_stats",
+      s"""WITH RECURSIVE ${duckJaccardCtes(1000, 0.5, 3)},
+        |e AS (SELECT id_a AS u, id_b AS v FROM jp UNION SELECT id_b, id_a FROM jp),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+        |cc AS (SELECT u, min(v) AS comp FROM reach GROUP BY u),
+        |g AS (SELECT comp, count(*) AS sz FROM cc GROUP BY 1)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_nodes,
+        |  CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(max(sz) AS BIGINT) AS max_group_size
+        |FROM g""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val (pairs, release) = DedupOps.ngramJaccardPairsReleasable(
+        docs, "doc_id", "text", shingleN = 3, threshold = 0.5, maxBucket = 1000)
+      val gDir = graft.util.Scratch.path("cc_group_index_stats", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(gDir))
+      GraphOps.writeGroupIndex(
+        GraphOps.connectedComponents(pairs, "id_a", "id_b"), gDir)
+      release()
+      GraphOps.groupIndexStats(s, gDir)
+    },
+
     // ---- WARM-START connected components: yesterday's group
     //      assignment (CC over half the near-dup pairs, re-encoded as
     //      its spanning star) plus only today's new pairs reproduces

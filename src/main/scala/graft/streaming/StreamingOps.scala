@@ -379,6 +379,33 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming maintenance of the at-rest GROUP-assignment index
+    * ([[graft.graph.GraphOps.writeGroupIndex]]): each micro-batch of
+    * edges warm-starts connected components from the STORED assignment
+    * (node-sized) plus only the batch, and atomically swaps the
+    * refreshed assignment in — transitive dup groups that stay current
+    * as pairs stream in, at per-batch cost independent of edge
+    * history. Replay-safe with NO protocol, the HLL-stream stance: a
+    * re-delivered batch's edges already lie inside the stored
+    * fixpoint's components, and the fixpoint of (its own star ∪
+    * absorbed edges) is itself — re-application is a no-op by algebra,
+    * not by bookkeeping.
+    */
+  def groupIndexStream(edges: DataFrame, indexDir: String,
+                       srcCol: String, dstCol: String,
+                       checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "groupIndexStream: checkpointDir is required")
+    edges.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.graph.GraphOps.updateGroupIndex(
+          batch.sparkSession, indexDir, batch, srcCol, dstCol): Unit
+      }
+      .start()
+  }
+
   /** Streaming maintenance of an at-rest QUANTILE-HISTOGRAM artifact
     * ([[graft.profile.HistSketch]]): each epoch reduces its micro-batch
     * to ≤63·s+1 bucket counts and overwrites its own tranche — replay

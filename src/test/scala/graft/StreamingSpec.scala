@@ -270,6 +270,36 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == expected)
   }
 
+  test("groupIndexStream: streamed edges keep the group index equal to the full-graph CC") {
+    import graft.graph.GraphOps
+    val base = Files.createTempDirectory("graft_grp_stream").toString
+    val dir = s"$base/idx"; val ck = s"$base/ck"
+    // chain 1-2-3-4 arrives in two batches; bridge 4-5 merges late
+    val b0 = Seq((1L, 2L), (3L, 4L))
+    val b1 = Seq((2L, 3L), (4L, 5L))
+    val mem = MemoryStream[(Long, Long)](spark, 1)
+    val q = StreamingOps.groupIndexStream(
+      mem.toDF.toDF("src", "dst"), dir, "src", "dst", checkpointDir = ck)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()   // epoch 0 births the index
+      val mid = GraphOps.readGroupIndex(spark, dir)
+        .as[(Long, Long)].collect().toMap
+      assert(mid == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+      mem.addData(b1: _*); q.processAllAvailable()   // epoch 1 merges everything
+      val fin = GraphOps.readGroupIndex(spark, dir)
+        .as[(Long, Long)].collect().toMap
+      assert(fin == (1L to 5L).map(_ -> 1L).toMap)
+    } finally q.stop()
+    // at-least-once re-delivery: re-applying an absorbed batch is a
+    // no-op by algebra (fixpoint of its own star ∪ absorbed edges)
+    GraphOps.updateGroupIndex(spark, dir, b0.toDF("src", "dst"), "src", "dst")
+    assert(GraphOps.readGroupIndex(spark, dir)
+      .as[(Long, Long)].collect().toMap == (1L to 5L).map(_ -> 1L).toMap)
+    // the content gauge reads the same artifact
+    val st = GraphOps.groupIndexStats(spark, dir).head()
+    assert(st.getLong(0) == 5 && st.getLong(1) == 1 && st.getLong(2) == 5)
+  }
+
   test("sketchStream consolidates tranches periodically without changing registers") {
     import graft.profile.Sketches
     val base = Files.createTempDirectory("graft_sketch_cons").toString
