@@ -20,6 +20,36 @@ import org.apache.spark.sql.functions._
   */
 object IndexDashboard {
 
+  /** One-stop DRIFT dashboard over the monitoring triad: a new batch
+    * vs the reference corpus on every axis that can silently rot a
+    * training set — numeric profile (PSI of a value distribution, via
+    * histogram sketches), vocabulary (Jensen–Shannon of the token
+    * mixes), and embedding space (centroid cosine). Output: one row
+    * per gauge `(gauge, value, n_ref, n_new)`, the morning-check frame
+    * ("did yesterday's crawl drift on ANY axis"). Cost contract: each
+    * gauge's own sketch-sized shape — the batch and reference are each
+    * tokenized/bucketed/summed once per gauge, nothing corpus-sized
+    * crosses a shuffle, and the union is a concat of three 1-row
+    * frames.
+    */
+  def driftDashboard(refDocs: DataFrame, newDocs: DataFrame,
+                     valCol: String, textCol: String,
+                     refVecs: DataFrame, newVecs: DataFrame,
+                     vecCol: String): DataFrame = {
+    val psi = graft.profile.HistSketch.histDriftPsi(
+        graft.profile.HistSketch.histSketch(newDocs, valCol),
+        graft.profile.HistSketch.histSketch(refDocs, valCol))
+      .select(lit("psi_bits").as("gauge"), col("psi_bits").as("value"),
+        col("n_b").as("n_ref"), col("n_a").as("n_new"))
+    val js = graft.text.TextOps.jsDivergence(newDocs, refDocs, textCol)
+      .select(lit("js_bits").as("gauge"), col("js_bits").as("value"),
+        col("n_b").as("n_ref"), col("n_a").as("n_new"))
+    val cen = graft.similarity.SimilarityOps.centroidDrift(newVecs, refVecs, vecCol)
+      .select(lit("centroid_cosine").as("gauge"), col("cosine").as("value"),
+        col("n_b").as("n_ref"), col("n_a").as("n_new"))
+    psi.unionByName(js).unionByName(cen)
+  }
+
   def indexHealthAll(spark: SparkSession,
                      dedupDir: Option[String] = None,
                      winnowDir: Option[String] = None,

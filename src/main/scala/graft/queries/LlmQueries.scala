@@ -2731,6 +2731,98 @@ object LlmQueries {
         emb.where(col("vec_id") % 2 === 1), "embedding")
     },
 
+    // ---- one-stop drift dashboard: the odd half of the corpus
+    //      scored against the even half on all three axes (numeric
+    //      PSI, vocabulary JS, embedding-centroid cosine) — one row
+    //      per gauge, the morning "did anything drift" frame ----
+    Q("q_drift_dashboard", {
+      import graft.profile.HistSketch._
+      def l8(x: String) =
+        s"CAST(floor(log2(CAST($x AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)"
+      val psi =
+        s"""WITH va AS (SELECT n_chars AS v FROM documents
+          |    WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+          |vb AS (SELECT n_chars AS v FROM documents
+          |    WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+          |ha AS (SELECT ${bucketCaseSql("v", 16, "//")} AS bucket, count(*) AS cnt
+          |       FROM va GROUP BY 1),
+          |hb AS (SELECT ${bucketCaseSql("v", 16, "//")} AS bucket, count(*) AS cnt
+          |       FROM vb GROUP BY 1),
+          |j AS (SELECT coalesce(ha.cnt, 0) AS ca, coalesce(hb.cnt, 0) AS cb
+          |      FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          |        CAST(sum(ca) + count(*) AS BIGINT) AS na,
+          |        CAST(sum(cb) + count(*) AS BIGINT) AS nb FROM j),
+          |term AS (SELECT k, na, nb,
+          |    CAST((CAST(ca + 1 AS HUGEINT) * 1000000000) // na AS BIGINT) AS qa,
+          |    CAST((CAST(cb + 1 AS HUGEINT) * 1000000000) // nb AS BIGINT) AS qb,
+          |    ${l8("ca + 1")} - ${l8("na")} - ${l8("cb + 1")} + ${l8("nb")} AS l
+          |  FROM j CROSS JOIN t)
+          |SELECT CAST(sum(CAST(qa - qb AS HUGEINT) * l) AS DOUBLE) / 1e17 AS value,
+          |  max(nb) - max(k) AS n_ref, max(na) - max(k) AS n_new
+          |FROM term""".stripMargin
+      val js =
+        s"""WITH ta AS (SELECT unnest($duckWords) AS term FROM documents
+          |    WHERE doc_id % 2 = 1),
+          |tb AS (SELECT unnest($duckWords) AS term FROM documents
+          |    WHERE doc_id % 2 = 0),
+          |ga AS (SELECT term, count(*) AS c FROM ta GROUP BY 1),
+          |gb AS (SELECT term, count(*) AS c FROM tb GROUP BY 1),
+          |j AS (SELECT coalesce(ga.c, 0) AS ca, coalesce(gb.c, 0) AS cb
+          |      FROM ga FULL OUTER JOIN gb ON ga.term = gb.term),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          |        CAST(sum(ca) + count(*) AS BIGINT) AS na,
+          |        CAST(sum(cb) + count(*) AS BIGINT) AS nb FROM j),
+          |term AS (SELECT k, na, nb, ca, cb,
+          |    CAST(ca + 1 AS HUGEINT) * nb + CAST(cb + 1 AS HUGEINT) * na AS mix
+          |  FROM j CROSS JOIN t),
+          |s AS (SELECT max(k) AS k, max(na) AS na, max(nb) AS nb,
+          |    sum(CAST(ca + 1 AS HUGEINT) *
+          |        (100000000 + ${l8("ca + 1")} + ${l8("nb")} - ${l8("mix")})) AS sa,
+          |    sum(CAST(cb + 1 AS HUGEINT) *
+          |        (100000000 + ${l8("cb + 1")} + ${l8("na")} - ${l8("mix")})) AS sb
+          |  FROM term)
+          |SELECT (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+          |    + CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2e8 AS value,
+          |  nb - k AS n_ref, na - k AS n_new
+          |FROM s""".stripMargin
+      val cen =
+        s"""WITH ea AS (SELECT embedding AS e FROM embeddings
+          |    WHERE vec_id % 2 = 1 AND embedding IS NOT NULL),
+          |eb AS (SELECT embedding AS e FROM embeddings
+          |    WHERE vec_id % 2 = 0 AND embedding IS NOT NULL),
+          |ua AS (SELECT generate_subscripts(e, 1) AS pos,
+          |         CAST(trunc(CAST(unnest(e) AS DOUBLE) * 1000000) AS BIGINT) AS u
+          |       FROM ea),
+          |ub AS (SELECT generate_subscripts(e, 1) AS pos,
+          |         CAST(trunc(CAST(unnest(e) AS DOUBLE) * 1000000) AS BIGINT) AS u
+          |       FROM eb),
+          |sa AS (SELECT pos, CAST(sum(u) AS HUGEINT) AS s, count(*) AS c
+          |       FROM ua GROUP BY 1),
+          |sb AS (SELECT pos, CAST(sum(u) AS HUGEINT) AS s, count(*) AS c
+          |       FROM ub GROUP BY 1),
+          |j AS (SELECT sa.s AS x, sb.s AS y, sa.c AS ca, sb.c AS cb
+          |      FROM sa JOIN sb ON sa.pos = sb.pos)
+          |SELECT CAST(sum(x * y) AS DOUBLE)
+          |    / (sqrt(CAST(sum(x * x) AS DOUBLE)) * sqrt(CAST(sum(y * y) AS DOUBLE)))
+          |    AS value,
+          |  max(cb) AS n_ref, max(ca) AS n_new
+          |FROM j""".stripMargin
+      s"""SELECT 'psi_bits' AS gauge, value, n_ref, n_new FROM ($psi)
+        |UNION ALL
+        |SELECT 'js_bits' AS gauge, value, n_ref, n_new FROM ($js)
+        |UNION ALL
+        |SELECT 'centroid_cosine' AS gauge, value, n_ref, n_new FROM ($cen)""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      graft.meta.IndexDashboard.driftDashboard(
+        docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+        "n_chars", "text",
+        emb.where(col("vec_id") % 2 === 0), emb.where(col("vec_id") % 2 === 1),
+        "embedding")
+    },
+
     // ---- Jensen–Shannon divergence between two corpora's unigram
     //      mixes — the vocabulary-drift twin of q_psi_drift (that
     //      gauges a numeric distribution; this gauges what the corpora

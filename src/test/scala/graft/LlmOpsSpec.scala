@@ -186,6 +186,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(d == 4)
   }
 
+  test("driftDashboard: all three gauges, identical halves read as no-drift") {
+    val docsF = (1L to 60L).map(i => (i, "alpha beta gamma", 100L + (i % 7)))
+      .toDF("doc_id", "text", "n_chars")
+    val vecsF = (1L to 60L).map(i => (i, Seq(1.0f, 0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    // even/odd halves carry the SAME distributions -> every gauge at
+    // its no-drift reading
+    val got = graft.meta.IndexDashboard.driftDashboard(
+      docsF.where(col("doc_id") % 2 === 0), docsF.where(col("doc_id") % 2 === 1),
+      "n_chars", "text",
+      vecsF.where(col("vec_id") % 2 === 0), vecsF.where(col("vec_id") % 2 === 1),
+      "embedding")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set("psi_bits", "js_bits", "centroid_cosine"))
+    val (psi, nr, nn) = got("psi_bits")
+    assert(nr == 30 && nn == 30)
+    assert(math.abs(psi) < 0.01, s"psi $psi")          // near-identical length mix
+    assert(math.abs(got("js_bits")._1) < 1e-6)          // identical vocab
+    assert(math.abs(got("centroid_cosine")._1 - 1.0) < 1e-12)
+  }
+
   test("jsDivergence: ~0 on identical corpora, near 1 on disjoint vocab, exactly symmetric") {
     // corpora big enough that +1 smoothing is marginal (on a
     // handful-of-tokens fixture the smoothing mass dominates and JS of
