@@ -2731,6 +2731,28 @@ object LlmQueries {
         emb.where(col("vec_id") % 2 === 1), "embedding")
     },
 
+    // ---- weighted deterministic sampling: keep docs with probability
+    //      proportional to length targeting 30% of the corpus — the
+    //      importance-sampling gate; thresholds exact integer
+    //      arithmetic over plan-build scalars, keep set hash-decided
+    //      and engine-identical ----
+    Q("q_weighted_sample", {
+      val r = math.floor(0.3 * 1000000).toLong
+      s"""WITH w AS (SELECT doc_id,
+        |    greatest(0, coalesce(
+        |      CAST(CAST(n_chars AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0)) AS u
+        |  FROM documents),
+        |t AS (SELECT CAST(sum(u) AS HUGEINT) AS s, count(*) AS n FROM w)
+        |SELECT d.doc_id, d.n_chars
+        |FROM documents d JOIN w ON w.doc_id = d.doc_id CROSS JOIN t
+        |WHERE (${duckHash("'wsample|' || CAST(d.doc_id AS VARCHAR)")} % 1000000)
+        |  < least(1000000, (CAST(w.u AS HUGEINT) * $r * t.n) // t.s)""".stripMargin
+    }) { (s, dir) =>
+      TrainingOps.weightedSample(
+        Tables(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", rate = 0.3, portable = true)
+    },
+
     // ---- one-stop drift dashboard: the odd half of the corpus
     //      scored against the even half on all three axes (numeric
     //      PSI, vocabulary JS, embedding-centroid cosine) — one row

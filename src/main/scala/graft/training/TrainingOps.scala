@@ -86,6 +86,46 @@ object TrainingOps {
     df.where(bucket < cut)
   }
 
+  /** WEIGHTED deterministic sampling: keep each row with probability
+    * proportional to its weight, targeting an overall `rate` of the
+    * corpus — "sample documents proportional to quality score", the
+    * importance-sampling step between scoring and the tokenizer.
+    * `p_i = min(1, w_i·rate·N / Σw)` (rows whose proportional share
+    * exceeds 1 are kept outright — the usual clamp, which makes the
+    * realized fraction land slightly under `rate` on skewed weights),
+    * decided by the same salted stable-id hash gate as
+    * [[stratifiedSample]] — reproducible across runs, engines
+    * (portable tier), and partition layouts. Negative/NULL weights
+    * mean "never keep".
+    *
+    * Determinism: weights snap to 1e-6 fixed point (exact for the
+    * integer and 6-decimal scores pipelines produce), Σw and N are
+    * bounded scalars collected at plan-build time (the
+    * `sampleToMixture` stance), and each row's threshold is exact
+    * integer arithmetic over DECIMAL(38,0) with floor division —
+    * every engine computes the identical keep set. Scoring is then a
+    * shuffle-free per-row filter projection.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     rate: Double, salt: String = "wsample",
+                     portable: Boolean = false): DataFrame = {
+    require(rate > 0.0 && rate <= 1.0, s"weightedSample: rate $rate outside (0,1]")
+    val u = greatest(lit(0L), coalesce(
+      (col(weightCol).cast(DecimalType(18, 6)) * lit(Ppm)).cast(LongType), lit(0L)))
+    val r0 = df.select(u.as("__u"))
+      .agg(sum(col("__u")).cast(DecimalType(38, 0)).as("s"), count(lit(1)).as("n"))
+      .head()                                // bounded scalars, plan-build
+    val (s, n) = (Option(r0.getDecimal(0)).map(_.toBigInteger), r0.getLong(1))
+    if (s.forall(_.signum == 0)) return df.where(lit(false)) // all-zero weights
+    val r = math.floor(rate * Ppm).toLong    // exact literal, both engines
+    // ppm threshold: p·10⁶ = (u/10⁶)·(r/10⁶)·N/(s/10⁶)·10⁶ = u·r·N/s
+    val thr = least(lit(Ppm), expr(
+      s"(CAST(__wsu AS DECIMAL(38,0)) * $r * $n) div ${s.get}"))
+    df.withColumn("__wsu", u)
+      .where(hashBucket(col(idCol), salt, portable) < thr)
+      .drop("__wsu")
+  }
+
   /** Downsample each source so the output approaches TARGET MIXTURE
     * weights — the data-mixture step of training-corpus assembly
     * ("webtext 60 / code 25 / academic 15" and so on). No source is

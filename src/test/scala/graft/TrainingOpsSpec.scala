@@ -10,6 +10,38 @@ class TrainingOpsSpec extends SparkSpec {
 
   private val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
 
+  test("weightedSample: rate honored, inclusion tracks weight, zero/null never kept, deterministic") {
+    val n = 4000
+    // two weight classes: ids < 2000 weight 1, >= 2000 weight 3; plus
+    // zero- and null-weight rows that must never survive
+    val rows = (0L until n.toLong).map(i => (i, Option(if (i < 2000) 1.0 else 3.0))) ++
+      Seq((9001L, Option(0.0)), (9002L, Option(-5.0)), (9003L, Option.empty[Double]))
+    val df = rows.toDF("id", "w")
+    val kept = TrainingOps.weightedSample(df, "id", "w", rate = 0.4)
+      .select("id").as[Long].collect().toSet
+    assert(!kept.contains(9001L) && !kept.contains(9002L) && !kept.contains(9003L))
+    val loRate = kept.count(_ < 2000).toDouble / 2000
+    val hiRate = kept.count(i => i >= 2000 && i < 4000).toDouble / 2000
+    // expected: p_lo = 1·0.4·N/Σw = 0.4·4000/8000 = 0.2; p_hi = 0.6
+    assert(math.abs(loRate - 0.2) < 0.04, s"lo $loRate")
+    assert(math.abs(hiRate - 0.6) < 0.04, s"hi $hiRate")
+    assert(math.abs(hiRate / loRate - 3.0) < 0.6, s"ratio ${hiRate / loRate}")
+    // deterministic: the same call reproduces the identical keep set
+    assert(TrainingOps.weightedSample(df, "id", "w", rate = 0.4)
+      .select("id").as[Long].collect().toSet == kept)
+    // uniform weights degrade to plain rate sampling
+    val uni = TrainingOps.weightedSample(
+      (0L until 5000L).map(i => (i, 1.0)).toDF("id", "w"), "id", "w", rate = 0.25)
+    assert(math.abs(uni.count() / 5000.0 - 0.25) < 0.03)
+    // clamp: a dominating weight is kept outright, never oversampled
+    val skew = (0L until 100L).map(i => (i, if (i == 0) 1e9 else 1.0)).toDF("id", "w")
+    val sk = TrainingOps.weightedSample(skew, "id", "w", rate = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(sk.contains(0L))
+    intercept[IllegalArgumentException](
+      TrainingOps.weightedSample(df, "id", "w", rate = 0.0))
+  }
+
   test("hashSplit: exhaustive labels, roughly proportional, validates weights") {
     val out = TrainingOps.hashSplit(docs, "doc_id",
       Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
