@@ -361,6 +361,65 @@ object HistSketch {
           .cast(DoubleType) / lit(1e17)).as("psi_bits"))
   }
 
+  /** PER-SOURCE numeric drift — the PSI member of the odd-one-out
+    * dashboards (`TextOps.sourceDivergence` is the vocabulary member):
+    * for every `groupCol` value, the [[histDriftPsi]] of that source's
+    * `valCol` distribution against THE REST of the corpus, with the
+    * complement derived by subtraction from global bucket counts —
+    * one corpus pass however many sources there are. Output:
+    * `(groupCol, n_buckets, n_src, n_rest, psi_bits)`; whole-corpus
+    * sources (empty complement) are omitted.
+    *
+    * Unlike the vocabulary dashboard no coarsening is needed: the
+    * bucket domain is bounded at 63·s+1 BY CONSTRUCTION, so the dense
+    * source×bucket grid the smoothing needs is |sources|·(63·s+1)
+    * rows at any corpus size. Same snapped-exact arithmetic as
+    * [[histDriftPsi]], per source; the per-source bucket counts are
+    * checkpoint-materialized so the corpus collapses exactly once
+    * (graft.util.Materialize rationale).
+    */
+  def histSourcePsi(df: DataFrame, groupCol: String, valCol: String,
+                    subBuckets: Int = DefaultSubBuckets): DataFrame = {
+    logS(subBuckets)
+    val d38 = DecimalType(38, 0)
+    def l8(e: Column): Column =
+      floor(log2(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
+    val perSrc = graft.util.Materialize.bounded(
+      df.where(col(valCol).isNotNull && col(groupCol).isNotNull)
+        .select(col(groupCol).cast(StringType).as("src"),
+          col(valCol).cast(LongType).as("__v"))
+        .select(col("src"),
+          expr(bucketCaseSql("__v", subBuckets, "div")).cast(IntegerType).as("bucket"))
+        .groupBy(col("src"), col("bucket")).agg(count(lit(1)).as("c")))
+    val global = perSrc.groupBy("bucket").agg(sum(col("c")).as("ctot"))
+    val grid = perSrc.select("src").distinct().crossJoin(broadcast(global))
+    val ps2 = perSrc.select(col("src").as("__s2"), col("bucket").as("__b2"),
+      col("c").as("__ca"))
+    val g2 = grid.join(ps2,
+        col("src") === col("__s2") && col("bucket") === col("__b2"), "left")
+      .select(col("src"), coalesce(col("__ca"), lit(0L)).as("ca"),
+        (col("ctot") - coalesce(col("__ca"), lit(0L))).as("cb"))
+    val totals = g2.groupBy("src").agg(count(lit(1)).as("__k"),
+      (sum(col("ca")) + count(lit(1))).as("__na"),
+      (sum(col("cb")) + count(lit(1))).as("__nb"),
+      sum(col("cb")).as("__rb"))
+    def q(c: String, n: String): Column =
+      expr(s"CAST((CAST($c + 1 AS DECIMAL(38,0)) * 1000000000) div $n AS BIGINT)")
+    g2.join(totals, "src")                  // |sources| rows, AQE-broadcastable
+      .where(col("__rb") > 0)
+      .select(col("src"), col("__k"), col("__na"), col("__nb"),
+        q("ca", "__na").as("__qa"), q("cb", "__nb").as("__qb"),
+        (l8(col("ca") + 1) - l8(col("__na"))
+          - l8(col("cb") + 1) + l8(col("__nb"))).as("__l"))
+      .groupBy(col("src"))
+      .agg(max(col("__k")).as("n_buckets"),
+        (max(col("__na")) - max(col("__k"))).as("n_src"),
+        (max(col("__nb")) - max(col("__k"))).as("n_rest"),
+        (sum((col("__qa") - col("__qb")).cast(d38) * col("__l"))
+          .cast(DoubleType) / lit(1e17)).as("psi_bits"))
+      .withColumnRenamed("src", groupCol)
+  }
+
   /** ROLLING drift monitor — the per-day twin of [[histDriftPsi]] and
     * the PSI member of the rolling-gauge family
     * (`Sketches.hllRollingEstimate`, [[histRollingQuantiles]]): for

@@ -2884,6 +2884,44 @@ object LlmQueries {
         docs.where(col("lang") =!= "en"), "text")
     },
 
+    // ---- per-source NUMERIC drift: every source's length PSI against
+    //      the rest of the corpus, complement by subtraction from
+    //      global bucket counts — one corpus pass, dense grid bounded
+    //      at sources×(63·s+1) by the bucket domain itself ----
+    Q("q_source_psi", {
+      import graft.profile.HistSketch._
+      def l8(x: String) =
+        s"CAST(floor(log2(CAST($x AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)"
+      s"""WITH v AS (SELECT source AS src, n_chars AS v FROM documents
+        |    WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |b AS (SELECT src, ${bucketCaseSql("v", 16, "//")} AS bucket FROM v),
+        |ps AS (SELECT src, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+        |g AS (SELECT bucket, sum(c) AS ctot FROM ps GROUP BY 1),
+        |grid AS (SELECT s.src, g.bucket, g.ctot
+        |         FROM (SELECT DISTINCT src FROM ps) s CROSS JOIN g),
+        |g2 AS (SELECT grid.src, coalesce(ps.c, 0) AS ca,
+        |         grid.ctot - coalesce(ps.c, 0) AS cb
+        |       FROM grid LEFT JOIN ps
+        |         ON ps.src = grid.src AND ps.bucket = grid.bucket),
+        |t AS (SELECT src, CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(ca) + count(*) AS BIGINT) AS na,
+        |        CAST(sum(cb) + count(*) AS BIGINT) AS nb,
+        |        sum(cb) AS rb
+        |      FROM g2 GROUP BY 1),
+        |term AS (SELECT g2.src AS src, k, na, nb,
+        |    CAST((CAST(ca + 1 AS HUGEINT) * 1000000000) // na AS BIGINT) AS qa,
+        |    CAST((CAST(cb + 1 AS HUGEINT) * 1000000000) // nb AS BIGINT) AS qb,
+        |    ${l8("ca + 1")} - ${l8("na")} - ${l8("cb + 1")} + ${l8("nb")} AS l
+        |  FROM g2 JOIN t ON t.src = g2.src WHERE rb > 0)
+        |SELECT src AS source, max(k) AS n_buckets,
+        |  max(na) - max(k) AS n_src, max(nb) - max(k) AS n_rest,
+        |  CAST(sum(CAST(qa - qb AS HUGEINT) * l) AS DOUBLE) / 1e17 AS psi_bits
+        |FROM term GROUP BY 1""".stripMargin
+    }) { (s, dir) =>
+      graft.profile.HistSketch.histSourcePsi(
+        Tables(s, dir, "documents"), "source", "n_chars")
+    },
+
     // ---- per-source divergence dashboard: every source's JS against
     //      the REST of the corpus, complement derived by subtraction
     //      from global counts (one tokenize pass for all sources);

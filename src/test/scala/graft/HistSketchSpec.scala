@@ -209,6 +209,27 @@ class HistSketchSpec extends SparkSpec {
     }
   }
 
+  test("histSourcePsi: odd source fires, identical-profile sources stay low, solo omitted") {
+    val rows = (1 to 300).map(i => ("a", (i % 80).toLong + 20)) ++
+      (1 to 300).map(i => ("b", (i % 80).toLong + 20)) ++      // same profile as a
+      (1 to 300).map(i => ("c", (i % 80).toLong * 1000 + 50000)) // wildly different
+    val got = HistSketch.histSourcePsi(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set("a", "b", "c"))
+    got.foreach { case (g, (nSrc, nRest, _)) =>
+      assert(nSrc == 300 && nRest == 600, s"$g totals") }
+    // the alien source drifts far beyond its identical-profile peers
+    // (the peers aren't near 0: c pollutes THEIR complement too)
+    assert(got("c")._3 > 3 * got("a")._3, s"c=${got("c")._3} a=${got("a")._3}")
+    assert(got("c")._3 > 3 * got("b")._3)
+    // a and b share a profile exactly -> identical gauge by symmetry
+    assert(got("a")._3 == got("b")._3, s"a=${got("a")._3} b=${got("b")._3}")
+    // single-source corpus: complement empty -> omitted
+    assert(HistSketch.histSourcePsi(
+      rows.filter(_._1 == "a").toDF("g", "v"), "g", "v").count() == 0)
+  }
+
   test("histRollingPsi: 0 on a repeat day, fires on a shifted day, omits empty references") {
     val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-03-$d%02d 09:00:00")
     val rows = (1 to 100).map(v => (ts(1), v.toLong)) ++      // d1: baseline
