@@ -50,6 +50,29 @@ object IndexDashboard {
     psi.unionByName(js).unionByName(cen)
   }
 
+  /** Per-source odd-one-out dashboard: every source scored against
+    * the rest of the corpus on BOTH drift axes — numeric profile
+    * (`HistSketch.histSourcePsi` over `valCol`) and vocabulary
+    * (`TextOps.sourceDivergence` over `textCol`) — as one
+    * `(source, gauge, value, n_src, n_rest)` frame ordered for the
+    * morning scan. The union is a concat of two |sources|-row frames;
+    * each member keeps its own bounded-grid shape (bucket domain /
+    * coarsened top-K vocabulary), so the whole dashboard costs three
+    * corpus passes total (one for PSI, two for JS's top-K election +
+    * coarsened counts) at any number of sources.
+    */
+  def sourceDriftDashboard(df: DataFrame, groupCol: String,
+                           valCol: String, textCol: String,
+                           vocabLimit: Int = 10000): DataFrame = {
+    val psi = graft.profile.HistSketch.histSourcePsi(df, groupCol, valCol)
+      .select(col(groupCol), lit("psi_bits").as("gauge"),
+        col("psi_bits").as("value"), col("n_src"), col("n_rest"))
+    val js = graft.text.TextOps.sourceDivergence(df, groupCol, textCol, vocabLimit)
+      .select(col(groupCol), lit("js_bits").as("gauge"),
+        col("js_bits").as("value"), col("n_src"), col("n_rest"))
+    psi.unionByName(js)
+  }
+
   def indexHealthAll(spark: SparkSession,
                      dedupDir: Option[String] = None,
                      winnowDir: Option[String] = None,

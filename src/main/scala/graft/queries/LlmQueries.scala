@@ -2884,6 +2884,82 @@ object LlmQueries {
         docs.where(col("lang") =!= "en"), "text")
     },
 
+    // ---- per-source drift dashboard: both odd-one-out gauges
+    //      (numeric PSI + vocabulary JS) per source in one frame ----
+    Q("q_source_drift", {
+      import graft.profile.HistSketch._
+      def l8(x: String) =
+        s"CAST(floor(log2(CAST($x AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)"
+      val psi =
+        s"""WITH v AS (SELECT source AS src, n_chars AS v FROM documents
+          |    WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+          |b AS (SELECT src, ${bucketCaseSql("v", 16, "//")} AS bucket FROM v),
+          |ps AS (SELECT src, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+          |g AS (SELECT bucket, sum(c) AS ctot FROM ps GROUP BY 1),
+          |grid AS (SELECT s.src, g.bucket, g.ctot
+          |         FROM (SELECT DISTINCT src FROM ps) s CROSS JOIN g),
+          |g2 AS (SELECT grid.src, coalesce(ps.c, 0) AS ca,
+          |         grid.ctot - coalesce(ps.c, 0) AS cb
+          |       FROM grid LEFT JOIN ps
+          |         ON ps.src = grid.src AND ps.bucket = grid.bucket),
+          |t AS (SELECT src, CAST(count(*) AS BIGINT) AS k,
+          |        CAST(sum(ca) + count(*) AS BIGINT) AS na,
+          |        CAST(sum(cb) + count(*) AS BIGINT) AS nb,
+          |        sum(cb) AS rb
+          |      FROM g2 GROUP BY 1),
+          |term AS (SELECT g2.src AS src, k, na, nb,
+          |    CAST((CAST(ca + 1 AS HUGEINT) * 1000000000) // na AS BIGINT) AS qa,
+          |    CAST((CAST(cb + 1 AS HUGEINT) * 1000000000) // nb AS BIGINT) AS qb,
+          |    ${l8("ca + 1")} - ${l8("na")} - ${l8("cb + 1")} + ${l8("nb")} AS l
+          |  FROM g2 JOIN t ON t.src = g2.src WHERE rb > 0)
+          |SELECT src AS source,
+          |  CAST(sum(CAST(qa - qb AS HUGEINT) * l) AS DOUBLE) / 1e17 AS value,
+          |  max(na) - max(k) AS n_src, max(nb) - max(k) AS n_rest
+          |FROM term GROUP BY 1""".stripMargin
+      val js =
+        s"""WITH toks AS (SELECT source AS src, unnest($duckWords) AS term
+          |    FROM documents WHERE source IS NOT NULL),
+          |tc AS (SELECT src, term, count(*) AS c FROM toks GROUP BY 1, 2),
+          |gt AS (SELECT term, sum(c) AS c FROM tc GROUP BY 1),
+          |top AS (SELECT term FROM gt ORDER BY c DESC, term LIMIT 50),
+          |tc2 AS (SELECT src,
+          |          CASE WHEN term IN (SELECT term FROM top) THEN term END AS t,
+          |          sum(c) AS c
+          |        FROM tc GROUP BY 1, 2),
+          |gt2 AS (SELECT t, sum(c) AS ctot FROM tc2 GROUP BY 1),
+          |grid AS (SELECT s.src, g.t, g.ctot
+          |         FROM (SELECT DISTINCT src FROM tc2) s CROSS JOIN gt2 g),
+          |g2 AS (SELECT grid.src, coalesce(tc2.c, 0) AS ca,
+          |         grid.ctot - coalesce(tc2.c, 0) AS cb
+          |       FROM grid LEFT JOIN tc2
+          |         ON tc2.src = grid.src AND tc2.t IS NOT DISTINCT FROM grid.t),
+          |t AS (SELECT src, CAST(count(*) AS BIGINT) AS k,
+          |        CAST(sum(ca) + count(*) AS BIGINT) AS na,
+          |        CAST(sum(cb) + count(*) AS BIGINT) AS nb,
+          |        sum(cb) AS rb
+          |      FROM g2 GROUP BY 1),
+          |term AS (SELECT g2.src AS src, k, na, nb, ca, cb,
+          |    CAST(ca + 1 AS HUGEINT) * nb + CAST(cb + 1 AS HUGEINT) * na AS mix
+          |  FROM g2 JOIN t ON t.src = g2.src WHERE rb > 0),
+          |s AS (SELECT src, max(k) AS k, max(na) AS na, max(nb) AS nb,
+          |    sum(CAST(ca + 1 AS HUGEINT) *
+          |        (100000000 + ${l8("ca + 1")} + ${l8("nb")} - ${l8("mix")})) AS sa,
+          |    sum(CAST(cb + 1 AS HUGEINT) *
+          |        (100000000 + ${l8("cb + 1")} + ${l8("na")} - ${l8("mix")})) AS sb
+          |  FROM term GROUP BY 1)
+          |SELECT src AS source,
+          |  (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+          |    + CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2e8 AS value,
+          |  na - k AS n_src, nb - k AS n_rest
+          |FROM s""".stripMargin
+      s"""SELECT source, 'psi_bits' AS gauge, value, n_src, n_rest FROM ($psi)
+        |UNION ALL
+        |SELECT source, 'js_bits' AS gauge, value, n_src, n_rest FROM ($js)""".stripMargin
+    }) { (s, dir) =>
+      graft.meta.IndexDashboard.sourceDriftDashboard(
+        Tables(s, dir, "documents"), "source", "n_chars", "text", vocabLimit = 50)
+    },
+
     // ---- per-source NUMERIC drift: every source's length PSI against
     //      the rest of the corpus, complement by subtraction from
     //      global bucket counts — one corpus pass, dense grid bounded

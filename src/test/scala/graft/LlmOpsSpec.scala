@@ -186,6 +186,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(d == 4)
   }
 
+  test("sourceDriftDashboard: both gauges per source, odd source tops both axes") {
+    val rows = (1L to 120L).map { i =>
+      val src = if (i % 3 == 0) "weird" else if (i % 3 == 1) "a" else "b"
+      val text = if (src == "weird") "zygote xylem qanat" else "the quick brown fox"
+      val len = if (src == "weird") 90000L + i else 100L + (i % 9)
+      (i, src, text, len)
+    }.toDF("doc_id", "source", "text", "n_chars")
+    val got = graft.meta.IndexDashboard.sourceDriftDashboard(
+      rows, "source", "n_chars", "text", vocabLimit = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet.map(_._2) == Set("psi_bits", "js_bits"))
+    assert(got.keySet.map(_._1) == Set("a", "b", "weird"))
+    assert(got(("weird", "psi_bits")) > got(("a", "psi_bits")))
+    assert(got(("weird", "js_bits")) > got(("a", "js_bits")))
+  }
+
   test("driftDashboard: all three gauges, identical halves read as no-drift") {
     val docsF = (1L to 60L).map(i => (i, "alpha beta gamma", 100L + (i % 7)))
       .toDF("doc_id", "text", "n_chars")
