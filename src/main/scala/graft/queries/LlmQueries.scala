@@ -2884,6 +2884,48 @@ object LlmQueries {
         docs.where(col("lang") =!= "en"), "text")
     },
 
+    // ---- rolling event-mix drift: per-day JS of the event-type mix
+    //      vs the trailing 7 days — "did today's event distribution
+    //      shift", from per-(day, type) count rows, never events ----
+    Q("q_js_rolling", {
+      def l8(x: String) =
+        s"CAST(floor(log2(CAST($x AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)"
+      s"""WITH v AS (SELECT CAST(ts AS DATE) AS d, event_type AS k
+        |    FROM events WHERE event_type IS NOT NULL),
+        |pd AS (SELECT d, k, count(*) AS cnt FROM v GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT d FROM pd),
+        |ref AS (SELECT days.d AS day, pd.k, sum(cnt) AS cb
+        |        FROM days JOIN pd ON pd.d BETWEEN days.d - 7 AND days.d - 1
+        |        GROUP BY 1, 2),
+        |cur AS (SELECT d AS day, k, cnt AS ca FROM pd),
+        |j AS (SELECT coalesce(cur.day, ref.day) AS day,
+        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM cur FULL OUTER JOIN ref
+        |        ON cur.day = ref.day AND cur.k = ref.k),
+        |t AS (SELECT day, CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(ca) + count(*) AS BIGINT) AS na,
+        |        CAST(sum(cb) + count(*) AS BIGINT) AS nb,
+        |        sum(ca) AS ra, sum(cb) AS rb
+        |      FROM j GROUP BY 1),
+        |term AS (SELECT j.day AS day, k, na, nb, ca, cb,
+        |    CAST(ca + 1 AS HUGEINT) * nb + CAST(cb + 1 AS HUGEINT) * na AS mix
+        |  FROM j JOIN t ON t.day = j.day WHERE ra > 0 AND rb > 0),
+        |s AS (SELECT day, max(k) AS k, max(na) AS na, max(nb) AS nb,
+        |    sum(CAST(ca + 1 AS HUGEINT) *
+        |        (100000000 + ${l8("ca + 1")} + ${l8("nb")} - ${l8("mix")})) AS sa,
+        |    sum(CAST(cb + 1 AS HUGEINT) *
+        |        (100000000 + ${l8("cb + 1")} + ${l8("na")} - ${l8("mix")})) AS sb
+        |  FROM term GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, k AS n_keys,
+        |  na - k AS n_cur, nb - k AS n_ref,
+        |  (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |    + CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2e8 AS js_bits
+        |FROM s""".stripMargin
+    }) { (s, dir) =>
+      TextOps.jsRollingDivergence(
+        Tables(s, dir, "events"), "event_type", "ts", windowDays = 7)
+    },
+
     // ---- per-source drift dashboard: both odd-one-out gauges
     //      (numeric PSI + vocabulary JS) per source in one frame ----
     Q("q_source_drift", {

@@ -311,6 +311,67 @@ object TextOps {
           / lit(2e8)).as("js_bits"))
   }
 
+  /** ROLLING categorical-mix drift — the JS member of the per-day
+    * monitor family ([[graft.profile.HistSketch.histRollingPsi]] is
+    * the numeric member): for every day with data AND a non-empty
+    * trailing reference, the Jensen–Shannon divergence of that day's
+    * `keyCol` MIX (event types, languages, sources — any categorical;
+    * for token mixes explode + coarsen upstream) against the merged
+    * counts of the `windowDays` days strictly before it. Returns
+    * `(day 'yyyy-MM-dd', n_keys, n_cur, n_ref, js_bits)`; first-day /
+    * empty-reference rows are omitted.
+    *
+    * Same snapped-exact arithmetic as [[jsDivergence]], per day. Scale
+    * shape: the corpus collapses to per-(day, key) counts first (one
+    * map-side-combinable groupBy, materialized — bounded at
+    * days × |categories|); the ≤windowDays explode fans out COUNT
+    * rows, never events, and every later join is count-row-sized.
+    */
+  def jsRollingDivergence(df: DataFrame, keyCol: String, tsCol: String,
+                          windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "jsRollingDivergence: windowDays must be >= 1")
+    val d38 = DecimalType(38, 0)
+    def l8(e: Column): Column =
+      floor(log2(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
+    val perDay = graft.util.Materialize.bounded(
+      df.where(col(keyCol).isNotNull)
+        .select(to_date(col(tsCol)).as("__d"),
+          col(keyCol).cast(StringType).as("k"))
+        .groupBy(col("__d"), col("k")).agg(count(lit(1)).as("cnt")))
+    val days = perDay.select(col("__d").as("day")).distinct()
+    val ref = perDay.select(col("k"), col("cnt").as("cb"),
+        explode(sequence(date_add(col("__d"), 1),
+          date_add(col("__d"), windowDays))).as("day"))
+      .join(broadcast(days), "day")
+      .groupBy(col("day"), col("k")).agg(sum(col("cb")).as("cb"))
+    val cur = perDay.select(col("__d").as("day"), col("k"), col("cnt").as("ca"))
+    val j = cur.join(ref, Seq("day", "k"), "full_outer")
+      .select(col("day"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = j.groupBy("day").agg(count(lit(1)).as("__k"),
+      (sum(col("ca")) + count(lit(1))).as("__na"),
+      (sum(col("cb")) + count(lit(1))).as("__nb"),
+      sum(col("ca")).as("__ra"), sum(col("cb")).as("__rb"))
+    val mix = ((col("ca") + 1).cast(d38) * col("__nb")
+      + (col("cb") + 1).cast(d38) * col("__na"))
+    j.join(totals, "day")                   // |days| rows, AQE-broadcastable
+      .where(col("__ra") > 0 && col("__rb") > 0)
+      .select(col("day"), col("__k"), col("__na"), col("__nb"),
+        ((col("ca") + 1).cast(d38) *
+          (lit(100000000L) + l8(col("ca") + 1) + l8(col("__nb")) - l8(mix))).as("__ta"),
+        ((col("cb") + 1).cast(d38) *
+          (lit(100000000L) + l8(col("cb") + 1) + l8(col("__na")) - l8(mix))).as("__tb"))
+      .groupBy(col("day"))
+      .agg(max(col("__k")).as("n_keys"),
+        (max(col("__na")) - max(col("__k"))).as("n_cur"),
+        (max(col("__nb")) - max(col("__k"))).as("n_ref"),
+        ((sum(col("__ta")).cast(DoubleType) / max(col("__na")).cast(DoubleType)
+          + sum(col("__tb")).cast(DoubleType) / max(col("__nb")).cast(DoubleType))
+          / lit(2e8)).as("js_bits"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_keys"), col("n_cur"), col("n_ref"), col("js_bits"))
+  }
+
   /** Per-source divergence dashboard — "which source is the odd one
     * out": for every value of `groupCol`, the [[jsDivergence]] of that
     * source's unigram mix against THE REST OF THE CORPUS. The

@@ -186,6 +186,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(d == 4)
   }
 
+  test("jsRollingDivergence: ~0 on a repeat day, fires on a shifted mix, omits empty refs") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-05-$d%02d 12:00:00")
+    val rows = (1 to 100).map(i => (ts(1), if (i % 2 == 0) "click" else "view")) ++
+      (1 to 100).map(i => (ts(2), if (i % 2 == 0) "click" else "view")) ++  // repeat mix
+      (1 to 100).map(_ => (ts(3), "purchase")) ++                           // shifted mix
+      (1 to 50).map(_ => (ts(20), "view"))                                  // ref window empty
+    val got = TextOps.jsRollingDivergence(rows.toDF("ts", "k"), "k", "ts", windowDays = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set("2024-05-02", "2024-05-03"))
+    val (cur2, ref2, js2) = got("2024-05-02")
+    assert(cur2 == 100 && ref2 == 100)
+    assert(math.abs(js2) < 1e-6, s"repeat mix gave $js2")
+    val (_, ref3, js3) = got("2024-05-03")
+    assert(ref3 == 200)
+    assert(js3 > 0.5, s"shifted mix gave $js3")
+  }
+
   test("sourceDriftDashboard: both gauges per source, odd source tops both axes") {
     val rows = (1L to 120L).map { i =>
       val src = if (i % 3 == 0) "weird" else if (i % 3 == 1) "a" else "b"
