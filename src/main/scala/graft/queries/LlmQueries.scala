@@ -2017,8 +2017,8 @@ object LlmQueries {
     // ---- 2-hop feature aggregation with the fan-out cap engaged: the
     //      supplier↔customer graph is DENSE bipartite (uncapped 2-hop
     //      = hundreds of millions of rows at sf0.1 — measured at
-    //      240 s), so each intermediate node expands only its 64
-    //      smallest-id neighbors, bounding the self-join at |E|·64 ----
+    //      240 s), so each intermediate node expands only its 32
+    //      smallest-id neighbors, bounding the self-join at |E|·32 ----
     Q("q_neighborhood_agg",
       """WITH sc AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
         |    CAST(o_custkey + 1000000 AS BIGINT) AS dst
@@ -2026,7 +2026,7 @@ object LlmQueries {
         |e AS (SELECT src, dst FROM sc UNION SELECT dst, src FROM sc),
         |e2c AS (SELECT m, d2 FROM (SELECT src AS m, dst AS d2,
         |          row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM e)
-        |        WHERE rn <= 64),
+        |        WHERE rn <= 32),
         |two AS (SELECT e.src, c.d2 AS dst FROM e JOIN e2c c ON e.dst = c.m
         |        WHERE c.d2 <> e.src),
         |nbr AS (SELECT src, dst FROM e UNION SELECT src, dst FROM two),
@@ -2052,7 +2052,7 @@ object LlmQueries {
           .select((col("c_custkey") + 1000000L).cast(LongType).as("node"),
             col("c_acctbal").as("val")))
       GraphOps.neighborhoodAgg(edges, "src", "dst", values, "node", "val",
-        hops = 2, maxDegree = 64)
+        hops = 2, maxDegree = 32)
     },
 
     // ---- PERSONALIZED PageRank: teleport re-aimed at suppliers
