@@ -176,6 +176,14 @@ object Bench {
       // operators that persist intermediates (LSH/jaccard) must not
       // bleed storage pressure into later queries
       spark.catalog.clearCache()
+      // ...and neither must RDD-level residue clearCache can't see:
+      // iterative operators leave their final persisted frame (CC's
+      // fixpoint, PageRank's last state) and Materialize.bounded
+      // leaves local-checkpoint blocks — across 193 queries that
+      // accumulates into storage pressure charged to whoever runs
+      // late in the suite. Queries are independent, so dropping ALL
+      // persistent RDDs between them is safe.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       // heap-pressure settle: a suite this long can enter a query with
       // the old-gen nearly full, and the victim query then absorbs a
       // full collection that belongs to its predecessors — collect

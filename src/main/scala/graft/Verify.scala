@@ -27,6 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop per-query RDD residue (final persisted frames of iterative
+      // operators, local-checkpoint blocks) — queries are independent,
+      // and a ~200-query dump in one JVM otherwise accumulates storage
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -233,12 +233,23 @@ object GraphOps {
                        localThreshold: Int = 100000): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    // leak discipline for the STREAMING caller: the CC recursion leaves
+    // its final fixpoint frame persisted and the warm start leaves a
+    // local checkpoint — per refresh. A long-lived stream refreshing
+    // every epoch would accumulate blocks without bound, so release
+    // everything THIS call persisted once the artifact is durably
+    // written (safe: the returned frame re-reads the artifact, no
+    // lineage into the released blocks).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val updated =
       if (exists) connectedComponentsFrom(readGroupIndex(spark, dir),
         newEdges, srcCol, dstCol, maxIterations, localThreshold)
       else connectedComponents(newEdges, srcCol, dstCol,
         maxIterations, localThreshold)   // first tick births the index
     writeGroupIndex(updated, dir)
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) }
+      .values.foreach(_.unpersist(blocking = false))
     readGroupIndex(spark, dir)
   }
 

@@ -108,6 +108,13 @@ class GraphOpsSpec extends SparkSpec {
       // the stored artifact round-trips
       assert(GraphOps.readGroupIndex(spark, dir)
         .as[(Long, Long)].collect().toMap == want)
+      // leak discipline: a refresh releases every block it persisted
+      // (the streaming caller refreshes every epoch, forever)
+      val persisted0 = spark.sparkContext.getPersistentRDDs.keySet
+      GraphOps.updateGroupIndex(spark, dir, newE.toDF("a", "b"), "a", "b",
+        localThreshold = 0).count()
+      assert(spark.sparkContext.getPersistentRDDs.keySet == persisted0,
+        "updateGroupIndex must not leave persisted blocks behind")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir).getParentFile)
   }
