@@ -379,6 +379,59 @@ object StreamingOps {
       .start()
   }
 
+  /** STREAMING drift monitor: per micro-batch, the PSI of the batch's
+    * `valCol` distribution against the at-rest histogram artifact
+    * (HISTORY — [[graft.profile.HistSketch]] tranches), appended as
+    * one epoch-tagged row `(batch, n_buckets, n_ref, n_new, psi_bits)`
+    * to a drift log the alerting side tails — "did THIS five-minute
+    * ingest slice drift from everything before it", continuously.
+    * With `absorb = true` the batch's histogram is then folded into
+    * the artifact as its own tranche (monitor-then-absorb: the batch
+    * is always scored against history that does NOT yet contain it).
+    *
+    * Replay safety: both the log row and the absorbed tranche are
+    * keyed `batch=<epoch>` and overwritten on re-delivery — scoring
+    * is deterministic given (batch, artifact), and re-absorbing
+    * overwrites the epoch's own tranche, so any replay converges
+    * (same stance as the histogram stream; NOTE a re-scored replay
+    * after absorption reads history that now includes the batch — the
+    * log row stays the FIRST delivery's truth only if the epoch wrote
+    * it; overwriting with the re-scored value is still deterministic
+    * and monotone-safe for alerting).
+    */
+  def driftStream(rows: DataFrame, histDir: String, logDir: String,
+                  valCol: String, checkpointDir: String,
+                  absorb: Boolean = true,
+                  subBuckets: Int = graft.profile.HistSketch.DefaultSubBuckets)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "driftStream: checkpointDir is required")
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val hs = graft.profile.HistSketch
+        val cur = hs.histSketch(batch, valCol, subBuckets)
+        // the epoch rides as the batch=<epoch> partition directory (the
+        // tranche convention) — not as a data column, so partition
+        // discovery surfaces it on read without a name collision
+        val gauge = hs.histDriftPsi(cur,
+            hs.readHist(batch.sparkSession, histDir))
+          .select(org.apache.spark.sql.functions.col("n_buckets"),
+            org.apache.spark.sql.functions.col("n_b").as("n_ref"),
+            org.apache.spark.sql.functions.col("n_a").as("n_new"),
+            org.apache.spark.sql.functions.col("psi_bits"))
+        gauge.coalesce(1).write.mode("overwrite")
+          .parquet(s"$logDir/batch=$epoch")
+        if (absorb) hs.writeHistTranche(cur, histDir, epoch.toString)
+      }
+      .start()
+  }
+
+  /** Merge-on-read of a [[driftStream]] log: one row per scored epoch. */
+  def readDriftLog(spark: org.apache.spark.sql.SparkSession,
+                   logDir: String): DataFrame =
+    spark.read.parquet(logDir)
+
   /** Streaming maintenance of the at-rest GROUP-assignment index
     * ([[graft.graph.GraphOps.writeGroupIndex]]): each micro-batch of
     * edges warm-starts connected components from the STORED assignment

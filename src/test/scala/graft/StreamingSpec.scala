@@ -270,6 +270,36 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == expected)
   }
 
+  test("driftStream: per-epoch PSI vs at-rest history, monitor-then-absorb") {
+    import graft.profile.HistSketch
+    val base = Files.createTempDirectory("graft_drift_stream").toString
+    val hist = s"$base/h"; val log = s"$base/log"; val ck = s"$base/ck"
+    // seed history: a baseline 1..500 distribution
+    HistSketch.writeHistTranche(
+      HistSketch.histSketch((1L to 500L).toDF("v"), "v"), hist, "seed")
+    val mem = MemoryStream[Long](spark, 1)
+    val q = StreamingOps.driftStream(mem.toDF.toDF("v"), hist, log, "v",
+      checkpointDir = ck)
+    try {
+      mem.addData(1L to 500L: _*); q.processAllAvailable()   // epoch 0: same mix
+      mem.addData((1L to 400L).map(_ * 10000L): _*); q.processAllAvailable() // epoch 1: shifted
+      val rows = StreamingOps.readDriftLog(spark, log)
+        .collect().map(r => r.getAs[Int]("batch") ->
+          ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_new"), r.getAs[Double]("psi_bits")))).toMap
+      val (ref0, new0, psi0) = rows(0)
+      assert(ref0 == 500 && new0 == 500)
+      assert(psi0 == 0.0, s"identical epoch gave $psi0")     // same buckets exactly
+      val (ref1, new1, psi1) = rows(1)
+      // monitor-then-absorb: epoch 1 scored against seed + epoch 0
+      assert(ref1 == 1000 && new1 == 400)
+      assert(psi1 > 1.0, s"shifted epoch gave $psi1")
+      // history absorbed both epochs
+      val merged = HistSketch.readHist(spark, hist)
+        .agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0)
+      assert(merged == 1400)
+    } finally q.stop()
+  }
+
   test("groupIndexStream: streamed edges keep the group index equal to the full-graph CC") {
     import graft.graph.GraphOps
     val base = Files.createTempDirectory("graft_grp_stream").toString
