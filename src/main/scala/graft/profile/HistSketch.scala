@@ -544,6 +544,34 @@ object HistSketch {
       .drop("__bv", "__bk", "__below", "__total")
   }
 
+  /** PER-GROUP winsorization — [[histWinsorize]] with each row
+    * clamped into ITS OWN group's `[pLo, pHi]` band from a
+    * [[histSketchBy]] result: per-domain outlier norms differ (a
+    * 50k-char doc is an outlier for tweets, median for legal filings),
+    * so the curation gate should too. Bounds come from the ≤2-row-per-
+    * group [[histQuantilesBy]] read, pivoted to `(group..., lo, hi)`
+    * and BROADCAST-joined (bounded |groups| rows — no corpus shuffle);
+    * scoring stays a per-row `least/greatest`. NULL values pass
+    * through; rows whose group has no sketch history pass through
+    * UNCLAMPED (no bounds exist to apply — flag upstream if that
+    * should quarantine instead).
+    */
+  def histWinsorizeBy(df: DataFrame, groupCols: Seq[String], valCol: String,
+                      sketch: DataFrame, pLo: Double, pHi: Double,
+                      subBuckets: Int = DefaultSubBuckets): DataFrame = {
+    require(pLo > 0 && pLo < pHi && pHi <= 1,
+      s"histWinsorizeBy: need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    val bounds = histQuantilesBy(sketch, groupCols, Seq(pLo, pHi), subBuckets)
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("p") === pLo, col("value"))).as("lo"),
+        max(when(col("p") === pHi, col("value"))).as("hi"))
+    val v = col(valCol).cast(LongType)
+    df.join(broadcast(bounds), groupCols, "left")
+      .withColumn(s"${valCol}_w",
+        when(v.isNull || col("lo").isNull, v)
+          .otherwise(least(greatest(v, col("lo")), col("hi"))))
+  }
+
   /** ROBUST anomaly band from the histogram sketch: `[med − k·MAD,
     * med + k·MAD]` with both the median and the median absolute
     * deviation read from the ≤63·s+1-row sketch — the robust

@@ -2622,6 +2622,43 @@ object LlmQueries {
         HistSketch.histSketch(docs.where(col("lang") =!= "en"), "n_chars"))
     },
 
+    // ---- per-group winsorize: each doc clamped into ITS SOURCE's
+    //      [p05, p95] length band (per-domain outlier norms differ);
+    //      bounds from the grouped histogram, broadcast-joined ----
+    Q("q_winsorize_by", {
+      import graft.profile.HistSketch._
+      s"""WITH v AS (SELECT source AS g, n_chars AS v FROM documents
+        |    WHERE n_chars IS NOT NULL),
+        |b AS (SELECT g, ${bucketCaseSql("v", 16, "//")} AS bucket FROM v),
+        |sk AS (SELECT g, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT g, bucket, cnt,
+        |        sum(cnt) OVER (PARTITION BY g ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER (PARTITION BY g) AS total
+        |      FROM sk),
+        |pp AS (SELECT unnest([0.05, 0.95]) AS p),
+        |sel AS (SELECT c.g AS g, pp.p AS p, min(c.bucket) AS b
+        |        FROM pp JOIN c
+        |          ON c.cum >= greatest(1, CAST(ceil(pp.p * c.total) AS BIGINT))
+        |        GROUP BY 1, 2),
+        |bv AS (SELECT g, p, CAST(${lowerBoundCaseSql("b", 16, "//")} AS BIGINT) AS val
+        |       FROM sel),
+        |bounds AS (SELECT g, min(CASE WHEN p = 0.05 THEN val END) AS lo,
+        |                  max(CASE WHEN p = 0.95 THEN val END) AS hi
+        |           FROM bv GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_chars, bounds.lo, bounds.hi,
+        |  CASE WHEN d.n_chars IS NULL OR bounds.lo IS NULL THEN d.n_chars
+        |       ELSE least(greatest(d.n_chars, bounds.lo), bounds.hi) END AS n_chars_w
+        |FROM documents d LEFT JOIN bounds ON bounds.g = d.source""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.HistSketch
+      val docs = Tables(s, dir, "documents")
+      HistSketch.histWinsorizeBy(docs.select("doc_id", "source", "n_chars"),
+        Seq("source"), "n_chars",
+        HistSketch.histSketchBy(docs, Seq("source"), "n_chars"),
+        pLo = 0.05, pHi = 0.95)
+    },
+
     // ---- GROUPED quantiles from grouped histograms — the quantile
     //      twin of q_hll_grouped: per-source p50/p95 doc length, built
     //      from two disjoint halves merged per-(group, bucket) by sum;

@@ -294,6 +294,30 @@ class HistSketchSpec extends SparkSpec {
     assert(ranks.zip(ranks.tail).forall { case (a, b) => a <= b }, "must be monotone")
   }
 
+  test("histWinsorizeBy: per-group bands, missing-group passthrough, null-safe") {
+    // group a lives near 100, group b near 100000 — a value normal for
+    // b must be clamped for a, and vice versa
+    val hist = HistSketch.histSketchBy(
+      ((1 to 1000).map(i => ("a", 50L + (i % 101))) ++
+        (1 to 1000).map(i => ("b", 50000L + i * 50L))).toDF("g", "v"), // 50050..100000
+      Seq("g"), "v")
+    val batch = Seq(("a", Option(100L)), ("a", Option(99999L)), ("a", Option(1L)),
+      ("b", Option(75000L)), ("b", Option(100L)), ("b", Option.empty[Long]),
+      ("zzz", Option(123L))).toDF("g", "v")
+    val got = HistSketch.histWinsorizeBy(batch, Seq("g"), "v", hist, 0.05, 0.95)
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1))) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(got(("a", Some(100L))).contains(100L))       // inside a's band
+    val aHi = got(("a", Some(99999L))).get
+    assert(aHi < 200L, s"b-normal value must clamp hard for a: $aHi")
+    assert(got(("a", Some(1L))).get >= 50L)             // below a's p05 -> lo
+    assert(got(("b", Some(75000L))).contains(75000L))   // inside b's band
+    val bLo = got(("b", Some(100L))).get
+    assert(bLo > 50000L, s"a-normal value must clamp UP for b: $bLo")
+    assert(got(("b", None)).isEmpty)                    // NULL passes through
+    assert(got(("zzz", Some(123L))).contains(123L))     // no history -> unclamped
+  }
+
   test("histMadBand/histMadFlags: robust to outliers that wreck a mean/sigma band") {
     // 997 inliers near 100, 3 monster outliers — a mean/σ band would be
     // dragged to cover the outliers; the MAD band must not move
