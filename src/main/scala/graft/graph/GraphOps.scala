@@ -1,9 +1,9 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over an edge list — the missing
@@ -57,7 +57,22 @@ object GraphOps {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIterations: Int = 50,
-                          localThreshold: Int = 100000): DataFrame = {
+                          localThreshold: Int = 100000): DataFrame =
+    connectedComponentsReleasable(edges, srcCol, dstCol,
+      maxIterations, localThreshold)._1
+
+  /** [[connectedComponents]] plus a release handle that unpersists
+    * exactly the frames THIS call left persisted (the distributed
+    * tier's final fixpoint; nothing on the driver tier). Long-lived
+    * callers ([[updateGroupIndex]] under a stream) release by handle —
+    * never by sweeping `getPersistentRDDs`, which would also unpersist
+    * blocks concurrent jobs in the same session own. Call release only
+    * after the returned frame is consumed or durably written.
+    */
+  def connectedComponentsReleasable(edges: DataFrame, srcCol: String, dstCol: String,
+                                    maxIterations: Int = 50,
+                                    localThreshold: Int = 100000)
+  : (DataFrame, () => Unit) = {
     var cur = edges
       .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
@@ -112,7 +127,8 @@ object GraphOps {
         s"[graft.cc] tier=driver edges=${prev._1} (localThreshold=$localThreshold)")
       val local = cur.as[(Long, Long)].collect()
       cur.unpersist()
-      return spark.createDataset(localComponents(local).toSeq).toDF("node", "component")
+      return (spark.createDataset(localComponents(local).toSeq).toDF("node", "component"),
+        () => ())
     }
     if (log.isDebugEnabled) log.debug(
       s"[graft.cc] tier=distributed edges=${prev._1} (localThreshold=$localThreshold)")
@@ -134,9 +150,11 @@ object GraphOps {
       s"connectedComponents: not converged after $maxIterations rounds (theory: O(log²|V|))")
     // at the fixpoint every edge is (node → its component's min); the
     // roots themselves appear only on the dst side
-    cur.select(col("src").as("node"), col("dst").as("component"))
-      .unionAll(cur.select(col("dst").as("node"), col("dst").as("component")))
-      .distinct()
+    val fix = cur
+    (fix.select(col("src").as("node"), col("dst").as("component"))
+      .unionAll(fix.select(col("dst").as("node"), col("dst").as("component")))
+      .distinct(),
+      () => { fix.unpersist(blocking = false); () })
   }
 
   /** WARM-START connected components over appended edge tranches —
@@ -169,17 +187,29 @@ object GraphOps {
   def connectedComponentsFrom(prior: DataFrame, newEdges: DataFrame,
                               srcCol: String, dstCol: String,
                               maxIterations: Int = 50,
-                              localThreshold: Int = 100000): DataFrame = {
+                              localThreshold: Int = 100000): DataFrame =
+    connectedComponentsFromReleasable(prior, newEdges, srcCol, dstCol,
+      maxIterations, localThreshold)._1
+
+  /** [[connectedComponentsFrom]] with the
+    * [[connectedComponentsReleasable]] release contract — the handle
+    * also frees the prior's severed-lineage materialization. */
+  def connectedComponentsFromReleasable(prior: DataFrame, newEdges: DataFrame,
+                                        srcCol: String, dstCol: String,
+                                        maxIterations: Int = 50,
+                                        localThreshold: Int = 100000)
+  : (DataFrame, () => Unit) = {
     // Sever the prior's lineage before re-entering the recursion: in a
     // pipeline the prior is an artifact read (a scan), but a same-run
     // composition hands over the final star round's plan — nesting a
     // second iterative stack on top of it makes analysis/plan-string
     // cost explode (graft.util.Materialize rationale).
-    val pruned = graft.util.Materialize.bounded(prior)
+    val (pruned, releasePrior) = graft.util.Materialize.boundedReleasable(prior)
     val starred = pruned.select(col("node").as(srcCol), col("component").as(dstCol))
-    connectedComponents(
+    val (cc, releaseCc) = connectedComponentsReleasable(
       newEdges.select(col(srcCol), col(dstCol)).unionByName(starred),
       srcCol, dstCol, maxIterations, localThreshold)
+    (cc, () => { releaseCc(); releasePrior() })
   }
 
   /** AT-REST group-assignment artifact — the operational shell around
@@ -191,10 +221,16 @@ object GraphOps {
     * not a tranche family. The stored frame is `(node, component)` —
     * one row per non-singleton-incident node, the compact fixpoint
     * star. */
-  def writeGroupIndex(assignment: DataFrame, dir: String): Unit = {
-    val norm = assignment.select(col("node").cast(LongType).as("node"),
-      col("component").cast(LongType).as("component"))
-    val spark = assignment.sparkSession
+  def writeGroupIndex(assignment: DataFrame, dir: String): Unit =
+    atomicSwapWrite(assignment.select(col("node").cast(LongType).as("node"),
+      col("component").cast(LongType).as("component")), dir)
+
+  /** Atomically publish a frame as a whole-replaced artifact: swap
+    * protocol against an existing target, stage + one rename for the
+    * first publish (no readers yet) — shared by the group-assignment
+    * and rank-vector artifacts. */
+  private def atomicSwapWrite(norm: DataFrame, dir: String): Unit = {
+    val spark = norm.sparkSession
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (f.exists(p)) graft.merge.Merge.atomicReplace(norm, dir)
@@ -236,20 +272,20 @@ object GraphOps {
     // leak discipline for the STREAMING caller: the CC recursion leaves
     // its final fixpoint frame persisted and the warm start leaves a
     // local checkpoint — per refresh. A long-lived stream refreshing
-    // every epoch would accumulate blocks without bound, so release
-    // everything THIS call persisted once the artifact is durably
-    // written (safe: the returned frame re-reads the artifact, no
-    // lineage into the released blocks).
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    val updated =
-      if (exists) connectedComponentsFrom(readGroupIndex(spark, dir),
+    // every epoch would accumulate blocks without bound, so release by
+    // HANDLE exactly what this call persisted once the artifact is
+    // durably written (safe: the returned frame re-reads the artifact,
+    // no lineage into the released blocks). Handles, NOT a
+    // getPersistentRDDs diff: a sweep would also unpersist blocks a
+    // concurrent job in the same session persisted mid-call — a
+    // severed localCheckpoint block is unrecoverable (r10 advice).
+    val (updated, release) =
+      if (exists) connectedComponentsFromReleasable(readGroupIndex(spark, dir),
         newEdges, srcCol, dstCol, maxIterations, localThreshold)
-      else connectedComponents(newEdges, srcCol, dstCol,
+      else connectedComponentsReleasable(newEdges, srcCol, dstCol,
         maxIterations, localThreshold)   // first tick births the index
     writeGroupIndex(updated, dir)
-    spark.sparkContext.getPersistentRDDs
-      .filterNot { case (id, _) => before(id) }
-      .values.foreach(_.unpersist(blocking = false))
+    release()
     readGroupIndex(spark, dir)
   }
 
@@ -349,6 +385,54 @@ object GraphOps {
                iterations: Int = 10, scale: Long = 1000000000L): DataFrame =
     pageRankCore(edges, srcCol, dstCol, None, iterations, scale, None)._1
 
+  // ---- at-rest rank-vector artifact ----------------------------------
+
+  /** AT-REST rank-vector artifact — the PageRank twin of
+    * [[writeGroupIndex]]: ranks are NOT append-only (every iteration
+    * moves every node), so the artifact is an atomically REPLACED
+    * whole `(node, rank)` frame, |V| rows in the same integer `scale`
+    * units the recursion runs in. A daily refresh stores yesterday's
+    * vector here and [[updateRankIndex]] continues the exact integer
+    * recursion from it — never from uniform, never re-paying the
+    * converged iterations. */
+  def writeRankIndex(ranks: DataFrame, dir: String): Unit =
+    atomicSwapWrite(ranks.select(col("node").cast(LongType).as("node"),
+      col("rank").cast(LongType).as("rank")), dir)
+
+  /** Read the stored rank vector (a plain bounded parquet scan). */
+  def readRankIndex(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Daily rank refresh: continue the exact integer recursion from the
+    * STORED vector (uniform start if the artifact doesn't exist yet —
+    * the first tick births it), atomically swap the refreshed vector
+    * in, and return the re-read. `outDir` defaults to `dir` (the
+    * in-place daily-refresh shape: prior superseded by its
+    * continuation); pass a distinct `outDir` to keep the prior frozen
+    * (e.g. a replayable scoring run). Because `pageRankFrom(e,
+    * pageRank(e, j), k)` ≡ `pageRank(e, j+k)` bit for bit, refresh ≡
+    * rebuild at the combined iteration count. Cost per refresh: the
+    * |V|-row artifact read + `iterations` continuation rounds + the
+    * swap — the converged history is never re-iterated, and the
+    * per-call persisted state (rank RDDs, edge layout) is released by
+    * handle once the artifact is durable (the [[updateGroupIndex]]
+    * stream discipline). */
+  def updateRankIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      edges: DataFrame, srcCol: String, dstCol: String,
+                      iterations: Int = 10, scale: Long = 1000000000L,
+                      outDir: Option[String] = None): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val start = if (exists) Some(readRankIndex(spark, dir)) else None
+    val (ranks, _, release) =
+      pageRankCore(edges, srcCol, dstCol, start, iterations, scale, None)
+    val dest = outDir.getOrElse(dir)
+    writeRankIndex(ranks, dest)
+    release()
+    readRankIndex(spark, dest)
+  }
+
   /** WARM-START PageRank: continue the exact integer recursion from a
     * PRIOR rank vector instead of the uniform start — the incremental
     * path when the edge set grows by a tranche. Nodes new since the
@@ -402,13 +486,17 @@ object GraphOps {
   def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
                         start: Option[DataFrame] = None,
                         tol: Long = 0L, maxIterations: Int = 50,
-                        scale: Long = 1000000000L): (DataFrame, Int) =
-    pageRankCore(edges, srcCol, dstCol, start, maxIterations, scale, Some(tol))
+                        scale: Long = 1000000000L): (DataFrame, Int) = {
+    val (df, iters, _) =
+      pageRankCore(edges, srcCol, dstCol, start, maxIterations, scale, Some(tol))
+    (df, iters)
+  }
 
   private def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,
                            start: Option[DataFrame], iterations: Int,
                            scale: Long, tol: Option[Long],
-                           seeds: Option[Seq[Long]] = None): (DataFrame, Int) = {
+                           seeds: Option[Seq[Long]] = None)
+  : (DataFrame, Int, () => Unit) = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
     require(scale >= 1000000L,
       s"pageRank: scale < 1e6 leaves too few integer rank levels (got $scale)")
@@ -504,7 +592,16 @@ object GraphOps {
     // caches are released here, not left to the session
     val out = rankRdd.toDF("node", "rank")
     e.unpersist(); nodes.unpersist()
-    (out, itersRun)
+    // release handle for artifact-writing callers: frees the final
+    // rank RDD and any still-pinned checkpoint root by HANDLE (they
+    // back the returned frame — only call once it is durably written)
+    val (finalRdd, finalRoot) = (rankRdd, ckptRoot)
+    (out, itersRun, () => {
+      finalRdd.unpersist(blocking = false)
+      if ((finalRoot ne null) && (finalRoot ne finalRdd))
+        finalRoot.unpersist(blocking = false)
+      ()
+    })
   }
 
   /** CO-OCCURRENCE projection of a bipartite membership table ("parts
@@ -663,6 +760,24 @@ object GraphOps {
     graft.util.SumTranches.consolidate(spark, s"$dir/totals", Seq.empty, "n_g")
   }
 
+  /** Count-triggered auto-fold for the three co-occurrence families
+    * ([[graft.util.SumTranches.maybeConsolidate]] semantics): each
+    * family folds only when its live tranche count exceeds `maxLive`,
+    * keeping every merge-on-read ≤ maxLive-wide under unattended
+    * ingest. The families are checked independently — a crash between
+    * them leaves each family self-consistent (the manifest protocol
+    * is per family). */
+  def maybeConsolidateCooc(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, maxLive: Int): Boolean = {
+    val a = graft.util.SumTranches.maybeConsolidate(spark, s"$dir/pairs",
+      Seq("item_a", "item_b"), "n_groups", maxLive)
+    val b = graft.util.SumTranches.maybeConsolidate(spark, s"$dir/margins",
+      Seq("item"), "n_i", maxLive)
+    val c = graft.util.SumTranches.maybeConsolidate(spark, s"$dir/totals",
+      Seq.empty, "n_g", maxLive)
+    a || b || c
+  }
+
   /** Graph FEATURE aggregation: for every node, exact aggregates of a
     * value column over its distinct ≤`hops`-hop neighborhood (self
     * excluded) — "average account balance of my trading partners (and
@@ -682,6 +797,17 @@ object GraphOps {
     * sample. 3-hop is deliberately unsupported because its cost
     * model is a different operator.
     *
+    * CAP BIAS: the default smallest-id truncation is deterministic but
+    * id-CORRELATED — if ids encode time or source, the capped
+    * neighborhood systematically over-samples old/first-source
+    * neighbors. `sampleSalt = Some(salt)` switches the truncation
+    * order to a seeded hash of the neighbor id (`portable = true`
+    * routes through the md5 tier so an oracle replays the same
+    * ordering; default xxhash64) — still deterministic and
+    * engine-replayable, but uncorrelated with id semantics: an
+    * unbiased fixed sample of each neighborhood. Same bound either
+    * way; choose the salt per feature so refreshes are stable.
+    *
     * Neighbors without a value row drop (inner join — features over
     * the valued universe). Determinism: counts exact, `sum_val` an
     * exact DECIMAL(12,2) sum cast to double, `avg_val` ONE IEEE
@@ -690,7 +816,9 @@ object GraphOps {
     */
   def neighborhoodAgg(edges: DataFrame, srcCol: String, dstCol: String,
                       values: DataFrame, nodeCol: String, valueCol: String,
-                      hops: Int = 1, maxDegree: Int = 0): DataFrame = {
+                      hops: Int = 1, maxDegree: Int = 0,
+                      sampleSalt: Option[String] = None,
+                      portable: Boolean = false): DataFrame = {
     require(hops == 1 || hops == 2, s"neighborhoodAgg: hops=$hops not in {1, 2}")
     require(maxDegree >= 0, s"neighborhoodAgg: maxDegree=$maxDegree < 0")
     val e = edges
@@ -701,11 +829,22 @@ object GraphOps {
       if (hops == 1) e
       else {
         val e2base = e.select(col("src").as("__m"), col("dst").as("__d2"))
+        // truncation order: smallest-id (default) or seeded-hash
+        // (unbiased); id tiebreak keeps the hash order total
+        val capOrder: Seq[Column] = sampleSalt match {
+          case None => Seq(col("__d2").asc)
+          case Some(salt) =>
+            val h =
+              if (portable) graft.functions.Hashes.portable(
+                concat(lit(salt), lit("|"), col("__d2").cast(StringType)))
+              else xxhash64(lit(salt), col("__d2"))
+            Seq(h.asc, col("__d2").asc)
+        }
         val e2 =
           if (maxDegree == 0) e2base
           else e2base
             .withColumn("__rn", row_number().over(
-              Window.partitionBy("__m").orderBy(col("__d2").asc)))
+              Window.partitionBy("__m").orderBy(capOrder: _*)))
             .where(col("__rn") <= maxDegree).drop("__rn")
         val two = e.join(e2, col("dst") === col("__m"))
           .where(col("__d2") =!= col("src"))

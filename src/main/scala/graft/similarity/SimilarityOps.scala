@@ -1151,6 +1151,111 @@ object SimilarityOps {
     * squares, so the d38 products hold to ~10¹⁸ vectors at the 10⁶
     * snap — beyond any corpus.
     */
+  /** ROLLING embedding-space drift — the per-day twin of
+    * [[centroidDrift]] and the third member of the rolling drift
+    * family (`HistSketch.histRollingPsi` is the numeric member,
+    * `TextOps.rollingMixJs` the categorical): for every day with data
+    * AND a non-empty trailing reference, the cosine between that
+    * day's centroid-sum vector and the merged centroid-sum of the
+    * `windowDays` days strictly BEFORE it — "which ingest day moved
+    * the embedding space", answered without re-touching any vector.
+    * Returns `(day 'yyyy-MM-dd', n_cur, n_ref, dim, cosine)`;
+    * first-day / empty-reference rows are omitted.
+    *
+    * Same snapped-exact arithmetic as [[centroidDrift]] (per-dim sums
+    * of `trunc(x·scale)` longs over DECIMAL(38,0) — order-free), per
+    * day. Scale shape: the corpus collapses to |days|·dim sum rows
+    * FIRST (one map-side-combinable explode+sum — exactly the frame
+    * [[writeCentroidTranche]] persists per day); the bounded
+    * ≤windowDays explode fans out SUM rows, never vectors, and every
+    * later join is |days|·dim-sized. A year of 100 TB embeddings
+    * costs 365 dim-row merges.
+    */
+  def centroidRollingDrift(df: DataFrame, vecCol: String, tsCol: String,
+                           windowDays: Int,
+                           scale: Long = 1000000L): DataFrame = {
+    require(windowDays >= 1, "centroidRollingDrift: windowDays must be >= 1")
+    val d38 = DecimalType(38, 0)
+    // perDay feeds days, the reference fan-out AND the current side —
+    // materialize the bounded |days|·dim frame so the corpus explodes
+    // exactly once (graft.util.Materialize rationale)
+    val perDay = graft.util.Materialize.bounded(
+      df.where(col(vecCol).isNotNull)
+        .select(to_date(col(tsCol)).as("__d"),
+          posexplode(col(vecCol)).as(Seq("pos", "__x")))
+        .select(col("__d"), col("pos"),
+          (col("__x").cast(DoubleType) * lit(scale.toDouble)).cast(LongType).as("__u"))
+        .groupBy(col("__d"), col("pos"))
+        .agg(sum(col("__u").cast(d38)).as("s"), count(lit(1)).as("c")))
+    centroidRollingFromPerDay(perDay, windowDays)
+  }
+
+  /** Shared read side of the rolling centroid gauge: `perDay` is the
+    * `(__d DATE, pos, s DECIMAL(38,0), c BIGINT)` per-day sum frame —
+    * built inline by [[centroidRollingDrift]] or merged from the
+    * at-rest artifact by [[centroidRollingFromIndex]]. */
+  private def centroidRollingFromPerDay(perDay: DataFrame,
+                                        windowDays: Int): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val days = perDay.select(col("__d").as("day")).distinct()
+    // each day's sums serve as REFERENCE for the next windowDays days
+    val ref = perDay
+      .select(col("pos"), col("s").as("sb"), col("c").as("cb"),
+        explode(sequence(date_add(col("__d"), 1),
+          date_add(col("__d"), windowDays))).as("day"))
+      .join(broadcast(days), "day")
+      .groupBy(col("day"), col("pos"))
+      .agg(sum(col("sb")).as("sb"), sum(col("cb")).as("cb"))
+    val cur = perDay.select(col("__d").as("day"), col("pos"),
+      col("s").as("sa"), col("c").as("ca"))
+    cur.join(ref, Seq("day", "pos"))        // inner: no-reference days drop
+      .groupBy(col("day"))
+      .agg(max(col("ca")).as("n_cur"), max(col("cb")).as("n_ref"),
+        count(lit(1)).as("dim"),
+        (sum((col("sa") * col("sb")).cast(d38)).cast(DoubleType)
+          / (sqrt(sum((col("sa") * col("sa")).cast(d38)).cast(DoubleType))
+            * sqrt(sum((col("sb") * col("sb")).cast(d38)).cast(DoubleType))))
+          .as("cosine"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_cur"), col("n_ref"), col("dim"), col("cosine"))
+  }
+
+  /** AT-REST per-day centroid artifact: each ingest collapses its
+    * vectors to the `(__d, pos, s, c)` per-day sum frame and lands as
+    * its own tagged tranche ([[graft.util.SumTranches]] — sum-vector
+    * AND vector-count both merge by sum, the multi-count family).
+    * Ingests may split a day across tranches (unlike the
+    * co-occurrence artifact there is no grouping contract — sums are
+    * associative per (day, dim) key). */
+  def writeCentroidTranche(df: DataFrame, vecCol: String, tsCol: String,
+                           dir: String, tag: String,
+                           scale: Long = 1000000L): Unit = {
+    val d38 = DecimalType(38, 0)
+    graft.util.SumTranches.write(
+      df.where(col(vecCol).isNotNull)
+        .select(to_date(col(tsCol)).as("__d"),
+          posexplode(col(vecCol)).as(Seq("pos", "__x")))
+        .select(col("__d"), col("pos"),
+          (col("__x").cast(DoubleType) * lit(scale.toDouble)).cast(LongType).as("__u"))
+        .groupBy(col("__d"), col("pos"))
+        .agg(sum(col("__u").cast(d38)).as("s"), count(lit(1)).as("c")),
+      dir, tag)
+  }
+
+  /** The rolling gauge straight from the artifact — byte-identical to
+    * [[centroidRollingDrift]] over the union of the ingested frames
+    * (sum merge is exact), with zero vector access: the read is
+    * ≤ tranches × days × dim sum rows. `consolidate` via
+    * [[graft.util.SumTranches.maybeConsolidateMulti]] with keys
+    * `(__d, pos)`, counts `(s, c)`. */
+  def centroidRollingFromIndex(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "centroidRollingFromIndex: windowDays must be >= 1")
+    centroidRollingFromPerDay(
+      graft.util.SumTranches.readMulti(spark, dir, Seq("__d", "pos"), Seq("s", "c")),
+      windowDays)
+  }
+
   def centroidDrift(dfA: DataFrame, dfB: DataFrame, vecCol: String,
                     scale: Long = 1000000L): DataFrame = {
     val d38 = DecimalType(38, 0)

@@ -411,18 +411,33 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val hs = graft.profile.HistSketch
         val cur = hs.histSketch(batch, valCol, subBuckets)
-        // the epoch rides as the batch=<epoch> partition directory (the
-        // tranche convention) — not as a data column, so partition
-        // discovery surfaces it on read without a name collision
-        val gauge = hs.histDriftPsi(cur,
-            hs.readHist(batch.sparkSession, histDir))
-          .select(org.apache.spark.sql.functions.col("n_buckets"),
-            org.apache.spark.sql.functions.col("n_b").as("n_ref"),
-            org.apache.spark.sql.functions.col("n_a").as("n_new"),
-            org.apache.spark.sql.functions.col("psi_bits"))
-        gauge.coalesce(1).write.mode("overwrite")
-          .parquet(s"$logDir/batch=$epoch")
-        if (absorb) hs.writeHistTranche(cur, histDir, epoch.toString)
+        // FIRST epoch against an empty/missing artifact: there is no
+        // history to score against (SumTranches.read would throw,
+        // permanently failing the checkpointed stream on every
+        // restart — r10 advice). Seed the artifact with this batch's
+        // histogram instead and emit no gauge row (a score against
+        // pure smoothing is noise, not signal); scoring starts at the
+        // first epoch that has genuine history. With absorb = false
+        // the artifact is treated as externally owned — the epoch
+        // no-ops and the stream stays alive until someone seeds it.
+        val hasHistory = graft.util.SumTranches
+          .live(batch.sparkSession, histDir).nonEmpty
+        if (hasHistory) {
+          // the epoch rides as the batch=<epoch> partition directory
+          // (the tranche convention) — not as a data column, so
+          // partition discovery surfaces it on read without a name
+          // collision
+          val gauge = hs.histDriftPsi(cur,
+              hs.readHist(batch.sparkSession, histDir))
+            .select(org.apache.spark.sql.functions.col("n_buckets"),
+              org.apache.spark.sql.functions.col("n_b").as("n_ref"),
+              org.apache.spark.sql.functions.col("n_a").as("n_new"),
+              org.apache.spark.sql.functions.col("psi_bits"))
+          gauge.coalesce(1).write.mode("overwrite")
+            .parquet(s"$logDir/batch=$epoch")
+        }
+        if (absorb && (hasHistory || !batch.isEmpty))
+          hs.writeHistTranche(cur, histDir, epoch.toString)
       }
       .start()
   }
@@ -471,7 +486,8 @@ object StreamingOps {
   def histStream(rows: DataFrame, histDir: String, valCol: String,
                  checkpointDir: String,
                  subBuckets: Int = graft.profile.HistSketch.DefaultSubBuckets,
-                 consolidateEvery: Int = 0)
+                 consolidateEvery: Int = 0,
+                 maxLiveTranches: Int = 0)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     require(checkpointDir.nonEmpty, "histStream: checkpointDir is required " +
       "(tranche idempotence relies on durable epoch numbering)")
@@ -485,6 +501,13 @@ object StreamingOps {
           histDir, epoch.toString)
         if (consolidateEvery > 0 && epoch > 0 && epoch % consolidateEvery == 0)
           graft.profile.HistSketch.consolidateHist(batch.sparkSession, histDir)
+        // count-triggered auto-fold: read fan-in stays ≤ maxLiveTranches
+        // at every epoch boundary even across restarts/replays (the
+        // epoch-modulo trigger skips when a replayed epoch number
+        // doesn't hit the modulus)
+        if (maxLiveTranches > 0)
+          graft.util.SumTranches.maybeConsolidate(batch.sparkSession,
+            histDir, Seq("bucket"), "cnt", maxLiveTranches): Unit
       }
       .start()
   }
@@ -502,7 +525,8 @@ object StreamingOps {
     */
   def coocStream(rows: DataFrame, indexDir: String, groupCol: String,
                  itemCol: String, checkpointDir: String,
-                 maxPerGroup: Int = 64, consolidateEvery: Int = 0)
+                 maxPerGroup: Int = 64, consolidateEvery: Int = 0,
+                 maxLiveTranches: Int = 0)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     require(checkpointDir.nonEmpty, "coocStream: checkpointDir is required " +
       "(tranche idempotence relies on durable epoch numbering)")
@@ -515,6 +539,9 @@ object StreamingOps {
           batch, groupCol, itemCol, indexDir, epoch.toString, maxPerGroup)
         if (consolidateEvery > 0 && epoch > 0 && epoch % consolidateEvery == 0)
           graft.graph.GraphOps.consolidateCooc(batch.sparkSession, indexDir)
+        if (maxLiveTranches > 0)
+          graft.graph.GraphOps.maybeConsolidateCooc(batch.sparkSession,
+            indexDir, maxLiveTranches): Unit
       }
       .start()
   }
@@ -533,7 +560,8 @@ object StreamingOps {
     */
   def sigmaStatsStream(rows: DataFrame, indexDir: String, keyCol: String,
                        valueCol: String, checkpointDir: String,
-                       decimals: Int = 4, consolidateEvery: Int = 0)
+                       decimals: Int = 4, consolidateEvery: Int = 0,
+                       maxLiveTranches: Int = 0)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     require(checkpointDir.nonEmpty, "sigmaStatsStream: checkpointDir is " +
       "required (tranche idempotence relies on durable epoch numbering)")
@@ -547,6 +575,9 @@ object StreamingOps {
           indexDir, epoch.toString)
         if (consolidateEvery > 0 && epoch > 0 && epoch % consolidateEvery == 0)
           graft.analytics.AnomalyOps.consolidateStats(batch.sparkSession, indexDir, keyCol)
+        if (maxLiveTranches > 0)
+          graft.util.SumTranches.maybeConsolidate(batch.sparkSession,
+            indexDir, Seq(keyCol, "stat"), "val", maxLiveTranches): Unit
       }
       .start()
   }

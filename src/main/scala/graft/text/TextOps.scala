@@ -276,20 +276,53 @@ object TextOps {
     * not corpus, cardinality), a 1-row totals broadcast, and a closing
     * aggregate. No corpus-sized shuffle and nothing driver-side.
     */
-  def jsDivergence(dfA: DataFrame, dfB: DataFrame, textCol: String): DataFrame = {
+  def jsDivergence(dfA: DataFrame, dfB: DataFrame, textCol: String,
+                   vocabLimit: Int = 0): DataFrame = {
+    require(vocabLimit >= 0, s"jsDivergence: vocabLimit=$vocabLimit must be >= 0")
     val d38 = DecimalType(38, 0)
     def l8(e: Column): Column =
       floor(log2(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
     def termCounts(df: DataFrame) =
       df.select(explode(words(col(textCol))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("c"))
-    val a = termCounts(dfA).select(col("term"), col("c").as("__cta"))
-    val b = termCounts(dfB).select(col("term").as("__tb"), col("c").as("__ctb"))
+    val aRaw = termCounts(dfA)
+    val bRaw = termCounts(dfB)
+    // MEMORY CONTRACT: the default (vocabLimit = 0) materializes the
+    // full union-vocabulary join — exact JS, but the frame grows with
+    // the corpus's vocabulary, NOT bounded by construction (the one
+    // Materialize call in this module whose bound is data-dependent).
+    // For corpora whose vocabulary outgrows memory, vocabLimit > 0
+    // coarsens BOTH sides to the top-K terms by combined count (ties
+    // by term) plus one NULL-keyed OTHER bucket before the join — the
+    // [[sourceDivergence]] discipline: the grid is ≤ vocabLimit+1
+    // rows whatever the corpus, probabilities still sum exactly, and
+    // the figure is the exact JS of the coarsened distributions (a
+    // deterministic lower bound of the raw JS). Election costs one
+    // extra tokenization pass, irreducible as in [[sourceDivergence]].
+    val (a, b) =
+      if (vocabLimit == 0)
+        (aRaw.select(col("term"), col("c").as("__cta")),
+          bRaw.select(col("term").as("__tb"), col("c").as("__ctb")))
+      else {
+        val spark = dfA.sparkSession
+        import spark.implicits._
+        val topTerms = aRaw.unionAll(bRaw)
+          .groupBy("term").agg(sum(col("c")).as("c"))
+          .orderBy(col("c").desc, col("term").asc).limit(vocabLimit)
+          .collect().map(_.getString(0)).toSeq // ≤ vocabLimit strings
+        val top = broadcast(topTerms.toDF("__kept"))
+        def coarsen(tc: DataFrame) = tc
+          .join(top, col("term") === col("__kept"), "left")
+          .groupBy(col("__kept")).agg(sum(col("c")).as("c"))
+        (coarsen(aRaw).select(col("__kept").as("term"), col("c").as("__cta")),
+          coarsen(bRaw).select(col("__kept").as("__tb"), col("c").as("__ctb")))
+      }
     // j feeds the totals AND the main path; materialize the
     // vocabulary-sized frame so each corpus tokenizes exactly once
-    // (graft.util.Materialize rationale)
+    // (graft.util.Materialize rationale); null-safe join key so the
+    // coarsened OTHER bucket (NULL-keyed) matches across sides
     val j = graft.util.Materialize.bounded(
-      a.join(b, col("term") === col("__tb"), "full_outer")
+      a.join(b, col("term") <=> col("__tb"), "full_outer")
         .select(coalesce(col("__cta"), lit(0L)).as("ca"),
           coalesce(col("__ctb"), lit(0L)).as("cb")))
     val totals = j.agg(count(lit(1)).as("__k"),

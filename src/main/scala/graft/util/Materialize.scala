@@ -19,7 +19,32 @@ import org.apache.spark.sql.DataFrame
   * bucket rows) — this materializes eagerly.
   */
 object Materialize {
-  def bounded(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+  def bounded(df: DataFrame): DataFrame = boundedReleasable(df)._1
+
+  /** [[bounded]] plus a release handle that frees the materialized
+    * blocks EXPLICITLY. A local checkpoint's RDD is persisted in the
+    * BlockManager but never enters the CacheManager, so neither
+    * `Dataset.unpersist` nor a CacheManager sweep can free it — only
+    * the handle to the underlying checkpoint RDD can (ContextCleaner
+    * frees it eventually on GC, too late for a tight streaming loop).
+    * Long-lived callers that materialize per refresh (the group-index
+    * stream) release by handle so blocks can't accumulate — and,
+    * critically, WITHOUT sweeping `getPersistentRDDs`, which would
+    * also unpersist blocks a CONCURRENT job in the same session
+    * persisted (a severed localCheckpoint block is unrecoverable).
+    * Release is a no-op for the reliable-checkpoint path (files,
+    * owned by the checkpoint dir lifecycle).
+    */
+  def boundedReleasable(df: DataFrame): (DataFrame, () => Unit) =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      (df.checkpoint(), () => ())
+    else {
+      val out = df.localCheckpoint()
+      val release: () => Unit = out.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          () => { l.rdd.unpersist(blocking = false); () }
+        case _ => () => () // plan shape drifted: fall back to ContextCleaner
+      }
+      (out, release)
+    }
 }

@@ -50,12 +50,21 @@ object SumTranches {
   /** Merge-on-read: one scan over the live tranches, key-wise sum —
     * bounded by Σ tranche sizes, never a corpus. */
   def read(spark: SparkSession, dir: String,
-           keyCols: Seq[String], cntCol: String): DataFrame = {
+           keyCols: Seq[String], cntCol: String): DataFrame =
+    readMulti(spark, dir, keyCols, Seq(cntCol))
+
+  /** [[read]] with SEVERAL summed columns per key (e.g. the per-day
+    * centroid artifact's sum-vector + vector-count pair) — same one
+    * bounded scan, each column summed under its own name. */
+  def readMulti(spark: SparkSession, dir: String,
+                keyCols: Seq[String], cntCols: Seq[String]): DataFrame = {
+    require(cntCols.nonEmpty, "SumTranches.readMulti: need at least one count column")
     val paths = live(spark, dir)
     require(paths.nonEmpty, s"SumTranches.read: no live tranches under $dir")
     spark.read.parquet(paths.map(_.toString): _*)
       .groupBy(keyCols.map(col): _*)
-      .agg(sum(col(cntCol)).as(cntCol))
+      .agg(sum(col(cntCols.head)).as(cntCols.head),
+        cntCols.tail.map(c0 => sum(col(c0)).as(c0)): _*)
   }
 
   /** Fold the live tranches into one, crash-safe under sum (see object
@@ -64,7 +73,37 @@ object SumTranches {
     * output; stale superseded leftovers from an earlier crash are
     * GC'd first. */
   def consolidate(spark: SparkSession, dir: String,
-                  keyCols: Seq[String], cntCol: String): Unit = {
+                  keyCols: Seq[String], cntCol: String): Unit =
+    consolidateMulti(spark, dir, keyCols, Seq(cntCol))
+
+  /** AUTO-consolidation tick for long-lived ingest loops: fold only
+    * when the live tranche count EXCEEDS `maxLive`, so the
+    * merge-on-read fan-in is bounded by `maxLive` at every read while
+    * quiet periods pay zero consolidation work. Run after each tranche
+    * write (the streaming loops wire this per epoch): a tick either
+    * leaves ≤ maxLive tranches untouched or folds them to ONE, so the
+    * invariant `live ≤ maxLive` holds at every tick boundary — the
+    * manual `consolidate` relied on an operator remembering to run it,
+    * and an unattended daily ingest otherwise grows the read fan-in
+    * without bound (r10 verdict #5). Returns whether a fold ran. */
+  def maybeConsolidate(spark: SparkSession, dir: String,
+                       keyCols: Seq[String], cntCol: String,
+                       maxLive: Int): Boolean =
+    maybeConsolidateMulti(spark, dir, keyCols, Seq(cntCol), maxLive)
+
+  /** [[maybeConsolidate]] for multi-count families. */
+  def maybeConsolidateMulti(spark: SparkSession, dir: String,
+                            keyCols: Seq[String], cntCols: Seq[String],
+                            maxLive: Int): Boolean = {
+    require(maxLive >= 1, s"SumTranches.maybeConsolidate: maxLive=$maxLive must be >= 1")
+    if (live(spark, dir).length > maxLive) {
+      consolidateMulti(spark, dir, keyCols, cntCols); true
+    } else false
+  }
+
+  /** [[consolidate]] for multi-count families. */
+  def consolidateMulti(spark: SparkSession, dir: String,
+                       keyCols: Seq[String], cntCols: Seq[String]): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
@@ -78,7 +117,7 @@ object SumTranches {
       java.lang.Integer.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(names.mkString("\n")))
     val scratch = new org.apache.hadoop.fs.Path(root, s".consolidating-$tag")
-    read(spark, dir, keyCols, cntCol).write.mode("overwrite").parquet(scratch.toString)
+    readMulti(spark, dir, keyCols, cntCols).write.mode("overwrite").parquet(scratch.toString)
     val mf = fs.create(new org.apache.hadoop.fs.Path(scratch, ManifestName), true)
     try mf.write(names.mkString("\n").getBytes("UTF-8")) finally mf.close()
     val dest = new org.apache.hadoop.fs.Path(root, s"batch=$tag")

@@ -524,4 +524,64 @@ class GraphOpsSpec extends SparkSpec {
     val ref = refTriangles(edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct)
     assert(out == ref)
   }
+
+  test("rank index lifecycle: birth, in-place refresh ≡ straight iterations, frozen-prior out") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rankidx").toString
+    val dir = s"$base/ranks"; val out = s"$base/out"
+    try {
+      val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
+        .toDF("src", "dst")
+      def m(df: org.apache.spark.sql.DataFrame) = df.as[(Long, Long)].collect().toMap
+      // birth from an absent artifact = uniform start
+      val born = m(GraphOps.updateRankIndex(spark, dir, edges, "src", "dst", iterations = 3))
+      assert(born == m(GraphOps.pageRank(edges, "src", "dst", iterations = 3)))
+      // in-place refresh continues the stored vector: 3 + 3 ≡ 6 straight
+      val refreshed = m(GraphOps.updateRankIndex(spark, dir, edges, "src", "dst", iterations = 3))
+      assert(refreshed == m(GraphOps.pageRank(edges, "src", "dst", iterations = 6)))
+      assert(m(GraphOps.readRankIndex(spark, dir)) == refreshed)
+      // frozen-prior outDir: continuation lands elsewhere, prior untouched
+      val scored = m(GraphOps.updateRankIndex(spark, dir, edges, "src", "dst",
+        iterations = 3, outDir = Some(out)))
+      assert(scored == m(GraphOps.pageRank(edges, "src", "dst", iterations = 9)))
+      assert(m(GraphOps.readRankIndex(spark, dir)) == refreshed)
+      assert(m(GraphOps.readRankIndex(spark, out)) == scored)
+      // leak discipline: a refresh releases every block it persisted
+      // (the daily scheduler refreshes forever)
+      val persisted0 = spark.sparkContext.getPersistentRDDs.keySet
+      GraphOps.updateRankIndex(spark, dir, edges, "src", "dst",
+        iterations = 2, outDir = Some(out)).count()
+      assert(spark.sparkContext.getPersistentRDDs.keySet == persisted0,
+        "updateRankIndex must not leave persisted blocks behind")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("neighborhoodAgg hash-sampled cap: unbiased order, deterministic, same bound") {
+    // hub 0 with neighbors 1..20; intermediate node 100 connects to hub
+    val edges = ((1L to 20L).map(n => (0L, n)) ++ Seq((100L, 0L))).toDF("src", "dst")
+    val values = (0L to 100L).map(n => (n, 10.0)).toDF("node", "val")
+    def run(salt: Option[String]) =
+      GraphOps.neighborhoodAgg(edges, "src", "dst", values, "node", "val",
+        hops = 2, maxDegree = 5, sampleSalt = salt, portable = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 100's 2-hop set = {0} ∪ 5 capped neighbors of the hub
+    val idCap = run(None)
+    assert(idCap(100L) == 6)
+    val hashCap = run(Some("t"))
+    assert(hashCap(100L) == 6, "hash cap must keep the same bound")
+    // deterministic: same salt → same sample
+    assert(run(Some("t")) == hashCap)
+    // the id cap keeps 1..5; the hash cap picks a DIFFERENT 5-subset
+    // (portable md5 order of 20 ids colliding with 1..5 is ~1e-4) —
+    // verify via the sampled sums: equal only if the same subset
+    val idSum = GraphOps.neighborhoodAgg(edges, "src", "dst",
+      (0L to 100L).map(n => (n, n.toDouble)).toDF("node", "val"), "node", "val",
+      hops = 2, maxDegree = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val hashSum = GraphOps.neighborhoodAgg(edges, "src", "dst",
+      (0L to 100L).map(n => (n, n.toDouble)).toDF("node", "val"), "node", "val",
+      hops = 2, maxDegree = 5, sampleSalt = Some("t"), portable = true).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(idSum(100L) == (0 + 1 + 2 + 3 + 4 + 5).toDouble)  // smallest ids
+    assert(hashSum(100L) != idSum(100L), "hash sample should differ from id sample")
+  }
 }

@@ -357,4 +357,139 @@ class HistSketchSpec extends SparkSpec {
     assert(bands(Some("200")) == 2)                   // above both
     assert(bands(None) == -1)                         // null value -> null band
   }
+
+  /** Signed reference model: sign(v) · bucket(|v|) — the mirrored
+    * negative octave ladder. */
+  private def refSignedBucket(v: Long, s: Int): Int =
+    if (v == 0) 0
+    else if (v > 0) refBucket(v, s)
+    else -refBucket(-v, s)
+
+  private def refSignedLowerBound(b: Int, s: Int): Long =
+    if (b >= 0) refLowerBound(b, s) else -refLowerBound(-b, s)
+
+  test("signed bucket CASE: mirrored ladder matches the reference model; value-ordered ids") {
+    val vs = Seq(Long.MinValue + 1, -(1L << 50) - 999L, -1000000L, -1023L,
+      -17L, -16L, -3L, -1L, 0L, 1L, 3L, 16L, 17L, 1023L, 1000000L,
+      (1L << 50) + 999L, Long.MaxValue)
+    val got = vs.toDF("v")
+      .select(col("v"), expr(HistSketch.signedBucketCaseSql("v", 16, "div")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vs.foreach(v => assert(got(v) == refSignedBucket(v, 16), s"v=$v"))
+    // non-negative values keep the EXACT unsigned ids (sketch compat)
+    vs.filter(_ >= 0).foreach(v => assert(got(v) == refBucket(v, 16), s"v=$v"))
+    // bucket ids sort in value order — rank machinery works unchanged
+    val sortedByV = vs.sorted.map(got)
+    assert(sortedByV == sortedByV.sorted, "bucket ids not monotone in value")
+    // representative boundary: attainable, magnitude error ≤ 1/s
+    val lb = vs.filter(_ != 0).toDF("v")
+      .select(col("v"), expr(HistSketch.signedBucketCaseSql("v", 16, "div")).as("b"))
+      .select(col("v"), col("b"),
+        expr(HistSketch.signedLowerBoundCaseSql("b", 16, "div")).as("lb"))
+      .collect()
+    lb.foreach { r =>
+      val (v, b, l) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(l == refSignedLowerBound(b.toInt, 16), s"v=$v")
+      assert(math.abs(l) <= math.abs(v), s"boundary overshoots: v=$v lb=$l")
+      assert(math.signum(l) == math.signum(v) || l == 0, s"sign flip: v=$v lb=$l")
+      assert(math.abs(v) - math.abs(l) <= math.max(1L, math.abs(l) / 8),
+        s"bucket too wide: v=$v lb=$l")
+    }
+  }
+
+  test("signed quantiles: exact rank selection over negative/fractional values (scaleBy)") {
+    // fractional, signed distribution: -500.25 .. 999.75 step 0.25
+    val vals = (-2001 to 3999).map(_ * 0.25)
+    val sk = HistSketch.histSketchSigned(vals.toDF("v"), "v", scaleBy = 100L)
+    val ps = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    val got = HistSketch.histQuantilesSigned(sk, ps, scaleBy = 100L)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // independent model: scale exactly as the engine does (IEEE multiply,
+    // truncate toward zero), bucketize, rank-select, descale
+    val scaled = vals.map(v => (v * 100.0).toLong)
+    val buckets = scaled.map(refSignedBucket(_, 16)).sorted
+    ps.foreach { p =>
+      val rank = math.max(1L, math.ceil(p * buckets.length).toLong)
+      val want = refSignedLowerBound(buckets((rank - 1).toInt), 16).toDouble / 100.0
+      assert(got(p) == want, s"p=$p got=${got(p)} want=$want")
+      // and the returned value is near the true quantile in magnitude
+      val exact = vals.sorted.apply((rank - 1).toInt)
+      assert(math.abs(got(p) - exact) <= math.max(math.abs(exact) / 8, 0.02),
+        s"p=$p got=${got(p)} exact=$exact")
+    }
+    // a non-negative integer column sketched signed (scaleBy=1) equals
+    // the unsigned sketch bucket for bucket
+    val nn = (1L to 500L).toDF("v")
+    val sSigned = HistSketch.histSketchSigned(nn, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sUnsigned = HistSketch.histSketch(nn, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sSigned == sUnsigned)
+  }
+
+  test("histWinsorizeSigned: clamps into the signed band in original units, null-safe") {
+    val hist = (-1000 to 1000).map(_ * 0.5)
+    val sk = HistSketch.histSketchSigned(hist.toDF("v"), "v", scaleBy = 100L)
+    val batch = Seq(Some(-10000.0), Some(-1.5), Some(0.0), Some(2.25),
+      Some(10000.0), None).toDF("v")
+    val rows = HistSketch.histWinsorizeSigned(batch, "v", sk, 0.05, 0.95, scaleBy = 100L)
+      .collect()
+    val lo = rows.head.getDouble(1); val hi = rows.head.getDouble(2)
+    assert(lo < 0 && hi > 0, s"band [$lo, $hi] should straddle zero")
+    rows.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(3))
+      else {
+        val (v, w) = (r.getDouble(0), r.getDouble(3))
+        assert(w == math.min(math.max(v, lo), hi), s"v=$v w=$w band=[$lo,$hi]")
+      }
+    }
+    // signed tranche algebra: two halves merged ≡ whole (sum is sign-blind)
+    val (h1, h2) = hist.splitAt(hist.length / 2)
+    val merged = HistSketch.histMerge(
+      HistSketch.histSketchSigned(h1.toDF("v"), "v", scaleBy = 100L),
+      HistSketch.histSketchSigned(h2.toDF("v"), "v", scaleBy = 100L))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged == sk.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+  }
+
+  test("maybeConsolidate: fan-in stays ≤ maxLive under a 3N-tranche ingest, answers unchanged") {
+    import graft.util.SumTranches
+    val dir = java.nio.file.Files.createTempDirectory("graft_autofold").toString
+    try {
+      val N = 3
+      val chunks = (1 to 3 * N).map(i => ((i * 100 + 1) to (i * 100 + 80)).map(_.toLong))
+      chunks.zipWithIndex.foreach { case (vals, i) =>
+        HistSketch.writeHistTranche(
+          HistSketch.histSketch(vals.toDF("v"), "v"), dir, s"t$i")
+        SumTranches.maybeConsolidate(spark, dir, Seq("bucket"), "cnt", maxLive = N)
+        // the invariant at every tick boundary — this is what keeps a
+        // year of unattended daily ingest readable
+        assert(SumTranches.live(spark, dir).length <= N, s"after tranche $i")
+      }
+      val want = HistSketch.histSketch(chunks.flatten.toDF("v"), "v")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val got = HistSketch.readHist(spark, dir)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == want)
+      // below-threshold ticks are free: no fold happens at ≤ maxLive
+      assert(!SumTranches.maybeConsolidate(spark, dir, Seq("bucket"), "cnt", maxLive = N))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("empty sketch: readers fail with a named cause, not an index error") {
+    val empty = HistSketch.histSketch(Seq.empty[Long].toDF("v"), "v")
+    val batch = Seq(1L).toDF("v")
+    assert(intercept[IllegalArgumentException] {
+      HistSketch.histMadBand(empty)
+    }.getMessage.contains("empty sketch"))
+    assert(intercept[IllegalArgumentException] {
+      HistSketch.histWinsorize(batch, "v", empty, 0.05, 0.95)
+    }.getMessage.contains("empty sketch"))
+    assert(intercept[IllegalArgumentException] {
+      HistSketch.histBucketize(batch, "v", empty, Seq(0.5))
+    }.getMessage.contains("empty sketch"))
+    assert(intercept[IllegalArgumentException] {
+      HistSketch.histWinsorizeSigned(batch, "v", empty, 0.05, 0.95)
+    }.getMessage.contains("empty sketch"))
+  }
 }

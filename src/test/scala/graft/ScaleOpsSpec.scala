@@ -113,6 +113,70 @@ class ScaleOpsSpec extends SparkSpec {
     assert(h >= -1.0 - 1e-12 && h <= 1.0 + 1e-12 && !h.isNaN, s"fixture halves gave $h")
   }
 
+  test("centroidRollingDrift: trailing-window reference, artifact tranches ≡ inline, auto-fold") {
+    import graft.util.SumTranches
+    // four ingest days with distinct directions; window = 2 days
+    def day(d: Int, vs: Seq[Seq[Float]]): Seq[(String, Seq[Float])] =
+      vs.map(v => (f"2024-03-0$d%d 12:00:00", v))
+    val rows = day(1, Seq(Seq(1.0f, 0.0f), Seq(1.0f, 0.2f))) ++
+      day(2, Seq(Seq(0.5f, 1.0f))) ++
+      day(3, Seq(Seq(-1.0f, 0.1f))) ++
+      day(4, Seq(Seq(0.0f, 1.0f), Seq(0.1f, 0.9f)))
+    val df = rows.toDF("ts", "embedding")
+      .select(to_timestamp(col("ts")).as("ts"), col("embedding"))
+    val got = SimilarityOps.centroidRollingDrift(df, "embedding", "ts", windowDays = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // day 1 has no trailing reference → omitted; days 2-4 present
+    assert(got.keySet == Set("2024-03-02", "2024-03-03", "2024-03-04"))
+    // independent model: snap exactly as the engine (float→double·1e6
+    // truncated), exact integer sums, the same closing IEEE chain
+    def snap(f: Float) = (f.toDouble * 1e6).toLong
+    def sums(vs: Seq[Seq[Float]]) = vs.transpose.map(_.map(f => BigInt(snap(f))).sum)
+    def cos(cur: Seq[Seq[Float]], ref: Seq[Seq[Float]]): Double = {
+      val (sa, sb) = (sums(cur), sums(ref))
+      sa.zip(sb).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(sa.map(x => x * x).sum.toDouble) *
+          math.sqrt(sb.map(x => x * x).sum.toDouble))
+    }
+    val d1 = Seq(Seq(1.0f, 0.0f), Seq(1.0f, 0.2f))
+    val d2 = Seq(Seq(0.5f, 1.0f)); val d3 = Seq(Seq(-1.0f, 0.1f))
+    val d4 = Seq(Seq(0.0f, 1.0f), Seq(0.1f, 0.9f))
+    assert(got("2024-03-02") == ((1L, 2L, 2L, cos(d2, d1))))
+    assert(got("2024-03-03") == ((1L, 3L, 2L, cos(d3, d1 ++ d2))))
+    assert(got("2024-03-04") == ((2L, 2L, 2L, cos(d4, d2 ++ d3))))
+    // at-rest artifact: ingests may split a day across tranches (sum
+    // algebra is key-associative) — gauge from the index ≡ inline
+    val dir = java.nio.file.Files.createTempDirectory("graft_centroid").toString + "/idx"
+    try {
+      // the split puts day 3 AND half of day 1's rows in tranche 2 —
+      // a day genuinely split across ingests must still sum exactly
+      val inT2 = dayofmonth(col("ts")) === 3 ||
+        (dayofmonth(col("ts")) === 1 && element_at(col("embedding"), 2) > lit(0.1f))
+      val (h1, h2) = (df.where(!inT2), df.where(inT2))
+      SimilarityOps.writeCentroidTranche(h1, "embedding", "ts", dir, "t1")
+      SimilarityOps.writeCentroidTranche(h2, "embedding", "ts", dir, "t2")
+      assertSameRows(
+        SimilarityOps.centroidRollingFromIndex(spark, dir, windowDays = 2),
+        SimilarityOps.centroidRollingDrift(df, "embedding", "ts", windowDays = 2))
+      // replayed ingest overwrites its own tranche → unchanged
+      SimilarityOps.writeCentroidTranche(h2, "embedding", "ts", dir, "t2")
+      // auto-fold: grow to 5 tranches with replays, tick with maxLive=2
+      // after each write — fan-in stays ≤ 2, answers unchanged
+      for (i <- 3 to 5) {
+        SimilarityOps.writeCentroidTranche(h2.where(lit(false)), "embedding", "ts",
+          dir, s"t$i")
+        SumTranches.maybeConsolidateMulti(spark, dir, Seq("__d", "pos"),
+          Seq("s", "c"), maxLive = 2)
+        assert(SumTranches.live(spark, dir).length <= 2, s"tick $i")
+      }
+      assertSameRows(
+        SimilarityOps.centroidRollingFromIndex(spark, dir, windowDays = 2),
+        SimilarityOps.centroidRollingDrift(df, "embedding", "ts", windowDays = 2))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("multi-probe LSH recall >= single-probe, still a subset of brute force") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 30)

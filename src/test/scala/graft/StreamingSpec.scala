@@ -300,6 +300,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftStream cold start: first epoch seeds the artifact, scoring starts with real history") {
+    import graft.profile.HistSketch
+    val base = Files.createTempDirectory("graft_drift_cold").toString
+    val hist = s"$base/h"; val log = s"$base/log"; val ck = s"$base/ck"
+    // NO pre-seeded history: epoch 0 must absorb-as-seed, not throw
+    // (SumTranches.read on an empty dir would fail the checkpointed
+    // stream permanently — r10 advice)
+    val mem = MemoryStream[Long](spark, 1)
+    val q = StreamingOps.driftStream(mem.toDF.toDF("v"), hist, log, "v",
+      checkpointDir = ck)
+    try {
+      mem.addData(1L to 500L: _*); q.processAllAvailable()   // epoch 0: seed
+      // seeded, no gauge row yet (nothing real to score against)
+      assert(HistSketch.readHist(spark, hist)
+        .agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0) == 500)
+      assert(!new java.io.File(log).exists())
+      mem.addData(1L to 500L: _*); q.processAllAvailable()   // epoch 1: scored
+      val rows = StreamingOps.readDriftLog(spark, log)
+        .collect().map(r => r.getAs[Int]("batch") ->
+          ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_new"), r.getAs[Double]("psi_bits")))).toMap
+      assert(rows.keySet == Set(1))
+      val (ref1, new1, psi1) = rows(1)
+      assert(ref1 == 500 && new1 == 500 && psi1 == 0.0)
+      // both epochs absorbed
+      assert(HistSketch.readHist(spark, hist)
+        .agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0) == 1000)
+    } finally q.stop()
+  }
+
+  test("histStream maxLiveTranches: in-loop auto-fold bounds the read fan-in") {
+    import graft.profile.HistSketch
+    import graft.util.SumTranches
+    val base = Files.createTempDirectory("graft_hist_autofold").toString
+    val dir = s"$base/h"; val ck = s"$base/ck"
+    val mem = MemoryStream[Long](spark, 1)
+    val q = StreamingOps.histStream(mem.toDF.toDF("v"), dir, "v",
+      checkpointDir = ck, maxLiveTranches = 2)
+    try {
+      for (e <- 0 until 6) {
+        mem.addData((e * 1000 + 1).toLong to (e * 1000 + 300).toLong: _*)
+        q.processAllAvailable()
+        assert(SumTranches.live(spark, dir).length <= 2, s"epoch $e")
+      }
+      val want = HistSketch.histSketch(
+        (0 until 6).flatMap(e => (e * 1000 + 1).toLong to (e * 1000 + 300).toLong)
+          .toDF("v"), "v")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(HistSketch.readHist(spark, dir)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap == want)
+    } finally q.stop()
+  }
+
   test("groupIndexStream: streamed edges keep the group index equal to the full-graph CC") {
     import graft.graph.GraphOps
     val base = Files.createTempDirectory("graft_grp_stream").toString
