@@ -262,6 +262,16 @@ class LlmOpsSpec extends SparkSpec {
     // partial overlap sits strictly between identical and disjoint
     val part = js(a, a.unionByName(b))._4
     assert(part > 0.01 && part < dj, s"partial overlap gave $part")
+    // coarsened tier: with vocabLimit ≥ the union vocabulary nothing is
+    // truncated and no OTHER bucket exists — digit-identical to exact
+    val exact = TextOps.jsDivergence(a, b, "text").head()
+    val bounded = TextOps.jsDivergence(a, b, "text", vocabLimit = 100).head()
+    assert(bounded == exact, "unclipped coarsening must be digit-identical")
+    // a tight limit folds the tail into OTHER: grid bounded at K+1,
+    // figure can only shrink (data-processing inequality), never grow
+    val tight = TextOps.jsDivergence(a, b, "text", vocabLimit = 2).head()
+    assert(tight.getLong(0) <= 3, s"grid not bounded: ${tight.getLong(0)}")
+    assert(tight.getDouble(3) <= dj + 1e-12 && tight.getDouble(3) > 0)
   }
 
   test("sourceDivergence: odd source scores highest, totals reconcile, OTHER bucket bounds grid") {
