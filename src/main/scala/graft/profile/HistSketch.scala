@@ -193,25 +193,10 @@ object HistSketch {
   def histQuantilesSigned(sketch: DataFrame, ps: Seq[Double],
                           subBuckets: Int = DefaultSubBuckets,
                           scaleBy: Long = 1L): DataFrame = {
-    logS(subBuckets)
     require(scaleBy >= 1, s"histQuantilesSigned: scaleBy=$scaleBy must be >= 1")
-    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
-      "histQuantilesSigned: quantiles must be in (0,1]")
-    val spark = sketch.sparkSession
-    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val total = sketch.agg(sum(col("cnt")).as("__total"))
-    val pDf = spark.range(1).select(explode(array(ps.map(lit): _*)).as("p"))
-    sketch
-      .withColumn("__cum", sum(col("cnt")).over(w))
-      .crossJoin(broadcast(total))          // 1-row scalar singleton
-      .crossJoin(broadcast(pDf))            // ≤ |ps| rows
-      .where(col("__cum") >=
-        greatest(lit(1L), ceil(col("p") * col("__total"))))
-      .groupBy(col("p"))
-      .agg(min(col("bucket")).as("__b"))
+    histQuantilesSignedScaled(sketch, ps, subBuckets)
       .select(col("p"),
-        (expr(signedLowerBoundCaseSql("__b", subBuckets, "div"))
-          .cast(DoubleType) / lit(scaleBy.toDouble)).as("value"))
+        (col("value").cast(DoubleType) / lit(scaleBy.toDouble)).as("value"))
   }
 
   /** WINSORIZE against a SIGNED at-rest histogram — [[histWinsorize]]
@@ -241,6 +226,86 @@ object HistSketch {
       .withColumn(s"${valCol}_w",
         when(v.isNull, lit(null).cast(DoubleType))
           .otherwise(least(greatest(v, lit(lo)), lit(hi))))
+  }
+
+  /** ROBUST anomaly band from a SIGNED sketch — [[histMadBand]] for
+    * metrics that go negative and/or fractional: median and MAD read
+    * from the signed ladder at bucket granularity, all four outputs
+    * in FIXED-POINT units (`scaleBy`-scaled exact longs — divide by
+    * `scaleBy` for display; the gate itself compares in integer
+    * space, where replayability is exact). The deviation distribution
+    * uses the signed representative boundaries, so MAD carries the
+    * ladder's 1/s magnitude error on each side of the median. */
+  def histMadBandSigned(sketch: DataFrame, k: Int = 3,
+                        subBuckets: Int = DefaultSubBuckets): DataFrame = {
+    require(k >= 1, s"histMadBandSigned: k must be >= 1, got $k")
+    val medRows = histQuantilesSignedScaled(sketch, Seq(0.5), subBuckets).collect()
+    require(medRows.nonEmpty,
+      "histMadBandSigned: empty sketch (no non-null values were sketched)")
+    val med = medRows(0).getLong(1)          // 1-row sketch read, scaled units
+    val dev = sketch.select(
+        abs(expr(signedLowerBoundCaseSql("bucket", subBuckets, "div"))
+          .cast(LongType) - lit(med)).as("d"),
+        col("cnt"))
+      .groupBy("d").agg(sum(col("cnt")).as("cnt"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = dev.agg(sum(col("cnt")).as("__total"))
+    dev.withColumn("__cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(total))          // 1-row scalar singleton
+      .where(col("__cum") >=
+        greatest(lit(1L), ceil(lit(0.5) * col("__total"))))
+      .agg(min(col("d")).as("mad"))
+      .select(lit(med).as("med"), col("mad"),
+        (lit(med) - lit(k.toLong) * col("mad")).as("lo"),
+        (lit(med) + lit(k.toLong) * col("mad")).as("hi"))
+  }
+
+  /** Flag rows outside the signed MAD band of HISTORY — the robust
+    * outlier gate over signed/fractional metrics: the batch value is
+    * pre-scaled with the SAME `trunc(v·scaleBy)` the sketch build
+    * used and compared to the band in exact integer space (baked
+    * plan-build literals; one truncation, zero further float ops —
+    * engine-identical). Adds `med`/`mad` audit columns (scaled longs)
+    * and `is_anomaly` (NULL value → NULL flag). */
+  def histMadFlagsSigned(df: DataFrame, valCol: String, sketch: DataFrame,
+                         k: Int = 3,
+                         subBuckets: Int = DefaultSubBuckets,
+                         scaleBy: Long = 1L): DataFrame = {
+    require(scaleBy >= 1, s"histMadFlagsSigned: scaleBy=$scaleBy must be >= 1")
+    val r = histMadBandSigned(sketch, k, subBuckets).head()
+    val (med, mad, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val v =
+      if (scaleBy == 1L) col(valCol).cast(LongType)
+      else (col(valCol).cast(DoubleType) * lit(scaleBy.toDouble)).cast(LongType)
+    df.withColumn("med", lit(med))
+      .withColumn("mad", lit(mad))
+      .withColumn("is_anomaly",
+        when(col(valCol).isNull, lit(null).cast(BooleanType))
+          .otherwise(v < lit(lo) || v > lit(hi)))
+  }
+
+  /** [[histQuantilesSigned]] WITHOUT the descale — `value` as the
+    * exact scaled-long boundary (the integer-space form the signed
+    * MAD band builds on). */
+  def histQuantilesSignedScaled(sketch: DataFrame, ps: Seq[Double],
+                                subBuckets: Int = DefaultSubBuckets): DataFrame = {
+    logS(subBuckets)
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "histQuantilesSignedScaled: quantiles must be in (0,1]")
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = sketch.agg(sum(col("cnt")).as("__total"))
+    val pDf = sketch.sparkSession.range(1).select(explode(array(ps.map(lit): _*)).as("p"))
+    sketch
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(pDf))
+      .where(col("__cum") >=
+        greatest(lit(1L), ceil(col("p") * col("__total"))))
+      .groupBy(col("p"))
+      .agg(min(col("bucket")).as("__b"))
+      .select(col("p"),
+        expr(signedLowerBoundCaseSql("__b", subBuckets, "div"))
+          .cast(LongType).as("value"))
   }
 
   /** GROUPED histogram build — the quantile twin of

@@ -3335,6 +3335,49 @@ object LlmQueries {
         HistSketch.histSketch(docs, "n_chars"), pLo = 0.05, pHi = 0.95)
     },
 
+    // ---- SIGNED robust anomaly gate: median/MAD band read from the
+    //      signed ladder at cent resolution, the batch pre-scaled with
+    //      the same truncation and gated in exact integer space ----
+    Q("q_mad_signed", {
+      import graft.profile.HistSketch._
+      s"""WITH v AS (SELECT CAST(trunc(CAST(c_acctbal AS DOUBLE) * 100.0) AS BIGINT) AS v
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |b AS (SELECT ${signedBucketCaseSql("v", 16, "//")} AS bucket FROM v),
+        |sk AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+        |c AS (SELECT bucket, cnt,
+        |        sum(cnt) OVER (ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER () AS total
+        |      FROM sk),
+        |msel AS (SELECT min(bucket) AS b FROM c
+        |         WHERE cum >= greatest(1, CAST(ceil(0.5 * total) AS BIGINT))),
+        |med AS (SELECT CAST(${signedLowerBoundCaseSql("b", 16, "//")} AS BIGINT) AS med
+        |        FROM msel),
+        |dev AS (SELECT abs(CAST(${signedLowerBoundCaseSql("bucket", 16, "//")} AS BIGINT)
+        |          - med.med) AS d, sum(cnt) AS cnt
+        |        FROM sk CROSS JOIN med GROUP BY 1),
+        |dc AS (SELECT d, cnt,
+        |        sum(cnt) OVER (ORDER BY d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER () AS total
+        |      FROM dev),
+        |mad AS (SELECT min(d) AS mad FROM dc
+        |        WHERE cum >= greatest(1, CAST(ceil(0.5 * total) AS BIGINT)))
+        |SELECT d.c_custkey, d.c_acctbal, med.med, mad.mad,
+        |  CASE WHEN d.c_acctbal IS NULL THEN NULL
+        |       ELSE CAST(trunc(CAST(d.c_acctbal AS DOUBLE) * 100.0) AS BIGINT)
+        |              < med.med - 3 * mad.mad
+        |         OR CAST(trunc(CAST(d.c_acctbal AS DOUBLE) * 100.0) AS BIGINT)
+        |              > med.med + 3 * mad.mad END AS is_anomaly
+        |FROM customer d CROSS JOIN med CROSS JOIN mad""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.HistSketch
+      val cust = Tables(s, dir, "customer").select("c_custkey", "c_acctbal")
+      HistSketch.histMadFlagsSigned(cust, "c_acctbal",
+        HistSketch.histSketchSigned(cust, "c_acctbal", scaleBy = 100L),
+        k = 3, scaleBy = 100L)
+    },
+
     // ---- SIGNED + FRACTIONAL winsorize: account balances go negative
     //      and carry cents, so the sketch runs the mirrored negative
     //      octave ladder at fixed-point scaleBy=100 (trunc(v·100) —

@@ -452,6 +452,46 @@ class HistSketchSpec extends SparkSpec {
     assert(merged == sk.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
   }
 
+  test("signed MAD band/flags: robust two-sided gate; PSI works unchanged on signed sketches") {
+    // symmetric-ish signed fractional history plus planted outliers
+    // that would wreck a mean/sigma band
+    val hist = (-400 to 400).map(_ * 0.25) ++ Seq(-99999.0, 99999.0)
+    val sk = HistSketch.histSketchSigned(hist.toDF("v"), "v", scaleBy = 100L)
+    val band = HistSketch.histMadBandSigned(sk, k = 3).head()
+    val (med, mad, lo, hi) = (band.getLong(0), band.getLong(1),
+      band.getLong(2), band.getLong(3))
+    // median ≈ 0 (cents), MAD ≈ 50·100 within ladder resolution; the
+    // two planted 1e5 outliers cannot move either
+    assert(math.abs(med) <= 100, s"med=$med")
+    assert(mad >= 4000 && mad <= 5100, s"mad=$mad")
+    assert(lo < 0 && hi > 0)
+    val batch = Seq(Some(-160.0), Some(-120.0), Some(0.0), Some(120.0),
+      Some(160.0), None).toDF("v")
+    val flags = HistSketch.histMadFlagsSigned(batch, "v", sk, k = 3, scaleBy = 100L)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0))) ->
+        (if (r.isNullAt(3)) None else Some(r.getBoolean(3)))).toMap
+    assert(flags(Some(-160.0)).contains(true))   // below lo — both tails gate
+    assert(flags(Some(160.0)).contains(true))
+    assert(flags(Some(-120.0)).contains(false))
+    assert(flags(Some(120.0)).contains(false))
+    assert(flags(Some(0.0)).contains(false))
+    assert(flags(None).isEmpty)
+    // empty-sketch guard is named here too
+    assert(intercept[IllegalArgumentException] {
+      HistSketch.histMadBandSigned(
+        HistSketch.histSketchSigned(Seq.empty[Double].toDF("v"), "v"))
+    }.getMessage.contains("empty sketch"))
+    // PSI composes with signed sketches with ZERO changes — the gauge
+    // joins on bucket ids, and signed ids are just integers: identical
+    // signed distributions give 0, a sign-flipped one fires
+    val a = HistSketch.histSketchSigned((-300 to 300).map(_ * 0.5).toDF("v"), "v",
+      scaleBy = 100L)
+    assert(HistSketch.histDriftPsi(a, a).head().getDouble(3) == 0.0)
+    val flipped = HistSketch.histSketchSigned(
+      ((-300 to -1) ++ (1 to 50)).map(_ * 0.5).toDF("v"), "v", scaleBy = 100L)
+    assert(HistSketch.histDriftPsi(a, flipped).head().getDouble(3) > 0.05)
+  }
+
   test("maybeConsolidate: fan-in stays ≤ maxLive under a 3N-tranche ingest, answers unchanged") {
     import graft.util.SumTranches
     val dir = java.nio.file.Files.createTempDirectory("graft_autofold").toString
