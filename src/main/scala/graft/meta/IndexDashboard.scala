@@ -63,14 +63,60 @@ object IndexDashboard {
     */
   def sourceDriftDashboard(df: DataFrame, groupCol: String,
                            valCol: String, textCol: String,
-                           vocabLimit: Int = 10000): DataFrame = {
+                           vocabLimit: Int = 10000,
+                           vectors: Option[(DataFrame, String)] = None): DataFrame = {
     val psi = graft.profile.HistSketch.histSourcePsi(df, groupCol, valCol)
       .select(col(groupCol), lit("psi_bits").as("gauge"),
         col("psi_bits").as("value"), col("n_src"), col("n_rest"))
     val js = graft.text.TextOps.sourceDivergence(df, groupCol, textCol, vocabLimit)
       .select(col(groupCol), lit("js_bits").as("gauge"),
         col("js_bits").as("value"), col("n_src"), col("n_rest"))
-    psi.unionByName(js)
+    val base = psi.unionByName(js)
+    // optional third axis: per-source centroid-vs-rest over a vector
+    // frame carrying the same groupCol (vectors usually live in their
+    // own table — pass the joined frame)
+    vectors.fold(base) { case (vecDf, vecCol) =>
+      base.unionByName(
+        graft.similarity.SimilarityOps.sourceCentroidDrift(vecDf, groupCol, vecCol)
+          .select(col(groupCol), lit("centroid_cosine").as("gauge"),
+            col("cosine").as("value"), col("n_src"), col("n_rest")))
+    }
+  }
+
+  /** ROLLING drift dashboard — the per-day union of the three rolling
+    * gauges ([[graft.profile.HistSketch.histRollingPsi]],
+    * [[graft.text.TextOps.jsRollingDivergence]],
+    * [[graft.similarity.SimilarityOps.centroidRollingDrift]]): one
+    * `(day, gauge, value, n_cur, n_ref)` frame answering "WHICH
+    * ingest day broke WHICH axis" in a single morning query. Each
+    * member keeps its own bounded per-day shape (bucket rows / count
+    * rows / dim-sum rows fanned across the trailing window — never
+    * events or vectors), so the dashboard costs three bounded-frame
+    * gauges however large the corpora; pass only the axes the
+    * deployment monitors. */
+  def rollingDriftDashboard(numeric: Option[(DataFrame, String, String)],
+                            mix: Option[(DataFrame, String, String)],
+                            vectors: Option[(DataFrame, String, String)],
+                            windowDays: Int): DataFrame = {
+    require(numeric.orElse(mix).orElse(vectors).isDefined,
+      "rollingDriftDashboard: pass at least one axis")
+    val parts = Seq(
+      numeric.map { case (df, valCol, tsCol) =>
+        graft.profile.HistSketch.histRollingPsi(df, valCol, tsCol, windowDays)
+          .select(col("day"), lit("psi_bits").as("gauge"),
+            col("psi_bits").as("value"), col("n_cur"), col("n_ref"))
+      },
+      mix.map { case (df, keyCol, tsCol) =>
+        graft.text.TextOps.jsRollingDivergence(df, keyCol, tsCol, windowDays)
+          .select(col("day"), lit("js_bits").as("gauge"),
+            col("js_bits").as("value"), col("n_cur"), col("n_ref"))
+      },
+      vectors.map { case (df, vecCol, tsCol) =>
+        graft.similarity.SimilarityOps.centroidRollingDrift(df, vecCol, tsCol, windowDays)
+          .select(col("day"), lit("centroid_cosine").as("gauge"),
+            col("cosine").as("value"), col("n_cur"), col("n_ref"))
+      }).flatten
+    parts.reduce(_.unionByName(_))
   }
 
   def indexHealthAll(spark: SparkSession,

@@ -277,6 +277,101 @@ object LlmQueries {
     s"CAST(floor(1e12 / ($kConst.0 + rank) + 0.5) AS BIGINT)"
   private def duckHash(e: String) = s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
 
+  // ---- shared rolling-gauge oracle builders (each used by its own
+  //      per-axis query AND the unified q_rolling_dashboard) ----
+
+  private def duckL8(x: String) =
+    s"CAST(floor(log2(CAST($x AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)"
+
+  private def duckPsiRollingSql(windowDays: Int): String = {
+    import graft.profile.HistSketch._
+    s"""WITH v AS (SELECT CAST(ts AS DATE) AS d,
+      |    CAST(trunc(value) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT d, ${bucketCaseSql("v", 16, "//")} AS bucket FROM v),
+      |pd AS (SELECT d, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT d FROM pd),
+      |ref AS (SELECT days.d AS day, pd.bucket, sum(pd.cnt) AS cb
+      |        FROM days JOIN pd ON pd.d BETWEEN days.d - $windowDays AND days.d - 1
+      |        GROUP BY 1, 2),
+      |cur AS (SELECT d AS day, bucket, cnt AS ca FROM pd),
+      |j AS (SELECT coalesce(cur.day, ref.day) AS day,
+      |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      |      FROM cur FULL OUTER JOIN ref
+      |        ON cur.day = ref.day AND cur.bucket = ref.bucket),
+      |t AS (SELECT day, CAST(count(*) AS BIGINT) AS k,
+      |        CAST(sum(ca) + count(*) AS BIGINT) AS na,
+      |        CAST(sum(cb) + count(*) AS BIGINT) AS nb,
+      |        sum(ca) AS ra, sum(cb) AS rb
+      |      FROM j GROUP BY 1),
+      |term AS (SELECT j.day AS day, k, na, nb,
+      |    CAST((CAST(ca + 1 AS HUGEINT) * 1000000000) // na AS BIGINT) AS qa,
+      |    CAST((CAST(cb + 1 AS HUGEINT) * 1000000000) // nb AS BIGINT) AS qb,
+      |    ${duckL8("ca + 1")} - ${duckL8("na")} - ${duckL8("cb + 1")} + ${duckL8("nb")} AS l
+      |  FROM j JOIN t ON t.day = j.day WHERE ra > 0 AND rb > 0)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, max(k) AS n_buckets,
+      |  max(na) - max(k) AS n_cur, max(nb) - max(k) AS n_ref,
+      |  CAST(sum(CAST(qa - qb AS HUGEINT) * l) AS DOUBLE) / 1e17 AS psi_bits
+      |FROM term GROUP BY 1""".stripMargin
+  }
+
+  private def duckJsRollingSql(windowDays: Int): String =
+    s"""WITH v AS (SELECT CAST(ts AS DATE) AS d, event_type AS k
+      |    FROM events WHERE event_type IS NOT NULL),
+      |pd AS (SELECT d, k, count(*) AS cnt FROM v GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT d FROM pd),
+      |ref AS (SELECT days.d AS day, pd.k, sum(cnt) AS cb
+      |        FROM days JOIN pd ON pd.d BETWEEN days.d - $windowDays AND days.d - 1
+      |        GROUP BY 1, 2),
+      |cur AS (SELECT d AS day, k, cnt AS ca FROM pd),
+      |j AS (SELECT coalesce(cur.day, ref.day) AS day,
+      |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      |      FROM cur FULL OUTER JOIN ref
+      |        ON cur.day = ref.day AND cur.k = ref.k),
+      |t AS (SELECT day, CAST(count(*) AS BIGINT) AS k,
+      |        CAST(sum(ca) + count(*) AS BIGINT) AS na,
+      |        CAST(sum(cb) + count(*) AS BIGINT) AS nb,
+      |        sum(ca) AS ra, sum(cb) AS rb
+      |      FROM j GROUP BY 1),
+      |term AS (SELECT j.day AS day, k, na, nb, ca, cb,
+      |    CAST(ca + 1 AS HUGEINT) * nb + CAST(cb + 1 AS HUGEINT) * na AS mix
+      |  FROM j JOIN t ON t.day = j.day WHERE ra > 0 AND rb > 0),
+      |s AS (SELECT day, max(k) AS k, max(na) AS na, max(nb) AS nb,
+      |    sum(CAST(ca + 1 AS HUGEINT) *
+      |        (100000000 + ${duckL8("ca + 1")} + ${duckL8("nb")} - ${duckL8("mix")})) AS sa,
+      |    sum(CAST(cb + 1 AS HUGEINT) *
+      |        (100000000 + ${duckL8("cb + 1")} + ${duckL8("na")} - ${duckL8("mix")})) AS sb
+      |  FROM term GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, k AS n_keys,
+      |  na - k AS n_cur, nb - k AS n_ref,
+      |  (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+      |    + CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2e8 AS js_bits
+      |FROM s""".stripMargin
+
+  private def duckCentroidRollingSql(windowDays: Int): String =
+    s"""WITH e AS (SELECT DATE '2024-01-01' + CAST(vec_id % 8 AS INTEGER) AS d,
+      |    embedding AS e
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |u AS (SELECT d, generate_subscripts(e, 1) AS pos,
+      |        CAST(trunc(CAST(unnest(e) AS DOUBLE) * 1000000) AS BIGINT) AS u
+      |      FROM e),
+      |pd AS (SELECT d, pos, CAST(sum(u) AS HUGEINT) AS s, count(*) AS c
+      |       FROM u GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT d FROM pd),
+      |ref AS (SELECT days.d AS day, pd.pos, CAST(sum(pd.s) AS HUGEINT) AS sb,
+      |          CAST(sum(pd.c) AS BIGINT) AS cb
+      |        FROM days JOIN pd ON pd.d BETWEEN days.d - $windowDays AND days.d - 1
+      |        GROUP BY 1, 2),
+      |cur AS (SELECT d AS day, pos, s AS sa, c AS ca FROM pd),
+      |j AS (SELECT cur.day AS day, sa, ca, sb, cb
+      |      FROM cur JOIN ref ON ref.day = cur.day AND ref.pos = cur.pos)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, max(ca) AS n_cur,
+      |  max(cb) AS n_ref, CAST(count(*) AS BIGINT) AS dim,
+      |  CAST(sum(sa * sb) AS DOUBLE)
+      |    / (sqrt(CAST(sum(sa * sa) AS DOUBLE)) * sqrt(CAST(sum(sb * sb) AS DOUBLE)))
+      |    AS cosine
+      |FROM j GROUP BY 1""".stripMargin
+
   /** Fixed-point PageRank replay: the same integer expressions as
     * [[graft.graph.GraphOps.pageRank]] — `//` (DuckDB floor division)
     * equals Spark's `div` on the nonnegative ranks — with each
@@ -2770,39 +2865,7 @@ object LlmQueries {
     //      distribution against the trailing-7-day histogram — "which
     //      ingest day broke the profile" from per-day bucket rows,
     //      never event rows; first day (empty reference) omitted ----
-    Q("q_psi_rolling", {
-      import graft.profile.HistSketch._
-      def l8(x: String) =
-        s"CAST(floor(log2(CAST($x AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)"
-      s"""WITH v AS (SELECT CAST(ts AS DATE) AS d,
-        |    CAST(trunc(value) AS BIGINT) AS v
-        |  FROM events WHERE value IS NOT NULL),
-        |b AS (SELECT d, ${bucketCaseSql("v", 16, "//")} AS bucket FROM v),
-        |pd AS (SELECT d, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
-        |days AS (SELECT DISTINCT d FROM pd),
-        |ref AS (SELECT days.d AS day, pd.bucket, sum(pd.cnt) AS cb
-        |        FROM days JOIN pd ON pd.d BETWEEN days.d - 7 AND days.d - 1
-        |        GROUP BY 1, 2),
-        |cur AS (SELECT d AS day, bucket, cnt AS ca FROM pd),
-        |j AS (SELECT coalesce(cur.day, ref.day) AS day,
-        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-        |      FROM cur FULL OUTER JOIN ref
-        |        ON cur.day = ref.day AND cur.bucket = ref.bucket),
-        |t AS (SELECT day, CAST(count(*) AS BIGINT) AS k,
-        |        CAST(sum(ca) + count(*) AS BIGINT) AS na,
-        |        CAST(sum(cb) + count(*) AS BIGINT) AS nb,
-        |        sum(ca) AS ra, sum(cb) AS rb
-        |      FROM j GROUP BY 1),
-        |term AS (SELECT j.day AS day, k, na, nb,
-        |    CAST((CAST(ca + 1 AS HUGEINT) * 1000000000) // na AS BIGINT) AS qa,
-        |    CAST((CAST(cb + 1 AS HUGEINT) * 1000000000) // nb AS BIGINT) AS qb,
-        |    ${l8("ca + 1")} - ${l8("na")} - ${l8("cb + 1")} + ${l8("nb")} AS l
-        |  FROM j JOIN t ON t.day = j.day WHERE ra > 0 AND rb > 0)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, max(k) AS n_buckets,
-        |  max(na) - max(k) AS n_cur, max(nb) - max(k) AS n_ref,
-        |  CAST(sum(CAST(qa - qb AS HUGEINT) * l) AS DOUBLE) / 1e17 AS psi_bits
-        |FROM term GROUP BY 1""".stripMargin
-    }) { (s, dir) =>
+    Q("q_psi_rolling", duckPsiRollingSql(7)) { (s, dir) =>
       graft.profile.HistSketch.histRollingPsi(
         Tables(s, dir, "events"), "value", "ts", windowDays = 7)
     },
@@ -2847,29 +2910,7 @@ object LlmQueries {
     //      the explode fans out SUM rows, never vectors. Ingest days
     //      are synthesized from vec_id (the embeddings fixture has no
     //      timestamp) — a deterministic 8-day spread ----
-    Q("q_centroid_rolling",
-      s"""WITH e AS (SELECT DATE '2024-01-01' + CAST(vec_id % 8 AS INTEGER) AS d,
-        |    embedding AS e
-        |  FROM embeddings WHERE embedding IS NOT NULL),
-        |u AS (SELECT d, generate_subscripts(e, 1) AS pos,
-        |        CAST(trunc(CAST(unnest(e) AS DOUBLE) * 1000000) AS BIGINT) AS u
-        |      FROM e),
-        |pd AS (SELECT d, pos, CAST(sum(u) AS HUGEINT) AS s, count(*) AS c
-        |       FROM u GROUP BY 1, 2),
-        |days AS (SELECT DISTINCT d FROM pd),
-        |ref AS (SELECT days.d AS day, pd.pos, CAST(sum(pd.s) AS HUGEINT) AS sb,
-        |          CAST(sum(pd.c) AS BIGINT) AS cb
-        |        FROM days JOIN pd ON pd.d BETWEEN days.d - 3 AND days.d - 1
-        |        GROUP BY 1, 2),
-        |cur AS (SELECT d AS day, pos, s AS sa, c AS ca FROM pd),
-        |j AS (SELECT cur.day AS day, sa, ca, sb, cb
-        |      FROM cur JOIN ref ON ref.day = cur.day AND ref.pos = cur.pos)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, max(ca) AS n_cur,
-        |  max(cb) AS n_ref, CAST(count(*) AS BIGINT) AS dim,
-        |  CAST(sum(sa * sb) AS DOUBLE)
-        |    / (sqrt(CAST(sum(sa * sa) AS DOUBLE)) * sqrt(CAST(sum(sb * sb) AS DOUBLE)))
-        |    AS cosine
-        |FROM j GROUP BY 1""".stripMargin) { (s, dir) =>
+    Q("q_centroid_rolling", duckCentroidRollingSql(3)) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
         .withColumn("d", date_add(to_date(lit("2024-01-01")),
           (col("vec_id") % 8).cast(IntegerType)))
@@ -3032,43 +3073,65 @@ object LlmQueries {
     // ---- rolling event-mix drift: per-day JS of the event-type mix
     //      vs the trailing 7 days — "did today's event distribution
     //      shift", from per-(day, type) count rows, never events ----
-    Q("q_js_rolling", {
-      def l8(x: String) =
-        s"CAST(floor(log2(CAST($x AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)"
-      s"""WITH v AS (SELECT CAST(ts AS DATE) AS d, event_type AS k
-        |    FROM events WHERE event_type IS NOT NULL),
-        |pd AS (SELECT d, k, count(*) AS cnt FROM v GROUP BY 1, 2),
-        |days AS (SELECT DISTINCT d FROM pd),
-        |ref AS (SELECT days.d AS day, pd.k, sum(cnt) AS cb
-        |        FROM days JOIN pd ON pd.d BETWEEN days.d - 7 AND days.d - 1
-        |        GROUP BY 1, 2),
-        |cur AS (SELECT d AS day, k, cnt AS ca FROM pd),
-        |j AS (SELECT coalesce(cur.day, ref.day) AS day,
-        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-        |      FROM cur FULL OUTER JOIN ref
-        |        ON cur.day = ref.day AND cur.k = ref.k),
-        |t AS (SELECT day, CAST(count(*) AS BIGINT) AS k,
-        |        CAST(sum(ca) + count(*) AS BIGINT) AS na,
-        |        CAST(sum(cb) + count(*) AS BIGINT) AS nb,
-        |        sum(ca) AS ra, sum(cb) AS rb
-        |      FROM j GROUP BY 1),
-        |term AS (SELECT j.day AS day, k, na, nb, ca, cb,
-        |    CAST(ca + 1 AS HUGEINT) * nb + CAST(cb + 1 AS HUGEINT) * na AS mix
-        |  FROM j JOIN t ON t.day = j.day WHERE ra > 0 AND rb > 0),
-        |s AS (SELECT day, max(k) AS k, max(na) AS na, max(nb) AS nb,
-        |    sum(CAST(ca + 1 AS HUGEINT) *
-        |        (100000000 + ${l8("ca + 1")} + ${l8("nb")} - ${l8("mix")})) AS sa,
-        |    sum(CAST(cb + 1 AS HUGEINT) *
-        |        (100000000 + ${l8("cb + 1")} + ${l8("na")} - ${l8("mix")})) AS sb
-        |  FROM term GROUP BY 1)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, k AS n_keys,
-        |  na - k AS n_cur, nb - k AS n_ref,
-        |  (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
-        |    + CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2e8 AS js_bits
-        |FROM s""".stripMargin
-    }) { (s, dir) =>
+    Q("q_js_rolling", duckJsRollingSql(7)) { (s, dir) =>
       TextOps.jsRollingDivergence(
         Tables(s, dir, "events"), "event_type", "ts", windowDays = 7)
+    },
+
+    // ---- per-source EMBEDDING drift: every source's centroid vs the
+    //      rest of the corpus, complement by exact subtraction from
+    //      the global per-dim sums — one corpus pass, grid bounded at
+    //      |sources|·dim; completes the odd-one-out dashboard on the
+    //      third drift axis ----
+    Q("q_source_centroid",
+      s"""WITH v AS (SELECT d.source AS src, e.embedding AS e
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |  WHERE e.embedding IS NOT NULL AND d.source IS NOT NULL),
+        |u AS (SELECT src, generate_subscripts(e, 1) AS pos,
+        |        CAST(trunc(CAST(unnest(e) AS DOUBLE) * 1000000) AS BIGINT) AS u
+        |      FROM v),
+        |ps AS (SELECT src, pos, CAST(sum(u) AS HUGEINT) AS s, count(*) AS c
+        |       FROM u GROUP BY 1, 2),
+        |g AS (SELECT pos, CAST(sum(s) AS HUGEINT) AS st,
+        |        CAST(sum(c) AS BIGINT) AS ct FROM ps GROUP BY 1),
+        |j AS (SELECT ps.src AS src, ps.s AS s, ps.c AS c,
+        |        g.st - ps.s AS sr, g.ct - ps.c AS cr
+        |      FROM ps JOIN g ON g.pos = ps.pos)
+        |SELECT src AS source, max(c) AS n_src, max(cr) AS n_rest,
+        |  CAST(count(*) AS BIGINT) AS dim,
+        |  CAST(sum(s * sr) AS DOUBLE)
+        |    / (sqrt(CAST(sum(s * s) AS DOUBLE)) * sqrt(CAST(sum(sr * sr) AS DOUBLE)))
+        |    AS cosine
+        |FROM j GROUP BY 1 HAVING max(cr) > 0""".stripMargin) { (s, dir) =>
+      val vec = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .join(Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id"))
+      SimilarityOps.sourceCentroidDrift(vec, "source", "embedding")
+    },
+
+    // ---- ROLLING drift dashboard: the per-day union of all three
+    //      rolling gauges — "which ingest day broke which axis" in one
+    //      morning query; each member keeps its own bounded per-day
+    //      fan (bucket rows / count rows / dim-sum rows, never events
+    //      or vectors) ----
+    Q("q_rolling_dashboard", {
+      def proj(sql: String, gauge: String, value: String) =
+        s"SELECT day, '$gauge' AS gauge, $value AS value, n_cur, n_ref FROM (\n$sql\n)"
+      proj(duckPsiRollingSql(7), "psi_bits", "psi_bits") +
+        "\nUNION ALL\n" +
+        proj(duckJsRollingSql(7), "js_bits", "js_bits") +
+        "\nUNION ALL\n" +
+        proj(duckCentroidRollingSql(7), "centroid_cosine", "cosine")
+    }) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val emb = Tables(s, dir, "embeddings")
+        .withColumn("d", date_add(to_date(lit("2024-01-01")),
+          (col("vec_id") % 8).cast(IntegerType)))
+      graft.meta.IndexDashboard.rollingDriftDashboard(
+        numeric = Some((ev, "value", "ts")),
+        mix = Some((ev, "event_type", "ts")),
+        vectors = Some((emb, "embedding", "d")),
+        windowDays = 7)
     },
 
     // ---- per-source drift dashboard: both odd-one-out gauges

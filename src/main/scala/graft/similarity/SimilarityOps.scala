@@ -1220,6 +1220,54 @@ object SimilarityOps {
         col("n_cur"), col("n_ref"), col("dim"), col("cosine"))
   }
 
+  /** PER-SOURCE embedding drift — the odd-one-out dashboard on the
+    * THIRD drift axis (`HistSketch.histSourcePsi` gauges a numeric
+    * column, `TextOps.sourceDivergence` the vocabulary; this gauges
+    * where each source's vectors LIVE): for every `groupCol` value,
+    * the cosine between that source's centroid-sum and THE REST of
+    * the corpus — the complement derived by SUBTRACTION from the
+    * global per-dim sums, so one corpus pass serves every source.
+    * Output `(groupCol, n_src, n_rest, dim, cosine)`; sources that
+    * constitute the whole corpus (empty complement) are omitted
+    * rather than scored against a zero vector.
+    *
+    * Same snapped-exact arithmetic as [[centroidDrift]]; subtraction
+    * of exact integer sums is exact, so source-vs-rest here is
+    * BIT-identical to materializing the complement corpus and running
+    * the pairwise gauge. Scale shape: the corpus collapses to
+    * |sources|·dim snapped sum rows (one map-side-combinable
+    * explode+sum, materialized — the [[histSourcePsi]] discipline);
+    * the global frame is dim rows broadcast; everything downstream is
+    * grid-sized.
+    */
+  def sourceCentroidDrift(df: DataFrame, groupCol: String, vecCol: String,
+                          scale: Long = 1000000L): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val perSrc = graft.util.Materialize.bounded(
+      df.where(col(vecCol).isNotNull && col(groupCol).isNotNull)
+        .select(col(groupCol).cast(StringType).as("src"),
+          posexplode(col(vecCol)).as(Seq("pos", "__x")))
+        .select(col("src"), col("pos"),
+          (col("__x").cast(DoubleType) * lit(scale.toDouble)).cast(LongType).as("__u"))
+        .groupBy(col("src"), col("pos"))
+        .agg(sum(col("__u").cast(d38)).as("s"), count(lit(1)).as("c")))
+    val global = perSrc.groupBy(col("pos"))
+      .agg(sum(col("s")).as("st"), sum(col("c")).as("ct"))
+    perSrc.join(broadcast(global), "pos")   // dim-row broadcast
+      .select(col("src"), col("s"), col("c"),
+        (col("st") - col("s")).cast(d38).as("sr"),
+        (col("ct") - col("c")).as("cr"))
+      .groupBy(col("src"))
+      .agg(max(col("c")).as("n_src"), max(col("cr")).as("n_rest"),
+        count(lit(1)).as("dim"),
+        (sum((col("s") * col("sr")).cast(d38)).cast(DoubleType)
+          / (sqrt(sum((col("s") * col("s")).cast(d38)).cast(DoubleType))
+            * sqrt(sum((col("sr") * col("sr")).cast(d38)).cast(DoubleType))))
+          .as("cosine"))
+      .where(col("n_rest") > 0)
+      .withColumnRenamed("src", groupCol)
+  }
+
   /** AT-REST per-day centroid artifact: each ingest collapses its
     * vectors to the `(__d, pos, s, c)` per-day sum frame and lands as
     * its own tagged tranche ([[graft.util.SumTranches]] — sum-vector

@@ -177,6 +177,47 @@ class ScaleOpsSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
+  test("sourceCentroidDrift: source-vs-rest ≡ pairwise gauge on the complement; solo source omitted") {
+    val rows =
+      (1L to 40L).map(i => (i, "srcA", Seq(1.0f, 0.25f, 0.0f))) ++
+      (41L to 80L).map(i => (i, "srcB", Seq(0.9f, 0.3f, 0.1f))) ++
+      (81L to 120L).map(i => (i, "srcC", Seq(-0.2f, 0.1f, 1.0f)))
+    val df = rows.toDF("id", "source", "embedding")
+    val got = SimilarityOps.sourceCentroidDrift(df, "source", "embedding")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set("srcA", "srcB", "srcC"))
+    // subtraction-derived complement must be BIT-identical to
+    // materializing the rest-corpus and running the pairwise gauge
+    for (src <- Seq("srcA", "srcB", "srcC")) {
+      val pair = SimilarityOps.centroidDrift(
+        df.where(col("source") === src), df.where(col("source") =!= src),
+        "embedding").head()
+      val (nSrc, nRest, dim, cos) = got(src)
+      assert((nSrc, nRest, dim) == ((pair.getLong(0), pair.getLong(1), pair.getLong(2))))
+      assert(cos == pair.getDouble(3), s"$src: $cos vs ${pair.getDouble(3)}")
+    }
+    // the alien-direction source diverges hardest (its complement is the
+    // two parallel sources); A and B each face a MIXED complement, so
+    // they sit mid-range — ordering, not absolute closeness, is the gate
+    assert(got("srcC")._4 < 0.0, s"srcC ${got("srcC")._4}")
+    assert(got("srcA")._4 > 0.3 && got("srcB")._4 > 0.3)
+    assert(got("srcC")._4 < got("srcA")._4 && got("srcC")._4 < got("srcB")._4)
+    // a whole-corpus source has no complement — omitted, not NaN
+    val solo = SimilarityOps.sourceCentroidDrift(
+      df.where(col("source") === "srcA"), "source", "embedding")
+    assert(solo.count() == 0)
+    // the dashboard carries it as the third gauge family
+    val dash = graft.meta.IndexDashboard.sourceDriftDashboard(
+      rows.map { case (i, s2, v) => (i, s2, v.mkString(" "), v.length.toLong) }
+        .toDF("id", "source", "text", "n"),
+      "source", "n", "text", vocabLimit = 100,
+      vectors = Some((df, "embedding")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dash == (for (s2 <- Set("srcA", "srcB", "srcC");
+      g <- Set("psi_bits", "js_bits", "centroid_cosine")) yield (s2, g)))
+  }
+
   test("multi-probe LSH recall >= single-probe, still a subset of brute force") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 30)
