@@ -459,16 +459,33 @@ object HistSketch {
                            subBuckets: Int = DefaultSubBuckets): DataFrame = {
     logS(subBuckets)
     require(windowDays >= 1, "histRollingQuantiles: windowDays must be >= 1")
-    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
-      "histRollingQuantiles: quantiles must be in (0,1]")
-    val spark = df.sparkSession
-    val perDay = df.where(col(valCol).isNotNull)
+    rollingQuantilesFromPerDay(dayHist(df, valCol, tsCol, subBuckets),
+      windowDays, ps, subBuckets)
+  }
+
+  /** The `(__d DATE, bucket, cnt)` per-day histogram frame — the unit
+    * both rolling gauges consume and [[writeDayHistTranche]]
+    * persists. */
+  private def dayHist(df: DataFrame, valCol: String, tsCol: String,
+                      subBuckets: Int): DataFrame =
+    df.where(col(valCol).isNotNull)
       .select(to_date(col(tsCol)).as("__d"),
         col(valCol).cast(LongType).as("__v"))
       .select(col("__d"),
         expr(bucketCaseSql("__v", subBuckets, "div")).cast(IntegerType).as("bucket"))
       .groupBy(col("__d"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  private def rollingQuantilesFromPerDay(perDay0: DataFrame, windowDays: Int,
+                                         ps: Seq[Double],
+                                         subBuckets: Int): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "histRollingQuantiles: quantiles must be in (0,1]")
+    // perDay feeds days AND the fan — materialize the bounded
+    // |days|·buckets frame so the corpus (or the tranche scan)
+    // collapses exactly once (graft.util.Materialize rationale)
+    val perDay = graft.util.Materialize.bounded(perDay0)
+    val spark = perDay.sparkSession
     val days = perDay.select(col("__d").as("day")).distinct()
     val fan = perDay
       .select(col("bucket"), col("cnt"),
@@ -491,6 +508,55 @@ object HistSketch {
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("p"),
         expr(lowerBoundCaseSql("__b", subBuckets, "div"))
           .cast(LongType).as("value"))
+  }
+
+  // ---- at-rest DAY-KEYED histogram artifact --------------------------
+
+  /** AT-REST day-keyed histogram artifact — the numeric-axis twin of
+    * the per-day centroid artifact: each ingest collapses its rows to
+    * `(__d, bucket, cnt)` and lands as its own tagged tranche
+    * ([[graft.util.SumTranches]] — per-(day, bucket) sum merge; a day
+    * may split across ingests). ONE artifact family serves BOTH
+    * rolling gauges — trailing-window quantiles AND rolling PSI — so
+    * the daily monitoring read never re-touches an event row. The
+    * flat [[writeHistTranche]] artifact stays for whole-corpus gates
+    * (winsorize/MAD/pct-rank), which don't need the day key. */
+  def writeDayHistTranche(df: DataFrame, valCol: String, tsCol: String,
+                          dir: String, tag: String,
+                          subBuckets: Int = DefaultSubBuckets): Unit = {
+    logS(subBuckets)
+    graft.util.SumTranches.write(dayHist(df, valCol, tsCol, subBuckets), dir, tag)
+  }
+
+  /** Merge-on-read of the day-keyed artifact: `(__d, bucket, cnt)`,
+    * bounded by Σ tranche sizes. */
+  def readDayHist(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SumTranches.read(spark, dir, Seq("__d", "bucket"), "cnt")
+
+  /** Fold the day-keyed tranches (crash-safe superseding-manifest
+    * protocol); auto-fold via
+    * `SumTranches.maybeConsolidate(dir, Seq("__d","bucket"), "cnt", n)`. */
+  def consolidateDayHist(spark: SparkSession, dir: String): Unit =
+    graft.util.SumTranches.consolidate(spark, dir, Seq("__d", "bucket"), "cnt")
+
+  /** Rolling quantiles straight from the artifact — byte-identical to
+    * [[histRollingQuantiles]] over the union of the ingested frames
+    * (per-key sum merge is exact), zero event access. */
+  def histRollingQuantilesFromIndex(spark: SparkSession, dir: String,
+                                    windowDays: Int, ps: Seq[Double],
+                                    subBuckets: Int = DefaultSubBuckets): DataFrame = {
+    logS(subBuckets)
+    require(windowDays >= 1, "histRollingQuantilesFromIndex: windowDays must be >= 1")
+    rollingQuantilesFromPerDay(readDayHist(spark, dir), windowDays, ps, subBuckets)
+  }
+
+  /** Rolling PSI straight from the artifact — byte-identical to
+    * [[histRollingPsi]] over the union of the ingested frames, zero
+    * event access. */
+  def histRollingPsiFromIndex(spark: SparkSession, dir: String,
+                              windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "histRollingPsiFromIndex: windowDays must be >= 1")
+    rollingPsiFromPerDay(readDayHist(spark, dir), windowDays)
   }
 
   /** Population-stability-index DRIFT gauge between two histogram
@@ -639,20 +705,19 @@ object HistSketch {
                      subBuckets: Int = DefaultSubBuckets): DataFrame = {
     logS(subBuckets)
     require(windowDays >= 1, "histRollingPsi: windowDays must be >= 1")
+    rollingPsiFromPerDay(dayHist(df, valCol, tsCol, subBuckets), windowDays)
+  }
+
+  private def rollingPsiFromPerDay(perDay0: DataFrame,
+                                   windowDays: Int): DataFrame = {
     val d38 = DecimalType(38, 0)
     def l8(e: Column): Column =
       floor(log2(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
     // perDay feeds days, the reference fan-out AND the current side —
     // materialize the bounded |days|·buckets frame so the corpus
-    // collapses exactly once (graft.util.Materialize rationale)
-    val perDay = graft.util.Materialize.bounded(
-      df.where(col(valCol).isNotNull)
-        .select(to_date(col(tsCol)).as("__d"),
-          col(valCol).cast(LongType).as("__v"))
-        .select(col("__d"),
-          expr(bucketCaseSql("__v", subBuckets, "div")).cast(IntegerType).as("bucket"))
-        .groupBy(col("__d"), col("bucket"))
-        .agg(count(lit(1)).as("cnt")))
+    // (or the tranche scan) collapses exactly once
+    // (graft.util.Materialize rationale)
+    val perDay = graft.util.Materialize.bounded(perDay0)
     val days = perDay.select(col("__d").as("day")).distinct()
     // each day's buckets serve as REFERENCE for the next windowDays days
     val ref = perDay

@@ -2870,6 +2870,24 @@ object LlmQueries {
         Tables(s, dir, "events"), "value", "ts", windowDays = 7)
     },
 
+    // ---- rolling PSI from the AT-REST day-keyed histogram artifact:
+    //      two arbitrary-split ingest tranches + an auto-fold tick,
+    //      gauge read with zero event access — hash-identical to the
+    //      inline whole-corpus form (per-(day,bucket) sum is exact),
+    //      so the oracle is the SAME rolling-PSI replay ----
+    Q("q_psi_rolling_index", duckPsiRollingSql(7)) { (s, dir) =>
+      import graft.profile.HistSketch
+      val ev = Tables(s, dir, "events")
+      val idx = graft.util.Scratch.path("dayhist_idx", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+      val half = pmod(xxhash64(lit("dh"), col("event_id")), lit(2))
+      HistSketch.writeDayHistTranche(ev.where(half === 0), "value", "ts", idx, "t0")
+      HistSketch.writeDayHistTranche(ev.where(half === 1), "value", "ts", idx, "t1")
+      graft.util.SumTranches.maybeConsolidate(s, idx,
+        Seq("__d", "bucket"), "cnt", maxLive = 1)
+      HistSketch.histRollingPsiFromIndex(s, idx, windowDays = 7)
+    },
+
     // ---- embedding-space drift: cosine between two corpus-half
     //      centroid directions — the third leg of the drift triad
     //      (PSI = numeric column, JS = vocabulary, this = where the

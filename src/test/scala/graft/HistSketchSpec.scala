@@ -516,6 +516,37 @@ class HistSketchSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("day-keyed hist artifact: both rolling gauges from tranches ≡ inline, day-split safe") {
+    import graft.util.SumTranches
+    val dir = java.nio.file.Files.createTempDirectory("graft_dayhist").toString
+    try {
+      def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 10:00:00")
+      val rows = ((1 to 100).map(v => (ts(1), v.toLong)) ++
+        (1000 to 1100).map(v => (ts(2), v.toLong)) ++
+        (10 to 20).map(v => (ts(4), v.toLong))).zipWithIndex
+        .map { case ((t, v), i) => (t, v, i.toLong) }
+      val df = rows.toDF("ts", "v", "i")
+      // arbitrary row split — days 1 and 2 both straddle the tranches
+      HistSketch.writeDayHistTranche(df.where(col("i") % 2 === 0), "v", "ts", dir, "t0")
+      HistSketch.writeDayHistTranche(df.where(col("i") % 2 === 1), "v", "ts", dir, "t1")
+      def sameRows(a: org.apache.spark.sql.DataFrame,
+                   b: org.apache.spark.sql.DataFrame) = assertSameRows(a, b)
+      sameRows(
+        HistSketch.histRollingQuantilesFromIndex(spark, dir, 2, Seq(0.5)),
+        HistSketch.histRollingQuantiles(df, "v", "ts", 2, Seq(0.5)))
+      sameRows(
+        HistSketch.histRollingPsiFromIndex(spark, dir, 2),
+        HistSketch.histRollingPsi(df, "v", "ts", 2))
+      // replayed ingest overwrites its own tranche; fold preserves both
+      HistSketch.writeDayHistTranche(df.where(col("i") % 2 === 1), "v", "ts", dir, "t1")
+      HistSketch.consolidateDayHist(spark, dir)
+      assert(SumTranches.live(spark, dir).length == 1)
+      sameRows(
+        HistSketch.histRollingPsiFromIndex(spark, dir, 2),
+        HistSketch.histRollingPsi(df, "v", "ts", 2))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("empty sketch: readers fail with a named cause, not an index error") {
     val empty = HistSketch.histSketch(Seq.empty[Long].toDF("v"), "v")
     val batch = Seq(1L).toDF("v")
