@@ -3096,6 +3096,22 @@ object LlmQueries {
         Tables(s, dir, "events"), "event_type", "ts", windowDays = 7)
     },
 
+    // ---- rolling JS from the AT-REST day-keyed mix artifact: same
+    //      lifecycle shape as q_psi_rolling_index (arbitrary-split
+    //      tranches + auto-fold), gauge reads counts, never events —
+    //      hash-identical to the inline form, same oracle ----
+    Q("q_js_rolling_index", duckJsRollingSql(7)) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val idx = graft.util.Scratch.path("daymix_idx", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+      val half = pmod(xxhash64(lit("dm"), col("event_id")), lit(2))
+      TextOps.writeDayMixTranche(ev.where(half === 0), "event_type", "ts", idx, "t0")
+      TextOps.writeDayMixTranche(ev.where(half === 1), "event_type", "ts", idx, "t1")
+      graft.util.SumTranches.maybeConsolidate(s, idx,
+        Seq("__d", "k"), "cnt", maxLive = 1)
+      TextOps.jsRollingFromIndex(s, idx, windowDays = 7)
+    },
+
     // ---- per-source EMBEDDING drift: every source's centroid vs the
     //      rest of the corpus, complement by exact subtraction from
     //      the global per-dim sums — one corpus pass, grid bounded at

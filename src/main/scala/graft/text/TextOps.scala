@@ -363,14 +363,52 @@ object TextOps {
   def jsRollingDivergence(df: DataFrame, keyCol: String, tsCol: String,
                           windowDays: Int): DataFrame = {
     require(windowDays >= 1, "jsRollingDivergence: windowDays must be >= 1")
+    jsRollingFromPerDay(dayMix(df, keyCol, tsCol), windowDays)
+  }
+
+  /** The `(__d DATE, k, cnt)` per-day key-mix frame — the unit the
+    * rolling JS gauge consumes and [[writeDayMixTranche]] persists. */
+  private def dayMix(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    df.where(col(keyCol).isNotNull)
+      .select(to_date(col(tsCol)).as("__d"),
+        col(keyCol).cast(StringType).as("k"))
+      .groupBy(col("__d"), col("k")).agg(count(lit(1)).as("cnt"))
+
+  // ---- at-rest DAY-KEYED mix artifact --------------------------------
+
+  /** AT-REST day-keyed categorical-mix artifact — the third member of
+    * the per-day artifact family (day-keyed histogram for the numeric
+    * axis, per-day sum-vectors for the embedding axis): each ingest
+    * collapses to `(__d, k, cnt)` and lands as its own tagged
+    * sum-tranche; a day may split across ingests. The rolling JS
+    * monitor then reads counts, never events. */
+  def writeDayMixTranche(df: DataFrame, keyCol: String, tsCol: String,
+                         dir: String, tag: String): Unit =
+    graft.util.SumTranches.write(dayMix(df, keyCol, tsCol), dir, tag)
+
+  /** Merge-on-read of the day-keyed mix artifact. */
+  def readDayMix(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.util.SumTranches.read(spark, dir, Seq("__d", "k"), "cnt")
+
+  /** Rolling JS straight from the artifact — byte-identical to
+    * [[jsRollingDivergence]] over the union of the ingested frames
+    * (per-(day, key) sum merge is exact), zero event access; fold via
+    * `SumTranches.maybeConsolidate(dir, Seq("__d","k"), "cnt", n)`. */
+  def jsRollingFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "jsRollingFromIndex: windowDays must be >= 1")
+    jsRollingFromPerDay(readDayMix(spark, dir), windowDays)
+  }
+
+  private def jsRollingFromPerDay(perDay0: DataFrame,
+                                  windowDays: Int): DataFrame = {
     val d38 = DecimalType(38, 0)
     def l8(e: Column): Column =
       floor(log2(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
-    val perDay = graft.util.Materialize.bounded(
-      df.where(col(keyCol).isNotNull)
-        .select(to_date(col(tsCol)).as("__d"),
-          col(keyCol).cast(StringType).as("k"))
-        .groupBy(col("__d"), col("k")).agg(count(lit(1)).as("cnt")))
+    // perDay feeds days, the reference fan-out AND the current side —
+    // materialize the bounded frame so the corpus (or tranche scan)
+    // collapses exactly once (graft.util.Materialize rationale)
+    val perDay = graft.util.Materialize.bounded(perDay0)
     val days = perDay.select(col("__d").as("day")).distinct()
     val ref = perDay.select(col("k"), col("cnt").as("cb"),
         explode(sequence(date_add(col("__d"), 1),

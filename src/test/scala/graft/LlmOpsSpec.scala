@@ -274,6 +274,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(tight.getDouble(3) <= dj + 1e-12 && tight.getDouble(3) > 0)
   }
 
+  test("day-keyed mix artifact: rolling JS from tranches ≡ inline, day-split safe") {
+    import graft.util.SumTranches
+    val dir = java.nio.file.Files.createTempDirectory("graft_daymix").toString
+    try {
+      def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 10:00:00")
+      val rows = ((1 to 60).map(i => (ts(1), if (i % 3 == 0) "a" else "b")) ++
+        (1 to 80).map(i => (ts(2), if (i % 4 == 0) "c" else "a")) ++
+        (1 to 30).map(_ => (ts(4), "b"))).zipWithIndex
+        .map { case ((t, k), i) => (t, k, i.toLong) }
+      val df = rows.toDF("ts", "k", "i")
+      TextOps.writeDayMixTranche(df.where(col("i") % 2 === 0), "k", "ts", dir, "t0")
+      TextOps.writeDayMixTranche(df.where(col("i") % 2 === 1), "k", "ts", dir, "t1")
+      assertSameRows(
+        TextOps.jsRollingFromIndex(spark, dir, 2),
+        TextOps.jsRollingDivergence(df, "k", "ts", 2))
+      // replay + fold preserve the gauge
+      TextOps.writeDayMixTranche(df.where(col("i") % 2 === 1), "k", "ts", dir, "t1")
+      SumTranches.consolidate(spark, dir, Seq("__d", "k"), "cnt")
+      assert(SumTranches.live(spark, dir).length == 1)
+      assertSameRows(
+        TextOps.jsRollingFromIndex(spark, dir, 2),
+        TextOps.jsRollingDivergence(df, "k", "ts", 2))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("sourceDivergence: odd source scores highest, totals reconcile, OTHER bucket bounds grid") {
     val rows =
       (1L to 50L).map(i => (i, "srcA", "the quick brown fox jumps")) ++
