@@ -283,6 +283,27 @@ object LlmQueries {
   private def duckL8(x: String) =
     s"CAST(floor(log2(CAST($x AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)"
 
+  private def duckSourceCentroidSql: String =
+    s"""WITH v AS (SELECT d.source AS src, e.embedding AS e
+      |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      |  WHERE e.embedding IS NOT NULL AND d.source IS NOT NULL),
+      |u AS (SELECT src, generate_subscripts(e, 1) AS pos,
+      |        CAST(trunc(CAST(unnest(e) AS DOUBLE) * 1000000) AS BIGINT) AS u
+      |      FROM v),
+      |ps AS (SELECT src, pos, CAST(sum(u) AS HUGEINT) AS s, count(*) AS c
+      |       FROM u GROUP BY 1, 2),
+      |g AS (SELECT pos, CAST(sum(s) AS HUGEINT) AS st,
+      |        CAST(sum(c) AS BIGINT) AS ct FROM ps GROUP BY 1),
+      |j AS (SELECT ps.src AS src, ps.s AS s, ps.c AS c,
+      |        g.st - ps.s AS sr, g.ct - ps.c AS cr
+      |      FROM ps JOIN g ON g.pos = ps.pos)
+      |SELECT src AS source, max(c) AS n_src, max(cr) AS n_rest,
+      |  CAST(count(*) AS BIGINT) AS dim,
+      |  CAST(sum(s * sr) AS DOUBLE)
+      |    / (sqrt(CAST(sum(s * s) AS DOUBLE)) * sqrt(CAST(sum(sr * sr) AS DOUBLE)))
+      |    AS cosine
+      |FROM j GROUP BY 1 HAVING max(cr) > 0""".stripMargin
+
   private def duckPsiRollingSql(windowDays: Int): String = {
     import graft.profile.HistSketch._
     s"""WITH v AS (SELECT CAST(ts AS DATE) AS d,
@@ -3117,26 +3138,7 @@ object LlmQueries {
     //      the global per-dim sums — one corpus pass, grid bounded at
     //      |sources|·dim; completes the odd-one-out dashboard on the
     //      third drift axis ----
-    Q("q_source_centroid",
-      s"""WITH v AS (SELECT d.source AS src, e.embedding AS e
-        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-        |  WHERE e.embedding IS NOT NULL AND d.source IS NOT NULL),
-        |u AS (SELECT src, generate_subscripts(e, 1) AS pos,
-        |        CAST(trunc(CAST(unnest(e) AS DOUBLE) * 1000000) AS BIGINT) AS u
-        |      FROM v),
-        |ps AS (SELECT src, pos, CAST(sum(u) AS HUGEINT) AS s, count(*) AS c
-        |       FROM u GROUP BY 1, 2),
-        |g AS (SELECT pos, CAST(sum(s) AS HUGEINT) AS st,
-        |        CAST(sum(c) AS BIGINT) AS ct FROM ps GROUP BY 1),
-        |j AS (SELECT ps.src AS src, ps.s AS s, ps.c AS c,
-        |        g.st - ps.s AS sr, g.ct - ps.c AS cr
-        |      FROM ps JOIN g ON g.pos = ps.pos)
-        |SELECT src AS source, max(c) AS n_src, max(cr) AS n_rest,
-        |  CAST(count(*) AS BIGINT) AS dim,
-        |  CAST(sum(s * sr) AS DOUBLE)
-        |    / (sqrt(CAST(sum(s * s) AS DOUBLE)) * sqrt(CAST(sum(sr * sr) AS DOUBLE)))
-        |    AS cosine
-        |FROM j GROUP BY 1 HAVING max(cr) > 0""".stripMargin) { (s, dir) =>
+    Q("q_source_centroid", duckSourceCentroidSql) { (s, dir) =>
       val vec = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         .join(Tables(s, dir, "documents").select(col("doc_id"), col("source")),
           col("vec_id") === col("doc_id"))
@@ -3238,10 +3240,17 @@ object LlmQueries {
           |FROM s""".stripMargin
       s"""SELECT source, 'psi_bits' AS gauge, value, n_src, n_rest FROM ($psi)
         |UNION ALL
-        |SELECT source, 'js_bits' AS gauge, value, n_src, n_rest FROM ($js)""".stripMargin
+        |SELECT source, 'js_bits' AS gauge, value, n_src, n_rest FROM ($js)
+        |UNION ALL
+        |SELECT source, 'centroid_cosine' AS gauge, cosine AS value, n_src, n_rest
+        |FROM ($duckSourceCentroidSql)""".stripMargin
     }) { (s, dir) =>
+      val vec = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .join(Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id"))
       graft.meta.IndexDashboard.sourceDriftDashboard(
-        Tables(s, dir, "documents"), "source", "n_chars", "text", vocabLimit = 50)
+        Tables(s, dir, "documents"), "source", "n_chars", "text", vocabLimit = 50,
+        vectors = Some((vec, "embedding")))
     },
 
     // ---- per-source NUMERIC drift: every source's length PSI against

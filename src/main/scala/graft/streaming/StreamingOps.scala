@@ -512,6 +512,81 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming maintenance of the at-rest DAY-KEYED histogram
+    * artifact ([[graft.profile.HistSketch.writeDayHistTranche]]):
+    * each epoch collapses its micro-batch to `(__d, bucket, cnt)` and
+    * overwrites its own tranche — replay converges by own-tranche
+    * overwrite, days may split across epochs (per-key sum is exact),
+    * and the ROLLING gauges (trailing-window quantiles + rolling PSI)
+    * read the artifact without touching the stream. `maxLiveTranches`
+    * bounds the merge-on-read fan-in in-loop. */
+  def dayHistStream(rows: DataFrame, histDir: String, valCol: String,
+                    tsCol: String, checkpointDir: String,
+                    subBuckets: Int = graft.profile.HistSketch.DefaultSubBuckets,
+                    maxLiveTranches: Int = 0)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "dayHistStream: checkpointDir is required " +
+      "(tranche idempotence relies on durable epoch numbering)")
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.profile.HistSketch.writeDayHistTranche(
+          batch, valCol, tsCol, histDir, epoch.toString, subBuckets)
+        if (maxLiveTranches > 0)
+          graft.util.SumTranches.maybeConsolidate(batch.sparkSession,
+            histDir, Seq("__d", "bucket"), "cnt", maxLiveTranches): Unit
+      }
+      .start()
+  }
+
+  /** Streaming maintenance of the at-rest DAY-KEYED mix artifact
+    * ([[graft.text.TextOps.writeDayMixTranche]]) — same protocol as
+    * [[dayHistStream]]; the rolling JS monitor reads counts, never
+    * the stream. */
+  def dayMixStream(rows: DataFrame, dir: String, keyCol: String,
+                   tsCol: String, checkpointDir: String,
+                   maxLiveTranches: Int = 0)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "dayMixStream: checkpointDir is required " +
+      "(tranche idempotence relies on durable epoch numbering)")
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.text.TextOps.writeDayMixTranche(
+          batch, keyCol, tsCol, dir, epoch.toString)
+        if (maxLiveTranches > 0)
+          graft.util.SumTranches.maybeConsolidate(batch.sparkSession,
+            dir, Seq("__d", "k"), "cnt", maxLiveTranches): Unit
+      }
+      .start()
+  }
+
+  /** Streaming maintenance of the at-rest per-day CENTROID artifact
+    * ([[graft.similarity.SimilarityOps.writeCentroidTranche]]) — the
+    * embedding member of the day-keyed family; the rolling centroid
+    * gauge reads dim-sized sum rows, never vectors. Multi-count fold
+    * via `maybeConsolidateMulti` (sum-vector + count). */
+  def centroidStream(rows: DataFrame, dir: String, vecCol: String,
+                     tsCol: String, checkpointDir: String,
+                     scale: Long = 1000000L, maxLiveTranches: Int = 0)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "centroidStream: checkpointDir is required " +
+      "(tranche idempotence relies on durable epoch numbering)")
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.similarity.SimilarityOps.writeCentroidTranche(
+          batch, vecCol, tsCol, dir, epoch.toString, scale)
+        if (maxLiveTranches > 0)
+          graft.util.SumTranches.maybeConsolidateMulti(batch.sparkSession,
+            dir, Seq("__d", "pos"), Seq("s", "c"), maxLiveTranches): Unit
+      }
+      .start()
+  }
+
   /** Streaming maintenance of the at-rest CO-OCCURRENCE index
     * ([[graft.graph.GraphOps.writeCoocTranche]]): each epoch projects
     * its micro-batch's groups to capped pair/margin/total counts and

@@ -352,6 +352,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("day-keyed artifact streams: rolling gauges from streamed tranches ≡ batch forms") {
+    import graft.profile.HistSketch
+    import graft.text.TextOps
+    import graft.similarity.SimilarityOps
+    import graft.util.SumTranches
+    val base = Files.createTempDirectory("graft_day_streams").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 09:00:00")
+    // numeric + mix rows (day 1, 2, 4) and vectors (day 1-3)
+    val evRows = ((1 to 80).map(v => (ts(1), v.toLong, if (v % 3 == 0) "a" else "b")) ++
+      (500 to 600).map(v => (ts(2), v.toLong, "a")) ++
+      (5 to 15).map(v => (ts(4), v.toLong, "c")))
+    val vecRows = Seq((ts(1), Seq(1.0f, 0.1f)), (ts(1), Seq(0.9f, 0.2f)),
+      (ts(2), Seq(0.2f, 1.0f)), (ts(3), Seq(-0.5f, 0.8f)))
+    val evDf = evRows.toDF("ts", "v", "k")
+    val vecDf = vecRows.toDF("ts", "embedding")
+    val memEv = MemoryStream[(java.sql.Timestamp, Long, String)](spark, 1)
+    val memVec = MemoryStream[(java.sql.Timestamp, Seq[Float])](spark, 1)
+    val qh = StreamingOps.dayHistStream(memEv.toDF.toDF("ts", "v", "k"),
+      s"$base/h", "v", "ts", s"$base/ckh", maxLiveTranches = 1)
+    val qm = StreamingOps.dayMixStream(memEv.toDF.toDF("ts", "v", "k"),
+      s"$base/m", "k", "ts", s"$base/ckm", maxLiveTranches = 1)
+    val qc = StreamingOps.centroidStream(memVec.toDF.toDF("ts", "embedding"),
+      s"$base/c", "embedding", "ts", s"$base/ckc", maxLiveTranches = 1)
+    try {
+      // two epochs each, days straddling the epoch boundary
+      val (e1, e2) = evRows.splitAt(evRows.length / 2)
+      memEv.addData(e1: _*)
+      memVec.addData(vecRows.take(2): _*)
+      Seq(qh, qm, qc).foreach(_.processAllAvailable())
+      memEv.addData(e2: _*)
+      memVec.addData(vecRows.drop(2): _*)
+      Seq(qh, qm, qc).foreach(_.processAllAvailable())
+      // in-loop auto-fold kept every family at one live tranche
+      assert(SumTranches.live(spark, s"$base/h").length == 1)
+      assert(SumTranches.live(spark, s"$base/m").length == 1)
+      assert(SumTranches.live(spark, s"$base/c").length == 1)
+      // artifact-served gauges ≡ whole-corpus batch forms
+      assertSameRows(HistSketch.histRollingPsiFromIndex(spark, s"$base/h", 2),
+        HistSketch.histRollingPsi(evDf, "v", "ts", 2))
+      assertSameRows(TextOps.jsRollingFromIndex(spark, s"$base/m", 2),
+        TextOps.jsRollingDivergence(evDf, "k", "ts", 2))
+      assertSameRows(SimilarityOps.centroidRollingFromIndex(spark, s"$base/c", 2),
+        SimilarityOps.centroidRollingDrift(vecDf, "embedding", "ts", 2))
+    } finally Seq(qh, qm, qc).foreach(_.stop())
+  }
+
   test("groupIndexStream: streamed edges keep the group index equal to the full-graph CC") {
     import graft.graph.GraphOps
     val base = Files.createTempDirectory("graft_grp_stream").toString
