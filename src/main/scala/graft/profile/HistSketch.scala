@@ -510,6 +510,58 @@ object HistSketch {
           .cast(LongType).as("value"))
   }
 
+  /** GROUPED rolling quantiles — [[histRollingQuantiles]] with the
+    * day series computed PER GROUP ("p95 latency per event type per
+    * day, trailing 7"): one map-side-combinable collapse to
+    * |groups|·|days|·buckets rows, the bounded ≤windowDays explode
+    * fans out bucket rows within each group, and the cumulative
+    * window partitions by (group, day) — every partition one bounded
+    * histogram. Days appear for a group only where THAT group has
+    * data (its own day axis, not the corpus's). Output:
+    * `(groupCols..., day 'yyyy-MM-dd', p, value)`. */
+  def histRollingQuantilesBy(df: DataFrame, groupCols: Seq[String],
+                             valCol: String, tsCol: String,
+                             windowDays: Int, ps: Seq[Double],
+                             subBuckets: Int = DefaultSubBuckets): DataFrame = {
+    logS(subBuckets)
+    require(groupCols.nonEmpty, "histRollingQuantilesBy: need at least one group column")
+    require(windowDays >= 1, "histRollingQuantilesBy: windowDays must be >= 1")
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "histRollingQuantilesBy: quantiles must be in (0,1]")
+    val gc = groupCols.map(col)
+    val perDay = graft.util.Materialize.bounded(
+      df.where(col(valCol).isNotNull &&
+          groupCols.map(c => col(c).isNotNull).reduce(_ && _))
+        .select(gc :+ to_date(col(tsCol)).as("__d")
+          :+ col(valCol).cast(LongType).as("__v"): _*)
+        .select(gc :+ col("__d")
+          :+ expr(bucketCaseSql("__v", subBuckets, "div")).cast(IntegerType).as("bucket"): _*)
+        .groupBy(gc :+ col("__d") :+ col("bucket"): _*)
+        .agg(count(lit(1)).as("cnt")))
+    val days = perDay.select(gc :+ col("__d").as("day"): _*).distinct()
+    val fan = perDay
+      .select(gc ++ Seq(col("bucket"), col("cnt"),
+        explode(sequence(col("__d"), date_add(col("__d"), windowDays - 1))).as("day")): _*)
+      .join(days, groupCols :+ "day")       // bounded |groups|·|days| side
+      .groupBy(gc ++ Seq(col("day"), col("bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val totals = fan.groupBy(gc :+ col("day"): _*).agg(sum(col("cnt")).as("__total"))
+    val w = Window.partitionBy(gc :+ col("day"): _*).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pDf = df.sparkSession.range(1).select(explode(array(ps.map(lit): _*)).as("p"))
+    fan
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .join(totals, groupCols :+ "day")
+      .crossJoin(broadcast(pDf))
+      .where(col("__cum") >=
+        greatest(lit(1L), ceil(col("p") * col("__total"))))
+      .groupBy(gc ++ Seq(col("day"), col("p")): _*)
+      .agg(min(col("bucket")).as("__b"))
+      .select(gc ++ Seq(date_format(col("day"), "yyyy-MM-dd").as("day"), col("p"),
+        expr(lowerBoundCaseSql("__b", subBuckets, "div"))
+          .cast(LongType).as("value")): _*)
+  }
+
   // ---- at-rest DAY-KEYED histogram artifact --------------------------
 
   /** AT-REST day-keyed histogram artifact — the numeric-axis twin of

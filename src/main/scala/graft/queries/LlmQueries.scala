@@ -2891,6 +2891,41 @@ object LlmQueries {
         Tables(s, dir, "events"), "value", "ts", windowDays = 7)
     },
 
+    // ---- GROUPED rolling quantiles: each event type's own trailing-
+    //      7-day p50/p95 series — the per-source SLO dashboard; the
+    //      cumulative window partitions by (group, day), every
+    //      partition one bounded histogram ----
+    Q("q_quantile_rolling_by", {
+      import graft.profile.HistSketch._
+      s"""WITH v AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+        |    CAST(trunc(value) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (SELECT g, d, ${bucketCaseSql("v", 16, "//")} AS bucket FROM v),
+        |pd AS (SELECT g, d, bucket, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+        |days AS (SELECT DISTINCT g, d FROM pd),
+        |fan AS (SELECT days.g AS g, days.d AS day, pd.bucket, sum(pd.cnt) AS cnt
+        |        FROM days JOIN pd ON pd.g = days.g
+        |          AND pd.d BETWEEN days.d - 6 AND days.d
+        |        GROUP BY 1, 2, 3),
+        |c AS (SELECT g, day, bucket, cnt,
+        |        sum(cnt) OVER (PARTITION BY g, day ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER (PARTITION BY g, day) AS total
+        |      FROM fan),
+        |pp AS (SELECT unnest([0.5, 0.95]) AS p),
+        |sel AS (SELECT c.g AS g, c.day AS day, pp.p AS p, min(c.bucket) AS b
+        |        FROM pp JOIN c
+        |          ON c.cum >= greatest(1, CAST(ceil(pp.p * c.total) AS BIGINT))
+        |        GROUP BY 1, 2, 3)
+        |SELECT g AS event_type, strftime(day, '%Y-%m-%d') AS day, p,
+        |  CAST(${lowerBoundCaseSql("b", 16, "//")} AS BIGINT) AS value
+        |FROM sel""".stripMargin
+    }) { (s, dir) =>
+      graft.profile.HistSketch.histRollingQuantilesBy(
+        Tables(s, dir, "events"), Seq("event_type"), "value", "ts",
+        windowDays = 7, ps = Seq(0.5, 0.95))
+    },
+
     // ---- rolling PSI from the AT-REST day-keyed histogram artifact:
     //      two arbitrary-split ingest tranches + an auto-fold tick,
     //      gauge read with zero event access — hash-identical to the

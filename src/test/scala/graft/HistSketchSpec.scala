@@ -516,6 +516,34 @@ class HistSketchSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("histRollingQuantilesBy: per-group day axes ≡ per-group single runs; null groups drop") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 10:00:00")
+    val rows = ((1 to 60).map(v => (ts(1), "a", v.toLong)) ++
+      (1 to 40).map(v => (ts(3), "a", v * 10L)) ++
+      (1 to 50).map(v => (ts(2), "b", v + 500L))).zipWithIndex
+      .map { case ((t, g, v), _) => (t, g, v) }
+    val df = rows.toDF("ts", "g", "v")
+    val got = HistSketch.histRollingQuantilesBy(df, Seq("g"), "v", "ts",
+        windowDays = 2, ps = Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)) -> r.getLong(3))
+      .toMap
+    // group b has ONE day — its axis must not inherit a's days
+    assert(got.keySet.map(k => (k._1, k._2)) ==
+      Set(("a", "2024-03-01"), ("a", "2024-03-03"), ("b", "2024-03-02")))
+    // per-group series ≡ running the single-group gauge on that slice
+    for (g <- Seq("a", "b")) {
+      val single = HistSketch.histRollingQuantiles(
+          df.where(col("g") === g), "v", "ts", windowDays = 2, ps = Seq(0.5))
+        .collect().map(r => (g, r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+      assert(got.filter(_._1._1 == g) == single, s"group $g")
+    }
+    // NULL group rows are excluded like every grouped aggregate
+    val withNull = df.unionByName(Seq((ts(1), null: String, 7L)).toDF("ts", "g", "v"))
+    assert(HistSketch.histRollingQuantilesBy(withNull, Seq("g"), "v", "ts", 2, Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)) -> r.getLong(3))
+      .toMap == got)
+  }
+
   test("day-keyed hist artifact: both rolling gauges from tranches ≡ inline, day-split safe") {
     import graft.util.SumTranches
     val dir = java.nio.file.Files.createTempDirectory("graft_dayhist").toString
