@@ -3476,6 +3476,44 @@ object LlmQueries {
         HistSketch.histSketch(docs, "n_chars"), pLo = 0.05, pHi = 0.95)
     },
 
+    // ---- AT-REST bloom membership index: "which of these keys has
+    //      history NEVER seen" with zero history access — position-set
+    //      tranches (OR algebra: idempotent, protocol-free), bounded
+    //      at mBits rows forever; two-tranche build + replay +
+    //      plain-rewrite consolidation, then the provably-new prune;
+    //      every position replayed from the md5 family ----
+    Q("q_bloom_index", {
+      def h(i: Int, e: String) =
+        s"${duckHash(s"'bf$i|' || CAST($e AS VARCHAR)")} % 65536"
+      s"""WITH hist AS (SELECT DISTINCT o_custkey AS key FROM orders
+        |    WHERE o_orderkey % 2 = 0 AND o_custkey IS NOT NULL),
+        |pos AS (SELECT ${h(0, "key")} AS pos FROM hist
+        |  UNION SELECT ${h(1, "key")} FROM hist
+        |  UNION SELECT ${h(2, "key")} FROM hist)
+        |SELECT c.c_custkey, c.c_name FROM customer c
+        |WHERE c.c_custkey IS NULL OR NOT (
+        |      ${h(0, "c.c_custkey")} IN (SELECT pos FROM pos)
+        |  AND ${h(1, "c.c_custkey")} IN (SELECT pos FROM pos)
+        |  AND ${h(2, "c.c_custkey")} IN (SELECT pos FROM pos))""".stripMargin
+    }) { (s, dir) =>
+      import graft.relational.BloomIndex
+      val orders = Tables(s, dir, "orders")
+      val idx = graft.util.Scratch.path("bloom_idx", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+      val hist = orders.select(col("o_orderkey"), col("o_custkey"))
+      BloomIndex.writeBloomTranche(hist.where(col("o_orderkey") % 4 === 0),
+        "o_custkey", idx, "t0", mBits = 65536L, k = 3, portable = true)
+      BloomIndex.writeBloomTranche(hist.where(col("o_orderkey") % 4 === 2),
+        "o_custkey", idx, "t1", mBits = 65536L, k = 3, portable = true)
+      // replayed ingest overwrites its own tranche; fold is a plain
+      // distinct rewrite (no manifest needed under OR algebra)
+      BloomIndex.writeBloomTranche(hist.where(col("o_orderkey") % 4 === 2),
+        "o_custkey", idx, "t1", mBits = 65536L, k = 3, portable = true)
+      BloomIndex.consolidateBloom(s, idx)
+      BloomIndex.pruneAgainstBloomIndex(
+        Tables(s, dir, "customer").select("c_custkey", "c_name"), idx, "c_custkey")
+    },
+
     // ---- SIGNED robust anomaly gate: median/MAD band read from the
     //      signed ladder at cent resolution, the batch pre-scaled with
     //      the same truncation and gated in exact integer space ----

@@ -218,6 +218,59 @@ class ScaleOpsSpec extends SparkSpec {
       g <- Set("psi_bits", "js_bits", "centroid_cosine")) yield (s2, g)))
   }
 
+  test("bloom index: seen keys always drop, most new keys survive, OR-merge protocol-free") {
+    import graft.relational.BloomIndex
+    import graft.util.Scratch
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomidx").toString + "/idx"
+    try {
+      val hist1 = (1L to 400L).map(k => (k, "h")).toDF("key", "tag")
+      val hist2 = (401L to 800L).map(k => (k, "h")).toDF("key", "tag")
+      BloomIndex.writeBloomTranche(hist1, "key", dir, "d0", mBits = 1L << 16, k = 3)
+      BloomIndex.writeBloomTranche(hist2, "key", dir, "d1", mBits = 1L << 16, k = 3)
+      val batch = ((600L to 1000L).map(Some(_)) :+ None).toDF("key")
+      def surviving() = BloomIndex.pruneAgainstBloomIndex(batch, dir, "key")
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+      val s1 = surviving()
+      // NO FALSE NEGATIVES: every key history wrote is dropped
+      assert((600L to 800L).forall(k => !s1.contains(Some(k))))
+      // NULL keys pass (the index asserts nothing about them)
+      assert(s1.contains(None))
+      // genuinely-new keys mostly survive (fill ~1200/65536 → FPR ~1e-5)
+      val newKept = (801L to 1000L).count(k => s1.contains(Some(k)))
+      assert(newKept >= 195, s"only $newKept/200 new keys survived")
+      // replay + plain-rewrite consolidation: same set, one tranche
+      BloomIndex.writeBloomTranche(hist2, "key", dir, "d1", mBits = 1L << 16, k = 3)
+      BloomIndex.consolidateBloom(spark, dir)
+      assert(surviving() == s1)
+      val tranches = new java.io.File(dir).listFiles()
+        .map(_.getName).count(_.startsWith("batch="))
+      assert(tranches == 1)
+      // frozen-parameter contract: a mismatched append fails fast
+      assert(intercept[IllegalArgumentException] {
+        BloomIndex.writeBloomTranche(hist1, "key", dir, "d2", mBits = 1L << 18, k = 3)
+      }.getMessage.contains("frozen"))
+      // gauge: bounded artifact, sane fill
+      val st = BloomIndex.bloomIndexStats(spark, dir).head()
+      assert(st.getLong(0) == (1L << 16) && st.getInt(1) == 3)
+      assert(st.getLong(2) <= 3 * 800 && st.getDouble(3) < 0.05)
+      // portable tier: positions replayed by the md5 reference
+      val pDir = Scratch.path("bloom_port", "spec") + "_t"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pDir))
+      BloomIndex.writeBloomTranche(hist1, "key", pDir, "t", mBits = 4096L,
+        k = 2, portable = true)
+      val got = BloomIndex.readBloomPositions(spark, pDir)
+        .collect().map(_.getLong(0)).toSet
+      def md5Ref(x: String): Long = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+      val want = (1L to 400L).flatMap(k => Seq(0, 1).map(i =>
+        md5Ref(s"bf$i|$k") % 4096L)).toSet
+      assert(got == want)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pDir))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("multi-probe LSH recall >= single-probe, still a subset of brute force") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 30)
