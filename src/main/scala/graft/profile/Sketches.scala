@@ -229,18 +229,30 @@ object Sketches {
   def hllRollingEstimate(df: DataFrame, keyCol: String, tsCol: String,
                          windowDays: Int, b: Int = DefaultB): DataFrame = {
     require(windowDays >= 1, "hllRollingEstimate: windowDays must be >= 1")
+    hllRollingFromPerDay(dayRegisters(df, keyCol, tsCol, b), windowDays, b)
+  }
+
+  /** The `(__d DATE, bucket, max_rho)` per-day register frame — the
+    * unit the rolling estimate consumes and [[writeDayHllTranche]]
+    * persists. Same NULL-key exclusion as [[hllSketch]]
+    * (phantom-register hazard). */
+  private def dayRegisters(df: DataFrame, keyCol: String, tsCol: String,
+                           b: Int): DataFrame = {
     val m = 1L << b
-    val emptyTerm = 1L << maxRho(b)
     val h: Column = Hashes.portable(col(keyCol).cast(StringType))
-    // same NULL-key exclusion as hllSketch (phantom-register hazard)
-    val perDay = df
-      .where(col(keyCol).isNotNull)
+    df.where(col(keyCol).isNotNull)
       .select(to_date(col(tsCol)).as("__d"),
         h.bitwiseAND(lit(m - 1)).cast(IntegerType).as("bucket"),
         shiftright(h, b).as("__w"))
       .withColumn("__rho", expr(rhoCaseSql("__w", bits(b), "div")))
       .groupBy(col("__d"), col("bucket"))
       .agg(max(col("__rho")).cast(IntegerType).as("max_rho"))
+  }
+
+  private def hllRollingFromPerDay(perDay: DataFrame, windowDays: Int,
+                                   b: Int): DataFrame = {
+    val m = 1L << b
+    val emptyTerm = 1L << maxRho(b)
     val days = perDay.select(col("__d").as("day")).distinct()
     perDay
       .select(col("bucket"), col("max_rho"),
@@ -258,6 +270,57 @@ object Sketches {
           (col("__sp") + (lit(m) - col("n_present")) * lit(emptyTerm))
             .cast(DoubleType)).as("n_estimate"),
         col("n_present"))
+  }
+
+  // ---- at-rest DAY-KEYED register artifact ---------------------------
+
+  /** AT-REST day-keyed HLL artifact — the distinct-count member of
+    * the per-day artifact family (day-keyed histogram / mix /
+    * centroid-sum are the others): each ingest collapses to
+    * `(__d, bucket, max_rho)` and overwrites its own `batch=<tag>`
+    * tranche. Register MAX is idempotent, so like the flat sketch
+    * artifact (and unlike the sum families) replays, day splits, and
+    * consolidation need NO protocol. A 90-day rolling-MAU series over
+    * a year of events reads 365 ≤m-register day rows — never an
+    * event. `b` is a caller contract shared across tranches (the flat
+    * artifact's convention). */
+  def writeDayHllTranche(df: DataFrame, keyCol: String, tsCol: String,
+                         dir: String, tag: String, b: Int = DefaultB): Unit =
+    dayRegisters(df, keyCol, tsCol, b)
+      .write.mode("overwrite").parquet(s"$dir/batch=$tag")
+
+  /** Merge-on-read of the day-keyed registers: per-(day, bucket) max. */
+  def readDayHll(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("__d"), col("bucket"))
+      .agg(max(col("max_rho")).as("max_rho"))
+
+  /** Rolling distinct estimate straight from the artifact —
+    * register-identical to [[hllRollingEstimate]] over the union of
+    * the ingested frames (max merge is exact and order-free), zero
+    * event access. */
+  def hllRollingFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          windowDays: Int, b: Int = DefaultB): DataFrame = {
+    require(windowDays >= 1, "hllRollingFromIndex: windowDays must be >= 1")
+    hllRollingFromPerDay(readDayHll(spark, dir), windowDays, b)
+  }
+
+  /** Fold the day-keyed tranches to one — a PLAIN max rewrite (the
+    * [[graft.relational.BloomIndex.consolidateBloom]] stance: under
+    * idempotent algebra a crash that leaves folded + inputs visible
+    * changes nothing; delete-after-write suffices). */
+  def consolidateDayHll(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val tranches = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).sortBy(_.getName).toSeq
+    if (tranches.length <= 1) return
+    val tag = "consolidated-" + java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(tranches.map(_.getName).mkString("\n")))
+    readDayHll(spark, dir).write.mode("overwrite").parquet(s"$dir/batch=$tag")
+    tranches.filterNot(_.getName == s"batch=$tag")
+      .foreach(t => fs.delete(t, true))
   }
 
   /** AT-REST sketch artifact, same tagged-tranche layout as the dedup/

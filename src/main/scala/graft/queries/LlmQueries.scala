@@ -304,6 +304,29 @@ object LlmQueries {
       |    AS cosine
       |FROM j GROUP BY 1 HAVING max(cr) > 0""".stripMargin
 
+  private def duckHllRollingSql(windowDays: Int): String = {
+    import graft.profile.Sketches._
+    val b = 10; val m = 1L << b; val nb = 60 - b
+    s"""WITH h AS (SELECT CAST(ts AS DATE) AS d,
+      |    ${duckHash("CAST(user_id AS VARCHAR)")} AS hv
+      |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+      |r AS (SELECT d, CAST(hv & ${m - 1} AS INTEGER) AS bucket, (hv // $m) AS w FROM h),
+      |pd AS (SELECT d, bucket, max(${rhoCaseSql("w", nb, "//")}) AS max_rho
+      |       FROM r GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT d FROM pd),
+      |fan AS (SELECT days.d AS day, pd.bucket, max(pd.max_rho) AS max_rho
+      |        FROM days JOIN pd ON pd.d BETWEEN days.d - ${windowDays - 1} AND days.d
+      |        GROUP BY 1, 2),
+      |s AS (SELECT day, count(*) AS np,
+      |        CAST(sum(${termCaseSql("max_rho", b)}) AS BIGINT) AS sp
+      |      FROM fan GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(${alphaNumerator(b)} AS DOUBLE)
+      |    / CAST(sp + ($m - np) * ${1L << (nb + 1)} AS DOUBLE) AS n_estimate,
+      |  np AS n_present
+      |FROM s""".stripMargin
+  }
+
   private def duckPsiRollingSql(windowDays: Int): String = {
     import graft.profile.HistSketch._
     s"""WITH v AS (SELECT CAST(ts AS DATE) AS d,
@@ -2541,31 +2564,27 @@ object LlmQueries {
     //      twin of q_rolling_dau — registers fan out across the
     //      trailing window, never events or user-days; O(m) per day
     //      at any cardinality ----
-    Q("q_hll_rolling", {
-      import graft.profile.Sketches._
-      val b = 10; val m = 1L << b; val nb = 60 - b
-      s"""WITH h AS (SELECT CAST(ts AS DATE) AS d,
-        |    ${duckHash("CAST(user_id AS VARCHAR)")} AS hv
-        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
-        |r AS (SELECT d, CAST(hv & ${m - 1} AS INTEGER) AS bucket, (hv // $m) AS w FROM h),
-        |pd AS (SELECT d, bucket, max(${rhoCaseSql("w", nb, "//")}) AS max_rho
-        |       FROM r GROUP BY 1, 2),
-        |days AS (SELECT DISTINCT d FROM pd),
-        |fan AS (SELECT days.d AS day, pd.bucket, max(pd.max_rho) AS max_rho
-        |        FROM days JOIN pd ON pd.d BETWEEN days.d - 6 AND days.d
-        |        GROUP BY 1, 2),
-        |s AS (SELECT day, count(*) AS np,
-        |        CAST(sum(${termCaseSql("max_rho", b)}) AS BIGINT) AS sp
-        |      FROM fan GROUP BY 1)
-        |SELECT strftime(day, '%Y-%m-%d') AS day,
-        |  CAST(${alphaNumerator(b)} AS DOUBLE)
-        |    / CAST(sp + ($m - np) * ${1L << (nb + 1)} AS DOUBLE) AS n_estimate,
-        |  np AS n_present
-        |FROM s""".stripMargin
-    }) { (s, dir) =>
+    Q("q_hll_rolling", duckHllRollingSql(7)) { (s, dir) =>
       graft.profile.Sketches.hllRollingEstimate(
         Tables(s, dir, "events").where(col("event_type") === "purchase"),
         "user_id", "ts", windowDays = 7)
+    },
+
+    // ---- rolling distinct-count from the AT-REST day-keyed register
+    //      artifact: split-ingest tranches + a plain max-rewrite fold
+    //      (idempotent algebra — no protocol), the 90-day-MAU series
+    //      read from registers with zero event access; same oracle as
+    //      the inline form (register-identical by construction) ----
+    Q("q_hll_rolling_index", duckHllRollingSql(7)) { (s, dir) =>
+      import graft.profile.Sketches
+      val ev = Tables(s, dir, "events").where(col("event_type") === "purchase")
+      val idx = graft.util.Scratch.path("dayhll_idx", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+      val half = pmod(xxhash64(lit("dhll"), col("event_id")), lit(2))
+      Sketches.writeDayHllTranche(ev.where(half === 0), "user_id", "ts", idx, "t0")
+      Sketches.writeDayHllTranche(ev.where(half === 1), "user_id", "ts", idx, "t1")
+      Sketches.consolidateDayHll(s, idx)
+      Sketches.hllRollingFromIndex(s, idx, windowDays = 7)
     },
 
     // ---- capped co-occurrence projection (market-basket pairs):

@@ -198,4 +198,30 @@ class SketchesSpec extends SparkSpec {
         .map(r => r.getInt(0) -> r.getInt(1)).toMap == before)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("day-keyed HLL artifact: rolling estimate from tranches ≡ inline, day-split + fold safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dayhll").toString
+    try {
+      def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 09:00:00")
+      val rows = ((1 to 300).map(u => (ts(1), u.toLong)) ++
+        (150 to 450).map(u => (ts(2), u.toLong)) ++
+        (1 to 50).map(u => (ts(4), (u + 1000).toLong))).zipWithIndex
+        .map { case ((t, u), i) => (t, u, i.toLong) }
+      val df = rows.toDF("ts", "u", "i")
+      // days straddle the two tranches; register max absorbs the split
+      Sketches.writeDayHllTranche(df.where(col("i") % 2 === 0), "u", "ts", dir, "t0")
+      Sketches.writeDayHllTranche(df.where(col("i") % 2 === 1), "u", "ts", dir, "t1")
+      assertSameRows(
+        Sketches.hllRollingFromIndex(spark, dir, 2),
+        Sketches.hllRollingEstimate(df, "u", "ts", 2))
+      // replay + plain max-rewrite fold: registers unchanged, one tranche
+      Sketches.writeDayHllTranche(df.where(col("i") % 2 === 1), "u", "ts", dir, "t1")
+      Sketches.consolidateDayHll(spark, dir)
+      assert(new java.io.File(dir).listFiles()
+        .map(_.getName).count(_.startsWith("batch=")) == 1)
+      assertSameRows(
+        Sketches.hllRollingFromIndex(spark, dir, 2),
+        Sketches.hllRollingEstimate(df, "u", "ts", 2))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
