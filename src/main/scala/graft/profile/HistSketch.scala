@@ -806,6 +806,70 @@ object HistSketch {
         col("n_buckets"), col("n_cur"), col("n_ref"), col("psi_bits"))
   }
 
+  /** GROUPED rolling PSI — the full monitoring matrix "which SOURCE
+    * broke on which DAY": for every (group, day) with data AND a
+    * non-empty trailing reference, the PSI of that group's day
+    * distribution against the SAME group's merged trailing-window
+    * histograms. [[histRollingPsi]] answers when; [[histSourcePsi]]
+    * answers who, single-shot; this answers both at once. Same
+    * snapped-exact arithmetic; every frame is bounded at
+    * |groups|·|days|·(63·s+1) rows and each group keeps its own day
+    * axis. Output `(groupCols..., day, n_buckets, n_cur, n_ref,
+    * psi_bits)`. */
+  def histRollingPsiBy(df: DataFrame, groupCols: Seq[String],
+                       valCol: String, tsCol: String, windowDays: Int,
+                       subBuckets: Int = DefaultSubBuckets): DataFrame = {
+    logS(subBuckets)
+    require(groupCols.nonEmpty, "histRollingPsiBy: need at least one group column")
+    require(windowDays >= 1, "histRollingPsiBy: windowDays must be >= 1")
+    val d38 = DecimalType(38, 0)
+    def l8(e: Column): Column =
+      floor(log2(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
+    val gc = groupCols.map(col)
+    val perDay = graft.util.Materialize.bounded(
+      df.where(col(valCol).isNotNull &&
+          groupCols.map(c => col(c).isNotNull).reduce(_ && _))
+        .select(gc :+ to_date(col(tsCol)).as("__d")
+          :+ col(valCol).cast(LongType).as("__v"): _*)
+        .select(gc :+ col("__d")
+          :+ expr(bucketCaseSql("__v", subBuckets, "div")).cast(IntegerType).as("bucket"): _*)
+        .groupBy(gc :+ col("__d") :+ col("bucket"): _*)
+        .agg(count(lit(1)).as("cnt")))
+    val days = perDay.select(gc :+ col("__d").as("day"): _*).distinct()
+    val ref = perDay
+      .select(gc ++ Seq(col("bucket"), col("cnt").as("cb"),
+        explode(sequence(date_add(col("__d"), 1),
+          date_add(col("__d"), windowDays))).as("day")): _*)
+      .join(days, groupCols :+ "day")
+      .groupBy(gc ++ Seq(col("day"), col("bucket")): _*)
+      .agg(sum(col("cb")).as("cb"))
+    val cur = perDay.select(gc ++ Seq(col("__d").as("day"), col("bucket"),
+      col("cnt").as("ca")): _*)
+    val j = cur.join(ref, groupCols ++ Seq("day", "bucket"), "full_outer")
+      .select(gc ++ Seq(col("day"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb")): _*)
+    val totals = j.groupBy(gc :+ col("day"): _*).agg(count(lit(1)).as("__k"),
+      (sum(col("ca")) + count(lit(1))).as("__na"),
+      (sum(col("cb")) + count(lit(1))).as("__nb"),
+      sum(col("ca")).as("__ra"), sum(col("cb")).as("__rb"))
+    def q(c: String, n: String): Column =
+      expr(s"CAST((CAST($c + 1 AS DECIMAL(38,0)) * 1000000000) div $n AS BIGINT)")
+    j.join(totals, groupCols :+ "day")
+      .where(col("__ra") > 0 && col("__rb") > 0)
+      .select(gc ++ Seq(col("day"), col("__k"), col("__na"), col("__nb"),
+        q("ca", "__na").as("__qa"), q("cb", "__nb").as("__qb"),
+        (l8(col("ca") + 1) - l8(col("__na"))
+          - l8(col("cb") + 1) + l8(col("__nb"))).as("__l")): _*)
+      .groupBy(gc :+ col("day"): _*)
+      .agg(max(col("__k")).as("n_buckets"),
+        (max(col("__na")) - max(col("__k"))).as("n_cur"),
+        (max(col("__nb")) - max(col("__k"))).as("n_ref"),
+        (sum((col("__qa") - col("__qb")).cast(d38) * col("__l"))
+          .cast(DoubleType) / lit(1e17)).as("psi_bits"))
+      .select(gc ++ Seq(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_buckets"), col("n_cur"), col("n_ref"), col("psi_bits")): _*)
+  }
+
   /** PERCENTILE-RANK normalization against the at-rest histogram —
     * the feature transform ("what fraction of history is below this
     * value") done scale-right: a naive `percent_rank()` window is a

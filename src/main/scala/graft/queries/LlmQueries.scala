@@ -2910,6 +2910,49 @@ object LlmQueries {
         Tables(s, dir, "events"), "value", "ts", windowDays = 7)
     },
 
+    // ---- GROUPED rolling PSI — the full monitoring matrix ("which
+    //      event type broke on which day"): each group's day scored
+    //      against ITS OWN trailing window; group-local day axes ----
+    Q("q_psi_rolling_by", {
+      import graft.profile.HistSketch._
+      def l8(x: String) =
+        s"CAST(floor(log2(CAST($x AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)"
+      s"""WITH v AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+        |    CAST(trunc(value) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (SELECT g, d, ${bucketCaseSql("v", 16, "//")} AS bucket FROM v),
+        |pd AS (SELECT g, d, bucket, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+        |days AS (SELECT DISTINCT g, d FROM pd),
+        |ref AS (SELECT days.g AS g, days.d AS day, pd.bucket, sum(pd.cnt) AS cb
+        |        FROM days JOIN pd ON pd.g = days.g
+        |          AND pd.d BETWEEN days.d - 7 AND days.d - 1
+        |        GROUP BY 1, 2, 3),
+        |cur AS (SELECT g, d AS day, bucket, cnt AS ca FROM pd),
+        |j AS (SELECT coalesce(cur.g, ref.g) AS g,
+        |        coalesce(cur.day, ref.day) AS day,
+        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM cur FULL OUTER JOIN ref
+        |        ON cur.g = ref.g AND cur.day = ref.day AND cur.bucket = ref.bucket),
+        |t AS (SELECT g, day, CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(ca) + count(*) AS BIGINT) AS na,
+        |        CAST(sum(cb) + count(*) AS BIGINT) AS nb,
+        |        sum(ca) AS ra, sum(cb) AS rb
+        |      FROM j GROUP BY 1, 2),
+        |term AS (SELECT j.g AS g, j.day AS day, k, na, nb,
+        |    CAST((CAST(ca + 1 AS HUGEINT) * 1000000000) // na AS BIGINT) AS qa,
+        |    CAST((CAST(cb + 1 AS HUGEINT) * 1000000000) // nb AS BIGINT) AS qb,
+        |    ${l8("ca + 1")} - ${l8("na")} - ${l8("cb + 1")} + ${l8("nb")} AS l
+        |  FROM j JOIN t ON t.g = j.g AND t.day = j.day WHERE ra > 0 AND rb > 0)
+        |SELECT g AS event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  max(k) AS n_buckets, max(na) - max(k) AS n_cur,
+        |  max(nb) - max(k) AS n_ref,
+        |  CAST(sum(CAST(qa - qb AS HUGEINT) * l) AS DOUBLE) / 1e17 AS psi_bits
+        |FROM term GROUP BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+      graft.profile.HistSketch.histRollingPsiBy(
+        Tables(s, dir, "events"), Seq("event_type"), "value", "ts", windowDays = 7)
+    },
+
     // ---- GROUPED rolling quantiles: each event type's own trailing-
     //      7-day p50/p95 series — the per-source SLO dashboard; the
     //      cumulative window partitions by (group, day), every

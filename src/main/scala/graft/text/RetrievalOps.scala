@@ -78,7 +78,7 @@ object RetrievalOps {
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
     val dT = docs.count().toDouble       // D: corpus size
     val tT = {                            // T: total tokens
-      val r = dl.agg(sum("dl")).head
+      val r = dl.agg(sum("dl")).head()
       if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble
     }
     // corpus side filtered to query terms BEFORE the (doc, term) shuffle
@@ -288,12 +288,12 @@ object RetrievalOps {
     val buckets = qTerms.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val postings = spark.read.parquet(s"$dir/postings")
-      .where(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      .where(col("bucket").isin(buckets.toIndexedSeq.map(Integer.valueOf): _*))
       .select(col("doc_id"), col("term"), col("tf"))
     val tf = postings.join(broadcast(qTerms.select("term")), "term")
     val doclen = spark.read.parquet(s"$dir/doclen").select(col("doc_id"), col("dl"))
     val (dT, tT) = {
-      val r = doclen.agg(count(lit(1)), sum("dl")).head
+      val r = doclen.agg(count(lit(1)), sum("dl")).head()
       (r.getLong(0).toDouble, if (r.isNullAt(1)) 0.0 else r.getLong(1).toDouble)
     }
     val w = Window.partitionBy("query_id").orderBy(col("s8").desc, col("doc_id"))

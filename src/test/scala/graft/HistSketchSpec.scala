@@ -544,6 +544,31 @@ class HistSketchSpec extends SparkSpec {
       .toMap == got)
   }
 
+  test("histRollingPsiBy: per-group series ≡ single-group runs; group-local day axes") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 10:00:00")
+    val rows = ((1 to 60).map(v => (ts(1), "a", v.toLong)) ++
+      (1 to 60).map(v => (ts(2), "a", v.toLong)) ++        // a repeats: PSI 0
+      (1 to 40).map(v => (ts(3), "a", v * 1000L)) ++        // a shifts: PSI fires
+      (1 to 50).map(v => (ts(2), "b", v + 500L)) ++
+      (1 to 50).map(v => (ts(3), "b", v + 500L)))
+    val df = rows.toDF("ts", "g", "v")
+    val got = HistSketch.histRollingPsiBy(df, Seq("g"), "v", "ts", windowDays = 7)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    // first day per GROUP omitted (empty group-local reference)
+    assert(got.keySet == Set(("a", "2024-03-02"), ("a", "2024-03-03"),
+      ("b", "2024-03-03")))
+    assert(got(("a", "2024-03-02")) == 0.0)   // identical repeat
+    assert(got(("a", "2024-03-03")) > 1.0)    // shifted day fires
+    assert(got(("b", "2024-03-03")) == 0.0)   // b's repeat: judged vs b only
+    // per-group matrix ≡ running the single-group gauge on each slice
+    for (g <- Seq("a", "b")) {
+      val single = HistSketch.histRollingPsi(
+          df.where(col("g") === g), "v", "ts", windowDays = 7)
+        .collect().map(r => (g, r.getString(0)) -> r.getDouble(4)).toMap
+      assert(got.filter(_._1._1 == g) == single, s"group $g")
+    }
+  }
+
   test("day-keyed hist artifact: both rolling gauges from tranches ≡ inline, day-split safe") {
     import graft.util.SumTranches
     val dir = java.nio.file.Files.createTempDirectory("graft_dayhist").toString
