@@ -2022,6 +2022,40 @@ object LlmQueries {
         .select("doc_id", "split")
     },
 
+    // ---- LEAKAGE-SAFE split: splits assigned per near-dup GROUP so
+    //      no duplicate cluster straddles train/test (the
+    //      eval-inflation bug an id-hash split has on every cluster);
+    //      oracle recomputes the closure and replays the group-id
+    //      hash split ----
+    Q("q_leakage_split", {
+      s"""WITH RECURSIVE ${duckJaccardCtes(1000, 0.5, 3)},
+        |e AS (SELECT id_a AS u, id_b AS v FROM jp UNION SELECT id_b, id_a FROM jp),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+        |cc AS (SELECT u, min(v) AS comp FROM reach GROUP BY u),
+        |asg AS (SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS group_id
+        |        FROM documents d LEFT JOIN cc ON cc.u = d.doc_id)
+        |SELECT doc_id, group_id,
+        |  CASE WHEN b < 900000 THEN 'train'
+        |       WHEN b < 950000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, group_id,
+        |        ${duckHash("'lsplit|' || CAST(group_id AS VARCHAR)")} % 1000000 AS b
+        |      FROM asg)""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val (pairs, release) = DedupOps.ngramJaccardPairsReleasable(
+        docs, "doc_id", "text", shingleN = 3, threshold = 0.5, maxBucket = 1000)
+      val cc = GraphOps.connectedComponents(pairs, "id_a", "id_b")
+      release()
+      TrainingOps.leakageSafeSplit(docs.select("doc_id"), "doc_id", cc,
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+        salt = "lsplit", portable = true)
+        .select("doc_id", "group_id", "split")
+    },
+
     // ---- deterministic per-language stratified sampling ----
     Q("q_stratified_sample",
       s"""SELECT doc_id, lang

@@ -62,6 +62,37 @@ object TrainingOps {
     df.withColumn(outCol, expr0)
   }
 
+  /** LEAKAGE-SAFE split: assign splits by near-dup GROUP, not by
+    * document. A near-duplicate pair straddling train and test leaks
+    * test content into training — the classic eval-inflation bug
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", measure it directly): an id-hash split scatters
+    * a dup cluster across splits with probability ~1 − Σw², every
+    * cluster. Here every document inherits the split of its
+    * connected-component group id (absent ids = their own singleton
+    * group), so an entire cluster lands in ONE split, deterministic
+    * under corpus growth like [[hashSplit]] — and consistent with the
+    * dedup tier: the SAME `cc` frame that drives group dedup drives
+    * the split, whether computed in-run ([[graft.graph.GraphOps
+    * .connectedComponents]]) or read from the at-rest group index.
+    *
+    * Output: `df`'s columns + `group_id` + `outCol`. Scale shape: one
+    * left join doc→assignment (the cc frame is pair-set-sized — AQE
+    * broadcasts it when small) + [[hashSplit]]'s shuffle-free hash
+    * projection on the group id.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, cc: DataFrame,
+                       splits: Seq[(String, Double)],
+                       salt: String = "split", portable: Boolean = false,
+                       outCol: String = "split"): DataFrame = {
+    val named = cc.select(col("node").as("__lsn"), col("component").as("__lsc"))
+    val withGroup = df
+      .join(named, col(idCol) === col("__lsn"), "left")
+      .withColumn("group_id", coalesce(col("__lsc"), col(idCol)))
+      .drop("__lsn", "__lsc")
+    hashSplit(withGroup, "group_id", splits, salt, portable, outCol)
+  }
+
   /** Deterministic per-stratum sampling: keep a row iff its hash
     * bucket falls under its stratum's fraction (`fractions` per
     * stratum value, `default` otherwise). The hash-threshold form of

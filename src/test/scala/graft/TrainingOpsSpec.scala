@@ -244,4 +244,31 @@ class TrainingOpsSpec extends SparkSpec {
       TrainingOps.quantileGate(df, "id", "score", 1.5)
     }
   }
+
+  test("leakageSafeSplit: whole dup clusters land in one split; singletons ≡ hashSplit") {
+    val ids = (1L to 2000L).toDF("id")
+    // clusters: {1..5}→1, {10,11}→10; everything else singleton
+    val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L)).toDF("node", "component")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val got = TrainingOps.leakageSafeSplit(ids, "id", cc, splits, salt = "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // CLUSTER INTEGRITY: every member shares its group's split
+    assert((1L to 5L).map(got(_)).toSet.size == 1)
+    assert(Seq(10L, 11L).map(got(_)).toSet.size == 1)
+    // group ids are the component mins; singletons are their own group
+    assert(got(3L)._1 == 1L && got(11L)._1 == 10L && got(77L)._1 == 77L)
+    // singletons get exactly the id-hash split (group_id == id)
+    val plain = TrainingOps.hashSplit(ids, "id", splits, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (12L to 2000L).foreach(i => assert(got(i)._2 == plain(i), s"id $i"))
+    // and the id-hash split DOES scatter the cluster the group split
+    // protects (the leakage this operator exists to prevent) — with
+    // 7 cluster members at these weights a scatter is near-certain
+    val scattered = ((1L to 5L) ++ Seq(10L, 11L)).map(plain).toSet.size > 2
+    assert(scattered, "fixture surprise: id-hash kept clusters together")
+    // proportions still roughly honored over the group universe
+    val frac = got.values.count(_._2 == "train").toDouble / 2000
+    assert(frac > 0.75 && frac < 0.85, s"train frac $frac")
+  }
 }
