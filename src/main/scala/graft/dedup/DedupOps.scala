@@ -1626,6 +1626,56 @@ object DedupOps {
         sum(coalesce(col("__hit"), lit(0))).cast(LongType).as("n_contaminated"))
   }
 
+  /** BLOOM-GATED contamination check — the 13-gram-filter pattern
+    * (Brown et al. 2020 decontaminated GPT-3's corpus this way) over
+    * the at-rest [[graft.relational.BloomIndex]]: the benchmark
+    * suite's shingles live as a bloom position artifact built ONCE
+    * ([[benchmarkShingleBloom]]), and every ingest probes it —
+    * corpus shingles that are PROVABLY not benchmark shingles (some
+    * position absent: no false negatives) never enter the exact
+    * join, so the shuffled side shrinks from |all corpus shingles|
+    * to the possibly-seen candidates (bloom-FPR-sized when the
+    * corpus is clean, which is the common case). Output is
+    * IDENTICAL to [[contaminationCheck]] by construction: skipping a
+    * provably-absent shingle can't lose a hit, and a false-positive
+    * candidate fails the exact benchmark join — it costs work, never
+    * a count. Price: the corpus is shingled twice (once for the
+    * per-doc totals, once for the gated candidates) — two cheap
+    * map-side passes traded against the corpus-sized shingle
+    * shuffle, the right trade whenever contamination is rare.
+    */
+  def contaminationCheckViaBloom(corpus: DataFrame, benchmark: DataFrame,
+                                 bloomDir: String, idCol: String,
+                                 textCol: String,
+                                 shingleN: Int = 8): DataFrame = {
+    val shingled = corpus
+      .select(col(idCol).as("__id"), wordShingles(col(textCol), shingleN).as("__sh"))
+    val ids = shingled.select(col("__id"),
+      size(col("__sh")).cast(LongType).as("n_shingles"))
+    val candidates = graft.relational.BloomIndex.possiblySeenAgainstBloomIndex(
+      shingled.select(col("__id"), explode(col("__sh")).as("__s")),
+      bloomDir, "__s")
+    val b = benchmark
+      .select(explode(wordShingles(col(textCol), shingleN)).as("__s"))
+      .distinct()
+    val hits = candidates.join(b, Seq("__s"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__hit"))
+    ids.join(hits, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_shingles"),
+        coalesce(col("__hit"), lit(0L)).as("n_contaminated"))
+  }
+
+  /** Build/refresh the benchmark-suite shingle bloom the gated check
+    * probes — one tagged tranche per suite (protocol-free OR merge:
+    * adding a new eval suite is one more tranche, replays converge). */
+  def benchmarkShingleBloom(benchmark: DataFrame, textCol: String,
+                            bloomDir: String, tag: String,
+                            shingleN: Int = 8, mBits: Long = 1L << 22,
+                            k: Int = 3, portable: Boolean = false): Unit =
+    graft.relational.BloomIndex.writeBloomTranche(
+      benchmark.select(explode(wordShingles(col(textCol), shingleN)).as("__s")),
+      "__s", bloomDir, tag, mBits, k, portable)
+
   // ---------------------------------------------------------------- simhash
 
   /** SimHash of the whitespace tokens: per-bit vote of token hashes

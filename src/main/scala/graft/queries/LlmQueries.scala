@@ -283,6 +283,21 @@ object LlmQueries {
   private def duckL8(x: String) =
     s"CAST(floor(log2(CAST($x AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)"
 
+  private def duckContaminationSql: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+      |c AS (SELECT doc_id,
+      |        CASE WHEN len(w) >= 8
+      |             THEN list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])
+      |             ELSE CAST([] AS VARCHAR[]) END AS s
+      |      FROM w),
+      |b AS (SELECT DISTINCT unnest(s) AS s FROM c WHERE doc_id < 25),
+      |hits AS (SELECT doc_id, count(*) AS hit
+      |         FROM (SELECT doc_id, unnest(s) AS s FROM c) e JOIN b USING (s)
+      |         GROUP BY doc_id)
+      |SELECT c.doc_id, CAST(len(c.s) AS BIGINT) AS n_shingles,
+      |  CAST(coalesce(hits.hit, 0) AS BIGINT) AS n_contaminated
+      |FROM c LEFT JOIN hits USING (doc_id)""".stripMargin
+
   private def duckSourceCentroidSql: String =
     s"""WITH v AS (SELECT d.source AS src, e.embedding AS e
       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
@@ -1884,22 +1899,25 @@ object LlmQueries {
 
     // ---- benchmark decontamination: distinct 8-gram overlap of every
     //      corpus doc against the eval set (doc_id < 25 stands in) ----
-    Q("q_decontaminate",
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
-        |c AS (SELECT doc_id,
-        |        CASE WHEN len(w) >= 8
-        |             THEN list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])
-        |             ELSE CAST([] AS VARCHAR[]) END AS s
-        |      FROM w),
-        |b AS (SELECT DISTINCT unnest(s) AS s FROM c WHERE doc_id < 25),
-        |hits AS (SELECT doc_id, count(*) AS hit
-        |         FROM (SELECT doc_id, unnest(s) AS s FROM c) e JOIN b USING (s)
-        |         GROUP BY doc_id)
-        |SELECT c.doc_id, CAST(len(c.s) AS BIGINT) AS n_shingles,
-        |  CAST(coalesce(hits.hit, 0) AS BIGINT) AS n_contaminated
-        |FROM c LEFT JOIN hits USING (doc_id)""".stripMargin) { (s, dir) =>
+    Q("q_decontaminate", duckContaminationSql) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       DedupOps.contaminationCheck(docs, docs.where(col("doc_id") < 25),
+        "doc_id", "text", shingleN = 8)
+    },
+
+    // ---- BLOOM-GATED decontamination (the 13-gram-filter pattern):
+    //      benchmark shingles live as an at-rest bloom position
+    //      artifact; corpus shingles provably absent never enter the
+    //      exact join. Output IDENTICAL to the exact check (no false
+    //      negatives; FP candidates fail the exact join) — same
+    //      oracle ----
+    Q("q_decontaminate_bloom", duckContaminationSql) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.where(col("doc_id") < 25)
+      val idx = graft.util.Scratch.path("decontam_bloom", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+      DedupOps.benchmarkShingleBloom(bench, "text", idx, "suite0", shingleN = 8)
+      DedupOps.contaminationCheckViaBloom(docs, bench, idx,
         "doc_id", "text", shingleN = 8)
     },
 

@@ -123,20 +123,35 @@ object BloomIndex {
     * can assert nothing about them. */
   def pruneAgainstBloomIndex(batch: DataFrame, dir: String,
                              keyCol: String): DataFrame = {
+    val (joined, anyMiss, cleanup) = flagAgainst(batch, dir, keyCol)
+    joined.where(col(keyCol).isNull || anyMiss).drop(cleanup: _*)
+  }
+
+  /** The complement gate: keep the POSSIBLY-SEEN rows (all k
+    * positions present) — the CANDIDATE set for an exact downstream
+    * check; false positives only cost exact-check work, never a wrong
+    * row, and nothing seen can be missing. NULL keys drop (nothing
+    * assertable). */
+  def possiblySeenAgainstBloomIndex(batch: DataFrame, dir: String,
+                                    keyCol: String): DataFrame = {
+    val (joined, anyMiss, cleanup) = flagAgainst(batch, dir, keyCol)
+    joined.where(col(keyCol).isNotNull && !anyMiss).drop(cleanup: _*)
+  }
+
+  // one left join per hash against the same ≤m-row set (AQE
+  // broadcasts it); `anyMiss` = some position absent
+  private def flagAgainst(batch: DataFrame, dir: String, keyCol: String)
+  : (DataFrame, Column, Seq[String]) = {
     val spark = batch.sparkSession
     val (mBits, k, portable) = readMeta(spark, dir)
     val posSet = readBloomPositions(spark, dir)
-    val key = col(keyCol)
-    val ps = positionCols(key, mBits, k, portable)
-    // one left join per hash against the same ≤m-row set (AQE
-    // broadcasts it); a row survives when ANY join misses
+    val ps = positionCols(col(keyCol), mBits, k, portable)
     val joined = ps.zipWithIndex.foldLeft(batch) { case (acc, (p, i)) =>
       acc.join(posSet.select(col("pos").as(s"__bf$i")),
         p === col(s"__bf$i"), "left")
     }
     val anyMiss = (0 until k).map(i => col(s"__bf$i").isNull).reduce(_ || _)
-    joined.where(key.isNull || anyMiss)
-      .drop((0 until k).map(i => s"__bf$i"): _*)
+    (joined, anyMiss, (0 until k).map(i => s"__bf$i"))
   }
 
   /** Fold the tranches to one — a PLAIN distinct rewrite: under OR

@@ -245,6 +245,40 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("contaminationCheckViaBloom ≡ exact check (planted contamination + clean corpus)") {
+    import graft.dedup.DedupOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam").toString + "/b"
+    try {
+      val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      val bench = corpus.where(col("doc_id") < 25)
+      DedupOps.benchmarkShingleBloom(bench, "text", dir, "s0", shingleN = 8)
+      // identical output on a corpus that CONTAINS the benchmark
+      assertSameRows(
+        DedupOps.contaminationCheckViaBloom(corpus, bench, dir, "doc_id", "text", 8),
+        DedupOps.contaminationCheck(corpus, bench, "doc_id", "text", 8))
+      // and on an id-disjoint slice (the fixture plants near-dups, so
+      // shingle hits can legitimately survive — equivalence, not
+      // emptiness, is the contract) plus genuinely novel text
+      val clean = corpus.where(col("doc_id") >= 100)
+        .unionByName(Seq((99001L, "entirely novel words nowhere in any benchmark " +
+          "suite text at all here today", "xx", "x", 0L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      assertSameRows(
+        DedupOps.contaminationCheckViaBloom(clean, bench, dir, "doc_id", "text", 8),
+        DedupOps.contaminationCheck(clean, bench, "doc_id", "text", 8))
+      // a second suite appends as its own tranche (OR merge) and the
+      // gate sees both suites' shingles
+      val suite2 = corpus.where(col("doc_id") >= 100 && col("doc_id") < 110)
+      DedupOps.benchmarkShingleBloom(suite2, "text", dir, "s1", shingleN = 8)
+      assertSameRows(
+        DedupOps.contaminationCheckViaBloom(corpus, bench.unionByName(suite2), dir,
+          "doc_id", "text", 8),
+        DedupOps.contaminationCheck(corpus, bench.unionByName(suite2),
+          "doc_id", "text", 8))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("leakageSafeSplit: whole dup clusters land in one split; singletons ≡ hashSplit") {
     val ids = (1L to 2000L).toDF("id")
     // clusters: {1..5}→1, {10,11}→10; everything else singleton
