@@ -512,6 +512,40 @@ object StreamingOps {
       .start()
   }
 
+  /** STREAMING decontamination gate: each micro-batch of documents is
+    * scored against the at-rest benchmark-shingle bloom
+    * ([[graft.dedup.DedupOps.benchmarkShingleBloom]]) with the exact
+    * check on the possibly-seen candidates
+    * ([[graft.dedup.DedupOps.contaminationCheckViaBloom]] — output
+    * identical to the exact join), and the CLEAN rows land under
+    * `outDir/batch=<epoch>`. Replay-safe by own-tranche overwrite:
+    * the decision is a pure function of (batch, bloom artifact,
+    * benchmark), both re-deliveries converge. The stream keeps zero
+    * state — the "state" is the suite bloom, maintained out-of-band
+    * (add an eval suite = append one OR-merge tranche; the next epoch
+    * sees it). `benchmark` is the exact-check side (the suites
+    * themselves — config-sized). */
+  def decontamStream(docs: DataFrame, bloomDir: String, benchmark: DataFrame,
+                     outDir: String, idCol: String, textCol: String,
+                     checkpointDir: String, shingleN: Int = 8)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "decontamStream: checkpointDir is required " +
+      "(sink idempotence relies on durable epoch numbering)")
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val report = graft.dedup.DedupOps.contaminationCheckViaBloom(
+          batch, benchmark, bloomDir, idCol, textCol, shingleN)
+        batch.join(
+            report.where(org.apache.spark.sql.functions.col("n_contaminated") === 0)
+              .select(org.apache.spark.sql.functions.col(idCol)),
+            Seq(idCol), "left_semi")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$epoch")
+      }
+      .start()
+  }
+
   /** Streaming maintenance of the at-rest DAY-KEYED histogram
     * artifact ([[graft.profile.HistSketch.writeDayHistTranche]]):
     * each epoch collapses its micro-batch to `(__d, bucket, cnt)` and

@@ -352,6 +352,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontamStream: micro-batch epochs gate identically to the batch check") {
+    import graft.dedup.DedupOps
+    val base = Files.createTempDirectory("graft_decontam_stream").toString
+    val bloom = s"$base/bloom"; val out = s"$base/out"; val ck = s"$base/ck"
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val bench = corpus.where(col("doc_id") < 25)
+    DedupOps.benchmarkShingleBloom(bench, "text", bloom, "s0", shingleN = 8)
+    val rows = corpus.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)](spark, 1)
+    val q = StreamingOps.decontamStream(mem.toDF.toDF("doc_id", "text"),
+      bloom, bench, out, "doc_id", "text", checkpointDir = ck, shingleN = 8)
+    try {
+      val (b0, b1) = rows.splitAt(rows.length / 2)
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      val streamed = spark.read.parquet(out).select("doc_id")
+        .as[Long].collect().toSet
+      // union of epochs ≡ the one-shot batch gate over the whole corpus
+      val want = DedupOps.contaminationCheck(corpus, bench, "doc_id", "text", 8)
+        .where(col("n_contaminated") === 0)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == want)
+      // contaminated docs (the suite itself) provably dropped
+      assert((0L until 25L).forall(!streamed.contains(_)))
+    } finally q.stop()
+  }
+
   test("day-keyed artifact streams: rolling gauges from streamed tranches ≡ batch forms") {
     import graft.profile.HistSketch
     import graft.text.TextOps
