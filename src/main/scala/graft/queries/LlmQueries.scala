@@ -509,10 +509,11 @@ object LlmQueries {
     * universe, and per-doc set sizes are recomputed POST-prune so the
     * numerator and denominator agree (DedupOps.ngramJaccardPairs).
     */
-  private def duckJaccardCtes(maxBucket: Int, threshold: Double, shingleN: Int = 3) =
+  private def duckJaccardCtes(maxBucket: Int, threshold: Double, shingleN: Int = 3,
+                              source: String = "documents") =
     s"""sh AS (
       |  SELECT doc_id, list_distinct([array_to_string(w[i:i+${shingleN - 1}], ' ') for i in range(1, len(w) - ${shingleN - 2})]) AS s
-      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents)
+      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM $source)
       |  WHERE len(w) >= $shingleN),
       |ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $maxBucket),
@@ -2071,6 +2072,61 @@ object LlmQueries {
       TrainingOps.leakageSafeSplit(docs.select("doc_id"), "doc_id", cc,
         Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)),
         salt = "lsplit", portable = true)
+        .select("doc_id", "group_id", "split")
+    },
+
+    // ---- the MODERN end-to-end assembly: bloom-gated
+    //      decontamination → near-dup closure over the survivors →
+    //      leakage-safe split — contaminated docs out first, then
+    //      every remaining dup cluster lands wholly in one split;
+    //      the oracle replays all three stages ----
+    Q("q_decontam_dedup_split", {
+      s"""WITH RECURSIVE w0 AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+        |c0 AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 8
+        |             THEN list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])
+        |             ELSE CAST([] AS VARCHAR[]) END AS s
+        |      FROM w0),
+        |bset AS (SELECT DISTINCT unnest(s) AS s FROM c0 WHERE doc_id < 25),
+        |contam AS (SELECT DISTINCT e.doc_id
+        |           FROM (SELECT doc_id, unnest(s) AS s FROM c0) e JOIN bset USING (s)),
+        |clean AS (SELECT d.doc_id, d.text FROM documents d
+        |          WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)),
+        |${duckJaccardCtes(1000, 0.5, 3, source = "clean")},
+        |e AS (SELECT id_a AS u, id_b AS v FROM jp UNION SELECT id_b, id_a FROM jp),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+        |cc AS (SELECT u, min(v) AS comp FROM reach GROUP BY u),
+        |asg AS (SELECT c.doc_id, COALESCE(cc.comp, c.doc_id) AS group_id
+        |        FROM clean c LEFT JOIN cc ON cc.u = c.doc_id)
+        |SELECT doc_id, group_id,
+        |  CASE WHEN b < 900000 THEN 'train'
+        |       WHEN b < 950000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, group_id,
+        |        ${duckHash("'plsplit|' || CAST(group_id AS VARCHAR)")} % 1000000 AS b
+        |      FROM asg)""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.where(col("doc_id") < 25)
+      val bloomDir = graft.util.Scratch.path("pipeline_bloom", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bloomDir))
+      DedupOps.benchmarkShingleBloom(bench, "text", bloomDir, "s0", shingleN = 8)
+      val clean = docs.join(
+        DedupOps.contaminationCheckViaBloom(docs, bench, bloomDir,
+            "doc_id", "text", shingleN = 8)
+          .where(col("n_contaminated") === 0).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val (pairs, release) = DedupOps.ngramJaccardPairsReleasable(
+        clean, "doc_id", "text", shingleN = 3, threshold = 0.5, maxBucket = 1000)
+      val cc = GraphOps.connectedComponents(pairs, "id_a", "id_b")
+      release()
+      TrainingOps.leakageSafeSplit(clean.select("doc_id"), "doc_id", cc,
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+        salt = "plsplit", portable = true)
         .select("doc_id", "group_id", "split")
     },
 
