@@ -404,6 +404,20 @@ object GraphOps {
                     dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Content gauge over the stored [[writeRankIndex]] artifact: one
+    * row `(n_nodes, total_rank, max_rank, min_rank)` — the
+    * mass-conservation sanity an operator checks after a refresh
+    * (total ≈ scale minus the documented dangling loss; a collapsed
+    * total means an upstream edge-feed bug, not damping). One bounded
+    * scan of the |V|-row artifact; no edge data touched. */
+  def rankIndexStats(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame =
+    readRankIndex(spark, dir)
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("rank")).as("total_rank"),
+        max(col("rank")).as("max_rank"),
+        min(col("rank")).as("min_rank"))
+
   /** Daily rank refresh: continue the exact integer recursion from the
     * STORED vector (uniform start if the artifact doesn't exist yet —
     * the first tick births it), atomically swap the refreshed vector

@@ -552,6 +552,13 @@ class GraphOpsSpec extends SparkSpec {
         iterations = 2, outDir = Some(out)).count()
       assert(spark.sparkContext.getPersistentRDDs.keySet == persisted0,
         "updateRankIndex must not leave persisted blocks behind")
+      // content gauge: mass conserved (≈ scale minus dangling loss —
+      // this graph has no dangling nodes, so only div truncation bites)
+      val st = GraphOps.rankIndexStats(spark, dir).head()
+      assert(st.getLong(0) == 4)
+      val total = st.getLong(1)
+      assert(total > 900000000L && total <= 1000000000L, s"total_rank $total")
+      assert(st.getLong(2) >= st.getLong(3))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
