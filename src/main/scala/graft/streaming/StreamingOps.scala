@@ -512,6 +512,75 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming maintenance of the at-rest DAY-KEYED HLL artifact
+    * ([[graft.profile.Sketches.writeDayHllTranche]]) — the
+    * distinct-count member of the day-keyed stream family; register
+    * max is idempotent, so replays and the count-triggered plain-max
+    * fold need no protocol, and the rolling-MAU reader never touches
+    * the stream. */
+  def dayHllStream(rows: DataFrame, dir: String, keyCol: String,
+                   tsCol: String, checkpointDir: String,
+                   b: Int = graft.profile.Sketches.DefaultB,
+                   maxLiveTranches: Int = 0)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "dayHllStream: checkpointDir is required " +
+      "(tranche idempotence relies on durable epoch numbering)")
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.profile.Sketches.writeDayHllTranche(
+          batch, keyCol, tsCol, dir, epoch.toString, b)
+        if (maxLiveTranches > 0) {
+          val live = graft.util.SumTranches.live(batch.sparkSession, dir)
+          if (live.length > maxLiveTranches)
+            graft.profile.Sketches.consolidateDayHll(batch.sparkSession, dir)
+        }
+      }
+      .start()
+  }
+
+  /** STREAMING provably-new gate over the at-rest bloom index
+    * ([[graft.relational.BloomIndex]]): per epoch, the batch rows
+    * whose key history has DEFINITELY never seen land under
+    * `outDir/batch=<epoch>`, and the batch's positions then absorb
+    * into the index as the epoch's own tranche — monitor-then-absorb,
+    * so a batch is never judged against itself. Because absorption
+    * CHANGES later judgments, the decision is frozen by the
+    * decide-once protocol (the [[indexedDedupStream]] commit
+    * discipline): a re-delivered epoch reads its committed decision
+    * instead of re-scoring against an index that already absorbed it,
+    * and the tranche re-write is a no-op under OR algebra — any
+    * replayed prefix of [decide, sink, absorb] converges. Within-batch
+    * duplicates are NOT collapsed (the gate is vs HISTORY; compose
+    * with `dropDuplicates` upstream if the batch needs it). */
+  def bloomStream(rows: DataFrame, indexDir: String, outDir: String,
+                  keyCol: String, checkpointDir: String,
+                  mBits: Long = 1L << 20, k: Int = 3,
+                  portable: Boolean = false)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "bloomStream: checkpointDir is required " +
+      "(decision idempotence relies on durable epoch numbering)")
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val bi = graft.relational.BloomIndex
+        val exists = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(indexDir, "_graft_bloom_meta"))
+        decideEpochOnce(spark, s"$outDir/batch=$epoch") {
+          // first epoch births the index: everything is provably new
+          (if (exists) bi.pruneAgainstBloomIndex(batch, indexDir, keyCol)
+           else batch, () => ())
+        }
+        bi.writeBloomTranche(batch, keyCol, indexDir, s"e$epoch",
+          mBits, k, portable): Unit
+      }
+      .start()
+  }
+
   /** STREAMING decontamination gate: each micro-batch of documents is
     * scored against the at-rest benchmark-shingle bloom
     * ([[graft.dedup.DedupOps.benchmarkShingleBloom]]) with the exact

@@ -352,6 +352,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloomStream: provably-new per epoch, monitor-then-absorb, no false negatives") {
+    import graft.relational.BloomIndex
+    val base = Files.createTempDirectory("graft_bloom_stream").toString
+    val idx = s"$base/idx"; val out = s"$base/out"; val ck = s"$base/ck"
+    val mem = MemoryStream[Long](spark, 1)
+    val q = StreamingOps.bloomStream(mem.toDF.toDF("key"), idx, out, "key",
+      checkpointDir = ck, mBits = 1L << 16, k = 3)
+    try {
+      mem.addData(1L to 100L: _*); q.processAllAvailable()   // births the index
+      mem.addData(50L to 150L: _*); q.processAllAvailable()  // 101..150 new
+      mem.addData(1L to 100L: _*); q.processAllAvailable()   // all seen
+      def epoch(e: Int) = spark.read.parquet(s"$out/batch=$e")
+        .as[Long].collect().toSet
+      assert(epoch(0) == (1L to 100L).toSet)   // empty index: all new
+      val e1 = epoch(1)
+      // NO FALSE NEGATIVES: nothing already absorbed can resurface
+      assert(e1.forall(_ > 100L))
+      // genuinely-new keys mostly survive (fill ~300/65536)
+      assert(e1.size >= 45, s"only ${e1.size}/50 new keys kept")
+      assert(epoch(2).isEmpty)                 // full re-delivery of e0's keys
+      // the index absorbed every epoch (bounded position set)
+      val st = BloomIndex.bloomIndexStats(spark, idx).head()
+      assert(st.getLong(2) <= 3 * 150 && st.getDouble(3) < 0.01)
+    } finally q.stop()
+  }
+
+  test("dayHllStream: streamed register tranches serve the rolling estimate, auto-fold bounds fan-in") {
+    import graft.profile.Sketches
+    import graft.util.SumTranches
+    val base = Files.createTempDirectory("graft_dayhll_stream").toString
+    val dir = s"$base/h"; val ck = s"$base/ck"
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 09:00:00")
+    val rows = ((1 to 200).map(u => (ts(1), u.toLong)) ++
+      (100 to 300).map(u => (ts(2), u.toLong)) ++
+      (1 to 40).map(u => (ts(4), (u + 900).toLong)))
+    val df = rows.toDF("ts", "u")
+    val mem = MemoryStream[(java.sql.Timestamp, Long)](spark, 1)
+    val q = StreamingOps.dayHllStream(mem.toDF.toDF("ts", "u"), dir, "u", "ts",
+      checkpointDir = ck, maxLiveTranches = 1)
+    try {
+      val (b0, b1) = rows.splitAt(rows.length / 2)
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(SumTranches.live(spark, dir).length == 1)   // in-loop fold
+      assertSameRows(Sketches.hllRollingFromIndex(spark, dir, 2),
+        Sketches.hllRollingEstimate(df, "u", "ts", 2))
+    } finally q.stop()
+  }
+
   test("decontamStream: micro-batch epochs gate identically to the batch check") {
     import graft.dedup.DedupOps
     val base = Files.createTempDirectory("graft_decontam_stream").toString
