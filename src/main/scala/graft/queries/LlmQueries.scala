@@ -3322,6 +3322,54 @@ object LlmQueries {
         Tables(s, dir, "events"), "event_type", "ts", windowDays = 7)
     },
 
+    // ---- GROUPED rolling JS: per-segment event-mix drift — each
+    //      user segment's day mix scored against ITS OWN trailing
+    //      window; the mix member of the per-group rolling family ----
+    Q("q_js_rolling_by", {
+      def l8(x: String) =
+        s"CAST(floor(log2(CAST($x AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)"
+      s"""WITH v AS (SELECT CAST(user_id % 3 AS BIGINT) AS g, CAST(ts AS DATE) AS d,
+        |    event_type AS k
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |pd AS (SELECT g, d, k, count(*) AS cnt FROM v GROUP BY 1, 2, 3),
+        |days AS (SELECT DISTINCT g, d FROM pd),
+        |ref AS (SELECT days.g AS g, days.d AS day, pd.k, sum(cnt) AS cb
+        |        FROM days JOIN pd ON pd.g = days.g
+        |          AND pd.d BETWEEN days.d - 7 AND days.d - 1
+        |        GROUP BY 1, 2, 3),
+        |cur AS (SELECT g, d AS day, k, cnt AS ca FROM pd),
+        |j AS (SELECT coalesce(cur.g, ref.g) AS g,
+        |        coalesce(cur.day, ref.day) AS day,
+        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM cur FULL OUTER JOIN ref
+        |        ON cur.g = ref.g AND cur.day = ref.day AND cur.k = ref.k),
+        |t AS (SELECT g, day, CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(ca) + count(*) AS BIGINT) AS na,
+        |        CAST(sum(cb) + count(*) AS BIGINT) AS nb,
+        |        sum(ca) AS ra, sum(cb) AS rb
+        |      FROM j GROUP BY 1, 2),
+        |term AS (SELECT j.g AS g, j.day AS day, k, na, nb, ca, cb,
+        |    CAST(ca + 1 AS HUGEINT) * nb + CAST(cb + 1 AS HUGEINT) * na AS mix
+        |  FROM j JOIN t ON t.g = j.g AND t.day = j.day WHERE ra > 0 AND rb > 0),
+        |s AS (SELECT g, day, max(k) AS k, max(na) AS na, max(nb) AS nb,
+        |    sum(CAST(ca + 1 AS HUGEINT) *
+        |        (100000000 + ${l8("ca + 1")} + ${l8("nb")} - ${l8("mix")})) AS sa,
+        |    sum(CAST(cb + 1 AS HUGEINT) *
+        |        (100000000 + ${l8("cb + 1")} + ${l8("na")} - ${l8("mix")})) AS sb
+        |  FROM term GROUP BY 1, 2)
+        |SELECT g AS segment, strftime(day, '%Y-%m-%d') AS day, k AS n_keys,
+        |  na - k AS n_cur, nb - k AS n_ref,
+        |  (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |    + CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2e8 AS js_bits
+        |FROM s""".stripMargin
+    }) { (s, dir) =>
+      TextOps.jsRollingDivergenceBy(
+        Tables(s, dir, "events")
+          .where(col("user_id").isNotNull)
+          .withColumn("segment", (col("user_id") % 3).cast(LongType)),
+        Seq("segment"), "event_type", "ts", windowDays = 7)
+    },
+
     // ---- rolling JS from the AT-REST day-keyed mix artifact: same
     //      lifecycle shape as q_psi_rolling_index (arbitrary-split
     //      tranches + auto-fold), gauge reads counts, never events —
@@ -3336,6 +3384,46 @@ object LlmQueries {
       graft.util.SumTranches.maybeConsolidate(s, idx,
         Seq("__d", "k"), "cnt", maxLive = 1)
       TextOps.jsRollingFromIndex(s, idx, windowDays = 7)
+    },
+
+    // ---- GROUPED rolling centroid drift: each source's per-day
+    //      embedding centroid vs ITS OWN trailing window — completes
+    //      the 3×3 drift matrix (axes × {corpus, per-source,
+    //      per-source-per-day}) ----
+    Q("q_centroid_rolling_by",
+      s"""WITH v AS (SELECT d.source AS g,
+        |    DATE '2024-01-01' + CAST(e.vec_id % 6 AS INTEGER) AS dd,
+        |    e.embedding AS e
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |  WHERE e.embedding IS NOT NULL AND d.source IS NOT NULL),
+        |u AS (SELECT g, dd, generate_subscripts(e, 1) AS pos,
+        |        CAST(trunc(CAST(unnest(e) AS DOUBLE) * 1000000) AS BIGINT) AS u
+        |      FROM v),
+        |pd AS (SELECT g, dd, pos, CAST(sum(u) AS HUGEINT) AS s, count(*) AS c
+        |       FROM u GROUP BY 1, 2, 3),
+        |days AS (SELECT DISTINCT g, dd FROM pd),
+        |ref AS (SELECT days.g AS g, days.dd AS day, pd.pos,
+        |          CAST(sum(pd.s) AS HUGEINT) AS sb, CAST(sum(pd.c) AS BIGINT) AS cb
+        |        FROM days JOIN pd ON pd.g = days.g
+        |          AND pd.dd BETWEEN days.dd - 3 AND days.dd - 1
+        |        GROUP BY 1, 2, 3),
+        |cur AS (SELECT g, dd AS day, pos, s AS sa, c AS ca FROM pd),
+        |j AS (SELECT cur.g AS g, cur.day AS day, sa, ca, sb, cb
+        |      FROM cur JOIN ref ON ref.g = cur.g AND ref.day = cur.day
+        |        AND ref.pos = cur.pos)
+        |SELECT g AS source, strftime(day, '%Y-%m-%d') AS day, max(ca) AS n_cur,
+        |  max(cb) AS n_ref, CAST(count(*) AS BIGINT) AS dim,
+        |  CAST(sum(sa * sb) AS DOUBLE)
+        |    / (sqrt(CAST(sum(sa * sa) AS DOUBLE)) * sqrt(CAST(sum(sb * sb) AS DOUBLE)))
+        |    AS cosine
+        |FROM j GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val vec = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .join(Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id"))
+        .withColumn("dd", date_add(to_date(lit("2024-01-01")),
+          (col("vec_id") % 6).cast(IntegerType)))
+      SimilarityOps.centroidRollingDriftBy(vec, Seq("source"), "embedding", "dd",
+        windowDays = 3)
     },
 
     // ---- per-source EMBEDDING drift: every source's centroid vs the

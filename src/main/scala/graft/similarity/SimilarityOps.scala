@@ -1190,6 +1190,53 @@ object SimilarityOps {
     centroidRollingFromPerDay(perDay, windowDays)
   }
 
+  /** GROUPED rolling centroid drift — the embedding member of the
+    * per-group rolling family (grouped rolling PSI / JS are the
+    * others; this completes the 3×3 drift matrix: three axes × {whole
+    * corpus, per source, per source per day}): for every (group, day)
+    * with data and a non-empty group-local trailing reference, the
+    * cosine between that group's day centroid-sum and the SAME
+    * group's merged trailing sums. Bounded at |groups|·|days|·dim sum
+    * rows everywhere; group-local day axes. Output `(groupCols...,
+    * day, n_cur, n_ref, dim, cosine)`. */
+  def centroidRollingDriftBy(df: DataFrame, groupCols: Seq[String],
+                             vecCol: String, tsCol: String, windowDays: Int,
+                             scale: Long = 1000000L): DataFrame = {
+    require(groupCols.nonEmpty, "centroidRollingDriftBy: need at least one group column")
+    require(windowDays >= 1, "centroidRollingDriftBy: windowDays must be >= 1")
+    val d38 = DecimalType(38, 0)
+    val gc = groupCols.map(col)
+    val perDay = graft.util.Materialize.bounded(
+      df.where(col(vecCol).isNotNull &&
+          groupCols.map(c => col(c).isNotNull).reduce(_ && _))
+        .select(gc :+ to_date(col(tsCol)).as("__d")
+          :+ posexplode(col(vecCol)).as(Seq("pos", "__x")): _*)
+        .select(gc ++ Seq(col("__d"), col("pos"),
+          (col("__x").cast(DoubleType) * lit(scale.toDouble)).cast(LongType).as("__u")): _*)
+        .groupBy(gc ++ Seq(col("__d"), col("pos")): _*)
+        .agg(sum(col("__u").cast(d38)).as("s"), count(lit(1)).as("c")))
+    val days = perDay.select(gc :+ col("__d").as("day"): _*).distinct()
+    val ref = perDay
+      .select(gc ++ Seq(col("pos"), col("s").as("sb"), col("c").as("cb"),
+        explode(sequence(date_add(col("__d"), 1),
+          date_add(col("__d"), windowDays))).as("day")): _*)
+      .join(days, groupCols :+ "day")
+      .groupBy(gc ++ Seq(col("day"), col("pos")): _*)
+      .agg(sum(col("sb")).as("sb"), sum(col("cb")).as("cb"))
+    val cur = perDay.select(gc ++ Seq(col("__d").as("day"), col("pos"),
+      col("s").as("sa"), col("c").as("ca")): _*)
+    cur.join(ref, groupCols ++ Seq("day", "pos"))  // inner: no-ref drops
+      .groupBy(gc :+ col("day"): _*)
+      .agg(max(col("ca")).as("n_cur"), max(col("cb")).as("n_ref"),
+        count(lit(1)).as("dim"),
+        (sum((col("sa") * col("sb")).cast(d38)).cast(DoubleType)
+          / (sqrt(sum((col("sa") * col("sa")).cast(d38)).cast(DoubleType))
+            * sqrt(sum((col("sb") * col("sb")).cast(d38)).cast(DoubleType))))
+          .as("cosine"))
+      .select(gc ++ Seq(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_cur"), col("n_ref"), col("dim"), col("cosine")): _*)
+  }
+
   /** Shared read side of the rolling centroid gauge: `perDay` is the
     * `(__d DATE, pos, s DECIMAL(38,0), c BIGINT)` per-day sum frame —
     * built inline by [[centroidRollingDrift]] or merged from the

@@ -400,6 +400,67 @@ object TextOps {
     jsRollingFromPerDay(readDayMix(spark, dir), windowDays)
   }
 
+  /** GROUPED rolling JS — the mix member of the per-group rolling
+    * family (`HistSketch.histRollingPsiBy` is the numeric member):
+    * for every (group, day) with data and a non-empty group-local
+    * trailing reference, the JS divergence of that group's day mix of
+    * `keyCol` against the SAME group's merged trailing-window counts
+    * — "which segment's event mix broke on which day". Bounded at
+    * |groups|·|days|·|categories| everywhere; group-local day axes.
+    * Output `(groupCols..., day, n_keys, n_cur, n_ref, js_bits)`. */
+  def jsRollingDivergenceBy(df: DataFrame, groupCols: Seq[String],
+                            keyCol: String, tsCol: String,
+                            windowDays: Int): DataFrame = {
+    require(groupCols.nonEmpty, "jsRollingDivergenceBy: need at least one group column")
+    require(windowDays >= 1, "jsRollingDivergenceBy: windowDays must be >= 1")
+    val d38 = DecimalType(38, 0)
+    def l8(e: Column): Column =
+      floor(log2(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
+    val gc = groupCols.map(col)
+    val perDay = graft.util.Materialize.bounded(
+      df.where(col(keyCol).isNotNull &&
+          groupCols.map(c => col(c).isNotNull).reduce(_ && _))
+        .select(gc :+ to_date(col(tsCol)).as("__d")
+          :+ col(keyCol).cast(StringType).as("k"): _*)
+        .groupBy(gc :+ col("__d") :+ col("k"): _*)
+        .agg(count(lit(1)).as("cnt")))
+    val days = perDay.select(gc :+ col("__d").as("day"): _*).distinct()
+    val ref = perDay
+      .select(gc ++ Seq(col("k"), col("cnt").as("cb"),
+        explode(sequence(date_add(col("__d"), 1),
+          date_add(col("__d"), windowDays))).as("day")): _*)
+      .join(days, groupCols :+ "day")
+      .groupBy(gc ++ Seq(col("day"), col("k")): _*)
+      .agg(sum(col("cb")).as("cb"))
+    val cur = perDay.select(gc ++ Seq(col("__d").as("day"), col("k"),
+      col("cnt").as("ca")): _*)
+    val j = cur.join(ref, groupCols ++ Seq("day", "k"), "full_outer")
+      .select(gc ++ Seq(col("day"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb")): _*)
+    val totals = j.groupBy(gc :+ col("day"): _*).agg(count(lit(1)).as("__k"),
+      (sum(col("ca")) + count(lit(1))).as("__na"),
+      (sum(col("cb")) + count(lit(1))).as("__nb"),
+      sum(col("ca")).as("__ra"), sum(col("cb")).as("__rb"))
+    val mix = ((col("ca") + 1).cast(d38) * col("__nb")
+      + (col("cb") + 1).cast(d38) * col("__na"))
+    j.join(totals, groupCols :+ "day")
+      .where(col("__ra") > 0 && col("__rb") > 0)
+      .select(gc ++ Seq(col("day"), col("__k"), col("__na"), col("__nb"),
+        ((col("ca") + 1).cast(d38) *
+          (lit(100000000L) + l8(col("ca") + 1) + l8(col("__nb")) - l8(mix))).as("__ta"),
+        ((col("cb") + 1).cast(d38) *
+          (lit(100000000L) + l8(col("cb") + 1) + l8(col("__na")) - l8(mix))).as("__tb")): _*)
+      .groupBy(gc :+ col("day"): _*)
+      .agg(max(col("__k")).as("n_keys"),
+        (max(col("__na")) - max(col("__k"))).as("n_cur"),
+        (max(col("__nb")) - max(col("__k"))).as("n_ref"),
+        ((sum(col("__ta")).cast(DoubleType) / max(col("__na")).cast(DoubleType)
+          + sum(col("__tb")).cast(DoubleType) / max(col("__nb")).cast(DoubleType))
+          / lit(2e8)).as("js_bits"))
+      .select(gc ++ Seq(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_keys"), col("n_cur"), col("n_ref"), col("js_bits")): _*)
+  }
+
   private def jsRollingFromPerDay(perDay0: DataFrame,
                                   windowDays: Int): DataFrame = {
     val d38 = DecimalType(38, 0)

@@ -274,6 +274,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(tight.getDouble(3) <= dj + 1e-12 && tight.getDouble(3) > 0)
   }
 
+  test("jsRollingDivergenceBy: per-group series ≡ single-group runs; repeats zero, shifts fire") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 10:00:00")
+    val rows = ((1 to 60).map(i => (ts(1), "a", if (i % 3 == 0) "x" else "y")) ++
+      (1 to 60).map(i => (ts(2), "a", if (i % 3 == 0) "x" else "y")) ++ // repeat
+      (1 to 60).map(_ => (ts(3), "a", "z")) ++                        // shift
+      (1 to 40).map(_ => (ts(2), "b", "x")) ++
+      (1 to 40).map(_ => (ts(3), "b", "x")))                           // b stable
+    val df = rows.toDF("ts", "g", "k")
+    val got = TextOps.jsRollingDivergenceBy(df, Seq("g"), "k", "ts", windowDays = 7)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(got.keySet == Set(("a", "2024-03-02"), ("a", "2024-03-03"),
+      ("b", "2024-03-03")))
+    assert(math.abs(got(("a", "2024-03-02"))) < 1e-6)  // identical mix
+    assert(got(("a", "2024-03-03")) > 0.5)             // alien key fires
+    assert(math.abs(got(("b", "2024-03-03"))) < 1e-6)  // b judged vs b only
+    for (g <- Seq("a", "b")) {
+      val single = TextOps.jsRollingDivergence(
+          df.where(col("g") === g), "k", "ts", windowDays = 7)
+        .collect().map(r => (g, r.getString(0)) -> r.getDouble(4)).toMap
+      assert(got.filter(_._1._1 == g) == single, s"group $g")
+    }
+  }
+
   test("day-keyed mix artifact: rolling JS from tranches ≡ inline, day-split safe") {
     import graft.util.SumTranches
     val dir = java.nio.file.Files.createTempDirectory("graft_daymix").toString

@@ -177,6 +177,27 @@ class ScaleOpsSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
+  test("centroidRollingDriftBy: per-group series ≡ single-group runs, group-local day axes") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 12:00:00")
+    val rows = Seq(
+      (ts(1), "a", Seq(1.0f, 0.0f)), (ts(2), "a", Seq(0.8f, 0.3f)),
+      (ts(3), "a", Seq(-0.2f, 1.0f)),
+      (ts(2), "b", Seq(0.0f, 1.0f)), (ts(3), "b", Seq(0.1f, 0.9f)))
+    val df = rows.toDF("ts", "g", "embedding")
+    val got = SimilarityOps.centroidRollingDriftBy(df, Seq("g"), "embedding", "ts",
+        windowDays = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    // first day per GROUP omitted; b's axis independent of a's
+    assert(got.keySet == Set(("a", "2024-03-02"), ("a", "2024-03-03"),
+      ("b", "2024-03-03")))
+    for (g <- Seq("a", "b")) {
+      val single = SimilarityOps.centroidRollingDrift(
+          df.where(col("g") === g), "embedding", "ts", windowDays = 2)
+        .collect().map(r => (g, r.getString(0)) -> r.getDouble(4)).toMap
+      assert(got.filter(_._1._1 == g) == single, s"group $g")
+    }
+  }
+
   test("sourceCentroidDrift: source-vs-rest ≡ pairwise gauge on the complement; solo source omitted") {
     val rows =
       (1L to 40L).map(i => (i, "srcA", Seq(1.0f, 0.25f, 0.0f))) ++
