@@ -912,6 +912,34 @@ object DedupOps {
     }
   }
 
+  /** AUTO-consolidation tick for the dedup index — the
+    * [[graft.util.SumTranches.maybeConsolidate]] contract over the
+    * sh/fp/sig artifact set: fold only when the COMMITTED tranche
+    * count of the witness artifact (`fp` — the one the append path
+    * writes last) exceeds `maxLive`, so a long-lived
+    * [[graft.streaming.StreamingOps.indexedDedupStream]] keeps its
+    * probe-side read fan-in bounded without an operator remembering
+    * to run [[consolidateDedupIndex]]. Safe in-loop: the stream's
+    * epochs are sequential, so the offline-relative-to-appends
+    * contract holds at the tick's position (after the epoch's
+    * append, before the next epoch starts), and a crash mid-fold
+    * leaves the original tranches intact behind the atomic swap.
+    * Unproven (unmarked) tranches don't count toward the trigger —
+    * they are preserved, not folded, so counting them would make the
+    * tick fire every epoch without ever reducing the fan-in. Returns
+    * whether a fold ran. */
+  def maybeConsolidateDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, maxLive: Int): Boolean = {
+    require(maxLive >= 1, s"maybeConsolidateDedupIndex: maxLive=$maxLive must be >= 1")
+    val witness =
+      if (pathExists(spark, s"$dir/fp")) s"$dir/fp"
+      else IndexArtifacts.map(a => s"$dir/$a").find(pathExists(spark, _))
+        .getOrElse(return false)
+    if (committedTranches(spark, witness).length > maxLive) {
+      consolidateDedupIndex(spark, dir); true
+    } else false
+  }
+
   /** The consolidation protocol shared by every tranche-appending
     * index family (dedup: sh/fp/sig; winnow: wfp) — ONE implementation
     * so the rewrite/ledger contract can never drift between them.
@@ -1728,16 +1756,30 @@ object DedupOps {
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           bits: Int = 32, maxHamming: Int = 3, bands: Int = 4,
                           portable: Boolean = false,
-                          maxBucket: Int = 10000): DataFrame = {
+                          maxBucket: Int = 10000): DataFrame =
+    bandedHammingPairs(
+      df.select(col(idCol).as("__id"),
+        simhash(col(textCol), bits, portable).as("__sig")),
+      bits, maxHamming, bands, maxBucket)
+
+  /** The signature-agnostic banding core of [[simhashNearDupPairs]] —
+    * shared with the perceptual image tier
+    * ([[graft.multimodal.MultimodalOps.imageNearDupPairs]], whose
+    * 64-bit dHash wants the identical pigeonhole candidate shape over
+    * a signature SimHash never produced). `sigs` must carry
+    * `(__id, __sig LONG)`; returns `(id_a, id_b, hamming)` with
+    * id_a < id_b, one (band, slice) equi-join shuffle, never
+    * all-pairs, hot buckets dropped at `maxBucket`. */
+  private[graft] def bandedHammingPairs(sigs: DataFrame, bits: Int,
+                                        maxHamming: Int, bands: Int,
+                                        maxBucket: Int): DataFrame = {
     require(bands > maxHamming,
-      s"simhashNearDupPairs: need bands ($bands) > maxHamming ($maxHamming) for the pigeonhole guarantee")
+      s"bandedHammingPairs: need bands ($bands) > maxHamming ($maxHamming) for the pigeonhole guarantee")
     require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
     val width = bits / bands
     // 1L << 64 wraps to 1 in JVM shift semantics — a full-width band
     // (bands = 1) must mask to all-ones, not to zero
     val mask = if (width >= 64) -1L else (1L << width) - 1
-    val sigs = df.select(col(idCol).as("__id"),
-      simhash(col(textCol), bits, portable).as("__sig"))
     val banded = sigs.select(col("__id"), col("__sig"),
       posexplode(array((0 until bands).map(b =>
         call_function("shiftright", col("__sig"), lit(b * width)).bitwiseAND(lit(mask))): _*))

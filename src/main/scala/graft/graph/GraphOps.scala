@@ -418,6 +418,36 @@ object GraphOps {
         max(col("rank")).as("max_rank"),
         min(col("rank")).as("min_rank"))
 
+  /** TRIAGE gauge for a WHOLE-REPLACE artifact ([[writeRankIndex]] /
+    * [[writeGroupIndex]]) in the cross-family dashboard schema
+    * ([[graft.meta.IndexDashboard.indexHealthAll]]): directory
+    * metadata only. Whole-replace artifacts have no tranche ledger —
+    * the atomic swap publishes exactly one generation — so the row is
+    * `n_tranches = 1`, `n_marked` = the committer's `_SUCCESS`
+    * presence, and `n_unproven = 0` by protocol (a half-written swap
+    * never becomes visible; content sanity lives in the per-family
+    * stats gauges, [[rankIndexStats]] / [[groupIndexStats]]). */
+  private[graft] def wholeReplaceHealth(spark: org.apache.spark.sql.SparkSession,
+                                        dir: String, artifact: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(f.exists(p), s"indexHealth: $dir does not exist")
+    val marked = f.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+    Seq((artifact, 1, if (marked) 1 else 0, 0, Option.empty[Boolean]))
+      .toDF("artifact", "n_tranches", "n_marked", "n_unproven", "count_fresh")
+  }
+
+  /** [[wholeReplaceHealth]] over the rank-vector artifact. */
+  def rankIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame =
+    wholeReplaceHealth(spark, dir, "rank")
+
+  /** [[wholeReplaceHealth]] over the group-assignment artifact. */
+  def groupIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame =
+    wholeReplaceHealth(spark, dir, "assignment")
+
   /** Daily rank refresh: continue the exact integer recursion from the
     * STORED vector (uniform start if the artifact doesn't exist yet —
     * the first tick births it), atomically swap the refreshed vector

@@ -119,13 +119,32 @@ object IndexDashboard {
     parts.reduce(_.unionByName(_))
   }
 
+  /** The one-stop "is every index healthy" frame — the thing an
+    * operator actually pages on. Families whose directory is not
+    * passed are absent; each present family contributes its own
+    * triage gauge rows under a leading `family` column, schema-stable
+    * across all of them: `(family, artifact, n_tranches, n_marked,
+    * n_unproven, count_fresh)`. Beyond the original four
+    * tranche-append families this spans the bloom membership index
+    * (OR algebra — unproven impossible), the whole-replace rank / cc
+    * artifacts (one generation each), and the day-keyed hist / HLL /
+    * mix / centroid artifacts (where `n_tranches` is the
+    * merge-on-read fan-in the auto-consolidate ticks bound and
+    * `n_unproven` counts superseded-awaiting-GC leftovers). Cost
+    * contract unchanged: directory metadata only, no data file
+    * opened; the union concatenates ≤5-row local frames. */
   def indexHealthAll(spark: SparkSession,
                      dedupDir: Option[String] = None,
                      winnowDir: Option[String] = None,
                      vectorDir: Option[String] = None,
-                     bm25Dir: Option[String] = None): DataFrame = {
-    require(dedupDir.orElse(winnowDir).orElse(vectorDir).orElse(bm25Dir).isDefined,
-      "indexHealthAll: pass at least one index directory")
+                     bm25Dir: Option[String] = None,
+                     bloomDir: Option[String] = None,
+                     rankDir: Option[String] = None,
+                     ccDir: Option[String] = None,
+                     dayHistDir: Option[String] = None,
+                     dayHllDir: Option[String] = None,
+                     dayMixDir: Option[String] = None,
+                     centroidDir: Option[String] = None): DataFrame = {
     val parts = Seq(
       dedupDir.map(d => graft.dedup.DedupOps.dedupIndexHealth(spark, d)
         .withColumn("family", lit("dedup"))),
@@ -134,7 +153,22 @@ object IndexDashboard {
       vectorDir.map(d => graft.similarity.SimilarityOps.ivfIndexHealth(spark, d)
         .withColumn("family", lit("vector"))),
       bm25Dir.map(d => graft.text.RetrievalOps.bm25IndexHealth(spark, d)
-        .withColumn("family", lit("bm25")))).flatten
+        .withColumn("family", lit("bm25"))),
+      bloomDir.map(d => graft.relational.BloomIndex.bloomIndexHealth(spark, d)
+        .withColumn("family", lit("bloom"))),
+      rankDir.map(d => graft.graph.GraphOps.rankIndexHealth(spark, d)
+        .withColumn("family", lit("rank"))),
+      ccDir.map(d => graft.graph.GraphOps.groupIndexHealth(spark, d)
+        .withColumn("family", lit("cc"))),
+      dayHistDir.map(d => graft.util.SumTranches.health(spark, d, "dayhist")
+        .withColumn("family", lit("dayhist"))),
+      dayHllDir.map(d => graft.profile.Sketches.registerTrancheHealth(spark, d, "dayhll")
+        .withColumn("family", lit("dayhll"))),
+      dayMixDir.map(d => graft.util.SumTranches.health(spark, d, "daymix")
+        .withColumn("family", lit("daymix"))),
+      centroidDir.map(d => graft.util.SumTranches.health(spark, d, "centroid")
+        .withColumn("family", lit("centroid")))).flatten
+    require(parts.nonEmpty, "indexHealthAll: pass at least one index directory")
     parts.reduce(_.unionByName(_))
       .select(col("family"), col("artifact"), col("n_tranches"),
         col("n_marked"), col("n_unproven"), col("count_fresh"))

@@ -225,6 +225,114 @@ object MultimodalOps {
       }
   }
 
+  final case class ImageHash(media_id: Long, dhash: Long, decoded: Boolean)
+
+  /** PERCEPTUAL 64-bit dHash of an image payload — the hash that
+    * makes image near-dup detection a [[graft.dedup.DedupOps
+    * .simhashNearDupPairs]]-shaped problem: re-encoded, resized, or
+    * slightly-retouched copies of one image land within a few bits of
+    * each other, because the hash reads the image's coarse luminance
+    * GRADIENT structure, not its bytes. Classic dHash construction:
+    * decode → block-average down to a 9×8 grayscale grid (BT.601 luma,
+    * the [[decodeImageBatched]] constants) → bit `r·8+c` set iff
+    * `gray(r, c+1) > gray(r, c)` (each of the 8 rows compares its 9
+    * cells into 8 bits). Same per-partition iterator shape as
+    * [[decodeImageBatched]]: one image in flight per task, constant
+    * memory, executor-side only.
+    *
+    * Payloads ImageIO cannot decode degrade to a deterministic
+    * byte-grid STUB (`decoded = false`): cell (r,c) reads byte
+    * `(r·9+c) mod n` — same comparison ladder, so the operator stays
+    * total on mixed corpora AND the stub tier is exactly replayable
+    * byte-for-byte by an oracle over ASCII fixtures (`ascii(substr(
+    * text, 1 + (k % n), 1))`). Empty payloads hash to 0.
+    */
+  def imageDHash(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    media.select("media_id", "content").as(Encoders.tuple(
+      Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          val gray: Array[Double] = img match {
+            case Some(im) =>
+              val (w, h) = (im.getWidth, im.getHeight)
+              val g = new Array[Double](72)
+              var r = 0
+              while (r < 8) {
+                var c = 0
+                while (c < 9) {
+                  // block-average pooling with ≥1-pixel cells: integer
+                  // boundaries k*dim/9 (resp /8), upper bound forced
+                  // past the lower so 1×1 images still pool
+                  val x0 = c * w / 9; val x1 = math.max(x0 + 1, (c + 1) * w / 9)
+                  val y0 = r * h / 8; val y1 = math.max(y0 + 1, (r + 1) * h / 8)
+                  var sum = 0.0; var y = y0
+                  while (y < y1 && y < h) {
+                    var x = x0
+                    while (x < x1 && x < w) {
+                      val rgb = im.getRGB(x, y)
+                      sum += 0.299 * ((rgb >> 16) & 0xff) +
+                        0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val nPix = math.max(1, (math.min(x1, w) - x0) * (math.min(y1, h) - y0))
+                  g(r * 9 + c) = sum / nPix
+                  c += 1
+                }
+                r += 1
+              }
+              g
+            case None =>
+              val n = bytes.length
+              val g = new Array[Double](72)
+              if (n > 0) {
+                var i = 0
+                while (i < 72) { g(i) = (bytes(i % n) & 0xff).toDouble; i += 1 }
+              }
+              g
+          }
+          var hash = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              if (gray(r * 9 + c + 1) > gray(r * 9 + c))
+                hash |= (1L << (r * 8 + c))
+              c += 1
+            }
+            r += 1
+          }
+          ImageHash(id, hash, img.isDefined)
+        }
+      }
+  }
+
+  /** Perceptual image NEAR-DUP pairs — the dedup×multimodal closure:
+    * [[imageDHash]] signatures through the [[graft.dedup.DedupOps
+    * .bandedHammingPairs]] pigeonhole (64 bits in 8 byte-bands: any
+    * two hashes within `maxHamming ≤ 7` differing bits agree exactly
+    * on ≥1 band, so candidates meet in ONE (band, slice) equi-join —
+    * never all-pairs — and the exact hamming filter keeps true
+    * near-dups). Returns `(id_a, id_b, hamming)`, id_a < id_b. The
+    * 100 TB shape is the SimHash tier's: 8 bytes of signature per
+    * image crosses the shuffle, the decoded rasters never do, and hot
+    * buckets (flat/black images all hashing alike) drop at
+    * `maxBucket` — a band value shared by that many images carries no
+    * near-dup signal. */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 6, bands: Int = 8,
+                        maxBucket: Int = 10000): DataFrame =
+    graft.dedup.DedupOps.bandedHammingPairs(
+      imageDHash(spark, media).toDF()
+        .select(org.apache.spark.sql.functions.col("media_id").as("__id"),
+          org.apache.spark.sql.functions.col("dhash").as("__sig")),
+      bits = 64, maxHamming = maxHamming, bands = bands, maxBucket = maxBucket)
+
   /** Frame sampling for (fake) video payloads: every `step`-th frame
     * index of `n_frames` derived from payload size — the explode keeps
     * sampling distributed and prunes the payload column immediately.

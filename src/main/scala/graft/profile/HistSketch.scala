@@ -308,6 +308,97 @@ object HistSketch {
           .cast(LongType).as("value"))
   }
 
+  /** GROUPED SIGNED + FRACTIONAL histogram build — [[histSketchBy]]
+    * over the mirrored ladder with the fixed-point pre-scale
+    * ([[histSketchSigned]]'s `trunc(v·scaleBy)`, mirrored as
+    * `CAST(TRUNC(x·10^k) AS BIGINT)` in any oracle): one ≤127·s+1-
+    * bucket signed histogram per group key, still ONE map-side-
+    * combinable shuffle. The r11 signed tier closed the one-sided-gate
+    * defect for global gates; per-domain norms differ exactly as they
+    * do for the unsigned `_by` tier (a −50 balance delta is an outlier
+    * for segment A, median for segment B), hence this grouped form.
+    * Merges per-(group, bucket) by SUM ([[histMergeBy]] — the tranche
+    * algebra never looks at bucket sign); read back with the SIGNED
+    * grouped readers at the SAME `scaleBy`. */
+  def histSketchSignedBy(df: DataFrame, groupCols: Seq[String], valCol: String,
+                         subBuckets: Int = DefaultSubBuckets,
+                         scaleBy: Long = 1L): DataFrame = {
+    logS(subBuckets)
+    require(groupCols.nonEmpty, "histSketchSignedBy: need at least one group column")
+    require(scaleBy >= 1, s"histSketchSignedBy: scaleBy=$scaleBy must be >= 1")
+    val v =
+      if (scaleBy == 1L) col(valCol).cast(LongType)
+      else (col(valCol).cast(DoubleType) * lit(scaleBy.toDouble)).cast(LongType)
+    df.where(col(valCol).isNotNull)
+      .select(groupCols.map(col) :+ v.as("__v"): _*)
+      .select(groupCols.map(col) :+
+        expr(signedBucketCaseSql("__v", subBuckets, "div"))
+          .cast(IntegerType).as("bucket"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group quantiles from a [[histSketchSignedBy]] result —
+    * [[histQuantilesBy]]'s rank machinery (signed bucket ids already
+    * sort in value order, so the group-partitioned cumulative window
+    * is unchanged) with the mirrored boundary read-out descaled to
+    * original units: `(groupCols..., p, value DOUBLE)` — exact long
+    * boundary, ONE IEEE division, engine-identical. */
+  def histQuantilesSignedBy(sketch: DataFrame, groupCols: Seq[String],
+                            ps: Seq[Double],
+                            subBuckets: Int = DefaultSubBuckets,
+                            scaleBy: Long = 1L): DataFrame = {
+    logS(subBuckets)
+    require(groupCols.nonEmpty, "histQuantilesSignedBy: need at least one group column")
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "histQuantilesSignedBy: quantiles must be in (0,1]")
+    require(scaleBy >= 1, s"histQuantilesSignedBy: scaleBy=$scaleBy must be >= 1")
+    val spark = sketch.sparkSession
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = sketch.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("__total"))
+    val pDf = spark.range(1).select(explode(array(ps.map(lit): _*)).as("p"))
+    sketch
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .join(totals, groupCols)              // |groups| rows
+      .crossJoin(broadcast(pDf))
+      .where(col("__cum") >=
+        greatest(lit(1L), ceil(col("p") * col("__total"))))
+      .groupBy(groupCols.map(col) :+ col("p"): _*)
+      .agg(min(col("bucket")).as("__b"))
+      .select(groupCols.map(col) :+ col("p") :+
+        (expr(signedLowerBoundCaseSql("__b", subBuckets, "div"))
+          .cast(DoubleType) / lit(scaleBy.toDouble)).as("value"): _*)
+  }
+
+  /** PER-GROUP winsorization against a SIGNED grouped sketch —
+    * [[histWinsorizeBy]] for metrics that go negative and/or carry
+    * fractional digits: each row clamped into ITS OWN group's
+    * `[pLo, pHi]` band read via [[histQuantilesSignedBy]] at the SAME
+    * `scaleBy` (bounded |groups|·2 rows, pivoted and BROADCAST-joined
+    * — no corpus shuffle), scoring a shuffle-free per-row
+    * `least/greatest` in ORIGINAL (double) units. NULL values and
+    * rows whose group has no sketch history pass through unclamped
+    * (the [[histWinsorizeBy]] stance). */
+  def histWinsorizeSignedBy(df: DataFrame, groupCols: Seq[String], valCol: String,
+                            sketch: DataFrame, pLo: Double, pHi: Double,
+                            subBuckets: Int = DefaultSubBuckets,
+                            scaleBy: Long = 1L): DataFrame = {
+    require(pLo > 0 && pLo < pHi && pHi <= 1,
+      s"histWinsorizeSignedBy: need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    val bounds = histQuantilesSignedBy(sketch, groupCols, Seq(pLo, pHi),
+      subBuckets, scaleBy)
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("p") === pLo, col("value"))).as("lo"),
+        max(when(col("p") === pHi, col("value"))).as("hi"))
+    val v = col(valCol).cast(DoubleType)
+    df.join(broadcast(bounds), groupCols, "left")
+      .withColumn(s"${valCol}_w",
+        when(v.isNull || col("lo").isNull, v)
+          .otherwise(least(greatest(v, col("lo")), col("hi"))))
+  }
+
   /** GROUPED histogram build — the quantile twin of
     * `Sketches.hllSketchBy`: one ≤63·s+1-bucket histogram per group
     * key, `(groupCols..., bucket, cnt)`. Still ONE map-side-combinable

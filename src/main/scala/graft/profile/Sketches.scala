@@ -305,6 +305,67 @@ object Sketches {
     hllRollingFromPerDay(readDayHll(spark, dir), windowDays, b)
   }
 
+  /** The artifact's `batch=` tranche directories (register artifacts
+    * have no superseding manifest — max is idempotent, every tranche
+    * is live). */
+  private def trancheDirs(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).sortBy(_.getName).toSeq
+  }
+
+  /** TRIAGE gauge for a REGISTER (max-algebra) tranche artifact in
+    * the cross-family dashboard schema ([[graft.meta.IndexDashboard
+    * .indexHealthAll]]): directory metadata only. Every visible
+    * tranche is live (max is idempotent — no superseding manifest, no
+    * crash-remnant state), so `n_unproven = 0` by algebra and
+    * `n_tranches` is directly the merge-on-read fan-in the
+    * consolidate tick bounds. */
+  def registerTrancheHealth(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, artifact: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"registerTrancheHealth: $dir does not exist")
+    val tranches = trancheDirs(spark, dir)
+    val marked = fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, "batch=*/_SUCCESS"))
+      .map(_.getPath.getParent.getName).toSet
+    Seq((artifact, tranches.length, tranches.count(t => marked(t.getName)),
+      0, Option.empty[Boolean]))
+      .toDF("artifact", "n_tranches", "n_marked", "n_unproven", "count_fresh")
+  }
+
+  /** AUTO-consolidation tick for the DAY-KEYED register artifact —
+    * the [[graft.util.SumTranches.maybeConsolidate]] contract under
+    * the max algebra (no manifest needed; the fold is safe at any
+    * moment): fold only when the tranche count exceeds `maxLive`, so
+    * the rolling reader's fan-in stays bounded across an unattended
+    * ingest loop. Returns whether a fold ran. */
+  def maybeConsolidateDayHll(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, maxLive: Int): Boolean = {
+    require(maxLive >= 1, s"maybeConsolidateDayHll: maxLive=$maxLive must be >= 1")
+    if (trancheDirs(spark, dir).length > maxLive) {
+      consolidateDayHll(spark, dir); true
+    } else false
+  }
+
+  /** [[maybeConsolidateDayHll]] for the FLAT register artifact
+    * ([[writeSketchTranche]] / [[consolidateSketch]]) — the
+    * count-triggered twin of [[graft.streaming.StreamingOps
+    * .sketchStream]]'s epoch-modulo trigger, which skips entirely when
+    * replayed epoch numbers never hit the modulus. */
+  def maybeConsolidateSketch(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, maxLive: Int): Boolean = {
+    require(maxLive >= 1, s"maybeConsolidateSketch: maxLive=$maxLive must be >= 1")
+    if (trancheDirs(spark, dir).length > maxLive) {
+      consolidateSketch(spark, dir); true
+    } else false
+  }
+
   /** Fold the day-keyed tranches to one — a PLAIN max rewrite (the
     * [[graft.relational.BloomIndex.consolidateBloom]] stance: under
     * idempotent algebra a crash that leaves folded + inputs visible

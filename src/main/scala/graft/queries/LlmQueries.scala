@@ -1027,7 +1027,14 @@ object LlmQueries {
         |UNION ALL SELECT 'winnow', 'wdf', 2, 2, 0, 'true'
         |UNION ALL SELECT 'vector', 'vec', 2, 2, 0, CAST(NULL AS VARCHAR)
         |UNION ALL SELECT 'bm25', 'postings', 2, 2, 0, CAST(NULL AS VARCHAR)
-        |UNION ALL SELECT 'bm25', 'doclen', 2, 2, 0, CAST(NULL AS VARCHAR)""".stripMargin) {
+        |UNION ALL SELECT 'bm25', 'doclen', 2, 2, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'bloom', 'pos', 2, 2, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'rank', 'rank', 1, 1, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'cc', 'assignment', 1, 1, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'dayhist', 'dayhist', 2, 2, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'dayhll', 'dayhll', 2, 2, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'daymix', 'daymix', 2, 2, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'centroid', 'centroid', 2, 2, 0, CAST(NULL AS VARCHAR)""".stripMargin) {
       (s, dir) =>
         val docs = Tables(s, dir, "documents").select("doc_id", "text")
         val e = Tables(s, dir, "embeddings")
@@ -1071,9 +1078,67 @@ object LlmQueries {
             docs.where(col("doc_id") >= 300 && col("doc_id") < 400), bm25Idx,
             "doc_id", "text", tag = "day1")
         }
+        // the seven round-12 families: tiny artifacts, same
+        // build-once-per-process discipline (the dashboard is a
+        // directory-metadata gauge — content volume is irrelevant, so
+        // the builders run on bounded slices)
+        val ev = Tables(s, dir, "events")
+          .where(col("event_id") < 2000).select("event_id", "ts", "user_id", "value")
+        val bloomIdx = graft.util.Scratch.path("health_all_bloom", dir)
+        if (!new java.io.File(bloomIdx).exists()) {
+          graft.relational.BloomIndex.writeBloomTranche(
+            docs.where(col("doc_id") < 300), "doc_id", bloomIdx, "day0")
+          graft.relational.BloomIndex.writeBloomTranche(
+            docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
+            "doc_id", bloomIdx, "day1")
+        }
+        val rankIdx = graft.util.Scratch.path("health_all_rank", dir)
+        if (!new java.io.File(rankIdx).exists())
+          graft.graph.GraphOps.writeRankIndex(
+            Tables(s, dir, "nation").select(col("n_nationkey").as("node"),
+              lit(1000000L).as("rank")), rankIdx)
+        val ccIdx = graft.util.Scratch.path("health_all_cc", dir)
+        if (!new java.io.File(ccIdx).exists())
+          graft.graph.GraphOps.writeGroupIndex(
+            Tables(s, dir, "nation").select(col("n_nationkey").as("node"),
+              col("n_regionkey").as("component")), ccIdx)
+        val dayHistIdx = graft.util.Scratch.path("health_all_dayhist", dir)
+        if (!new java.io.File(dayHistIdx).exists()) {
+          graft.profile.HistSketch.writeDayHistTranche(
+            ev.where(col("event_id") < 1000), "value", "ts", dayHistIdx, "e0")
+          graft.profile.HistSketch.writeDayHistTranche(
+            ev.where(col("event_id") >= 1000), "value", "ts", dayHistIdx, "e1")
+        }
+        val dayHllIdx = graft.util.Scratch.path("health_all_dayhll", dir)
+        if (!new java.io.File(dayHllIdx).exists()) {
+          graft.profile.Sketches.writeDayHllTranche(
+            ev.where(col("event_id") < 1000), "user_id", "ts", dayHllIdx, "e0")
+          graft.profile.Sketches.writeDayHllTranche(
+            ev.where(col("event_id") >= 1000), "user_id", "ts", dayHllIdx, "e1")
+        }
+        val dayMixIdx = graft.util.Scratch.path("health_all_daymix", dir)
+        if (!new java.io.File(dayMixIdx).exists()) {
+          TextOps.writeDayMixTranche(
+            ev.where(col("event_id") < 1000), "user_id", "ts", dayMixIdx, "e0")
+          TextOps.writeDayMixTranche(
+            ev.where(col("event_id") >= 1000), "user_id", "ts", dayMixIdx, "e1")
+        }
+        val centroidIdx = graft.util.Scratch.path("health_all_centroid", dir)
+        if (!new java.io.File(centroidIdx).exists()) {
+          val ec = e.where(col("vec_id") < 200)
+            .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+          SimilarityOps.writeCentroidTranche(ec.where(col("vec_id") < 100),
+            "embedding", "ts", centroidIdx, "e0")
+          SimilarityOps.writeCentroidTranche(ec.where(col("vec_id") >= 100),
+            "embedding", "ts", centroidIdx, "e1")
+        }
         graft.meta.IndexDashboard.indexHealthAll(s,
           dedupDir = Some(dedupIdx), winnowDir = Some(winnowIdx),
-          vectorDir = Some(ivfIdx), bm25Dir = Some(bm25Idx))
+          vectorDir = Some(ivfIdx), bm25Dir = Some(bm25Idx),
+          bloomDir = Some(bloomIdx), rankDir = Some(rankIdx),
+          ccDir = Some(ccIdx), dayHistDir = Some(dayHistIdx),
+          dayHllDir = Some(dayHllIdx), dayMixDir = Some(dayMixIdx),
+          centroidDir = Some(centroidIdx))
           .withColumn("count_fresh", col("count_fresh").cast(StringType))
     },
 
@@ -2075,6 +2140,45 @@ object LlmQueries {
         .select("doc_id", "group_id", "split")
     },
 
+    // ---- the OPERATIONAL leakage-safe split: served from the AT-REST
+    //      group index instead of an in-run closure — the daily shape
+    //      where today's split must be stable against yesterday's
+    //      stored clusters. The oracle recomputes the closure in full
+    //      recursive SQL, so the hash match PROVES artifact-served ≡
+    //      in-run on unchanged data ----
+    Q("q_leakage_split_index", {
+      s"""WITH RECURSIVE ${duckJaccardCtes(1000, 0.5, 3)},
+        |e AS (SELECT id_a AS u, id_b AS v FROM jp UNION SELECT id_b, id_a FROM jp),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+        |cc AS (SELECT u, min(v) AS comp FROM reach GROUP BY u),
+        |asg AS (SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS group_id
+        |        FROM documents d LEFT JOIN cc ON cc.u = d.doc_id)
+        |SELECT doc_id, group_id,
+        |  CASE WHEN b < 900000 THEN 'train'
+        |       WHEN b < 950000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, group_id,
+        |        ${duckHash("'lsplit|' || CAST(group_id AS VARCHAR)")} % 1000000 AS b
+        |      FROM asg)""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val ccIdx = graft.util.Scratch.path("leak_split_cc", dir)
+      if (!new java.io.File(ccIdx).exists()) {
+        val (pairs, release) = DedupOps.ngramJaccardPairsReleasable(
+          docs, "doc_id", "text", shingleN = 3, threshold = 0.5, maxBucket = 1000)
+        GraphOps.writeGroupIndex(
+          GraphOps.connectedComponents(pairs, "id_a", "id_b"), ccIdx)
+        release()
+      }
+      TrainingOps.leakageSafeSplitFromIndex(docs.select("doc_id"), "doc_id",
+        ccIdx, Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+        salt = "lsplit", portable = true)
+        .select("doc_id", "group_id", "split")
+    },
+
     // ---- the MODERN end-to-end assembly: bloom-gated
     //      decontamination → near-dup closure over the survivors →
     //      leakage-safe split — contaminated docs out first, then
@@ -2558,6 +2662,44 @@ object LlmQueries {
       MultimodalOps.decodeBatched(s,
         MultimodalOps.attachBinary(Tables(s, dir, "documents"), "doc_id", "text", "image"))
         .toDF()
+    },
+
+    // ---- multimodal: PERCEPTUAL near-dup pairs — 64-bit dHash
+    //      (9×8 grayscale gradient grid) through the banded-hamming
+    //      pigeonhole the SimHash tier uses. The fixtures are not
+    //      PNGs, so every payload takes the deterministic byte-grid
+    //      stub tier, which the oracle replays bit for bit (the 64
+    //      comparison terms and the band join below mirror the engine
+    //      kernel exactly; the REAL decoded tier is spec-gated
+    //      banded≡brute on in-test PNGs) ----
+    Q("q_mm_near_dup", {
+      val minLong = "(-9223372036854775807 - 1)"
+      def grayS(k: Int) = s"ascii(substr(text, 1 + (($k) % n), 1))"
+      val terms = (for { r <- 0 until 8; c <- 0 until 8 } yield {
+        val idx = r * 8 + c
+        // 1::BIGINT << 63 overflows DuckDB's checked shift; the sign
+        // bit needs the min-long literal (its term is summed LAST, so
+        // every partial sum stays in signed-64 range)
+        val bitVal = if (idx == 63) minLong else s"(1::BIGINT << $idx)"
+        s"CASE WHEN ${grayS(r * 9 + c + 1)} > ${grayS(r * 9 + c)} THEN $bitVal ELSE 0 END"
+      }).mkString(" + ")
+      s"""WITH g AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |sig AS (SELECT doc_id, CASE WHEN n = 0 THEN 0 ELSE $terms END AS sig FROM g),
+        |banded AS (SELECT doc_id, sig, b, (sig >> (b * 8)) & 255 AS key
+        |           FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b)),
+        |bsz AS (SELECT b, key, count(*) AS cnt FROM banded GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |                x.sig AS sa, y.sig AS sb
+        |         FROM banded x
+        |         JOIN banded y ON y.b = x.b AND y.key = x.key AND x.doc_id < y.doc_id
+        |         JOIN bsz ON bsz.b = x.b AND bsz.key = x.key
+        |              AND bsz.cnt BETWEEN 2 AND 10000)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 6""".stripMargin
+    }) { (s, dir) =>
+      MultimodalOps.imageNearDupPairs(s,
+        MultimodalOps.attachBinary(Tables(s, dir, "documents"), "doc_id", "text", "image"))
+        .select(col("id_a"), col("id_b"), col("hamming").cast(IntegerType))
     },
 
     // ---- mergeable distinct sketch: HLL register build + raw
@@ -3852,6 +3994,50 @@ object LlmQueries {
       val cust = Tables(s, dir, "customer").select("c_custkey", "c_acctbal")
       HistSketch.histWinsorizeSigned(cust, "c_acctbal",
         HistSketch.histSketchSigned(cust, "c_acctbal", scaleBy = 100L),
+        pLo = 0.05, pHi = 0.95, scaleBy = 100L)
+    },
+
+    // ---- GROUPED signed winsorize: each balance clamped into ITS
+    //      SEGMENT's signed [p05, p95] band — the r11 signed ladder
+    //      (mirrored buckets, fixed-point cents) under the grouped-
+    //      window machinery of q_winsorize_by; bounds broadcast-joined,
+    //      scoring stays a shuffle-free per-row clamp ----
+    Q("q_winsorize_signed_by", {
+      import graft.profile.HistSketch._
+      s"""WITH v AS (SELECT c_mktsegment AS g,
+        |    CAST(trunc(CAST(c_acctbal AS DOUBLE) * 100.0) AS BIGINT) AS v
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |b AS (SELECT g, ${signedBucketCaseSql("v", 16, "//")} AS bucket FROM v),
+        |sk AS (SELECT g, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT g, bucket, cnt,
+        |        sum(cnt) OVER (PARTITION BY g ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER (PARTITION BY g) AS total
+        |      FROM sk),
+        |pp AS (SELECT unnest([0.05, 0.95]) AS p),
+        |sel AS (SELECT c.g AS g, pp.p AS p, min(c.bucket) AS b
+        |        FROM pp JOIN c
+        |          ON c.cum >= greatest(1, CAST(ceil(pp.p * c.total) AS BIGINT))
+        |        GROUP BY 1, 2),
+        |bv AS (SELECT g, p,
+        |         CAST(${signedLowerBoundCaseSql("b", 16, "//")} AS DOUBLE) / 100.0 AS val
+        |       FROM sel),
+        |bounds AS (SELECT g, min(CASE WHEN p = 0.05 THEN val END) AS lo,
+        |                  max(CASE WHEN p = 0.95 THEN val END) AS hi
+        |           FROM bv GROUP BY 1)
+        |SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal, bounds.lo, bounds.hi,
+        |  CASE WHEN d.c_acctbal IS NULL OR bounds.lo IS NULL
+        |         THEN CAST(d.c_acctbal AS DOUBLE)
+        |       ELSE least(greatest(CAST(d.c_acctbal AS DOUBLE), bounds.lo), bounds.hi)
+        |  END AS c_acctbal_w
+        |FROM customer d LEFT JOIN bounds ON bounds.g = d.c_mktsegment""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.HistSketch
+      val cust = Tables(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      HistSketch.histWinsorizeSignedBy(cust, Seq("c_mktsegment"), "c_acctbal",
+        HistSketch.histSketchSignedBy(cust, Seq("c_mktsegment"), "c_acctbal",
+          scaleBy = 100L),
         pLo = 0.05, pHi = 0.95, scaleBy = 100L)
     },
 

@@ -160,7 +160,8 @@ object StreamingOps {
                          checkpointDir: String,
                          shingleN: Int = 3, threshold: Double = 0.5,
                          maxBucket: Int = 1000, portable: Boolean = false,
-                         approx: Boolean = false)
+                         approx: Boolean = false,
+                         maxLiveTranches: Int = 0)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     require(checkpointDir.nonEmpty, "indexedDedupStream: checkpointDir is required " +
       "(epoch-keyed decision reuse is only safe with durable epoch numbering)")
@@ -170,6 +171,13 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         processIndexedDedupEpoch(batch, epoch, indexDir, outDir, idCol, textCol,
           shingleN, threshold, maxBucket, portable, approx)
+        // count-triggered auto-fold AFTER the epoch's append: epochs
+        // are sequential here, so the consolidate-offline-relative-to-
+        // appends contract holds at this position, and the absorbed-tag
+        // ledger keeps a later replay of a folded epoch a no-op
+        if (maxLiveTranches > 0)
+          graft.dedup.DedupOps.maybeConsolidateDedupIndex(batch.sparkSession,
+            indexDir, maxLiveTranches): Unit
       }
       .start()
   }
@@ -361,7 +369,8 @@ object StreamingOps {
   def sketchStream(rows: DataFrame, sketchDir: String, keyCol: String,
                    checkpointDir: String,
                    b: Int = graft.profile.Sketches.DefaultB,
-                   consolidateEvery: Int = 0)
+                   consolidateEvery: Int = 0,
+                   maxLiveTranches: Int = 0)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     require(checkpointDir.nonEmpty, "sketchStream: checkpointDir is required " +
       "(tranche idempotence relies on durable epoch numbering)")
@@ -375,6 +384,12 @@ object StreamingOps {
           sketchDir, epoch.toString)
         if (consolidateEvery > 0 && epoch > 0 && epoch % consolidateEvery == 0)
           graft.profile.Sketches.consolidateSketch(batch.sparkSession, sketchDir)
+        // count-triggered auto-fold — the epoch-modulo trigger above
+        // skips when replayed epoch numbers never hit the modulus; the
+        // count trigger holds read fan-in ≤ maxLiveTranches regardless
+        if (maxLiveTranches > 0)
+          graft.profile.Sketches.maybeConsolidateSketch(batch.sparkSession,
+            sketchDir, maxLiveTranches): Unit
       }
       .start()
   }
@@ -531,11 +546,9 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         graft.profile.Sketches.writeDayHllTranche(
           batch, keyCol, tsCol, dir, epoch.toString, b)
-        if (maxLiveTranches > 0) {
-          val live = graft.util.SumTranches.live(batch.sparkSession, dir)
-          if (live.length > maxLiveTranches)
-            graft.profile.Sketches.consolidateDayHll(batch.sparkSession, dir)
-        }
+        if (maxLiveTranches > 0)
+          graft.profile.Sketches.maybeConsolidateDayHll(batch.sparkSession,
+            dir, maxLiveTranches): Unit
       }
       .start()
   }
@@ -557,7 +570,8 @@ object StreamingOps {
   def bloomStream(rows: DataFrame, indexDir: String, outDir: String,
                   keyCol: String, checkpointDir: String,
                   mBits: Long = 1L << 20, k: Int = 3,
-                  portable: Boolean = false)
+                  portable: Boolean = false,
+                  maxLiveTranches: Int = 0)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     require(checkpointDir.nonEmpty, "bloomStream: checkpointDir is required " +
       "(decision idempotence relies on durable epoch numbering)")
@@ -576,7 +590,12 @@ object StreamingOps {
            else batch, () => ())
         }
         bi.writeBloomTranche(batch, keyCol, indexDir, s"e$epoch",
-          mBits, k, portable): Unit
+          mBits, k, portable)
+        // count-triggered auto-fold (OR algebra: safe at any moment,
+        // no manifest) — probe fan-in stays ≤ maxLiveTranches at every
+        // epoch boundary even across restarts/replays
+        if (maxLiveTranches > 0)
+          bi.maybeConsolidateBloom(spark, indexDir, maxLiveTranches): Unit
       }
       .start()
   }

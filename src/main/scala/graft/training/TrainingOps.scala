@@ -93,6 +93,26 @@ object TrainingOps {
     hashSplit(withGroup, "group_id", splits, salt, portable, outCol)
   }
 
+  /** [[leakageSafeSplit]] served from the AT-REST group index
+    * ([[graft.graph.GraphOps.writeGroupIndex]] /
+    * [[graft.streaming.StreamingOps.groupIndexStream]]) — the
+    * operational daily shape: the split must stay stable against
+    * YESTERDAY'S clusters (the artifact the dedup loop already
+    * maintains), not against whatever closure this run would compute
+    * — re-deriving CC in-run both re-pays the pair generation and can
+    * silently shift assignments mid-day as pairs stream in. Cost: the
+    * node-sized artifact read (AQE broadcasts it when small) + the
+    * same shuffle-free hash projection; split ≡ the in-run form on
+    * the same assignment by construction (both route through
+    * [[leakageSafeSplit]]). */
+  def leakageSafeSplitFromIndex(df: DataFrame, idCol: String, indexDir: String,
+                                splits: Seq[(String, Double)],
+                                salt: String = "split", portable: Boolean = false,
+                                outCol: String = "split"): DataFrame =
+    leakageSafeSplit(df, idCol,
+      graft.graph.GraphOps.readGroupIndex(df.sparkSession, indexDir),
+      splits, salt, portable, outCol)
+
   /** Deterministic per-stratum sampling: keep a row iff its hash
     * bucket falls under its stratum's fraction (`fractions` per
     * stratum value, `default` otherwise). The hash-threshold form of

@@ -101,6 +101,33 @@ object SumTranches {
     } else false
   }
 
+  /** TRIAGE gauge for a SUM-algebra tranche artifact in the
+    * cross-family dashboard schema ([[graft.meta.IndexDashboard
+    * .indexHealthAll]]): `(artifact, n_tranches, n_marked, n_unproven,
+    * count_fresh)` from directory metadata only. `n_tranches` counts
+    * LIVE tranches (the read-side fan-in — the consolidate dial);
+    * `n_unproven` counts SUPERSEDED-but-still-visible tranches (a
+    * consolidation crashed between manifest write and input delete —
+    * harmless to reads, which exclude them, but awaiting GC by the
+    * next consolidate); `n_marked` = live tranches carrying the
+    * committer's `_SUCCESS`. `count_fresh` is NULL — sum families
+    * have no separate count artifact to go stale. */
+  def health(spark: SparkSession, dir: String, artifact: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"SumTranches.health: $dir does not exist")
+    val all = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    val liveNames = live(spark, dir).map(_.getName).toSet
+    val marked = fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, "batch=*/_SUCCESS"))
+      .map(_.getPath.getParent.getName).toSet
+    Seq((artifact, liveNames.size, liveNames.count(marked.contains),
+      (all -- liveNames).size, Option.empty[Boolean]))
+      .toDF("artifact", "n_tranches", "n_marked", "n_unproven", "count_fresh")
+  }
+
   /** [[consolidate]] for multi-count families. */
   def consolidateMulti(spark: SparkSession, dir: String,
                        keyCols: Seq[String], cntCols: Seq[String]): Unit = {

@@ -318,6 +318,39 @@ class HistSketchSpec extends SparkSpec {
     assert(got(("zzz", Some(123L))).contains(123L))     // no history -> unclamped
   }
 
+  test("histWinsorizeSignedBy: per-group SIGNED fractional bands; mergeBy ≡ one-shot") {
+    // group a is centered BELOW zero (deltas around -10.5), group b
+    // above (around +500.25): a value normal for b must clamp hard for
+    // a, and a's band must have a NEGATIVE lower bound — the one-sided
+    // collapse the unsigned grouped tier would commit
+    val rows = (1 to 1000).map(i => ("a", Option(-20.5 + (i % 21)))) ++
+      (1 to 1000).map(i => ("b", Option(450.25 + (i % 101))))
+    val all = rows.toDF("g", "v")
+    val sk = HistSketch.histSketchSignedBy(all, Seq("g"), "v", scaleBy = 100L)
+    // grouped signed sketches merge per-(group, bucket) by sum
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    assertSameRows(sk, HistSketch.histMergeBy(Seq("g"),
+      HistSketch.histSketchSignedBy(h1.toDF("g", "v"), Seq("g"), "v", scaleBy = 100L),
+      HistSketch.histSketchSignedBy(h2.toDF("g", "v"), Seq("g"), "v", scaleBy = 100L)))
+    val batch = Seq(("a", Option(-10.5)), ("a", Option(500.0)), ("a", Option(-9999.0)),
+      ("b", Option(500.25)), ("b", Option(-10.5)), ("b", Option.empty[Double]),
+      ("zzz", Option(42.0))).toDF("g", "v")
+    val got = HistSketch.histWinsorizeSignedBy(batch, Seq("g"), "v", sk,
+      0.05, 0.95, scaleBy = 100L)
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))) ->
+        ((if (r.isNullAt(2)) None else Some(r.getDouble(2))),
+          (if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val (aLoBound, aIn) = got(("a", Some(-10.5)))
+    assert(aLoBound.exists(_ < 0), s"a's lower bound must be negative: $aLoBound")
+    assert(aIn.contains(-10.5))                        // inside a's band
+    assert(got(("a", Some(500.0)))._2.get < 10.0)      // b-normal clamps DOWN for a
+    assert(got(("a", Some(-9999.0)))._2.get >= -21.0)  // floor at a's p05
+    assert(got(("b", Some(500.25)))._2.contains(500.25))
+    assert(got(("b", Some(-10.5)))._2.get > 400.0)     // a-normal clamps UP for b
+    assert(got(("b", None))._2.isEmpty)                // NULL passes through
+    assert(got(("zzz", Some(42.0)))._2.contains(42.0)) // no history -> unclamped
+  }
+
   test("histMadBand/histMadFlags: robust to outliers that wreck a mean/sigma band") {
     // 997 inliers near 100, 3 monster outliers — a mean/σ band would be
     // dragged to cover the outliers; the MAD band must not move

@@ -1535,4 +1535,72 @@ class LlmOpsSpec extends SparkSpec {
       f(2L).mean_luma < 1.0)
     assert(!f(3L).decoded && f(3L).width == -1 && f(3L).mean_luma > 0.0)
   }
+
+  /** Grayscale pattern PNG: luma(x, y) = (x·a + y·b) mod 256 shifted
+    * by `delta` (clamped) — distinct (a, b) give distinct gradient
+    * structure; a small `delta` is the "re-exposed copy". */
+  private def patternPng(w: Int, h: Int, a: Int, b: Int, delta: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.min(255, math.max(0, (x * a + y * b) % 256 + delta))
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal: imageDHash — real decode tier, re-exposure invariance, stub determinism") {
+    import graft.multimodal.MultimodalOps
+    val rows = Seq(
+      (1L, patternPng(64, 64, 4, 0, 0)),   // left-to-right ramp
+      (2L, patternPng(64, 64, 4, 0, 3)),   // same ramp, +3 exposure
+      (3L, patternPng(64, 64, -4, 0, 255)),// inverted ramp
+      (4L, "stub payload xyz".getBytes("UTF-8")),
+      (5L, Array.empty[Byte]))
+    val h = MultimodalOps.imageDHash(spark, rows.toDF("media_id", "content"))
+      .collect().map(x => x.media_id -> x).toMap
+    assert(Seq(1L, 2L, 3L).forall(h(_).decoded) && !h(4L).decoded && !h(5L).decoded)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // a uniform exposure shift preserves every gradient sign
+    assert(ham(h(1L).dhash, h(2L).dhash) <= 4,
+      s"re-exposed copy drifted ${ham(h(1L).dhash, h(2L).dhash)} bits")
+    // an inverted ramp flips (nearly) every comparison
+    assert(ham(h(1L).dhash, h(3L).dhash) > 20)
+    // stub tier: exact byte-grid replay (the oracle's contract)
+    val bytes = "stub payload xyz".getBytes("UTF-8")
+    def g(i: Int) = (bytes(i % bytes.length) & 0xff).toDouble
+    var want = 0L
+    for (r <- 0 until 8; c <- 0 until 8)
+      if (g(r * 9 + c + 1) > g(r * 9 + c)) want |= (1L << (r * 8 + c))
+    assert(h(4L).dhash == want)
+    assert(h(5L).dhash == 0L)                  // empty payload → 0
+  }
+
+  test("multimodal: imageNearDupPairs banded ≡ brute over real decoded PNGs") {
+    import graft.multimodal.MultimodalOps
+    // a pool with structure: three gradient families, each with a
+    // re-exposed near-copy, plus noise patterns — near-dups must meet
+    // in a band (pigeonhole), far pairs must be filtered by hamming
+    val pool = Seq(
+      1L -> patternPng(48, 48, 4, 0, 0), 2L -> patternPng(48, 48, 4, 0, 2),
+      3L -> patternPng(48, 48, 0, 4, 0), 4L -> patternPng(48, 48, 0, 4, 2),
+      5L -> patternPng(48, 48, 3, 3, 0), 6L -> patternPng(48, 48, 3, 3, 2),
+      7L -> patternPng(48, 48, 7, 11, 0), 8L -> patternPng(48, 48, 11, 7, 0),
+      9L -> patternPng(48, 48, 13, 1, 0), 10L -> patternPng(48, 48, 1, 13, 0))
+    val media = pool.toDF("media_id", "content")
+    val hashes = MultimodalOps.imageDHash(spark, media)
+      .collect().map(x => x.media_id -> x.dhash).toMap
+    val brute = (for {
+      (a, ha) <- hashes.toSeq; (b, hb) <- hashes.toSeq if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (a, b, d)).toSet
+    val banded = MultimodalOps.imageNearDupPairs(spark, media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, s"banded $banded != brute $brute")
+    // the designed near-copies are found
+    assert(brute.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(brute.exists(p => p._1 == 3L && p._2 == 4L))
+  }
 }

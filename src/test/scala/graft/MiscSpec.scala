@@ -127,4 +127,31 @@ class MiscSpec extends SparkSpec {
     assert(df.count() > 0)
     assert(df.columns.contains("revenue") && df.columns.contains(MetaOps.PartitionDate))
   }
+
+  test("Bench.priorWarms parses compact and pretty-printed detail files; corrupt → empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_priorwarm")
+    def write(name: String, body: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, body.getBytes("UTF-8")); p.toString
+    }
+    val compact = write("c.json",
+      """{"metric":"detail","queries":{"q_a":{"sec":2.5,"warm":1.25,"gc":0.1,"peak_mb":12},""" +
+        """"q_b":{"sec":-1,"warm":-1,"gc":0.0,"peak_mb":3},""" +
+        """"q_c":{"sec":0.7,"warm":0.5,"gc":0.0,"peak_mb":4,"prior_warm":0.4,"isolated":0.45}}}""")
+    val got = graft.Bench.priorWarms(compact)
+    assert(got == Map("q_a" -> 1.25, "q_c" -> 0.5))   // failed (-1) excluded
+    val pretty = write("p.json",
+      """{ "queries": { "q_a": { "sec": 2.5, "warm": 1.25 }, "q_b": { "sec": 1.0, "warm": 0.9 } } }""")
+    assert(graft.Bench.priorWarms(pretty) == Map("q_a" -> 1.25, "q_b" -> 0.9))
+    assert(graft.Bench.priorWarms(write("x.json", "not json")).isEmpty)
+    assert(graft.Bench.priorWarms(dir.resolve("missing.json").toString).isEmpty)
+  }
+
+  test("Bench.isolatedSec spawns a fresh-JVM Scratch run and parses the min") {
+    // the adjudication spawn path end-to-end on the smallest fixture:
+    // one rep of a trivial query (~20 s JVM+session boot dominated)
+    val got = graft.Bench.isolatedSec("q_filter_equals",
+      "/root/testdata/sf0.001", "4", reps = 1)
+    assert(got.exists(s => s > 0 && s < 120), s"isolatedSec returned $got")
+  }
 }

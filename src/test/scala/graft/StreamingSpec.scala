@@ -823,4 +823,120 @@ class StreamingSpec extends SparkSpec {
     assert(oneBatch == viaBatch, s"one-batch stream drifted: $oneBatch vs $viaBatch")
     assert(perEvent == viaBatch, s"per-event stream drifted: $perEvent vs $viaBatch")
   }
+
+  // ---- round-12 auto-consolidation ticks for the OR/max algebras ----
+
+  private def trancheNames(dir: String): Seq[String] = {
+    val f = new java.io.File(dir)
+    if (!f.exists()) Seq.empty
+    else f.listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq.sorted
+  }
+
+  test("bloomStream auto-fold: fan-in ≤ maxLive at every epoch boundary, gate answers unchanged") {
+    import graft.relational.BloomIndex
+    val base = Files.createTempDirectory("graft_bloom_fold").toString
+    val idx = s"$base/idx"; val out = s"$base/out"; val ck = s"$base/ck"
+    val mem = MemoryStream[Long](spark, 1)
+    val q = StreamingOps.bloomStream(mem.toDF.toDF("key"), idx, out, "key",
+      checkpointDir = ck, mBits = 1L << 16, k = 3, maxLiveTranches = 2)
+    try {
+      // 6 epochs (= 3N for N = 2): each re-delivers the previous
+      // epoch's keys (must ALL be gated out — no false negatives
+      // across folds) plus a fresh range
+      for (e <- 0 until 6) {
+        val fresh = (e * 1000 + 1).toLong to (e * 1000 + 100).toLong
+        val replay = if (e == 0) Seq.empty
+          else ((e - 1) * 1000 + 1).toLong to ((e - 1) * 1000 + 100).toLong
+        mem.addData(fresh ++ replay: _*)
+        q.processAllAvailable()
+        assert(trancheNames(idx).length <= 2,
+          s"epoch $e: ${trancheNames(idx)}")
+        val kept = spark.read.parquet(s"$out/batch=$e").as[Long].collect().toSet
+        assert(replay.forall(!kept.contains(_)),
+          s"epoch $e resurfaced absorbed keys")  // no false negatives
+        assert(kept.count(fresh.contains) >= 90, s"epoch $e kept ${kept.size}")
+      }
+      // the folded index still answers exactly: everything ever
+      // absorbed is possibly-seen, a disjoint range is provably new
+      val seen = BloomIndex.possiblySeenAgainstBloomIndex(
+        (1L to 5100L).toDF("key"), idx, "key").as[Long].collect().toSet
+      assert((1L to 100L).forall(seen.contains) &&
+        (5001L to 5100L).forall(seen.contains))
+    } finally q.stop()
+  }
+
+  test("sketchStream count-triggered fold: fan-in bounded, registers ≡ whole-corpus sketch") {
+    import graft.profile.Sketches
+    val base = Files.createTempDirectory("graft_sketch_fold").toString
+    val dir = s"$base/s"; val ck = s"$base/ck"
+    val mem = MemoryStream[Long](spark, 1)
+    val q = StreamingOps.sketchStream(mem.toDF.toDF("k"), dir, "k",
+      checkpointDir = ck, maxLiveTranches = 2)
+    try {
+      for (e <- 0 until 6) {
+        mem.addData((e * 500 + 1).toLong to (e * 500 + 200).toLong: _*)
+        q.processAllAvailable()
+        assert(trancheNames(dir).length <= 2, s"epoch $e: ${trancheNames(dir)}")
+      }
+      assertSameRows(Sketches.readSketch(spark, dir),
+        Sketches.hllSketch((0 until 6).flatMap(e =>
+          (e * 500 + 1).toLong to (e * 500 + 200).toLong).toDF("k"), "k"))
+    } finally q.stop()
+  }
+
+  test("indexedDedupStream auto-fold: witness fan-in bounded across 3N epochs, decisions unchanged") {
+    val base = Files.createTempDirectory("graft_dedup_fold").toString
+    val idx = s"$base/idx"; val out = s"$base/out"; val ck = s"$base/ck"
+    val seed = "the quick brown fox jumps over the lazy dog"
+    graft.dedup.DedupOps.writeDedupIndex(
+      Seq((1L, seed)).toDF("doc_id", "text"), idx, "doc_id", "text")
+    val uniques = Seq(
+      "solar panels convert light into electric current",
+      "the committee approved new funding for libraries",
+      "glaciers retreat as mountain temperatures rise",
+      "a recipe for sourdough needs patient fermentation",
+      "satellites relay telemetry across polar orbits",
+      "the orchestra rehearsed the symphony all evening")
+    val mem = MemoryStream[(Long, String)](spark, 1)
+    val q = StreamingOps.indexedDedupStream(
+      mem.toDF.toDF("doc_id", "text"), idx, out, "doc_id", "text",
+      checkpointDir = ck, threshold = 0.5, maxLiveTranches = 2)
+    try {
+      for (e <- 0 until 6) {
+        // each epoch: one exact dup of the seed (must drop, even when
+        // the seed's tranche was folded away) + one genuinely new doc
+        mem.addData((100L + 2 * e, seed), (101L + 2 * e, uniques(e)))
+        q.processAllAvailable()
+        assert(trancheNames(s"$idx/fp").length <= 2,
+          s"epoch $e: ${trancheNames(s"$idx/fp")}")
+      }
+      val survivors = spark.read.parquet(out).select("doc_id")
+        .as[Long].collect().toSet
+      assert(survivors == (0 until 6).map(e => 101L + 2 * e).toSet)
+      // post-fold probe still exact: the seed (absorbed before any
+      // fold) and a survivor (absorbed after the last) both dedup out
+      val probe = graft.dedup.DedupOps.dedupAgainstIndex(
+        Seq((900L, seed), (901L, uniques(5)), (902L, "entirely novel closing sentence here"))
+          .toDF("doc_id", "text"), idx, "doc_id", "text")
+      assert(probe.select("doc_id").as[Long].collect().toSet == Set(902L))
+    } finally q.stop()
+  }
+
+  test("maybeConsolidate ticks: no-op at ≤ maxLive, fold above it, content identical") {
+    import graft.relational.BloomIndex
+    val base = Files.createTempDirectory("graft_maybe_fold").toString
+    val bDir = s"$base/bloom"
+    val docs = (1L to 50L).toDF("id")
+    BloomIndex.writeBloomTranche(docs, "id", bDir, "t0")
+    BloomIndex.writeBloomTranche((51L to 90L).toDF("id"), "id", bDir, "t1")
+    val before = BloomIndex.readBloomPositions(spark, bDir)
+      .as[Long].collect().toSet
+    assert(!BloomIndex.maybeConsolidateBloom(spark, bDir, 2))  // 2 ≤ 2
+    assert(trancheNames(bDir).length == 2)
+    assert(BloomIndex.maybeConsolidateBloom(spark, bDir, 1))   // 2 > 1
+    assert(trancheNames(bDir).length == 1)
+    assert(BloomIndex.readBloomPositions(spark, bDir)
+      .as[Long].collect().toSet == before)
+  }
 }
