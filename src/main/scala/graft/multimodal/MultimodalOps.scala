@@ -333,6 +333,142 @@ object MultimodalOps {
           org.apache.spark.sql.functions.col("dhash").as("__sig")),
       bits = 64, maxHamming = maxHamming, bands = bands, maxBucket = maxBucket)
 
+  /** TRANSITIVE image near-dup groups — [[imageNearDupPairs]] closed
+    * under connectedness (A≈B≈C is one re-share chain even when A and
+    * C drifted past `maxHamming` apart): pairs → distributed
+    * connected components → every media id back-joined to its group
+    * (absent ids = singleton groups). Output `(media_id, group_id,
+    * group_size)`; keep-one-representative is then
+    * `where($"group_id" === $"media_id")`. Scale shape: the CC runs
+    * on the pair set (near-dup-sized, not corpus-sized), and the
+    * group join is the [[graft.graph.GraphOps.assignGroups]]
+    * broadcast form. */
+  def imageNearDupGroups(spark: SparkSession, media: DataFrame,
+                         maxHamming: Int = 6, bands: Int = 8,
+                         maxBucket: Int = 10000): DataFrame = {
+    val pairs = imageNearDupPairs(spark, media, maxHamming, bands, maxBucket)
+    val cc = graft.graph.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+    graft.graph.GraphOps.assignGroups(
+      media.select(col("media_id")), "media_id", cc)
+  }
+
+  // ---- at-rest IMAGE-HASH index ------------------------------------
+
+  /** AT-REST image-hash artifact — the image twin of the dedup sig
+    * tier, with the BLOOM family's crash story: tranches of
+    * `(media_id, dhash)` rows are SETS (a replayed epoch's distinct
+    * rewrite converges; union is idempotent), so consolidation is a
+    * plain distinct rewrite with NO superseding manifest, and the
+    * probe reads 9 bytes per historical image — never a raster, never
+    * a payload. One ingest = one `batch=<tag>` tranche, overwriting
+    * its own tag. */
+  def writeImageHashTranche(spark: SparkSession, media: DataFrame,
+                            dir: String, tag: String): Unit =
+    imageDHash(spark, media).toDF()
+      .select(col("media_id"), col("dhash")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/batch=$tag")
+
+  /** The merged history hash set (distinct across tranches). */
+  def readImageHashes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).select("media_id", "dhash").distinct()
+
+  /** Keep the batch images NOT perceptually matching any HISTORY
+    * image — the incremental steady state of image dedup: today's
+    * batch is hashed once, banded against the at-rest hash set (ONE
+    * (band, slice) equi-join, maxBucket-capped on the history side),
+    * and survivors pass through with their hash attached (`dhash`
+    * column — so the append the caller does next never re-decodes).
+    * Within-batch duplicates are NOT collapsed (the gate is vs
+    * history; compose with [[imageNearDupGroups]] upstream), matching
+    * [[graft.relational.BloomIndex]]'s stream contract. */
+  def imageDedupAgainstIndex(spark: SparkSession, batch: DataFrame,
+                             dir: String, maxHamming: Int = 6,
+                             bands: Int = 8, maxBucket: Int = 10000): DataFrame =
+    imageDedupAgainstIndexReleasable(spark, batch, dir, maxHamming, bands,
+      maxBucket)._1
+
+  /** [[imageDedupAgainstIndex]] plus a release thunk for the
+    * internal hash cache — the [[graft.dedup.DedupOps
+    * .dedupAgainstIndexReleasable]] contract for looped daily
+    * callers. The `(media_id, dhash)` frame (16 bytes/row) is
+    * PERSISTED so the decode — the dominant cost, one ImageIO pass
+    * per payload — runs exactly once however many plan branches read
+    * the hashes (unpersisted, the probe subtree re-expanded into
+    * THREE decode passes over the batch); the history side is a
+    * 9-byte/image artifact scan whose hot-bucket cap comes from a
+    * single-pass count window, not a self-join that would scan the
+    * artifact twice. */
+  private[graft] def imageDedupAgainstIndexReleasable(
+      spark: SparkSession, batch: DataFrame, dir: String,
+      maxHamming: Int = 6, bands: Int = 8,
+      maxBucket: Int = 10000): (DataFrame, () => Unit) = {
+    require(bands > maxHamming,
+      s"imageDedupAgainstIndex: need bands ($bands) > maxHamming ($maxHamming)")
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    def banded(df: DataFrame, idCol: String, sigCol: String) =
+      df.select(col(idCol), col(sigCol),
+        posexplode(array((0 until bands).map(b =>
+          call_function("shiftright", col(sigCol), lit(b * width)).bitwiseAND(lit(mask))): _*))
+          .as(Seq("__band", "__key")))
+    val batchHashed = imageDHash(spark, batch.select("media_id", "content")).toDF()
+      .select(col("media_id"), col("dhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = readImageHashes(spark, dir)
+      .select(col("media_id").as("__hid"), col("dhash").as("__hsig"))
+    // hot-bucket cap on the HISTORY side (a band value shared by that
+    // many historical images carries no near-dup signal, it only
+    // explodes the join) — count window over the already-shuffled
+    // banded frame, one artifact scan total
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("__band", "__key")
+    val histBanded = banded(hist, "__hid", "__hsig")
+      .withColumn("__n", count(lit(1)).over(wBucket))
+      .where(col("__n") <= maxBucket)
+      .drop("__n")
+    val hit = banded(batchHashed, "media_id", "dhash")
+      .join(histBanded, Seq("__band", "__key"))
+      .where(graft.dedup.DedupOps.hammingDistance(col("dhash"), col("__hsig"))
+        <= maxHamming)
+      .select(col("media_id")).distinct()
+    (batch.join(batchHashed, Seq("media_id"))
+      .join(hit, Seq("media_id"), "left_anti"),
+      () => { batchHashed.unpersist(); () })
+  }
+
+  /** Fold the hash tranches to one — plain distinct rewrite (set
+    * semantics: a crash that leaves folded + inputs visible changes
+    * nothing; the [[graft.relational.BloomIndex.consolidateBloom]]
+    * protocol). */
+  def consolidateImageHashIndex(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val tranches = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).sortBy(_.getName).toSeq
+    if (tranches.length <= 1) return
+    val tag = "consolidated-" + java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(tranches.map(_.getName).mkString("\n")))
+    readImageHashes(spark, dir)
+      .write.mode("overwrite").parquet(s"$dir/batch=$tag")
+    tranches.filterNot(_.getName == s"batch=$tag")
+      .foreach(t => fs.delete(t, true))
+  }
+
+  /** Count-triggered auto-fold, the [[graft.relational.BloomIndex
+    * .maybeConsolidateBloom]] contract (set semantics: safe at any
+    * instant). Returns whether a fold ran. */
+  def maybeConsolidateImageHashIndex(spark: SparkSession, dir: String,
+                                     maxLive: Int): Boolean = {
+    require(maxLive >= 1, s"maybeConsolidateImageHashIndex: maxLive=$maxLive must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = if (!fs.exists(root)) 0
+      else fs.listStatus(root).count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (n > maxLive) { consolidateImageHashIndex(spark, dir); true } else false
+  }
+
   /** Frame sampling for (fake) video payloads: every `step`-th frame
     * index of `n_frames` derived from payload size — the explode keeps
     * sampling distributed and prunes the payload column immediately.

@@ -399,6 +399,83 @@ object HistSketch {
           .otherwise(least(greatest(v, col("lo")), col("hi"))))
   }
 
+  /** PER-GROUP robust anomaly band from a SIGNED grouped sketch —
+    * [[histMadBandSigned]] under the group-partitioned window
+    * machinery: each group's median and MAD rank-selected from ITS
+    * OWN ≤127·s+1-bucket signed histogram (both cumulative windows
+    * partition by the group key — bounded sketch partitions, no
+    * global-order hazard; the median joins back as a |groups|-row
+    * broadcast). One row `(groupCols..., med, mad, lo, hi)`, all in
+    * `scaleBy`-scaled exact longs — the per-domain robust gate
+    * ([[histMadFlagsSignedBy]]) compares in integer space, where
+    * replayability is exact. */
+  def histMadBandSignedBy(sketch: DataFrame, groupCols: Seq[String],
+                          k: Int = 3,
+                          subBuckets: Int = DefaultSubBuckets): DataFrame = {
+    logS(subBuckets)
+    require(groupCols.nonEmpty, "histMadBandSignedBy: need at least one group column")
+    require(k >= 1, s"histMadBandSignedBy: k must be >= 1, got $k")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = sketch.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("__total"))
+    val med = sketch
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .join(totals, groupCols)              // |groups| rows
+      .where(col("__cum") >=
+        greatest(lit(1L), ceil(lit(0.5) * col("__total"))))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("bucket")).as("__mb"))
+      .select(groupCols.map(col) :+
+        expr(signedLowerBoundCaseSql("__mb", subBuckets, "div"))
+          .cast(LongType).as("med"): _*)
+    val dev = sketch.join(broadcast(med), groupCols)
+      .select(groupCols.map(col) :+
+        abs(expr(signedLowerBoundCaseSql("bucket", subBuckets, "div"))
+          .cast(LongType) - col("med")).as("d") :+ col("cnt"): _*)
+      .groupBy(groupCols.map(col) :+ col("d"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dTotals = dev.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("__dtotal"))
+    dev.withColumn("__cum", sum(col("cnt")).over(w2))
+      .join(dTotals, groupCols)
+      .where(col("__cum") >=
+        greatest(lit(1L), ceil(lit(0.5) * col("__dtotal"))))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("d")).as("mad"))
+      .join(broadcast(med), groupCols)
+      .select(groupCols.map(col) :+ col("med") :+ col("mad") :+
+        (col("med") - lit(k.toLong) * col("mad")).as("lo") :+
+        (col("med") + lit(k.toLong) * col("mad")).as("hi"): _*)
+  }
+
+  /** Flag rows outside THEIR OWN group's signed MAD band — the
+    * per-domain robust outlier gate over signed/fractional metrics:
+    * bands from [[histMadBandSignedBy]] BROADCAST-joined (bounded
+    * |groups| rows, no corpus shuffle), the batch value pre-scaled
+    * with the SAME `trunc(v·scaleBy)` the sketch build used, compared
+    * in exact integer space. Adds `med`/`mad` audit columns (scaled
+    * longs) and `is_anomaly`; NULL values and rows whose group has no
+    * sketch history flag NULL (nothing assertable — quarantine
+    * upstream if that should fail instead). */
+  def histMadFlagsSignedBy(df: DataFrame, groupCols: Seq[String], valCol: String,
+                           sketch: DataFrame, k: Int = 3,
+                           subBuckets: Int = DefaultSubBuckets,
+                           scaleBy: Long = 1L): DataFrame = {
+    require(scaleBy >= 1, s"histMadFlagsSignedBy: scaleBy=$scaleBy must be >= 1")
+    val band = histMadBandSignedBy(sketch, groupCols, k, subBuckets)
+    val v =
+      if (scaleBy == 1L) col(valCol).cast(LongType)
+      else (col(valCol).cast(DoubleType) * lit(scaleBy.toDouble)).cast(LongType)
+    df.join(broadcast(band), groupCols, "left")
+      .withColumn("is_anomaly",
+        when(col(valCol).isNull || col("med").isNull, lit(null).cast(BooleanType))
+          .otherwise(v < col("lo") || v > col("hi")))
+      .drop("lo", "hi")
+  }
+
   /** GROUPED histogram build — the quantile twin of
     * `Sketches.hllSketchBy`: one ≤63·s+1-bucket histogram per group
     * key, `(groupCols..., bucket, cnt)`. Still ONE map-side-combinable

@@ -530,6 +530,43 @@ object LlmQueries {
     s"""WITH ${duckJaccardCtes(maxBucket, threshold, shingleN)}
       |SELECT id_a, id_b, jaccard FROM jp""".stripMargin
 
+  /** Stub-tier 64-bit dHash replay (MultimodalOps.imageDHash's
+    * byte-grid fallback — fixtures are ASCII, so char codes = UTF-8
+    * bytes): gray cell k = byte (k mod n), bit r·8+c = gray(r·9+c+1) >
+    * gray(r·9+c). The sign bit uses the min-long literal (DuckDB's
+    * checked `<<` rejects 1<<63) and is summed LAST so every partial
+    * sum stays in signed-64 range. Yields CTEs `g` and `sig
+    * (doc_id, sig BIGINT)`. */
+  private def duckDHashCtes(source: String = "documents"): String = {
+    val minLong = "(-9223372036854775807 - 1)"
+    def grayS(k: Int) = s"ascii(substr(text, 1 + (($k) % n), 1))"
+    val terms = (for { r <- 0 until 8; c <- 0 until 8 } yield {
+      val idx = r * 8 + c
+      val bitVal = if (idx == 63) minLong else s"(1::BIGINT << $idx)"
+      s"CASE WHEN ${grayS(r * 9 + c + 1)} > ${grayS(r * 9 + c)} THEN $bitVal ELSE 0 END"
+    }).mkString(" + ")
+    s"""g AS (SELECT doc_id, text, length(text) AS n FROM $source),
+      |sig AS (SELECT doc_id, CASE WHEN n = 0 THEN 0 ELSE $terms END AS sig FROM g)""".stripMargin
+  }
+
+  /** The banded-hamming candidate join over [[duckDHashCtes]]'s sig
+    * frame — mirrors DedupOps.bandedHammingPairs at 64 bits / 8
+    * byte-bands: candidates share ≥1 (band, slice), hot buckets
+    * dropped at `maxBucket`, exact hamming filter last. Yields CTEs
+    * `banded`, `bsz`, `cand`, and `hp (id_a, id_b, hamming)`. */
+  private def duckDHashPairCtes(maxHamming: Int, maxBucket: Int): String =
+    s"""banded AS (SELECT doc_id, sig, b, (sig >> (b * 8)) & 255 AS key
+      |           FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b)),
+      |bsz AS (SELECT b, key, count(*) AS cnt FROM banded GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+      |                x.sig AS sa, y.sig AS sb
+      |         FROM banded x
+      |         JOIN banded y ON y.b = x.b AND y.key = x.key AND x.doc_id < y.doc_id
+      |         JOIN bsz ON bsz.b = x.b AND bsz.key = x.key
+      |              AND bsz.cnt BETWEEN 2 AND $maxBucket),
+      |hp AS (SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+      |       FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming)""".stripMargin
+
   /** Transitive closure of the jaccard pair graph: min-label reach via
     * a recursive CTE (exact at oracle scale), then every document gets
     * its cluster's min id — the oracle for the distributed
@@ -2672,34 +2709,59 @@ object LlmQueries {
     //      comparison terms and the band join below mirror the engine
     //      kernel exactly; the REAL decoded tier is spec-gated
     //      banded≡brute on in-test PNGs) ----
-    Q("q_mm_near_dup", {
-      val minLong = "(-9223372036854775807 - 1)"
-      def grayS(k: Int) = s"ascii(substr(text, 1 + (($k) % n), 1))"
-      val terms = (for { r <- 0 until 8; c <- 0 until 8 } yield {
-        val idx = r * 8 + c
-        // 1::BIGINT << 63 overflows DuckDB's checked shift; the sign
-        // bit needs the min-long literal (its term is summed LAST, so
-        // every partial sum stays in signed-64 range)
-        val bitVal = if (idx == 63) minLong else s"(1::BIGINT << $idx)"
-        s"CASE WHEN ${grayS(r * 9 + c + 1)} > ${grayS(r * 9 + c)} THEN $bitVal ELSE 0 END"
-      }).mkString(" + ")
-      s"""WITH g AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        |sig AS (SELECT doc_id, CASE WHEN n = 0 THEN 0 ELSE $terms END AS sig FROM g),
-        |banded AS (SELECT doc_id, sig, b, (sig >> (b * 8)) & 255 AS key
-        |           FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b)),
-        |bsz AS (SELECT b, key, count(*) AS cnt FROM banded GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-        |                x.sig AS sa, y.sig AS sb
-        |         FROM banded x
-        |         JOIN banded y ON y.b = x.b AND y.key = x.key AND x.doc_id < y.doc_id
-        |         JOIN bsz ON bsz.b = x.b AND bsz.key = x.key
-        |              AND bsz.cnt BETWEEN 2 AND 10000)
-        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-        |FROM cand WHERE bit_count(xor(sa, sb)) <= 6""".stripMargin
-    }) { (s, dir) =>
+    Q("q_mm_near_dup",
+      s"""WITH ${duckDHashCtes()},
+        |${duckDHashPairCtes(6, 10000)}
+        |SELECT id_a, id_b, hamming FROM hp""".stripMargin) { (s, dir) =>
       MultimodalOps.imageNearDupPairs(s,
         MultimodalOps.attachBinary(Tables(s, dir, "documents"), "doc_id", "text", "image"))
         .select(col("id_a"), col("id_b"), col("hamming").cast(IntegerType))
+    },
+
+    // ---- multimodal: TRANSITIVE image near-dup groups — the dHash
+    //      pair graph closed under connectedness; oracle replays the
+    //      closure via recursive min-label reach ----
+    Q("q_mm_dedup_groups",
+      s"""WITH RECURSIVE ${duckDHashCtes()},
+        |${duckDHashPairCtes(6, 10000)},
+        |e AS (SELECT id_a AS u, id_b AS v FROM hp UNION SELECT id_b, id_a FROM hp),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+        |cc AS (SELECT u, min(v) AS comp FROM reach GROUP BY u),
+        |asg AS (SELECT d.doc_id AS media_id, COALESCE(cc.comp, d.doc_id) AS group_id
+        |        FROM documents d LEFT JOIN cc ON cc.u = d.doc_id)
+        |SELECT media_id, group_id,
+        |  CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+        |FROM asg""".stripMargin) { (s, dir) =>
+      MultimodalOps.imageNearDupGroups(s,
+        MultimodalOps.attachBinary(Tables(s, dir, "documents"), "doc_id", "text", "image"))
+    },
+
+    // ---- multimodal: the image-dedup STEADY STATE — today's batch
+    //      probed against the at-rest 9-byte/image hash index; the
+    //      oracle brute-forces the hamming match (equivalent by
+    //      pigeonhole: 8 bands > maxHamming 6, and no history bucket
+    //      reaches the cap at fixture scale) ----
+    Q("q_mm_dedup_index",
+      s"""WITH ${duckDHashCtes()},
+        |hist AS (SELECT DISTINCT doc_id, sig FROM sig WHERE doc_id < 300),
+        |batch AS (SELECT doc_id, sig FROM sig WHERE doc_id >= 300),
+        |hit AS (SELECT DISTINCT b.doc_id FROM batch b
+        |        JOIN hist h ON bit_count(xor(b.sig, h.sig)) <= 6)
+        |SELECT b.doc_id AS media_id, b.sig AS dhash
+        |FROM batch b WHERE b.doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin) {
+      (s, dir) =>
+        val media = MultimodalOps.attachBinary(
+          Tables(s, dir, "documents"), "doc_id", "text", "image")
+        val idx = graft.util.Scratch.path("mm_hash_idx", dir)
+        if (!new java.io.File(idx).exists())
+          MultimodalOps.writeImageHashTranche(s,
+            media.where(col("media_id") < 300), idx, "day0")
+        MultimodalOps.imageDedupAgainstIndex(s,
+          media.where(col("media_id") >= 300), idx)
+          .select("media_id", "dhash")
     },
 
     // ---- mergeable distinct sketch: HLL register build + raw
@@ -3954,6 +4016,58 @@ object LlmQueries {
       val cust = Tables(s, dir, "customer").select("c_custkey", "c_acctbal")
       HistSketch.histMadFlagsSigned(cust, "c_acctbal",
         HistSketch.histSketchSigned(cust, "c_acctbal", scaleBy = 100L),
+        k = 3, scaleBy = 100L)
+    },
+
+    // ---- GROUPED signed MAD gate: each balance flagged against ITS
+    //      SEGMENT's robust median/MAD band (per-domain outlier norms),
+    //      both rank selections group-partitioned, bands broadcast,
+    //      comparison in exact fixed-point integer space ----
+    Q("q_mad_signed_by", {
+      import graft.profile.HistSketch._
+      s"""WITH v AS (SELECT c_mktsegment AS g,
+        |    CAST(trunc(CAST(c_acctbal AS DOUBLE) * 100.0) AS BIGINT) AS v
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |b AS (SELECT g, ${signedBucketCaseSql("v", 16, "//")} AS bucket FROM v),
+        |sk AS (SELECT g, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT g, bucket, cnt,
+        |        sum(cnt) OVER (PARTITION BY g ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER (PARTITION BY g) AS total
+        |      FROM sk),
+        |msel AS (SELECT g, min(bucket) AS b FROM c
+        |         WHERE cum >= greatest(1, CAST(ceil(0.5 * total) AS BIGINT))
+        |         GROUP BY 1),
+        |med AS (SELECT g, CAST(${signedLowerBoundCaseSql("b", 16, "//")} AS BIGINT) AS med
+        |        FROM msel),
+        |dev AS (SELECT sk.g AS g,
+        |          abs(CAST(${signedLowerBoundCaseSql("bucket", 16, "//")} AS BIGINT)
+        |            - med.med) AS d, sum(cnt) AS cnt
+        |        FROM sk JOIN med ON med.g = sk.g GROUP BY 1, 2),
+        |dc AS (SELECT g, d, cnt,
+        |        sum(cnt) OVER (PARTITION BY g ORDER BY d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER (PARTITION BY g) AS total
+        |      FROM dev),
+        |mad AS (SELECT g, min(d) AS mad FROM dc
+        |        WHERE cum >= greatest(1, CAST(ceil(0.5 * total) AS BIGINT))
+        |        GROUP BY 1),
+        |band AS (SELECT med.g AS g, med.med, mad.mad,
+        |           med.med - 3 * mad.mad AS lo, med.med + 3 * mad.mad AS hi
+        |         FROM med JOIN mad ON mad.g = med.g)
+        |SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal, band.med, band.mad,
+        |  CASE WHEN d.c_acctbal IS NULL OR band.med IS NULL THEN NULL
+        |       ELSE CAST(trunc(CAST(d.c_acctbal AS DOUBLE) * 100.0) AS BIGINT) < band.lo
+        |         OR CAST(trunc(CAST(d.c_acctbal AS DOUBLE) * 100.0) AS BIGINT) > band.hi
+        |  END AS is_anomaly
+        |FROM customer d LEFT JOIN band ON band.g = d.c_mktsegment""".stripMargin
+    }) { (s, dir) =>
+      import graft.profile.HistSketch
+      val cust = Tables(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      HistSketch.histMadFlagsSignedBy(cust, Seq("c_mktsegment"), "c_acctbal",
+        HistSketch.histSketchSignedBy(cust, Seq("c_mktsegment"), "c_acctbal",
+          scaleBy = 100L),
         k = 3, scaleBy = 100L)
     },
 

@@ -600,6 +600,52 @@ object StreamingOps {
       .start()
   }
 
+  /** STREAMING perceptual image dedup against the at-rest hash index
+    * ([[graft.multimodal.MultimodalOps.imageDedupAgainstIndex]]): per
+    * epoch, batch images are dHashed ONCE, banded against history's
+    * 9-byte/image hash set, survivors (hash attached) land under
+    * `outDir/batch=<epoch>`, and the batch's hashes absorb as the
+    * epoch's own set-semantics tranche — monitor-then-absorb behind
+    * the decide-once protocol (absorption changes later judgments, so
+    * the decision freezes; the tranche rewrite is a no-op under set
+    * union). The image twin of [[bloomStream]], with the same
+    * within-batch contract: duplicates inside one epoch are NOT
+    * collapsed — the gate is vs HISTORY. */
+  def imageDedupStream(media: DataFrame, indexDir: String, outDir: String,
+                       checkpointDir: String,
+                       maxHamming: Int = 6, bands: Int = 8,
+                       maxBucket: Int = 10000, maxLiveTranches: Int = 0)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "imageDedupStream: checkpointDir is required " +
+      "(decision idempotence relies on durable epoch numbering)")
+    media.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val mm = graft.multimodal.MultimodalOps
+        val exists = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(indexDir))
+        decideEpochOnce(spark, s"$outDir/batch=$epoch") {
+          // first epoch births the index: everything survives, hash
+          // attached so the sink schema matches later epochs
+          if (exists) mm.imageDedupAgainstIndexReleasable(spark, batch,
+            indexDir, maxHamming, bands, maxBucket)
+          else (batch.join(
+            mm.imageDHash(spark, batch.select(org.apache.spark.sql.functions
+              .col("media_id"), org.apache.spark.sql.functions.col("content"))).toDF()
+              .select(org.apache.spark.sql.functions.col("media_id"),
+                org.apache.spark.sql.functions.col("dhash")),
+            Seq("media_id")), () => ())
+        }
+        mm.writeImageHashTranche(spark, batch, indexDir, s"e$epoch")
+        if (maxLiveTranches > 0)
+          mm.maybeConsolidateImageHashIndex(spark, indexDir, maxLiveTranches): Unit
+      }
+      .start()
+  }
+
   /** STREAMING decontamination gate: each micro-batch of documents is
     * scored against the at-rest benchmark-shingle bloom
     * ([[graft.dedup.DedupOps.benchmarkShingleBloom]]) with the exact

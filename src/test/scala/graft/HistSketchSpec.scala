@@ -351,6 +351,42 @@ class HistSketchSpec extends SparkSpec {
     assert(got(("zzz", Some(42.0)))._2.contains(42.0)) // no history -> unclamped
   }
 
+  test("histMadFlagsSignedBy: per-group signed robust bands; planted outliers flagged per domain") {
+    // group a: negative fractional inliers spread across buckets
+    // (-20.5 .. -0.5 — bucket-granular MAD needs multi-bucket spread,
+    // exactly like the global MAD spec); group b: positive inliers
+    // 3000..7000 — a value normal for b is a monster outlier for a,
+    // and each group carries planted outliers that must not move ITS
+    // median
+    val rows = (1 to 997).map(i => ("a", Option(-20.5 + (i % 21)))) ++
+      Seq(("a", Option(900000.0)), ("a", Option(-900000.0)), ("a", Option(777777.0))) ++
+      (1 to 997).map(i => ("b", Option(3000.0 + (i % 101) * 40.0))) ++
+      Seq(("b", Option(-900000.0)), ("b", Option(900000.0)), ("b", Option(888888.0)))
+    val sk = HistSketch.histSketchSignedBy(rows.toDF("g", "v"), Seq("g"), "v",
+      scaleBy = 100L)
+    val batch = Seq(("a", Option(-10.5)), ("a", Option(5000.0)), ("a", Option(-900000.0)),
+      ("b", Option(5000.0)), ("b", Option(-10.5)), ("b", Option.empty[Double]),
+      ("zzz", Option(1.0))).toDF("g", "v")
+    val got = HistSketch.histMadFlagsSignedBy(batch, Seq("g"), "v", sk,
+      k = 3, scaleBy = 100L)
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))) ->
+        (if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toMap
+    assert(got(("a", Some(-10.5))).contains(false))      // a's own center
+    assert(got(("a", Some(5000.0))).contains(true))      // b-normal = anomaly for a
+    assert(got(("a", Some(-900000.0))).contains(true))   // planted outlier caught
+    assert(got(("b", Some(5000.0))).contains(false))     // b's own center
+    assert(got(("b", Some(-10.5))).contains(true))       // a-normal = anomaly for b
+    assert(got(("b", None)).isEmpty)                     // NULL value → NULL flag
+    assert(got(("zzz", Some(1.0))).isEmpty)              // no history → NULL flag
+    // per-group band sanity: the a-band stays negative-centered and
+    // outlier-immune (its hi must sit far below b's inlier range)
+    val band = HistSketch.histMadBandSignedBy(sk, Seq("g"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(band("a")._1 < 0, s"a median ${band("a")._1} must be negative")
+    assert(band("a")._1 + 3 * band("a")._2 < 300000L,
+      "a's band must not stretch toward its planted outliers")
+  }
+
   test("histMadBand/histMadFlags: robust to outliers that wreck a mean/sigma band") {
     // 997 inliers near 100, 3 monster outliers — a mean/σ band would be
     // dragged to cover the outliers; the MAD band must not move

@@ -1578,6 +1578,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(h(5L).dhash == 0L)                  // empty payload → 0
   }
 
+  test("multimodal: imageDedupAgainstIndex — perceptual survivors vs at-rest hash history") {
+    import graft.multimodal.MultimodalOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_imghash").toString + "/idx"
+    val hist = Seq(1L -> patternPng(48, 48, 4, 0, 0),
+      2L -> patternPng(48, 48, 0, 4, 0)).toDF("media_id", "content")
+    MultimodalOps.writeImageHashTranche(spark, hist, dir, "day0")
+    // batch: a re-exposed near copy of history image 1 (must drop) and
+    // a structurally new pattern (must survive, hash attached)
+    val batch = Seq(10L -> patternPng(48, 48, 4, 0, 2),
+      11L -> patternPng(48, 48, 13, 1, 0)).toDF("media_id", "content")
+    val surv = MultimodalOps.imageDedupAgainstIndex(spark, batch, dir)
+    assert(surv.columns.contains("dhash"))
+    assert(surv.select("media_id").as[Long].collect().toSet == Set(11L))
+    // absorb the batch, then fold: set semantics — content identical
+    MultimodalOps.writeImageHashTranche(spark, batch, dir, "day1")
+    val before = MultimodalOps.readImageHashes(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(!MultimodalOps.maybeConsolidateImageHashIndex(spark, dir, 2)) // 2 ≤ 2
+    assert(MultimodalOps.maybeConsolidateImageHashIndex(spark, dir, 1))  // 2 > 1
+    assert(MultimodalOps.readImageHashes(spark, dir)
+      .as[(Long, Long)].collect().toSet == before)
+    // post-fold probe stays exact: near copies of BOTH generations drop
+    val batch2 = Seq(20L -> patternPng(48, 48, 0, 4, 2),     // ≈ history 2
+      21L -> patternPng(48, 48, 13, 1, 2)).toDF("media_id", "content") // ≈ absorbed 11
+    assert(MultimodalOps.imageDedupAgainstIndex(spark, batch2, dir)
+      .select("media_id").as[Long].collect().isEmpty)
+  }
+
   test("multimodal: imageNearDupPairs banded ≡ brute over real decoded PNGs") {
     import graft.multimodal.MultimodalOps
     // a pool with structure: three gradient families, each with a

@@ -923,6 +923,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("imageDedupStream: monitor-then-absorb on perceptual hashes, fold bounds fan-in") {
+    import graft.multimodal.MultimodalOps
+    def png(a: Int, b: Int, delta: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(48, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 48) {
+        val v = math.min(255, math.max(0, (x * a + y * b) % 256 + delta))
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val base = Files.createTempDirectory("graft_img_stream").toString
+    val idx = s"$base/idx"; val out = s"$base/out"; val ck = s"$base/ck"
+    val mem = MemoryStream[(Long, Array[Byte])](spark, 1)
+    val q = StreamingOps.imageDedupStream(mem.toDF.toDF("media_id", "content"),
+      idx, out, checkpointDir = ck, maxLiveTranches = 1)
+    try {
+      def epochIds(e: Int) = spark.read.parquet(s"$out/batch=$e")
+        .select("media_id").as[Long].collect().toSet
+      mem.addData((1L, png(4, 0, 0)), (2L, png(0, 4, 0)))
+      q.processAllAvailable()
+      assert(epochIds(0) == Set(1L, 2L))        // births the index
+      mem.addData((10L, png(4, 0, 2)),          // re-exposed copy of 1 → drops
+        (11L, png(13, 1, 0)))                   // new pattern → survives
+      q.processAllAvailable()
+      assert(epochIds(1) == Set(11L))
+      assert(trancheNames(idx).length <= 1)     // auto-fold at maxLive = 1
+      mem.addData((20L, png(13, 1, 2)))         // ≈ epoch-1 survivor → drops
+      q.processAllAvailable()
+      assert(epochIds(2).isEmpty)
+      assert(trancheNames(idx).length <= 1)
+    } finally q.stop()
+  }
+
   test("maybeConsolidate ticks: no-op at ≤ maxLive, fold above it, content identical") {
     import graft.relational.BloomIndex
     val base = Files.createTempDirectory("graft_maybe_fold").toString
