@@ -127,10 +127,11 @@ object IndexDashboard {
     * n_unproven, count_fresh)`. Beyond the original four
     * tranche-append families this spans the bloom membership index
     * (OR algebra — unproven impossible), the whole-replace rank / cc
-    * artifacts (one generation each), and the day-keyed hist / HLL /
+    * artifacts (one generation each), the day-keyed hist / HLL /
     * mix / centroid artifacts (where `n_tranches` is the
     * merge-on-read fan-in the auto-consolidate ticks bound and
-    * `n_unproven` counts superseded-awaiting-GC leftovers). Cost
+    * `n_unproven` counts superseded-awaiting-GC leftovers), and the
+    * perceptual image-hash index (set semantics — unproven 0). Cost
     * contract unchanged: directory metadata only, no data file
     * opened; the union concatenates ≤5-row local frames. */
   def indexHealthAll(spark: SparkSession,
@@ -144,7 +145,8 @@ object IndexDashboard {
                      dayHistDir: Option[String] = None,
                      dayHllDir: Option[String] = None,
                      dayMixDir: Option[String] = None,
-                     centroidDir: Option[String] = None): DataFrame = {
+                     centroidDir: Option[String] = None,
+                     imageHashDir: Option[String] = None): DataFrame = {
     val parts = Seq(
       dedupDir.map(d => graft.dedup.DedupOps.dedupIndexHealth(spark, d)
         .withColumn("family", lit("dedup"))),
@@ -167,7 +169,9 @@ object IndexDashboard {
       dayMixDir.map(d => graft.util.SumTranches.health(spark, d, "daymix")
         .withColumn("family", lit("daymix"))),
       centroidDir.map(d => graft.util.SumTranches.health(spark, d, "centroid")
-        .withColumn("family", lit("centroid")))).flatten
+        .withColumn("family", lit("centroid"))),
+      imageHashDir.map(d => graft.multimodal.MultimodalOps.imageHashIndexHealth(spark, d)
+        .withColumn("family", lit("imagehash")))).flatten
     require(parts.nonEmpty, "indexHealthAll: pass at least one index directory")
     parts.reduce(_.unionByName(_))
       .select(col("family"), col("artifact"), col("n_tranches"),

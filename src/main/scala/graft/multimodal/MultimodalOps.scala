@@ -456,6 +456,25 @@ object MultimodalOps {
       .foreach(t => fs.delete(t, true))
   }
 
+  /** TRIAGE gauge in the cross-family dashboard schema
+    * ([[graft.meta.IndexDashboard.indexHealthAll]]) — directory
+    * metadata only; `n_unproven = 0` by SET semantics (a crash
+    * remnant's rows distinct away, the bloom stance). */
+  def imageHashIndexHealth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"imageHashIndexHealth: $dir does not exist")
+    val tranches = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    val marked = fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, "batch=*/_SUCCESS"))
+      .map(_.getPath.getParent.getName).toSet
+    Seq(("dhash", tranches.length, tranches.count(marked.contains),
+      0, Option.empty[Boolean]))
+      .toDF("artifact", "n_tranches", "n_marked", "n_unproven", "count_fresh")
+  }
+
   /** Count-triggered auto-fold, the [[graft.relational.BloomIndex
     * .maybeConsolidateBloom]] contract (set semantics: safe at any
     * instant). Returns whether a fold ran. */

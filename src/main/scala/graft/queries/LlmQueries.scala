@@ -1071,7 +1071,8 @@ object LlmQueries {
         |UNION ALL SELECT 'dayhist', 'dayhist', 2, 2, 0, CAST(NULL AS VARCHAR)
         |UNION ALL SELECT 'dayhll', 'dayhll', 2, 2, 0, CAST(NULL AS VARCHAR)
         |UNION ALL SELECT 'daymix', 'daymix', 2, 2, 0, CAST(NULL AS VARCHAR)
-        |UNION ALL SELECT 'centroid', 'centroid', 2, 2, 0, CAST(NULL AS VARCHAR)""".stripMargin) {
+        |UNION ALL SELECT 'centroid', 'centroid', 2, 2, 0, CAST(NULL AS VARCHAR)
+        |UNION ALL SELECT 'imagehash', 'dhash', 2, 2, 0, CAST(NULL AS VARCHAR)""".stripMargin) {
       (s, dir) =>
         val docs = Tables(s, dir, "documents").select("doc_id", "text")
         val e = Tables(s, dir, "embeddings")
@@ -1169,13 +1170,22 @@ object LlmQueries {
           SimilarityOps.writeCentroidTranche(ec.where(col("vec_id") >= 100),
             "embedding", "ts", centroidIdx, "e1")
         }
+        val imgIdx = graft.util.Scratch.path("health_all_imghash", dir)
+        if (!new java.io.File(imgIdx).exists()) {
+          val media = MultimodalOps.attachBinary(docs, "doc_id", "text", "image")
+          MultimodalOps.writeImageHashTranche(s,
+            media.where(col("media_id") < 300), imgIdx, "day0")
+          MultimodalOps.writeImageHashTranche(s,
+            media.where(col("media_id") >= 300 && col("media_id") < 400),
+            imgIdx, "day1")
+        }
         graft.meta.IndexDashboard.indexHealthAll(s,
           dedupDir = Some(dedupIdx), winnowDir = Some(winnowIdx),
           vectorDir = Some(ivfIdx), bm25Dir = Some(bm25Idx),
           bloomDir = Some(bloomIdx), rankDir = Some(rankIdx),
           ccDir = Some(ccIdx), dayHistDir = Some(dayHistIdx),
           dayHllDir = Some(dayHllIdx), dayMixDir = Some(dayMixIdx),
-          centroidDir = Some(centroidIdx))
+          centroidDir = Some(centroidIdx), imageHashDir = Some(imgIdx))
           .withColumn("count_fresh", col("count_fresh").cast(StringType))
     },
 
