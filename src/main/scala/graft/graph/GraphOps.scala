@@ -536,6 +536,120 @@ object GraphOps {
     (df, iters)
   }
 
+  /** Synchronous LABEL PROPAGATION community detection (Raghavan et
+    * al. 2007, the near-linear-time community heuristic): every node
+    * starts labelled with itself; each round, every node adopts the
+    * label most frequent among its in-neighbours, ties broken by the
+    * SMALLEST label — the deterministic synchronous variant, so the
+    * result is a pure function of (edges, iterations) and a SQL oracle
+    * can replay every round exactly (the [[pageRank]] replayability
+    * contract; the randomized asynchronous original is neither).
+    * Communities differ from [[connectedComponents]]: a component
+    * splits into densely-knit groups — the "which docs cite each
+    * other's cluster" / "which suppliers trade in a ring" view, the
+    * corpus-curation companion to the dup-closure groups.
+    *
+    * Pass symmetrized edges for the undirected reading (the caller
+    * owns direction semantics, as in [[pageRank]]). Nodes with no
+    * in-edge this round keep their label (left join + coalesce).
+    *
+    * Scale shape per round: ONE edge⋈label join shuffled on `src`
+    * (edges are repartitioned on src once, up front, and every round's
+    * join reuses that partitioning), one (node, label)-keyed
+    * map-side-combinable count, one per-node top-1 window (bounded by
+    * in-degree), one |V|-row left join. State is RDD-severed each
+    * round and local-checkpointed every [[CheckpointEvery]] rounds —
+    * the [[pageRank]] lineage discipline; iterations are bounded
+    * (communities stabilize in a handful of rounds on real graphs).
+    * Returns `(node, label)`.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 5): DataFrame =
+    labelPropagationCore(edges, srcCol, dstCol, iterations, converge = false)._1
+
+  /** [[labelPropagation]] iterated to a FIXPOINT: rounds run until no
+    * node changes label (or `maxIterations`), with the same 1-scalar
+    * changed-count checksum per round as [[pageRankConverged]] and the
+    * CC rounds — an exact integer comparison, no tolerance to tune.
+    * Returns `(labels, roundsRun)`; `roundsRun < maxIterations`
+    * certifies a true fixpoint (the counted round changed nothing, and
+    * a fixpoint re-run is a no-op by construction). `roundsRun ==
+    * maxIterations` means the cap hit first — which is NOT rare for
+    * synchronous LPA: a symmetrized BIPARTITE region can 2-cycle
+    * forever (the known oscillation mode of the synchronous variant),
+    * and the honest answer is the capped state plus the cap report,
+    * not a silent "converged". Either way the output is the exact
+    * `roundsRun`-round state, so the unrolled SQL oracle replays it. */
+  def labelPropagationConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                                maxIterations: Int = 20): (DataFrame, Int) = {
+    val (df, iters, _) =
+      labelPropagationCore(edges, srcCol, dstCol, maxIterations, converge = true)
+    (df, iters)
+  }
+
+  private def labelPropagationCore(edges: DataFrame, srcCol: String, dstCol: String,
+                                   iterations: Int, converge: Boolean)
+  : (DataFrame, Int, Unit) = {
+    require(iterations >= 1, "labelPropagation: iterations must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (nodes.head(1).isEmpty) {
+      e.unpersist(); nodes.unpersist()
+      throw new IllegalArgumentException("labelPropagation: empty edge list")
+    }
+    var labelRdd = nodes.select(col("node"), col("node").as("label"))
+      .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    labelRdd.count()
+    var ckptRoot: org.apache.spark.rdd.RDD[(Long, Long)] = null
+    var itersRun = 0
+    var fixed = false
+    while (itersRun < iterations && !fixed) {
+      val labels = labelRdd.toDF("node", "label")
+      val votes = e
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy("node").orderBy(col("__c").desc, col("label").asc)
+      val winner = votes.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).select(col("node"), col("label").as("__new"))
+      val next = labels
+        .join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+        .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      itersRun += 1
+      val isCkpt = itersRun % CheckpointEvery == 0
+      if (isCkpt) next.localCheckpoint()
+      next.count()
+      if (converge) {
+        // 1-scalar changed-count checksum, exact integer comparison
+        val changed = next.toDF("node", "__nl")
+          .join(labels, "node")
+          .where(col("__nl") =!= col("label")).limit(1).count()
+        if (changed == 0) fixed = true
+      }
+      val prev = labelRdd
+      labelRdd = next
+      if (isCkpt) {
+        if ((ckptRoot ne null) && (ckptRoot ne prev)) ckptRoot.unpersist()
+        prev.unpersist()
+        ckptRoot = next
+      } else if (prev ne ckptRoot) prev.unpersist()
+    }
+    // RDD-severed from the edge/node plans — release their caches here
+    val out = labelRdd.toDF("node", "label")
+    e.unpersist(); nodes.unpersist()
+    (out, itersRun, ())
+  }
+
   private def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,
                            start: Option[DataFrame], iterations: Int,
                            scale: Long, tol: Option[Long],

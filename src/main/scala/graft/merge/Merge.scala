@@ -3,7 +3,7 @@ package graft.merge
 import java.util.UUID
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.relational.RelationalOps
 
@@ -261,5 +261,127 @@ object Merge {
     if (!targetExists(spark, targetDir)) { overwrite(stage, targetDir); return }
     atomicReplace(upsertOnDiffFrame(readTarget(spark, targetDir), stage, keys, compareCols),
       targetDir)
+  }
+
+  /** SCD TYPE-2 apply — the history-PRESERVING form of
+    * [[upsertOnDiffFrame]] and the canonical warehouse dimension-load
+    * the reference's upsert family circles around
+    * (`src/pyveb/rs_client.py:242-283` replaces matched rows in place;
+    * type 2 instead CLOSES them and opens a new version, so every past
+    * attribute value stays queryable as-of any date — Kimball's
+    * slowly-changing-dimension type 2).
+    *
+    * `history` carries the business columns plus the SCD bookkeeping
+    * (`valid_from`, `valid_to`, `is_current`); `stage` is a plain
+    * current snapshot (business columns only). For each stage key
+    * against the CURRENT version set:
+    *
+    *   - new key                     → one open row (`valid_from` =
+    *     `loadTs`, `valid_to` null, `is_current` true);
+    *   - changed (any `compareCols` differs null-safely) → the current
+    *     row closes (`valid_to` = `loadTs`, `is_current` false) AND a
+    *     new open row is born from the stage values;
+    *   - unchanged → the current row passes through UNTOUCHED (audit
+    *     columns outside `compareCols` survive no-op loads — the
+    *     [[upsertOnDiffFrame]] contract);
+    *   - current key absent from stage → untouched by default;
+    *     `closeMissing = true` treats the stage as a FULL snapshot and
+    *     closes it at `loadTs` (the delete-as-expiry convention).
+    *
+    * Closed history rows always pass through verbatim. Idempotent:
+    * re-applying the same stage finds every key unchanged and rewrites
+    * identical content.
+    *
+    * Shuffle plan: ONE full-outer join of the current version set
+    * against the stage on `keys` (AQE-handled), then a single
+    * projection whose per-row 1-or-2-version fan-out is an in-row
+    * `explode` — the joined subtree is evaluated ONCE, not re-expanded
+    * per output leg (three filtered selects over the same join would
+    * scan the dimension three times — the subtree-re-expansion trap the
+    * image-dedup probe hit). Closed rows ride a disjoint union branch
+    * that never joins. At 100 TB pair it with the same partition
+    * scoping as [[upsert]].
+    */
+  def scd2Apply(history: DataFrame, stage: DataFrame, keys: Seq[String],
+                loadTs: String, compareCols: Seq[String] = Nil,
+                closeMissing: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
+    require(keys.nonEmpty, "scd2Apply needs at least one key column")
+    val scdCols = Seq("valid_from", "valid_to", "is_current")
+    scdCols.foreach(c => require(history.columns.contains(c),
+      s"scd2Apply: history lacks SCD column '$c'"))
+    scdCols.foreach(c => require(!stage.columns.contains(c),
+      s"scd2Apply: stage must not carry SCD column '$c'"))
+    val biz = history.columns.toSeq.filterNot(scdCols.contains)
+    biz.foreach(c => require(stage.columns.contains(c),
+      s"scd2Apply: stage lacks business column '$c'"))
+    val cmp =
+      if (compareCols.nonEmpty) compareCols
+      else biz.filterNot(keys.contains)
+    require(cmp.nonEmpty, "scd2Apply: no columns to compare")
+    val ts = lit(loadTs).cast(history.schema("valid_from").dataType)
+    val closed = history.where(!col("is_current"))
+    val current = history.where(col("is_current"))
+    // presence markers, not key-null checks (upsertOnDiffFrame contract)
+    val sPref = stage.columns.foldLeft(stage.withColumn("__s_present", lit(true))) {
+      (df, c) => df.withColumnRenamed(c, s"__s_$c")
+    }
+    val joined = current.withColumn("__c_present", lit(true)).join(sPref,
+      keys.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _), "full_outer")
+    val changed = cmp.map(c => !(col(c) <=> col(s"__s_$c"))).reduce(_ || _)
+    def curVersion(validTo: Column, isCur: Column) = struct(
+      biz.map(c => col(c).as(c)) ++ Seq(col("valid_from").as("valid_from"),
+        validTo.as("valid_to"), isCur.as("is_current")): _*)
+    val stageVersion = struct(
+      biz.map(c => col(s"__s_$c").as(c)) ++ Seq(ts.as("valid_from"),
+        lit(null).cast(history.schema("valid_to").dataType).as("valid_to"),
+        lit(true).as("is_current")): _*)
+    val versions =
+      when(col("__c_present").isNull, array(stageVersion))
+        .when(col("__s_present").isNotNull && changed,
+          array(curVersion(ts, lit(false)), stageVersion))
+        .when(lit(closeMissing) && col("__s_present").isNull,
+          array(curVersion(ts, lit(false))))
+        .otherwise(array(curVersion(col("valid_to"), col("is_current"))))
+    joined.select(explode(versions).as("__v")).select(col("__v.*"))
+      .unionByName(closed.select((biz ++ scdCols).map(col): _*))
+  }
+
+  /** Point-in-time read over an SCD-2 history ([[scd2Apply]] output):
+    * the version of every key that was valid AT `asOfTs` —
+    * `valid_from <= asOfTs < valid_to`, an open `valid_to` reading as
+    * +∞. The entire reason type 2 exists: "what did this dimension say
+    * on March 3rd" as one filter — no join, no window, and
+    * partition-prunable when the history is laid out by `valid_from`.
+    * Keys born after `asOfTs` are absent (correctly: they did not
+    * exist yet). */
+  def scd2AsOf(history: DataFrame, asOfTs: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    Seq("valid_from", "valid_to").foreach(c => require(history.columns.contains(c),
+      s"scd2AsOf: history lacks SCD column '$c'"))
+    val ts = lit(asOfTs).cast(history.schema("valid_from").dataType)
+    history.where(col("valid_from") <= ts &&
+      (col("valid_to").isNull || col("valid_to") > ts))
+  }
+
+  /** Writing form of [[scd2Apply]]: merge against the stored dimension
+    * and swap the result in atomically (the [[upsert]] protocol). An
+    * absent target is born as an all-open day-0 snapshot of the stage
+    * at `loadTs`. Idempotent per ([[scd2Apply]], same stage). */
+  def scd2(stage: DataFrame, targetDir: String, keys: Seq[String],
+           loadTs: String, compareCols: Seq[String] = Nil,
+           closeMissing: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types.{BooleanType, TimestampNTZType}
+    val spark = stage.sparkSession
+    if (!targetExists(spark, targetDir)) {
+      overwrite(stage
+        .withColumn("valid_from", lit(loadTs).cast(TimestampNTZType))
+        .withColumn("valid_to", lit(null).cast(TimestampNTZType))
+        .withColumn("is_current", lit(true).cast(BooleanType)), targetDir)
+      return
+    }
+    atomicReplace(scd2Apply(readTarget(spark, targetDir), stage, keys,
+      loadTs, compareCols, closeMissing), targetDir)
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import java.time.LocalDateTime
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -10,6 +10,7 @@ import graft.Tables
 import graft.analytics.EventAnalytics
 import graft.clean.CleanOps
 import graft.extract.Extract
+import graft.graph.GraphOps
 import graft.merge.Merge
 import graft.meta.MetaOps
 import graft.nested.NestedOps
@@ -31,6 +32,99 @@ object CoreQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
+
+  /** The four SCD-2 legs over orders (closed passthrough / keep /
+    * close / open) — shared by the apply and as-of oracles. */
+  private val duckScd2Legs =
+    """WITH cur AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |             WHERE o_orderkey < 1000),
+      |stage AS (SELECT o_orderkey, o_orderstatus,
+      |            CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      |          FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice - 5 AS o_totalprice,
+      |       TIMESTAMP '2023-06-01 00:00:00' AS valid_from,
+      |       TIMESTAMP '2024-01-01 00:00:00' AS valid_to, FALSE AS is_current
+      |FROM cur WHERE o_orderkey % 10 = 0
+      |UNION ALL
+      |SELECT c.o_orderkey, c.o_orderstatus, c.o_totalprice,
+      |       TIMESTAMP '2024-01-01 00:00:00', NULL, TRUE
+      |FROM cur c LEFT JOIN stage s USING (o_orderkey)
+      |WHERE s.o_orderkey IS NULL
+      |   OR (c.o_orderstatus IS NOT DISTINCT FROM s.o_orderstatus
+      |       AND c.o_totalprice IS NOT DISTINCT FROM s.o_totalprice)
+      |UNION ALL
+      |SELECT c.o_orderkey, c.o_orderstatus, c.o_totalprice,
+      |       TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00', FALSE
+      |FROM cur c JOIN stage s USING (o_orderkey)
+      |WHERE c.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+      |   OR c.o_totalprice IS DISTINCT FROM s.o_totalprice
+      |UNION ALL
+      |SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice,
+      |       TIMESTAMP '2024-02-01 00:00:00', NULL, TRUE
+      |FROM stage s LEFT JOIN cur c USING (o_orderkey)
+      |WHERE c.o_orderkey IS NULL
+      |   OR c.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+      |   OR c.o_totalprice IS DISTINCT FROM s.o_totalprice""".stripMargin
+
+  /** Engine side of the same fixture: day-0 history (+ one pre-closed
+    * generation) and the day-30 stage. */
+  private def scd2Fixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val open = o.where(col("o_orderkey") < 1000)
+      .withColumn("valid_from", lit("2024-01-01 00:00:00").cast(TimestampNTZType))
+      .withColumn("valid_to", lit(null).cast(TimestampNTZType))
+      .withColumn("is_current", lit(true))
+    val closedHist = o.where(col("o_orderkey") < 1000 && col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") - 5)
+      .withColumn("valid_from", lit("2023-06-01 00:00:00").cast(TimestampNTZType))
+      .withColumn("valid_to", lit("2024-01-01 00:00:00").cast(TimestampNTZType))
+      .withColumn("is_current", lit(false))
+    val stage = o.where(col("o_orderkey") >= 500 && col("o_orderkey") < 1500)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 2 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    (open.unionByName(closedHist), stage)
+  }
+
+  /** Blocking-candidate CTEs for the entity-resolution queries,
+    * ending in `cand(l_id, l_name, l_brand, r_id, r_name, r_brand)`. */
+  private val duckErCandCtes =
+    """pl AS (SELECT p_partkey AS l_id, concat(p_name, ' ', p_type) AS l_name,
+      |         p_brand AS l_brand FROM part),
+      |pr AS (SELECT p_partkey AS r_id,
+      |         concat(substr(nm, 1, 7), substr(nm, 9)) AS r_name, p_brand AS r_brand
+      |       FROM (SELECT p_partkey, concat(p_name, ' ', p_type) AS nm, p_brand
+      |             FROM part WHERE p_partkey % 3 = 0)),
+      |cand AS (
+      |  SELECT pl.l_id, pl.l_name, pl.l_brand, pr.r_id, pr.r_name, pr.r_brand
+      |  FROM pl JOIN pr ON concat(split_part(l_name, ' ', 1), '|', l_brand)
+      |                   = concat(split_part(r_name, ' ', 1), '|', r_brand)
+      |  UNION
+      |  SELECT pl.l_id, pl.l_name, pl.l_brand, pr.r_id, pr.r_name, pr.r_brand
+      |  FROM pl JOIN pr ON concat(right(l_name, 3), '|', l_brand)
+      |                   = concat(right(r_name, 3), '|', r_brand))""".stripMargin
+
+  /** Engine side of the ER fixture: all parts vs the perturbed third
+    * (char 8 of `p_name || ' ' || p_type` deleted), plus the two
+    * blocking passes. */
+  private def erSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val p = t(s, dir, "part").select("p_partkey", "p_name", "p_type", "p_brand")
+    val lf = p.select(col("p_partkey").as("l_id"),
+      concat_ws(" ", col("p_name"), col("p_type")).as("l_name"),
+      col("p_brand").as("l_brand"))
+    val rt = p.where(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("r_id"),
+        expr("concat(substr(concat(p_name, ' ', p_type), 1, 7), " +
+          "substr(concat(p_name, ' ', p_type), 9))").as("r_name"),
+        col("p_brand").as("r_brand"))
+    (lf, rt)
+  }
+
+  private def erBlockKeys: Seq[(Column, Column)] = Seq(
+    (concat_ws("|", split(col("l_name"), " ").getItem(0), col("l_brand")),
+     concat_ws("|", split(col("r_name"), " ").getItem(0), col("r_brand"))),
+    (concat_ws("|", expr("right(l_name, 3)"), col("l_brand")),
+     concat_ws("|", expr("right(r_name, 3)"), col("r_brand"))))
 
   val all: Seq[Q] = Seq(
 
@@ -307,6 +401,80 @@ object CoreQueries {
           lit("new").as("src"))
       Merge.upsertOnDiffFrame(target, stage, Seq("o_orderkey"),
         compareCols = Seq("o_orderstatus", "o_totalprice"))
+    },
+
+    // ---- SCD TYPE-2 dimension history (§2.3 beyond-ref): day-0 open
+    //      set + one pre-closed generation, a changed/new/unchanged
+    //      stage applied at day-30 — the oracle replays all four legs
+    //      (closed passthrough / keep / close / open) ----
+    Q("q_scd2_apply", duckScd2Legs) { (s, dir) =>
+      val (hist, stage) = scd2Fixture(s, dir)
+      Merge.scd2Apply(hist, stage, Seq("o_orderkey"),
+        loadTs = "2024-02-01 00:00:00")
+    },
+
+    // ---- SCD-2 point-in-time read: the version of every key valid at
+    //      day 15 — after the day-0 load, before the day-30 merge, so
+    //      the pre-closed generation and the day-30 births are both
+    //      correctly absent ----
+    Q("q_scd2_asof",
+      s"""SELECT * FROM ($duckScd2Legs) q
+        |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')""".stripMargin) {
+      (s, dir) =>
+        val (hist, stage) = scd2Fixture(s, dir)
+        Merge.scd2AsOf(
+          Merge.scd2Apply(hist, stage, Seq("o_orderkey"),
+            loadTs = "2024-02-01 00:00:00"),
+          "2024-01-15 00:00:00")
+    },
+
+    // ---- blocked entity resolution (§2.3 beyond-ref): two blocking
+    //      passes (first-token+brand, suffix-3+brand) recover a
+    //      mid-string deletion, exact Levenshtein refine ≤ 2 ----
+    Q("q_er_blocked",
+      s"""WITH $duckErCandCtes
+        |SELECT l_id, r_id, CAST(levenshtein(l_name, r_name) AS INTEGER) AS lev_dist
+        |FROM cand WHERE levenshtein(l_name, r_name) <= 2""".stripMargin) { (s, dir) =>
+      val (lf, rt) = erSides(s, dir)
+      RelationalOps.blockedLevenshteinJoin(lf, rt, "l_name", "r_name",
+        erBlockKeys, maxDist = 2)
+        .select("l_id", "r_id", "lev_dist")
+    },
+
+    // ---- golden-record entity groups: the ER match pairs closed
+    //      under transitive connectivity — every part gets its entity
+    //      cluster id (min member key, the CC convergence point) and
+    //      the cluster size; unmatched parts are singleton entities.
+    //      The end state of a record-linkage pipeline: one id per
+    //      real-world entity across both "systems" ----
+    Q("q_er_groups",
+      s"""WITH RECURSIVE $duckErCandCtes,
+        |ep AS (SELECT l_id AS id_a, r_id AS id_b FROM cand
+        |       WHERE levenshtein(l_name, r_name) <= 2 AND l_id <> r_id),
+        |e AS (SELECT id_a AS u, id_b AS v FROM ep UNION SELECT id_b, id_a FROM ep),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+        |cc AS (SELECT u, min(v) AS comp FROM reach GROUP BY u),
+        |asg AS (SELECT p.p_partkey, COALESCE(cc.comp, p.p_partkey) AS entity_id
+        |        FROM part p LEFT JOIN cc ON cc.u = p.p_partkey)
+        |SELECT p_partkey, entity_id,
+        |  CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_records
+        |FROM asg""".stripMargin) { (s, dir) =>
+      val (lf, rt) = erSides(s, dir)
+      val pairs = RelationalOps.blockedLevenshteinJoin(lf, rt, "l_name", "r_name",
+        erBlockKeys, maxDist = 2)
+        .where(col("l_id") =!= col("r_id"))
+        .select(col("l_id").as("id_a"), col("r_id").as("id_b"))
+      val cc = GraphOps.connectedComponents(pairs, "id_a", "id_b")
+      t(s, dir, "part").select("p_partkey")
+        .join(cc.withColumnRenamed("node", "p_partkey"), Seq("p_partkey"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("component"), col("p_partkey")).as("entity_id"))
+        .withColumn("n_records", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("entity_id")))
     },
 
     // ---- case-mode equality filter (§2.2) ----

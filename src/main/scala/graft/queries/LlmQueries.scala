@@ -440,6 +440,47 @@ object LlmQueries {
     * take). Edge set: supplier↔customer via lineitem⋈orders,
     * customers offset into their own id space.
     */
+  /** Engine side of the supplier↔customer trade graph shared by the
+    * LPA queries (symmetrized; `custFilter` keeps only customers with
+    * `o_custkey % m = 0` — the sparser convergence-query slice). */
+  private def lpaTradeEdges(s: org.apache.spark.sql.SparkSession, dir: String,
+                            custFilter: Option[Int] = None)
+  : org.apache.spark.sql.DataFrame = {
+    val o0 = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val o = custFilter.fold(o0)(m => o0.where(col("o_custkey") % m === 0))
+    val sc = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").cast(LongType).as("src"),
+        (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
+    sc.unionAll(sc.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Round count the converged-LPA run actually took — feeds the
+    * generated oracle (the fitted-quantizer mechanism). */
+  private val lpaItersCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Unrolled synchronous-LPA oracle: `rounds` vote/pick/carry CTE
+    * triples over the trade graph (`orderFilter` = the sparser slice,
+    * e.g. " WHERE o.o_custkey % 5 = 0"). Mode-of-in-neighbours with
+    * min-label ties is a pure function of (edges, round count), so
+    * each round replays exactly. */
+  private def duckLpaSql(rounds: Int, orderFilter: String = ""): String = {
+    val base =
+      s"""WITH sc AS (SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+        |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey$orderFilter),
+        |e AS (SELECT src, dst FROM sc UNION SELECT dst, src FROM sc),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |l0 AS (SELECT node, node AS label FROM n)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""v$k AS (SELECT e.dst AS node, l.label, count(*) AS c FROM e JOIN l${k - 1} l ON e.src = l.node GROUP BY 1, 2),
+        |p$k AS (SELECT node, label FROM (SELECT node, label,
+        |         row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM v$k) WHERE rn = 1),
+        |l$k AS (SELECT l.node, coalesce(p.label, l.label) AS label FROM l${k - 1} l LEFT JOIN p$k p USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$steps\nSELECT node, label FROM l$rounds"
+  }
+
   private def duckPageRankSql(iters: Int, scale: Long): String = {
     val head =
       s"""WITH e AS (
@@ -2098,6 +2139,46 @@ object LlmQueries {
       TextOps.unigramLogProb(Tables(s, dir, "documents"), "doc_id", "text")
     },
 
+    // ---- stupid-backoff bigram LM quality score (Brants et al.
+    //      2007): model trained on the even-doc_id half, the odd half
+    //      scored against it — exercises all four branches (doc-start
+    //      unigram, seen bigram, backoff to seen unigram, OOV floor) ----
+    Q("q_bigram_logprob",
+      s"""WITH wt AS (SELECT doc_id, $duckWords AS w FROM documents WHERE doc_id % 2 = 0),
+        |ws AS (SELECT doc_id, $duckWords AS w FROM documents WHERE doc_id % 2 = 1),
+        |tt AS (SELECT doc_id, unnest(w) AS term, unnest(range(1, len(w)+1)) AS pos FROM wt),
+        |ts AS (SELECT doc_id, unnest(w) AS term, unnest(range(1, len(w)+1)) AS pos FROM ws),
+        |ttp AS (SELECT doc_id, term, lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tt),
+        |tsp AS (SELECT doc_id, pos, term, lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM ts),
+        |c1 AS (SELECT term, count(*) AS c FROM tt GROUP BY 1),
+        |c2 AS (SELECT prev, term, count(*) AS c2 FROM ttp WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |nn AS (SELECT count(*) AS n FROM tt),
+        |sc AS (SELECT tsp.doc_id,
+        |         CASE
+        |           WHEN tsp.prev IS NULL THEN
+        |             CAST(floor(log10(CAST(coalesce(u.c, 1) AS DOUBLE)) * 1e8 + 0.5) AS BIGINT)
+        |             - (SELECT CAST(floor(log10(CAST(n AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) FROM nn)
+        |           WHEN b.c2 IS NOT NULL THEN
+        |             CAST(floor(log10(CAST(b.c2 AS DOUBLE)) * 1e8 + 0.5) AS BIGINT)
+        |             - CAST(floor(log10(CAST(p.c AS DOUBLE)) * 1e8 + 0.5) AS BIGINT)
+        |           ELSE
+        |             CAST(floor(log10(0.4) * 1e8 + 0.5) AS BIGINT)
+        |             + CAST(floor(log10(CAST(coalesce(u.c, 1) AS DOUBLE)) * 1e8 + 0.5) AS BIGINT)
+        |             - (SELECT CAST(floor(log10(CAST(n AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) FROM nn)
+        |         END AS s8
+        |       FROM tsp
+        |       LEFT JOIN c1 u ON tsp.term = u.term
+        |       LEFT JOIN c1 p ON tsp.prev = p.term
+        |       LEFT JOIN c2 b ON tsp.prev = b.prev AND tsp.term = b.term)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(s8) AS DOUBLE) / 1e8 / count(*), 6) AS mean_logp
+        |FROM sc GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      TextOps.bigramLogProbBackoff(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+    },
+
     // ---- corpus-level top-50 bigrams (boilerplate profiling) ----
     Q("q_top_ngrams",
       """WITH g AS (
@@ -2419,6 +2500,30 @@ object LlmQueries {
       GraphOps.pageRank(sc.unionAll(sc.select(col("dst").as("src"), col("src").as("dst"))),
         "src", "dst", iterations = 6)
         .withColumnRenamed("rank", "rank_ppb")
+    },
+
+    // ---- deterministic synchronous label propagation (Raghavan et
+    //      al. 2007): 3 rounds over the supplier–customer bipartite
+    //      graph, mode-of-neighbours with min-label ties — the oracle
+    //      unrolls every round ----
+    Q("q_label_prop", duckLpaSql(rounds = 3)) { (s, dir) =>
+      GraphOps.labelPropagation(lpaTradeEdges(s, dir), "src", "dst", iterations = 3)
+    },
+
+    // ---- LPA iterated to a fixpoint (1-scalar changed-count checksum
+    //      per round, the pageRankConverged discipline) on a sparser
+    //      slice of the trade graph. The oracle is GENERATED from the
+    //      round count the run actually took (the fitted-quantizer
+    //      mechanism), so the replay is exact whether the state
+    //      converged or hit the cap — synchronous LPA can 2-cycle on
+    //      bipartite regions, and the cap report is the honest answer ----
+    Q.dynamic("q_label_prop_converged")(
+      Option(lpaItersCache.get("conv"))
+        .map(n => duckLpaSql(n.intValue, " WHERE o.o_custkey % 5 = 0"))) { (s, dir) =>
+      val (labels, iters) = GraphOps.labelPropagationConverged(
+        lpaTradeEdges(s, dir, custFilter = Some(5)), "src", "dst", maxIterations = 8)
+      lpaItersCache.put("conv", iters)
+      labels
     },
 
     // ---- graph FEATURE aggregation: average/sum account balance over

@@ -282,6 +282,58 @@ object RelationalOps {
     pruned.join(small, pruned(bigKey) === small(smallKey), joinType)
   }
 
+  /** Blocked fuzzy (entity-resolution) join: candidate pairs meet in
+    * equi-joins on caller-supplied BLOCKING keys, then an exact
+    * Levenshtein refine keeps pairs with `lev(leftCol, rightCol) <=
+    * maxDist`. The classic two-phase record-linkage shape (Fellegi–
+    * Sunter blocking + edit-distance compare): an unblocked fuzzy join
+    * is the O(|L|·|R|) cartesian Spark would plan for a bare
+    * `levenshtein(l, r) <= k` predicate — at 100 TB the blocking IS
+    * the operator.
+    *
+    * `blockKeys` is one (leftKey, rightKey) expression pair per PASS;
+    * a true match missed by one pass (the perturbation hit that key)
+    * is recovered by another — multi-pass blocking is how linkage
+    * systems buy recall without widening any single block. Pass
+    * results are unioned and full-row-deduplicated BEFORE the refine,
+    * so a pair surviving several passes is compared once.
+    *
+    * `maxBlock > 0` drops blocks larger than `maxBlock` rows on
+    * EITHER side before the join (single-pass count window, no
+    * self-join) — the [[graft.dedup.DedupOps]] `maxBucket` stop-word
+    * stance: a degenerate key ("", "UNKNOWN") would otherwise emit
+    * |block|² candidates; dropping it is a documented recall trade,
+    * bounded fan-out by construction.
+    *
+    * Shuffle plan per pass: one equi-join on the block key (AQE splits
+    * hot blocks); then one pair-set-sized dedup shuffle; the refine is
+    * Spark's codegen'd `levenshtein` — no UDF. Column names of `left`
+    * and `right` must be disjoint; output = left.* ++ right.* ++
+    * `lev_dist`.
+    */
+  def blockedLevenshteinJoin(left: DataFrame, right: DataFrame,
+                             leftCol: String, rightCol: String,
+                             blockKeys: Seq[(Column, Column)],
+                             maxDist: Int, maxBlock: Int = 0): DataFrame = {
+    require(blockKeys.nonEmpty, "blockedLevenshteinJoin: no blocking passes")
+    require(maxDist >= 0, s"blockedLevenshteinJoin: maxDist=$maxDist < 0")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "blockedLevenshteinJoin: left/right column names must be disjoint")
+    def capped(df: DataFrame, key: Column) = {
+      val keyed = df.withColumn("__bk", key)
+      if (maxBlock <= 0) keyed
+      else keyed
+        .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__bk"))))
+        .where(col("__bn") <= maxBlock).drop("__bn")
+    }
+    val candidates = blockKeys.map { case (lk, rk) =>
+      capped(left, lk).join(capped(right, rk), Seq("__bk")).drop("__bk")
+    }.reduce(_.unionByName(_)).dropDuplicates()
+    candidates
+      .withColumn("lev_dist", levenshtein(col(leftCol), col(rightCol)))
+      .where(col("lev_dist") <= maxDist)
+  }
+
   def filterEquals(df: DataFrame, c: String, value: String,
                    mode: String = "lower"): DataFrame = mode match {
     case "lower"     => df.where(lower(col(c)) === value.toLowerCase)

@@ -680,6 +680,42 @@ object StreamingOps {
       .start()
   }
 
+  /** STREAMING SCD-2 dimension maintenance: each epoch's micro-batch
+    * is a dimension-snapshot increment applied with
+    * [[graft.merge.Merge.scd2]] at the batch's own event time
+    * (`max(tsCol)` — one bounded scalar read), so changed keys close
+    * their current version and open a new one, stamped when the data
+    * says the change happened, not when the executor got to it.
+    * Unlike the tranche families, NO decide-once ledger is needed:
+    * `scd2Apply` is algebraically idempotent (re-applying a stage
+    * finds every key unchanged and rewrites identical content), so
+    * any replayed prefix of epochs converges — the cleanest crash
+    * story in the streaming tier. `closeMissing` is deliberately not
+    * exposed: a micro-batch is an increment, never a full snapshot,
+    * and expiring every key absent from one micro-batch would
+    * vaporize the dimension. */
+  def scd2Stream(rows: DataFrame, dimDir: String, keys: Seq[String],
+                 tsCol: String, checkpointDir: String,
+                 compareCols: Seq[String] = Nil)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointDir.nonEmpty, "scd2Stream: checkpointDir is required")
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // a micro-batch may carry several updates of one key — only
+          // the LATEST becomes a version (intermediate states that
+          // never survived an epoch boundary are not history)
+          val latest = graft.relational.RelationalOps.dedupByKeyFirst(
+            batch, keys, Seq(col(tsCol).desc))
+          val loadTs = batch.agg(max(col(tsCol)).cast("string")).head().getString(0)
+          graft.merge.Merge.scd2(latest.drop(tsCol), dimDir, keys, loadTs, compareCols)
+        }
+      }
+      .start()
+  }
+
   /** Streaming maintenance of the at-rest DAY-KEYED histogram
     * artifact ([[graft.profile.HistSketch.writeDayHistTranche]]):
     * each epoch collapses its micro-batch to `(__d, bucket, cnt)` and

@@ -248,6 +248,71 @@ object TextOps {
           / lit(1e8) / col("n_tokens"), 6).as("mean_logp"))
   }
 
+  /** Per-document mean log10-probability of `score` docs under a
+    * BIGRAM model trained on `train`, with STUPID BACKOFF (Brants et
+    * al. 2007, "Large Language Models in Machine Translation") — the
+    * web-scale fluency filter one tier above [[unigramLogProb]]: text
+    * whose word PAIRS are reference-corpus-typical scores high, while
+    * shuffled or boilerplate-stitched text with common words but
+    * improbable transitions scores low (the CCNet/KenLM
+    * perplexity-filter role; the backoff family is what actually runs
+    * at web scale because it needs no normalization pass over the
+    * context table). Train ≠ score is the deployment shape — score a
+    * new crawl against the trusted reference corpus — and is what
+    * makes the backoff and OOV branches live at all (a corpus scored
+    * against itself has seen every one of its own bigrams).
+    *
+    *   score(w | prev) = log10 c(prev,w) − log10 c(prev)   bigram seen
+    *                   = log10 α + log10 ĉ(w) − log10 N    otherwise
+    *
+    * with ĉ(w) = max(c(w), 1) — an out-of-vocabulary word takes the
+    * count-1 floor rather than poisoning the document with −∞ — and a
+    * doc's first token scored as a plain unigram (no backoff
+    * penalty). Every log10 is of an exact integer, snapped to 1e-8
+    * fixed point ([[unigramLogProb]]'s determinism contract): each
+    * per-token score is an exact long, the per-doc sum is order-free,
+    * and a DuckDB oracle replays every digit; α enters as one snapped
+    * constant both engines derive from the same IEEE expression.
+    *
+    * Scale shape: tokenization is a per-row explode (no shuffle); the
+    * prev-token attach is one per-doc window (partition = doc, bounded
+    * by doc length); unigram/bigram counts are map-side-combinable
+    * aggregates shuffled at VOCABULARY cardinality, not corpus; the
+    * three model joins are token⋈vocab equi-joins (AQE broadcasts the
+    * count tables when they fit); one closing per-doc aggregate. N is
+    * one bounded scalar (the tfidf discipline). Output:
+    * `(idCol, n_tokens, mean_logp)`, one row per scored doc.
+    */
+  def bigramLogProbBackoff(train: DataFrame, score: DataFrame,
+                           idCol: String, textCol: String,
+                           alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"bigramLogProbBackoff: alpha=$alpha not in (0,1)")
+    def l8(e: Column): Column =
+      floor(log10(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
+    def toks(df: DataFrame) =
+      df.select(col(idCol), posexplode(words(col(textCol))).as(Seq("pos", "term")))
+    def withPrev(t: DataFrame) = t.withColumn("prev",
+      lag(col("term"), 1).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("pos"))))
+    val trainToks = toks(train)
+    val uni = trainToks.groupBy("term").agg(count(lit(1)).as("__c1"))
+    val big = withPrev(trainToks).where(col("prev").isNotNull)
+      .groupBy("prev", "term").agg(count(lit(1)).as("__c2"))
+    val n = trainToks.count() // bounded scalar, like the tfidf N
+    withPrev(toks(score))
+      .join(uni, Seq("term"), "left")
+      .join(uni.select(col("term").as("prev"), col("__c1").as("__cp")), Seq("prev"), "left")
+      .join(big, Seq("prev", "term"), "left")
+      .withColumn("__s8",
+        when(col("prev").isNull, l8(coalesce(col("__c1"), lit(1L))) - l8(lit(n)))
+          .when(col("__c2").isNotNull, l8(col("__c2")) - l8(col("__cp")))
+          .otherwise(l8(lit(alpha)) + l8(coalesce(col("__c1"), lit(1L))) - l8(lit(n))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__s8")).cast(DoubleType) / lit(1e8) / count(lit(1)), 6)
+          .as("mean_logp"))
+  }
+
   /** Jensen–Shannon divergence between two corpora's unigram
     * distributions — the vocabulary-drift twin of
     * `HistSketch.histDriftPsi` (that gauges a NUMERIC column's

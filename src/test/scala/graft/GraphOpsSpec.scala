@@ -591,4 +591,65 @@ class GraphOpsSpec extends SparkSpec {
     assert(idSum(100L) == (0 + 1 + 2 + 3 + 4 + 5).toDouble)  // smallest ids
     assert(hashSum(100L) != idSum(100L), "hash sample should differ from id sample")
   }
+
+  // ---- label propagation ---------------------------------------------
+
+  test("labelPropagation: two triangles with one bridge resolve to two communities") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val edges = tri.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val out = GraphOps.labelPropagation(edges, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(Set(1L, 2L, 3L).map(out) == Set(1L))
+    assert(Set(4L, 5L, 6L).map(out) == Set(3L))
+  }
+
+  test("labelPropagation matches a single-JVM reference implementation on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edgesSeq = (1 to 120).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val iters = 6 // crosses the CheckpointEvery=5 lineage-sever boundary
+    // reference: synchronous LPA, mode of in-neighbour labels, min tie-break
+    val nodes = edgesSeq.flatMap(e => Seq(e._1, e._2)).distinct
+    var labels = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      val votes = edgesSeq.groupBy(_._2).map { case (dst, es) =>
+        val counts = es.map(e => labels(e._1)).groupBy(identity).view.mapValues(_.size)
+        dst -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+      labels = labels.map { case (n, l) => n -> votes.getOrElse(n, l) }
+    }
+    val out = GraphOps.labelPropagation(edgesSeq.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Long)].collect().toMap
+    assert(out == labels)
+  }
+
+  test("labelPropagationConverged reaches a true fixpoint on the two-triangle graph") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val edges = tri.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val (labels, rounds) = GraphOps.labelPropagationConverged(edges, "src", "dst", 20)
+    assert(rounds < 20, s"should converge well before the cap, took $rounds")
+    val out = labels.as[(Long, Long)].collect().toMap
+    // fixpoint state == the fixed-iteration state at that round count
+    val fixedIter = GraphOps.labelPropagation(edges, "src", "dst", rounds)
+      .as[(Long, Long)].collect().toMap
+    assert(out == fixedIter)
+    // and it IS a fixpoint: one more round changes nothing
+    val oneMore = GraphOps.labelPropagation(edges, "src", "dst", rounds + 1)
+      .as[(Long, Long)].collect().toMap
+    assert(out == oneMore)
+  }
+
+  test("labelPropagationConverged reports the cap honestly on an oscillating bipartite pair") {
+    // symmetrized single edge: synchronous LPA swaps labels forever
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val (_, rounds) = GraphOps.labelPropagationConverged(edges, "src", "dst", 6)
+    assert(rounds == 6, s"2-cycle must hit the cap, stopped at $rounds")
+  }
+
+  test("labelPropagation: a node with no in-edges keeps its own label") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = GraphOps.labelPropagation(edges, "src", "dst", iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L))
+  }
 }

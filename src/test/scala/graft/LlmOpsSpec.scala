@@ -1631,4 +1631,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(brute.exists(p => p._1 == 1L && p._2 == 2L))
     assert(brute.exists(p => p._1 == 3L && p._2 == 4L))
   }
+
+  // ---- stupid-backoff bigram LM --------------------------------------
+
+  test("bigramLogProbBackoff: all four branches against hand-computed snapped logs") {
+    def l8(x: Double): Long = math.floor(math.log10(x) * 1e8 + 0.5).toLong
+    val train = Seq((0L, "x y x y"), (2L, "y x")).toDF("doc_id", "text")
+    // train counts: N=6, c1(x)=3, c1(y)=3, c2(x,y)=2, c2(y,x)=2
+    val score = Seq((1L, "x z y")).toDF("doc_id", "text")
+    // x: doc start         -> l8(3) - l8(6)
+    // z: OOV, (x,z) unseen -> l8(0.4) + l8(1) - l8(6)
+    // y: (z,y) unseen      -> l8(0.4) + l8(3) - l8(6)
+    val s8 = (l8(3) - l8(6)) + (l8(0.4) + l8(1) - l8(6)) + (l8(0.4) + l8(3) - l8(6))
+    val expected = BigDecimal(s8.toDouble / 1e8 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TextOps.bigramLogProbBackoff(train, score, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 3L, expected)))
+  }
+
+  test("bigramLogProbBackoff: seen-bigram branch uses the context count; fluent beats shuffled") {
+    val train = Seq((0L, "the quick fox jumps"), (2L, "the quick fox runs")).toDF("doc_id", "text")
+    val fluent = Seq((1L, "the quick fox")).toDF("doc_id", "text")
+    val shuffled = Seq((1L, "fox the quick")).toDF("doc_id", "text")
+    def score(df: org.apache.spark.sql.DataFrame): Double =
+      TextOps.bigramLogProbBackoff(train, df, "doc_id", "text")
+        .select("mean_logp").as[Double].head()
+    def l8(x: Double): Long = math.floor(math.log10(x) * 1e8 + 0.5).toLong
+    // fluent: the(start) l8(2)-l8(8); quick|the c2=2,c(the)=2 -> 0; fox|quick -> 0
+    val exp = BigDecimal((l8(2) - l8(8)).toDouble / 1e8 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(score(fluent) == exp)
+    assert(score(fluent) > score(shuffled))
+  }
 }

@@ -198,4 +198,154 @@ class RelationalMergeSpec extends SparkSpec {
       .where(col("change") === "changed").count() == 1)
     intercept[IllegalArgumentException] { Merge.snapshotDiff(oldDf, newDf, Nil) }
   }
+
+  // ---- SCD type 2 ----------------------------------------------------
+
+  private def scd2History = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("k", "status", "price")
+      .withColumn("valid_from", lit("2024-01-01 00:00:00").cast(TimestampNTZType))
+      .withColumn("valid_to", lit(null).cast(TimestampNTZType))
+      .withColumn("is_current", lit(true))
+      .unionByName(
+        Seq((1, "z", 5.0)).toDF("k", "status", "price")
+          .withColumn("valid_from", lit("2023-06-01 00:00:00").cast(TimestampNTZType))
+          .withColumn("valid_to", lit("2024-01-01 00:00:00").cast(TimestampNTZType))
+          .withColumn("is_current", lit(false)))
+  }
+
+  test("scd2Apply: change closes the current row and opens a new version; unchanged and closed rows pass through") {
+    val stage = Seq((1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0)).toDF("k", "status", "price")
+    val out = Merge.scd2Apply(scd2History, stage, Seq("k"), "2024-02-01 00:00:00")
+    out.cache()
+    // closed history untouched
+    assert(out.where(col("k") === 1 && !col("is_current"))
+      .select("status").as[String].collect().toSeq == Seq("z"))
+    // k=1 unchanged: still one open row, original valid_from
+    val k1open = out.where(col("k") === 1 && col("is_current")).collect()
+    assert(k1open.length == 1 &&
+      k1open.head.getAs[java.time.LocalDateTime]("valid_from").toString.startsWith("2024-01-01"))
+    // k=2 changed: old version closed at loadTs, new open version with stage price
+    val k2 = out.where(col("k") === 2).orderBy("valid_from").collect()
+    assert(k2.length == 2)
+    assert(!k2(0).getAs[Boolean]("is_current") &&
+      k2(0).getAs[Double]("price") == 20.0 &&
+      k2(0).getAs[java.time.LocalDateTime]("valid_to").toString.startsWith("2024-02-01"))
+    assert(k2(1).getAs[Boolean]("is_current") && k2(1).getAs[Double]("price") == 99.0 &&
+      k2(1).isNullAt(k2(1).fieldIndex("valid_to")))
+    // k=3 not staged: untouched open row
+    assert(out.where(col("k") === 3).count() == 1)
+    // k=4 new: one open row born at loadTs
+    val k4 = out.where(col("k") === 4).collect()
+    assert(k4.length == 1 && k4.head.getAs[Boolean]("is_current") &&
+      k4.head.getAs[java.time.LocalDateTime]("valid_from").toString.startsWith("2024-02-01"))
+    out.unpersist()
+  }
+
+  test("scd2Apply is idempotent: re-applying the same stage rewrites identical content") {
+    val stage = Seq((1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0)).toDF("k", "status", "price")
+    val once = Merge.scd2Apply(scd2History, stage, Seq("k"), "2024-02-01 00:00:00")
+    val twice = Merge.scd2Apply(once, stage, Seq("k"), "2024-03-01 00:00:00")
+    assertSameRows(once, twice)
+  }
+
+  test("scd2Apply closeMissing treats the stage as a full snapshot: absent keys close at loadTs") {
+    val stage = Seq((2, "b", 20.0)).toDF("k", "status", "price")
+    val out = Merge.scd2Apply(scd2History, stage, Seq("k"), "2024-02-01 00:00:00",
+      closeMissing = true)
+    // k=1 and k=3 close; k=2 unchanged stays open
+    assert(out.where(col("is_current")).select("k").as[Int].collect().toSeq == Seq(2))
+    assert(out.where(col("k") === 3 && !col("is_current"))
+      .head().getAs[java.time.LocalDateTime]("valid_to").toString.startsWith("2024-02-01"))
+  }
+
+  test("scd2Apply: audit columns outside compareCols survive a no-op load") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val hist = Seq((1, "a", "loaded-day0")).toDF("k", "status", "audit")
+      .withColumn("valid_from", lit("2024-01-01 00:00:00").cast(TimestampNTZType))
+      .withColumn("valid_to", lit(null).cast(TimestampNTZType))
+      .withColumn("is_current", lit(true))
+    val stage = Seq((1, "a", "loaded-day30")).toDF("k", "status", "audit")
+    val out = Merge.scd2Apply(hist, stage, Seq("k"), "2024-02-01 00:00:00",
+      compareCols = Seq("status"))
+    assert(out.count() == 1 &&
+      out.head().getAs[String]("audit") == "loaded-day0")
+  }
+
+  test("scd2AsOf: each instant reads exactly the version valid then; unborn keys absent") {
+    val stage = Seq((1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0)).toDF("k", "status", "price")
+    val hist = Merge.scd2Apply(scd2History, stage, Seq("k"), "2024-02-01 00:00:00")
+    // before day-0 load: only the pre-closed k=1 generation existed
+    val early = Merge.scd2AsOf(hist, "2023-07-01 00:00:00")
+    assert(early.select("k", "status").as[(Int, String)].collect().toSeq == Seq((1, "z")))
+    // between the loads: the day-0 open set, day-30 births absent
+    val mid = Merge.scd2AsOf(hist, "2024-01-15 00:00:00")
+    assert(mid.select("k").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(mid.where(col("k") === 2).head().getAs[Double]("price") == 20.0)
+    // after day-30: current state (k=2 new version, k=4 born)
+    val late = Merge.scd2AsOf(hist, "2024-06-01 00:00:00")
+    assert(late.select("k").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(late.where(col("k") === 2).head().getAs[Double]("price") == 99.0)
+  }
+
+  test("scd2 write form: absent target born all-open, change produces two generations, rerun idempotent") {
+    val dir = Files.createTempDirectory("scd2").toString + "/dim"
+    val day0 = Seq((1, "a"), (2, "b")).toDF("k", "status")
+    Merge.scd2(day0, dir, Seq("k"), "2024-01-01 00:00:00")
+    assert(Merge.readTarget(spark, dir).where(col("is_current")).count() == 2)
+    val day1 = Seq((1, "a2"), (2, "b")).toDF("k", "status")
+    Merge.scd2(day1, dir, Seq("k"), "2024-02-01 00:00:00")
+    val afterOnce = Merge.readTarget(spark, dir).collect().map(_.toString).sorted.toSeq
+    assert(afterOnce.length == 3) // k=1 closed + reopened, k=2 untouched
+    Merge.scd2(day1, dir, Seq("k"), "2024-03-01 00:00:00")
+    val afterTwice = Merge.readTarget(spark, dir).collect().map(_.toString).sorted.toSeq
+    assert(afterOnce == afterTwice)
+  }
+
+  // ---- blocked entity resolution -------------------------------------
+
+  test("blockedLevenshteinJoin equals the brute-force fuzzy join when blocking is recall-complete") {
+    val left = Seq((1L, "alpha corp"), (2L, "beta labs"), (3L, "gamma inc"))
+      .toDF("l_id", "l_name")
+    val right = Seq((10L, "alpha corps"), (20L, "betta labs"), (30L, "delta inc"))
+      .toDF("r_id", "r_name")
+    val blocked = RelationalOps.blockedLevenshteinJoin(left, right, "l_name", "r_name",
+      Seq((substring(col("l_name"), 1, 2), substring(col("r_name"), 1, 2)),
+          (expr("right(l_name, 2)"), expr("right(r_name, 2)"))),
+      maxDist = 2).select("l_id", "r_id", "lev_dist")
+    val brute = left.crossJoin(right)
+      .withColumn("lev_dist", levenshtein(col("l_name"), col("r_name")))
+      .where(col("lev_dist") <= 2).select("l_id", "r_id", "lev_dist")
+    assertSameRows(blocked, brute)
+  }
+
+  test("blockedLevenshteinJoin: a pair surviving several passes is emitted once") {
+    val left = Seq((1L, "same name")).toDF("l_id", "l_name")
+    val right = Seq((2L, "same name")).toDF("r_id", "r_name")
+    val out = RelationalOps.blockedLevenshteinJoin(left, right, "l_name", "r_name",
+      Seq((lit("k"), lit("k")), (lit("k"), lit("k")),
+          (substring(col("l_name"), 1, 4), substring(col("r_name"), 1, 4))),
+      maxDist = 0)
+    assert(out.count() == 1)
+  }
+
+  test("blockedLevenshteinJoin maxBlock drops oversized blocks on either side") {
+    val left = (1L to 10L).map(i => (i, s"hot $i")).toDF("l_id", "l_name")
+      .unionByName(Seq((99L, "cold x")).toDF("l_id", "l_name"))
+    val right = Seq((1L, "hot 1"), (2L, "cold x")).toDF("r_id", "r_name")
+    // block key = first token: "hot" has 10 left rows (over the cap), "cold" has 1
+    val out = RelationalOps.blockedLevenshteinJoin(left, right, "l_name", "r_name",
+      Seq((split(col("l_name"), " ").getItem(0), split(col("r_name"), " ").getItem(0))),
+      maxDist = 3, maxBlock = 5)
+    // the hot block is dropped entirely; only the cold pair survives
+    assert(out.select("l_id", "r_id").as[(Long, Long)].collect().toSeq == Seq((99L, 2L)))
+  }
+
+  test("blockedLevenshteinJoin rejects overlapping column names") {
+    val df = Seq((1L, "x")).toDF("id", "name")
+    intercept[IllegalArgumentException] {
+      RelationalOps.blockedLevenshteinJoin(df, df, "name", "name",
+        Seq((lit("k"), lit("k"))), maxDist = 1)
+    }
+  }
 }

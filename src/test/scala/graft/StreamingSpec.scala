@@ -654,6 +654,33 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:30:00.0", "b", 1L, 3.0)))
   }
 
+  test("scd2Stream: epochs become dimension generations; intra-batch churn collapses to the latest") {
+    val base = Files.createTempDirectory("graft_scd2s").toString
+    val dim = s"$base/dim"; val ck = s"$base/ck"
+    val mem = MemoryStream[(java.sql.Timestamp, Int, String)](spark, 1)
+    val q = StreamingOps.scd2Stream(
+      mem.toDF.toDF("ts", "k", "status"), dim, Seq("k"), "ts", ck)
+    try {
+      mem.addData((winTs(5), 1, "a"), (winTs(5), 2, "b"))
+      q.processAllAvailable()
+      assert(graft.merge.Merge.readTarget(spark, dim)
+        .where(col("is_current")).count() == 2)
+      // epoch 2: k=1 changes; k=2 churns twice in the SAME batch —
+      // only the latest state becomes a version
+      mem.addData((winTs(10), 1, "a2"), (winTs(10), 2, "b_mid"), (winTs(11), 2, "b2"))
+      q.processAllAvailable()
+      val hist = graft.merge.Merge.readTarget(spark, dim)
+      assert(hist.count() == 4) // two generations per key
+      val current = hist.where(col("is_current"))
+        .select("k", "status").as[(Int, String)].collect().toMap
+      assert(current == Map(1 -> "a2", 2 -> "b2"))
+      assert(hist.where(col("status") === "b_mid").count() == 0)
+      // the closed k=1 generation carries the epoch's event time
+      assert(hist.where(col("k") === 1 && !col("is_current")).head()
+        .getAs[java.time.LocalDateTime]("valid_to") != null)
+    } finally q.stop()
+  }
+
   test("dedupStream emits first arrival per key, drops within-watermark re-deliveries") {
     val mem = MemoryStream[(java.sql.Timestamp, Long, Double)](spark, 1)
     val out = StreamingOps.dedupStream(
