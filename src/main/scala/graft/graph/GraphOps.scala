@@ -556,8 +556,10 @@ object GraphOps {
     * Scale shape per round: ONE edge⋈label join shuffled on `src`
     * (edges are repartitioned on src once, up front, and every round's
     * join reuses that partitioning), one (node, label)-keyed
-    * map-side-combinable count, one per-node top-1 window (bounded by
-    * in-degree), one |V|-row left join. State is RDD-severed each
+    * map-side-combinable count, one per-node `max_by` hash aggregate
+    * for the top label (struct ordering (count, −label) = the
+    * deterministic tie-break, with map-side partials and no sort),
+    * one |V|-row left join. State is RDD-severed each
     * round and local-checkpointed every [[CheckpointEvery]] rounds —
     * the [[pageRank]] lineage discipline; iterations are bounded
     * (communities stabilize in a handful of rounds on real graphs).
@@ -618,9 +620,13 @@ object GraphOps {
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
-      val w = Window.partitionBy("node").orderBy(col("__c").desc, col("label").asc)
-      val winner = votes.withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1).select(col("node"), col("label").as("__new"))
+      // top-1 via max_by over (count, -label): field-by-field struct
+      // ordering = highest count, then SMALLEST label — the same
+      // deterministic tie-break as a (desc count, asc label) window,
+      // but as a hash aggregate: no per-node sort, map-side partials.
+      // (-label is overflow-safe: labels are node ids, never MinValue.)
+      val winner = votes.groupBy("node")
+        .agg(max_by(col("label"), struct(col("__c"), -col("label"))).as("__new"))
       val next = labels
         .join(winner, Seq("node"), "left")
         .select(col("node"), coalesce(col("__new"), col("label")).as("label"))

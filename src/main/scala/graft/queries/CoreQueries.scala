@@ -15,7 +15,7 @@ import graft.merge.Merge
 import graft.meta.MetaOps
 import graft.nested.NestedOps
 import graft.relational.RelationalOps
-import graft.schema.SchemaOps
+import graft.schema.{Expectations, SchemaOps}
 
 /** Driver-checkable queries covering the reference's core operator
   * inventory (SURVEY.md §2.1–§2.10). Each entry runs one engine
@@ -475,6 +475,55 @@ object CoreQueries {
           coalesce(col("component"), col("p_partkey")).as("entity_id"))
         .withColumn("n_records", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("entity_id")))
+    },
+
+    // ---- explicit-values pivot cross-tab (§2.4 beyond-ref): status
+    //      columns across, priority down, exact-decimal revenue sums —
+    //      the value list is a declared contract, never a hidden
+    //      distinct+collect ----
+    Q("q_pivot",
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      RelationalOps.pivotAgg(
+        t(s, dir, "orders").select("o_orderpriority", "o_orderstatus", "o_totalprice"),
+        Seq("o_orderpriority"), "o_orderstatus", Seq("F", "O", "P"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)"))
+    },
+
+    // ---- data-contract expectations gate (§2.2/§2.4 beyond-ref):
+    //      six rules over orders, mixing passes (key unique, not-null)
+    //      with real violations (price cap, status set, priority
+    //      shape, customer fan-out) — row rules fused into ONE scan ----
+    Q("q_expectations",
+      """SELECT rule, target, n_violations, n_violations = 0 AS pass FROM (
+        |SELECT 'not_null' AS rule, 'o_custkey' AS target,
+        |  CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations FROM orders
+        |UNION ALL SELECT 'in_range', 'o_totalprice',
+        |  CAST(count(*) FILTER (WHERE o_totalprice IS NOT NULL
+        |    AND (o_totalprice < 0 OR o_totalprice > 100000)) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'matches', 'o_orderpriority',
+        |  CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+        |    AND NOT regexp_full_match(o_orderpriority, '(?:[1-3]-.*)')) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'in_set', 'o_orderstatus',
+        |  CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+        |    AND o_orderstatus NOT IN ('F', 'O')) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'unique', 'o_orderkey',
+        |  (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+        |   FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+        |UNION ALL SELECT 'unique', 'o_custkey',
+        |  (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+        |   FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey HAVING count(*) > 1)))""".stripMargin) {
+      (s, dir) =>
+        Expectations.report(t(s, dir, "orders"), Seq(
+          Expectations.NotNull("o_custkey"),
+          Expectations.InRange("o_totalprice", 0, 100000),
+          Expectations.Matches("o_orderpriority", "[1-3]-.*"),
+          Expectations.InSet("o_orderstatus", Seq("F", "O")),
+          Expectations.Unique(Seq("o_orderkey")),
+          Expectations.Unique(Seq("o_custkey"))))
     },
 
     // ---- case-mode equality filter (§2.2) ----

@@ -282,6 +282,29 @@ object RelationalOps {
     pruned.join(small, pruned(bigKey) === small(smallKey), joinType)
   }
 
+  /** Explicit-values PIVOT: `rowKeys` down the side, one output column
+    * per `pivotValues` entry, each holding `aggExpr` over the rows
+    * where `pivotCol` equals that value — the reporting cross-tab.
+    * The value list is a REQUIRED literal: Spark's value-discovering
+    * `pivot(col)` first runs a distinct+collect over the pivot column
+    * (a hidden corpus action and an unbounded driver list — exactly
+    * what a 100 TB plan must not bury inside a report query), and a
+    * drifting value set silently changes the output schema. With
+    * literals the plan is one groupBy shuffle with map-side partials,
+    * the schema is a contract, and values outside the list are
+    * dropped BY DECLARATION (count them first with an
+    * [[graft.schema.Expectations.InSet]] rule if they must be zero).
+    */
+  def pivotAgg(df: DataFrame, rowKeys: Seq[String], pivotCol: String,
+               pivotValues: Seq[String], aggExpr: Column): DataFrame = {
+    require(rowKeys.nonEmpty, "pivotAgg: need at least one row key")
+    require(pivotValues.nonEmpty, "pivotAgg: explicit pivotValues required " +
+      "(value discovery is a hidden corpus scan + unbounded collect)")
+    df.groupBy(rowKeys.map(col): _*)
+      .pivot(pivotCol, pivotValues)
+      .agg(aggExpr)
+  }
+
   /** Blocked fuzzy (entity-resolution) join: candidate pairs meet in
     * equi-joins on caller-supplied BLOCKING keys, then an exact
     * Levenshtein refine keeps pairs with `lev(leftCol, rightCol) <=
@@ -294,9 +317,15 @@ object RelationalOps {
     * `blockKeys` is one (leftKey, rightKey) expression pair per PASS;
     * a true match missed by one pass (the perturbation hit that key)
     * is recovered by another — multi-pass blocking is how linkage
-    * systems buy recall without widening any single block. Pass
-    * results are unioned and full-row-deduplicated BEFORE the refine,
-    * so a pair surviving several passes is compared once.
+    * systems buy recall without widening any single block. The
+    * Levenshtein refine runs IN-STAGE on each pass's join output
+    * (codegen'd, before anything shuffles again), and only then are
+    * passes unioned and full-row-deduplicated — so the one pair-keyed
+    * shuffle carries the MATCH set, not the candidate set (at real
+    * blocking selectivity 10–100× smaller; `lev_dist` is a pure
+    * function of the names, so deduplicating after scoring is
+    * match-for-match identical to deduplicating before). A pair
+    * surviving several passes is still emitted once.
     *
     * `maxBlock > 0` drops blocks larger than `maxBlock` rows on
     * EITHER side before the join (single-pass count window, no
@@ -326,12 +355,11 @@ object RelationalOps {
         .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__bk"))))
         .where(col("__bn") <= maxBlock).drop("__bn")
     }
-    val candidates = blockKeys.map { case (lk, rk) =>
+    blockKeys.map { case (lk, rk) =>
       capped(left, lk).join(capped(right, rk), Seq("__bk")).drop("__bk")
+        .withColumn("lev_dist", levenshtein(col(leftCol), col(rightCol)))
+        .where(col("lev_dist") <= maxDist)
     }.reduce(_.unionByName(_)).dropDuplicates()
-    candidates
-      .withColumn("lev_dist", levenshtein(col(leftCol), col(rightCol)))
-      .where(col("lev_dist") <= maxDist)
   }
 
   def filterEquals(df: DataFrame, c: String, value: String,

@@ -1,0 +1,104 @@
+package graft.schema
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-contract gate (the Great-Expectations role,
+  * engine-side): a rule set checked over a frame and reported as
+  * `(rule, target, n_violations, pass)` — the report an operator
+  * reads before letting a load mutate anything (compose with
+  * [[graft.merge.Merge.upsert]] / [[graft.merge.Merge.scd2]]: gate
+  * first, merge after). The reference enforces schema shape only
+  * (`enforce_schema` `src/pyveb/spark_client.py:418-428`) and checks
+  * key duplication out-of-band (`check_duplicates`
+  * `src/pyveb/dbt_client.py:649-658`); this unifies both with value
+  * contracts under one report schema.
+  *
+  * Scale shape: every ROW-level rule (not-null / range / regex /
+  * accepted-set) fuses into a SINGLE scan — one conditional-sum
+  * aggregate with map-side-combinable partials, unpivoted to report
+  * rows with `stack` (the `ProfileOps.columnProfile` idiom; fully
+  * lazy, nothing driver-side). Adding a row rule costs one codegen'd
+  * expression, never another pass. [[Expectations.Unique]] needs its
+  * own keyed aggregate by nature (one count shuffle per unique rule,
+  * the `duplicateKeys` shape); its violation count = rows in excess
+  * of one per key, so `n_violations` always means "rows you would
+  * have to drop to make the contract hold".
+  */
+object Expectations {
+
+  sealed trait Expectation { def rule: String; def target: String }
+  /** Column must be non-null. */
+  final case class NotNull(col: String) extends Expectation {
+    val rule = "not_null"; def target = col
+  }
+  /** `lo <= col <= hi`; nulls are NOT violations — compose [[NotNull]]. */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Expectation {
+    val rule = "in_range"; def target = col
+  }
+  /** Non-null values must match the regex IN FULL (anchored here, so
+    * the rule reads like a shape contract, not a substring probe). */
+  final case class Matches(col: String, regex: String) extends Expectation {
+    val rule = "matches"; def target = col
+  }
+  /** Non-null values must be in the literal set. */
+  final case class InSet(col: String, values: Seq[String]) extends Expectation {
+    val rule = "in_set"; def target = col
+  }
+  /** Composite key occurs at most once. */
+  final case class Unique(cols: Seq[String]) extends Expectation {
+    val rule = "unique"; def target = cols.mkString(",")
+  }
+
+  private def rowViolation(e: Expectation): Option[Column] = e match {
+    case NotNull(c) => Some(col(c).isNull)
+    case InRange(c, lo, hi) =>
+      Some(col(c).isNotNull && (col(c) < lo || col(c) > hi))
+    case Matches(c, re) =>
+      Some(col(c).isNotNull && !col(c).rlike("^(?:" + re + ")$"))
+    case InSet(c, vs) =>
+      Some(col(c).isNotNull && !col(c).isin(vs.map(x => x: Any): _*))
+    case _: Unique => None
+  }
+
+  /** One report row per expectation: `(rule, target, n_violations,
+    * pass)`. Rule order in the output follows the fused plan (row
+    * rules first, then unique rules) — sort on read if display order
+    * matters; the driver compare canonicalizes anyway. */
+  def report(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "Expectations.report: no rules")
+    val rowRules = rules.flatMap(e => rowViolation(e).map(v => (e, v)))
+    val rowPart: Option[DataFrame] =
+      if (rowRules.isEmpty) None
+      else {
+        val aggs = rowRules.zipWithIndex.map { case ((_, v), i) =>
+          sum(when(v, 1L).otherwise(0L)).as(s"__v$i")
+        }
+        // empty frame → sums are NULL → coalesce to 0 (vacuously true)
+        val stacked = rowRules.zipWithIndex.map { case ((e, _), i) =>
+          s"'${e.rule}', '${e.target}', coalesce(__v$i, 0L)"
+        }.mkString(", ")
+        Some(df.agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${rowRules.size}, $stacked) " +
+            "as (rule, target, n_violations)")))
+      }
+    val uniqueParts = rules.collect { case u: Unique =>
+      graft.relational.RelationalOps.duplicateKeys(df, u.cols)
+        .agg(coalesce(sum(col("count") - 1L), lit(0L)).as("n_violations"))
+        .select(lit(u.rule).as("rule"), lit(u.target).as("target"),
+          col("n_violations"))
+    }
+    (rowPart.toSeq ++ uniqueParts).reduce(_.unionByName(_))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
+  /** Fail-fast form: throws listing every violated rule — the
+    * pre-merge contract gate (the strictEnrichJoin stance: a broken
+    * contract fails loudly, never merges quietly). */
+  def requireAll(df: DataFrame, rules: Seq[Expectation]): Unit = {
+    val bad = report(df, rules).where(!col("pass"))
+      .collect().map(r => s"${r.getString(0)}(${r.getString(1)})=${r.getLong(2)}")
+    if (bad.nonEmpty)
+      throw new IllegalStateException(s"expectations failed: ${bad.mkString(", ")}")
+  }
+}

@@ -341,6 +341,19 @@ class RelationalMergeSpec extends SparkSpec {
     assert(out.select("l_id", "r_id").as[(Long, Long)].collect().toSeq == Seq((99L, 2L)))
   }
 
+  test("pivotAgg: explicit-values cross-tab matches conditional aggregation; off-list values dropped") {
+    val df = Seq(("x", "F", 10.0), ("x", "O", 20.0), ("x", "F", 5.0),
+      ("y", "O", 7.0), ("y", "Z", 99.0)).toDF("k", "st", "v")
+    val out = RelationalOps.pivotAgg(df, Seq("k"), "st", Seq("F", "O"),
+      expr("sum(v)")).collect().map(r =>
+      r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out("x") == (Some(15.0), Some(20.0)))
+    assert(out("y") == (None, Some(7.0))) // no F rows -> null; Z dropped by declaration
+    intercept[IllegalArgumentException] {
+      RelationalOps.pivotAgg(df, Seq("k"), "st", Nil, expr("sum(v)"))
+    }
+  }
+
   test("blockedLevenshteinJoin rejects overlapping column names") {
     val df = Seq((1L, "x")).toDF("id", "name")
     intercept[IllegalArgumentException] {

@@ -82,4 +82,50 @@ class SchemaOpsSpec extends SparkSpec {
     assert(TypeMaps.sqlServerToSpark("nvarchar(50)") == StringType)
     assert(TypeMaps.sqlServerToSpark("bigint") == LongType)
   }
+
+  // ---- expectations gate ---------------------------------------------
+
+  import graft.schema.Expectations
+  import graft.schema.Expectations._
+
+  private val contractDf = Seq(
+    (1, Some("a"), 5.0, "1-URGENT"),
+    (2, Some("b"), 150.0, "9-BOGUS"),   // range + shape violations
+    (2, None, 50.0, "2-HIGH"),          // duplicate key + null
+    (3, Some("zz"), -1.0, "3-MEDIUM")   // set + range violations
+  ).toDF("k", "status", "price", "prio")
+
+  test("expectations report: every rule kind counts its violations; row rules fuse into one scan") {
+    val rep = Expectations.report(contractDf, Seq(
+      NotNull("status"),
+      InRange("price", 0, 100),
+      Matches("prio", "[1-5]-.*"),
+      InSet("status", Seq("a", "b")),
+      Unique(Seq("k"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rep(("not_null", "status")) == 1L)
+    assert(rep(("in_range", "price")) == 2L)  // 150 and -1
+    assert(rep(("matches", "prio")) == 1L)    // 9-BOGUS
+    assert(rep(("in_set", "status")) == 1L)   // zz (null not counted)
+    assert(rep(("unique", "k")) == 1L)        // one excess row for k=2
+  }
+
+  test("expectations: clean frame passes everything, including on zero rows") {
+    val clean = Seq((1, "a")).toDF("k", "v")
+    assert(Expectations.report(clean, Seq(NotNull("v"), Unique(Seq("k"))))
+      .where(!col("pass")).count() == 0)
+    val empty = clean.where(lit(false))
+    // vacuously true on an empty frame (sums coalesce to 0), not null-poisoned
+    assert(Expectations.report(empty, Seq(NotNull("v"), InRange("k", 0, 10)))
+      .where(!col("pass")).count() == 0)
+  }
+
+  test("requireAll throws listing the violated rules; passes silently when clean") {
+    val e = intercept[IllegalStateException] {
+      Expectations.requireAll(contractDf, Seq(NotNull("status"), Unique(Seq("k"))))
+    }
+    assert(e.getMessage.contains("not_null(status)=1"))
+    assert(e.getMessage.contains("unique(k)=1"))
+    Expectations.requireAll(contractDf, Seq(NotNull("k")))
+  }
 }
