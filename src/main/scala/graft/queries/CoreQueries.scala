@@ -526,6 +526,39 @@ object CoreQueries {
           Expectations.Unique(Seq("o_custkey"))))
     },
 
+    // ---- per-group contract report: the same rule kinds keyed by
+    //      order priority — "which slice broke the feed"; dense (a
+    //      clean unique rule still reports its zero row) ----
+    Q("q_expectations_by",
+      """WITH g AS (SELECT DISTINCT o_orderpriority FROM orders),
+        |rowr AS (
+        |  SELECT o_orderpriority, 'in_range' AS rule, 'o_totalprice' AS target,
+        |    CAST(count(*) FILTER (WHERE o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0 OR o_totalprice > 100000)) AS BIGINT) AS n_violations
+        |  FROM orders GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'in_set', 'o_orderstatus',
+        |    CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('F', 'O')) AS BIGINT)
+        |  FROM orders GROUP BY o_orderpriority),
+        |uniq AS (
+        |  SELECT g.o_orderpriority, 'unique' AS rule, 'o_custkey' AS target,
+        |    CAST(coalesce(x.nv, 0) AS BIGINT) AS n_violations
+        |  FROM g LEFT JOIN (
+        |    SELECT o_orderpriority, sum(c - 1) AS nv
+        |    FROM (SELECT o_orderpriority, o_custkey, count(*) AS c FROM orders
+        |          GROUP BY 1, 2 HAVING count(*) > 1)
+        |    GROUP BY o_orderpriority) x USING (o_orderpriority))
+        |SELECT o_orderpriority, rule, target, n_violations,
+        |       n_violations = 0 AS pass
+        |FROM (SELECT * FROM rowr UNION ALL SELECT * FROM uniq)""".stripMargin) {
+      (s, dir) =>
+        Expectations.reportBy(t(s, dir, "orders"), Seq("o_orderpriority"), Seq(
+          Expectations.InRange("o_totalprice", 0, 100000),
+          Expectations.InSet("o_orderstatus", Seq("F", "O")),
+          Expectations.Unique(Seq("o_custkey"))))
+    },
+
     // ---- case-mode equality filter (§2.2) ----
     Q("q_filter_equals",
       "SELECT c_custkey, c_mktsegment FROM customer WHERE lower(c_mktsegment) = 'furniture'") { (s, dir) =>

@@ -92,6 +92,50 @@ object Expectations {
       .withColumn("pass", col("n_violations") === 0L)
   }
 
+  /** [[report]] per GROUP: `(group…, rule, target, n_violations,
+    * pass)` — the per-load-partition contract view ("which day broke
+    * the feed"), read next to the drift dashboards. Row rules stay
+    * ONE grouped conditional-sum scan (the fused plan, now keyed by
+    * `groupCols`) unpivoted in-project; each [[Unique]] rule is a
+    * two-level count (key-within-group, then group). Groups with a
+    * clean unique rule still get their zero row: the excess counts
+    * left-join a distinct-groups frame (bounded by group
+    * cardinality), so the report is dense — a missing row can never
+    * be misread as a pass. */
+  def reportBy(df: DataFrame, groupCols: Seq[String],
+               rules: Seq[Expectation]): DataFrame = {
+    require(groupCols.nonEmpty, "Expectations.reportBy: no group columns")
+    require(rules.nonEmpty, "Expectations.reportBy: no rules")
+    val rowRules = rules.flatMap(e => rowViolation(e).map(v => (e, v)))
+    val rowPart: Option[DataFrame] =
+      if (rowRules.isEmpty) None
+      else {
+        val aggs = rowRules.zipWithIndex.map { case ((_, v), i) =>
+          sum(when(v, 1L).otherwise(0L)).as(s"__v$i")
+        }
+        val stacked = rowRules.zipWithIndex.map { case ((e, _), i) =>
+          s"'${e.rule}', '${e.target}', coalesce(__v$i, 0L)"
+        }.mkString(", ")
+        Some(df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          .select(groupCols.map(col) :+
+            expr(s"stack(${rowRules.size}, $stacked) as (rule, target, n_violations)"): _*))
+      }
+    lazy val groups = df.select(groupCols.map(col): _*).distinct()
+    val uniqueParts = rules.collect { case u: Unique =>
+      val excess = df
+        .groupBy((groupCols ++ u.cols).map(col): _*).agg(count(lit(1)).as("__c"))
+        .where(col("__c") > 1)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(col("__c") - 1L).as("__nv"))
+      groups.join(excess, groupCols, "left")
+        .select(groupCols.map(col) :+ lit(u.rule).as("rule") :+
+          lit(u.target).as("target") :+
+          coalesce(col("__nv"), lit(0L)).as("n_violations"): _*)
+    }
+    (rowPart.toSeq ++ uniqueParts).reduce(_.unionByName(_))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
   /** Fail-fast form: throws listing every violated rule — the
     * pre-merge contract gate (the strictEnrichJoin stance: a broken
     * contract fails loudly, never merges quietly). */

@@ -120,6 +120,20 @@ class SchemaOpsSpec extends SparkSpec {
       .where(!col("pass")).count() == 0)
   }
 
+  test("reportBy: per-group counts, dense zero rows for clean unique groups") {
+    val df = Seq(
+      ("d1", 1, 500.0), ("d1", 1, 5.0),   // d1: dup key, one range violation
+      ("d2", 2, 10.0), ("d2", 3, 20.0)    // d2: clean
+    ).toDF("day", "k", "price")
+    val rep = Expectations.reportBy(df, Seq("day"), Seq(
+      InRange("price", 0, 100), Unique(Seq("k"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(rep(("d1", "in_range")) == 1L)
+    assert(rep(("d1", "unique")) == 1L)
+    assert(rep(("d2", "in_range")) == 0L)
+    assert(rep(("d2", "unique")) == 0L)   // dense: zero row present
+  }
+
   test("requireAll throws listing the violated rules; passes silently when clean") {
     val e = intercept[IllegalStateException] {
       Expectations.requireAll(contractDf, Seq(NotNull("status"), Unique(Seq("k"))))
