@@ -364,6 +364,44 @@ object Merge {
       (col("valid_to").isNull || col("valid_to") > ts))
   }
 
+  /** Point-in-time ENRICH: attach to every fact row the dimension
+    * version valid at the fact's OWN timestamp — the join an SCD-2
+    * history exists to serve ("price the order at the contract terms
+    * of its day", the feature-store training join that must not leak
+    * future attribute values). Left-join semantics: a fact whose key
+    * had no valid version at its instant (unborn, or expired under
+    * `closeMissing`) keeps null payloads.
+    *
+    * Shape: an equi-join on `keys` with the interval test as a join
+    * filter — versions-per-key is small by construction (one per
+    * change), so the fan-in per fact is version-count, not
+    * corpus-sized, and each fact matches AT MOST one version by the
+    * non-overlap invariant [[scd2Apply]] maintains. This is the
+    * degenerate-interval case where the generic binned [[graft
+    * .relational.RelationalOps.rangeJoin]] machinery would be
+    * overkill: the key equality already prunes candidates to a
+    * handful. Payload columns arrive suffixed.
+    */
+  def scd2Enrich(facts: DataFrame, history: DataFrame, keys: Seq[String],
+                 factTsCol: String, payload: Seq[String],
+                 suffix: String = "_dim"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "scd2Enrich needs at least one key column")
+    require(payload.nonEmpty, "scd2Enrich: no payload columns")
+    Seq("valid_from", "valid_to").foreach(c => require(history.columns.contains(c),
+      s"scd2Enrich: history lacks SCD column '$c'"))
+    val h = history.columns.foldLeft(history) {
+      (df, c) => df.withColumnRenamed(c, s"__h_$c")
+    }
+    val ts = col(factTsCol)
+    val cond = keys.map(k => col(k) <=> col(s"__h_$k")).reduce(_ && _) &&
+      col("__h_valid_from") <= ts &&
+      (col("__h_valid_to").isNull || col("__h_valid_to") > ts)
+    facts.join(h, cond, "left")
+      .select(facts.columns.map(col) ++
+        payload.map(c => col(s"__h_$c").as(s"$c$suffix")): _*)
+  }
+
   /** Writing form of [[scd2Apply]]: merge against the stored dimension
     * and swap the result in atomically (the [[upsert]] protocol). An
     * absent target is born as an all-open day-0 snapshot of the stage

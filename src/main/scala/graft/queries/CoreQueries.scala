@@ -429,6 +429,35 @@ object CoreQueries {
           "2024-01-15 00:00:00")
     },
 
+    // ---- SCD-2 point-in-time enrich: each fact joined to the
+    //      dimension version valid at the fact's OWN instant — odd
+    //      keys priced at day 15 (pre-merge terms), even keys at day
+    //      45 (post-merge terms), keys born day-30 null at day 15 ----
+    Q("q_scd2_enrich",
+      s"""WITH f AS (SELECT o_orderkey,
+        |      CASE WHEN o_orderkey % 2 = 1 THEN TIMESTAMP '2024-01-15 00:00:00'
+        |           ELSE TIMESTAMP '2024-03-15 00:00:00' END AS fact_ts
+        |    FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 1300)
+        |SELECT f.o_orderkey, f.fact_ts,
+        |       h.o_totalprice AS o_totalprice_dim,
+        |       h.o_orderstatus AS o_orderstatus_dim
+        |FROM f LEFT JOIN ($duckScd2Legs) h
+        |  ON f.o_orderkey = h.o_orderkey
+        | AND h.valid_from <= f.fact_ts
+        | AND (h.valid_to IS NULL OR h.valid_to > f.fact_ts)""".stripMargin) { (s, dir) =>
+      val (hist, stage) = scd2Fixture(s, dir)
+      val applied = Merge.scd2Apply(hist, stage, Seq("o_orderkey"),
+        loadTs = "2024-02-01 00:00:00")
+      val facts = t(s, dir, "orders")
+        .where(col("o_orderkey") >= 200 && col("o_orderkey") < 1300)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 2 === 1, lit("2024-01-15 00:00:00"))
+            .otherwise(lit("2024-03-15 00:00:00"))
+            .cast(TimestampNTZType).as("fact_ts"))
+      Merge.scd2Enrich(facts, applied, Seq("o_orderkey"), "fact_ts",
+        Seq("o_totalprice", "o_orderstatus"))
+    },
+
     // ---- blocked entity resolution (§2.3 beyond-ref): two blocking
     //      passes (first-token+brand, suffix-3+brand) recover a
     //      mid-string deletion, exact Levenshtein refine ≤ 2 ----

@@ -288,6 +288,31 @@ class RelationalMergeSpec extends SparkSpec {
     assert(late.where(col("k") === 2).head().getAs[Double]("price") == 99.0)
   }
 
+  test("scd2Enrich: each fact gets the version valid at its own instant; unborn keys null") {
+    val stage = Seq((1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0)).toDF("k", "status", "price")
+    val hist = Merge.scd2Apply(scd2History, stage, Seq("k"), "2024-02-01 00:00:00")
+    val facts = Seq(
+      (2, "2024-01-15 00:00:00"),  // before the change -> old price
+      (2, "2024-03-15 00:00:00"),  // after  the change -> new price
+      (4, "2024-01-15 00:00:00"),  // unborn at that instant -> null
+      (4, "2024-03-15 00:00:00"),  // born -> stage price
+      (9, "2024-03-15 00:00:00")   // key never existed -> null
+    ).toDF("k", "fact_ts")
+      .withColumn("fact_ts", col("fact_ts")
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
+    val out = Merge.scd2Enrich(facts, hist, Seq("k"), "fact_ts", Seq("price"))
+      .select("k", "fact_ts", "price_dim")
+      .collect().map(r => (r.getInt(0), r.get(1).toString.take(10)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(out((2, "2024-01-15")) == Some(20.0))
+    assert(out((2, "2024-03-15")) == Some(99.0))
+    assert(out((4, "2024-01-15")) == None)
+    assert(out((4, "2024-03-15")) == Some(40.0))
+    assert(out((9, "2024-03-15")) == None)
+    // exactly one row per fact: the non-overlap invariant held
+    assert(Merge.scd2Enrich(facts, hist, Seq("k"), "fact_ts", Seq("price")).count() == 5)
+  }
+
   test("scd2 write form: absent target born all-open, change produces two generations, rerun idempotent") {
     val dir = Files.createTempDirectory("scd2").toString + "/dim"
     val day0 = Seq((1, "a"), (2, "b")).toDF("k", "status")
