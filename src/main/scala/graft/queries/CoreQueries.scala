@@ -539,6 +539,9 @@ object CoreQueries {
         |UNION ALL SELECT 'in_set', 'o_orderstatus',
         |  CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
         |    AND o_orderstatus NOT IN ('F', 'O')) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'satisfies', 'f_orders_priced',
+        |  CAST(count(*) FILTER (WHERE NOT coalesce(
+        |    o_orderstatus <> 'F' OR o_totalprice >= 50, false)) AS BIGINT) FROM orders
         |UNION ALL SELECT 'unique', 'o_orderkey',
         |  (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT)
         |   FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
@@ -551,6 +554,8 @@ object CoreQueries {
           Expectations.InRange("o_totalprice", 0, 100000),
           Expectations.Matches("o_orderpriority", "[1-3]-.*"),
           Expectations.InSet("o_orderstatus", Seq("F", "O")),
+          Expectations.Satisfies("f_orders_priced",
+            "o_orderstatus <> 'F' OR o_totalprice >= 50"),
           Expectations.Unique(Seq("o_orderkey")),
           Expectations.Unique(Seq("o_custkey"))))
     },

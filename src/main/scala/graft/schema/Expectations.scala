@@ -49,6 +49,15 @@ object Expectations {
   final case class Unique(cols: Seq[String]) extends Expectation {
     val rule = "unique"; def target = cols.mkString(",")
   }
+  /** Catch-all row contract: an arbitrary SQL predicate that must
+    * hold (cross-column rules — `"a <= b"`, conditional shapes). A
+    * row violates when the predicate is FALSE or NULL — a contract
+    * you cannot evaluate is a contract not met, the strict reading;
+    * express "nulls exempt" inside the predicate itself. `name` is
+    * the report target (the predicate text is a poor key). */
+  final case class Satisfies(name: String, predicate: String) extends Expectation {
+    val rule = "satisfies"; def target = name
+  }
 
   private def rowViolation(e: Expectation): Option[Column] = e match {
     case NotNull(c) => Some(col(c).isNull)
@@ -58,6 +67,7 @@ object Expectations {
       Some(col(c).isNotNull && !col(c).rlike("^(?:" + re + ")$"))
     case InSet(c, vs) =>
       Some(col(c).isNotNull && !col(c).isin(vs.map(x => x: Any): _*))
+    case Satisfies(_, p) => Some(!coalesce(expr(p), lit(false)))
     case _: Unique => None
   }
 

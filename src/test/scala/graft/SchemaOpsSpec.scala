@@ -110,6 +110,15 @@ class SchemaOpsSpec extends SparkSpec {
     assert(rep(("unique", "k")) == 1L)        // one excess row for k=2
   }
 
+  test("Satisfies: cross-column predicate; FALSE and NULL both violate (strict reading)") {
+    val df = Seq((1, Some(5.0), 10.0), (2, Some(20.0), 10.0), (3, None, 10.0))
+      .toDF("k", "lo", "hi")
+    val rep = Expectations.report(df, Seq(Satisfies("lo_le_hi", "lo <= hi")))
+      .head()
+    assert(rep.getLong(2) == 2L) // row 2 (false) + row 3 (null predicate)
+    assert(!rep.getBoolean(3))
+  }
+
   test("expectations: clean frame passes everything, including on zero rows") {
     val clean = Seq((1, "a")).toDF("k", "v")
     assert(Expectations.report(clean, Seq(NotNull("v"), Unique(Seq("k"))))
