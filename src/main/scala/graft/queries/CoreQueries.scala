@@ -471,6 +471,30 @@ object CoreQueries {
         .select("l_id", "r_id", "lev_dist")
     },
 
+    // ---- the stop-block cap engaged, oracle-proven: single pass
+    //      (first-token+brand) with maxBlock=120 — blocks over the cap
+    //      drop on EITHER side before the join (binds at sf0.1 where
+    //      blocks average ~100, a no-op at sf0.01) ----
+    Q("q_er_blocked_capped",
+      s"""WITH $duckErCandCtes,
+        |lc AS (SELECT l_id, l_name, l_brand FROM (
+        |         SELECT pl.*, count(*) OVER (PARTITION BY
+        |           concat(split_part(l_name, ' ', 1), '|', l_brand)) AS bn FROM pl)
+        |       WHERE bn <= 120),
+        |rc AS (SELECT r_id, r_name, r_brand FROM (
+        |         SELECT pr.*, count(*) OVER (PARTITION BY
+        |           concat(split_part(r_name, ' ', 1), '|', r_brand)) AS bn FROM pr)
+        |       WHERE bn <= 120)
+        |SELECT l_id, r_id, CAST(levenshtein(l_name, r_name) AS INTEGER) AS lev_dist
+        |FROM lc JOIN rc ON concat(split_part(l_name, ' ', 1), '|', l_brand)
+        |                 = concat(split_part(r_name, ' ', 1), '|', r_brand)
+        |WHERE levenshtein(l_name, r_name) <= 2""".stripMargin) { (s, dir) =>
+      val (lf, rt) = erSides(s, dir)
+      RelationalOps.blockedLevenshteinJoin(lf, rt, "l_name", "r_name",
+        erBlockKeys.take(1), maxDist = 2, maxBlock = 120)
+        .select("l_id", "r_id", "lev_dist")
+    },
+
     // ---- golden-record entity groups: the ER match pairs closed
     //      under transitive connectivity — every part gets its entity
     //      cluster id (min member key, the CC convergence point) and
