@@ -32,6 +32,22 @@ object Bench {
     if (s.contains('.')) s else s + ".0"
   }
 
+  /** Committed per-query SETTLED FLOORS (`floors.json`, a flat
+    * `{"query": seconds}` map measured by dedicated `graft.Scratch`
+    * runs — SCALING.md "Settled floors"): the drift-adjudication
+    * basis the r12 verdict asked for. An isolated re-measure landing
+    * at ≤ ~1.2× its floor is suite noise by definition, whatever the
+    * prior round's in-suite warm happened to be. Missing file or
+    * query → no floor, adjudication falls back to prior-warm only. */
+  private[graft] def settledFloors(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val q = """"([A-Za-z0-9_()]+)"\s*:\s*(-?[0-9.]+)""".r
+      q.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._2 > 0).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   /** Prior round's per-query WARM numbers from the `bench_detail.json`
     * the last run left behind — the self-adjudication baseline. Parsed
     * with a scan for `"<name>":{...,"warm":X` instead of a JSON lib
@@ -97,12 +113,24 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       pb.redirectErrorStream(true)
       val p = pb.start()
-      val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
-        .getLines().filter(_.startsWith("[scratch]")).toList
+      // drain stdout on its OWN thread (r12 advice): a to-EOF read on
+      // this thread would block forever on a hung child, so the 600 s
+      // waitFor/destroyForcibly path could never engage — one stuck
+      // spawn would hang the whole bench
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val reader = new Thread(() =>
+        try scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
+          .getLines().foreach { l => if (l.startsWith("[scratch]")) out.add(l) }
+        catch { case scala.util.control.NonFatal(_) => () },
+        s"bench-iso-drain-$name")
+      reader.setDaemon(true)
+      reader.start()
       val done = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
-      if (!done) { p.destroyForcibly(); None }
+      if (!done) { p.destroyForcibly(); reader.join(2000); None }
       else {
-        val secs = out.flatMap(_.split(": ").lastOption)
+        reader.join(10000) // stream closes with the exited process
+        import scala.jdk.CollectionConverters._
+        val secs = out.asScala.toList.flatMap(_.split(": ").lastOption)
           .flatMap(s => scala.util.Try(s.stripSuffix(" s").toDouble).toOption)
         if (secs.isEmpty) None else Some(secs.min)
       }
@@ -335,6 +363,7 @@ object Bench {
     // costs a JVM+session boot); the cap itself is published via the
     // adjudicated map's size vs the drift list printed to stderr.
     val prior = priorWarms("bench_detail.json")
+    val floors = settledFloors("floors.json")
     val drifted = coldOk.flatMap { case (n, c, _, _, _) =>
       val w = warmOf(n, c)
       prior.get(n).collect {
@@ -344,17 +373,32 @@ object Bench {
     if (drifted.size > 8)
       System.err.println(s"[bench] ${drifted.size} drifts; adjudicating top 8, " +
         s"deferred: ${drifted.drop(8).map(_._1).mkString(",")}")
-    val adjudicated: Map[String, (Double, Double, Double)] = drifted.take(8).map {
-      case (n, w, pw) =>
+    // ISOLATION AFTER SUITE SHUTDOWN (r12 verdict #3): the r12 pass ran
+    // beside the still-resident suite SparkSession, so under memory/
+    // page-cache pressure an isolated figure could land ABOVE in-suite
+    // warm and adjudicate nothing. Stop the suite session (executor
+    // threads, block manager, cached pools all released) and settle the
+    // heap before the first spawn; the spawned JVM then owns the host.
+    if (drifted.nonEmpty) { spark.stop(); System.gc() }
+    val adjudicated: Map[String, (Double, Double, Double, Option[Double])] =
+      drifted.take(8).map { case (n, w, pw) =>
         System.err.println(f"[bench] drift $n: warm ${w}%.3f vs prior ${pw}%.3f — isolating")
         val iso = isolatedSec(n, sfDir, cpus).getOrElse(-1.0)
-        System.err.println(f"[bench] drift $n: isolated ${iso}%.3f s")
-        n -> (pw, w, iso)
-    }.toMap
+        val fl = floors.get(n)
+        val verdict =
+          if (iso < 0) "spawn-failed"
+          else if (fl.exists(f => iso <= f * 1.25)) "suite-noise(floor)"
+          else if (iso <= w) "suite-noise"
+          else "regressed?"
+        System.err.println(f"[bench] drift $n: isolated ${iso}%.3f s, " +
+          f"floor ${fl.getOrElse(-1.0)}%.3f — $verdict")
+        n -> (pw, w, iso, fl)
+      }.toMap
     val detailEntries = results.map { case (k, v, ok, gcS, mb) =>
       val warm = if (ok) r3(warmOf(k, v)) else "-1"
-      val adj = adjudicated.get(k).fold("") { case (pw, _, iso) =>
-        s""","prior_warm":${r3(pw)},"isolated":${if (iso >= 0) r3(iso) else "-1"}""" }
+      val adj = adjudicated.get(k).fold("") { case (pw, _, iso, fl) =>
+        s""","prior_warm":${r3(pw)},"isolated":${if (iso >= 0) r3(iso) else "-1"}""" +
+          fl.fold("")(f => s""","floor":${r3(f)}""") }
       s""""$k":{"sec":${if (ok) r3(v) else "-1"},"warm":$warm,"gc":${r3(gcS)},"peak_mb":$mb$adj}"""
     }
     // cold/warm ratios for the 5 cold-slowest stay first-class: they are
@@ -364,8 +408,9 @@ object Bench {
     val rerunJson = rerun.map { case (k, _, w) => s""""$k":${r3(w)}""" }.mkString("{", ",", "}")
     val ratioJson = rerun.map { case (k, c, w) =>
       s""""$k":${r3(c / math.max(1e-9, w))}""" }.mkString("{", ",", "}")
-    val adjJson = adjudicated.toSeq.sortBy(_._1).map { case (k, (pw, w, iso)) =>
-      s""""$k":{"prior":${r3(pw)},"warm":${r3(w)},"isolated":${if (iso >= 0) r3(iso) else "-1"}}"""
+    val adjJson = adjudicated.toSeq.sortBy(_._1).map { case (k, (pw, w, iso, fl)) =>
+      s""""$k":{"prior":${r3(pw)},"warm":${r3(w)},"isolated":${if (iso >= 0) r3(iso) else "-1"}""" +
+        fl.fold("")(f => s""","floor":${r3(f)}""") + "}"
     }.mkString("{", ",", "}")
     val detail = detailEntries.mkString(
       s"""{"metric":"detail","sf":"$sfDir","cpus":$cpus,"gc_forced":$gcForced,"basis":"warm","cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adjJson,"queries":{""",

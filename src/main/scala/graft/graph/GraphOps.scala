@@ -569,6 +569,25 @@ object GraphOps {
                        iterations: Int = 5): DataFrame =
     labelPropagationCore(edges, srcCol, dstCol, iterations, converge = false)._1
 
+  /** [[labelPropagation]] plus a release handle that unpersists the
+    * final label state THIS call left cached (the
+    * [[connectedComponentsReleasable]] contract: long-lived sessions
+    * release by handle, never by sweeping `getPersistentRDDs`). Call
+    * release only after the returned frame is consumed or written. */
+  def labelPropagationReleasable(edges: DataFrame, srcCol: String, dstCol: String,
+                                 iterations: Int = 5): (DataFrame, () => Unit) = {
+    val (df, _, release) =
+      labelPropagationCore(edges, srcCol, dstCol, iterations, converge = false)
+    (df, release)
+  }
+
+  /** Releasable form of [[labelPropagationConverged]]:
+    * `(labels, roundsRun, release)`. */
+  def labelPropagationConvergedReleasable(edges: DataFrame, srcCol: String,
+                                          dstCol: String, maxIterations: Int = 20)
+  : (DataFrame, Int, () => Unit) =
+    labelPropagationCore(edges, srcCol, dstCol, maxIterations, converge = true)
+
   /** [[labelPropagation]] iterated to a FIXPOINT: rounds run until no
     * node changes label (or `maxIterations`), with the same 1-scalar
     * changed-count checksum per round as [[pageRankConverged]] and the
@@ -591,7 +610,7 @@ object GraphOps {
 
   private def labelPropagationCore(edges: DataFrame, srcCol: String, dstCol: String,
                                    iterations: Int, converge: Boolean)
-  : (DataFrame, Int, Unit) = {
+  : (DataFrame, Int, () => Unit) = {
     require(iterations >= 1, "labelPropagation: iterations must be >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -650,10 +669,20 @@ object GraphOps {
         ckptRoot = next
       } else if (prev ne ckptRoot) prev.unpersist()
     }
-    // RDD-severed from the edge/node plans — release their caches here
+    // RDD-severed from the edge/node plans — release their caches here;
+    // the FINAL label state (and its checkpoint root, when distinct)
+    // stays cached behind the returned frame and is released by handle
     val out = labelRdd.toDF("node", "label")
     e.unpersist(); nodes.unpersist()
-    (out, itersRun, ())
+    val finalRdd = labelRdd
+    val finalCkpt = ckptRoot
+    val release = () => {
+      finalRdd.unpersist(blocking = false)
+      if ((finalCkpt ne null) && (finalCkpt ne finalRdd))
+        finalCkpt.unpersist(blocking = false)
+      ()
+    }
+    (out, itersRun, release)
   }
 
   private def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,

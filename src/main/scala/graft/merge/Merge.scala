@@ -36,17 +36,64 @@ object Merge {
   /** Delete-matching-composite-key-then-insert (reference `_upsert`). */
   final case class Upsert(keys: Seq[String]) extends InsertMode
 
+  /** How a table rewrite becomes visible to readers. */
+  sealed trait Commit
+  /** Directory rename-swap ([[atomicSwap]]) — atomic on HDFS/local
+    * POSIX-like stores; NOT on S3 (rename = copy+delete there). The
+    * default, and the right choice everywhere renames are atomic. */
+  case object RenameCommit extends Commit
+  /** Manifest-pointer commit ([[pointerSwap]]) — data lands in an
+    * immutable content-named subdirectory and a single small
+    * `_current` manifest file is atomically republished to point at
+    * it. Correct wherever publishing ONE small object is atomic
+    * (S3 PUT included), which is exactly where rename is not — the
+    * table-format commit idea (Delta/Iceberg's log pointer) reduced
+    * to one pointer file. Opt-in via the `commit` parameter on the
+    * writing APIs. A target directory lives its whole life under one
+    * commit mode; converting requires a rewrite. */
+  case object PointerCommit extends Commit
+
+  private val ManifestFile = "_current"
+
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Current manifest pointer, if `dir` is a pointer-committed table. */
+  private def readManifest(f: org.apache.hadoop.fs.FileSystem,
+                           dir: String): Option[String] = {
+    val mp = new Path(dir, ManifestFile)
+    if (!f.exists(mp)) None
+    else {
+      val in = f.open(mp)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        if (s.isEmpty) None else Some(s)
+      } finally in.close()
+    }
+  }
+
+  /** True when the target holds committed data: a published manifest,
+    * or (rename-mode) any entry that is not an unpublished `__data_`
+    * dir / manifest temp left by a crashed pointer writer. */
   def targetExists(spark: SparkSession, dir: String): Boolean = {
     val f = fs(spark, dir)
     val p = new Path(dir)
-    f.exists(p) && f.listStatus(p).nonEmpty
+    if (!f.exists(p)) false
+    else if (f.exists(new Path(p, ManifestFile))) true
+    else f.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("__data_") && !n.startsWith(ManifestFile)
+    }
   }
 
+  /** Mode-transparent read: a pointer-committed target resolves
+    * through its `_current` manifest; anything else reads the
+    * directory itself. */
   def readTarget(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+    readManifest(fs(spark, dir), dir) match {
+      case Some(name) => spark.read.parquet(new Path(dir, name).toString)
+      case None       => spark.read.parquet(dir)
+    }
 
   /** The insert dispatcher (`insert_type ∈ {append, overwrite, upsert}`,
     * `src/pyveb/rs_client.py:339-388`).
@@ -62,8 +109,13 @@ object Merge {
     graft.io.Writers.parquet(stage, targetDir, mode = org.apache.spark.sql.SaveMode.Append)
 
   /** DELETE all + INSERT, atomically (`_full_refresh` `rs_client.py:285-312`). */
-  def overwrite(stage: DataFrame, targetDir: String): Unit =
-    graft.io.Writers.parquet(stage, targetDir, mode = org.apache.spark.sql.SaveMode.Overwrite)
+  def overwrite(stage: DataFrame, targetDir: String,
+                commit: Commit = RenameCommit): Unit = commit match {
+    case RenameCommit =>
+      graft.io.Writers.parquet(stage, targetDir, mode = org.apache.spark.sql.SaveMode.Overwrite)
+    case PointerCommit =>
+      pointerSwap(stage.sparkSession, targetDir)(d => graft.io.Writers.parquet(stage, d))
+  }
 
   /** Upsert: target rows whose composite key appears in stage are
     * replaced by the stage rows; new keys are inserted. Idempotent:
@@ -83,10 +135,15 @@ object Merge {
     * (full anti-join) for partition-mobile keys.
     */
   def upsert(stage: DataFrame, targetDir: String, keys: Seq[String],
-             prunePartitions: Seq[String] = Nil): Unit = {
+             prunePartitions: Seq[String] = Nil,
+             commit: Commit = RenameCommit): Unit = {
     require(keys.nonEmpty, "upsert needs at least one key column")
+    require(commit == RenameCommit || prunePartitions.isEmpty,
+      "upsert: PointerCommit rewrites the whole table image; the " +
+        "partition-scoped path needs in-place dynamic overwrite (use " +
+        "RenameCommit, or a table format at S3 scale)")
     val spark = stage.sparkSession
-    if (!targetExists(spark, targetDir)) { overwrite(stage, targetDir); return }
+    if (!targetExists(spark, targetDir)) { overwrite(stage, targetDir, commit); return }
 
     if (prunePartitions.nonEmpty) {
       // Partition-scoped MERGE: rewrite only the stage's partitions.
@@ -108,7 +165,7 @@ object Merge {
       val survivors = target.join(
         stage.select(keys.map(org.apache.spark.sql.functions.col): _*), keys, "left_anti")
       val merged = RelationalOps.uniteByName(Seq(survivors, stage))
-      atomicReplace(merged, targetDir)
+      atomicReplace(merged, targetDir, commit)
     }
   }
 
@@ -120,8 +177,13 @@ object Merge {
     * byte-identical, so `df` may safely read from `targetDir` itself
     * (the compaction / merge rewrite shape).
     */
-  private[graft] def atomicReplace(df: DataFrame, targetDir: String): Unit =
-    atomicSwap(df.sparkSession, targetDir)(tmp => graft.io.Writers.parquet(df, tmp))
+  private[graft] def atomicReplace(df: DataFrame, targetDir: String,
+                                   commit: Commit = RenameCommit): Unit = commit match {
+    case RenameCommit =>
+      atomicSwap(df.sparkSession, targetDir)(tmp => graft.io.Writers.parquet(df, tmp))
+    case PointerCommit =>
+      pointerSwap(df.sparkSession, targetDir)(d => graft.io.Writers.parquet(df, d))
+  }
 
   /** The tmp-write → rename-swap → rollback protocol with an arbitrary
     * write step: `write` populates a sibling stage directory (any
@@ -149,6 +211,51 @@ object Merge {
       throw new IllegalStateException(s"rename $tmp -> $target failed")
     }
     f.delete(old, true)
+  }
+
+  /** The S3-safe commit: `write` populates an immutable
+    * `__data_<uuid>` subdirectory of the target (readers keep
+    * resolving the PREVIOUS manifest throughout), then the `_current`
+    * manifest — one small file naming the data dir — is republished
+    * atomically (tmp file + rename-with-overwrite here; a plain PUT
+    * on S3, where replacing one object is atomic and
+    * read-after-write consistent). Failure atlas:
+    *
+    *   - crash during `write`      → data dir deleted (or orphaned if
+    *     the crash was a kill); manifest untouched; readers unaffected;
+    *   - crash before the publish  → orphaned `__data_` dir, manifest
+    *     untouched; the next successful commit garbage-collects it;
+    *   - crash during the publish  → either the old or the new
+    *     manifest is visible, never a torn one (single-object swap).
+    *
+    * After a successful publish, superseded data dirs and manifest
+    * temps are deleted best-effort — on S3 give readers a grace TTL
+    * instead (a reader that resolved the old manifest may still be
+    * listing it); the single-writer discipline is the caller's, same
+    * as [[atomicSwap]]'s. */
+  private[graft] def pointerSwap(spark: SparkSession, targetDir: String)
+                                (write: String => Unit): Unit = {
+    val f = fs(spark, targetDir)
+    val target = new Path(targetDir)
+    f.mkdirs(target)
+    val dataName = "__data_" + UUID.randomUUID().toString.take(8)
+    val dataDir = new Path(target, dataName)
+    try write(dataDir.toString)
+    catch { case e: Throwable => f.delete(dataDir, true); throw e }
+    val tmp = new Path(target,
+      ManifestFile + ".tmp_" + UUID.randomUUID().toString.take(8))
+    val out = f.create(tmp, true)
+    try out.write(dataName.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(target, ManifestFile),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try f.listStatus(target).foreach { st =>
+      val n = st.getPath.getName
+      if ((n.startsWith("__data_") && n != dataName) ||
+        n.startsWith(ManifestFile + ".tmp_"))
+        f.delete(st.getPath, true)
+    } catch { case scala.util.control.NonFatal(_) => () } // GC is best-effort
   }
 
   /** The pure (non-writing) form of the upsert join — exposed so the
@@ -256,11 +363,12 @@ object Merge {
     * run with the same stage finds nothing changed and rewrites
     * identical content. */
   def upsertOnDiff(stage: DataFrame, targetDir: String, keys: Seq[String],
-                   compareCols: Seq[String] = Nil): Unit = {
+                   compareCols: Seq[String] = Nil,
+                   commit: Commit = RenameCommit): Unit = {
     val spark = stage.sparkSession
-    if (!targetExists(spark, targetDir)) { overwrite(stage, targetDir); return }
+    if (!targetExists(spark, targetDir)) { overwrite(stage, targetDir, commit); return }
     atomicReplace(upsertOnDiffFrame(readTarget(spark, targetDir), stage, keys, compareCols),
-      targetDir)
+      targetDir, commit)
   }
 
   /** SCD TYPE-2 apply — the history-PRESERVING form of
@@ -305,7 +413,7 @@ object Merge {
   def scd2Apply(history: DataFrame, stage: DataFrame, keys: Seq[String],
                 loadTs: String, compareCols: Seq[String] = Nil,
                 closeMissing: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
+    import org.apache.spark.sql.functions.{array, col, concat, explode, lit, raise_error, struct, when}
     require(keys.nonEmpty, "scd2Apply needs at least one key column")
     val scdCols = Seq("valid_from", "valid_to", "is_current")
     scdCols.foreach(c => require(history.columns.contains(c),
@@ -329,6 +437,21 @@ object Merge {
     val joined = current.withColumn("__c_present", lit(true)).join(sPref,
       keys.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _), "full_outer")
     val changed = cmp.map(c => !(col(c) <=> col(s"__s_$c"))).reduce(_ || _)
+    // OUT-OF-ORDER GUARD: closing a version at a loadTs EARLIER than
+    // its valid_from would write valid_to < valid_from and open
+    // overlapping versions — silently breaking the non-overlap
+    // invariant scd2AsOf/scd2Enrich rely on ("at most one version per
+    // instant"). A replayed/late stage must fail loudly, in-plan (no
+    // driver-side pre-scan): the error raises only on rows the apply
+    // would actually close, so an old stage that changes nothing still
+    // no-ops idempotently.
+    val closeTs = when(ts < col("valid_from"),
+      raise_error(concat(
+        lit(s"scd2Apply: loadTs '$loadTs' predates the open version's valid_from ("),
+        col("valid_from").cast("string"),
+        lit(") for a matched key — out-of-order/replayed stage; apply loads in valid_from order")))
+        .cast(history.schema("valid_to").dataType))
+      .otherwise(ts)
     def curVersion(validTo: Column, isCur: Column) = struct(
       biz.map(c => col(c).as(c)) ++ Seq(col("valid_from").as("valid_from"),
         validTo.as("valid_to"), isCur.as("is_current")): _*)
@@ -339,9 +462,9 @@ object Merge {
     val versions =
       when(col("__c_present").isNull, array(stageVersion))
         .when(col("__s_present").isNotNull && changed,
-          array(curVersion(ts, lit(false)), stageVersion))
+          array(curVersion(closeTs, lit(false)), stageVersion))
         .when(lit(closeMissing) && col("__s_present").isNull,
-          array(curVersion(ts, lit(false))))
+          array(curVersion(closeTs, lit(false))))
         .otherwise(array(curVersion(col("valid_to"), col("is_current"))))
     joined.select(explode(versions).as("__v")).select(col("__v.*"))
       .unionByName(closed.select((biz ++ scdCols).map(col): _*))
@@ -408,7 +531,8 @@ object Merge {
     * at `loadTs`. Idempotent per ([[scd2Apply]], same stage). */
   def scd2(stage: DataFrame, targetDir: String, keys: Seq[String],
            loadTs: String, compareCols: Seq[String] = Nil,
-           closeMissing: Boolean = false): Unit = {
+           closeMissing: Boolean = false,
+           commit: Commit = RenameCommit): Unit = {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types.{BooleanType, TimestampNTZType}
     val spark = stage.sparkSession
@@ -416,10 +540,10 @@ object Merge {
       overwrite(stage
         .withColumn("valid_from", lit(loadTs).cast(TimestampNTZType))
         .withColumn("valid_to", lit(null).cast(TimestampNTZType))
-        .withColumn("is_current", lit(true).cast(BooleanType)), targetDir)
+        .withColumn("is_current", lit(true).cast(BooleanType)), targetDir, commit)
       return
     }
     atomicReplace(scd2Apply(readTarget(spark, targetDir), stage, keys,
-      loadTs, compareCols, closeMissing), targetDir)
+      loadTs, compareCols, closeMissing), targetDir, commit)
   }
 }

@@ -33,6 +33,14 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Rule set shared by the split/quarantine queries: two row rules
+    * with real violations plus a unique rule whose excess rows the
+    * router quarantines first-wins by `o_orderkey`. */
+  private val splitRules = Seq(
+    Expectations.InRange("o_totalprice", 0, 100000),
+    Expectations.InSet("o_orderstatus", Seq("F", "O")),
+    Expectations.Unique(Seq("o_custkey")))
+
   /** The four SCD-2 legs over orders (closed passthrough / keep /
     * close / open) — shared by the apply and as-of oracles. */
   private val duckScd2Legs =
@@ -615,6 +623,98 @@ object CoreQueries {
           Expectations.InRange("o_totalprice", 0, 100000),
           Expectations.InSet("o_orderstatus", Seq("F", "O")),
           Expectations.Unique(Seq("o_custkey"))))
+    },
+
+    // ---- quarantine ROUTER (§2.2 beyond-ref, r12 verdict #5): the
+    //      same contract rules now ROUTE rows instead of observing or
+    //      aborting — quarantined rows carry their violated-rule tags
+    //      (unique-excess first-wins by o_orderkey, the deterministic
+    //      keepOrder the oracle replays with the same window) ----
+    Q("q_expectations_split",
+      """WITH tg AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0 OR o_totalprice > 100000)
+        |      THEN 'in_range:o_totalprice' END AS t1,
+        |    CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('F', 'O')
+        |      THEN 'in_set:o_orderstatus' END AS t2,
+        |    CASE WHEN row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) > 1
+        |      THEN 'unique:o_custkey' END AS t3
+        |  FROM orders)
+        |SELECT o_orderkey, concat_ws(',', t1, t2, t3) AS violated
+        |FROM tg WHERE t1 IS NOT NULL OR t2 IS NOT NULL OR t3 IS NOT NULL""".stripMargin) {
+      (s, dir) =>
+        val (_, quar) = Expectations.split(
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+          splitRules, keepOrder = Seq(col("o_orderkey")))
+        quar.select(col("o_orderkey"),
+          array_join(col("violated"), ",").as("violated"))
+    },
+
+    // ---- the split LAWS as a checked frame: pass ∪ quarantine ≡
+    //      input (the '__rows' row) and per-tag quarantine counts ≡
+    //      report's n_violations (one row per rule, clean rules
+    //      included at 0 = 0) — the verdict-#5 "done" criterion as an
+    //      oracle row rather than a test-only claim ----
+    Q("q_expectations_split_law",
+      """WITH tg AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0 OR o_totalprice > 100000)
+        |      THEN 'in_range:o_totalprice' END AS t1,
+        |    CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('F', 'O')
+        |      THEN 'in_set:o_orderstatus' END AS t2,
+        |    CASE WHEN row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) > 1
+        |      THEN 'unique:o_custkey' END AS t3
+        |  FROM orders),
+        |q AS (SELECT * FROM tg WHERE t1 IS NOT NULL OR t2 IS NOT NULL OR t3 IS NOT NULL),
+        |tc AS (SELECT tag, CAST(count(*) AS BIGINT) AS n_quarantined
+        |       FROM (SELECT unnest([t1, t2, t3]) AS tag FROM q)
+        |       WHERE tag IS NOT NULL GROUP BY tag),
+        |rep AS (
+        |  SELECT 'in_range:o_totalprice' AS tag,
+        |    CAST(count(*) FILTER (WHERE o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0 OR o_totalprice > 100000)) AS BIGINT) AS n_violations
+        |  FROM orders
+        |  UNION ALL SELECT 'in_set:o_orderstatus',
+        |    CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('F', 'O')) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'unique:o_custkey',
+        |    (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+        |     FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey HAVING count(*) > 1)))
+        |SELECT tag, n_quarantined, n_violations, n_quarantined = n_violations AS law FROM (
+        |  SELECT rep.tag, CAST(coalesce(tc.n_quarantined, 0) AS BIGINT) AS n_quarantined,
+        |         rep.n_violations
+        |  FROM rep LEFT JOIN tc USING (tag)
+        |  UNION ALL
+        |  SELECT '__rows',  -- pass + quarantine = (tg - q) + q = tg
+        |    (SELECT CAST(count(*) AS BIGINT) FROM tg),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders))""".stripMargin) {
+      (s, dir) =>
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val (pass, quar) = Expectations.split(o, splitRules,
+          keepOrder = Seq(col("o_orderkey")))
+        val tc = quar.select(explode(col("violated")).as("tag"))
+          .groupBy("tag").agg(count(lit(1)).as("n_quarantined"))
+        val rep = Expectations.report(o, splitRules)
+          .select(concat_ws(":", col("rule"), col("target")).as("tag"),
+            col("n_violations"))
+        val tagLaw = rep.join(tc, Seq("tag"), "left")
+          .select(col("tag"),
+            coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"),
+            col("n_violations"))
+        val rowsLaw = pass.agg(count(lit(1)).as("__np"))
+          .crossJoin(broadcast(quar.agg(count(lit(1)).as("__nq"))))
+          .crossJoin(broadcast(o.agg(count(lit(1)).as("__ni"))))
+          .select(lit("__rows").as("tag"),
+            (col("__np") + col("__nq")).as("n_quarantined"),
+            col("__ni").as("n_violations"))
+        tagLaw.unionByName(rowsLaw)
+          .withColumn("law", col("n_quarantined") === col("n_violations"))
     },
 
     // ---- case-mode equality filter (§2.2) ----

@@ -71,6 +71,17 @@ object Expectations {
     case _: Unique => None
   }
 
+  /** Typed-Column unpivot of the fused violation sums: one struct per
+    * rule, exploded to `(rule, target, n_violations)` rows. Rule and
+    * target travel as `lit` values, never spliced into SQL text — a
+    * Satisfies name or regex containing quotes (or anything else) can
+    * neither break the parse nor inject into the report. */
+  private def unpivot(rowRules: Seq[(Expectation, Column)]): Column =
+    explode(array(rowRules.zipWithIndex.map { case ((e, _), i) =>
+      struct(lit(e.rule).as("rule"), lit(e.target).as("target"),
+        coalesce(col(s"__v$i"), lit(0L)).as("n_violations"))
+    }: _*))
+
   /** One report row per expectation: `(rule, target, n_violations,
     * pass)`. Rule order in the output follows the fused plan (row
     * rules first, then unique rules) — sort on read if display order
@@ -85,12 +96,8 @@ object Expectations {
           sum(when(v, 1L).otherwise(0L)).as(s"__v$i")
         }
         // empty frame → sums are NULL → coalesce to 0 (vacuously true)
-        val stacked = rowRules.zipWithIndex.map { case ((e, _), i) =>
-          s"'${e.rule}', '${e.target}', coalesce(__v$i, 0L)"
-        }.mkString(", ")
         Some(df.agg(aggs.head, aggs.tail: _*)
-          .select(expr(s"stack(${rowRules.size}, $stacked) " +
-            "as (rule, target, n_violations)")))
+          .select(unpivot(rowRules).as("__r")).select(col("__r.*")))
       }
     val uniqueParts = rules.collect { case u: Unique =>
       graft.relational.RelationalOps.duplicateKeys(df, u.cols)
@@ -123,12 +130,11 @@ object Expectations {
         val aggs = rowRules.zipWithIndex.map { case ((_, v), i) =>
           sum(when(v, 1L).otherwise(0L)).as(s"__v$i")
         }
-        val stacked = rowRules.zipWithIndex.map { case ((e, _), i) =>
-          s"'${e.rule}', '${e.target}', coalesce(__v$i, 0L)"
-        }.mkString(", ")
         Some(df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-          .select(groupCols.map(col) :+
-            expr(s"stack(${rowRules.size}, $stacked) as (rule, target, n_violations)"): _*))
+          .select(groupCols.map(col) :+ unpivot(rowRules).as("__r"): _*)
+          .select(groupCols.map(col) :+ col("__r.rule").as("rule") :+
+            col("__r.target").as("target") :+
+            col("__r.n_violations").as("n_violations"): _*))
       }
     lazy val groups = df.select(groupCols.map(col): _*).distinct()
     val uniqueParts = rules.collect { case u: Unique =>
@@ -144,6 +150,59 @@ object Expectations {
     }
     (rowPart.toSeq ++ uniqueParts).reduce(_.unionByName(_))
       .withColumn("pass", col("n_violations") === 0L)
+  }
+
+  /** Quarantine ROUTER — the third stance after observe ([[report]])
+    * and abort ([[requireAll]]): tag every row with the rules it
+    * violates and split the frame into `(passing, quarantined)`, the
+    * engine-side form of a load gate that ships clean rows onward
+    * (compose with [[graft.merge.Merge.insert]]) and parks the rest
+    * for triage instead of poisoning the target or failing the load.
+    *
+    * Tags are `"rule:target"` strings in a `violated` array column on
+    * the quarantined side (the passing side carries no extra column).
+    * Row rules evaluate in the SAME single codegen'd projection — no
+    * extra pass, no shuffle. Each [[Unique]] rule quarantines the rows
+    * IN EXCESS of one per key — first-wins by `keepOrder`, which must
+    * be a total order within a key so the kept row is deterministic
+    * (required when any [[Unique]] rule is present; the
+    * `exactDedup` contract) — so per-tag quarantine counts equal
+    * [[report]]'s `n_violations` exactly, for unique rules included.
+    *
+    * Law: `passing ∪ quarantined.drop("violated") ≡ input` (row-level
+    * partition, nothing dropped or duplicated).
+    *
+    * The two returned frames share one tagged subtree; routing both to
+    * sinks evaluates it twice (two scans). For one-shot routing,
+    * persist [[splitTagged]]'s output and filter it yourself, or write
+    * the quarantine first and anti-join — at 100 TB the double scan is
+    * usually still cheaper than a persist of the full load. */
+  def split(df: DataFrame, rules: Seq[Expectation],
+            keepOrder: Seq[Column] = Nil): (DataFrame, DataFrame) = {
+    val tagged = splitTagged(df, rules, keepOrder)
+    (tagged.where(size(col("violated")) === 0).drop("violated"),
+      tagged.where(size(col("violated")) > 0))
+  }
+
+  /** The single-frame form of [[split]]: input columns plus a
+    * `violated` array<string> of `"rule:target"` tags (empty = clean).
+    * One windowed shuffle per [[Unique]] rule; row rules are free. */
+  def splitTagged(df: DataFrame, rules: Seq[Expectation],
+                  keepOrder: Seq[Column] = Nil): DataFrame = {
+    require(rules.nonEmpty, "Expectations.split: no rules")
+    val uniques = rules.collect { case u: Unique => u }
+    require(uniques.isEmpty || keepOrder.nonEmpty,
+      "Expectations.split: Unique rules need a deterministic keepOrder " +
+        "(total order within a key) to pick the surviving row")
+    val rowTags = rules.flatMap(e => rowViolation(e).map(v =>
+      when(v, lit(s"${e.rule}:${e.target}"))))
+    val uniqueTags = uniques.map { u =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(u.cols.map(col): _*).orderBy(keepOrder: _*)
+      when(row_number().over(w) > 1, lit(s"${u.rule}:${u.target}"))
+    }
+    df.withColumn("violated",
+      array_compact(array(rowTags ++ uniqueTags: _*)))
   }
 
   /** Fail-fast form: throws listing every violated rule — the

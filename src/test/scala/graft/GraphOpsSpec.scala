@@ -623,6 +623,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == labels)
   }
 
+  test("labelPropagationReleasable: release drops every block this call persisted (r12 advice)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val edges = tri.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val (out, release) = GraphOps.labelPropagationReleasable(edges, "src", "dst",
+      iterations = 6) // crosses CheckpointEvery so a ckptRoot exists too
+    assert(out.count() == 6)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "final label state is cached behind the frame")
+    release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty, s"blocks left persisted after release: $leaked")
+  }
+
   test("labelPropagationConverged reaches a true fixpoint on the two-triangle graph") {
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
     val edges = tri.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")

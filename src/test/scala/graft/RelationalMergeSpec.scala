@@ -386,4 +386,97 @@ class RelationalMergeSpec extends SparkSpec {
         Seq((lit("k"), lit("k"))), maxDist = 1)
     }
   }
+
+  test("scd2Apply rejects an out-of-order loadTs that would close a version before it opened") {
+    // open version born 2024-01-01; a replayed stage stamped 2023-12-01
+    // that CHANGES the key would write valid_to < valid_from → must throw
+    val stage = Seq((2, "b", 77.0)).toDF("k", "status", "price")
+    val e = intercept[Exception] {
+      Merge.scd2Apply(scd2History, stage, Seq("k"), "2023-12-01 00:00:00").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("out-of-order") ||
+      (e.getCause != null && e.getCause.getMessage.contains("out-of-order")))
+  }
+
+  test("scd2Apply: an out-of-order loadTs that changes NOTHING still no-ops idempotently") {
+    // same-valued replay with an old stamp closes no rows → guard silent
+    val stage = Seq((2, "b", 20.0)).toDF("k", "status", "price")
+    val out = Merge.scd2Apply(scd2History, stage, Seq("k"), "2023-12-01 00:00:00")
+    assertSameRows(out, scd2History)
+  }
+
+  // ---- PointerCommit: the S3-safe manifest protocol ----
+
+  test("PointerCommit: overwrite+upsert roundtrip resolves through the manifest, idempotent") {
+    val dir = freshDir()
+    Merge.overwrite(Seq((1, 10), (2, 20)).toDF("k", "v"), dir, Merge.PointerCommit)
+    assert(Merge.targetExists(spark, dir))
+    assert(new java.io.File(dir, "_current").exists(), "manifest published")
+    Merge.upsert(Seq((2, 99), (3, 30)).toDF("k", "v"), dir, Seq("k"),
+      commit = Merge.PointerCommit)
+    val once = Merge.readTarget(spark, dir).as[(Int, Int)].collect().toSet
+    assert(once == Set((1, 10), (2, 99), (3, 30)))
+    Merge.upsert(Seq((2, 99), (3, 30)).toDF("k", "v"), dir, Seq("k"),
+      commit = Merge.PointerCommit)
+    assert(Merge.readTarget(spark, dir).as[(Int, Int)].collect().toSet == once)
+    // exactly one live data dir after GC
+    val dataDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("__data_"))
+    assert(dataDirs.length == 1, s"superseded data dirs GC'd: ${dataDirs.toSeq}")
+  }
+
+  test("PointerCommit crash-injection: a writer dying mid-write never changes what readers see") {
+    val dir = freshDir()
+    Merge.overwrite(Seq((1, 10)).toDF("k", "v"), dir, Merge.PointerCommit)
+    val before = Merge.readTarget(spark, dir).as[(Int, Int)].collect().toSet
+    val manifestBefore = Files.readString(new java.io.File(dir, "_current").toPath)
+    // crash DURING the data write, with partial files already on disk
+    intercept[RuntimeException] {
+      Merge.pointerSwap(spark, dir) { d =>
+        graft.io.Writers.parquet(Seq((9, 9)).toDF("k", "v"), d)
+        throw new RuntimeException("writer killed")
+      }
+    }
+    assert(Files.readString(new java.io.File(dir, "_current").toPath) == manifestBefore)
+    assert(Merge.readTarget(spark, dir).as[(Int, Int)].collect().toSet == before)
+  }
+
+  test("PointerCommit: orphans from a killed writer are invisible to readers and GC'd by the next commit") {
+    val dir = freshDir()
+    Merge.overwrite(Seq((1, 10)).toDF("k", "v"), dir, Merge.PointerCommit)
+    // a kill -9 leaves an unpublished data dir + a manifest temp behind
+    val orphan = new java.io.File(dir, "__data_orphan1")
+    assert(orphan.mkdir())
+    Files.writeString(new java.io.File(orphan, "part-0.parquet").toPath, "torn bytes")
+    Files.writeString(new java.io.File(dir, "_current.tmp_dead1").toPath, "__data_orphan1")
+    // readers resolve the published manifest only
+    assert(Merge.readTarget(spark, dir).as[(Int, Int)].collect().toSet == Set((1, 10)))
+    Merge.overwrite(Seq((2, 20)).toDF("k", "v"), dir, Merge.PointerCommit)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.contains("__data_orphan1") && !names.contains("_current.tmp_dead1"),
+      s"orphans swept: $names")
+    assert(Merge.readTarget(spark, dir).as[(Int, Int)].collect().toSet == Set((2, 20)))
+  }
+
+  test("targetExists: a directory holding only unpublished pointer debris does not exist as a table") {
+    val dir = freshDir()
+    val d = new java.io.File(dir)
+    assert(d.mkdirs())
+    assert(!Merge.targetExists(spark, dir))
+    val orphan = new java.io.File(d, "__data_x"); orphan.mkdir()
+    Files.writeString(new java.io.File(d, "_current.tmp_y").toPath, "__data_x")
+    assert(!Merge.targetExists(spark, dir),
+      "debris-only dir must read as absent so a first upsert degrades to overwrite")
+    Merge.overwrite(Seq((1, 1)).toDF("k", "v"), dir, Merge.PointerCommit)
+    assert(Merge.targetExists(spark, dir))
+  }
+
+  test("PointerCommit: upsert rejects the partition-scoped path") {
+    val dir = freshDir()
+    Merge.overwrite(Seq((1, "p1", 1)).toDF("k", "part", "v"), dir, Merge.PointerCommit)
+    intercept[IllegalArgumentException] {
+      Merge.upsert(Seq((1, "p1", 2)).toDF("k", "part", "v"), dir, Seq("k"),
+        prunePartitions = Seq("part"), commit = Merge.PointerCommit)
+    }
+  }
 }

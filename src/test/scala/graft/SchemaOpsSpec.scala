@@ -151,4 +151,56 @@ class SchemaOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("unique(k)=1"))
     Expectations.requireAll(contractDf, Seq(NotNull("k")))
   }
+
+  test("report: rule names/targets containing quotes neither break the parse nor inject (r12 advice)") {
+    // pre-fix, these spliced into a stack(...) SQL string and threw a
+    // parse error; now they travel as typed lit values
+    val rep = Expectations.report(contractDf, Seq(
+      Satisfies("o'brien's \"rule\"", "price >= 0"),
+      Matches("status", "[a-z]'{0}z?"),
+      Unique(Seq("k"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rep(("satisfies", "o'brien's \"rule\"")) == 1L) // the -1.0 price row
+    assert(rep(("unique", "k")) == 1L)
+    val by = Expectations.reportBy(contractDf, Seq("prio"),
+      Seq(Satisfies("it's", "price >= -100")))
+    assert(by.where(!col("pass")).count() == 0)
+  }
+
+  test("split: row-level partition law and per-tag counts equal report, unique excess first-wins") {
+    val rules = Seq(
+      InRange("price", 0, 100),
+      InSet("status", Seq("a", "b")),
+      Unique(Seq("k")))
+    val (pass, quar) = Expectations.split(contractDf, rules,
+      keepOrder = Seq(col("price")))
+    // partition: pass ∪ quarantine ≡ input, nothing dropped or doubled
+    assertSameRows(pass.unionByName(quar.drop("violated")), contractDf)
+    // per-tag quarantine counts == report n_violations, for every rule
+    val tagCounts = quar.select(explode(col("violated")).as("tag"))
+      .groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rep = Expectations.report(contractDf, rules).collect()
+      .map(r => s"${r.getString(0)}:${r.getString(1)}" -> r.getLong(2)).toMap
+    rep.foreach { case (tag, n) =>
+      assert(tagCounts.getOrElse(tag, 0L) == n, s"tag $tag")
+    }
+    // unique excess is deterministic first-wins by keepOrder: k=2 keeps
+    // the LOWER price row (50.0), quarantines the 150.0 one — which is
+    // also range-violating, so it carries both tags
+    val k2q = quar.where(col("k") === 2 && col("price") === 150.0).head()
+    assert(k2q.getSeq[String](k2q.fieldIndex("violated")).toSet ==
+      Set("in_range:price", "unique:k"))
+    // the kept k=2 row (null status, price 50) is clean for these rules
+    assert(pass.where(col("k") === 2).count() == 1)
+  }
+
+  test("split: clean frame routes everything to pass; Unique without keepOrder rejected") {
+    val clean = Seq((1, 5.0), (2, 6.0)).toDF("k", "price")
+    val (p, q) = Expectations.split(clean, Seq(InRange("price", 0, 100)))
+    assert(p.count() == 2 && q.count() == 0)
+    intercept[IllegalArgumentException] {
+      Expectations.split(clean, Seq(Unique(Seq("k"))))
+    }
+  }
 }
