@@ -571,9 +571,25 @@ object LlmQueries {
     s"""WITH ${duckJaccardCtes(maxBucket, threshold, shingleN)}
       |SELECT id_a, id_b, jaccard FROM jp""".stripMargin
 
+  /** Oracle-replay guard for the CHARACTER-indexed stub oracles
+    * ([[duckDHashCtes]] and q_mm_features): DuckDB v1.0.0 has no blob
+    * indexing, so those oracles read `ascii(substr(text, k, 1))` —
+    * byte-exact only while `documents.text` is pure ASCII, whereas the
+    * engine hashes raw UTF-8 bytes. If a future fixture generation
+    * drifts to non-ASCII, fail the query IN PLAN (per-row codegen'd
+    * conditional, no extra pass/shuffle) instead of letting the oracle
+    * silently diverge from the engine. */
+  private[graft] def asciiGuarded(docs: org.apache.spark.sql.DataFrame) =
+    docs.withColumn("text",
+      when(length(col("text")) === octet_length(col("text")), col("text"))
+        .otherwise(raise_error(concat(
+          lit("non-ASCII documents.text breaks the byte-grid oracle replay: doc_id="),
+          col("doc_id").cast("string")))))
+
   /** Stub-tier 64-bit dHash replay (MultimodalOps.imageDHash's
     * byte-grid fallback — fixtures are ASCII, so char codes = UTF-8
-    * bytes): gray cell k = byte (k mod n), bit r·8+c = gray(r·9+c+1) >
+    * bytes; [[asciiGuarded]] enforces this at the engine call sites):
+    * gray cell k = byte (k mod n), bit r·8+c = gray(r·9+c+1) >
     * gray(r·9+c). The sign bit uses the min-long literal (DuckDB's
     * checked `<<` rejects 1<<63) and is summed LAST so every partial
     * sum stays in signed-64 range. Yields CTEs `g` and `sig
@@ -2812,7 +2828,8 @@ object LlmQueries {
         |  CAST(ascii(text) AS INTEGER) AS first_byte
         |FROM documents""".stripMargin) { (s, dir) =>
       MultimodalOps.decodeBatched(s,
-        MultimodalOps.attachBinary(Tables(s, dir, "documents"), "doc_id", "text", "image"))
+        MultimodalOps.attachBinary(asciiGuarded(Tables(s, dir, "documents")),
+          "doc_id", "text", "image"))
         .toDF()
     },
 
@@ -2829,7 +2846,8 @@ object LlmQueries {
         |${duckDHashPairCtes(6, 10000)}
         |SELECT id_a, id_b, hamming FROM hp""".stripMargin) { (s, dir) =>
       MultimodalOps.imageNearDupPairs(s,
-        MultimodalOps.attachBinary(Tables(s, dir, "documents"), "doc_id", "text", "image"))
+        MultimodalOps.attachBinary(asciiGuarded(Tables(s, dir, "documents")),
+          "doc_id", "text", "image"))
         .select(col("id_a"), col("id_b"), col("hamming").cast(IntegerType))
     },
 
@@ -2851,7 +2869,8 @@ object LlmQueries {
         |  CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
         |FROM asg""".stripMargin) { (s, dir) =>
       MultimodalOps.imageNearDupGroups(s,
-        MultimodalOps.attachBinary(Tables(s, dir, "documents"), "doc_id", "text", "image"))
+        MultimodalOps.attachBinary(asciiGuarded(Tables(s, dir, "documents")),
+          "doc_id", "text", "image"))
     },
 
     // ---- multimodal: the image-dedup STEADY STATE — today's batch
@@ -2869,7 +2888,7 @@ object LlmQueries {
         |FROM batch b WHERE b.doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin) {
       (s, dir) =>
         val media = MultimodalOps.attachBinary(
-          Tables(s, dir, "documents"), "doc_id", "text", "image")
+          asciiGuarded(Tables(s, dir, "documents")), "doc_id", "text", "image")
         val idx = graft.util.Scratch.path("mm_hash_idx", dir)
         if (!new java.io.File(idx).exists())
           MultimodalOps.writeImageHashTranche(s,

@@ -1664,4 +1664,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(score(fluent) == exp)
     assert(score(fluent) > score(shuffled))
   }
+
+  test("asciiGuarded: passes ASCII docs through unchanged, raises on non-ASCII (oracle-replay guard)") {
+    val ok = Seq((1L, "plain ascii"), (2L, "")).toDF("doc_id", "text")
+    assert(graft.queries.LlmQueries.asciiGuarded(ok)
+      .select("text").as[String].collect().toSeq == Seq("plain ascii", ""))
+    val bad = Seq((1L, "plain"), (7L, "héllo")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.queries.LlmQueries.asciiGuarded(bad).collect()
+    }
+    assert(e.getMessage.contains("doc_id=7") ||
+      Option(e.getCause).exists(_.getMessage.contains("doc_id=7")))
+  }
 }
