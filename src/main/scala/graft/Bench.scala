@@ -38,7 +38,16 @@ object Bench {
     * basis the r12 verdict asked for. An isolated re-measure landing
     * at ≤ ~1.2× its floor is suite noise by definition, whatever the
     * prior round's in-suite warm happened to be. Missing file or
-    * query → no floor, adjudication falls back to prior-warm only. */
+    * query → no floor, adjudication falls back to prior-warm only.
+    *
+    * METHODOLOGY MATTERS: floors must be measured the way
+    * [[isolatedSec]] measures — one FRESH JVM per query, 3 reps, min,
+    * quiet host (`for q in ...; do GRAFT_SCRATCH_JSON=... Scratch $q
+    * sfDir 3; done`). A floor taken mid-sweep in a long-warmed JVM is
+    * systematically BELOW what a fresh-JVM child can reach for
+    * slow-JIT queries (r13 measured q_dedup_report_minhash needing
+    * ~5 runs to settle 25.5→2.6 s), which manufactures false
+    * `regressed?` verdicts. */
   private[graft] def settledFloors(path: String): Map[String, Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
