@@ -73,6 +73,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(parse(render(snap.toSeq)) == snap.map { case (k, s) => k -> s.copy(cartesian = 0) })
   }
 
+  test("committed floors.json parses and every floor names a registered query") {
+    val p = Paths.get("floors.json")
+    assert(Files.exists(p), "floors.json missing — regenerate with the " +
+      "fresh-JVM-per-query Scratch loop (see Bench.settledFloors doc)")
+    val floors = Bench.settledFloors("floors.json")
+    assert(floors.nonEmpty, "floors.json parsed to zero entries")
+    val stale = floors.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"floors for unregistered queries (renamed/removed?): ${stale.toSeq.sorted.mkString(", ")}")
+    assert(floors.values.forall(v => v > 0 && v < 600),
+      "floor outside sane (0, 600)s range")
+  }
+
   test("shapeOf counts the three signals and skips synthetic-column shuffles") {
     val plan =
       """*(3) Project
