@@ -73,6 +73,26 @@ object Bench {
         .filter(_._2 > 0).toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** Drift-verdict cascade for the self-adjudication pass (r13 ADVICE
+    * #1 rewrote the last two branches): a drifted query's fresh-JVM
+    * isolated figure is judged against the settled FLOOR first, then
+    * against the PRIOR round's warm — NOT against this run's warm. A
+    * fresh JVM on a quiet host is almost always at or below the
+    * in-suite warm, so the old `iso <= warm` branch labeled confirmed
+    * regressions (prior 1.0 s, warm 2.0 s, iso 1.9 s) "suite-noise"
+    * and made "regressed?" nearly unreachable — the exact
+    * false-negative the floors were added to prevent, inverted.
+    * `iso <= pw*1.2` = the settled figure still matches last round →
+    * suite-order effect; above that with the floor also blown → a
+    * real plan/constant regression. (A prior always exists for a
+    * drift: detection is keyed on `prior.get(n)`.) */
+  private[graft] def driftVerdict(iso: Double, priorWarm: Double,
+                                  floor: Option[Double]): String =
+    if (iso < 0) "spawn-failed"
+    else if (floor.exists(f => iso <= f * 1.25)) "suite-noise(floor)"
+    else if (iso <= priorWarm * 1.2) "suite-noise(prior)"
+    else "regressed?"
+
   /** FRESH-JVM isolation re-measure of one query — the trailing
     * self-adjudication pass (r11 verdict #1: two consecutive rounds
     * burned judge+builder time re-litigating 1.2–1.9× in-suite warm
@@ -85,7 +105,8 @@ object Bench {
     * valid observation that can only tighten the min). None on any
     * spawn/parse failure: adjudication must never fail the bench. */
   private[graft] def isolatedSec(name: String, sfDir: String, cpus: String,
-                                 reps: Int = 3): Option[Double] =
+                                 reps: Int = 3, heapGb: Int = 8,
+                                 timeoutSec: Long = 600): Option[Double] =
     try {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       // --add-opens may arrive as one joined argv entry or as a
@@ -122,7 +143,7 @@ object Bench {
         .map(e => new java.io.File(e).getAbsolutePath)
         .mkString(sep)
       val cmd = (Seq(javaBin) ++ opensArgs ++ Seq(
-        "-Xmx8g", "-Dspark.ui.enabled=false",
+        s"-Xmx${heapGb}g", "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC",
         "-cp", absCp,
         "graft.Scratch", name, sfDir, reps.toString)).toArray
@@ -143,7 +164,7 @@ object Bench {
         s"bench-iso-drain-$name")
       reader.setDaemon(true)
       reader.start()
-      val done = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+      val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) { p.destroyForcibly(); reader.join(2000); None }
       else {
         reader.join(10000) // stream closes with the exited process
@@ -403,11 +424,7 @@ object Bench {
         System.err.println(f"[bench] drift $n: warm ${w}%.3f vs prior ${pw}%.3f — isolating")
         val iso = isolatedSec(n, sfDir, cpus).getOrElse(-1.0)
         val fl = floors.get(n)
-        val verdict =
-          if (iso < 0) "spawn-failed"
-          else if (fl.exists(f => iso <= f * 1.25)) "suite-noise(floor)"
-          else if (iso <= w) "suite-noise"
-          else "regressed?"
+        val verdict = driftVerdict(iso, pw, fl)
         System.err.println(f"[bench] drift $n: isolated ${iso}%.3f s, " +
           f"floor ${fl.getOrElse(-1.0)}%.3f — $verdict")
         n -> (pw, w, iso, fl)

@@ -52,12 +52,31 @@ object Scratch {
       name -> secs.min
     }
     sys.env.get("GRAFT_SCRATCH_JSON").foreach { path =>
-      val json = mins.sortBy(_._1).map { case (n, s) =>
-        f""""$n": ${s}%.3f"""
-      }.mkString("{\n  ", ",\n  ", "\n}\n")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
-      println(s"[scratch] wrote $path (${mins.size} floors)")
+      // MERGE with the existing file (r13 ADVICE #4): the documented
+      // floors workflow loops `for q in ...; do GRAFT_SCRATCH_JSON=x
+      // Scratch $q; done` against ONE path — truncating per run would
+      // leave only the last query's floor, a silently near-empty
+      // floors.json the PlanAuditSpec non-empty check can't catch.
+      // Existing floors are kept; a re-measured query's fresh min
+      // REPLACES its old floor (not min-of-both: after a deliberate
+      // plan change that legitimately slows a query, the point of
+      // re-measuring is to loosen the floor — min would pin the stale
+      // tight one forever).
+      val n = writeFloors(path, mins)
+      println(s"[scratch] wrote $path ($n floors, ${mins.size} measured this run)")
     }
     spark.stop()
+  }
+
+  /** Overlay `mins` onto the floors already in `path` and rewrite it;
+    * returns the merged count. Kept separate from main() so the
+    * merge-not-truncate contract is spec-testable. */
+  private[graft] def writeFloors(path: String, mins: Seq[(String, Double)]): Int = {
+    val merged = (Bench.settledFloors(path) ++ mins).toSeq
+    val json = merged.sortBy(_._1).map { case (n, s) =>
+      f""""$n": ${s}%.3f"""
+    }.mkString("{\n  ", ",\n  ", "\n}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+    merged.size
   }
 }

@@ -35,10 +35,20 @@ object BrowserFetch {
 
   /** Trigger a browser download and wait for it to SETTLE: a regular
     * file in `downloadDir` that (a) carries none of the in-progress
-    * suffixes, (b) was not present before the trigger, and (c) holds a
-    * stable size across two consecutive polls. Returns the settled
-    * file's path; times out loudly — a half-downloaded file must never
-    * flow into a load.
+    * suffixes, (b) was not present before the trigger, (c) holds a
+    * stable NON-ZERO size across two consecutive polls, and (d) has no
+    * partial-suffixed sibling sharing its name stem still in the
+    * directory. Returns the settled file's path; times out loudly — a
+    * half-downloaded file must never flow into a load.
+    *
+    * (c)+(d) close the placeholder race (r13 ADVICE #2): Firefox
+    * pre-creates an empty `report.csv` next to the streaming
+    * `report.csv.part`, so the placeholder is a fresh, suffix-free,
+    * 0-byte-stable regular file — without these guards the protocol
+    * would settle on it mid-download. While `report.csv.part` exists,
+    * `report.csv` is by definition unsettled; and a 0-byte file is
+    * never a settled download (a genuinely empty download would also
+    * be a load error downstream — failing here is strictly earlier).
     *
     * `sleep` is injectable so the protocol is unit-testable without
     * wall-clock waits.
@@ -49,6 +59,12 @@ object BrowserFetch {
     require(pollMs > 0, "fetchToLocal: pollMs must be > 0")
     val dir = Paths.get(downloadDir)
     Files.createDirectories(dir)
+    def allNames(): Set[String] = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.filter(p => Files.isRegularFile(p))
+        .map(_.getFileName.toString).toSet
+      finally s.close()
+    }
     def listing(): Map[String, Long] = {
       val s = Files.list(dir)
       try s.iterator().asScala
@@ -62,8 +78,13 @@ object BrowserFetch {
     var waited = 0L
     var lastSizes = Map.empty[String, Long]
     while (waited <= timeoutMs) {
+      val names = allNames()
+      def hasPartialSibling(n: String): Boolean =
+        partialSuffixes.exists(suf => names.contains(n + suf))
       val fresh = listing().filter { case (n, _) => !before.contains(n) }
-      fresh.find { case (n, sz) => lastSizes.get(n).contains(sz) } match {
+      fresh.find { case (n, sz) =>
+        sz > 0 && !hasPartialSibling(n) && lastSizes.get(n).contains(sz)
+      } match {
         case Some((n, _)) => return dir.resolve(n).toString
         case None =>
           lastSizes = fresh

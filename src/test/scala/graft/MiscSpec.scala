@@ -147,6 +147,35 @@ class MiscSpec extends SparkSpec {
     assert(graft.Bench.priorWarms(dir.resolve("missing.json").toString).isEmpty)
   }
 
+  test("Bench.driftVerdict: floor first, then PRIOR warm — confirmed regressions reachable") {
+    import graft.Bench.driftVerdict
+    assert(driftVerdict(-1.0, 1.0, Some(0.9)) == "spawn-failed")
+    // isolated at/near its settled floor → suite-order noise
+    assert(driftVerdict(1.0, 1.0, Some(0.9)) == "suite-noise(floor)")
+    // the r13 ADVICE #1 scenario: prior 1.0 s, in-suite warm 2.0 s,
+    // isolated 1.9 s, floor 0.9 s — the old `iso <= warm` branch read
+    // this as suite-noise; it is a CONFIRMED regression (the fresh-JVM
+    // figure itself doubled vs the prior round)
+    assert(driftVerdict(1.9, 1.0, Some(0.9)) == "regressed?")
+    // isolated back at the prior round's figure → the suite run was hot
+    assert(driftVerdict(1.1, 1.0, Some(0.5)) == "suite-noise(prior)")
+    // no floor on file: prior comparison still adjudicates both ways
+    assert(driftVerdict(1.1, 1.0, None) == "suite-noise(prior)")
+    assert(driftVerdict(1.9, 1.0, None) == "regressed?")
+  }
+
+  test("Scratch.writeFloors merges with the existing file instead of truncating") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_floors")
+    val path = dir.resolve("floors.json").toString
+    // the documented loop: one query per Scratch run, SAME target file
+    assert(graft.Scratch.writeFloors(path, Seq("q_a" -> 1.234)) == 1)
+    assert(graft.Scratch.writeFloors(path, Seq("q_b" -> 0.5)) == 2)
+    // a re-measure REPLACES (deliberate plan change may loosen a floor)
+    assert(graft.Scratch.writeFloors(path, Seq("q_a" -> 2.0)) == 2)
+    val got = graft.Bench.settledFloors(path)
+    assert(got == Map("q_a" -> 2.0, "q_b" -> 0.5), s"merged floors: $got")
+  }
+
   test("Bench.isolatedSec spawns a fresh-JVM Scratch run and parses the min") {
     // the adjudication spawn path end-to-end on the smallest fixture:
     // one rep of a trivial query (~20 s JVM+session boot dominated)
