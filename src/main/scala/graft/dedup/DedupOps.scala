@@ -638,7 +638,9 @@ object DedupOps {
     */
   def writeDedupIndex(corpus: DataFrame, dir: String, idCol: String, textCol: String,
                       shingleN: Int = 3, portable: Boolean = false,
-                      sigK: Int = 16, sigBands: Int = 8): Unit = {
+                      sigK: Int = 16, sigBands: Int = 8,
+                      commit: graft.merge.Merge.Commit =
+                        graft.merge.Merge.RenameCommit): Unit = {
     require(sigK % sigBands == 0, s"sigK=$sigK must divide into sigBands=$sigBands")
     val spark = corpus.sparkSession
     def buildInto(root: String): Unit = {
@@ -671,8 +673,16 @@ object DedupOps {
       // a fresh build also resets the absorbed-tag ledger: the whole-dir
       // swap drops any previous _graft_absorbed with the old tranches
     }
-    if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
-    else buildInto(dir)
+    commit match {
+      case graft.merge.Merge.PointerCommit =>
+        // S3-safe (r13 verdict #2): the whole tree lands in an immutable
+        // __data_ generation; one manifest PUT publishes it. Every
+        // index reader/mutator resolves the root through the manifest.
+        graft.merge.Merge.swapWith(spark, dir, commit)(buildInto)
+      case graft.merge.Merge.RenameCommit =>
+        if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
+        else buildInto(dir)
+    }
   }
 
   /** Append a tranche of SURVIVING rows to the index — the steady-state
@@ -702,7 +712,7 @@ object DedupOps {
     * first; a lost block fails the job rather than recomputing against
     * mutated state.
     */
-  def appendToDedupIndex(newRows: DataFrame, dir: String, idCol: String, textCol: String,
+  def appendToDedupIndex(newRows: DataFrame, indexDir: String, idCol: String, textCol: String,
                          tag: String,
                          shingleN: Int = 3, portable: Boolean = false): Unit = {
     // the tag is REQUIRED, not defaulted: a random default would defeat
@@ -711,6 +721,11 @@ object DedupOps {
     // denominators). Callers own tag uniqueness per logical tranche —
     // a date, an epoch id — and retries reuse it.
     val spark = newRows.sparkSession
+    // a pointer-committed index resolves to its current generation;
+    // tranche appends mutate that generation IN PLACE (the tranche
+    // model's own crash story: batch=<tag> overwrite, retry-converge) —
+    // generations are immutable only ACROSS consolidation swaps
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     requireTrancheLayout(spark, dir)
     validateIndexParams(spark, dir, shingleN, portable)
     // novelty probe for the absorbed-tag path: batch content
@@ -876,40 +891,70 @@ object DedupOps {
     * until the next consolidation.
     */
   def consolidateDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): Unit = {
-    consolidateArtifacts(spark, dir,
-      RowDistinctArtifacts.filter(a => pathExists(spark, s"$dir/$a")),
-      commitWitness = "fp")
-    // df is regenerated from the JUST-CONSOLIDATED sh artifact rather
-    // than summed from its own tranches: self-healing by construction
-    // (df ≡ exact counts of the post-distinct rows, so any
-    // double-append the ledger crash window let through is repaired
-    // here too), and the migration path that retrofits the artifact
-    // onto an index built before it existed.
-    if (pathExists(spark, s"$dir/sh")) {
-      def buildDf(root: String): Unit =
-        spark.read.parquet(s"$dir/sh").drop("batch")
-          .groupBy("sh").agg(count(lit(1)).as("df"))
-          .write.mode("overwrite").parquet(s"$root/batch=consolidated")
-      val dfDir = s"$dir/df"
-      if (pathExists(spark, dfDir)) graft.merge.Merge.atomicSwap(spark, dfDir)(buildDf)
-      else buildDf(dfDir)
-    }
-    // same protocol for bf, the sig tier's bucket-size artifact —
-    // regenerated (banding needs the frozen family from _graft_meta)
-    readDedupIndexMeta(spark, dir).foreach { m =>
-      if (pathExists(spark, s"$dir/sig")) {
-        def buildBf(root: String): Unit =
-          spark.read.parquet(s"$dir/sig").drop("batch")
-            .select(posexplode(bandKeys(col("sig"), m.sigBands, m.sigK / m.sigBands))
-              .as(Seq("band", "key")))
-            .groupBy("band", "key").agg(count(lit(1)).as("n"))
+                            indexDir: String,
+                            commit: graft.merge.Merge.Commit =
+                              graft.merge.Merge.RenameCommit): Unit = commit match {
+    case graft.merge.Merge.PointerCommit =>
+      // S3-safe whole-GENERATION rebuild via [[consolidateGeneration]]:
+      // consolidated sh/fp/sig + regenerated df/bf + meta + updated
+      // ledger land in ONE new immutable generation, published by one
+      // manifest PUT. df/bf regenerate from the just-folded rows (the
+      // rename path's post-swap rebuilds, here inside the same commit —
+      // no window where a published generation has stale counts).
+      val oldRoot = graft.merge.Merge.resolveDir(spark, indexDir)
+      consolidateArtifacts(spark, indexDir,
+        RowDistinctArtifacts.filter(a => pathExists(spark, s"$oldRoot/$a")),
+        commitWitness = "fp", commit = graft.merge.Merge.PointerCommit,
+        regenerated = Seq("df", "bf"),
+        regenerate = { newRoot =>
+          if (pathExists(spark, s"$newRoot/sh"))
+            spark.read.parquet(s"$newRoot/sh").drop("batch")
+              .groupBy("sh").agg(count(lit(1)).as("df"))
+              .write.mode("overwrite").parquet(s"$newRoot/df/batch=consolidated")
+          readDedupIndexMeta(spark, newRoot).foreach { m =>
+            if (pathExists(spark, s"$newRoot/sig"))
+              spark.read.parquet(s"$newRoot/sig").drop("batch")
+                .select(posexplode(bandKeys(col("sig"), m.sigBands, m.sigK / m.sigBands))
+                  .as(Seq("band", "key")))
+                .groupBy("band", "key").agg(count(lit(1)).as("n"))
+                .write.mode("overwrite").parquet(s"$newRoot/bf/batch=consolidated")
+          }
+        })
+    case graft.merge.Merge.RenameCommit =>
+      val dir = graft.merge.Merge.resolveDir(spark, indexDir)
+      consolidateArtifacts(spark, dir,
+        RowDistinctArtifacts.filter(a => pathExists(spark, s"$dir/$a")),
+        commitWitness = "fp")
+      // df is regenerated from the JUST-CONSOLIDATED sh artifact rather
+      // than summed from its own tranches: self-healing by construction
+      // (df ≡ exact counts of the post-distinct rows, so any
+      // double-append the ledger crash window let through is repaired
+      // here too), and the migration path that retrofits the artifact
+      // onto an index built before it existed.
+      if (pathExists(spark, s"$dir/sh")) {
+        def buildDf(root: String): Unit =
+          spark.read.parquet(s"$dir/sh").drop("batch")
+            .groupBy("sh").agg(count(lit(1)).as("df"))
             .write.mode("overwrite").parquet(s"$root/batch=consolidated")
-        val bfDir = s"$dir/bf"
-        if (pathExists(spark, bfDir)) graft.merge.Merge.atomicSwap(spark, bfDir)(buildBf)
-        else buildBf(bfDir)
+        val dfDir = s"$dir/df"
+        if (pathExists(spark, dfDir)) graft.merge.Merge.atomicSwap(spark, dfDir)(buildDf)
+        else buildDf(dfDir)
       }
-    }
+      // same protocol for bf, the sig tier's bucket-size artifact —
+      // regenerated (banding needs the frozen family from _graft_meta)
+      readDedupIndexMeta(spark, dir).foreach { m =>
+        if (pathExists(spark, s"$dir/sig")) {
+          def buildBf(root: String): Unit =
+            spark.read.parquet(s"$dir/sig").drop("batch")
+              .select(posexplode(bandKeys(col("sig"), m.sigBands, m.sigK / m.sigBands))
+                .as(Seq("band", "key")))
+              .groupBy("band", "key").agg(count(lit(1)).as("n"))
+              .write.mode("overwrite").parquet(s"$root/batch=consolidated")
+          val bfDir = s"$dir/bf"
+          if (pathExists(spark, bfDir)) graft.merge.Merge.atomicSwap(spark, bfDir)(buildBf)
+          else buildBf(bfDir)
+        }
+      }
   }
 
   /** AUTO-consolidation tick for the dedup index — the
@@ -929,14 +974,17 @@ object DedupOps {
     * tick fire every epoch without ever reducing the fan-in. Returns
     * whether a fold ran. */
   def maybeConsolidateDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String, maxLive: Int): Boolean = {
+                                 indexDir: String, maxLive: Int,
+                                 commit: graft.merge.Merge.Commit =
+                                   graft.merge.Merge.RenameCommit): Boolean = {
     require(maxLive >= 1, s"maybeConsolidateDedupIndex: maxLive=$maxLive must be >= 1")
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     val witness =
       if (pathExists(spark, s"$dir/fp")) s"$dir/fp"
       else IndexArtifacts.map(a => s"$dir/$a").find(pathExists(spark, _))
         .getOrElse(return false)
     if (committedTranches(spark, witness).length > maxLive) {
-      consolidateDedupIndex(spark, dir); true
+      consolidateDedupIndex(spark, indexDir, commit); true
     } else false
   }
 
@@ -961,8 +1009,17 @@ object DedupOps {
   private[graft] def consolidateArtifacts(spark: org.apache.spark.sql.SparkSession,
                                           dir: String, artifacts: Seq[String],
                                           commitWitness: String,
-                                          partitionCols: Seq[String] = Nil): Unit = {
+                                          partitionCols: Seq[String] = Nil,
+                                          commit: graft.merge.Merge.Commit =
+                                            graft.merge.Merge.RenameCommit,
+                                          regenerated: Seq[String] = Nil,
+                                          regenerate: String => Unit = _ => ()): Unit = {
     require(artifacts.nonEmpty, s"consolidate: $dir has no index artifacts")
+    if (commit == graft.merge.Merge.PointerCommit) {
+      consolidateGeneration(spark, dir, artifacts, commitWitness, partitionCols,
+        regenerated, regenerate)
+      return
+    }
     val witness = if (artifacts.contains(commitWitness)) commitWitness else artifacts.head
     // committedTranches: a witness tranche dir missing the committer's
     // _SUCCESS marker is not PROVEN complete — a mid-append crash
@@ -1025,6 +1082,70 @@ object DedupOps {
         absorbed.toSeq.sorted.mkString("", "\n", "\n"))
   }
 
+  /** The PointerCommit body of [[consolidateArtifacts]] — one whole
+    * index GENERATION built under a fresh immutable `__data_` dir and
+    * published by one manifest PUT (S3-safe; r13 verdict #2), instead
+    * of per-artifact rename swaps whose crash window can leave
+    * artifacts at mixed generations on stores where rename is
+    * copy+delete. Same rewrite contract: committed tranches fold
+    * through `distinct()` (self-healing), unproven tranche dirs carry
+    * byte-for-byte, the absorbed ledger gains the folded tags. Root
+    * entries the fold doesn't own (meta files, sibling artifacts) copy
+    * verbatim; `regenerated` artifacts are instead rebuilt into the
+    * new generation by the `regenerate` hook (df/bf, wdf — derived
+    * counts that must reflect the just-folded rows, not old tranches).
+    * Requires the index to BE pointer-committed — one commit mode per
+    * directory; converting needs a write*Index rebuild. */
+  private def consolidateGeneration(spark: org.apache.spark.sql.SparkSession,
+                                    indexDir: String, artifacts: Seq[String],
+                                    commitWitness: String,
+                                    partitionCols: Seq[String],
+                                    regenerated: Seq[String],
+                                    regenerate: String => Unit): Unit = {
+    val oldRoot = graft.merge.Merge.resolveDir(spark, indexDir)
+    require(oldRoot != indexDir,
+      s"consolidate: $indexDir is not pointer-committed; PointerCommit " +
+        "consolidation needs an index built with commit = PointerCommit")
+    val witness = if (artifacts.contains(commitWitness)) commitWitness else artifacts.head
+    val committed = committedTranches(spark, s"$oldRoot/$witness")
+      .map(_.stripPrefix("batch=")).toSet + "build" + "consolidated"
+    val fs = hfs(spark, oldRoot)
+    val conf = spark.sparkContext.hadoopConfiguration
+    graft.merge.Merge.pointerSwap(spark, indexDir) { newRoot =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(newRoot))
+      val skip = (artifacts ++ regenerated).toSet + "_graft_absorbed"
+      fs.listStatus(new org.apache.hadoop.fs.Path(oldRoot))
+        .filterNot(st => skip(st.getPath.getName)).foreach { st =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath,
+            fs, new org.apache.hadoop.fs.Path(s"$newRoot/${st.getPath.getName}"),
+            false, conf)
+        }
+      for (artifact <- artifacts) {
+        val all = spark.read.parquet(s"$oldRoot/$artifact")
+        val data = (if (all.columns.contains("batch"))
+          all.where(col("batch").cast(StringType).isin(committed.toSeq: _*))
+        else all).drop("batch").distinct()
+        val w = data.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(s"$newRoot/$artifact/batch=consolidated")
+        allTranches(spark, s"$oldRoot/$artifact")
+          .filterNot(t => committed.contains(t.stripPrefix("batch=")))
+          .foreach { t =>
+            org.apache.hadoop.fs.FileUtil.copy(
+              fs, new org.apache.hadoop.fs.Path(s"$oldRoot/$artifact/$t"),
+              fs, new org.apache.hadoop.fs.Path(s"$newRoot/$artifact/$t"),
+              false, conf)
+          }
+      }
+      regenerate(newRoot)
+      val absorbed = readAbsorbedTags(spark, oldRoot) ++
+        (committed - "build" - "consolidated")
+      if (absorbed.nonEmpty)
+        writeSmallFile(spark, s"$newRoot/_graft_absorbed",
+          absorbed.toSeq.sorted.mkString("", "\n", "\n"))
+    }
+  }
+
   /** [[dedupAgainstHistory]] against the MATERIALIZED index instead of
     * the corpus: identical semantics (exact fingerprint anti-join +
     * cross-corpus post-prune Jaccard, up to shingle-hash collisions)
@@ -1057,10 +1178,11 @@ object DedupOps {
     * does not pin one cache entry per batch. Only call after an action
     * has materialized every consumer. */
   private[graft] def dedupAgainstIndexReleasable(
-      batch: DataFrame, dir: String, idCol: String, textCol: String,
+      batch: DataFrame, indexDir: String, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       maxBucket: Int = 1000, portable: Boolean = false): (DataFrame, () => Unit) = {
     val spark = batch.sparkSession
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     validateIndexParams(spark, dir, shingleN, portable)
     // append tranches can re-add fps; distinct over the column alone
     // (the batch=<tag> partition column must not widen the key)
@@ -1092,7 +1214,8 @@ object DedupOps {
     * symptom the self-healing consolidation repairs. Counts are
     * column-pruned scans of the compact artifacts — never the corpus.
     */
-  def dedupIndexStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  def dedupIndexStats(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame = {
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     val present = IndexArtifacts.filter(a => pathExists(spark, s"$dir/$a"))
     // a gauge that reads an empty frame for a typo'd path goes dark
     // silently — fail like the other non-index entry points do
@@ -1150,7 +1273,8 @@ object DedupOps {
     * window fallback (NULL for row artifacts); `false` → consolidate.
     * Large `n_tranches` → consolidate for splinter-file economics.
     */
-  def dedupIndexHealth(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  def dedupIndexHealth(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame = {
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     val present = IndexArtifacts.filter(a => pathExists(spark, s"$dir/$a"))
     require(present.nonEmpty,
       s"dedupIndexHealth: $dir has none of ${IndexArtifacts.mkString("/")} — " +
@@ -1224,10 +1348,11 @@ object DedupOps {
     * long-lived session release after consuming each report, the same
     * contract as [[dedupAgainstIndexReleasable]]. */
   private[graft] def dedupDecisionsReleasable(
-      batch: DataFrame, dir: String, idCol: String, textCol: String,
+      batch: DataFrame, indexDir: String, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       maxBucket: Int = 1000, portable: Boolean = false): (DataFrame, () => Unit) = {
     val spark = batch.sparkSession
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     validateIndexParams(spark, dir, shingleN, portable)
     val histFp = spark.read.parquet(s"$dir/fp").select("fp").distinct()
       .withColumnRenamed("fp", "__fp").withColumn("__hit", lit(true))
@@ -1275,9 +1400,10 @@ object DedupOps {
   /** [[dedupDecisionsApprox]] plus a release thunk (same contract as
     * [[dedupDecisionsReleasable]]). */
   private[graft] def dedupDecisionsApproxReleasable(
-      batch: DataFrame, dir: String, idCol: String, textCol: String,
+      batch: DataFrame, indexDir: String, idCol: String, textCol: String,
       threshold: Double = 0.5, maxBucket: Int = 1000): (DataFrame, () => Unit) = {
     val spark = batch.sparkSession
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     val meta = readDedupIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
       s"dedup index $dir has no _graft_meta — the approximate tier needs the frozen " +
         "signature family; rebuild with writeDedupIndex"))
@@ -1441,9 +1567,10 @@ object DedupOps {
   /** [[dedupAgainstIndexApprox]] plus a release thunk (same contract
     * as [[dedupAgainstIndexReleasable]]). */
   private[graft] def dedupAgainstIndexApproxReleasable(
-      batch: DataFrame, dir: String, idCol: String, textCol: String,
+      batch: DataFrame, indexDir: String, idCol: String, textCol: String,
       threshold: Double = 0.5, maxBucket: Int = 1000): (DataFrame, () => Unit) = {
     val spark = batch.sparkSession
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     val meta = readDedupIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
       s"dedup index $dir has no _graft_meta — the approximate tier needs the frozen " +
         "signature family; rebuild with writeDedupIndex"))

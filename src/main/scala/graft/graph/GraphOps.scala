@@ -221,37 +221,31 @@ object GraphOps {
     * not a tranche family. The stored frame is `(node, component)` —
     * one row per non-singleton-incident node, the compact fixpoint
     * star. */
-  def writeGroupIndex(assignment: DataFrame, dir: String): Unit =
+  def writeGroupIndex(assignment: DataFrame, dir: String,
+                      commit: graft.merge.Merge.Commit =
+                        graft.merge.Merge.RenameCommit): Unit =
     atomicSwapWrite(assignment.select(col("node").cast(LongType).as("node"),
-      col("component").cast(LongType).as("component")), dir)
+      col("component").cast(LongType).as("component")), dir, commit)
 
-  /** Atomically publish a frame as a whole-replaced artifact: swap
-    * protocol against an existing target, stage + one rename for the
-    * first publish (no readers yet) — shared by the group-assignment
-    * and rank-vector artifacts. */
-  private def atomicSwapWrite(norm: DataFrame, dir: String): Unit = {
-    val spark = norm.sparkSession
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (f.exists(p)) graft.merge.Merge.atomicReplace(norm, dir)
-    else {
-      // first publish: no readers yet — stage + one rename is the
-      // atomic birth (the swap protocol needs an existing target)
-      val tmp = new org.apache.hadoop.fs.Path(
-        dir + "__stage_" + java.util.UUID.randomUUID().toString.take(8))
-      try graft.io.Writers.parquet(norm, tmp.toString)
-      catch { case e: Throwable => f.delete(tmp, true); throw e }
-      if (!f.rename(tmp, p)) {
-        f.delete(tmp, true)
-        throw new IllegalStateException(s"rename $tmp -> $p failed")
-      }
-    }
-  }
+  /** Atomically publish a frame as a whole-replaced artifact — shared
+    * by the group-assignment and rank-vector artifacts. RenameCommit:
+    * swap protocol against an existing target, stage + one rename for
+    * the first publish (atomic on HDFS/local). PointerCommit (r13
+    * verdict #2): the `Merge` manifest protocol — data lands in an
+    * immutable `__data_` generation and one small `_current` pointer
+    * republishes, correct on object stores where rename is
+    * copy+delete; exactly the artifact a daily PageRank/dedup-group
+    * refresh republishes onto S3. */
+  private def atomicSwapWrite(norm: DataFrame, dir: String,
+                              commit: graft.merge.Merge.Commit): Unit =
+    graft.merge.Merge.swapWith(norm.sparkSession, dir, commit)(
+      tmp => graft.io.Writers.parquet(norm, tmp))
 
-  /** Read the stored assignment (a plain bounded parquet scan). */
+  /** Read the stored assignment (a bounded parquet scan; a
+    * pointer-committed artifact resolves through its manifest). */
   def readGroupIndex(spark: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame =
-    spark.read.parquet(dir)
+    graft.merge.Merge.readTarget(spark, dir)
 
   /** Daily group refresh: warm-start CC from the STORED assignment
     * plus only the new edges, atomically swap the updated assignment
@@ -266,9 +260,10 @@ object GraphOps {
   def updateGroupIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                        newEdges: DataFrame, srcCol: String, dstCol: String,
                        maxIterations: Int = 50,
-                       localThreshold: Int = 100000): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+                       localThreshold: Int = 100000,
+                       commit: graft.merge.Merge.Commit =
+                         graft.merge.Merge.RenameCommit): DataFrame = {
+    val exists = graft.merge.Merge.targetExists(spark, dir)
     // leak discipline for the STREAMING caller: the CC recursion leaves
     // its final fixpoint frame persisted and the warm start leaves a
     // local checkpoint — per refresh. A long-lived stream refreshing
@@ -284,7 +279,7 @@ object GraphOps {
         newEdges, srcCol, dstCol, maxIterations, localThreshold)
       else connectedComponentsReleasable(newEdges, srcCol, dstCol,
         maxIterations, localThreshold)   // first tick births the index
-    writeGroupIndex(updated, dir)
+    writeGroupIndex(updated, dir, commit)
     release()
     readGroupIndex(spark, dir)
   }
@@ -395,14 +390,17 @@ object GraphOps {
     * vector here and [[updateRankIndex]] continues the exact integer
     * recursion from it — never from uniform, never re-paying the
     * converged iterations. */
-  def writeRankIndex(ranks: DataFrame, dir: String): Unit =
+  def writeRankIndex(ranks: DataFrame, dir: String,
+                     commit: graft.merge.Merge.Commit =
+                       graft.merge.Merge.RenameCommit): Unit =
     atomicSwapWrite(ranks.select(col("node").cast(LongType).as("node"),
-      col("rank").cast(LongType).as("rank")), dir)
+      col("rank").cast(LongType).as("rank")), dir, commit)
 
-  /** Read the stored rank vector (a plain bounded parquet scan). */
+  /** Read the stored rank vector (a bounded parquet scan; a
+    * pointer-committed artifact resolves through its manifest). */
   def readRankIndex(spark: org.apache.spark.sql.SparkSession,
                     dir: String): DataFrame =
-    spark.read.parquet(dir)
+    graft.merge.Merge.readTarget(spark, dir)
 
   /** Content gauge over the stored [[writeRankIndex]] artifact: one
     * row `(n_nodes, total_rank, max_rank, min_rank)` — the
@@ -433,7 +431,10 @@ object GraphOps {
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(f.exists(p), s"indexHealth: $dir does not exist")
-    val marked = f.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+    // pointer-committed artifacts carry the committer marker inside the
+    // current __data_ generation; rename-mode resolves to dir itself
+    val resolved = graft.merge.Merge.resolveDir(spark, dir)
+    val marked = f.exists(new org.apache.hadoop.fs.Path(resolved, "_SUCCESS"))
     Seq((artifact, 1, if (marked) 1 else 0, 0, Option.empty[Boolean]))
       .toDF("artifact", "n_tranches", "n_marked", "n_unproven", "count_fresh")
   }
@@ -465,14 +466,15 @@ object GraphOps {
   def updateRankIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                       edges: DataFrame, srcCol: String, dstCol: String,
                       iterations: Int = 10, scale: Long = 1000000000L,
-                      outDir: Option[String] = None): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+                      outDir: Option[String] = None,
+                      commit: graft.merge.Merge.Commit =
+                        graft.merge.Merge.RenameCommit): DataFrame = {
+    val exists = graft.merge.Merge.targetExists(spark, dir)
     val start = if (exists) Some(readRankIndex(spark, dir)) else None
     val (ranks, _, release) =
       pageRankCore(edges, srcCol, dstCol, start, iterations, scale, None)
     val dest = outDir.getOrElse(dir)
-    writeRankIndex(ranks, dest)
+    writeRankIndex(ranks, dest, commit)
     release()
     readRankIndex(spark, dest)
   }
@@ -1053,6 +1055,81 @@ object GraphOps {
       .select(col("src").as("node"), col("n_neighbors"),
         col("__sum").cast(DoubleType).as("sum_val"),
         (col("__sum").cast(DoubleType) / col("n_neighbors")).as("avg_val"))
+  }
+
+  /** 2-hop feature aggregation over WALKS instead of the distinct
+    * neighbor SET — the sublinear tier for [[neighborhoodAgg]]'s
+    * linear frontier (r13 verdict #6). The exact op's cost is the
+    * materialized 2-hop pair multiset: O(|E|·maxDegree) rows through
+    * a global `distinct()` — measured 94× runtime at 100× data,
+    * exactly its bound. This operator never materializes that set:
+    * it aggregates over all 1-hop legs u→d plus all NON-BACKTRACKING
+    * 2-hop walks u→m→d (d ≠ u), computed by combining per-node 1-hop
+    * stat tranches `(n, Σv)` through the sum algebra —
+    *
+    *   walks₂(u) = Σ_{m∈N(u)} one(m)  −  backtrack legs u→m→u
+    *
+    * — three O(|E|)-row shuffles total (stat build, stat combine,
+    * mutual-edge backtrack correction), independent of fan-out. The
+    * answer is EXACT for walk semantics (oracle-replayable in SQL,
+    * hash-gated like every other query — not a sketch): a neighbor
+    * reachable down k distinct paths is counted k times, and a node
+    * that is both a 1-hop and a 2-hop neighbor counts in both roles.
+    * For feature purposes the walk aggregate is the path-weighted
+    * variant of the neighborhood mean (a neighbor connected through
+    * many intermediates weighs more); on graphs where ≤2-hop paths
+    * are unique (trees, the sparse tail of most real graphs) it
+    * EQUALS the distinct-set aggregate (spec-pinned). Use the exact
+    * [[neighborhoodAgg]] when set semantics are required and E·cap
+    * is affordable; use this when they aren't.
+    *
+    * Determinism: counts exact integers, sums exact DECIMAL combined
+    * through the algebra (identical value to summing the walk
+    * multiset directly), ONE IEEE division at the end — the
+    * oracle-parity discipline. Output: `(node, n_paths, sum_val,
+    * avg_val)`, nodes with ≥1 qualifying leg.
+    */
+  def neighborhoodAggPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                           values: DataFrame, nodeCol: String,
+                           valueCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+    val v = values.select(col(nodeCol).cast(LongType).as("dst"),
+      col(valueCol).cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("__v"))
+    // per-node 1-hop stat tranche (node-sized, the at-rest-index shape)
+    val one = e.join(v, "dst").groupBy(col("src"))
+      .agg(count(lit(1)).as("__n1"), sum(col("__v")).as("__s1"))
+    val oneM = one.select(col("src").as("__m"),
+      col("__n1").as("__n1m"), col("__s1").as("__s1m"))
+    // 2-hop walk totals by stat COMBINE — never the walk rows themselves
+    val two = e.join(oneM, col("dst") === col("__m"))
+      .groupBy(col("src"))
+      .agg(sum(col("__n1m")).as("__n2"), sum(col("__s1m")).as("__s2"))
+    // backtrack correction: each MUTUAL edge pair u⇄m contributes one
+    // u→m→u walk, worth (1, v(u)) iff u is valued — subtracted so the
+    // walk set matches the exact op's d ≠ src exclusion
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val back = e.intersect(rev)
+      .groupBy(col("src")).agg(count(lit(1)).as("__nbk"))
+      .join(v.withColumnRenamed("dst", "src"), Seq("src"))
+      .select(col("src"), col("__nbk"),
+        (col("__v") * col("__nbk")).as("__sbk"))
+    val zeroN = lit(0L)
+    one.join(two, Seq("src"), "full_outer")
+      .join(back, Seq("src"), "left")
+      .select(col("src").as("node"),
+        (coalesce(col("__n1"), zeroN) + coalesce(col("__n2"), zeroN) -
+          coalesce(col("__nbk"), zeroN)).as("n_paths"),
+        (coalesce(col("__s1").cast(org.apache.spark.sql.types.DecimalType(38, 2)), lit(0)) +
+          coalesce(col("__s2").cast(org.apache.spark.sql.types.DecimalType(38, 2)), lit(0)) -
+          coalesce(col("__sbk").cast(org.apache.spark.sql.types.DecimalType(38, 2)), lit(0)))
+          .as("__sum"))
+      .where(col("n_paths") > 0)
+      .select(col("node"), col("n_paths"),
+        col("__sum").cast(DoubleType).as("sum_val"),
+        (col("__sum").cast(DoubleType) / col("n_paths")).as("avg_val"))
   }
 
   /** Multi-source BFS distances: the minimum hop count from any seed

@@ -86,27 +86,98 @@ object Merge {
     }
   }
 
+  /** Mode-transparent directory resolution: a pointer-committed dir
+    * resolves to its current `__data_` generation; anything else (a
+    * rename-mode table, a plain parquet dir, a not-yet-born target)
+    * resolves to itself. Index families whose readers address
+    * artifact SUBPATHS (`dir/sh/batch=...`) route through this so one
+    * reader works against both commit modes. One driver-side
+    * existence probe per call — negligible against any scan. */
+  def resolveDir(spark: SparkSession, dir: String): String =
+    readManifest(fs(spark, dir), dir)
+      .fold(dir)(name => new Path(dir, name).toString)
+
   /** Mode-transparent read: a pointer-committed target resolves
     * through its `_current` manifest; anything else reads the
     * directory itself. */
   def readTarget(spark: SparkSession, dir: String): DataFrame =
-    readManifest(fs(spark, dir), dir) match {
-      case Some(name) => spark.read.parquet(new Path(dir, name).toString)
-      case None       => spark.read.parquet(dir)
-    }
+    spark.read.parquet(resolveDir(spark, dir))
+
+  /** Commit-mode dispatch for an arbitrary whole-dir rebuild: `write`
+    * populates a fresh directory (stage sibling under RenameCommit, an
+    * immutable `__data_` generation under PointerCommit) while readers
+    * keep seeing the OLD tree, then the swap publishes it atomically —
+    * the protocol the at-rest index families (rank/group vectors,
+    * dedup/winnow consolidation) share with the relational sinks. An
+    * absent target is born in place under RenameCommit (no readers
+    * yet, stage + one rename) and through a first manifest under
+    * PointerCommit. */
+  def swapWith(spark: SparkSession, dir: String,
+               commit: Commit)(write: String => Unit): Unit = commit match {
+    case PointerCommit => pointerSwap(spark, dir)(write)
+    case RenameCommit =>
+      val f = fs(spark, dir)
+      val p = new Path(dir)
+      if (f.exists(p)) atomicSwap(spark, dir)(write)
+      else {
+        val tmp = new Path(dir + "__stage_" + UUID.randomUUID().toString.take(8))
+        try write(tmp.toString)
+        catch { case e: Throwable => f.delete(tmp, true); throw e }
+        if (!f.rename(tmp, p)) {
+          f.delete(tmp, true)
+          throw new IllegalStateException(s"rename $tmp -> $p failed")
+        }
+      }
+  }
 
   /** The insert dispatcher (`insert_type ∈ {append, overwrite, upsert}`,
     * `src/pyveb/rs_client.py:339-388`).
     */
-  def insert(stage: DataFrame, targetDir: String, mode: InsertMode): Unit = mode match {
-    case Append    => append(stage, targetDir)
-    case Overwrite => overwrite(stage, targetDir)
-    case Upsert(k) => upsert(stage, targetDir, k)
+  def insert(stage: DataFrame, targetDir: String, mode: InsertMode,
+             commit: Commit = RenameCommit): Unit = mode match {
+    case Append    => append(stage, targetDir, commit)
+    case Overwrite => overwrite(stage, targetDir, commit)
+    case Upsert(k) => upsert(stage, targetDir, k, commit = commit)
   }
 
-  /** INSERT INTO target SELECT * FROM stage (`_append` `rs_client.py:314-337`). */
-  def append(stage: DataFrame, targetDir: String): Unit =
-    graft.io.Writers.parquet(stage, targetDir, mode = org.apache.spark.sql.SaveMode.Append)
+  /** INSERT INTO target SELECT * FROM stage (`_append` `rs_client.py:314-337`).
+    *
+    * Commit-mode aware (r13 ADVICE #3): a plain `SaveMode.Append` onto a
+    * pointer-committed target would land files in the directory ROOT
+    * while `readTarget` keeps resolving the `_current` manifest — the
+    * load "succeeds" but readers never see the rows and the GC never
+    * cleans them. So RenameCommit-mode append FAILS FAST on a manifest,
+    * and `commit = PointerCommit` routes through the manifest protocol:
+    * old ∪ stage is written to a fresh immutable data dir (the read
+    * resolves the still-published previous manifest — consistent
+    * throughout) and published atomically. That makes pointer-mode
+    * append a whole-image rewrite — correct on S3, but at 100 TB prefer
+    * upsert-with-partition-scoping or a real table format for
+    * high-frequency appends. */
+  def append(stage: DataFrame, targetDir: String,
+             commit: Commit = RenameCommit): Unit = {
+    val spark = stage.sparkSession
+    val pointered = readManifest(fs(spark, targetDir), targetDir).isDefined
+    commit match {
+      case RenameCommit =>
+        require(!pointered,
+          s"Merge.append: $targetDir is pointer-committed (a `_current` manifest " +
+            "exists); a raw file append would be invisible to readers. Pass " +
+            "commit = PointerCommit (one commit mode per directory).")
+        graft.io.Writers.parquet(stage, targetDir, mode = org.apache.spark.sql.SaveMode.Append)
+      case PointerCommit =>
+        if (!targetExists(spark, targetDir)) overwrite(stage, targetDir, PointerCommit)
+        else {
+          require(pointered,
+            s"Merge.append: $targetDir holds rename-committed data; appending it " +
+              "under PointerCommit would orphan the existing files. One commit " +
+              "mode per directory — rewrite via overwrite(_, PointerCommit) first.")
+          val merged = RelationalOps.uniteByName(
+            Seq(readTarget(spark, targetDir), stage))
+          pointerSwap(spark, targetDir)(d => graft.io.Writers.parquet(merged, d))
+        }
+    }
+  }
 
   /** DELETE all + INSERT, atomically (`_full_refresh` `rs_client.py:285-312`). */
   def overwrite(stage: DataFrame, targetDir: String,
@@ -228,16 +299,21 @@ object Merge {
     *   - crash during the publish  → either the old or the new
     *     manifest is visible, never a torn one (single-object swap).
     *
-    * After a successful publish, superseded data dirs and manifest
-    * temps are deleted best-effort — on S3 give readers a grace TTL
-    * instead (a reader that resolved the old manifest may still be
-    * listing it); the single-writer discipline is the caller's, same
-    * as [[atomicSwap]]'s. */
+    * After a successful publish, GC is best-effort and READER-GRACED
+    * (r13 ADVICE #5): the JUST-SUPERSEDED data dir (the one the old
+    * manifest named) survives this commit and is collected on the NEXT
+    * one — a reader that resolved the old manifest mid-swap keeps a
+    * full commit interval to finish its scan, on every store (the
+    * read-after-swap race is not S3-specific: local/HDFS readers that
+    * open files task-by-task hit the same delete). Older generations
+    * and manifest temps are deleted. Single-WRITER discipline is the
+    * caller's, same as [[atomicSwap]]'s; readers need none. */
   private[graft] def pointerSwap(spark: SparkSession, targetDir: String)
                                 (write: String => Unit): Unit = {
     val f = fs(spark, targetDir)
     val target = new Path(targetDir)
     f.mkdirs(target)
+    val prevName = readManifest(f, targetDir) // graced through this commit
     val dataName = "__data_" + UUID.randomUUID().toString.take(8)
     val dataDir = new Path(target, dataName)
     try write(dataDir.toString)
@@ -252,7 +328,7 @@ object Merge {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     try f.listStatus(target).foreach { st =>
       val n = st.getPath.getName
-      if ((n.startsWith("__data_") && n != dataName) ||
+      if ((n.startsWith("__data_") && n != dataName && !prevName.contains(n)) ||
         n.startsWith(ManifestFile + ".tmp_"))
         f.delete(st.getPath, true)
     } catch { case scala.util.control.NonFatal(_) => () } // GC is best-effort

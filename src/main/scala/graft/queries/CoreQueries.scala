@@ -503,6 +503,56 @@ object CoreQueries {
         .select("l_id", "r_id", "lev_dist")
     },
 
+    // ---- the FREQUENCY-pruned key variant (r13 verdict #5), both
+    //      passes, oracle-proven: a key covering > 0.5% of a side's
+    //      rows is a stop-key ON THAT SIDE — scale-stable where the
+    //      absolute maxBlock is not (fixed-vocabulary keys like the
+    //      suffix-3 pass hold constant SHARE as data grows, so the
+    //      same keys stay pruned at every corpus size and recall on
+    //      the non-degenerate remainder is preserved). Binds at
+    //      sf0.01 already (caps ≈ 10 left / 3 right vs suffix blocks
+    //      averaging 16 / 5) ----
+    Q("q_er_blocked_pruned",
+      s"""WITH pl AS (SELECT p_partkey AS l_id, concat(p_name, ' ', p_type) AS l_name,
+        |         p_brand AS l_brand FROM part),
+        |pr AS (SELECT p_partkey AS r_id,
+        |         concat(substr(nm, 1, 7), substr(nm, 9)) AS r_name, p_brand AS r_brand
+        |       FROM (SELECT p_partkey, concat(p_name, ' ', p_type) AS nm, p_brand
+        |             FROM part WHERE p_partkey % 3 = 0)),
+        |lcap AS (SELECT greatest(1, CAST(floor(0.005 * count(*)) AS BIGINT)) AS cap FROM pl),
+        |rcap AS (SELECT greatest(1, CAST(floor(0.005 * count(*)) AS BIGINT)) AS cap FROM pr),
+        |l1 AS (SELECT l_id, l_name, l_brand FROM (
+        |         SELECT pl.*, count(*) OVER (PARTITION BY
+        |           concat(split_part(l_name, ' ', 1), '|', l_brand)) AS bn FROM pl)
+        |       WHERE bn <= (SELECT cap FROM lcap)),
+        |r1 AS (SELECT r_id, r_name, r_brand FROM (
+        |         SELECT pr.*, count(*) OVER (PARTITION BY
+        |           concat(split_part(r_name, ' ', 1), '|', r_brand)) AS bn FROM pr)
+        |       WHERE bn <= (SELECT cap FROM rcap)),
+        |l2 AS (SELECT l_id, l_name, l_brand FROM (
+        |         SELECT pl.*, count(*) OVER (PARTITION BY
+        |           concat(right(l_name, 3), '|', l_brand)) AS bn FROM pl)
+        |       WHERE bn <= (SELECT cap FROM lcap)),
+        |r2 AS (SELECT r_id, r_name, r_brand FROM (
+        |         SELECT pr.*, count(*) OVER (PARTITION BY
+        |           concat(right(r_name, 3), '|', r_brand)) AS bn FROM pr)
+        |       WHERE bn <= (SELECT cap FROM rcap)),
+        |cand AS (
+        |  SELECT l1.l_id, l1.l_name, r1.r_id, r1.r_name
+        |  FROM l1 JOIN r1 ON concat(split_part(l_name, ' ', 1), '|', l_brand)
+        |                   = concat(split_part(r_name, ' ', 1), '|', r_brand)
+        |  UNION
+        |  SELECT l2.l_id, l2.l_name, r2.r_id, r2.r_name
+        |  FROM l2 JOIN r2 ON concat(right(l_name, 3), '|', l_brand)
+        |                   = concat(right(r_name, 3), '|', r_brand))
+        |SELECT l_id, r_id, CAST(levenshtein(l_name, r_name) AS INTEGER) AS lev_dist
+        |FROM cand WHERE levenshtein(l_name, r_name) <= 2""".stripMargin) { (s, dir) =>
+      val (lf, rt) = erSides(s, dir)
+      RelationalOps.blockedLevenshteinJoin(lf, rt, "l_name", "r_name",
+        erBlockKeys, maxDist = 2, maxKeyShare = 0.005)
+        .select("l_id", "r_id", "lev_dist")
+    },
+
     // ---- golden-record entity groups: the ER match pairs closed
     //      under transitive connectivity — every part gets its entity
     //      cluster id (min member key, the CC convergence point) and

@@ -2631,6 +2631,48 @@ object LlmQueries {
         hops = 2, maxDegree = 8, sampleSalt = Some("nbh"), portable = true)
     },
 
+    // ---- the SUBLINEAR 2-hop tier (r13 verdict #6): walk-multiset
+    //      aggregate computed by combining per-node 1-hop stat
+    //      tranches — O(|E|) shuffled rows, no E·cap pair
+    //      materialization, no global distinct; exact for walk
+    //      semantics, so the oracle replays it as the literal
+    //      walk-set SQL and the hash gate applies. Sparser trade
+    //      slice (cust % 17) keeps the ORACLE's materialized walk
+    //      join bounded at sf0.1 — the engine side never builds it ----
+    Q("q_neighborhood_paths",
+      """WITH sc AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |    CAST(o_custkey + 1000000 AS BIGINT) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey % 17 = 0),
+        |e AS (SELECT src, dst FROM sc UNION SELECT dst, src FROM sc),
+        |v AS (SELECT CAST(s_suppkey AS BIGINT) AS node,
+        |        CAST(s_acctbal AS DECIMAL(12,2)) AS val FROM supplier
+        |      UNION ALL
+        |      SELECT CAST(c_custkey + 1000000 AS BIGINT),
+        |        CAST(c_acctbal AS DECIMAL(12,2)) FROM customer),
+        |one AS (SELECT e.src, v.val FROM e JOIN v ON v.node = e.dst),
+        |two AS (SELECT a.src, v.val FROM e a JOIN e b ON b.src = a.dst
+        |        JOIN v ON v.node = b.dst WHERE b.dst <> a.src),
+        |w AS (SELECT * FROM one UNION ALL SELECT * FROM two)
+        |SELECT src AS node, CAST(count(*) AS BIGINT) AS n_paths,
+        |  CAST(sum(val) AS DOUBLE) AS sum_val,
+        |  CAST(sum(val) AS DOUBLE) / count(*) AS avg_val
+        |FROM w GROUP BY 1""".stripMargin) { (s, dir) =>
+      val sc = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(Tables(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_custkey") % 17 === 0)
+        .select(col("l_suppkey").cast(LongType).as("src"),
+          (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
+      val edges = sc.unionAll(sc.select(col("dst").as("src"), col("src").as("dst")))
+      val values = Tables(s, dir, "supplier")
+        .select(col("s_suppkey").cast(LongType).as("node"), col("s_acctbal").as("val"))
+        .unionAll(Tables(s, dir, "customer")
+          .select((col("c_custkey") + 1000000L).cast(LongType).as("node"),
+            col("c_acctbal").as("val")))
+      GraphOps.neighborhoodAggPaths(edges, "src", "dst", values, "node", "val")
+    },
+
     // ---- PERSONALIZED PageRank: teleport re-aimed at suppliers
     //      {1,2,3} — random walks restart at the seeds, so rank is
     //      proximity-weighted importance relative to them (the

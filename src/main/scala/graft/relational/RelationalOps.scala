@@ -334,29 +334,54 @@ object RelationalOps {
     * |block|² candidates; dropping it is a documented recall trade,
     * bounded fan-out by construction.
     *
+    * `maxKeyShare ∈ (0, 1]` is the FREQUENCY-PRUNED key variant (r13
+    * verdict #5): a block key is dropped on a side when it covers more
+    * than that SHARE of the side's rows — `count(key) > max(1,
+    * ⌊share·n⌋)`. The absolute `maxBlock` cap stops binding correctly
+    * when data grows (a fixed-vocabulary key like a type-suffix holds
+    * a constant share, so its absolute block size grows linearly and
+    * pairs quadratically — the measured `q_er_blocked` 100×-pairs
+    * blow-up); a share threshold is scale-STABLE: the same key set is
+    * degenerate at every corpus size, so recall on the non-degenerate
+    * remainder is preserved as data grows instead of being re-decided
+    * by an absolute constant. Both caps compose (the tighter binds).
+    * Costs one `count()` per side (driver-side row counts, one cheap
+    * job each), not a self-join.
+    *
     * Shuffle plan per pass: one equi-join on the block key (AQE splits
     * hot blocks); then one pair-set-sized dedup shuffle; the refine is
-    * Spark's codegen'd `levenshtein` — no UDF. Column names of `left`
-    * and `right` must be disjoint; output = left.* ++ right.* ++
-    * `lev_dist`.
+    * Spark's codegen'd `levenshtein` — no UDF. The per-side count
+    * window pre-partitions each side on `__bk`, a partitioning the
+    * join itself reuses. Column names of `left` and `right` must be
+    * disjoint; output = left.* ++ right.* ++ `lev_dist`.
     */
   def blockedLevenshteinJoin(left: DataFrame, right: DataFrame,
                              leftCol: String, rightCol: String,
                              blockKeys: Seq[(Column, Column)],
-                             maxDist: Int, maxBlock: Int = 0): DataFrame = {
+                             maxDist: Int, maxBlock: Int = 0,
+                             maxKeyShare: Double = 0.0): DataFrame = {
     require(blockKeys.nonEmpty, "blockedLevenshteinJoin: no blocking passes")
     require(maxDist >= 0, s"blockedLevenshteinJoin: maxDist=$maxDist < 0")
+    require(maxKeyShare >= 0.0 && maxKeyShare <= 1.0,
+      s"blockedLevenshteinJoin: maxKeyShare=$maxKeyShare outside [0, 1]")
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "blockedLevenshteinJoin: left/right column names must be disjoint")
-    def capped(df: DataFrame, key: Column) = {
+    // share cap per side: floor(share * n), never below 1 (a singleton
+    // key is never degenerate). Counted once, reused by every pass.
+    def shareCap(df: DataFrame): Long =
+      if (maxKeyShare <= 0.0) Long.MaxValue
+      else math.max(1L, (maxKeyShare * df.count()).toLong)
+    val (lCap, rCap) = (shareCap(left), shareCap(right))
+    def capped(df: DataFrame, key: Column, cap: Long) = {
       val keyed = df.withColumn("__bk", key)
-      if (maxBlock <= 0) keyed
+      val bound = math.min(if (maxBlock > 0) maxBlock.toLong else Long.MaxValue, cap)
+      if (bound == Long.MaxValue) keyed
       else keyed
         .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__bk"))))
-        .where(col("__bn") <= maxBlock).drop("__bn")
+        .where(col("__bn") <= bound).drop("__bn")
     }
     blockKeys.map { case (lk, rk) =>
-      capped(left, lk).join(capped(right, rk), Seq("__bk")).drop("__bk")
+      capped(left, lk, lCap).join(capped(right, rk, rCap), Seq("__bk")).drop("__bk")
         .withColumn("lev_dist", levenshtein(col(leftCol), col(rightCol)))
         .where(col("lev_dist") <= maxDist)
     }.reduce(_.unionByName(_)).dropDuplicates()

@@ -177,15 +177,22 @@ object SimilarityOps {
     * lifecycle (overwrite-idempotent tagged appends, consolidation,
     * rebuild via atomic swap). */
   def lshWriteIndex(corpus: DataFrame, dir: String, cidCol: String, vecCol: String,
-                    nbits: Int = 8): Unit = {
+                    nbits: Int = 8,
+                    commit: graft.merge.Merge.Commit =
+                      graft.merge.Merge.RenameCommit): Unit = {
     val spark = corpus.sparkSession
     def buildInto(root: String): Unit = {
       writeSmallFile(spark, s"$root/_graft_meta", s"nbits=$nbits\n")
       lshIndexRows(corpus, cidCol, vecCol, nbits)
         .write.mode("overwrite").partitionBy("lsh_bucket").parquet(s"$root/vec/batch=build")
     }
-    if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
-    else buildInto(dir)
+    commit match {
+      case graft.merge.Merge.PointerCommit =>
+        graft.merge.Merge.swapWith(spark, dir, commit)(buildInto)
+      case graft.merge.Merge.RenameCommit =>
+        if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
+        else buildInto(dir)
+    }
   }
 
   /** Meta-file key lookup that names the FAMILY MISMATCH when absent:
@@ -219,9 +226,10 @@ object SimilarityOps {
     * [[ivfAppendToIndex]]. Probe-after-append ≡ probe of a one-shot
     * build over the unioned corpus (spec-proven).
     */
-  def lshAppendToIndex(newRows: DataFrame, dir: String, cidCol: String, vecCol: String,
+  def lshAppendToIndex(newRows: DataFrame, indexDir: String, cidCol: String, vecCol: String,
                        tag: String): Unit = {
     val spark = newRows.sparkSession
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     val nbits = readLshNbits(spark, dir)
     if (!graft.dedup.DedupOps.appendTagAllowed(spark, dir, tag, "lshAppendToIndex",
       () => newRows.select(col(cidCol).as("corpus_id")).distinct()
@@ -235,10 +243,15 @@ object SimilarityOps {
   /** [[consolidateIvfIndex]]'s twin for the LSH vector artifact —
     * shared protocol, `lsh_bucket` partitioning preserved. */
   def consolidateLshIndex(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): Unit = {
+                          indexDir: String,
+                          commit: graft.merge.Merge.Commit =
+                            graft.merge.Merge.RenameCommit): Unit = {
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     readLshNbits(spark, dir)
-    graft.dedup.DedupOps.consolidateArtifacts(spark, dir, Seq("vec"),
-      commitWitness = "vec", partitionCols = Seq("lsh_bucket"))
+    graft.dedup.DedupOps.consolidateArtifacts(spark,
+      if (commit == graft.merge.Merge.PointerCommit) indexDir else dir,
+      Seq("vec"), commitWitness = "vec", partitionCols = Seq("lsh_bucket"),
+      commit = commit)
   }
 
   private def lshIndexRows(df: DataFrame, cidCol: String, vecCol: String,
@@ -252,9 +265,10 @@ object SimilarityOps {
     * prunes the index scan exactly like [[ivfProbeTopK]]. `nbits`
     * comes from the index's `_graft_meta`, never callers.
     */
-  def lshProbeTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+  def lshProbeTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                    queries: DataFrame, qidCol: String, vecCol: String,
                    k: Int, multiProbe: Boolean = false): DataFrame = {
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     val nbits = readLshNbits(spark, dir)
     val qBase = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
       l2NormF(col(vecCol)).as("__qn"), signBucket(col(vecCol), nbits).as("lsh_bucket"))
@@ -475,7 +489,9 @@ object SimilarityOps {
     */
   def ivfWriteIndex(corpus: DataFrame, dir: String, cidCol: String, vecCol: String,
                     nLists: Int = 16, seed: Long = 42L,
-                    precomputed: Option[Array[(Int, Array[Double])]] = None)
+                    precomputed: Option[Array[(Int, Array[Double])]] = None,
+                    commit: graft.merge.Merge.Commit =
+                      graft.merge.Merge.RenameCommit)
   : Array[(Int, Array[Double])] = {
     val spark = corpus.sparkSession
     val centroids = precomputed.getOrElse(ivfCentroids(corpus, vecCol, nLists, seed))
@@ -489,8 +505,13 @@ object SimilarityOps {
       ivfIndexRows(corpus, cidCol, vecCol, centroids)
         .write.mode("overwrite").partitionBy("ivf_list").parquet(s"$root/vec/batch=build")
     }
-    if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
-    else buildInto(dir)
+    commit match {
+      case graft.merge.Merge.PointerCommit =>
+        graft.merge.Merge.swapWith(spark, dir, commit)(buildInto)
+      case graft.merge.Merge.RenameCommit =>
+        if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
+        else buildInto(dir)
+    }
     centroids
   }
 
@@ -512,9 +533,10 @@ object SimilarityOps {
     * absorbed tag fails fast. Probe-after-append ≡ probe of a
     * one-shot build over the unioned corpus (spec-proven).
     */
-  def ivfAppendToIndex(newRows: DataFrame, dir: String, cidCol: String, vecCol: String,
+  def ivfAppendToIndex(newRows: DataFrame, indexDir: String, cidCol: String, vecCol: String,
                        tag: String): Unit = {
     val spark = newRows.sparkSession
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     val meta = requireIvfMeta(spark, dir)
     if (!graft.dedup.DedupOps.appendTagAllowed(spark, dir, tag, "ivfAppendToIndex",
       () => newRows.select(col(cidCol).as("corpus_id")).distinct()
@@ -534,10 +556,15 @@ object SimilarityOps {
     * pruning — every probe would scan the whole index. The single
     * `vec` artifact is its own commit witness. */
   def consolidateIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): Unit = {
+                          indexDir: String,
+                          commit: graft.merge.Merge.Commit =
+                            graft.merge.Merge.RenameCommit): Unit = {
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     requireIvfMeta(spark, dir)
-    graft.dedup.DedupOps.consolidateArtifacts(spark, dir, Seq("vec"),
-      commitWitness = "vec", partitionCols = Seq("ivf_list"))
+    graft.dedup.DedupOps.consolidateArtifacts(spark,
+      if (commit == graft.merge.Merge.PointerCommit) indexDir else dir,
+      Seq("vec"), commitWitness = "vec", partitionCols = Seq("ivf_list"),
+      commit = commit)
   }
 
   private def ivfIndexRows(df: DataFrame, cidCol: String, vecCol: String,
@@ -561,9 +588,10 @@ object SimilarityOps {
     * The query side broadcasts by CONTRACT: top-k serving batches are
     * bounded-small (unlike the dedup batch path, which shuffles).
     */
-  def ivfProbeTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+  def ivfProbeTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                    queries: DataFrame, qidCol: String, vecCol: String,
                    k: Int, nProbe: Int): DataFrame = {
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     val meta = requireIvfMeta(spark, dir)
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
       l2NormF(col(vecCol)).as("__qn"),
@@ -877,7 +905,9 @@ object SimilarityOps {
                       nLists: Int = 16, m: Int = 8, codebookK: Int = 16,
                       seed: Long = 42L,
                       centroids: Option[Array[(Int, Array[Double])]] = None,
-                      codebooks: Option[Array[Array[Array[Double]]]] = None)
+                      codebooks: Option[Array[Array[Array[Double]]]] = None,
+                      commit: graft.merge.Merge.Commit =
+                        graft.merge.Merge.RenameCommit)
   : (Array[(Int, Array[Double])], Array[Array[Array[Double]]]) = {
     val spark = corpus.sparkSession
     val cents = centroids.getOrElse(ivfCentroids(corpus, vecCol, nLists, seed))
@@ -892,8 +922,13 @@ object SimilarityOps {
       ivfPqIndexRows(corpus, cidCol, vecCol, cents, books)
         .write.mode("overwrite").partitionBy("ivf_list").parquet(s"$root/pq/batch=build")
     }
-    if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
-    else buildInto(dir)
+    commit match {
+      case graft.merge.Merge.PointerCommit =>
+        graft.merge.Merge.swapWith(spark, dir, commit)(buildInto)
+      case graft.merge.Merge.RenameCommit =>
+        if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
+        else buildInto(dir)
+    }
     (cents, books)
   }
 
@@ -902,9 +937,10 @@ object SimilarityOps {
     * as [[ivfAppendToIndex]]: overwrite-idempotent per tag, absorbed
     * tags no-op only on provable replay, untouched tranches see zero
     * I/O. */
-  def ivfPqAppendToIndex(newRows: DataFrame, dir: String, cidCol: String, vecCol: String,
+  def ivfPqAppendToIndex(newRows: DataFrame, indexDir: String, cidCol: String, vecCol: String,
                          tag: String): Unit = {
     val spark = newRows.sparkSession
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     val meta = requireIvfPqMeta(spark, dir)
     if (!graft.dedup.DedupOps.appendTagAllowed(spark, dir, tag, "ivfPqAppendToIndex",
       () => newRows.select(col(cidCol).as("corpus_id")).distinct()
@@ -926,7 +962,8 @@ object SimilarityOps {
     * combinable aggregation over ≤ nLists groups; column-pruned to
     * the id and partition columns — the vectors never load. */
   def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
-                    dir: String): DataFrame = {
+                    indexDir: String): DataFrame = {
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     requireIvfMeta(spark, dir)
     val nTranches = graft.util.Fs.hfs(spark, dir)
       .listStatus(new org.apache.hadoop.fs.Path(s"$dir/vec"))
@@ -943,7 +980,8 @@ object SimilarityOps {
     * the vector families carry no count artifact, so `count_fresh` is
     * always NULL here. Directory metadata only. */
   def ivfIndexHealth(spark: org.apache.spark.sql.SparkSession,
-                     dir: String): DataFrame = {
+                     indexDir: String): DataFrame = {
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     val present = Seq("vec", "pq").filter(a => graft.util.Fs.pathExists(spark, s"$dir/$a"))
     require(present.nonEmpty,
       s"ivfIndexHealth: $dir has neither vec nor pq — not a written vector index")
@@ -955,10 +993,15 @@ object SimilarityOps {
   /** [[consolidateIvfIndex]]'s twin for the IVF-PQ code artifact —
     * shared protocol, `ivf_list` partitioning preserved. */
   def consolidateIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): Unit = {
+                            indexDir: String,
+                            commit: graft.merge.Merge.Commit =
+                              graft.merge.Merge.RenameCommit): Unit = {
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     requireIvfPqMeta(spark, dir)
-    graft.dedup.DedupOps.consolidateArtifacts(spark, dir, Seq("pq"),
-      commitWitness = "pq", partitionCols = Seq("ivf_list"))
+    graft.dedup.DedupOps.consolidateArtifacts(spark,
+      if (commit == graft.merge.Merge.PointerCommit) indexDir else dir,
+      Seq("pq"), commitWitness = "pq", partitionCols = Seq("ivf_list"),
+      commit = commit)
   }
 
   private def ivfPqIndexRows(df: DataFrame, cidCol: String, vecCol: String,
@@ -975,11 +1018,12 @@ object SimilarityOps {
     * dynamicpruning in the plan), shortlist per query, then exact
     * re-rank against `vectors` (the source table carrying
     * (cidCol, vecCol)) — the only full-vector touch. */
-  def ivfPqProbeTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+  def ivfPqProbeTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                      vectors: DataFrame, queries: DataFrame,
                      qidCol: String, cidCol: String, vecCol: String,
                      k: Int, nProbe: Int, shortlist: Int = 100): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     val meta = requireIvfPqMeta(spark, dir)
     val (centroids, codebooks) = (meta.centroids, meta.codebooks)
     val nSub = codebooks.length
@@ -1069,9 +1113,10 @@ object SimilarityOps {
     * loop) release after materializing each decision, the same
     * contract as the text side's `dedupAgainstIndexReleasable`. */
   private[graft] def semanticDedupAgainstIndexReleasable(
-      spark: org.apache.spark.sql.SparkSession, dir: String,
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
       batch: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nProbe: Int): (DataFrame, () => Unit) = {
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     val meta = requireIvfMeta(spark, dir)
     // persisted: the probe pipeline (norms + fused nearest-centroids +
     // explode) forks into the probed-list collect below and the

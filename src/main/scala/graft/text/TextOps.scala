@@ -848,7 +848,9 @@ object TextOps {
     * swap.
     */
   def writeWinnowIndex(corpus: DataFrame, dir: String, idCol: String, textCol: String,
-                       k: Int = 8, w: Int = 4, portable: Boolean = false): Unit = {
+                       k: Int = 8, w: Int = 4, portable: Boolean = false,
+                       commit: graft.merge.Merge.Commit =
+                         graft.merge.Merge.RenameCommit): Unit = {
     val spark = corpus.sparkSession
     def buildInto(root: String): Unit = {
       // meta first — same crash-window reasoning as writeDedupIndex
@@ -863,8 +865,13 @@ object TextOps {
         .groupBy("wfp").agg(count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$root/wdf/batch=build")
     }
-    if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
-    else buildInto(dir)
+    commit match {
+      case graft.merge.Merge.PointerCommit =>
+        graft.merge.Merge.swapWith(spark, dir, commit)(buildInto)
+      case graft.merge.Merge.RenameCommit =>
+        if (pathExists(spark, dir)) graft.merge.Merge.atomicSwap(spark, dir)(buildInto)
+        else buildInto(dir)
+    }
   }
 
   /** Append a tranche of documents to the winnow index (params from
@@ -873,9 +880,10 @@ object TextOps {
     * overlap detection reports reuse, it does not drop documents.
     * Overwrite-idempotent per tag; a tag absorbed by
     * [[consolidateWinnowIndex]] is a no-op. */
-  def appendToWinnowIndex(newRows: DataFrame, dir: String, idCol: String, textCol: String,
+  def appendToWinnowIndex(newRows: DataFrame, indexDir: String, idCol: String, textCol: String,
                           tag: String): Unit = {
     val spark = newRows.sparkSession
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     val meta = readWinnowIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
       s"winnow index $dir has no _graft_meta; build it with writeWinnowIndex"))
     // novelty probe for the absorbed-tag path: (doc_id, wfp) pairs
@@ -907,22 +915,41 @@ object TextOps {
     * ([[graft.dedup.DedupOps.consolidateArtifacts]]); the single `wfp`
     * artifact is its own commit witness. */
   def consolidateWinnowIndex(spark: org.apache.spark.sql.SparkSession,
-                             dir: String): Unit = {
-    require(pathExists(spark, s"$dir/wfp"),
-      s"consolidateWinnowIndex: $dir has no wfp artifact — not a winnow index " +
-        "(build it with writeWinnowIndex)")
-    graft.dedup.DedupOps.consolidateArtifacts(spark, dir, Seq("wfp"),
-      commitWitness = "wfp")
-    // wdf rows are additive across tranches — regenerated from the
-    // consolidated wfp (never distinct()-rewritten, which would
-    // collapse equal count rows); doubles as the pre-wdf migration
-    def buildWdf(root: String): Unit =
-      spark.read.parquet(s"$dir/wfp").drop("batch")
-        .groupBy("wfp").agg(count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(s"$root/batch=consolidated")
-    val wdfDir = s"$dir/wdf"
-    if (pathExists(spark, wdfDir)) graft.merge.Merge.atomicSwap(spark, wdfDir)(buildWdf)
-    else buildWdf(wdfDir)
+                             indexDir: String,
+                             commit: graft.merge.Merge.Commit =
+                               graft.merge.Merge.RenameCommit): Unit = commit match {
+    case graft.merge.Merge.PointerCommit =>
+      // S3-safe whole-generation fold: wfp consolidates and wdf
+      // regenerates INSIDE the same published generation (the rename
+      // path's post-swap rebuild, without its stale-counts window)
+      val oldRoot = graft.merge.Merge.resolveDir(spark, indexDir)
+      require(pathExists(spark, s"$oldRoot/wfp"),
+        s"consolidateWinnowIndex: $indexDir has no wfp artifact — not a winnow " +
+          "index (build it with writeWinnowIndex)")
+      graft.dedup.DedupOps.consolidateArtifacts(spark, indexDir, Seq("wfp"),
+        commitWitness = "wfp", commit = commit, regenerated = Seq("wdf"),
+        regenerate = { newRoot =>
+          spark.read.parquet(s"$newRoot/wfp").drop("batch")
+            .groupBy("wfp").agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$newRoot/wdf/batch=consolidated")
+        })
+    case graft.merge.Merge.RenameCommit =>
+      val dir = graft.merge.Merge.resolveDir(spark, indexDir)
+      require(pathExists(spark, s"$dir/wfp"),
+        s"consolidateWinnowIndex: $dir has no wfp artifact — not a winnow index " +
+          "(build it with writeWinnowIndex)")
+      graft.dedup.DedupOps.consolidateArtifacts(spark, dir, Seq("wfp"),
+        commitWitness = "wfp")
+      // wdf rows are additive across tranches — regenerated from the
+      // consolidated wfp (never distinct()-rewritten, which would
+      // collapse equal count rows); doubles as the pre-wdf migration
+      def buildWdf(root: String): Unit =
+        spark.read.parquet(s"$dir/wfp").drop("batch")
+          .groupBy("wfp").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$root/batch=consolidated")
+      val wdfDir = s"$dir/wdf"
+      if (pathExists(spark, wdfDir)) graft.merge.Merge.atomicSwap(spark, wdfDir)(buildWdf)
+      else buildWdf(wdfDir)
   }
 
   /** At-rest winnow-index statistics — the [[graft.dedup.DedupOps
@@ -934,7 +961,8 @@ object TextOps {
     * symptom consolidation's distinct() repairs. One column-pruned
     * aggregation pass; fails fast off-family. */
   def winnowIndexStats(spark: org.apache.spark.sql.SparkSession,
-                       dir: String): DataFrame = {
+                       indexDir: String): DataFrame = {
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     readWinnowIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
       s"winnowIndexStats: $dir has no _graft_meta — not a winnow index " +
         "(build it with writeWinnowIndex)"))
@@ -948,7 +976,8 @@ object TextOps {
     * marker/freshness triage per artifact from directory metadata
     * alone. */
   def winnowIndexHealth(spark: org.apache.spark.sql.SparkSession,
-                        dir: String): DataFrame = {
+                        indexDir: String): DataFrame = {
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     readWinnowIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
       s"winnowIndexHealth: $dir has no _graft_meta — not a winnow index " +
         "(build it with writeWinnowIndex)"))
@@ -983,9 +1012,10 @@ object TextOps {
       minShared, maxBucket)._1
 
   private[graft] def winnowOverlapAgainstIndexReleasable(
-      batch: DataFrame, dir: String, idCol: String, textCol: String,
+      batch: DataFrame, indexDir: String, idCol: String, textCol: String,
       minShared: Int = 2, maxBucket: Int = 1000): (DataFrame, () => Unit) = {
     val spark = batch.sparkSession
+    val dir = graft.merge.Merge.resolveDir(spark, indexDir)
     val meta = readWinnowIndexMeta(spark, dir).getOrElse(throw new IllegalArgumentException(
       s"winnow index $dir has no _graft_meta; build it with writeWinnowIndex"))
     val l = winnowRows(batch, idCol, textCol, meta.k, meta.w, meta.portable)

@@ -562,6 +562,102 @@ class GraphOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("rank/group index under PointerCommit: manifest-resolved, crash-safe, GC-graced (r13 verdict #2)") {
+    import graft.merge.Merge
+    val base = java.nio.file.Files.createTempDirectory("graft_ptridx").toString
+    val rdir = s"$base/ranks"; val gdir = s"$base/groups"
+    try {
+      val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
+        .toDF("src", "dst")
+      def m(df: org.apache.spark.sql.DataFrame) = df.as[(Long, Long)].collect().toMap
+      // birth + refresh through the manifest ≡ straight iterations —
+      // the commit mode must not touch the integer recursion
+      val born = m(GraphOps.updateRankIndex(spark, rdir, edges, "src", "dst",
+        iterations = 3, commit = Merge.PointerCommit))
+      assert(new java.io.File(rdir, "_current").exists(), "manifest published")
+      assert(born == m(GraphOps.pageRank(edges, "src", "dst", iterations = 3)))
+      val refreshed = m(GraphOps.updateRankIndex(spark, rdir, edges, "src", "dst",
+        iterations = 3, commit = Merge.PointerCommit))
+      assert(refreshed == m(GraphOps.pageRank(edges, "src", "dst", iterations = 6)))
+      assert(m(GraphOps.readRankIndex(spark, rdir)) == refreshed)
+      // health gauge resolves the marker inside the current generation
+      val health = GraphOps.rankIndexHealth(spark, rdir).head()
+      assert(health.getInt(2) == 1, s"pointer-mode _SUCCESS resolved: $health")
+      // crash-injection (the RelationalMergeSpec replay the verdict
+      // asked for): a writer dying mid-write never moves the manifest —
+      // readers keep the refreshed vector
+      val manifestBefore = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(rdir, "_current"))
+      val poisoned = edges.select(
+        org.apache.spark.sql.functions.col("src").as("node"),
+        org.apache.spark.sql.functions.raise_error(
+          org.apache.spark.sql.functions.lit("writer killed"))
+          .cast("long").as("rank"))
+      intercept[Exception] {
+        GraphOps.writeRankIndex(poisoned, rdir, Merge.PointerCommit)
+      }
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(rdir, "_current")) == manifestBefore)
+      assert(m(GraphOps.readRankIndex(spark, rdir)) == refreshed)
+      // GC grace: 3 commits so far (birth, refresh, failed write GC'd) —
+      // live + just-superseded generation remain, older collected
+      val gens = new java.io.File(rdir).listFiles()
+        .filter(_.getName.startsWith("__data_"))
+      assert(gens.length == 2, s"live + graced prev: ${gens.toSeq}")
+      // group index: pointer-mode refresh ≡ rename-mode twin
+      val rnd = new scala.util.Random(23)
+      val es = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      val (oldE, newE) = es.splitAt(es.length / 2)
+      GraphOps.writeGroupIndex(
+        GraphOps.connectedComponents(oldE.toDF("a", "b"), "a", "b",
+          localThreshold = 0), gdir, Merge.PointerCommit)
+      assert(new java.io.File(gdir, "_current").exists())
+      val got = m(GraphOps.updateGroupIndex(spark, gdir, newE.toDF("a", "b"),
+        "a", "b", localThreshold = 0, commit = Merge.PointerCommit))
+      assert(got == m(GraphOps.connectedComponents(es.toDF("a", "b"), "a", "b",
+        localThreshold = 0)), "pointer-mode refresh ≡ full rebuild")
+      assert(m(GraphOps.readGroupIndex(spark, gdir)) == got)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("neighborhoodAggPaths: ≡ exact set aggregate on path-unique graphs; walk semantics pinned (r13 verdict #6)") {
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // a directed TREE: every ≤2-hop target reachable by exactly one
+    // path, no 1/2-hop overlap, no mutual edges → walk multiset ==
+    // distinct neighbor set, so paths ≡ the exact uncapped op
+    val tree = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (3L, 6L)).toDF("src", "dst")
+    val vals = (1L to 6L).map(n => (n, n * 10.0)).toDF("node", "val")
+    val exact = m(GraphOps.neighborhoodAgg(tree, "src", "dst", vals, "node", "val",
+      hops = 2, maxDegree = 0))
+    val paths = m(GraphOps.neighborhoodAggPaths(tree, "src", "dst", vals, "node", "val"))
+    assert(paths == exact, "tree: walk aggregate must equal the set aggregate")
+    // path MULTIPLICITY: 1→{2,3}→4 — node 4 reachable down two paths
+    // counts twice in the walk aggregate, once in the set aggregate
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val dvals = (1L to 4L).map(n => (n, 10.0)).toDF("node", "val")
+    val dPaths = m(GraphOps.neighborhoodAggPaths(diamond, "src", "dst", dvals, "node", "val"))
+    val dExact = m(GraphOps.neighborhoodAgg(diamond, "src", "dst", dvals, "node", "val",
+      hops = 2, maxDegree = 0))
+    assert(dExact(1L) == ((3L, 30.0)), "set: {2,3,4}")
+    assert(dPaths(1L) == ((4L, 40.0)), "walks: 1→2, 1→3, 1→2→4, 1→3→4")
+    // BACKTRACK exclusion: mutual edge u⇄m — the walk u→m→u is not a
+    // neighborhood leg (matches the exact op's d ≠ src rule)
+    val mutual = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val mvals = (1L to 3L).map(n => (n, 10.0)).toDF("node", "val")
+    val mPaths = m(GraphOps.neighborhoodAggPaths(mutual, "src", "dst", mvals, "node", "val"))
+    // node 1: leg 1→2 plus walk 1→2→3 (1→2→1 excluded) = 2 legs
+    assert(mPaths(1L) == ((2L, 20.0)), s"backtrack excluded: $mPaths")
+    // node 2: legs 2→1, 2→3 (2→1→2 excluded) = 2
+    assert(mPaths(2L) == ((2L, 20.0)))
+    // walk count always >= the distinct count (overcount direction pinned)
+    (dPaths.keySet ++ dExact.keySet).foreach { n =>
+      assert(dPaths.get(n).map(_._1).getOrElse(0L) >=
+        dExact.get(n).map(_._1).getOrElse(0L))
+    }
+  }
+
   test("neighborhoodAgg hash-sampled cap: unbiased order, deterministic, same bound") {
     // hub 0 with neighbors 1..20; intermediate node 100 connects to hub
     val edges = ((1L to 20L).map(n => (0L, n)) ++ Seq((100L, 0L))).toDF("src", "dst")

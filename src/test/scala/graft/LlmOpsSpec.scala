@@ -572,6 +572,139 @@ class LlmOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("_graft_meta"))
   }
 
+  test("dedup index under PointerCommit: lifecycle ≡ rename-mode, manifest-resolved, crash-safe (r13 verdict #2)") {
+    import graft.merge.Merge
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet purple pink white")
+    ).toDF("doc_id", "text")
+    val day1 = Seq(
+      (30L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (31L, "one two three four five six seven eight nine eleven"),
+      (32L, "totally fresh content about distributed query engines today")
+    ).toDF("doc_id", "text")
+    val day2 = Seq(
+      (40L, "totally fresh content about distributed query engines today"),
+      (41L, "red orange yellow green blue indigo violet purple pink gray"),
+      (42L, "another unrelated story with entirely distinct vocabulary whatsoever")
+    ).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    val ptr = java.nio.file.Files.createTempDirectory("graft_ptr_idx").toString + "/idx"
+    val ren = java.nio.file.Files.createTempDirectory("graft_ren_idx").toString + "/idx"
+    DedupOps.writeDedupIndex(hist, ptr, "doc_id", "text", commit = Merge.PointerCommit)
+    DedupOps.writeDedupIndex(hist, ren, "doc_id", "text")
+    assert(new java.io.File(ptr, "_current").exists(), "manifest published")
+    // every reader resolves through the manifest: decisions ≡ rename twin
+    val p1 = ids(DedupOps.dedupAgainstIndex(day1, ptr, "doc_id", "text", threshold = 0.4))
+    assert(p1 == ids(DedupOps.dedupAgainstIndex(day1, ren, "doc_id", "text", threshold = 0.4)))
+    // appends land inside the CURRENT generation (in-place tranche adds)
+    val s1 = DedupOps.dedupAgainstIndex(day1, ptr, "doc_id", "text", threshold = 0.4)
+    DedupOps.appendToDedupIndex(s1, ptr, "doc_id", "text", tag = "day1")
+    DedupOps.appendToDedupIndex(s1, ren, "doc_id", "text", tag = "day1")
+    val gen1 = Merge.resolveDir(spark, ptr)
+    assert(gen1 != ptr && new java.io.File(s"$gen1/sh/batch=day1").exists(),
+      s"tranche inside the resolved generation: $gen1")
+    val p2 = ids(DedupOps.dedupAgainstIndex(day2, ptr, "doc_id", "text", threshold = 0.4))
+    assert(p2 == ids(DedupOps.dedupAgainstIndex(day2, ren, "doc_id", "text", threshold = 0.4)))
+    // crash-injection (the RelationalMergeSpec replay): a rebuild dying
+    // mid-write never moves the manifest — probes keep the live index
+    val manifestBefore = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(ptr, "_current"))
+    val poisoned = hist.select(col("doc_id"),
+      org.apache.spark.sql.functions.raise_error(lit("writer killed"))
+        .cast("string").as("text"))
+    intercept[Exception] {
+      DedupOps.writeDedupIndex(poisoned, ptr, "doc_id", "text",
+        commit = Merge.PointerCommit)
+    }
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(ptr, "_current")) == manifestBefore)
+    assert(ids(DedupOps.dedupAgainstIndex(day2, ptr, "doc_id", "text",
+      threshold = 0.4)) == p2)
+    // consolidation publishes ONE new fully-folded generation
+    DedupOps.consolidateDedupIndex(spark, ptr, Merge.PointerCommit)
+    val gen2 = Merge.resolveDir(spark, ptr)
+    assert(gen2 != gen1, "consolidation published a fresh generation")
+    assert(new java.io.File(s"$gen2/sh").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq == Seq("batch=consolidated"))
+    assert(new java.io.File(s"$gen2/_graft_meta").exists(), "meta carried")
+    assert(new java.io.File(s"$gen2/_graft_absorbed").exists(), "ledger written")
+    // df/bf regenerated INSIDE the same generation (no stale-count window)
+    assert(new java.io.File(s"$gen2/df/batch=consolidated").exists())
+    assert(new java.io.File(s"$gen2/bf/batch=consolidated").exists())
+    // superseded generation graced one commit (readers mid-scan survive)
+    assert(new java.io.File(gen1).exists(), "gen1 graced through this commit")
+    // answers unchanged; gauges resolve; replayed absorbed append no-ops
+    assert(ids(DedupOps.dedupAgainstIndex(day2, ptr, "doc_id", "text",
+      threshold = 0.4)) == p2)
+    assert(DedupOps.dedupIndexStats(spark, ptr).count() > 0)
+    assert(DedupOps.dedupIndexHealth(spark, ptr).count() > 0)
+    DedupOps.appendToDedupIndex(s1, ptr, "doc_id", "text", tag = "day1") // absorbed → no-op
+    assert(ids(DedupOps.dedupAgainstIndex(day2, ptr, "doc_id", "text",
+      threshold = 0.4)) == p2)
+    // mode guard: pointer consolidation refuses a rename-mode index
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.consolidateDedupIndex(spark, ren, Merge.PointerCommit)
+    }
+    assert(e.getMessage.contains("not pointer-committed"))
+  }
+
+  test("winnow + IVF indexes under PointerCommit: probe ≡ rename-mode, generation fold") {
+    import graft.merge.Merge
+    // winnow
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "pack my box with five dozen liquor jugs for the long trip"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again plus extra")
+    ).toDF("doc_id", "text")
+    val wptr = java.nio.file.Files.createTempDirectory("graft_ptr_w").toString + "/w"
+    val wren = java.nio.file.Files.createTempDirectory("graft_ren_w").toString + "/w"
+    TextOps.writeWinnowIndex(docs, wptr, "doc_id", "text", commit = Merge.PointerCommit)
+    TextOps.writeWinnowIndex(docs, wren, "doc_id", "text")
+    assert(new java.io.File(wptr, "_current").exists())
+    val probe = Seq((9L, "the quick brown fox jumps over the lazy dog again and again yes"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_l", "id_r", "n_shared").as[(Long, Long, Long)].collect().toSet
+    val wp = pairs(TextOps.winnowOverlapAgainstIndex(probe, wptr, "doc_id", "text"))
+    assert(wp == pairs(TextOps.winnowOverlapAgainstIndex(probe, wren, "doc_id", "text")))
+    TextOps.appendToWinnowIndex(probe, wptr, "doc_id", "text", tag = "t1")
+    TextOps.consolidateWinnowIndex(spark, wptr, Merge.PointerCommit)
+    val wgen = Merge.resolveDir(spark, wptr)
+    assert(new java.io.File(s"$wgen/wfp").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq == Seq("batch=consolidated"))
+    assert(new java.io.File(s"$wgen/wdf/batch=consolidated").exists(),
+      "wdf regenerated inside the generation")
+    assert(TextOps.winnowIndexStats(spark, wptr).count() > 0)
+    // ivf
+    val vecs = (1L to 40L).map(i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 0.7 + d).toFloat))).toDF("id", "vec")
+    val qs = (101L to 104L).map(i =>
+      (i, Array.tabulate(4)(d => math.cos(i * 0.3 + d).toFloat))).toDF("id", "vec")
+    val iptr = java.nio.file.Files.createTempDirectory("graft_ptr_ivf").toString + "/ivf"
+    val iren = java.nio.file.Files.createTempDirectory("graft_ren_ivf").toString + "/ivf"
+    val cents = SimilarityOps.ivfWriteIndex(vecs, iptr, "id", "vec", nLists = 4,
+      commit = Merge.PointerCommit)
+    SimilarityOps.ivfWriteIndex(vecs, iren, "id", "vec", nLists = 4,
+      precomputed = Some(cents))
+    assert(new java.io.File(iptr, "_current").exists())
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ip = top(SimilarityOps.ivfProbeTopK(spark, iptr, qs, "id", "vec", k = 3, nProbe = 2))
+    assert(ip == top(SimilarityOps.ivfProbeTopK(spark, iren, qs, "id", "vec", k = 3, nProbe = 2)))
+    SimilarityOps.ivfAppendToIndex(
+      Seq((200L, Array(0.1f, 0.2f, 0.3f, 0.4f))).toDF("id", "vec"),
+      iptr, "id", "vec", tag = "t1")
+    SimilarityOps.consolidateIvfIndex(spark, iptr, Merge.PointerCommit)
+    val igen = Merge.resolveDir(spark, iptr)
+    // ivf_list survives the generation fold as a PARTITION column
+    assert(new java.io.File(s"$igen/vec/batch=consolidated").listFiles()
+      .exists(_.getName.startsWith("ivf_list=")), "partition layout preserved")
+    assert(SimilarityOps.ivfIndexStats(spark, iptr).count() > 0)
+  }
+
   test("consolidation never absorbs a half-appended tranche: the documented same-tag retry still lands") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")

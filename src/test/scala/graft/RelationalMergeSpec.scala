@@ -366,6 +366,53 @@ class RelationalMergeSpec extends SparkSpec {
     assert(out.select("l_id", "r_id").as[(Long, Long)].collect().toSeq == Seq((99L, 2L)))
   }
 
+  test("blockedLevenshteinJoin maxKeyShare: frequency-pruned keys, per-side, scale-stable (r13 verdict #5)") {
+    // left: 20 "hot" rows (50% share) + 2 "warm" (5%) + 18 distinct cold
+    val left = ((1L to 20L).map(i => (i, s"hot $i")) ++
+      Seq((21L, "warm a"), (22L, "warm b")) ++
+      (23L to 40L).map(i => (i, s"cold$i x"))).toDF("l_id", "l_name")
+    val right = Seq((1L, "hot 1"), (2L, "warm a"), (3L, "cold23 x")).toDF("r_id", "r_name")
+    def run(share: Double) = RelationalOps.blockedLevenshteinJoin(
+      left, right, "l_name", "r_name",
+      Seq((split(col("l_name"), " ").getItem(0), split(col("r_name"), " ").getItem(0))),
+      maxDist = 1, maxKeyShare = share)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    // share 10%: "hot" (50% of left) is a stop-key ON THE LEFT — the
+    // pair meets no block even though the right block is tiny; "warm"
+    // (5%: both rows within lev 1 of "warm a") and the cold singleton
+    // survive
+    assert(run(0.10) == Set((21L, 2L), (22L, 2L), (23L, 3L)))
+    // share 2.6% (cap = max(1, floor(0.026*40)) = 1): only singleton
+    // keys survive on the left
+    assert(run(0.026) == Set((23L, 3L)))
+    // per-side: the RIGHT side's counts use the RIGHT side's n (each
+    // right key is a 1/3-share singleton — cap floor(0.1*3)=1 keeps it)
+    // and both caps COMPOSE — an absolute maxBlock below the share cap
+    // binds first
+    val both = RelationalOps.blockedLevenshteinJoin(left, right, "l_name", "r_name",
+      Seq((split(col("l_name"), " ").getItem(0), split(col("r_name"), " ").getItem(0))),
+      maxDist = 1, maxBlock = 1, maxKeyShare = 0.10)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(both == Set((23L, 3L)), "maxBlock=1 tightens the 10% share cap")
+    // SCALE STABILITY — the property the absolute cap lacks: duplicate
+    // the corpus (2x rows, same key SHARES) and the share-pruned key
+    // set is unchanged, so the surviving match set simply doubles on
+    // the duplicated side
+    val left2 = left.unionByName(left.select(col("l_id") + 1000, col("l_name"))
+      .toDF("l_id", "l_name"))
+    val scaled = RelationalOps.blockedLevenshteinJoin(left2, right, "l_name", "r_name",
+      Seq((split(col("l_name"), " ").getItem(0), split(col("r_name"), " ").getItem(0))),
+      maxDist = 1, maxKeyShare = 0.10)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(scaled == Set((21L, 2L), (22L, 2L), (1021L, 2L), (1022L, 2L),
+      (23L, 3L), (1023L, 3L)),
+      "same keys pruned at 2x data — share cap is scale-stable")
+    intercept[IllegalArgumentException] {
+      RelationalOps.blockedLevenshteinJoin(left, right, "l_name", "r_name",
+        Seq((lit("k"), lit("k"))), maxDist = 1, maxKeyShare = 1.5)
+    }
+  }
+
   test("pivotAgg: explicit-values cross-tab matches conditional aggregation; off-list values dropped") {
     val df = Seq(("x", "F", 10.0), ("x", "O", 20.0), ("x", "F", 5.0),
       ("y", "O", 7.0), ("y", "Z", 99.0)).toDF("k", "st", "v")
@@ -419,10 +466,55 @@ class RelationalMergeSpec extends SparkSpec {
     Merge.upsert(Seq((2, 99), (3, 30)).toDF("k", "v"), dir, Seq("k"),
       commit = Merge.PointerCommit)
     assert(Merge.readTarget(spark, dir).as[(Int, Int)].collect().toSet == once)
-    // exactly one live data dir after GC
+    // GC keeps the live dir + the JUST-superseded one (reader grace) and
+    // collects everything older — after 3 commits exactly 2 remain
     val dataDirs = new java.io.File(dir).listFiles()
       .filter(f => f.getName.startsWith("__data_"))
-    assert(dataDirs.length == 1, s"superseded data dirs GC'd: ${dataDirs.toSeq}")
+    assert(dataDirs.length == 2, s"live + graced prev only: ${dataDirs.toSeq}")
+  }
+
+  test("PointerCommit GC grace: the superseded data dir survives exactly one commit") {
+    val dir = freshDir()
+    Merge.overwrite(Seq((1, 1)).toDF("k", "v"), dir, Merge.PointerCommit)
+    val gen1 = Files.readString(new java.io.File(dir, "_current").toPath)
+    Merge.overwrite(Seq((2, 2)).toDF("k", "v"), dir, Merge.PointerCommit)
+    val gen2 = Files.readString(new java.io.File(dir, "_current").toPath)
+    // a reader that resolved gen1 just before the swap can still finish
+    // its scan: the gen1 dir is intact through this commit interval
+    val namesAfter2 = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(namesAfter2.contains(gen1), s"graced prev kept: $namesAfter2")
+    assert(spark.read.parquet(new java.io.File(dir, gen1).toString)
+      .as[(Int, Int)].collect().toSet == Set((1, 1)), "graced dir still scannable")
+    Merge.overwrite(Seq((3, 3)).toDF("k", "v"), dir, Merge.PointerCommit)
+    val namesAfter3 = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!namesAfter3.contains(gen1), s"gen1 collected on the NEXT commit: $namesAfter3")
+    assert(namesAfter3.contains(gen2), s"gen2 now the graced prev: $namesAfter3")
+  }
+
+  test("append fails fast on a pointer-committed target under RenameCommit") {
+    val dir = freshDir()
+    Merge.overwrite(Seq((1, 10)).toDF("k", "v"), dir, Merge.PointerCommit)
+    // the r13 ADVICE #3 trap: raw file append would write rows readers
+    // resolving the manifest never see — must refuse, not silently lose
+    intercept[IllegalArgumentException] {
+      Merge.append(Seq((2, 20)).toDF("k", "v"), dir)
+    }
+    assert(Merge.readTarget(spark, dir).as[(Int, Int)].collect().toSet == Set((1, 10)))
+  }
+
+  test("PointerCommit append routes through the manifest: rows visible, mode guarded") {
+    val dir = freshDir()
+    Merge.insert(Seq((1, 10)).toDF("k", "v"), dir, Merge.Append, Merge.PointerCommit)
+    Merge.insert(Seq((2, 20)).toDF("k", "v"), dir, Merge.Append, Merge.PointerCommit)
+    assert(Merge.readTarget(spark, dir).as[(Int, Int)].collect().toSet ==
+      Set((1, 10), (2, 20)))
+    // and the reverse mode-mix also refuses: PointerCommit append onto a
+    // rename-committed directory would orphan the existing root files
+    val dir2 = freshDir()
+    Merge.overwrite(Seq((1, 1)).toDF("k", "v"), dir2)
+    intercept[IllegalArgumentException] {
+      Merge.append(Seq((2, 2)).toDF("k", "v"), dir2, Merge.PointerCommit)
+    }
   }
 
   test("PointerCommit crash-injection: a writer dying mid-write never changes what readers see") {

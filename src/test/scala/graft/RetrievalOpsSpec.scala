@@ -122,6 +122,41 @@ class RetrievalOpsSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
+  test("bm25 index under PointerCommit: probe ≡ rename-mode, generation fold, mode guard") {
+    import graft.merge.Merge
+    val ptr = java.nio.file.Files.createTempDirectory("graft_bm25p").toString + "/idx"
+    val ren = java.nio.file.Files.createTempDirectory("graft_bm25r").toString + "/idx"
+    try {
+      val half1 = idxCorpus.where(col("doc_id") <= 3)
+      val half2 = idxCorpus.where(col("doc_id") > 3)
+      RetrievalOps.bm25WriteIndex(half1, ptr, "doc_id", "text", nBuckets = 8,
+        commit = Merge.PointerCommit)
+      RetrievalOps.bm25WriteIndex(half1, ren, "doc_id", "text", nBuckets = 8)
+      assert(new java.io.File(ptr, "_current").exists(), "manifest published")
+      RetrievalOps.bm25AppendToIndex(half2, ptr, "doc_id", "text", tag = "day2")
+      RetrievalOps.bm25AppendToIndex(half2, ren, "doc_id", "text", tag = "day2")
+      val want = RetrievalOps.bm25ProbeIndex(spark, ren, idxQueries, k = 10)
+      assertSameRows(RetrievalOps.bm25ProbeIndex(spark, ptr, idxQueries, k = 10), want)
+      val gen1 = Merge.resolveDir(spark, ptr)
+      RetrievalOps.bm25ConsolidateIndex(spark, ptr, Merge.PointerCommit)
+      val gen2 = Merge.resolveDir(spark, ptr)
+      assert(gen2 != gen1, "fold published a fresh generation")
+      assert(new java.io.File(s"$gen2/postings").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch="))
+        .toSeq == Seq("batch=build"), "one folded tranche in the new generation")
+      assertSameRows(RetrievalOps.bm25ProbeIndex(spark, ptr, idxQueries, k = 10), want)
+      assert(RetrievalOps.bm25IndexStats(spark, ptr).count() > 0)
+      // mode guard: pointer fold refuses a rename-mode index
+      val e = intercept[IllegalArgumentException] {
+        RetrievalOps.bm25ConsolidateIndex(spark, ren, Merge.PointerCommit)
+      }
+      assert(e.getMessage.contains("not pointer-committed"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ptr).getParentFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ren).getParentFile)
+    }
+  }
+
   test("bm25 index gauges: stats rows per artifact, health counts tranches, dashboard row") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString + "/idx"
     try {
