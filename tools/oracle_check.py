@@ -65,7 +65,11 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver fixtures are single files; GenScale fixtures are Spark
+        # output DIRECTORIES named <table>.parquet — glob those
+        p = Path(sf_dir, f"{t}.parquet")
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     failures = 0
     for name, sql in sorted(oracle.items()):
