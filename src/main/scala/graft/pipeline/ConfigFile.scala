@@ -169,7 +169,8 @@ object ConfigFile {
     *             nan_to_null: true,
     *             partition_window: {col: …, start: …, end: …}}
     * target:    {dir: …, insert_type: {taskA: {full: append|overwrite|upsert}},
-    *             upsert_keys: {taskA: [col, …]}, partition_by: [col, …]}
+    *             upsert_keys: {taskA: [col, …]}, partition_by: [col, …],
+    *             commit: rename|pointer}
     * }}}
     *
     * Warehouse/API connector declarations (`lynx`, `redshift`, dbt) are
@@ -210,9 +211,18 @@ object ConfigFile {
         .getOrElse(throw new ConfigError(s"upsert task $task needs target.upsert_keys.$task")))
       case other => throw new ConfigError(s"insert_type $other")
     }
+    // object-store deployments declare `target.commit: pointer` once in
+    // config — the S3-safe manifest protocol; rename stays the default
+    val commit: graft.merge.Merge.Commit =
+      r.target.strOpt("commit").getOrElse("rename") match {
+        case "rename"  => graft.merge.Merge.RenameCommit
+        case "pointer" => graft.merge.Merge.PointerCommit
+        case other => throw new ConfigError(
+          s"target.commit $other (expected rename|pointer)")
+      }
     Pipeline.Spec(task, source, steps.result(),
       Pipeline.Target(r.target.str("dir"), mode,
-        r.target.listOpt("partition_by").getOrElse(Nil)),
+        r.target.listOpt("partition_by").getOrElse(Nil), commit),
       pipelineType, executionDate, addMeta)
   }
 

@@ -64,8 +64,14 @@ object Pipeline {
     def apply(df: DataFrame): DataFrame = f(df)
   }
 
+  /** `commit` picks the target's publish protocol: rename-swap
+    * (default; atomic on HDFS/local) or the manifest-pointer commit
+    * for object stores, where rename is copy+delete
+    * ([[graft.merge.Merge.PointerCommit]] — config key
+    * `target.commit: pointer`). One commit mode per directory. */
   final case class Target(dir: String, mode: Merge.InsertMode,
-                          partitionBy: Seq[String] = Nil)
+                          partitionBy: Seq[String] = Nil,
+                          commit: Merge.Commit = Merge.RenameCommit)
 
   /** A bound pipeline: the analog of one resolved `config.yml` task.
     * `pipelineType` ∈ {full, incremental, event, full_refresh}
@@ -86,6 +92,7 @@ object Pipeline {
     }
 
     /** Execute: plan → target dir with the declared insert semantics. */
-    def run(spark: SparkSession): Unit = Merge.insert(plan(spark), target.dir, target.mode)
+    def run(spark: SparkSession): Unit =
+      Merge.insert(plan(spark), target.dir, target.mode, target.commit)
   }
 }

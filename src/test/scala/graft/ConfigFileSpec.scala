@@ -24,7 +24,8 @@ class ConfigFileSpec extends SparkSpec {
 
   private def baseYaml(sourcePath: String, targetDir: String,
                        insertType: String = "overwrite",
-                       extraTransform: String = "") =
+                       extraTransform: String = "",
+                       extraTarget: String = "") =
     s"""general:
        |  pipeline_name: p1
        |  pipeline_bucket: bkt
@@ -44,7 +45,7 @@ class ConfigFileSpec extends SparkSpec {
        |  dir: $targetDir
        |  insert_type: {t1: {full: $insertType}}
        |  upsert_keys: {t1: [id]}
-       |""".stripMargin
+       |$extraTarget""".stripMargin
 
   test("partitionKey matches the reference per granularity; rejects unknown") {
     assert(ConfigFile.partitionKey(exec) == "year=2024/month=03/day=07/")
@@ -121,6 +122,28 @@ class ConfigFileSpec extends SparkSpec {
     // upsert again: idempotent (same keys replace, no duplication)
     spec.run(spark)
     assert(graft.merge.Merge.readTarget(spark, targetDir).count() == 2)
+  }
+
+  test("target.commit: pointer routes the config pipeline through the manifest protocol") {
+    val base = Files.createTempDirectory("graft_cfg_ptr")
+    val srcDir = s"$base/src_data"
+    val targetDir = s"$base/target"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(srcDir)
+    val yaml = baseYaml(srcDir, targetDir, insertType = "upsert",
+      extraTarget = "  commit: pointer\n")
+    val spec = ConfigFile.toSpec(
+      ConfigFile.resolve(ConfigFile.load(write(base, "config.yml", yaml)),
+        "dev", "t1", "full", exec), "t1", "full", exec, addMeta = false)
+    spec.run(spark)
+    assert(new java.io.File(targetDir, "_current").exists(), "manifest published")
+    assert(graft.merge.Merge.readTarget(spark, targetDir).count() == 2)
+    spec.run(spark) // idempotent through the pointer protocol too
+    assert(graft.merge.Merge.readTarget(spark, targetDir).count() == 2)
+    // unknown commit value fails loudly at resolve-to-spec time
+    val bad = baseYaml(srcDir, targetDir, extraTarget = "  commit: s3magic\n")
+    intercept[ConfigError](ConfigFile.toSpec(
+      ConfigFile.resolve(ConfigFile.load(write(base, "config2.yml", bad)),
+        "dev", "t1", "full", exec), "t1", "full", exec))
   }
 
   test("loadSpec is the one-call front door (search → load → resolve → spec)") {
