@@ -24,13 +24,34 @@ object SumTranches {
 
   private val ManifestName = "_graft_folded.txt"
 
-  /** One ingest = one tranche, overwriting its own tag (replay-safe). */
-  def write(counts: DataFrame, dir: String, tag: String): Unit =
-    counts.write.mode("overwrite").parquet(s"$dir/batch=$tag")
+  /** One ingest = one tranche, overwriting its own tag (replay-safe).
+    * Mode-transparent: a pointer-committed artifact resolves to its
+    * current generation and the tranche lands inside it (the dedup
+    * append stance — generations are immutable only across
+    * consolidation swaps). `commit = PointerCommit` on a NOT-YET-BORN
+    * artifact births it through the manifest protocol; every later
+    * write may omit the parameter (resolution is automatic). */
+  def write(counts: DataFrame, dir: String, tag: String,
+            commit: graft.merge.Merge.Commit =
+              graft.merge.Merge.RenameCommit): Unit = {
+    val spark = counts.sparkSession
+    val resolved = graft.merge.Merge.resolveDir(spark, dir)
+    if (commit == graft.merge.Merge.PointerCommit && resolved == dir) {
+      require(!Fs.pathExists(spark, dir),
+        s"SumTranches.write: $dir already holds rename-committed tranches; " +
+          "one commit mode per directory (fold + rebuild to convert)")
+      graft.merge.Merge.swapWith(spark, dir, commit)(gen =>
+        counts.write.mode("overwrite").parquet(s"$gen/batch=$tag"))
+    } else
+      counts.write.mode("overwrite").parquet(s"$resolved/batch=$tag")
+  }
 
   /** Tranches a reader should count: every `batch=*` minus any named
-    * in a surviving consolidated tranche's manifest. */
-  def live(spark: SparkSession, dir: String): Seq[org.apache.hadoop.fs.Path] = {
+    * in a surviving consolidated tranche's manifest. A
+    * pointer-committed artifact resolves through its `_current`
+    * manifest first — every reader below is mode-transparent. */
+  def live(spark: SparkSession, dir0: String): Seq[org.apache.hadoop.fs.Path] = {
+    val dir = graft.merge.Merge.resolveDir(spark, dir0)
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
@@ -73,8 +94,10 @@ object SumTranches {
     * output; stale superseded leftovers from an earlier crash are
     * GC'd first. */
   def consolidate(spark: SparkSession, dir: String,
-                  keyCols: Seq[String], cntCol: String): Unit =
-    consolidateMulti(spark, dir, keyCols, Seq(cntCol))
+                  keyCols: Seq[String], cntCol: String,
+                  commit: graft.merge.Merge.Commit =
+                    graft.merge.Merge.RenameCommit): Unit =
+    consolidateMulti(spark, dir, keyCols, Seq(cntCol), commit)
 
   /** AUTO-consolidation tick for long-lived ingest loops: fold only
     * when the live tranche count EXCEEDS `maxLive`, so the
@@ -88,16 +111,20 @@ object SumTranches {
     * without bound (r10 verdict #5). Returns whether a fold ran. */
   def maybeConsolidate(spark: SparkSession, dir: String,
                        keyCols: Seq[String], cntCol: String,
-                       maxLive: Int): Boolean =
-    maybeConsolidateMulti(spark, dir, keyCols, Seq(cntCol), maxLive)
+                       maxLive: Int,
+                       commit: graft.merge.Merge.Commit =
+                         graft.merge.Merge.RenameCommit): Boolean =
+    maybeConsolidateMulti(spark, dir, keyCols, Seq(cntCol), maxLive, commit)
 
   /** [[maybeConsolidate]] for multi-count families. */
   def maybeConsolidateMulti(spark: SparkSession, dir: String,
                             keyCols: Seq[String], cntCols: Seq[String],
-                            maxLive: Int): Boolean = {
+                            maxLive: Int,
+                            commit: graft.merge.Merge.Commit =
+                              graft.merge.Merge.RenameCommit): Boolean = {
     require(maxLive >= 1, s"SumTranches.maybeConsolidate: maxLive=$maxLive must be >= 1")
     if (live(spark, dir).length > maxLive) {
-      consolidateMulti(spark, dir, keyCols, cntCols); true
+      consolidateMulti(spark, dir, keyCols, cntCols, commit); true
     } else false
   }
 
@@ -112,8 +139,9 @@ object SumTranches {
     * next consolidate); `n_marked` = live tranches carrying the
     * committer's `_SUCCESS`. `count_fresh` is NULL — sum families
     * have no separate count artifact to go stale. */
-  def health(spark: SparkSession, dir: String, artifact: String): DataFrame = {
+  def health(spark: SparkSession, dir0: String, artifact: String): DataFrame = {
     import spark.implicits._
+    val dir = graft.merge.Merge.resolveDir(spark, dir0)
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"SumTranches.health: $dir does not exist")
@@ -128,9 +156,36 @@ object SumTranches {
       .toDF("artifact", "n_tranches", "n_marked", "n_unproven", "count_fresh")
   }
 
-  /** [[consolidate]] for multi-count families. */
-  def consolidateMulti(spark: SparkSession, dir: String,
-                       keyCols: Seq[String], cntCols: Seq[String]): Unit = {
+  /** [[consolidate]] for multi-count families.
+    *
+    * RenameCommit (default): the superseding-manifest fold — scratch →
+    * manifest → one rename into place → delete inputs; crash-safe at
+    * every boundary where rename is atomic (HDFS/local). On S3 the
+    * rename is copy+delete, and a reader listing mid-copy can see the
+    * folded tranche's DATA files before its manifest lands — counting
+    * folded output AND inputs, the double-count sum famously cannot
+    * shrug off. `commit = PointerCommit` closes that: the fold lands
+    * as ONE fresh immutable generation holding only the folded tranche
+    * (no superseding manifest needed — nothing else is visible in the
+    * generation), published by a single pointer PUT with reader-graced
+    * GC. Requires a pointer-committed artifact
+    * ([[write]]`(…, PointerCommit)` at birth; one mode per directory). */
+  def consolidateMulti(spark: SparkSession, dir0: String,
+                       keyCols: Seq[String], cntCols: Seq[String],
+                       commit: graft.merge.Merge.Commit =
+                         graft.merge.Merge.RenameCommit): Unit = {
+    val dir = graft.merge.Merge.resolveDir(spark, dir0)
+    if (commit == graft.merge.Merge.PointerCommit) {
+      require(dir != dir0,
+        s"SumTranches.consolidate: $dir0 is not pointer-committed; " +
+          "PointerCommit folds need an artifact born with " +
+          "write(..., commit = PointerCommit)")
+      if (live(spark, dir0).length <= 1) return
+      val folded = readMulti(spark, dir0, keyCols, cntCols)
+      graft.merge.Merge.pointerSwap(spark, dir0)(gen =>
+        folded.write.mode("overwrite").parquet(s"$gen/batch=consolidated"))
+      return
+    }
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return

@@ -239,6 +239,45 @@ class ScaleOpsSpec extends SparkSpec {
       g <- Set("psi_bits", "js_bits", "centroid_cosine")) yield (s2, g)))
   }
 
+  test("SumTranches under PointerCommit: mode-transparent reads, one-generation fold, mode guards") {
+    import graft.util.SumTranches
+    import graft.merge.Merge
+    val base = java.nio.file.Files.createTempDirectory("graft_sumptr").toString
+    val ptr = s"$base/counts"
+    def tranche(rows: (String, Long)*) = rows.toDF("k", "n")
+    SumTranches.write(tranche("a" -> 1L, "b" -> 2L), ptr, "d1", Merge.PointerCommit)
+    assert(new java.io.File(ptr, "_current").exists(), "manifest-born artifact")
+    // later writes need no commit param — resolution is automatic
+    SumTranches.write(tranche("a" -> 10L), ptr, "d2")
+    def m() = SumTranches.read(spark, ptr, Seq("k"), "n")
+      .as[(String, Long)].collect().toMap
+    assert(m() == Map("a" -> 11L, "b" -> 2L))
+    val gen1 = Merge.resolveDir(spark, ptr)
+    SumTranches.consolidateMulti(spark, ptr, Seq("k"), Seq("n"), Merge.PointerCommit)
+    val gen2 = Merge.resolveDir(spark, ptr)
+    assert(gen2 != gen1, "fold published a fresh generation")
+    // the generation holds exactly ONE folded tranche — the S3
+    // double-count window (folded data visible before its superseding
+    // manifest) cannot exist because nothing else is in the generation
+    assert(new java.io.File(gen2).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq == Seq("batch=consolidated"))
+    assert(m() == Map("a" -> 11L, "b" -> 2L))
+    assert(SumTranches.live(spark, ptr).length == 1)
+    assert(SumTranches.health(spark, ptr, "counts").head().getInt(1) == 1)
+    // replayed fold over <=1 live tranche: no-op, generation unchanged
+    SumTranches.consolidateMulti(spark, ptr, Seq("k"), Seq("n"), Merge.PointerCommit)
+    assert(Merge.resolveDir(spark, ptr) == gen2)
+    // mode guards, both directions
+    val ren = s"$base/ren"
+    SumTranches.write(tranche("x" -> 1L), ren, "d1")
+    intercept[IllegalArgumentException] {
+      SumTranches.consolidateMulti(spark, ren, Seq("k"), Seq("n"), Merge.PointerCommit)
+    }
+    intercept[IllegalArgumentException] {
+      SumTranches.write(tranche("y" -> 1L), ren, "d2", Merge.PointerCommit)
+    }
+  }
+
   test("bloom index: seen keys always drop, most new keys survive, OR-merge protocol-free") {
     import graft.relational.BloomIndex
     import graft.util.Scratch
