@@ -69,22 +69,29 @@ object LayoutOps {
   /** Rewrite a parquet directory into files of roughly
     * `targetFileBytes` (computed from the CURRENT on-disk size, so
     * compression ratios carry over), preserving rows and schema, via
-    * the same atomic tmp-write + rename swap as the merge sinks —
-    * readers never observe a half-compacted directory. Returns the
-    * file count written.
+    * the same atomic swap as the merge sinks — readers never observe
+    * a half-compacted directory. `commit = PointerCommit` publishes
+    * the compacted image as a fresh manifest generation instead of a
+    * rename swap (object stores — exactly where small-file compaction
+    * runs daily); a pointer-committed target resolves transparently.
+    * Returns the file count written.
     */
   def compact(spark: SparkSession, dir: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              commit: graft.merge.Merge.Commit =
+                graft.merge.Merge.RenameCommit): Int = {
     require(targetFileBytes > 0, "compact: targetFileBytes must be > 0")
-    val p = new org.apache.hadoop.fs.Path(dir)
+    val resolved = graft.merge.Merge.resolveDir(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(resolved)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    // atomicReplace computes the rewrite into a sibling tmp dir while the
-    // source directory is still intact (no Spark self-overwrite hazard),
-    // then swaps with renames — a crash mid-compaction leaves the
-    // original directory untouched.
-    graft.merge.Merge.atomicReplace(spark.read.parquet(dir).repartition(nFiles), dir)
+    // the rewrite computes into a fresh dir (stage sibling or __data_
+    // generation) while the source stays intact (no Spark
+    // self-overwrite hazard); a crash mid-compaction leaves the
+    // original readable.
+    graft.merge.Merge.atomicReplace(
+      spark.read.parquet(resolved).repartition(nFiles), dir, commit)
     nFiles
   }
 }

@@ -658,6 +658,40 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("neighborhoodAggPaths property: on random graphs, walk counts dominate set counts and agree with a hand model") {
+    // adversarial sweep over seeded random digraphs: the walk aggregate
+    // must (a) match an independent driver-side walk model EXACTLY and
+    // (b) dominate the exact set aggregate's count per node
+    for (seed <- Seq(1, 7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 18
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val valued = (0 until n).filter(_ => rnd.nextBoolean()).map(_.toLong).toSet
+      val vals = valued.toSeq.map(v => (v, 10.0)).toDF("node", "val")
+      val eSet = edges.toSet
+      val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      // driver model: 1-hop legs + non-backtracking 2-hop walks
+      val model = (0 until n).map(_.toLong).map { u =>
+        val one = adj.getOrElse(u, Nil).count(valued)
+        val two = adj.getOrElse(u, Nil).flatMap(m => adj.getOrElse(m, Nil))
+          .count(d => d != u && valued(d))
+        u -> (one + two).toLong
+      }.filter(_._2 > 0).toMap
+      val paths = GraphOps.neighborhoodAggPaths(edges.toDF("src", "dst"),
+        "src", "dst", vals, "node", "val")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(paths == model, s"seed $seed: walk model mismatch")
+      val exact = GraphOps.neighborhoodAgg(edges.toDF("src", "dst"),
+        "src", "dst", vals, "node", "val", hops = 2, maxDegree = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact.foreach { case (u, cnt) =>
+        assert(paths.getOrElse(u, 0L) >= cnt,
+          s"seed $seed node $u: walks ${paths.get(u)} < distinct $cnt")
+      }
+    }
+  }
+
   test("neighborhoodAgg hash-sampled cap: unbiased order, deterministic, same bound") {
     // hub 0 with neighbors 1..20; intermediate node 100 connects to hub
     val edges = ((1L to 20L).map(n => (0L, n)) ++ Seq((100L, 0L))).toDF("src", "dst")

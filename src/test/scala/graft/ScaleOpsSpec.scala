@@ -528,6 +528,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(checksum == before2)
   }
 
+  test("compact under PointerCommit: generation-published rewrite, checksum preserved") {
+    import graft.layout.LayoutOps
+    import graft.merge.Merge
+    val l = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_ptr").toString + "/t"
+    Merge.overwrite(l.repartition(12), dir, Merge.PointerCommit)
+    def checksum = Merge.readTarget(spark, dir)
+      .agg(count(lit(1)), sum((col("l_extendedprice") * 100).cast("long"))).head()
+    val before = checksum
+    val gen1 = Merge.resolveDir(spark, dir)
+    val n = LayoutOps.compact(spark, dir,
+      targetFileBytes = 64L * 1024 * 1024, commit = Merge.PointerCommit)
+    val gen2 = Merge.resolveDir(spark, dir)
+    assert(gen2 != gen1, "compaction published a fresh generation")
+    assert(n == 1 && new java.io.File(gen2).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    assert(checksum == before)
+    assert(new java.io.File(gen1).exists(), "superseded generation graced one commit")
+  }
+
   test("compact failure mid-rewrite leaves the original directory untouched") {
     import graft.layout.LayoutOps
     val l = Tables(spark, "/root/testdata/sf0.001", "lineitem")
