@@ -37,7 +37,7 @@ object SumTranches {
     val spark = counts.sparkSession
     val resolved = graft.merge.Merge.resolveDir(spark, dir)
     if (commit == graft.merge.Merge.PointerCommit && resolved == dir) {
-      require(!Fs.pathExists(spark, dir),
+      require(live(spark, dir).isEmpty,
         s"SumTranches.write: $dir already holds rename-committed tranches; " +
           "one commit mode per directory (fold + rebuild to convert)")
       graft.merge.Merge.swapWith(spark, dir, commit)(gen =>
