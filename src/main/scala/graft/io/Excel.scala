@@ -153,6 +153,15 @@ object Excel {
     * cells are null. Handles inline strings (this sink's own output),
     * shared strings, and boolean/numeric `<v>` cells. Driver-side like
     * the writer: xlsx is a report format, bounded by the sheet cap.
+    *
+    * Dtype inference is DELIBERATELY not done (the reference's pandas
+    * `read_excel` infers): xlsx cell types are whatever the producing
+    * tool felt like (a "number" column may hold numeric cells, string
+    * cells, and dates styled three ways), so silent inference turns
+    * workbook quirks into schema drift. The engine stance is explicit
+    * typing at the boundary — compose with
+    * [[graft.schema.SchemaOps.applySchema]], which is exactly how
+    * `q_excel_roundtrip` recovers typed parity with the reference.
     */
   def read(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val (header, rows) = readSheet(path)
