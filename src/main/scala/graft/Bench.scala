@@ -150,6 +150,12 @@ object Bench {
       val pb = new ProcessBuilder(cmd: _*)
       pb.directory(new java.io.File(System.getProperty("java.io.tmpdir")))
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      // never let a child spawn WRITE floors (r14 ADVICE #3): if the
+      // operator has GRAFT_SCRATCH_JSON exported (the floors workflow),
+      // an inherited copy would make every adjudication/curve rep
+      // silently rewrite floors.json — at sf1 scale in ScaleCurves'
+      // case — corrupting the settled floors the drift verdict keys on
+      pb.environment().remove("GRAFT_SCRATCH_JSON")
       pb.redirectErrorStream(true)
       val p = pb.start()
       // drain stdout on its OWN thread (r12 advice): a to-EOF read on
@@ -419,7 +425,7 @@ object Bench {
     // threads, block manager, cached pools all released) and settle the
     // heap before the first spawn; the spawned JVM then owns the host.
     if (drifted.nonEmpty) { spark.stop(); System.gc() }
-    val adjudicated: Map[String, (Double, Double, Double, Option[Double])] =
+    val adjudicated: Map[String, (Double, Double, Double, Option[Double], String)] =
       drifted.take(8).map { case (n, w, pw) =>
         System.err.println(f"[bench] drift $n: warm ${w}%.3f vs prior ${pw}%.3f — isolating")
         val iso = isolatedSec(n, sfDir, cpus).getOrElse(-1.0)
@@ -427,13 +433,14 @@ object Bench {
         val verdict = driftVerdict(iso, pw, fl)
         System.err.println(f"[bench] drift $n: isolated ${iso}%.3f s, " +
           f"floor ${fl.getOrElse(-1.0)}%.3f — $verdict")
-        n -> (pw, w, iso, fl)
+        n -> (pw, w, iso, fl, verdict)
       }.toMap
     val detailEntries = results.map { case (k, v, ok, gcS, mb) =>
       val warm = if (ok) r3(warmOf(k, v)) else "-1"
-      val adj = adjudicated.get(k).fold("") { case (pw, _, iso, fl) =>
+      val adj = adjudicated.get(k).fold("") { case (pw, _, iso, fl, verdict) =>
         s""","prior_warm":${r3(pw)},"isolated":${if (iso >= 0) r3(iso) else "-1"}""" +
-          fl.fold("")(f => s""","floor":${r3(f)}""") }
+          fl.fold("")(f => s""","floor":${r3(f)}""") +
+          s""","verdict":"$verdict"""" }
       s""""$k":{"sec":${if (ok) r3(v) else "-1"},"warm":$warm,"gc":${r3(gcS)},"peak_mb":$mb$adj}"""
     }
     // cold/warm ratios for the 5 cold-slowest stay first-class: they are
@@ -443,10 +450,18 @@ object Bench {
     val rerunJson = rerun.map { case (k, _, w) => s""""$k":${r3(w)}""" }.mkString("{", ",", "}")
     val ratioJson = rerun.map { case (k, c, w) =>
       s""""$k":${r3(c / math.max(1e-9, w))}""" }.mkString("{", ",", "}")
-    val adjJson = adjudicated.toSeq.sortBy(_._1).map { case (k, (pw, w, iso, fl)) =>
+    // the verdict LABEL rides in every artifact (r14 verdict #2: the
+    // cascade's labels printed to stderr only, so two `regressed?`
+    // passed unnoticed — every reader had to re-derive the cascade)
+    val adjJson = adjudicated.toSeq.sortBy(_._1).map { case (k, (pw, w, iso, fl, verdict)) =>
       s""""$k":{"prior":${r3(pw)},"warm":${r3(w)},"isolated":${if (iso >= 0) r3(iso) else "-1"}""" +
-        fl.fold("")(f => s""","floor":${r3(f)}""") + "}"
+        fl.fold("")(f => s""","floor":${r3(f)}""") + s""","verdict":"$verdict"}"""
     }.mkString("{", ",", "}")
+    val regressed = adjudicated.collect {
+      case (k, (_, _, _, _, "regressed?")) => k }.toSeq.sorted
+    if (regressed.nonEmpty)
+      System.err.println("[bench] ATTENTION: unresolved regressed? verdicts: " +
+        regressed.mkString(", ") + " — adjudicate before accepting this round's numbers")
     val detail = detailEntries.mkString(
       s"""{"metric":"detail","sf":"$sfDir","cpus":$cpus,"gc_forced":$gcForced,"basis":"warm","cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adjJson,"queries":{""",
       ",", "}}")
@@ -465,7 +480,8 @@ object Bench {
     // it COMPLETE (the detail line above is expendable — it also lives
     // in bench_detail.json), so leave only closing-suffix headroom
     val budget = 1900
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","basis":"warm","cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"gc_sec":${r3(gcTotal)},"gc_forced":$gcForced,"failed":${failed.size},"sf":"$sfDir","detail":"bench_detail.json","warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adjJson,"queries":{"""
+    val regressedJson = regressed.map(q => s""""$q"""").mkString("[", ",", "]")
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","basis":"warm","cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"gc_sec":${r3(gcTotal)},"gc_forced":$gcForced,"failed":${failed.size},"regressed":$regressedJson,"sf":"$sfDir","detail":"bench_detail.json","warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adjJson,"queries":{"""
     val sb = new StringBuilder(head)
     var n = 0
     for (e <- byCost if sb.length + e.length + 2 + 30 < budget) {

@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSession
   *
   *   sbt "runMain graft.ScaleCurves [sf01Dir] [sf1Dir] [reps]"
   *
-  * Defaults: `/root/testdata/sf0.1`, `/tmp/graft_sf1`, 2 reps. If
+  * Defaults: `/root/testdata/sf0.1`, `/tmp/graft_sf1`, 3 reps —
+  * matching the floors protocol (r14 verdict #4: the curve used
+  * min-over-2 where floors use min-over-3, blunting its power to
+  * catch a 2× constant regression on the JIT-dominated rows). If
   * `sf1Dir` does not exist it is built first with [[GenScale]] (10
   * disjoint-key copies of sf0.1 — the corpus-growth scaling model).
   * Per (query, SF) the recorded figure is the MIN over reps in a
@@ -28,10 +31,24 @@ import org.apache.spark.sql.SparkSession
   * Run on a QUIET host (the bench/Scratch discipline).
   *
   * Output: `scale_curves.json` in the cwd, one entry per curve query:
-  * `{"q": {"sf0.1": s, "sf1": s, "ratio": r}}`. `PlanAuditSpec` pins
-  * the committed file to parse and name only registered queries.
+  * `{"q": {"sf0.1": s, "sf1": s, "ratio": r}}`. A row whose 10× ratio
+  * lands under [[JitFloorRatio]] additionally carries
+  * `"jit_floor": true` (r14 verdict #4): at that slope the sf0.1
+  * figure is dominated by fixed per-action JIT/startup cost, not by
+  * data (the lifecycle queries run a dozen small actions each), so
+  * the RATIO of such a row has little power against a constant-factor
+  * regression — read its absolute sf1 number instead. The flag is the
+  * machine-readable form of what was previously a prose caveat in
+  * SCALING.md. `PlanAuditSpec` pins the committed file to parse and
+  * name only registered queries.
   */
 object ScaleCurves {
+
+  /** 10×-data ratio below which a curve row is flagged `jit_floor`:
+    * true data-linear work at 10× reads ≥ 2× even with perfect
+    * scaling infrastructure amortization; under it, fixed overhead
+    * owns the small decade. */
+  val JitFloorRatio = 2.0
 
   /** The curve family: the slow/iterative queries whose scaling shape
     * SCALING.md tracks (index/dedup folds, iterative graph, the
@@ -59,7 +76,7 @@ object ScaleCurves {
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val sf1 = args.lift(1).getOrElse("/tmp/graft_sf1")
-    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sf1))) {
       println(s"[curves] $sf1 absent — building the 10x GenScale fixture first")
@@ -70,8 +87,9 @@ object ScaleCurves {
       val b = Bench.isolatedSec(q, sf1, cpus, reps, heapGb = 24, timeoutSec = 1800)
       (a, b) match {
         case (Some(x), Some(y)) =>
-          println(f"[curves] $q: sf0.1 $x%.2f s, sf1 $y%.2f s, ratio ${y / x}%.1fx")
-          Some(f""""$q": {"sf0.1": $x%.3f, "sf1": $y%.3f, "ratio": ${y / x}%.2f}""")
+          val jit = if (y / x < JitFloorRatio) ", \"jit_floor\": true" else ""
+          println(f"[curves] $q: sf0.1 $x%.2f s, sf1 $y%.2f s, ratio ${y / x}%.1fx$jit")
+          Some(f""""$q": {"sf0.1": $x%.3f, "sf1": $y%.3f, "ratio": ${y / x}%.2f$jit}""")
         case _ =>
           println(s"[curves] $q: spawn failed (sf0.1=$a, sf1=$b) — omitted")
           None

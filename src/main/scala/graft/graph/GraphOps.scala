@@ -1108,14 +1108,17 @@ object GraphOps {
       .groupBy(col("src"))
       .agg(sum(col("__n1m")).as("__n2"), sum(col("__s1m")).as("__s2"))
     // backtrack correction: each MUTUAL edge pair u⇄m contributes one
-    // u→m→u walk, worth (1, v(u)) iff u is valued — subtracted so the
-    // walk set matches the exact op's d ≠ src exclusion
+    // u→m→u walk PER VALUE ROW of u (a duplicated node in `values`
+    // counts twice in every neighbor stat, including its own backtrack
+    // legs) — join value rows FIRST, then aggregate, so the correction
+    // is one row per node with count = mutual-edges × value-rows. The
+    // pre-aggregated-count-then-join order (r14) emitted one OUTPUT row
+    // per duplicate value row and undercounted the subtracted paths.
     val rev = e.select(col("dst").as("src"), col("src").as("dst"))
     val back = e.intersect(rev)
-      .groupBy(col("src")).agg(count(lit(1)).as("__nbk"))
       .join(v.withColumnRenamed("dst", "src"), Seq("src"))
-      .select(col("src"), col("__nbk"),
-        (col("__v") * col("__nbk")).as("__sbk"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("__nbk"), sum(col("__v")).as("__sbk"))
     val zeroN = lit(0L)
     one.join(two, Seq("src"), "full_outer")
       .join(back, Seq("src"), "left")

@@ -86,6 +86,33 @@ object Merge {
     }
   }
 
+  /** One-commit-mode-per-directory guard for the in-protocol rewrite
+    * paths ([[swapWith]], [[atomicReplace]] — hence upsert/scd2/compact
+    * and every swapWith-based index builder). A RenameCommit rewrite of
+    * a pointer-committed dir would rename-swap the whole manifest tree
+    * (the non-atomic-on-S3 operation pointer mode exists to avoid); a
+    * PointerCommit rewrite of a rename-committed dir would publish a
+    * manifest readers of the root files never consult, leaving them on
+    * stale data forever while the old root files are never GC'd. Both
+    * now fail fast (r14 ADVICE #2). [[overwrite]] stays the sanctioned
+    * CONVERTER in both directions — it is by definition a full rewrite,
+    * and its pointer-mode publish GCs the superseded root files one
+    * graced commit later (see [[pointerSwap]]). */
+  private def requireCommitMode(spark: SparkSession, dir: String,
+                                commit: Commit, op: String): Unit = {
+    val pointered = readManifest(fs(spark, dir), dir).isDefined
+    commit match {
+      case RenameCommit => require(!pointered,
+        s"$op: $dir is pointer-committed (a `$ManifestFile` manifest exists); " +
+          "a rename-swap would move the whole manifest tree. Pass " +
+          "commit = PointerCommit (one commit mode per directory).")
+      case PointerCommit => require(pointered || !targetExists(spark, dir),
+        s"$op: $dir holds rename-committed data; publishing a manifest over it " +
+          "would leave plain readers on the stale root files. One commit mode " +
+          "per directory — convert via overwrite(_, PointerCommit) first.")
+    }
+  }
+
   /** Mode-transparent directory resolution: a pointer-committed dir
     * resolves to its current `__data_` generation; anything else (a
     * rename-mode table, a plain parquet dir, a not-yet-born target)
@@ -114,8 +141,11 @@ object Merge {
     * PointerCommit. */
   def swapWith(spark: SparkSession, dir: String,
                commit: Commit)(write: String => Unit): Unit = commit match {
-    case PointerCommit => pointerSwap(spark, dir)(write)
+    case PointerCommit =>
+      requireCommitMode(spark, dir, commit, "Merge.swapWith")
+      pointerSwap(spark, dir)(write)
     case RenameCommit =>
+      requireCommitMode(spark, dir, commit, "Merge.swapWith")
       val f = fs(spark, dir)
       val p = new Path(dir)
       if (f.exists(p)) atomicSwap(spark, dir)(write)
@@ -249,11 +279,14 @@ object Merge {
     * (the compaction / merge rewrite shape).
     */
   private[graft] def atomicReplace(df: DataFrame, targetDir: String,
-                                   commit: Commit = RenameCommit): Unit = commit match {
-    case RenameCommit =>
-      atomicSwap(df.sparkSession, targetDir)(tmp => graft.io.Writers.parquet(df, tmp))
-    case PointerCommit =>
-      pointerSwap(df.sparkSession, targetDir)(d => graft.io.Writers.parquet(df, d))
+                                   commit: Commit = RenameCommit): Unit = {
+    requireCommitMode(df.sparkSession, targetDir, commit, "Merge.atomicReplace")
+    commit match {
+      case RenameCommit =>
+        atomicSwap(df.sparkSession, targetDir)(tmp => graft.io.Writers.parquet(df, tmp))
+      case PointerCommit =>
+        pointerSwap(df.sparkSession, targetDir)(d => graft.io.Writers.parquet(df, d))
+    }
   }
 
   /** The tmp-write → rename-swap → rollback protocol with an arbitrary
@@ -328,8 +361,16 @@ object Merge {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     try f.listStatus(target).foreach { st =>
       val n = st.getPath.getName
+      // conversion leftovers: an overwrite(_, PointerCommit) over a
+      // rename-committed dir publishes its FIRST manifest above root
+      // files plain readers were still scanning — those files are
+      // graced through that commit (prevName empty ⇒ keep) and
+      // collected on the NEXT publish, like a superseded generation.
+      val stray = !n.startsWith("__data_") && !n.startsWith(ManifestFile) &&
+        !n.startsWith("." + ManifestFile) // local-FS checksum sibling
       if ((n.startsWith("__data_") && n != dataName && !prevName.contains(n)) ||
-        n.startsWith(ManifestFile + ".tmp_"))
+        n.startsWith(ManifestFile + ".tmp_") ||
+        (stray && prevName.isDefined))
         f.delete(st.getPath, true)
     } catch { case scala.util.control.NonFatal(_) => () } // GC is best-effort
   }

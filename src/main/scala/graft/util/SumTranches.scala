@@ -57,16 +57,35 @@ object SumTranches {
     if (!fs.exists(root)) return Seq.empty
     val tranches = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith("batch=")).sortBy(_.getName).toSeq
-    val superseded: Set[String] = tranches.flatMap { t =>
-      val mf = new org.apache.hadoop.fs.Path(t, ManifestName)
-      if (fs.exists(mf)) {
-        val in = fs.open(mf)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      } else Nil
-    }.toSet
+    val superseded: Set[String] =
+      tranches.flatMap(t => manifestNames(fs, t)).toSet
     tranches.filterNot(t => superseded(t.getName))
   }
+
+  /** Names a tranche's superseding manifest carries (empty when none). */
+  private def manifestNames(fs: org.apache.hadoop.fs.FileSystem,
+                            tranche: org.apache.hadoop.fs.Path): Seq[String] = {
+    val mf = new org.apache.hadoop.fs.Path(tranche, ManifestName)
+    if (!fs.exists(mf)) Nil
+    else {
+      val in = fs.open(mf)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  /** The superseding set a fold's output must carry: the folded
+    * tranches' own names PLUS everything THEY had absorbed (transitive
+    * — r14 ADVICE #1: a chain of folds otherwise forgets first-fold
+    * input names, and a replayed ingest of such a tag would land live
+    * and double-count), minus the output's own name (a manifest naming
+    * its own tranche would self-exclude it from live()). */
+  private def transitiveFolded(fs: org.apache.hadoop.fs.FileSystem,
+                               folded: Seq[org.apache.hadoop.fs.Path],
+                               outName: String): Seq[String] =
+    (folded.map(_.getName) ++ folded.flatMap(t => manifestNames(fs, t)))
+      .distinct.filterNot(_ == outName).sorted
 
   /** Merge-on-read: one scan over the live tranches, key-wise sum —
     * bounded by Σ tranche sizes, never a corpus. */
@@ -180,10 +199,24 @@ object SumTranches {
         s"SumTranches.consolidate: $dir0 is not pointer-committed; " +
           "PointerCommit folds need an artifact born with " +
           "write(..., commit = PointerCommit)")
-      if (live(spark, dir0).length <= 1) return
+      val fsP = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val liveNow = live(spark, dir0)
+      if (liveNow.length <= 1) return
       val folded = readMulti(spark, dir0, keyCols, cntCols)
-      graft.merge.Merge.pointerSwap(spark, dir0)(gen =>
-        folded.write.mode("overwrite").parquet(s"$gen/batch=consolidated"))
+      // superseding manifest INSIDE the folded tranche (r14 ADVICE #1):
+      // the fresh generation holds only batch=consolidated, but a
+      // REPLAYED ingest write() of an already-folded tag lands beside
+      // it as a live tranche and double-counts unless the fold records
+      // what it absorbed — same protocol as the rename path, names
+      // carried transitively across fold chains.
+      val absorbed = transitiveFolded(fsP, liveNow, "batch=consolidated")
+      graft.merge.Merge.pointerSwap(spark, dir0) { gen =>
+        folded.write.mode("overwrite").parquet(s"$gen/batch=consolidated")
+        val mf = fsP.create(new org.apache.hadoop.fs.Path(
+          s"$gen/batch=consolidated", ManifestName), true)
+        try mf.write(absorbed.mkString("\n").getBytes("UTF-8")) finally mf.close()
+      }
       return
     }
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -200,8 +233,12 @@ object SumTranches {
         scala.util.hashing.MurmurHash3.stringHash(names.mkString("\n")))
     val scratch = new org.apache.hadoop.fs.Path(root, s".consolidating-$tag")
     readMulti(spark, dir, keyCols, cntCols).write.mode("overwrite").parquet(scratch.toString)
+    // transitive manifest (r14 ADVICE #1): fold chains must keep
+    // carrying first-fold input names, or a replayed ingest of an
+    // early-absorbed tag lands live after the second fold
+    val absorbed = transitiveFolded(fs, liveNow, s"batch=$tag")
     val mf = fs.create(new org.apache.hadoop.fs.Path(scratch, ManifestName), true)
-    try mf.write(names.mkString("\n").getBytes("UTF-8")) finally mf.close()
+    try mf.write(absorbed.mkString("\n").getBytes("UTF-8")) finally mf.close()
     val dest = new org.apache.hadoop.fs.Path(root, s"batch=$tag")
     if (fs.exists(dest)) fs.delete(dest, true)
     fs.rename(scratch, dest)

@@ -658,6 +658,28 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("neighborhoodAggPaths: duplicated value rows — one output row per node, backtrack scaled per row (r15 review)") {
+    // a node appearing TWICE in `values` counts once per row in every
+    // neighbor stat (the exact op's behavior) — including its own
+    // backtrack legs. The r14 shape aggregated the mutual-edge count
+    // BEFORE joining value rows, so a duplicated node emitted one
+    // OUTPUT row per value row and undercounted the subtracted paths.
+    val mutual = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val mvals = Seq((1L, 10.0), (1L, 30.0), (2L, 10.0), (3L, 10.0))
+      .toDF("node", "val")
+    val out = GraphOps.neighborhoodAggPaths(mutual, "src", "dst",
+      mvals, "node", "val").collect()
+    assert(out.map(_.getLong(0)).distinct.length == out.length,
+      s"one row per node: ${out.toSeq}")
+    val got = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // node 1: leg 1→2 (10) + walk 1→2→3 (10); both 1→2→1 walks (one per
+    // value row of node 1) are backtracks and must subtract
+    assert(got(1L) == ((2L, 20.0)), s"got $got")
+    // node 2: legs 2→1 ×2 value rows (10+30) + 2→3 (10); 2→1→2 backtrack out
+    assert(got(2L) == ((3L, 50.0)), s"got $got")
+    assert(!got.contains(3L), "no out-edges, no row")
+  }
+
   test("neighborhoodAggPaths property: on random graphs, walk counts dominate set counts and agree with a hand model") {
     // adversarial sweep over seeded random digraphs: the walk aggregate
     // must (a) match an independent driver-side walk model EXACTLY and

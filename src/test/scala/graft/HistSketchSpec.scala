@@ -585,6 +585,39 @@ class HistSketchSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("SumTranches: superseding manifests are transitive across fold chains — a replayed absorbed tag never double-counts (r14 ADVICE #1)") {
+    import graft.util.SumTranches
+    import graft.merge.Merge
+    for (commit <- Seq(Merge.RenameCommit, Merge.PointerCommit)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sumreplay")
+        .toString + "/art"
+      try {
+        def w(tag: String, c: Long): Unit =
+          SumTranches.write(Seq(("a", c)).toDF("k", "cnt"), dir, tag, commit)
+        def total: Long = SumTranches.read(spark, dir, Seq("k"), "cnt")
+          .collect().map(_.getLong(1)).sum
+        w("t0", 1); w("t1", 2)
+        SumTranches.consolidate(spark, dir, Seq("k"), "cnt", commit)
+        w("t2", 4)
+        // SECOND fold: t0/t1 were absorbed a fold ago — their names must
+        // carry forward through the chain, not just one manifest deep
+        SumTranches.consolidate(spark, dir, Seq("k"), "cnt", commit)
+        assert(total == 7, s"$commit: folded total")
+        w("t0", 1) // replayed ingest of a first-fold tag
+        assert(total == 7, s"$commit: replay of an absorbed tag must stay superseded")
+        assert(SumTranches.live(spark, dir).length == 1, s"$commit: replay not live")
+        w("t3", 8) // a genuinely new tag still lands live
+        assert(total == 15, s"$commit: fresh ingest visible")
+        // third fold in the chain: answer stable, replays of BOTH early
+        // generations still superseded
+        SumTranches.consolidate(spark, dir, Seq("k"), "cnt", commit)
+        w("t1", 2)
+        assert(total == 15, s"$commit: three-fold chain still converges")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("histRollingQuantilesBy: per-group day axes ≡ per-group single runs; null groups drop") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 10:00:00")
     val rows = ((1 to 60).map(v => (ts(1), "a", v.toLong)) ++

@@ -55,6 +55,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(cartesians.isEmpty,
       s"CartesianProduct planned in: ${cartesians.mkString(", ")}")
     if (sys.env.get("GRAFT_PLAN_SNAPSHOT_UPDATE").contains("1")) {
+      // update ergonomics (r15 review): the rewrite covers ALL queries,
+      // so an UNINTENDED drift in an unrelated query would get baked in
+      // silently — print the old-vs-new diff so the committer sees
+      // exactly which shapes the regeneration is re-pinning
+      if (Files.exists(Paths.get(PlanAudit.SnapshotFile))) {
+        val old = parse(Files.readString(Paths.get(PlanAudit.SnapshotFile)))
+        val changed = diff(old, shapes.toMap)
+        info(if (changed.isEmpty) "snapshot update: no shape changes"
+        else s"snapshot update re-pins ${changed.size} shape(s) — verify " +
+          s"each is intended:\n  ${changed.mkString("\n  ")}")
+        changed.foreach(c => System.err.println(s"[plan-gate] re-pinned: $c"))
+      }
       Files.writeString(Paths.get(PlanAudit.SnapshotFile), render(shapes))
       info(s"snapshot rewritten: ${shapes.size} queries")
     } else {

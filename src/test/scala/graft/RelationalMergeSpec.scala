@@ -517,6 +517,59 @@ class RelationalMergeSpec extends SparkSpec {
     }
   }
 
+  test("swapWith/atomicReplace refuse commit-mode mixes in both directions (r14 ADVICE #2)") {
+    // PointerCommit rewrite over a rename-committed dir: a manifest
+    // plain readers never consult, stale root files never GC'd — refuse
+    val dir = freshDir()
+    Merge.overwrite(Seq((1, 1)).toDF("k", "v"), dir)
+    intercept[IllegalArgumentException] {
+      Merge.swapWith(spark, dir, Merge.PointerCommit)(d =>
+        graft.io.Writers.parquet(Seq((9, 9)).toDF("k", "v"), d))
+    }
+    intercept[IllegalArgumentException] {
+      Merge.upsert(Seq((9, 9)).toDF("k", "v"), dir, Seq("k"),
+        commit = Merge.PointerCommit)
+    }
+    intercept[IllegalArgumentException] {
+      graft.layout.LayoutOps.compact(spark, dir, commit = Merge.PointerCommit)
+    }
+    assert(Merge.readTarget(spark, dir).as[(Int, Int)].collect().toSet == Set((1, 1)),
+      "refused rewrites left the target untouched")
+    // RenameCommit rewrite over a pointer-committed dir: would
+    // rename-swap the whole manifest tree — refuse
+    val dir2 = freshDir()
+    Merge.overwrite(Seq((2, 2)).toDF("k", "v"), dir2, Merge.PointerCommit)
+    intercept[IllegalArgumentException] {
+      Merge.swapWith(spark, dir2, Merge.RenameCommit)(d =>
+        graft.io.Writers.parquet(Seq((9, 9)).toDF("k", "v"), d))
+    }
+    intercept[IllegalArgumentException] {
+      graft.layout.LayoutOps.compact(spark, dir2) // RenameCommit default
+    }
+    intercept[IllegalArgumentException] {
+      Merge.upsert(Seq((9, 9)).toDF("k", "v"), dir2, Seq("k"))
+    }
+    assert(Merge.readTarget(spark, dir2).as[(Int, Int)].collect().toSet == Set((2, 2)))
+  }
+
+  test("overwrite(PointerCommit) converts a rename-mode dir; superseded root files GC'd one graced commit later") {
+    val dir = freshDir()
+    Merge.overwrite(Seq((1, 1)).toDF("k", "v"), dir) // rename birth: root part files
+    Merge.overwrite(Seq((2, 2)).toDF("k", "v"), dir, Merge.PointerCommit) // sanctioned conversion
+    val names1 = new java.io.File(dir).listFiles().map(_.getName).toSet
+    // grace: a plain reader mid-scan of the old root files gets this
+    // whole commit interval to finish (the pointerSwap reader-grace rule)
+    assert(names1.exists(_.endsWith(".parquet")),
+      s"old root files graced through the converting commit: $names1")
+    assert(Merge.readTarget(spark, dir).as[(Int, Int)].collect().toSet == Set((2, 2)))
+    Merge.overwrite(Seq((3, 3)).toDF("k", "v"), dir, Merge.PointerCommit)
+    val names2 = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names2.forall(n => n.startsWith("__data_") || n.startsWith("_current") ||
+      n.startsWith("._current")), // the manifest's own local-FS crc sibling stays
+      s"conversion leftovers collected on the NEXT commit: $names2")
+    assert(Merge.readTarget(spark, dir).as[(Int, Int)].collect().toSet == Set((3, 3)))
+  }
+
   test("PointerCommit crash-injection: a writer dying mid-write never changes what readers see") {
     val dir = freshDir()
     Merge.overwrite(Seq((1, 10)).toDF("k", "v"), dir, Merge.PointerCommit)
