@@ -413,6 +413,35 @@ class RelationalMergeSpec extends SparkSpec {
     }
   }
 
+  test("blockedLevenshteinJoin maxKeyShare: tiny sides — singleton exception and exact share boundary (r15 review)") {
+    def key = (split(col("l_name"), " ").getItem(0), split(col("r_name"), " ").getItem(0))
+    def run(l: org.apache.spark.sql.DataFrame, share: Double) =
+      RelationalOps.blockedLevenshteinJoin(l,
+        Seq((1L, "aa x"), (2L, "bb z")).toDF("r_id", "r_name"),
+        "l_name", "r_name", Seq(key), maxDist = 1, maxKeyShare = share)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    // 2-row side, share 0.3: floor(0.3·2) = 0 clamps to cap 1 — the
+    // singleton exception (a 1-row key is never a quadratic hazard,
+    // whatever its share); a 2-row key (100% share) still drops
+    val oneHotKey = Seq((1L, "aa x"), (2L, "aa y")).toDF("l_id", "l_name")
+    assert(run(oneHotKey, 0.3) == Set.empty, "2-row key on a 2-row side drops")
+    val twoSingletons = Seq((1L, "aa x"), (2L, "bb y")).toDF("l_id", "l_name")
+    assert(run(twoSingletons, 0.3) == Set((1L, 1L), (2L, 2L)),
+      "singletons survive despite 50% > 30% share — the documented exception")
+    // exact boundary: drop is strictly-greater-than-share — a key at
+    // EXACTLY the share (2 of 4 rows at 0.5) is kept
+    val atBoundary = Seq((1L, "aa x"), (2L, "aa y"), (3L, "bb y"), (4L, "cc y"))
+      .toDF("l_id", "l_name")
+    assert(run(atBoundary, 0.5) == Set((1L, 1L), (2L, 1L), (3L, 2L)),
+      "a key at exactly the share threshold (2 of 4 at 0.5) is kept")
+    // ...and one row past it drops (3 of 5 rows > 0.5); the bb
+    // singleton rides through untouched
+    val pastBoundary = Seq((1L, "aa x"), (2L, "aa y"), (5L, "aa z"),
+      (3L, "bb y"), (4L, "cc y")).toDF("l_id", "l_name")
+    assert(run(pastBoundary, 0.5) == Set((3L, 2L)),
+      "a key strictly past the share threshold drops")
+  }
+
   test("pivotAgg: explicit-values cross-tab matches conditional aggregation; off-list values dropped") {
     val df = Seq(("x", "F", 10.0), ("x", "O", 20.0), ("x", "F", 5.0),
       ("y", "O", 7.0), ("y", "Z", 99.0)).toDF("k", "st", "v")
