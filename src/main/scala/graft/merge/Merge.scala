@@ -247,6 +247,14 @@ object Merge {
     if (!targetExists(spark, targetDir)) { overwrite(stage, targetDir, commit); return }
 
     if (prunePartitions.nonEmpty) {
+      // same fail-fast as append (r15 review): dynamic partition
+      // overwrite writes into the directory ROOT — on a
+      // pointer-committed target those partitions land beside the
+      // __data_ generations where manifest readers never look
+      require(readManifest(fs(spark, targetDir), targetDir).isEmpty,
+        s"Merge.upsert: $targetDir is pointer-committed; the partition-scoped " +
+          "path writes root partitions manifest readers never see. Use the " +
+          "unscoped upsert with commit = PointerCommit (whole-image rewrite).")
       // Partition-scoped MERGE: rewrite only the stage's partitions.
       val parts = stage.select(prunePartitions.map(org.apache.spark.sql.functions.col): _*)
         .distinct().collect()  // partition values only — tiny by definition

@@ -652,5 +652,15 @@ class RelationalMergeSpec extends SparkSpec {
       Merge.upsert(Seq((1, "p1", 2)).toDF("k", "part", "v"), dir, Seq("k"),
         prunePartitions = Seq("part"), commit = Merge.PointerCommit)
     }
+    // ...and the RENAME-mode scoped path also refuses a pointered
+    // target (r15 review): dynamic overwrite would write root
+    // partitions beside the __data_ generations, invisible to manifest
+    // readers — the append trap through a different door
+    intercept[IllegalArgumentException] {
+      Merge.upsert(Seq((1, "p1", 2)).toDF("k", "part", "v"), dir, Seq("k"),
+        prunePartitions = Seq("part"))
+    }
+    assert(Merge.readTarget(spark, dir).as[(Int, String, Int)].collect().toSet ==
+      Set((1, "p1", 1)), "refused writes left the target untouched")
   }
 }
