@@ -618,6 +618,59 @@ class HistSketchSpec extends SparkSpec {
     }
   }
 
+  test("SumTranches property: random write/replay/fold sequences converge to the fold-time model (both commit modes)") {
+    // model of the replay-converge contract: a live tag's value is its
+    // LAST write; a fold freezes every live tag's value-at-fold into
+    // the consolidated sum; any later write of a folded tag is a
+    // replay and must be INVISIBLE (the transitive manifest) —
+    // whatever order writes, replays, and folds interleave in
+    import graft.util.SumTranches
+    import graft.merge.Merge
+    for (commit <- Seq(Merge.RenameCommit, Merge.PointerCommit); seed <- Seq(11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = java.nio.file.Files.createTempDirectory("graft_sumprop")
+        .toString + "/art"
+      try {
+        var liveVals = Map.empty[String, Long]
+        var foldedSum = 0L
+        var foldedTags = Set.empty[String]
+        var hasConsolidated = false // engine keeps ONE consolidated tranche after a real fold
+        def expected = foldedSum + liveVals.values.sum
+        def engineTotal: Long = SumTranches.read(spark, dir, Seq("k"), "cnt")
+          .collect().map(_.getLong(1)).sum
+        // first op must be a write (read/consolidate need a born artifact)
+        var nWrites = 0
+        for (step <- 0 until 14) {
+          val op = if (step == 0) 0 else rnd.nextInt(3)
+          op match {
+            case 0 | 1 => // write (fresh tag or replay of any prior tag)
+              val tag = if (op == 1 && (liveVals.nonEmpty || foldedTags.nonEmpty) && rnd.nextBoolean()) {
+                val all = (liveVals.keySet ++ foldedTags).toSeq.sorted
+                all(rnd.nextInt(all.size))
+              } else { nWrites += 1; s"t$nWrites" }
+              val c = rnd.nextInt(100).toLong + 1
+              SumTranches.write(Seq(("a", c)).toDF("k", "cnt"), dir, tag, commit)
+              if (!foldedTags.contains(tag)) liveVals += tag -> c // replay of folded: invisible
+            case 2 =>
+              SumTranches.consolidate(spark, dir, Seq("k"), "cnt", commit)
+              // the engine no-ops a fold of <= 1 live tranches — a
+              // lone live tag stays REPLAY-OVERWRITABLE, so the model
+              // must not mark it folded
+              if ((if (hasConsolidated) 1 else 0) + liveVals.size >= 2) {
+                foldedSum += liveVals.values.sum
+                foldedTags ++= liveVals.keySet
+                liveVals = Map.empty
+                hasConsolidated = true
+              }
+          }
+          assert(engineTotal == expected,
+            s"$commit seed=$seed step=$step op=$op: engine $engineTotal != model $expected")
+        }
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("histRollingQuantilesBy: per-group day axes ≡ per-group single runs; null groups drop") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 10:00:00")
     val rows = ((1 to 60).map(v => (ts(1), "a", v.toLong)) ++
