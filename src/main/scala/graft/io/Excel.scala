@@ -97,7 +97,7 @@ object Excel {
       w.write(widths.mkString("<cols>", "", "</cols>"))
       w.write("<sheetData>")
       w.write(schema.fields.zipWithIndex.map { case (f, i) =>
-        s"""<c r="${cellRef(i, 1)}" s="1" t="inlineStr"><is><t>${esc(f.name)}</t></is></c>"""
+        s"""<c r="${cellRef(i, 1)}" s="1" t="inlineStr"><is>${tElem(f.name)}</is></c>"""
       }.mkString("""<row r="1">""", "", "</row>"))
       val it = df.toLocalIterator()
       while (it.hasNext) {
@@ -136,7 +136,7 @@ object Excel {
       case BooleanType =>
         Some(s"""<c r="$ref" t="b"><v>${if (row.getBoolean(i)) 1 else 0}</v></c>""")
       case _ => // strings, dates, timestamps, arrays… render as text
-        Some(s"""<c r="$ref" t="inlineStr"><is><t>${esc(String.valueOf(row.get(i)))}</t></is></c>""")
+        Some(s"""<c r="$ref" t="inlineStr"><is>${tElem(String.valueOf(row.get(i)))}</is></c>""")
     }
   }
 
@@ -355,7 +355,26 @@ object Excel {
     sb.append(rowIdx).toString
   }
 
-  private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  /** XML-escape a cell/header value. Control characters below 0x20
+    * (except tab/LF/CR) are ILLEGAL in XML 1.0 even as entities —
+    * one stray byte in a report column would otherwise make the whole
+    * workbook unparseable to every consumer — so they are dropped,
+    * the same stance as the NaN→blank cell skip (r15 review). */
+  private def esc(s: String): String = {
+    val legal =
+      if (s.forall(c => c >= 0x20 || c == '\t' || c == '\n' || c == '\r')) s
+      else s.filter(c => c >= 0x20 || c == '\t' || c == '\n' || c == '\r')
+    legal.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
+  }
+
+  /** `<t>` element for an inline string: spreadsheet apps TRIM
+    * leading/trailing whitespace in `<t>` unless the OOXML
+    * `xml:space="preserve"` attribute is present (openpyxl emits it
+    * the same way); whitespace-free values skip the attribute. */
+  private def tElem(s: String): String = {
+    val pre = if (s.nonEmpty && (s.head.isWhitespace || s.last.isWhitespace))
+      " xml:space=\"preserve\"" else ""
+    s"<t$pre>${esc(s)}</t>"
+  }
 }

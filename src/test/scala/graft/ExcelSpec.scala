@@ -42,6 +42,30 @@ class ExcelSpec extends SparkSpec {
     path
   }
 
+  test("xlsx strings: XML-illegal control chars dropped, padded whitespace preserved (r15 review)") {
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val rows = Seq(
+      Row("bad\u0000ctl\u0007byte"), // 0x00/0x07 are illegal in XML 1.0 even escaped
+      Row("  padded  "),             // apps trim <t> without xml:space="preserve"
+      Row("tab\tand\nnewline ok"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val path = Files.createTempDirectory("graft_xlsx_esc").resolve("r.xlsx").toString
+    Excel.write(df, path)
+    val sheet = unzip(path, "xl/worksheets/sheet1.xml")
+    assert(!sheet.exists(c => c < 0x20 && c != '\t' && c != '\n' && c != '\r'),
+      "no XML-illegal control characters in the emitted part")
+    assert(sheet.contains("""<t xml:space="preserve">  padded  </t>"""),
+      s"padded value carries xml:space: $sheet")
+    // a standards XML parser accepts the whole part (it would throw on
+    // a raw 0x00 — the pre-fix behavior)
+    val xr = javax.xml.stream.XMLInputFactory.newInstance().createXMLStreamReader(
+      new java.io.ByteArrayInputStream(sheet.getBytes("UTF-8")))
+    while (xr.hasNext) xr.next()
+    // and our own reader round-trips the cleaned values
+    val back = Excel.read(spark, path).collect().map(_.getString(0)).toSeq
+    assert(back == Seq("badctlbyte", "  padded  ", "tab\tand\nnewline ok"), back.toString)
+  }
+
   test("xlsx has all mandatory OOXML parts and a valid zip structure") {
     val path = writeFixture()
     for (part <- Seq("[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
