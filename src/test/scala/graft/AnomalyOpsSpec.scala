@@ -40,7 +40,7 @@ class AnomalyOpsSpec extends SparkSpec {
   }
 
   test("at-rest stats: tranche sums ≡ one-shot stats; flags vs artifact ≡ whole-run flags") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_sigma").toString
+    val dir = tempDir("graft_sigma")
     try {
       val d1 = Seq(("g", 10.0), ("g", 11.0), ("h", 5.0)).toDF("grp", "value")
       val d2 = Seq(("g", 9.0), ("g", 55.0), ("h", 5.5)).toDF("grp", "value")

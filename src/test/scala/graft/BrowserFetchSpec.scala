@@ -12,7 +12,7 @@ import graft.connectors.BrowserFetch
   * path too). */
 class BrowserFetchSpec extends AnyFunSuite {
 
-  private def tmpDir() = Files.createTempDirectory("graft_browser").toString
+  private def tmpDir() = graft.SparkSpec.tempDir("graft_browser")
 
   test("fetchToLocal settles on the downloaded file once its size stabilizes") {
     val dir = tmpDir()

@@ -58,7 +58,7 @@ class ConfigFileSpec extends SparkSpec {
   }
 
   test("searchUpwards prefers startDir/src, then walks ancestors") {
-    val root = Files.createTempDirectory("graft_cfg_search")
+    val root = java.nio.file.Paths.get(tempDir("graft_cfg_search"))
     val deep = root.resolve("a/b/c")
     Files.createDirectories(deep)
     assert(ConfigFile.searchUpwards("config.yml", deep).isEmpty)
@@ -69,7 +69,7 @@ class ConfigFileSpec extends SparkSpec {
   }
 
   test("safe-load: plain data parses; arbitrary-object tags are rejected") {
-    val dir = Files.createTempDirectory("graft_cfg_safe")
+    val dir = java.nio.file.Paths.get(tempDir("graft_cfg_safe"))
     val ok = write(dir, "ok.yml", "general:\n  a: 1\n  b: [x, y]\n")
     val conf = ConfigFile.load(ok)
     assert(conf.str("general.a") == "1")
@@ -80,7 +80,7 @@ class ConfigFileSpec extends SparkSpec {
   }
 
   test("resolve validates required keys, task membership, env binding, derived prefixes") {
-    val dir = Files.createTempDirectory("graft_cfg_resolve")
+    val dir = java.nio.file.Paths.get(tempDir("graft_cfg_resolve"))
     val conf = ConfigFile.load(write(dir, "config.yml", baseYaml("/tmp/x", "/tmp/y")))
     val r = ConfigFile.resolve(conf, "dev", "t1", "full", exec)
     assert(r.partitionRaw == "lake-dev/p1/full/raw/t1/year=2024/month=03/day=07/")
@@ -103,7 +103,7 @@ class ConfigFileSpec extends SparkSpec {
   }
 
   test("file → Spec → run: transforms bound per task, upsert target written") {
-    val base = Files.createTempDirectory("graft_cfg_e2e")
+    val base = java.nio.file.Paths.get(tempDir("graft_cfg_e2e"))
     val srcDir = s"$base/src_data"
     val targetDir = s"$base/target"
     Seq((1L, 2.0, "nan"), (2L, 7.9, "keep")).toDF("id", "f", "s")
@@ -125,7 +125,7 @@ class ConfigFileSpec extends SparkSpec {
   }
 
   test("target.commit: pointer routes the config pipeline through the manifest protocol") {
-    val base = Files.createTempDirectory("graft_cfg_ptr")
+    val base = java.nio.file.Paths.get(tempDir("graft_cfg_ptr"))
     val srcDir = s"$base/src_data"
     val targetDir = s"$base/target"
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(srcDir)
@@ -147,7 +147,7 @@ class ConfigFileSpec extends SparkSpec {
   }
 
   test("loadSpec is the one-call front door (search → load → resolve → spec)") {
-    val base = Files.createTempDirectory("graft_cfg_front")
+    val base = java.nio.file.Paths.get(tempDir("graft_cfg_front"))
     val deep = base.resolve("jobs/x")
     Files.createDirectories(deep)
     val srcDir = s"$base/src_data"
@@ -158,6 +158,6 @@ class ConfigFileSpec extends SparkSpec {
     spec.run(spark)
     assert(spark.read.parquet(s"$base/target").count() == 1)
     intercept[ConfigError](ConfigFile.loadSpec(
-      Files.createTempDirectory("graft_cfg_missing"), "dev", "t1"))
+      java.nio.file.Paths.get(tempDir("graft_cfg_missing")), "dev", "t1"))
   }
 }

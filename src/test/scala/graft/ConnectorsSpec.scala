@@ -72,7 +72,7 @@ class ConnectorsSpec extends SparkSpec {
   }
 
   test("jdbc roundtrip on embedded Derby incl. scalar fetch and partitioned read") {
-    val url = s"jdbc:derby:${java.nio.file.Files.createTempDirectory("graft_derby")}/db;create=true"
+    val url = s"jdbc:derby:${java.nio.file.Paths.get(tempDir("graft_derby"))}/db;create=true"
     val df = Seq((1L, "a", 10.5), (2L, "b", 20.5), (3L, "c", 30.5)).toDF("id", "name", "v")
     Jdbc.write(df, url, "T1")
     assert(Jdbc.read(spark, url, "SELECT * FROM T1").count() == 3)

@@ -50,7 +50,7 @@ class CountMinSpec extends SparkSpec {
   }
 
   test("at-rest grid: tranches merge on read, replay converges") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_cm").toString
+    val dir = tempDir("graft_cm")
     try {
       val a = (1 to 1200).map(i => s"t${i % 211}").toDF("k")
       val b = (1 to 800).map(i => s"t${i % 379}").toDF("k")

@@ -110,7 +110,7 @@ class DeliverySpec extends SparkSpec {
 
   test("Excel-over-HTTP source: flaky download retried, first sheet lands as DF") {
     // serve a real workbook produced by the engine's own writer
-    val xlsx = java.nio.file.Files.createTempDirectory("graft_http_src").resolve("wb.xlsx")
+    val xlsx = java.nio.file.Paths.get(tempDir("graft_http_src")).resolve("wb.xlsx")
     val df = Seq(("a", 1L), ("b", 2L)).toDF("name", "qty")
     graft.io.Excel.write(df, xlsx.toString)
     val bytes = java.nio.file.Files.readAllBytes(xlsx)

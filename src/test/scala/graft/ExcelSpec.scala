@@ -36,7 +36,7 @@ class ExcelSpec extends SparkSpec {
       Row("plain", 0L, -2.25, null))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
-    val path = Files.createTempDirectory("graft_xlsx").resolve("report.xlsx").toString
+    val path = tempDir("graft_xlsx") + "/report.xlsx"
     val n = Excel.write(df, path, saveAsReadOnly = readOnly)
     assert(n == 3)
     path
@@ -49,7 +49,7 @@ class ExcelSpec extends SparkSpec {
       Row("  padded  "),             // apps trim <t> without xml:space="preserve"
       Row("tab\tand\nnewline ok"))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-    val path = Files.createTempDirectory("graft_xlsx_esc").resolve("r.xlsx").toString
+    val path = tempDir("graft_xlsx_esc") + "/r.xlsx"
     Excel.write(df, path)
     val sheet = unzip(path, "xl/worksheets/sheet1.xml")
     assert(!sheet.exists(c => c < 0x20 && c != '\t' && c != '\n' && c != '\r'),
@@ -109,7 +109,7 @@ class ExcelSpec extends SparkSpec {
       Row(Double.PositiveInfinity, Float.NegativeInfinity),
       Row(1.0, 2.0f))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-    val path = Files.createTempDirectory("graft_xlsx_inf").resolve("inf.xlsx").toString
+    val path = tempDir("graft_xlsx_inf") + "/inf.xlsx"
     Excel.write(df, path)
     val sheet = unzip(path, "xl/worksheets/sheet1.xml")
     assert(!sheet.contains("Infinity"))
@@ -152,7 +152,7 @@ class ExcelSpec extends SparkSpec {
   test("read resolves shared strings and rich-text runs (foreign xlsx shape)") {
     // minimal workbook written the OTHER way xlsx encodes text: a
     // shared-string table with one rich-text (multi-run) entry
-    val dir = Files.createTempDirectory("graft_xlsx_shared")
+    val dir = java.nio.file.Paths.get(tempDir("graft_xlsx_shared"))
     val path = dir.resolve("shared.xlsx").toString
     val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
     def part(name: String, body: String): Unit = {

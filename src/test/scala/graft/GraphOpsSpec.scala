@@ -86,7 +86,7 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("group index lifecycle: write -> warm refresh ≡ rebuild, replayed refresh idempotent") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ccidx").toString + "/idx"
+    val dir = tempDir("graft_ccidx") + "/idx"
     try {
       val rnd = new scala.util.Random(17)
       val edges = Seq.fill(160)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
@@ -307,7 +307,7 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("cooc index: group-partitioned tranches + consolidation ≡ whole-corpus lift") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_cooc").toString
+    val dir = tempDir("graft_cooc")
     try {
       // 9 groups over 6 items, skewed memberships
       val rows = (1L to 9L).flatMap { g =>
@@ -526,7 +526,7 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("rank index lifecycle: birth, in-place refresh ≡ straight iterations, frozen-prior out") {
-    val base = java.nio.file.Files.createTempDirectory("graft_rankidx").toString
+    val base = tempDir("graft_rankidx")
     val dir = s"$base/ranks"; val out = s"$base/out"
     try {
       val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
@@ -564,7 +564,7 @@ class GraphOpsSpec extends SparkSpec {
 
   test("rank/group index under PointerCommit: manifest-resolved, crash-safe, GC-graced (r13 verdict #2)") {
     import graft.merge.Merge
-    val base = java.nio.file.Files.createTempDirectory("graft_ptridx").toString
+    val base = tempDir("graft_ptridx")
     val rdir = s"$base/ranks"; val gdir = s"$base/groups"
     try {
       val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))

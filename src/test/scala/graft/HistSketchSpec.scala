@@ -117,7 +117,7 @@ class HistSketchSpec extends SparkSpec {
   }
 
   test("at-rest tranches: append == rebuild, consolidation crash-safe under sum") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    val dir = tempDir("graft_hist")
     try {
       val a = (1 to 900).map(i => (i % 317).toLong + 1).toDF("v")
       val b = (1 to 700).map(i => (i % 523).toLong * 2 + 1).toDF("v")
@@ -563,7 +563,7 @@ class HistSketchSpec extends SparkSpec {
 
   test("maybeConsolidate: fan-in stays ≤ maxLive under a 3N-tranche ingest, answers unchanged") {
     import graft.util.SumTranches
-    val dir = java.nio.file.Files.createTempDirectory("graft_autofold").toString
+    val dir = tempDir("graft_autofold")
     try {
       val N = 3
       val chunks = (1 to 3 * N).map(i => ((i * 100 + 1) to (i * 100 + 80)).map(_.toLong))
@@ -589,7 +589,7 @@ class HistSketchSpec extends SparkSpec {
     import graft.util.SumTranches
     import graft.merge.Merge
     for (commit <- Seq(Merge.RenameCommit, Merge.PointerCommit)) {
-      val dir = java.nio.file.Files.createTempDirectory("graft_sumreplay")
+      val dir = java.nio.file.Paths.get(tempDir("graft_sumreplay"))
         .toString + "/art"
       try {
         def w(tag: String, c: Long): Unit =
@@ -628,7 +628,7 @@ class HistSketchSpec extends SparkSpec {
     import graft.merge.Merge
     for (commit <- Seq(Merge.RenameCommit, Merge.PointerCommit); seed <- Seq(11, 42)) {
       val rnd = new scala.util.Random(seed)
-      val dir = java.nio.file.Files.createTempDirectory("graft_sumprop")
+      val dir = java.nio.file.Paths.get(tempDir("graft_sumprop"))
         .toString + "/art"
       try {
         var liveVals = Map.empty[String, Long]
@@ -726,7 +726,7 @@ class HistSketchSpec extends SparkSpec {
 
   test("day-keyed hist artifact: both rolling gauges from tranches ≡ inline, day-split safe") {
     import graft.util.SumTranches
-    val dir = java.nio.file.Files.createTempDirectory("graft_dayhist").toString
+    val dir = tempDir("graft_dayhist")
     try {
       def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 10:00:00")
       val rows = ((1 to 100).map(v => (ts(1), v.toLong)) ++

@@ -299,7 +299,7 @@ class LlmOpsSpec extends SparkSpec {
 
   test("day-keyed mix artifact: rolling JS from tranches ≡ inline, day-split safe") {
     import graft.util.SumTranches
-    val dir = java.nio.file.Files.createTempDirectory("graft_daymix").toString
+    val dir = tempDir("graft_daymix")
     try {
       def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 10:00:00")
       val rows = ((1 to 60).map(i => (ts(1), if (i % 3 == 0) "a" else "b")) ++
@@ -437,7 +437,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("appendToDedupIndex refuses a legacy flat index layout with a migration hint") {
-    val idx = java.nio.file.Files.createTempDirectory("graft_flat_idx").toString
+    val idx = tempDir("graft_flat_idx")
     // legacy flat artifact: loose part files (plus the committer's
     // _SUCCESS, which must NOT be what trips the check) directly under sh
     Seq((1L, 42L)).toDF("doc_id", "sh").write.parquet(s"$idx/sh")
@@ -475,7 +475,7 @@ class LlmOpsSpec extends SparkSpec {
     val day2 = all.where(col("doc_id") >= 40)
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id").as[Long].collect().sorted.toSeq
-    val idx = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    val idx = tempDir("graft_dedup_idx")
     DedupOps.writeDedupIndex(hist, idx, "doc_id", "text")
     // same-day parity: materialized index ≡ direct text path
     val s1Idx = DedupOps.dedupAgainstIndex(day1, idx, "doc_id", "text")
@@ -537,7 +537,7 @@ class LlmOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id").as[Long].collect().sorted.toSeq
-    val idx = java.nio.file.Files.createTempDirectory("graft_sig_idx").toString
+    val idx = tempDir("graft_sig_idx")
     DedupOps.writeDedupIndex(hist, idx, "doc_id", "text")
     val s1 = DedupOps.dedupAgainstIndexApprox(day1, idx, "doc_id", "text", threshold = 0.4)
     // 30 drops at the exact tier, 31 at the banded-signature tier
@@ -551,7 +551,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaAppend == Seq(42L))
     // append ≡ rebuild: a fresh index over the cumulative corpus gives
     // day-2 the same decisions (signatures are pure functions of text)
-    val idx2 = java.nio.file.Files.createTempDirectory("graft_sig_idx2").toString
+    val idx2 = tempDir("graft_sig_idx2")
     DedupOps.writeDedupIndex(
       hist.unionByName(day1.where(col("doc_id") === 32L)), idx2, "doc_id", "text")
     assert(ids(DedupOps.dedupAgainstIndexApprox(day2, idx2, "doc_id", "text",
@@ -563,7 +563,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(ids(DedupOps.dedupAgainstIndexApprox(day2, idx, "doc_id", "text",
       threshold = 0.4)) == viaAppend)
     // a legacy pre-sig index fails fast instead of silently finding nothing
-    val flat = java.nio.file.Files.createTempDirectory("graft_nosig_idx").toString
+    val flat = tempDir("graft_nosig_idx")
     Seq((1L, 42L)).toDF("doc_id", "sh").write.parquet(s"$flat/sh/batch=build")
     Seq("aa").toDF("fp").write.parquet(s"$flat/fp/batch=build")
     val e = intercept[IllegalArgumentException] {
@@ -591,8 +591,8 @@ class LlmOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id").as[Long].collect().sorted.toSeq
-    val ptr = java.nio.file.Files.createTempDirectory("graft_ptr_idx").toString + "/idx"
-    val ren = java.nio.file.Files.createTempDirectory("graft_ren_idx").toString + "/idx"
+    val ptr = tempDir("graft_ptr_idx") + "/idx"
+    val ren = tempDir("graft_ren_idx") + "/idx"
     DedupOps.writeDedupIndex(hist, ptr, "doc_id", "text", commit = Merge.PointerCommit)
     DedupOps.writeDedupIndex(hist, ren, "doc_id", "text")
     assert(new java.io.File(ptr, "_current").exists(), "manifest published")
@@ -659,8 +659,8 @@ class LlmOpsSpec extends SparkSpec {
       (2L, "pack my box with five dozen liquor jugs for the long trip"),
       (3L, "the quick brown fox jumps over the lazy dog again and again plus extra")
     ).toDF("doc_id", "text")
-    val wptr = java.nio.file.Files.createTempDirectory("graft_ptr_w").toString + "/w"
-    val wren = java.nio.file.Files.createTempDirectory("graft_ren_w").toString + "/w"
+    val wptr = tempDir("graft_ptr_w") + "/w"
+    val wren = tempDir("graft_ren_w") + "/w"
     TextOps.writeWinnowIndex(docs, wptr, "doc_id", "text", commit = Merge.PointerCommit)
     TextOps.writeWinnowIndex(docs, wren, "doc_id", "text")
     assert(new java.io.File(wptr, "_current").exists())
@@ -683,8 +683,8 @@ class LlmOpsSpec extends SparkSpec {
       (i, Array.tabulate(4)(d => math.sin(i * 0.7 + d).toFloat))).toDF("id", "vec")
     val qs = (101L to 104L).map(i =>
       (i, Array.tabulate(4)(d => math.cos(i * 0.3 + d).toFloat))).toDF("id", "vec")
-    val iptr = java.nio.file.Files.createTempDirectory("graft_ptr_ivf").toString + "/ivf"
-    val iren = java.nio.file.Files.createTempDirectory("graft_ren_ivf").toString + "/ivf"
+    val iptr = tempDir("graft_ptr_ivf") + "/ivf"
+    val iren = tempDir("graft_ren_ivf") + "/ivf"
     val cents = SimilarityOps.ivfWriteIndex(vecs, iptr, "id", "vec", nLists = 4,
       commit = Merge.PointerCommit)
     SimilarityOps.ivfWriteIndex(vecs, iren, "id", "vec", nLists = 4,
@@ -709,7 +709,7 @@ class LlmOpsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val batch = Seq((2L, "some wholly new text about data pipelines at scale")).toDF("doc_id", "text")
-    val idx = java.nio.file.Files.createTempDirectory("graft_half_idx").toString
+    val idx = tempDir("graft_half_idx")
     DedupOps.writeDedupIndex(docs, idx, "doc_id", "text")
     DedupOps.appendToDedupIndex(batch, idx, "doc_id", "text", tag = "day1")
     // simulate the append crash window: sh landed, sig and fp did not
@@ -742,7 +742,7 @@ class LlmOpsSpec extends SparkSpec {
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "a completely different document about spark engines")).toDF("doc_id", "text")
     val batch = Seq((3L, "some wholly new text about data pipelines at scale")).toDF("doc_id", "text")
-    val idx = java.nio.file.Files.createTempDirectory("graft_stats_idx").toString
+    val idx = tempDir("graft_stats_idx")
     DedupOps.writeDedupIndex(docs, idx, "doc_id", "text")
     DedupOps.appendToDedupIndex(batch, idx, "doc_id", "text", tag = "day1")
     def stats = DedupOps.dedupIndexStats(spark, idx)
@@ -778,7 +778,7 @@ class LlmOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id").as[Long].collect().sorted.toSeq
-    val idx = java.nio.file.Files.createTempDirectory("graft_apx_fix").toString
+    val idx = tempDir("graft_apx_fix")
     DedupOps.writeDedupIndex(hist, idx, "doc_id", "text")
     val s1 = ids(DedupOps.dedupAgainstIndexApprox(batch, idx, "doc_id", "text",
       threshold = 0.4))
@@ -802,7 +802,7 @@ class LlmOpsSpec extends SparkSpec {
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "a completely different document about spark engines")
     ).toDF("doc_id", "text")
-    val idx = java.nio.file.Files.createTempDirectory("graft_meta_idx").toString
+    val idx = tempDir("graft_meta_idx")
     DedupOps.writeDedupIndex(docs, idx, "doc_id", "text", shingleN = 3)
     val batch = Seq((3L, "some wholly new text about data pipelines at scale")).toDF("doc_id", "text")
     // param mismatch = structural corruption; both mutation and probe refuse
@@ -844,7 +844,7 @@ class LlmOpsSpec extends SparkSpec {
 
   test("writeDedupIndex rebuild over a live index is one whole-dir swap: all artifacts + meta, no stage orphans") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
-    val base = java.nio.file.Files.createTempDirectory("graft_swap_idx").toString
+    val base = tempDir("graft_swap_idx")
     val idx = s"$base/idx"
     DedupOps.writeDedupIndex(docs, idx, "doc_id", "text")
     DedupOps.appendToDedupIndex(
@@ -872,7 +872,7 @@ class LlmOpsSpec extends SparkSpec {
       (12L, "the quick brown fox sleeps all day long instead"),     // shares shingles, J < 0.5
       (13L, "completely unrelated words with no common phrases")    // no candidate
     ).toDF("doc_id", "text")
-    val idx = java.nio.file.Files.createTempDirectory("graft_report_idx").toString
+    val idx = tempDir("graft_report_idx")
     DedupOps.writeDedupIndex(hist, idx, "doc_id", "text")
     val got = DedupOps.dedupDecisions(batch, idx, "doc_id", "text", threshold = 0.5)
       .collect().map(r => r.getLong(0) ->
@@ -899,7 +899,7 @@ class LlmOpsSpec extends SparkSpec {
     val h0 = hist.orderBy("doc_id").select("text").as[String].head()
     val batch = docs.where(col("doc_id") >= 300 && col("doc_id") < 450)
       .unionByName(Seq((9001L, h0), (9002L, h0 + " appended")).toDF("doc_id", "text"))
-    val idx = java.nio.file.Files.createTempDirectory("graft_report_mh_idx").toString
+    val idx = tempDir("graft_report_mh_idx")
     DedupOps.writeDedupIndex(hist, idx, "doc_id", "text", portable = true,
       sigK = 16, sigBands = 8)
     val report = DedupOps.dedupDecisionsApprox(batch, idx, "doc_id", "text",
@@ -964,7 +964,7 @@ class LlmOpsSpec extends SparkSpec {
       .select("vec_id", "embedding")
     val hist = emb.where(col("vec_id") < 200)
     val batch = emb.where(col("vec_id") >= 200 && col("vec_id") < 260)
-    val idx = java.nio.file.Files.createTempDirectory("graft_sem_idx").toString + "/ivf"
+    val idx = tempDir("graft_sem_idx") + "/ivf"
     val cents = SimilarityOps.ivfCentroids(hist, "embedding", nLists = 8)
     SimilarityOps.ivfWriteIndex(hist, idx, "vec_id", "embedding",
       nLists = 8, precomputed = Some(cents))
@@ -1006,7 +1006,7 @@ class LlmOpsSpec extends SparkSpec {
     // probing a dir with no frozen quantizer fails fast — a caller-
     // supplied centroid family could silently probe the wrong
     // partitions, so meta-less (pre-contract) indexes must rebuild
-    val bare = java.nio.file.Files.createTempDirectory("graft_ivf_bare").toString
+    val bare = tempDir("graft_ivf_bare")
     emb.limit(5).select(col("vec_id").as("corpus_id"),
       col("embedding").as("__cv"), lit(0).as("ivf_list"))
       .write.partitionBy("ivf_list").parquet(s"$bare/vec/batch=build")
@@ -1022,7 +1022,7 @@ class LlmOpsSpec extends SparkSpec {
       .select("vec_id", "embedding")
     val hist = emb.where(col("vec_id") < 150)
     val day1 = emb.where(col("vec_id") >= 150 && col("vec_id") < 200)
-    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_life").toString + "/ivf"
+    val idx = tempDir("graft_ivf_life") + "/ivf"
     SimilarityOps.ivfWriteIndex(hist, idx, "vec_id", "embedding", nLists = 8)
     def probe() = SimilarityOps.ivfProbeTopK(spark, idx,
       emb.where(col("vec_id") >= 900), "vec_id", "embedding", k = 3, nProbe = 8)
@@ -1065,7 +1065,7 @@ class LlmOpsSpec extends SparkSpec {
   test("dedup index df artifact: tracks sh through build/append/consolidate; df path ≡ legacy path") {
     val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
-    val idx = java.nio.file.Files.createTempDirectory("graft_df_idx").toString + "/idx"
+    val idx = tempDir("graft_df_idx") + "/idx"
     DedupOps.writeDedupIndex(corpus.where(col("doc_id") < 300), idx,
       "doc_id", "text", portable = true)
     // invariant the prune trusts: sum of df tranches per shingle ==
@@ -1112,7 +1112,7 @@ class LlmOpsSpec extends SparkSpec {
     val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
     // --- dedup index bf: the sig tier's hot-bucket prune input ---
-    val idx = java.nio.file.Files.createTempDirectory("graft_bf_idx").toString + "/idx"
+    val idx = tempDir("graft_bf_idx") + "/idx"
     DedupOps.writeDedupIndex(corpus.where(col("doc_id") < 300), idx,
       "doc_id", "text", portable = true)
     // bf tranche sums == banded counts over the sig artifact
@@ -1143,7 +1143,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(graft.util.Fs.pathExists(spark, s"$idx/bf"))
     assert(runApprox() == viaBf)
     // --- winnow index wdf: the overlap probe's hot-hash prune input ---
-    val widx = java.nio.file.Files.createTempDirectory("graft_wdf_idx").toString + "/w"
+    val widx = tempDir("graft_wdf_idx") + "/w"
     TextOps.writeWinnowIndex(corpus.where(col("doc_id") < 300), widx,
       "doc_id", "text", k = 8, w = 4, portable = true)
     def runOverlap() = TextOps.winnowOverlapAgainstIndex(batch, widx,
@@ -1161,7 +1161,7 @@ class LlmOpsSpec extends SparkSpec {
   test("stale count artifacts are ignored: tag-set freshness routes probes to the window path") {
     val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
-    val idx = java.nio.file.Files.createTempDirectory("graft_stale_idx").toString + "/idx"
+    val idx = tempDir("graft_stale_idx") + "/idx"
     val hist = corpus.where(col("doc_id") < 300)
     DedupOps.writeDedupIndex(hist, idx, "doc_id", "text", portable = true)
     // plant a near-dup so the healthy runs demonstrably DROP something —
@@ -1191,7 +1191,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/df").where(col("df") >= 1000000000L).isEmpty)
     assert(run() == healthy && runA() == healthyA)
     // winnow twin
-    val widx = java.nio.file.Files.createTempDirectory("graft_stale_w").toString + "/w"
+    val widx = tempDir("graft_stale_w") + "/w"
     TextOps.writeWinnowIndex(hist, widx, "doc_id", "text", k = 8, w = 4, portable = true)
     def runW() = TextOps.winnowOverlapAgainstIndex(batch, widx, "doc_id", "text",
       minShared = 2, maxBucket = 20).as[(Long, Long, Long)].collect().sorted.toSeq
@@ -1207,7 +1207,7 @@ class LlmOpsSpec extends SparkSpec {
   test("unmarked tranche (mid-commit crash): consolidation excludes it and the same-tag retry converges") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
-    val vidx = java.nio.file.Files.createTempDirectory("graft_partial_ivf").toString + "/ivf"
+    val vidx = tempDir("graft_partial_ivf") + "/ivf"
     SimilarityOps.ivfWriteIndex(emb.where(col("vec_id") < 200), vidx,
       "vec_id", "embedding", nLists = 8)
     val day = emb.where(col("vec_id") >= 200 && col("vec_id") < 250)
@@ -1241,14 +1241,14 @@ class LlmOpsSpec extends SparkSpec {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
     val q = emb.where(col("vec_id") < 5)
-    val lshDir = java.nio.file.Files.createTempDirectory("graft_fam_lsh").toString + "/l"
+    val lshDir = tempDir("graft_fam_lsh") + "/l"
     SimilarityOps.lshWriteIndex(emb.where(col("vec_id") < 100), lshDir,
       "vec_id", "embedding", nbits = 4)
     val eIvf = intercept[IllegalArgumentException] {
       SimilarityOps.ivfProbeTopK(spark, lshDir, q, "vec_id", "embedding", k = 3, nProbe = 2)
     }
     assert(eIvf.getMessage.contains("DIFFERENT index family"))
-    val ivfDir = java.nio.file.Files.createTempDirectory("graft_fam_ivf").toString + "/v"
+    val ivfDir = tempDir("graft_fam_ivf") + "/v"
     SimilarityOps.ivfWriteIndex(emb.where(col("vec_id") < 100), ivfDir,
       "vec_id", "embedding", nLists = 4)
     val eLsh = intercept[IllegalArgumentException] {
@@ -1292,7 +1292,7 @@ class LlmOpsSpec extends SparkSpec {
   test("index health gauges: unproven tranches and count staleness become visible rows") {
     val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
-    val idx = java.nio.file.Files.createTempDirectory("graft_health_idx").toString + "/idx"
+    val idx = tempDir("graft_health_idx") + "/idx"
     DedupOps.writeDedupIndex(corpus.where(col("doc_id") < 200), idx,
       "doc_id", "text", portable = true)
     val day1 = corpus.where(col("doc_id") >= 200 && col("doc_id") < 250)
@@ -1338,7 +1338,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(healed("df")._4.contains(true) && healed("bf")._4.contains(true))
     assert(healed.values.forall(_._3 == 0))
     // winnow + vector twins
-    val widx = java.nio.file.Files.createTempDirectory("graft_health_w").toString + "/w"
+    val widx = tempDir("graft_health_w") + "/w"
     TextOps.writeWinnowIndex(corpus.where(col("doc_id") < 100), widx,
       "doc_id", "text", k = 8, w = 4, portable = true)
     val wh = graft.text.TextOps.winnowIndexHealth(spark, widx)
@@ -1347,7 +1347,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(wh.keySet == Set("wfp", "wdf") && wh("wdf")._4.contains(true))
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
-    val vidx = java.nio.file.Files.createTempDirectory("graft_health_v").toString + "/v"
+    val vidx = tempDir("graft_health_v") + "/v"
     SimilarityOps.ivfWriteIndex(emb.where(col("vec_id") < 100), vidx,
       "vec_id", "embedding", nLists = 4)
     SimilarityOps.ivfAppendToIndex(emb.where(col("vec_id") >= 100 && col("vec_id") < 120),
@@ -1365,7 +1365,7 @@ class LlmOpsSpec extends SparkSpec {
   test("index stats gauges: winnow + IVF counts match direct recomputation; consolidation visible") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
-    val widx = java.nio.file.Files.createTempDirectory("graft_wstats").toString + "/w"
+    val widx = tempDir("graft_wstats") + "/w"
     graft.text.TextOps.writeWinnowIndex(docs.where(col("doc_id") < 100), widx,
       "doc_id", "text", k = 8, w = 4, portable = true)
     graft.text.TextOps.appendToWinnowIndex(
@@ -1383,13 +1383,13 @@ class LlmOpsSpec extends SparkSpec {
     // gauge on a non-winnow dir fails fast instead of going dark
     intercept[IllegalArgumentException] {
       graft.text.TextOps.winnowIndexStats(spark,
-        java.nio.file.Files.createTempDirectory("graft_wstats_no").toString)
+        tempDir("graft_wstats_no"))
     }
     // IVF: per-list counts must sum to every indexed vector, and
     // consolidation collapses tranches without moving any count
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
-    val vidx = java.nio.file.Files.createTempDirectory("graft_ivfstats").toString + "/ivf"
+    val vidx = tempDir("graft_ivfstats") + "/ivf"
     SimilarityOps.ivfWriteIndex(emb.where(col("vec_id") < 200), vidx,
       "vec_id", "embedding", nLists = 8)
     SimilarityOps.ivfAppendToIndex(
@@ -1433,14 +1433,14 @@ class LlmOpsSpec extends SparkSpec {
     val batch = all.where(col("doc_id") >= 35)
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Long, Long)].collect().sorted.toSeq
-    val idx = java.nio.file.Files.createTempDirectory("graft_winnow_idx").toString
+    val idx = tempDir("graft_winnow_idx")
     TextOps.writeWinnowIndex(hist, idx, "doc_id", "text", k = 8, w = 4, portable = true)
     TextOps.appendToWinnowIndex(day1, idx, "doc_id", "text", tag = "day1")
     val viaAppend = pairs(TextOps.winnowOverlapAgainstIndex(batch, idx,
       "doc_id", "text", minShared = 2, maxBucket = 50))
     assert(viaAppend.nonEmpty) // the probe finds real batch×history overlaps
     // append ≡ rebuild: fingerprints are pure functions of (text, meta)
-    val idx2 = java.nio.file.Files.createTempDirectory("graft_winnow_idx2").toString
+    val idx2 = tempDir("graft_winnow_idx2")
     TextOps.writeWinnowIndex(hist.unionByName(day1), idx2, "doc_id", "text",
       k = 8, w = 4, portable = true)
     assert(pairs(TextOps.winnowOverlapAgainstIndex(batch, idx2,
@@ -1463,7 +1463,7 @@ class LlmOpsSpec extends SparkSpec {
     }
     assert(eAlias.getMessage.contains("absorbed"))
     // probing a meta-less dir fails fast (params are structural)
-    val bare = java.nio.file.Files.createTempDirectory("graft_winnow_bare").toString
+    val bare = tempDir("graft_winnow_bare")
     Seq((1L, 42L)).toDF("doc_id", "wfp").write.parquet(s"$bare/wfp/batch=build")
     val e = intercept[IllegalArgumentException] {
       TextOps.winnowOverlapAgainstIndex(batch, bare, "doc_id", "text")
@@ -1480,8 +1480,8 @@ class LlmOpsSpec extends SparkSpec {
     val batch = Seq((10L, "w1 w2 w3 w4 x")).toDF("doc_id", "text")
     val hist1 = Seq((1L, "w1 w2 w3 w4 y")).toDF("doc_id", "text")
     val hist2 = hist1.unionByName(Seq((2L, "w1 w2 w3 w4 y")).toDF("doc_id", "text"))
-    val i1 = java.nio.file.Files.createTempDirectory("graft_drift1").toString
-    val i2 = java.nio.file.Files.createTempDirectory("graft_drift2").toString
+    val i1 = tempDir("graft_drift1")
+    val i2 = tempDir("graft_drift2")
     DedupOps.writeDedupIndex(hist1, i1, "doc_id", "text")
     DedupOps.writeDedupIndex(hist2, i2, "doc_id", "text")
     def surv(idx: String) = DedupOps.dedupAgainstIndex(
@@ -1713,7 +1713,7 @@ class LlmOpsSpec extends SparkSpec {
 
   test("multimodal: imageDedupAgainstIndex — perceptual survivors vs at-rest hash history") {
     import graft.multimodal.MultimodalOps
-    val dir = java.nio.file.Files.createTempDirectory("graft_imghash").toString + "/idx"
+    val dir = tempDir("graft_imghash") + "/idx"
     val hist = Seq(1L -> patternPng(48, 48, 4, 0, 0),
       2L -> patternPng(48, 48, 0, 4, 0)).toDF("media_id", "content")
     MultimodalOps.writeImageHashTranche(spark, hist, dir, "day0")

@@ -31,7 +31,7 @@ class MiscSpec extends SparkSpec {
   }
 
   test("listFiles: type/size filters, empty-file toggle, unquoted absolute paths") {
-    val dir = Files.createTempDirectory("graft_listing")
+    val dir = java.nio.file.Paths.get(tempDir("graft_listing"))
     def touch(name: String, bytes: Int): Unit =
       Files.write(dir.resolve(name), Array.fill[Byte](bytes)(1))
     touch("a.csv", 10)
@@ -59,7 +59,7 @@ class MiscSpec extends SparkSpec {
   }
 
   test("downloadToLocal copies a file byte-identically") {
-    val dir = Files.createTempDirectory("graft_dl")
+    val dir = java.nio.file.Paths.get(tempDir("graft_dl"))
     val src = dir.resolve("src.bin")
     Files.write(src, Array[Byte](1, 2, 3, 4, 5))
     val dst = dir.resolve("dst.bin").toString
@@ -77,7 +77,7 @@ class MiscSpec extends SparkSpec {
   }
 
   test("pipeline spec runs source → steps → upsert target as one job") {
-    val base = Files.createTempDirectory("graft_pipe").toString
+    val base = tempDir("graft_pipe")
     val srcDir = s"$base/src"
     val targetDir = s"$base/target"
     Seq((1L, "nan", "2020-01-01 00:00:00"), (2L, "keep", "1700-01-01 00:00:00"))
@@ -129,7 +129,7 @@ class MiscSpec extends SparkSpec {
   }
 
   test("Bench.priorWarms parses compact and pretty-printed detail files; corrupt → empty") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_priorwarm")
+    val dir = java.nio.file.Paths.get(tempDir("graft_priorwarm"))
     def write(name: String, body: String): String = {
       val p = dir.resolve(name)
       java.nio.file.Files.write(p, body.getBytes("UTF-8")); p.toString
@@ -165,7 +165,7 @@ class MiscSpec extends SparkSpec {
   }
 
   test("Scratch.writeFloors merges with the existing file instead of truncating") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_floors")
+    val dir = java.nio.file.Paths.get(tempDir("graft_floors"))
     val path = dir.resolve("floors.json").toString
     // the documented loop: one query per Scratch run, SAME target file
     assert(graft.Scratch.writeFloors(path, Seq("q_a" -> 1.234)) == 1)

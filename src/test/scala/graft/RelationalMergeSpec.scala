@@ -72,7 +72,7 @@ class RelationalMergeSpec extends SparkSpec {
     }
   }
 
-  private def freshDir() = Files.createTempDirectory("graft_merge").toString + "/target"
+  private def freshDir() = tempDir("graft_merge") + "/target"
 
   test("upsert: composite-key delete+insert, new keys inserted (FIXTURES §B.5)") {
     val target = Seq((1, "a", 10), (1, "b", 20), (2, "a", 30)).toDF("k1", "k2", "v")
@@ -314,7 +314,7 @@ class RelationalMergeSpec extends SparkSpec {
   }
 
   test("scd2 write form: absent target born all-open, change produces two generations, rerun idempotent") {
-    val dir = Files.createTempDirectory("scd2").toString + "/dim"
+    val dir = tempDir("scd2") + "/dim"
     val day0 = Seq((1, "a"), (2, "b")).toDF("k", "status")
     Merge.scd2(day0, dir, Seq("k"), "2024-01-01 00:00:00")
     assert(Merge.readTarget(spark, dir).where(col("is_current")).count() == 2)

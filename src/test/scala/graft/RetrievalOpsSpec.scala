@@ -81,7 +81,7 @@ class RetrievalOpsSpec extends SparkSpec {
     Seq(("q1", "spark"), ("q1", "join"), ("q2", "table")).toDF("query_id", "term")
 
   test("bm25 index: probe ≡ in-memory topK; scan is partition-pruned") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString + "/idx"
+    val dir = tempDir("graft_bm25") + "/idx"
     try {
       RetrievalOps.bm25WriteIndex(idxCorpus, dir, "doc_id", "text", nBuckets = 8)
       val probed = RetrievalOps.bm25ProbeIndex(spark, dir, idxQueries, k = 10)
@@ -95,7 +95,7 @@ class RetrievalOpsSpec extends SparkSpec {
   }
 
   test("bm25 index: append ≡ one-shot rebuild; consolidation answer-preserving; absorbed replay no-ops") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString + "/idx"
+    val dir = tempDir("graft_bm25") + "/idx"
     try {
       val half1 = idxCorpus.where(col("doc_id") <= 3)
       val half2 = idxCorpus.where(col("doc_id") > 3)
@@ -124,8 +124,8 @@ class RetrievalOpsSpec extends SparkSpec {
 
   test("bm25 index under PointerCommit: probe ≡ rename-mode, generation fold, mode guard") {
     import graft.merge.Merge
-    val ptr = java.nio.file.Files.createTempDirectory("graft_bm25p").toString + "/idx"
-    val ren = java.nio.file.Files.createTempDirectory("graft_bm25r").toString + "/idx"
+    val ptr = tempDir("graft_bm25p") + "/idx"
+    val ren = tempDir("graft_bm25r") + "/idx"
     try {
       val half1 = idxCorpus.where(col("doc_id") <= 3)
       val half2 = idxCorpus.where(col("doc_id") > 3)
@@ -158,7 +158,7 @@ class RetrievalOpsSpec extends SparkSpec {
   }
 
   test("bm25 index gauges: stats rows per artifact, health counts tranches, dashboard row") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString + "/idx"
+    val dir = tempDir("graft_bm25") + "/idx"
     try {
       RetrievalOps.bm25WriteIndex(idxCorpus.where(col("doc_id") <= 3), dir,
         "doc_id", "text", nBuckets = 8)
@@ -181,7 +181,7 @@ class RetrievalOpsSpec extends SparkSpec {
   }
 
   test("bm25 index: meta-less dir and reserved tags fail fast") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString + "/raw"
+    val dir = tempDir("graft_bm25") + "/raw"
     try {
       new java.io.File(dir).mkdirs()
       intercept[IllegalArgumentException] {

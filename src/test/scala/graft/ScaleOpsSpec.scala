@@ -147,7 +147,7 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got("2024-03-04") == ((2L, 2L, 2L, cos(d4, d2 ++ d3))))
     // at-rest artifact: ingests may split a day across tranches (sum
     // algebra is key-associative) — gauge from the index ≡ inline
-    val dir = java.nio.file.Files.createTempDirectory("graft_centroid").toString + "/idx"
+    val dir = tempDir("graft_centroid") + "/idx"
     try {
       // the split puts day 3 AND half of day 1's rows in tranche 2 —
       // a day genuinely split across ingests must still sum exactly
@@ -242,7 +242,7 @@ class ScaleOpsSpec extends SparkSpec {
   test("SumTranches under PointerCommit: mode-transparent reads, one-generation fold, mode guards") {
     import graft.util.SumTranches
     import graft.merge.Merge
-    val base = java.nio.file.Files.createTempDirectory("graft_sumptr").toString
+    val base = tempDir("graft_sumptr")
     val ptr = s"$base/counts"
     def tranche(rows: (String, Long)*) = rows.toDF("k", "n")
     SumTranches.write(tranche("a" -> 1L, "b" -> 2L), ptr, "d1", Merge.PointerCommit)
@@ -281,7 +281,7 @@ class ScaleOpsSpec extends SparkSpec {
   test("bloom index: seen keys always drop, most new keys survive, OR-merge protocol-free") {
     import graft.relational.BloomIndex
     import graft.util.Scratch
-    val dir = java.nio.file.Files.createTempDirectory("graft_bloomidx").toString + "/idx"
+    val dir = tempDir("graft_bloomidx") + "/idx"
     try {
       val hist1 = (1L to 400L).map(k => (k, "h")).toDF("key", "tag")
       val hist2 = (401L to 800L).map(k => (k, "h")).toDF("key", "tag")
@@ -368,7 +368,7 @@ class ScaleOpsSpec extends SparkSpec {
   test("written IVF index: probe == in-memory ivfTopK, scan is partition-pruned") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 10)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val dir = tempDir("graft_ivf")
     SimilarityOps.ivfWriteIndex(e, dir, "vec_id", "embedding", nLists = 8)
     val probed = SimilarityOps.ivfProbeTopK(spark, dir, q, "vec_id", "embedding",
       k = 3, nProbe = 2)
@@ -397,10 +397,10 @@ class ScaleOpsSpec extends SparkSpec {
     val targetList = e.where(col("vec_id") % 2 === 1).select(homeList).head().getInt(0)
     val appendRows = e.where(col("vec_id") % 2 === 1 && homeList === targetList)
 
-    val full = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    val full = tempDir("graft_ivf_full")
     SimilarityOps.ivfWriteIndex(even.unionByName(appendRows), full, "vec_id", "embedding",
       nLists = 8, precomputed = Some(cents))
-    val inc = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val inc = tempDir("graft_ivf_inc")
     SimilarityOps.ivfWriteIndex(even, inc, "vec_id", "embedding",
       nLists = 8, precomputed = Some(cents))
     // the append lands as its OWN batch= tranche: the build tranche's
@@ -428,7 +428,7 @@ class ScaleOpsSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "corpus_id", "cos").collect().map(_.toString).sorted.toSeq
     // one-shot build over the full corpus ≡ the in-memory bucket join
-    val full = java.nio.file.Files.createTempDirectory("graft_lsh_full").toString
+    val full = tempDir("graft_lsh_full")
     SimilarityOps.lshWriteIndex(e, full, "vec_id", "embedding", nbits = 8)
     val probedFull = SimilarityOps.lshProbeTopK(spark, full, q, "vec_id", "embedding",
       k = 3, multiProbe = true)
@@ -438,7 +438,7 @@ class ScaleOpsSpec extends SparkSpec {
     // build evens + append odds ≡ the one-shot build (no fitted
     // quantizer — the frozen invariant is nbits, read from _graft_meta
     // so append and probe can never re-bucket under a different width)
-    val inc = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
+    val inc = tempDir("graft_lsh_inc")
     SimilarityOps.lshWriteIndex(e.where(col("vec_id") % 2 === 0), inc,
       "vec_id", "embedding", nbits = 8)
     SimilarityOps.lshAppendToIndex(e.where(col("vec_id") % 2 === 1), inc,
@@ -456,10 +456,10 @@ class ScaleOpsSpec extends SparkSpec {
     val q = e.where(col("vec_id") < 10)
     val cents = SimilarityOps.ivfCentroids(e, "embedding", 8)
     val books = SimilarityOps.pqCodebooks(e, "embedding", dim = 64, m = 8, k = 16)
-    val full = java.nio.file.Files.createTempDirectory("graft_ivfpq_full").toString
+    val full = tempDir("graft_ivfpq_full")
     SimilarityOps.ivfPqWriteIndex(e, full, "vec_id", "embedding", nLists = 8,
       m = 8, codebookK = 16, centroids = Some(cents), codebooks = Some(books))
-    val inc = java.nio.file.Files.createTempDirectory("graft_ivfpq_inc").toString
+    val inc = tempDir("graft_ivfpq_inc")
     SimilarityOps.ivfPqWriteIndex(e.where(col("vec_id") % 2 === 0), inc,
       "vec_id", "embedding", nLists = 8, m = 8, codebookK = 16,
       centroids = Some(cents), codebooks = Some(books))
@@ -482,9 +482,9 @@ class ScaleOpsSpec extends SparkSpec {
     import graft.layout.LayoutOps
     val l = Tables(spark, "/root/testdata/sf0.01", "lineitem")
       .select("l_orderkey", "l_partkey", "l_suppkey")
-    val zdir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val zdir = tempDir("graft_zorder")
     LayoutOps.zOrderWrite(l, zdir, Seq("l_partkey", "l_suppkey"), nFiles = 16)
-    val rdir = java.nio.file.Files.createTempDirectory("graft_random").toString
+    val rdir = tempDir("graft_random")
     l.repartition(16).write.mode("overwrite").parquet(rdir)
     // rows DECODED by the scan (after parquet footer-stats skipping),
     // not rows matching: the scan node's numOutputRows
@@ -511,7 +511,7 @@ class ScaleOpsSpec extends SparkSpec {
     import graft.layout.LayoutOps
     val l = Tables(spark, "/root/testdata/sf0.001", "lineitem")
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
-    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val dir = tempDir("graft_compact")
     l.repartition(20).write.mode("overwrite").parquet(dir)
     def parquetFiles = new java.io.File(dir).listFiles()
       .count(f => f.getName.endsWith(".parquet"))
@@ -533,7 +533,7 @@ class ScaleOpsSpec extends SparkSpec {
     import graft.merge.Merge
     val l = Tables(spark, "/root/testdata/sf0.001", "lineitem")
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
-    val dir = java.nio.file.Files.createTempDirectory("graft_compact_ptr").toString + "/t"
+    val dir = tempDir("graft_compact_ptr") + "/t"
     Merge.overwrite(l.repartition(12), dir, Merge.PointerCommit)
     def checksum = Merge.readTarget(spark, dir)
       .agg(count(lit(1)), sum((col("l_extendedprice") * 100).cast("long"))).head()
@@ -553,7 +553,7 @@ class ScaleOpsSpec extends SparkSpec {
     import graft.layout.LayoutOps
     val l = Tables(spark, "/root/testdata/sf0.001", "lineitem")
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
-    val dir = java.nio.file.Files.createTempDirectory("graft_compact_fail").toString
+    val dir = tempDir("graft_compact_fail")
     l.repartition(8).write.mode("overwrite").parquet(dir)
     val filesBefore = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
     // a frame whose computation throws at execution time: atomicReplace
@@ -759,7 +759,7 @@ class ScaleOpsSpec extends SparkSpec {
   test("written IVF-PQ index: probe == in-memory ivfPqTopK, pruned, full budget exact") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 10)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val dir = tempDir("graft_ivfpq")
     val (cents, books) = SimilarityOps.ivfPqWriteIndex(e, dir, "vec_id", "embedding",
       nLists = 8, m = 8, codebookK = 16)
     // at-rest rows carry ONLY id + codes + code-norm (+ partition cols)

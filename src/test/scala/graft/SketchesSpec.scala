@@ -167,7 +167,7 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("consolidateSketch folds tranches to one with identical registers") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_skcons").toString
+    val dir = tempDir("graft_skcons")
     try {
       val a = (1 to 800).map(i => s"a$i").toDF("k")
       val b = (500 to 1500).map(i => s"a$i").toDF("k")
@@ -200,7 +200,7 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("day-keyed HLL artifact: rolling estimate from tranches ≡ inline, day-split + fold safe") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_dayhll").toString
+    val dir = tempDir("graft_dayhll")
     try {
       def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 09:00:00")
       val rows = ((1 to 300).map(u => (ts(1), u.toLong)) ++

@@ -12,11 +12,30 @@ object SparkSpec {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  // suite temp dirs swept at JVM exit (r15 audit: fixture dirs without
+  // a try/finally had accreted 700+ orphans in /tmp across rounds)
+  private val tmps = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val gcHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(
+    () => tmps.forEach { p =>
+      try org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      catch { case _: Throwable => () }
+    }, "spec-tmp-gc"))
+  private[graft] def registerTemp(p: String): String = { gcHook; tmps.add(p); p }
+
+  /** Object-level form for suites that do not extend [[SparkSpec]]. */
+  def tempDir(prefix: String): String =
+    registerTemp(java.nio.file.Files.createTempDirectory(prefix).toString)
 }
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
   import org.apache.spark.sql.DataFrame
+
+  /** Temp dir swept at JVM exit — for fixtures a test keeps no
+    * `finally` around (crash-path tests, multi-test fixtures). */
+  def tempDir(prefix: String): String =
+    SparkSpec.registerTemp(java.nio.file.Files.createTempDirectory(prefix).toString)
 
   /** Order-insensitive full comparison of small frames. */
   def assertSameRows(a: DataFrame, b: DataFrame): Unit = {

@@ -12,7 +12,7 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   test("fileMicroBatch drains available files into the sink (AvailableNow)") {
-    val base = Files.createTempDirectory("graft_stream").toString
+    val base = tempDir("graft_stream")
     val src = s"$base/src"; val out = s"$base/out"; val ck = s"$base/ck"
     val df1 = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "k", "v")
     df1.coalesce(1).write.parquet(src)
@@ -32,7 +32,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("indexedDedupStream: batches dedup against the at-rest index, survivors append") {
-    val base = Files.createTempDirectory("graft_idx_stream").toString
+    val base = tempDir("graft_idx_stream")
     val idx = s"$base/idx"; val out = s"$base/out"; val ck = s"$base/ck"
     graft.dedup.DedupOps.writeDedupIndex(
       Seq((1L, "the quick brown fox jumps over the lazy dog"))
@@ -58,7 +58,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("indexedDedupStream approx tier: near-dup decisions read the sig artifact, survivors still append everywhere") {
-    val base = Files.createTempDirectory("graft_idx_stream_apx").toString
+    val base = tempDir("graft_idx_stream_apx")
     val idx = s"$base/idx"; val out = s"$base/out"; val ck = s"$base/ck"
     graft.dedup.DedupOps.writeDedupIndex(
       Seq((1L, "the quick brown fox jumps over the lazy dog"))
@@ -90,7 +90,7 @@ class StreamingSpec extends SparkSpec {
     // defaults (portable = false) against a portable-built index the
     // old code committed the decision then died on append validation,
     // wedging the stream on every replay
-    val base = Files.createTempDirectory("graft_apx_meta").toString
+    val base = tempDir("graft_apx_meta")
     val idx = s"$base/idx"; val out = s"$base/out"
     graft.dedup.DedupOps.writeDedupIndex(
       Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"),
@@ -103,7 +103,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("indexedDedupStream replay: re-delivered epochs converge (decision reuse + tranche overwrite)") {
-    val base = Files.createTempDirectory("graft_idx_replay").toString
+    val base = tempDir("graft_idx_replay")
     val idx = s"$base/idx"; val out = s"$base/out"
     graft.dedup.DedupOps.writeDedupIndex(
       Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"),
@@ -141,7 +141,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("indexedOverlapStream: per-epoch overlap reports, whole batch appends, replay converges") {
-    val base = Files.createTempDirectory("graft_ovl_stream").toString
+    val base = tempDir("graft_ovl_stream")
     val idx = s"$base/idx"; val out = s"$base/out"
     graft.text.TextOps.writeWinnowIndex(
       Seq((1L, "the licensed header block follows here with standard terms"))
@@ -171,7 +171,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("semanticDedupStream epochs: batch-operator parity, crash-window replay, convergence") {
-    val base = Files.createTempDirectory("graft_sem_stream").toString
+    val base = tempDir("graft_sem_stream")
     val idx = s"$base/idx"; val out = s"$base/out"
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
@@ -220,7 +220,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("semanticDedupStream live: foreachBatch wiring drops indexed re-deliveries, keeps novel vectors") {
-    val base = Files.createTempDirectory("graft_sem_live").toString
+    val base = tempDir("graft_sem_live")
     val idx = s"$base/idx"; val out = s"$base/out"; val ck = s"$base/ck"
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
@@ -245,7 +245,7 @@ class StreamingSpec extends SparkSpec {
 
   test("sketchStream: tranche-per-epoch artifact merges to the whole-corpus sketch") {
     import graft.profile.Sketches
-    val base = Files.createTempDirectory("graft_sketch_stream").toString
+    val base = tempDir("graft_sketch_stream")
     val dir = s"$base/sk"; val ck = s"$base/ck"
     val keys = (1 to 800).map(i => s"user_$i")
     val expected = Sketches.hllSketch(keys.toDF("k"), "k")
@@ -272,7 +272,7 @@ class StreamingSpec extends SparkSpec {
 
   test("driftStream: per-epoch PSI vs at-rest history, monitor-then-absorb") {
     import graft.profile.HistSketch
-    val base = Files.createTempDirectory("graft_drift_stream").toString
+    val base = tempDir("graft_drift_stream")
     val hist = s"$base/h"; val log = s"$base/log"; val ck = s"$base/ck"
     // seed history: a baseline 1..500 distribution
     HistSketch.writeHistTranche(
@@ -302,7 +302,7 @@ class StreamingSpec extends SparkSpec {
 
   test("driftStream cold start: first epoch seeds the artifact, scoring starts with real history") {
     import graft.profile.HistSketch
-    val base = Files.createTempDirectory("graft_drift_cold").toString
+    val base = tempDir("graft_drift_cold")
     val hist = s"$base/h"; val log = s"$base/log"; val ck = s"$base/ck"
     // NO pre-seeded history: epoch 0 must absorb-as-seed, not throw
     // (SumTranches.read on an empty dir would fail the checkpointed
@@ -332,7 +332,7 @@ class StreamingSpec extends SparkSpec {
   test("histStream maxLiveTranches: in-loop auto-fold bounds the read fan-in") {
     import graft.profile.HistSketch
     import graft.util.SumTranches
-    val base = Files.createTempDirectory("graft_hist_autofold").toString
+    val base = tempDir("graft_hist_autofold")
     val dir = s"$base/h"; val ck = s"$base/ck"
     val mem = MemoryStream[Long](spark, 1)
     val q = StreamingOps.histStream(mem.toDF.toDF("v"), dir, "v",
@@ -354,7 +354,7 @@ class StreamingSpec extends SparkSpec {
 
   test("bloomStream: provably-new per epoch, monitor-then-absorb, no false negatives") {
     import graft.relational.BloomIndex
-    val base = Files.createTempDirectory("graft_bloom_stream").toString
+    val base = tempDir("graft_bloom_stream")
     val idx = s"$base/idx"; val out = s"$base/out"; val ck = s"$base/ck"
     val mem = MemoryStream[Long](spark, 1)
     val q = StreamingOps.bloomStream(mem.toDF.toDF("key"), idx, out, "key",
@@ -381,7 +381,7 @@ class StreamingSpec extends SparkSpec {
   test("dayHllStream: streamed register tranches serve the rolling estimate, auto-fold bounds fan-in") {
     import graft.profile.Sketches
     import graft.util.SumTranches
-    val base = Files.createTempDirectory("graft_dayhll_stream").toString
+    val base = tempDir("graft_dayhll_stream")
     val dir = s"$base/h"; val ck = s"$base/ck"
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 09:00:00")
     val rows = ((1 to 200).map(u => (ts(1), u.toLong)) ++
@@ -403,7 +403,7 @@ class StreamingSpec extends SparkSpec {
 
   test("decontamStream: micro-batch epochs gate identically to the batch check") {
     import graft.dedup.DedupOps
-    val base = Files.createTempDirectory("graft_decontam_stream").toString
+    val base = tempDir("graft_decontam_stream")
     val bloom = s"$base/bloom"; val out = s"$base/out"; val ck = s"$base/ck"
     val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
@@ -434,7 +434,7 @@ class StreamingSpec extends SparkSpec {
     import graft.text.TextOps
     import graft.similarity.SimilarityOps
     import graft.util.SumTranches
-    val base = Files.createTempDirectory("graft_day_streams").toString
+    val base = tempDir("graft_day_streams")
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 09:00:00")
     // numeric + mix rows (day 1, 2, 4) and vectors (day 1-3)
     val evRows = ((1 to 80).map(v => (ts(1), v.toLong, if (v % 3 == 0) "a" else "b")) ++
@@ -477,7 +477,7 @@ class StreamingSpec extends SparkSpec {
 
   test("groupIndexStream: streamed edges keep the group index equal to the full-graph CC") {
     import graft.graph.GraphOps
-    val base = Files.createTempDirectory("graft_grp_stream").toString
+    val base = tempDir("graft_grp_stream")
     val dir = s"$base/idx"; val ck = s"$base/ck"
     // chain 1-2-3-4 arrives in two batches; bridge 4-5 merges late
     val b0 = Seq((1L, 2L), (3L, 4L))
@@ -507,7 +507,7 @@ class StreamingSpec extends SparkSpec {
 
   test("sketchStream consolidates tranches periodically without changing registers") {
     import graft.profile.Sketches
-    val base = Files.createTempDirectory("graft_sketch_cons").toString
+    val base = tempDir("graft_sketch_cons")
     val dir = s"$base/sk"; val ck = s"$base/ck"
     val keys = (1 to 900).map(i => s"cuser_$i")
     val expected = Sketches.hllSketch(keys.toDF("k"), "k")
@@ -531,7 +531,7 @@ class StreamingSpec extends SparkSpec {
 
   test("histStream maintains the at-rest histogram with in-loop consolidation") {
     import graft.profile.HistSketch
-    val base = Files.createTempDirectory("graft_hist_stream").toString
+    val base = tempDir("graft_hist_stream")
     val dir = s"$base/h"; val ck = s"$base/ck"
     val vals = (1 to 900).map(i => (i % 613).toLong + 1)
     val expected = HistSketch.histQuantiles(
@@ -556,7 +556,7 @@ class StreamingSpec extends SparkSpec {
 
   test("coocStream maintains the at-rest pair index from group-complete batches") {
     import graft.graph.GraphOps
-    val base = Files.createTempDirectory("graft_cooc_stream").toString
+    val base = tempDir("graft_cooc_stream")
     val dir = s"$base/idx"; val ck = s"$base/ck"
     // groups 1..6, each wholly inside one epoch (the artifact contract)
     val all = (1L to 6L).flatMap(g => (1L to 4L).filter(i => (g + i) % 2 == 0)
@@ -582,7 +582,7 @@ class StreamingSpec extends SparkSpec {
 
   test("sigmaStatsStream: live epochs + fold converge to whole-corpus stats; flags match") {
     import graft.analytics.AnomalyOps
-    val base = Files.createTempDirectory("graft_sigma_stream").toString
+    val base = tempDir("graft_sigma_stream")
     val dir = s"$base/idx"; val ck = s"$base/ck"
     val day1 = Seq(("g", 10.0), ("g", 11.0), ("h", 5.0))
     val day2 = Seq(("g", 9.0), ("g", 55.0), ("h", 5.5))
@@ -611,7 +611,7 @@ class StreamingSpec extends SparkSpec {
 
   test("bm25Stream: epoch appends + in-loop fold probe identically to a one-shot build") {
     import graft.text.RetrievalOps
-    val base = Files.createTempDirectory("graft_bm25_stream").toString
+    val base = tempDir("graft_bm25_stream")
     val dir = s"$base/idx"; val ck = s"$base/ck"
     val d1 = Seq((1L, "spark join join window"), (2L, "spark window filter"))
     val d2 = Seq((3L, "join scan spark table"), (4L, "table merge hash batch"))
@@ -655,7 +655,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("scd2Stream: epochs become dimension generations; intra-batch churn collapses to the latest") {
-    val base = Files.createTempDirectory("graft_scd2s").toString
+    val base = tempDir("graft_scd2s")
     val dim = s"$base/dim"; val ck = s"$base/ck"
     val mem = MemoryStream[(java.sql.Timestamp, Int, String)](spark, 1)
     val q = StreamingOps.scd2Stream(
@@ -862,7 +862,7 @@ class StreamingSpec extends SparkSpec {
 
   test("bloomStream auto-fold: fan-in ≤ maxLive at every epoch boundary, gate answers unchanged") {
     import graft.relational.BloomIndex
-    val base = Files.createTempDirectory("graft_bloom_fold").toString
+    val base = tempDir("graft_bloom_fold")
     val idx = s"$base/idx"; val out = s"$base/out"; val ck = s"$base/ck"
     val mem = MemoryStream[Long](spark, 1)
     val q = StreamingOps.bloomStream(mem.toDF.toDF("key"), idx, out, "key",
@@ -895,7 +895,7 @@ class StreamingSpec extends SparkSpec {
 
   test("sketchStream count-triggered fold: fan-in bounded, registers ≡ whole-corpus sketch") {
     import graft.profile.Sketches
-    val base = Files.createTempDirectory("graft_sketch_fold").toString
+    val base = tempDir("graft_sketch_fold")
     val dir = s"$base/s"; val ck = s"$base/ck"
     val mem = MemoryStream[Long](spark, 1)
     val q = StreamingOps.sketchStream(mem.toDF.toDF("k"), dir, "k",
@@ -913,7 +913,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("indexedDedupStream auto-fold: witness fan-in bounded across 3N epochs, decisions unchanged") {
-    val base = Files.createTempDirectory("graft_dedup_fold").toString
+    val base = tempDir("graft_dedup_fold")
     val idx = s"$base/idx"; val out = s"$base/out"; val ck = s"$base/ck"
     val seed = "the quick brown fox jumps over the lazy dog"
     graft.dedup.DedupOps.writeDedupIndex(
@@ -963,7 +963,7 @@ class StreamingSpec extends SparkSpec {
       javax.imageio.ImageIO.write(im, "png", bos)
       bos.toByteArray
     }
-    val base = Files.createTempDirectory("graft_img_stream").toString
+    val base = tempDir("graft_img_stream")
     val idx = s"$base/idx"; val out = s"$base/out"; val ck = s"$base/ck"
     val mem = MemoryStream[(Long, Array[Byte])](spark, 1)
     val q = StreamingOps.imageDedupStream(mem.toDF.toDF("media_id", "content"),
@@ -988,7 +988,7 @@ class StreamingSpec extends SparkSpec {
 
   test("maybeConsolidate ticks: no-op at ≤ maxLive, fold above it, content identical") {
     import graft.relational.BloomIndex
-    val base = Files.createTempDirectory("graft_maybe_fold").toString
+    val base = tempDir("graft_maybe_fold")
     val bDir = s"$base/bloom"
     val docs = (1L to 50L).toDF("id")
     BloomIndex.writeBloomTranche(docs, "id", bDir, "t0")

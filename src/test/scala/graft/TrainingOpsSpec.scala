@@ -247,7 +247,7 @@ class TrainingOpsSpec extends SparkSpec {
 
   test("contaminationCheckViaBloom ≡ exact check (planted contamination + clean corpus)") {
     import graft.dedup.DedupOps
-    val dir = java.nio.file.Files.createTempDirectory("graft_decontam").toString + "/b"
+    val dir = tempDir("graft_decontam") + "/b"
     try {
       val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
       val bench = corpus.where(col("doc_id") < 25)

@@ -72,7 +72,7 @@ class UtilSpec extends AnyFunSuite {
   }
 
   test("migration versioning: starts at V001, bumps past the highest, re-emit is idempotent") {
-    val dir = Files.createTempDirectory("graft_flyway").toString
+    val dir = graft.SparkSpec.tempDir("graft_flyway")
     val p1 = Flyway.emitMigration(dir, schema, "customers")
     assert(p1.getFileName.toString == "V001_1__create_customers.sql")
 
@@ -98,7 +98,7 @@ class UtilSpec extends AnyFunSuite {
   }
 
   test("re-emit picks the latest version numerically once past the %03d padding") {
-    val dir = Files.createTempDirectory("graft_flyway_wide")
+    val dir = java.nio.file.Paths.get(graft.SparkSpec.tempDir("graft_flyway_wide"))
     val ddl = Flyway.flywayDdl(schema, "customers")
     // lexicographically "V1000..." < "V999...", numerically the reverse —
     // the idempotence check must compare against V1000, not V999
@@ -116,7 +116,7 @@ class UtilSpec extends AnyFunSuite {
     val logger = Logger.getLogger("graft.test.logsink")
     logger.setUseParentHandlers(false)
     logger.setLevel(Level.ALL)
-    val dir = Files.createTempDirectory("graft_logsink")
+    val dir = java.nio.file.Paths.get(graft.SparkSpec.tempDir("graft_logsink"))
     val path = dir.resolve("run/2024/task.log").toString
     val got = graft.util.LogSink.withCapture(logger, path) {
       logger.info("pipeline started")
@@ -142,7 +142,7 @@ class UtilSpec extends AnyFunSuite {
 
   test("currentVersion of a missing or empty dir is 0") {
     assert(Flyway.currentVersion(Paths.get("/tmp/graft_flyway_nonexistent")) == 0)
-    val empty = Files.createTempDirectory("graft_flyway_empty")
+    val empty = java.nio.file.Paths.get(graft.SparkSpec.tempDir("graft_flyway_empty"))
     assert(Flyway.currentVersion(empty) == 0)
   }
 }
