@@ -219,6 +219,15 @@ object SumTranches {
       }
       return
     }
+    // mode guard (r15 review, the swapWith/atomicReplace rule): a
+    // RenameCommit fold of a POINTER-committed artifact would run the
+    // rename protocol INSIDE the current generation — data-correct on
+    // rename-atomic stores, but it reopens the S3 mid-copy
+    // double-count window the artifact chose PointerCommit to close,
+    // and it mutates a generation readers treat as swap-immutable.
+    require(dir == dir0,
+      s"SumTranches.consolidate: $dir0 is pointer-committed; pass " +
+        "commit = PointerCommit (one commit mode per directory)")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return

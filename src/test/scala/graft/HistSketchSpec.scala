@@ -613,6 +613,12 @@ class HistSketchSpec extends SparkSpec {
         SumTranches.consolidate(spark, dir, Seq("k"), "cnt", commit)
         w("t1", 2)
         assert(total == 15, s"$commit: three-fold chain still converges")
+        // mode guard: a rename fold of a pointer artifact refuses (it
+        // would run the rename protocol inside the current generation)
+        if (commit == Merge.PointerCommit)
+          intercept[IllegalArgumentException] {
+            SumTranches.consolidate(spark, dir, Seq("k"), "cnt")
+          }
       } finally org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(dir).getParentFile)
     }
