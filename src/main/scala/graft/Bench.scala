@@ -85,13 +85,39 @@ object Bench {
     * `iso <= pw*1.2` = the settled figure still matches last round →
     * suite-order effect; above that with the floor also blown → a
     * real plan/constant regression. (A prior always exists for a
-    * drift: detection is keyed on `prior.get(n)`.) */
+    * drift: detection is keyed on `prior.get(n)`.)
+    *
+    * HOST NORMALIZATION (r15 verdict #2): `floorHostUp` is the
+    * measured [[HostCanary]] slowdown vs floor-settle time,
+    * `priorHostUp` vs the prior bench — both ≥1, capped at 1.6. A
+    * figure that only blows its bound by less than the measured host
+    * slowdown is labeled `suite-noise(host)`: the named cause every
+    * archival-binary A/B so far has ended at, now read off two canary
+    * numbers instead. Factors stay OUT of the first two branches so
+    * an unchanged-speed host reproduces the old cascade exactly. */
   private[graft] def driftVerdict(iso: Double, priorWarm: Double,
-                                  floor: Option[Double]): String =
+                                  floor: Option[Double],
+                                  floorHostUp: Double = 1.0,
+                                  priorHostUp: Double = 1.0): String =
     if (iso < 0) "spawn-failed"
     else if (floor.exists(f => iso <= f * 1.25)) "suite-noise(floor)"
+    else if (floorHostUp > 1.001 &&
+      floor.exists(f => iso <= f * 1.25 * floorHostUp)) "suite-noise(host)"
     else if (iso <= priorWarm * 1.2) "suite-noise(prior)"
+    else if (priorHostUp > 1.001 && iso <= priorWarm * 1.2 * priorHostUp)
+      "suite-noise(host)"
     else "regressed?"
+
+  /** The prior round's recorded `host_factor` (bench_detail.json
+    * header), 1.0 when absent — pre-canary detail files and fresh
+    * checkouts adjudicate exactly as before. */
+  private[graft] def priorHostFactor(path: String): Double =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      """"host_factor"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble).filter(_ > 0).getOrElse(1.0)
+    } catch { case scala.util.control.NonFatal(_) => 1.0 }
 
   /** FRESH-JVM isolation re-measure of one query — the trailing
     * self-adjudication pass (r11 verdict #1: two consecutive rounds
@@ -186,6 +212,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // host-speed canary at bench OPEN, before Spark exists (r15 verdict
+    // #2): pure-JVM, so it measures the HOST, not the engine
+    val canaryOpen = HostCanary.sec(sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -425,12 +454,24 @@ object Bench {
     // threads, block manager, cached pools all released) and settle the
     // heap before the first spawn; the spawned JVM then owns the host.
     if (drifted.nonEmpty) { spark.stop(); System.gc() }
+    // canary AGAIN at adjudication time (the suite ran for minutes;
+    // the verdicts should key on host speed NOW, not at open), against
+    // the floor-settle canary recorded inside floors.json and the
+    // prior round's recorded factor
+    val canaryAdj = if (drifted.nonEmpty) HostCanary.sec(sfDir) else canaryOpen
+    val floorCanary = floors.get(HostCanary.FloorKey)
+    val hostFactor = HostCanary.factor(canaryAdj, floorCanary)
+    val hostRel = math.min(1.6, math.max(1.0,
+      hostFactor / math.max(1.0, priorHostFactor("bench_detail.json"))))
+    if (hostFactor > 1.001 || hostRel > 1.001)
+      System.err.println(f"[bench] host canary: ${canaryAdj}%.3f s vs floor " +
+        f"${floorCanary.getOrElse(-1.0)}%.3f -> factor $hostFactor%.3f (vs prior round $hostRel%.3f)")
     val adjudicated: Map[String, (Double, Double, Double, Option[Double], String)] =
       drifted.take(8).map { case (n, w, pw) =>
         System.err.println(f"[bench] drift $n: warm ${w}%.3f vs prior ${pw}%.3f — isolating")
         val iso = isolatedSec(n, sfDir, cpus).getOrElse(-1.0)
         val fl = floors.get(n)
-        val verdict = driftVerdict(iso, pw, fl)
+        val verdict = driftVerdict(iso, pw, fl, hostFactor, hostRel)
         System.err.println(f"[bench] drift $n: isolated ${iso}%.3f s, " +
           f"floor ${fl.getOrElse(-1.0)}%.3f — $verdict")
         n -> (pw, w, iso, fl, verdict)
@@ -462,8 +503,11 @@ object Bench {
     if (regressed.nonEmpty)
       System.err.println("[bench] ATTENTION: unresolved regressed? verdicts: " +
         regressed.mkString(", ") + " — adjudicate before accepting this round's numbers")
+    val canaryJson = s""""host_canary_sec":${r3(canaryAdj)},"host_canary_open":${r3(canaryOpen)}""" +
+      floorCanary.fold("")(f => s""","host_canary_floor":${r3(f)}""") +
+      s""","host_factor":${r3(hostFactor)}"""
     val detail = detailEntries.mkString(
-      s"""{"metric":"detail","sf":"$sfDir","cpus":$cpus,"gc_forced":$gcForced,"basis":"warm","cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adjJson,"queries":{""",
+      s"""{"metric":"detail","sf":"$sfDir","cpus":$cpus,"gc_forced":$gcForced,"basis":"warm",$canaryJson,"cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adjJson,"queries":{""",
       ",", "}}")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
@@ -481,7 +525,20 @@ object Bench {
     // in bench_detail.json), so leave only closing-suffix headroom
     val budget = 1900
     val regressedJson = regressed.map(q => s""""$q"""").mkString("[", ",", "]")
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","basis":"warm","cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"gc_sec":${r3(gcTotal)},"gc_forced":$gcForced,"failed":${failed.size},"regressed":$regressedJson,"sf":"$sfDir","detail":"bench_detail.json","warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adjJson,"queries":{"""
+    def headWith(adj: String) =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","basis":"warm","cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"gc_sec":${r3(gcTotal)},"gc_forced":$gcForced,"failed":${failed.size},"regressed":$regressedJson,"host_factor":${r3(hostFactor)},"sf":"$sfDir","detail":"bench_detail.json","warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adj,"queries":{"""
+    // the HEAD counts against the budget too (r15 ADVICE #4): a
+    // verdict-heavy round (8 adjudicated entries ≈ 1 KB) could push
+    // the untrimmable head past the window and truncate the line's
+    // FRONT. Degrade adjJson in steps — full → verdict-labels-only →
+    // pointer at the detail file — until at least ~300 chars remain
+    // for the per-query tail; full detail always lives in
+    // bench_detail.json either way.
+    val adjShort = adjudicated.toSeq.sortBy(_._1).map { case (k, (_, _, _, _, v)) =>
+      s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val head = Seq(adjJson, adjShort, "\"bench_detail.json\"")
+      .map(headWith).find(_.length <= budget - 300)
+      .getOrElse(headWith("\"bench_detail.json\""))
     val sb = new StringBuilder(head)
     var n = 0
     for (e <- byCost if sb.length + e.length + 2 + 30 < budget) {

@@ -69,6 +69,16 @@ object DecontamStages {
       pairs.write.mode("overwrite").parquet(s"$work/pairs")
       release()
     }
+    // the sig-tier twin of jaccard_pairs (r15 verdict #5): same clean
+    // input, banded-MinHash join instead of the exact pair join — the
+    // per-decade gap between these two rows IS the sig tier's case
+    timed("sig_pairs") {
+      val (pairs, release) = DedupOps.minhashNearDupPairsReleasable(
+        clean, "doc_id", "text", shingleN = 3, k = 16, bands = 8,
+        threshold = 0.4, portable = true)
+      pairs.write.mode("overwrite").parquet(s"$work/pairs_sig")
+      release()
+    }
     timed("cc_closure") {
       GraphOps.connectedComponents(
         spark.read.parquet(s"$work/pairs"), "id_a", "id_b")

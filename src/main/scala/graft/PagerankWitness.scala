@@ -52,6 +52,13 @@ object PagerankWitness {
       // order-free, overflow-free per-row-hash fold: bit-identity gauge
       expr("bit_xor(xxhash64(node, rank_ppb))").as("ck")).head()
     val sec = (System.nanoTime() - t0) / 1e9
+    // n == 0 makes every other aggregate NULL, and getLong on a null
+    // would report the witness failure as an opaque NPE (r15 ADVICE #1)
+    if (row.getLong(0) == 0L) {
+      spark.stop()
+      sys.error(s"PagerankWitness: q_pagerank returned ZERO rows on $sfDir " +
+        s"(config $tag) — empty result, not a checksum mismatch")
+    }
     val obs = Obs(tag, cpus, sp, row.getLong(0), row.getLong(1),
       row.getLong(2), row.getLong(3), row.getLong(4), sec)
     spark.stop()

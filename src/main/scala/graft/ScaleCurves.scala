@@ -58,7 +58,8 @@ object ScaleCurves {
     "q_dedup_index_lifecycle", "q_dedup_index_minhash",
     "q_label_prop_converged", "q_winnow_overlap", "q_pagerank",
     "q_cooccurrence_index", "q_er_blocked_capped", "q_er_blocked_pruned",
-    "q_decontam_dedup_split", "q_neighborhood_sample",
+    "q_decontam_dedup_split", "q_decontam_dedup_split_sig",
+    "q_neighborhood_sample",
     "q_neighborhood_agg", "q_neighborhood_paths", "q_er_blocked")
 
   val CurvesFile = "scale_curves.json"

@@ -62,7 +62,13 @@ object Scratch {
       // plan change that legitimately slows a query, the point of
       // re-measuring is to loosen the floor — min would pin the stale
       // tight one forever).
-      val n = writeFloors(path, mins)
+      // floor-settle-time host canary rides INSIDE floors.json (r15
+      // verdict #2): Bench's drift cascade divides its own bench-time
+      // canary by this figure to normalize floors for measured host
+      // drift. Re-measured on every floors write, so the stored value
+      // always matches the host state the newest floors were cut on.
+      val n = writeFloors(path,
+        mins :+ (HostCanary.FloorKey -> HostCanary.sec(sfDir)))
       println(s"[scratch] wrote $path ($n floors, ${mins.size} measured this run)")
     }
     spark.stop()

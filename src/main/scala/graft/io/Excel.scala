@@ -38,6 +38,9 @@ object Excel {
     * count written. */
   def write(df: DataFrame, path: String, saveAsReadOnly: Boolean = false): Long = {
     val schema = df.schema
+    // per-call tally of XML-illegal chars dropped by esc(): a drop
+    // alters the written data, so it must be surfaced, not silent
+    val droppedChars = new java.util.concurrent.atomic.LongAdder()
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     val w = new OutputStreamWriter(zos, "UTF-8")
     def part(name: String, body: String): Unit = {
@@ -97,7 +100,7 @@ object Excel {
       w.write(widths.mkString("<cols>", "", "</cols>"))
       w.write("<sheetData>")
       w.write(schema.fields.zipWithIndex.map { case (f, i) =>
-        s"""<c r="${cellRef(i, 1)}" s="1" t="inlineStr"><is>${tElem(f.name)}</is></c>"""
+        s"""<c r="${cellRef(i, 1)}" s="1" t="inlineStr"><is>${tElem(f.name, droppedChars)}</is></c>"""
       }.mkString("""<row r="1">""", "", "</row>"))
       val it = df.toLocalIterator()
       while (it.hasNext) {
@@ -109,7 +112,8 @@ object Excel {
         val sb = new StringBuilder(s"""<row r="$rowIdx">""")
         var i = 0
         while (i < schema.fields.length) {
-          cell(row, i, schema.fields(i).dataType, cellRef(i, rowIdx)).foreach(sb ++= _)
+          cell(row, i, schema.fields(i).dataType, cellRef(i, rowIdx), droppedChars)
+            .foreach(sb ++= _)
           i += 1
         }
         sb ++= "</row>"
@@ -120,12 +124,17 @@ object Excel {
       w.flush()
       zos.closeEntry()
     } finally { w.flush(); zos.close() }
+    if (droppedChars.sum() > 0)
+      System.err.println(s"[excel] $path: dropped ${droppedChars.sum()} " +
+        s"XML-illegal char(s) across $nRows data rows — written cells " +
+        "differ from the frame at those positions")
     nRows
   }
 
   /** One cell, or None for null/NaN (blank cell, like the reference's
     * magic-number skip). */
-  private def cell(row: Row, i: Int, dt: DataType, ref: String): Option[String] = {
+  private def cell(row: Row, i: Int, dt: DataType, ref: String,
+                   dropped: java.util.concurrent.atomic.LongAdder): Option[String] = {
     if (row.isNullAt(i)) return None
     dt match {
       case DoubleType if !java.lang.Double.isFinite(row.getDouble(i)) => None
@@ -136,7 +145,7 @@ object Excel {
       case BooleanType =>
         Some(s"""<c r="$ref" t="b"><v>${if (row.getBoolean(i)) 1 else 0}</v></c>""")
       case _ => // strings, dates, timestamps, arrays… render as text
-        Some(s"""<c r="$ref" t="inlineStr"><is>${tElem(String.valueOf(row.get(i)))}</is></c>""")
+        Some(s"""<c r="$ref" t="inlineStr"><is>${tElem(String.valueOf(row.get(i)), dropped)}</is></c>""")
     }
   }
 
@@ -355,15 +364,44 @@ object Excel {
     sb.append(rowIdx).toString
   }
 
-  /** XML-escape a cell/header value. Control characters below 0x20
-    * (except tab/LF/CR) are ILLEGAL in XML 1.0 even as entities —
-    * one stray byte in a report column would otherwise make the whole
-    * workbook unparseable to every consumer — so they are dropped,
-    * the same stance as the NaN→blank cell skip (r15 review). */
-  private def esc(s: String): String = {
-    val legal =
-      if (s.forall(c => c >= 0x20 || c == '\t' || c == '\n' || c == '\r')) s
-      else s.filter(c => c >= 0x20 || c == '\t' || c == '\n' || c == '\r')
+  /** Drop every XML-1.0-ILLEGAL char from `s`, returning the cleaned
+    * string and the number dropped. Illegal even as entities: C0
+    * controls below 0x20 (except tab/LF/CR), UNPAIRED surrogates (a
+    * high not followed by a low, a low not preceded by a high — a
+    * malformed UTF-16 value would otherwise still render the whole
+    * workbook unparseable, the exact failure the C0 filter targets;
+    * r15 ADVICE #2), and the non-characters U+FFFE/U+FFFF. Properly
+    * PAIRED surrogates (real astral-plane text) pass through. */
+  private[graft] def dropIllegal(s: String): (String, Int) = {
+    var i = 0
+    var dropped = 0
+    var sb: java.lang.StringBuilder = null // allocated only on first drop
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ok =
+        if (Character.isHighSurrogate(c))
+          i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1))
+        else if (Character.isLowSurrogate(c))
+          i > 0 && Character.isHighSurrogate(s.charAt(i - 1))
+        else (c >= 0x20 || c == '\t' || c == '\n' || c == '\r') && c < 0xFFFE
+      if (ok) { if (sb != null) sb.append(c) }
+      else {
+        if (sb == null) { sb = new java.lang.StringBuilder(s.length); sb.append(s, 0, i) }
+        dropped += 1
+      }
+      i += 1
+    }
+    (if (sb == null) s else sb.toString, dropped)
+  }
+
+  /** XML-escape a cell/header value. Illegal code points are dropped
+    * ([[dropIllegal]]) — the same stance as the NaN→blank cell skip —
+    * but because a drop ALTERS data, every drop is counted into the
+    * caller's tally and surfaced per sheet (r15 self-review: a silent
+    * drop hides that the written report differs from the frame). */
+  private def esc(s: String, dropped: java.util.concurrent.atomic.LongAdder): String = {
+    val (legal, d) = dropIllegal(s)
+    if (d > 0) dropped.add(d)
     legal.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
   }
@@ -372,9 +410,9 @@ object Excel {
     * leading/trailing whitespace in `<t>` unless the OOXML
     * `xml:space="preserve"` attribute is present (openpyxl emits it
     * the same way); whitespace-free values skip the attribute. */
-  private def tElem(s: String): String = {
+  private def tElem(s: String, dropped: java.util.concurrent.atomic.LongAdder): String = {
     val pre = if (s.nonEmpty && (s.head.isWhitespace || s.last.isWhitespace))
       " xml:space=\"preserve\"" else ""
-    s"<t$pre>${esc(s)}</t>"
+    s"<t$pre>${esc(s, dropped)}</t>"
   }
 }

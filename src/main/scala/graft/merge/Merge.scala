@@ -376,10 +376,24 @@ object Merge {
       // collected on the NEXT publish, like a superseded generation.
       val stray = !n.startsWith("__data_") && !n.startsWith(ManifestFile) &&
         !n.startsWith("." + ManifestFile) // local-FS checksum sibling
+      // stray collection targets RENAME-COMMIT leftovers only: data-
+      // file shapes a Spark/engine writer produces. An out-of-protocol
+      // file an operator or foreign tool dropped at the root is NOT
+      // ours to destroy (r15 ADVICE #3: the old clause deleted ANY
+      // unrecognized entry once a prior manifest existed) — those are
+      // kept and logged so the anomaly is visible.
+      val dataShape = n.startsWith("part-") || n == "_SUCCESS" ||
+        n.endsWith(".parquet") || n.endsWith(".crc") ||
+        n.startsWith("__stage_") || n.startsWith("_committed_") ||
+        n.startsWith("_started_") || n.startsWith("_temporary")
       if ((n.startsWith("__data_") && n != dataName && !prevName.contains(n)) ||
         n.startsWith(ManifestFile + ".tmp_") ||
-        (stray && prevName.isDefined))
+        (stray && prevName.isDefined && dataShape))
         f.delete(st.getPath, true)
+      else if (stray && prevName.isDefined)
+        System.err.println(s"[merge] pointerSwap: keeping out-of-protocol " +
+          s"root entry ${st.getPath} (not a known data-file shape; " +
+          "pointer-committed dirs should hold only manifest + __data_ generations)")
     } catch { case scala.util.control.NonFatal(_) => () } // GC is best-effort
   }
 

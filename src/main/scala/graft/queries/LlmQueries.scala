@@ -757,10 +757,15 @@ object LlmQueries {
     * `cand` carries (id_a, id_b, sa, sb); [[duckMinhashEst]] is the
     * estimated-Jaccard expression over those signatures.
     */
-  private def duckMinhashCtes =
+  private def duckMinhashCtes = duckMinhashCtesFrom("documents")
+
+  /** [[duckMinhashCtes]] over an arbitrary `(doc_id, text)` relation —
+    * the sig-tier composition plugs its post-decontamination `clean`
+    * CTE in here (r15 verdict #5). */
+  private def duckMinhashCtesFrom(rel: String) =
     s"""sh AS (
       |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
-      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents)
+      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM $rel)
       |  WHERE len(w) >= 3),
       |hs AS (
       |  SELECT doc_id, list_transform(s, x -> ${duckHash("x")} % 1000000007) AS h
@@ -2370,6 +2375,68 @@ object LlmQueries {
         Seq("doc_id"), "left_semi")
       val (pairs, release) = DedupOps.ngramJaccardPairsReleasable(
         clean, "doc_id", "text", shingleN = 3, threshold = 0.5, maxBucket = 1000)
+      val cc = GraphOps.connectedComponents(pairs, "id_a", "id_b")
+      release()
+      TrainingOps.leakageSafeSplit(clean.select("doc_id"), "doc_id", cc,
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+        salt = "plsplit", portable = true)
+        .select("doc_id", "group_id", "split")
+    },
+
+    // ---- the SIG-TIER assembly (r15 verdict #5): same pipeline, but
+    //      the near-dup stage is the banded-MinHash signature join
+    //      instead of the exact n-gram Jaccard pair join. DecontamStages
+    //      named the exact pair join the composition's SOLE 100× slope
+    //      owner (13.0×/decade; every other stage ≤1.9×) and the sig
+    //      tier its scale path — this registers that path as an
+    //      oracle-gated query so the claim is executable, not prose.
+    //      Signature cost is O(docs·k), bucketing is an equi-join on
+    //      (band, key) with the same hot-bucket cap — no shingle²
+    //      pair blowup at any scale. ----
+    Q("q_decontam_dedup_split_sig", {
+      s"""WITH RECURSIVE w0 AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+        |c0 AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 8
+        |             THEN list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])
+        |             ELSE CAST([] AS VARCHAR[]) END AS s
+        |      FROM w0),
+        |bset AS (SELECT DISTINCT unnest(s) AS s FROM c0 WHERE doc_id < 25),
+        |contam AS (SELECT DISTINCT e.doc_id
+        |           FROM (SELECT doc_id, unnest(s) AS s FROM c0) e JOIN bset USING (s)),
+        |clean AS (SELECT d.doc_id, d.text FROM documents d
+        |          WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)),
+        |${duckMinhashCtesFrom("clean")},
+        |mh AS (SELECT id_a, id_b FROM cand WHERE $duckMinhashEst >= 0.4),
+        |e AS (SELECT id_a AS u, id_b AS v FROM mh UNION SELECT id_b, id_a FROM mh),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+        |cc AS (SELECT u, min(v) AS comp FROM reach GROUP BY u),
+        |asg AS (SELECT c.doc_id, COALESCE(cc.comp, c.doc_id) AS group_id
+        |        FROM clean c LEFT JOIN cc ON cc.u = c.doc_id)
+        |SELECT doc_id, group_id,
+        |  CASE WHEN b < 900000 THEN 'train'
+        |       WHEN b < 950000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, group_id,
+        |        ${duckHash("'plsplit|' || CAST(group_id AS VARCHAR)")} % 1000000 AS b
+        |      FROM asg)""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.where(col("doc_id") < 25)
+      val bloomDir = graft.util.Scratch.path("pipeline_bloom_sig", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bloomDir))
+      DedupOps.benchmarkShingleBloom(bench, "text", bloomDir, "s0", shingleN = 8)
+      val clean = docs.join(
+        DedupOps.contaminationCheckViaBloom(docs, bench, bloomDir,
+            "doc_id", "text", shingleN = 8)
+          .where(col("n_contaminated") === 0).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val (pairs, release) = DedupOps.minhashNearDupPairsReleasable(
+        clean, "doc_id", "text", shingleN = 3, k = SIG_K, bands = BANDS,
+        threshold = 0.4, portable = true)
       val cc = GraphOps.connectedComponents(pairs, "id_a", "id_b")
       release()
       TrainingOps.leakageSafeSplit(clean.select("doc_id"), "doc_id", cc,

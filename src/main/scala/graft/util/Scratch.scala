@@ -20,18 +20,55 @@ object Scratch {
   // accretes forever (r15 audit: 9,600 orphaned /tmp/graft_* dirs,
   // 6.6 GB, after 15 rounds of harness JVMs; on a long-lived cluster
   // node the same leak fills local disks). Best-effort delete of
-  // every path this process handed out, registered once.
+  // every path this process handed out, registered once — through
+  // Hadoop's ShutdownHookManager at a priority BELOW Spark's context
+  // hook (50), so the sweep runs AFTER executors/block managers stop
+  // and never yanks a dir a lingering task write still holds (r15
+  // self-review: a plain Runtime hook runs CONCURRENTLY with Spark's).
   private val issued = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(
-    () => issued.keySet().forEach { p =>
+  private lazy val hook: Unit = {
+    val sweep: Runnable = () => issued.keySet().forEach { p =>
       try org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
       catch { case _: Throwable => () }
-    }, "graft-scratch-gc"))
+    }
+    try org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(sweep, 10)
+    catch { case _: Throwable => // no Hadoop on classpath: concurrent beats never
+      Runtime.getRuntime.addShutdownHook(new Thread(sweep, "graft-scratch-gc"))
+    }
+  }
+
+  // The exit hook only covers GRACEFUL deaths; harness JVMs commonly
+  // die by SIGKILL/OOM-kill, where no hook runs (r15 verdict #2). The
+  // pid suffix makes orphanhood decidable from the outside, so the
+  // FIRST path() call of any later JVM sweeps dirs whose owning pid is
+  // no longer alive — each process cleans up after its dead siblings.
+  private lazy val reaped: Unit = { reapOrphans(new java.io.File("/tmp")); () }
+
+  /** Delete `root`'s `graft_*_p<pid>` entries whose pid is dead;
+    * returns how many were deleted. Best-effort and side-effect-safe:
+    * only names matching the exact issued pattern are considered, the
+    * current JVM's own dirs are never touched, and a pid we cannot
+    * interrogate is presumed alive (kept). */
+  private[graft] def reapOrphans(root: java.io.File): Int = {
+    val pat = "^graft_.+_p([0-9]{1,18})$".r
+    var n = 0
+    try Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      f.getName match {
+        case pat(p) if p.toLong != pid =>
+          val dead = try ProcessHandle.of(p.toLong).isEmpty
+                     catch { case _: Throwable => false }
+          if (dead && org.apache.commons.io.FileUtils.deleteQuietly(f)) n += 1
+        case _ => ()
+      }
+    } catch { case _: Throwable => () }
+    n
+  }
 
   def path(tag: String, dir: String): String = {
     val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
     val p = s"/tmp/graft_${tag}_${h}_p$pid"
     hook
+    reaped
     issued.put(p, java.lang.Boolean.TRUE)
     p
   }

@@ -80,7 +80,19 @@ object SumTranches {
     * — r14 ADVICE #1: a chain of folds otherwise forgets first-fold
     * input names, and a replayed ingest of such a tag would land live
     * and double-count), minus the output's own name (a manifest naming
-    * its own tranche would self-exclude it from live()). */
+    * its own tranche would self-exclude it from live()).
+    *
+    * GROWTH CONTRACT (r15 self-review): the manifest accumulates one
+    * line per DISTINCT ingest tag ever absorbed, forever — by design,
+    * because replay protection for a tag can only be dropped when no
+    * replayer can resend it, a fact the artifact cannot observe. The
+    * bound is therefore the artifact's lifetime ingest-tag count: at
+    * one tranche/hour for a decade that is ~88k lines ≈ a few MB read
+    * once per live()/fold — negligible next to the data scan. If an
+    * operator retires a tag universe (e.g. rotates the upstream
+    * pipeline id), deleting the artifact directory and re-folding from
+    * source is the sanctioned reset; truncating the manifest in place
+    * is NOT (it silently re-arms double-count for every dropped tag). */
   private def transitiveFolded(fs: org.apache.hadoop.fs.FileSystem,
                                folded: Seq[org.apache.hadoop.fs.Path],
                                outName: String): Seq[String] =

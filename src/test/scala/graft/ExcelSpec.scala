@@ -66,6 +66,37 @@ class ExcelSpec extends SparkSpec {
     assert(back == Seq("badctlbyte", "  padded  ", "tab\tand\nnewline ok"), back.toString)
   }
 
+  test("dropIllegal: unpaired surrogates and U+FFFE/U+FFFF dropped, paired surrogates kept, drops counted (r15 advice)") {
+    // unpaired high, unpaired low, non-characters — all illegal in XML 1.0
+    assert(Excel.dropIllegal("a\uD800b") == ("ab", 1))
+    assert(Excel.dropIllegal("a\uDC00b") == ("ab", 1))
+    assert(Excel.dropIllegal("x￾y￿z") == ("xyz", 2))
+    // a PROPER pair (U+1F600) is legal astral-plane text and survives
+    assert(Excel.dropIllegal("ok😀!") == ("ok😀!", 0))
+    // mixed: C0 control + unpaired low + a proper pair
+    assert(Excel.dropIllegal("\u0001a\uDC00😀") == ("a😀", 2))
+    // clean strings come back reference-identical (no copy)
+    val clean = "plain \t text\n"
+    assert(Excel.dropIllegal(clean)._1 eq clean)
+    // end-to-end: ROW values pass through Spark's UTF8String, which
+    // already replaces unpaired surrogates — but a COLUMN NAME is a
+    // raw JVM string straight into the header writer, the real path a
+    // malformed value reaches the sheet on. The workbook must still
+    // parse, with the surrogate dropped from the header.
+    val schema = StructType(Seq(StructField("lone\uD800col", StringType)))
+    val rows = Seq(Row("fine"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val path = tempDir("graft_xlsx_surr") + "/r.xlsx"
+    Excel.write(df, path)
+    val sheet = unzip(path, "xl/worksheets/sheet1.xml")
+    val xr = javax.xml.stream.XMLInputFactory.newInstance().createXMLStreamReader(
+      new java.io.ByteArrayInputStream(sheet.getBytes("UTF-8")))
+    while (xr.hasNext) xr.next()
+    val back = Excel.read(spark, path)
+    assert(back.columns.toSeq == Seq("lonecol"), back.columns.mkString(","))
+    assert(back.collect().map(_.getString(0)).toSeq == Seq("fine"))
+  }
+
   test("xlsx has all mandatory OOXML parts and a valid zip structure") {
     val path = writeFixture()
     for (part <- Seq("[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",

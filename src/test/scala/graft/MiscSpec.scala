@@ -164,6 +164,47 @@ class MiscSpec extends SparkSpec {
     assert(driftVerdict(1.9, 1.0, None) == "regressed?")
   }
 
+  test("Bench.driftVerdict host normalization: measured canary slowdown absorbs exactly its own band (r16)") {
+    import graft.Bench.driftVerdict
+    // floor 1.493, iso 1.899 (the r15 q_bloom_index shape): 1.27× floor
+    // blows the 1.25 bound un-normalized...
+    assert(driftVerdict(1.899, 1.529, Some(1.493)) == "regressed?")
+    // ...but a canary-measured 1.3× host slowdown explains it
+    assert(driftVerdict(1.899, 1.529, Some(1.493), floorHostUp = 1.3) == "suite-noise(host)")
+    // a regression LARGER than the measured slowdown still surfaces
+    assert(driftVerdict(2.6, 1.529, Some(1.493), floorHostUp = 1.3) == "regressed?")
+    // factor 1.0 (host unchanged) reproduces the old cascade bit for bit
+    assert(driftVerdict(1.899, 1.529, Some(1.493), floorHostUp = 1.0, priorHostUp = 1.0) == "regressed?")
+    // prior-relative leg: no floor on file, prior 1.0, iso 1.45 —
+    // above the 1.2 prior bound, inside it once the host is 1.3× slower
+    assert(driftVerdict(1.45, 1.0, None) == "regressed?")
+    assert(driftVerdict(1.45, 1.0, None, priorHostUp = 1.3) == "suite-noise(host)")
+    // floor match wins before any host reasoning (label stability)
+    assert(driftVerdict(1.0, 1.0, Some(0.9), floorHostUp = 1.3) == "suite-noise(floor)")
+  }
+
+  test("HostCanary.factor: 1-floored, capped, robust to missing floor canary (r16)") {
+    import graft.HostCanary.factor
+    assert(factor(2.0, Some(1.5)) > 1.33 && factor(2.0, Some(1.5)) < 1.34)
+    assert(factor(1.0, Some(1.5)) == 1.0)   // faster host never tightens
+    assert(factor(9.0, Some(1.5)) == 1.6)   // capped: a wild canary must not absorb real regressions
+    assert(factor(2.0, None) == 1.0)        // pre-canary floors file
+    assert(factor(2.0, Some(0.0)) == 1.0)   // degenerate floor canary
+  }
+
+  test("Bench.priorHostFactor reads the detail header; absent/corrupt → 1.0 (r16)") {
+    val dir = java.nio.file.Paths.get(tempDir("graft_hostfactor"))
+    def write(name: String, body: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, body.getBytes("UTF-8")); p.toString
+    }
+    assert(graft.Bench.priorHostFactor(write("h.json",
+      """{"metric":"detail","host_canary_sec":1.2,"host_factor":1.25,"queries":{}}""")) == 1.25)
+    assert(graft.Bench.priorHostFactor(write("n.json",
+      """{"metric":"detail","queries":{}}""")) == 1.0)
+    assert(graft.Bench.priorHostFactor(dir.resolve("missing.json").toString) == 1.0)
+  }
+
   test("Scratch.writeFloors merges with the existing file instead of truncating") {
     val dir = java.nio.file.Paths.get(tempDir("graft_floors"))
     val path = dir.resolve("floors.json").toString

@@ -599,6 +599,25 @@ class RelationalMergeSpec extends SparkSpec {
     assert(Merge.readTarget(spark, dir).as[(Int, Int)].collect().toSet == Set((3, 3)))
   }
 
+  test("pointerSwap stray GC spares out-of-protocol root files; rename leftovers still collected (r15 advice)") {
+    val dir = freshDir()
+    Merge.overwrite(Seq((1, 1)).toDF("k", "v"), dir, Merge.PointerCommit)
+    // an operator drops a note + a foreign tool drops a dir at the root
+    Files.writeString(new java.io.File(dir, "README.txt").toPath, "hands off")
+    val foreign = new java.io.File(dir, "foreign_tool_state")
+    assert(foreign.mkdir())
+    Files.writeString(new java.io.File(foreign, "state").toPath, "x")
+    // ...but a rename-conversion leftover (data shape) IS collectable
+    Files.writeString(new java.io.File(dir, "part-00000-dead.snappy.parquet").toPath, "old")
+    Merge.overwrite(Seq((2, 2)).toDF("k", "v"), dir, Merge.PointerCommit)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.contains("README.txt"), s"out-of-protocol file survives: $names")
+    assert(names.contains("foreign_tool_state"), s"foreign dir survives: $names")
+    assert(!names.contains("part-00000-dead.snappy.parquet"),
+      s"data-shaped leftover collected: $names")
+    assert(Merge.readTarget(spark, dir).as[(Int, Int)].collect().toSet == Set((2, 2)))
+  }
+
   test("PointerCommit crash-injection: a writer dying mid-write never changes what readers see") {
     val dir = freshDir()
     Merge.overwrite(Seq((1, 10)).toDF("k", "v"), dir, Merge.PointerCommit)

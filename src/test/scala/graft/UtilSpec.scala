@@ -140,6 +140,28 @@ class UtilSpec extends AnyFunSuite {
     graft.util.LogSink.detach(logger, capped)
   }
 
+  test("Scratch.reapOrphans deletes dead-pid graft dirs, keeps live-pid and foreign entries (r15 verdict #3)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_reap_root").toFile
+    try {
+      val mypid = ProcessHandle.current().pid()
+      // a pid FAR past Linux's default pid_max cannot be alive
+      val dead = new java.io.File(root, "graft_idx_abc123_p999999999")
+      val live = new java.io.File(root, s"graft_idx_def456_p$mypid")
+      val foreign = new java.io.File(root, "someone_elses_dir")
+      val noPid = new java.io.File(root, "graft_idx_nopid")
+      Seq(dead, live, foreign, noPid).foreach { d =>
+        assert(d.mkdir())
+        java.nio.file.Files.writeString(new java.io.File(d, "f").toPath, "x")
+      }
+      val n = graft.util.Scratch.reapOrphans(root)
+      assert(n == 1, s"exactly the dead-pid dir reaped, got $n")
+      assert(!dead.exists(), "dead-pid dir deleted")
+      assert(live.exists(), "current JVM's dir untouched")
+      assert(foreign.exists(), "non-graft entry untouched")
+      assert(noPid.exists(), "pattern-less graft entry untouched")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
+  }
+
   test("currentVersion of a missing or empty dir is 0") {
     assert(Flyway.currentVersion(Paths.get("/tmp/graft_flyway_nonexistent")) == 0)
     val empty = java.nio.file.Paths.get(graft.SparkSpec.tempDir("graft_flyway_empty"))
