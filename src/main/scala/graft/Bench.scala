@@ -98,15 +98,29 @@ object Bench {
   private[graft] def driftVerdict(iso: Double, priorWarm: Double,
                                   floor: Option[Double],
                                   floorHostUp: Double = 1.0,
-                                  priorHostUp: Double = 1.0): String =
+                                  priorHostUp: Double = 1.0,
+                                  floorTol: Double = 1.25): String =
     if (iso < 0) "spawn-failed"
-    else if (floor.exists(f => iso <= f * 1.25)) "suite-noise(floor)"
+    else if (floor.exists(f => iso <= f * floorTol)) "suite-noise(floor)"
     else if (floorHostUp > 1.001 &&
-      floor.exists(f => iso <= f * 1.25 * floorHostUp)) "suite-noise(host)"
+      floor.exists(f => iso <= f * floorTol * floorHostUp)) "suite-noise(host)"
     else if (iso <= priorWarm * 1.2) "suite-noise(prior)"
     else if (priorHostUp > 1.001 && iso <= priorWarm * 1.2 * priorHostUp)
       "suite-noise(host)"
     else "regressed?"
+
+  /** Per-query floor tolerance: `"__tol_<query>"` metadata inside
+    * floors.json overrides the default 1.25× noise bound — for queries
+    * whose fresh-JVM spawn-min DISTRIBUTION is heavy-tailed relative
+    * to it (r16: `q_mm_dedup_index`, ImageIO-decode-bound, 7 quiet-
+    * host spawn-mins spanning 0.75–1.49 s against a 1.06 floor — the
+    * default bound cries wolf on ~25% of single spawns with NO code
+    * change, and has flapped two rounds of adjudications). Tolerances
+    * are committed and reviewed like floors; the sane range is pinned
+    * by [[driftVerdict]]'s contract (a real 2× regression must stay
+    * above any committed tol × hostcap product). */
+  private[graft] def floorTolOf(floors: Map[String, Double], n: String): Double =
+    floors.getOrElse("__tol_" + n, 1.25) min 1.6
 
   /** The prior round's recorded `host_factor` (bench_detail.json
     * header), 1.0 when absent — pre-canary detail files and fresh
@@ -469,9 +483,25 @@ object Bench {
     val adjudicated: Map[String, (Double, Double, Double, Option[Double], String)] =
       drifted.take(8).map { case (n, w, pw) =>
         System.err.println(f"[bench] drift $n: warm ${w}%.3f vs prior ${pw}%.3f — isolating")
-        val iso = isolatedSec(n, sfDir, cpus).getOrElse(-1.0)
+        val iso1 = isolatedSec(n, sfDir, cpus).getOrElse(-1.0)
+        // a `regressed?` label needs TWO independent spawns (the floors
+        // protocol's min-over-2-spawns): decode-/IO-bound queries show
+        // ±30% spawn-to-spawn variance (r15 q_mm_dedup_index A/B; r16
+        // close caught the same query again at 1.38× floor on ONE spawn
+        // while three fresh spawns all landed ≤1.25× — one below the
+        // floor). A second spawn only runs for would-be regressions, so
+        // the common suite-noise path stays one spawn cheap.
+        val iso =
+          if (driftVerdict(iso1, pw, floors.get(n), hostFactor, hostRel,
+            floorTolOf(floors, n)) != "regressed?") iso1
+          else {
+            val iso2 = isolatedSec(n, sfDir, cpus).getOrElse(-1.0)
+            System.err.println(f"[bench] drift $n: regressed? on spawn 1 " +
+              f"(${iso1}%.3f) — confirming spawn 2: ${iso2}%.3f")
+            if (iso2 < 0) iso1 else math.min(iso1, iso2)
+          }
         val fl = floors.get(n)
-        val verdict = driftVerdict(iso, pw, fl, hostFactor, hostRel)
+        val verdict = driftVerdict(iso, pw, fl, hostFactor, hostRel, floorTolOf(floors, n))
         System.err.println(f"[bench] drift $n: isolated ${iso}%.3f s, " +
           f"floor ${fl.getOrElse(-1.0)}%.3f — $verdict")
         n -> (pw, w, iso, fl, verdict)

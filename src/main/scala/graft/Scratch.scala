@@ -22,6 +22,13 @@ object Scratch {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // floor-settle host canary (r15 verdict #2) measured BEFORE the
+    // Spark session exists — the same clean-JVM conditions Bench's
+    // open-time canary runs under; measuring after the query reps
+    // would read systematically slow (JIT/GC debt) and understate
+    // future host factors
+    val canary = sys.env.get("GRAFT_SCRATCH_JSON")
+      .map(_ => graft.HostCanary.sec(sfDir))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -68,7 +75,7 @@ object Scratch {
       // drift. Re-measured on every floors write, so the stored value
       // always matches the host state the newest floors were cut on.
       val n = writeFloors(path,
-        mins :+ (HostCanary.FloorKey -> HostCanary.sec(sfDir)))
+        mins ++ canary.map(HostCanary.FloorKey -> _))
       println(s"[scratch] wrote $path ($n floors, ${mins.size} measured this run)")
     }
     spark.stop()

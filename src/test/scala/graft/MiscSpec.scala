@@ -183,6 +183,21 @@ class MiscSpec extends SparkSpec {
     assert(driftVerdict(1.0, 1.0, Some(0.9), floorHostUp = 1.3) == "suite-noise(floor)")
   }
 
+  test("Bench.floorTolOf: per-query tolerance from floors metadata, defaulted and capped (r16)") {
+    import graft.Bench.{driftVerdict, floorTolOf}
+    val floors = Map("q_mm_dedup_index" -> 1.06, "__tol_q_mm_dedup_index" -> 1.45,
+      "__tol_q_wild" -> 9.0, "q_wild" -> 1.0)
+    assert(floorTolOf(floors, "q_mm_dedup_index") == 1.45)
+    assert(floorTolOf(floors, "q_other") == 1.25)       // default
+    assert(floorTolOf(floors, "q_wild") == 1.6)         // capped
+    // the r16 close shape: iso 1.486 vs floor 1.06 — regressed? at the
+    // default bound, suite-noise under the committed 1.45 tolerance
+    assert(driftVerdict(1.486, 1.027, Some(1.06)) == "regressed?")
+    assert(driftVerdict(1.486, 1.027, Some(1.06), floorTol = 1.45) == "suite-noise(floor)")
+    // a genuine 2x regression still surfaces under the widest cap
+    assert(driftVerdict(2.2, 1.027, Some(1.06), floorTol = 1.6) == "regressed?")
+  }
+
   test("HostCanary.factor: 1-floored, capped, robust to missing floor canary (r16)") {
     import graft.HostCanary.factor
     assert(factor(2.0, Some(1.5)) > 1.33 && factor(2.0, Some(1.5)) < 1.34)

@@ -29,23 +29,23 @@ import graft.PlanAudit.{QueryShapes, Shape, diff, parse, render, shapeOf}
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private def currentShapes(): Seq[(String, QueryShapes)] = {
-    val sfDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      val shapes =
-        try {
-          val qe = fn(spark, sfDir).queryExecution
-          val static = shapeOf(qe.executedPlan.toString())
-          qe.toRdd.count() // materialize every stage → AQE final plan
-          QueryShapes(static, shapeOf(qe.executedPlan.toString()))
-        } catch { case e: Throwable =>
-          fail(s"plan gate: $name failed to plan/execute: ${e.toString.take(300)}")
-        }
-      name -> shapes
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def shapesOf(name: String): QueryShapes = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    try {
+      val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+      val static = shapeOf(qe.executedPlan.toString())
+      qe.toRdd.count() // materialize every stage → AQE final plan
+      QueryShapes(static, shapeOf(qe.executedPlan.toString()))
+    } catch { case e: Throwable =>
+      fail(s"plan gate: $name failed to plan/execute: ${e.toString.take(300)}")
     }
   }
+
+  private def currentShapes(): Seq[(String, QueryShapes)] =
+    SparkEntry.queries.keys.toSeq.sorted.map(n => n -> shapesOf(n))
 
   test("plan gate: zero cartesians; static AND adaptive-final shapes match the committed snapshot") {
     val shapes = currentShapes()
@@ -74,7 +74,37 @@ class PlanAuditSpec extends SparkSpec {
         s"missing ${PlanAudit.SnapshotFile}; generate with " +
           "GRAFT_PLAN_SNAPSHOT_UPDATE=1 sbt \"testOnly graft.PlanAuditSpec\"")
       val snap = parse(Files.readString(Paths.get(PlanAudit.SnapshotFile)))
-      val drifts = diff(snap, shapes.toMap)
+      val cur = shapes.toMap
+      // FINAL-shape flap absorber (r16): AQE's post-shuffle coalescing
+      // makes borderline ENSURE_REQUIREMENTS-exchange decisions from
+      // RUNTIME byte sizes, which vary with record order/compression at
+      // sf0.001 — q_neighborhood_paths measured final 47↔48 across four
+      // identical executions in one JVM (3:1), a ±1-exchange
+      // environmental flap, not a plan change. A mismatch that is
+      // final-EXCHANGE-count-only (static identical, bnlj/bhj identical
+      // — a demotion moves bhj and stays a hard fail) gets up to two
+      // fresh re-executions: a REAL plan change reproduces the NEW
+      // shape every time, a flap reproduces the committed one. Retries
+      // are logged so absorbed flaps stay visible, never silent.
+      val flapAbsorbed = cur.keys.toSeq.sorted.filter { n =>
+        snap.get(n).exists { s =>
+          val c = cur(n)
+          s.static == c.static && s.fin.bnlj == c.fin.bnlj &&
+            s.fin.bhj == c.fin.bhj && s.fin.exchanges != c.fin.exchanges &&
+            (1 to 2).exists { i =>
+              val re = shapesOf(n)
+              val ok = re.fin == s.fin
+              info(s"final-exchange flap retry $i for $n: " +
+                s"${re.fin.exchanges} vs committed ${s.fin.exchanges}" +
+                (if (ok) " — absorbed (environmental AQE coalesce)" else ""))
+              System.err.println(s"[plan-gate] flap retry $i $n: final " +
+                s"${re.fin.exchanges} vs committed ${s.fin.exchanges} ok=$ok")
+              ok
+            }
+        }
+      }.toSet
+      val drifts = diff(snap, cur.filterNot { case (n, _) => flapAbsorbed(n) }
+        .++(flapAbsorbed.toSeq.map(n => n -> snap(n))))
       assert(drifts.isEmpty,
         s"""plan drift in ${drifts.size} queries:
            |  ${drifts.mkString("\n  ")}
@@ -118,7 +148,10 @@ class PlanAuditSpec extends SparkSpec {
       "fresh-JVM-per-query Scratch loop (see Bench.settledFloors doc)")
     val floors = Bench.settledFloors("floors.json")
     assert(floors.nonEmpty, "floors.json parsed to zero entries")
-    val stale = floors.keySet -- SparkEntry.queries.keySet
+    // "__"-prefixed keys are floors-file METADATA, not query floors
+    // (today: __host_canary_sec, the floor-settle-time host canary the
+    // drift cascade normalizes by — r15 verdict #2)
+    val stale = floors.keySet.filterNot(_.startsWith("__")) -- SparkEntry.queries.keySet
     assert(stale.isEmpty,
       s"floors for unregistered queries (renamed/removed?): ${stale.toSeq.sorted.mkString(", ")}")
     assert(floors.values.forall(v => v > 0 && v < 600),
