@@ -94,7 +94,18 @@ object Bench {
     * slowdown is labeled `suite-noise(host)`: the named cause every
     * archival-binary A/B so far has ended at, now read off two canary
     * numbers instead. Factors stay OUT of the first two branches so
-    * an unchanged-speed host reproduces the old cascade exactly. */
+    * an unchanged-speed host reproduces the old cascade exactly.
+    *
+    * ABSORB CAP (r16 self-review): the host branches multiply two
+    * independently-capped factors (tol ≤1.6 × host ≤1.6 = 2.56), so
+    * without a cap on the PRODUCT a genuine 2× regression on a
+    * maximally-drifted host would be auto-labeled suite-noise(host) —
+    * violating the stated contract that a real 2× always surfaces.
+    * The combined noise bound is therefore capped at [[AbsorbCap]]
+    * (1.9, strictly below 2): beyond it the verdict stays `regressed?`
+    * no matter what tolerance + canary claim, and a human re-settles. */
+  private[graft] val AbsorbCap = 1.9
+
   private[graft] def driftVerdict(iso: Double, priorWarm: Double,
                                   floor: Option[Double],
                                   floorHostUp: Double = 1.0,
@@ -103,9 +114,11 @@ object Bench {
     if (iso < 0) "spawn-failed"
     else if (floor.exists(f => iso <= f * floorTol)) "suite-noise(floor)"
     else if (floorHostUp > 1.001 &&
-      floor.exists(f => iso <= f * floorTol * floorHostUp)) "suite-noise(host)"
+      floor.exists(f => iso <= f * math.min(AbsorbCap, floorTol * floorHostUp)))
+      "suite-noise(host)"
     else if (iso <= priorWarm * 1.2) "suite-noise(prior)"
-    else if (priorHostUp > 1.001 && iso <= priorWarm * 1.2 * priorHostUp)
+    else if (priorHostUp > 1.001 &&
+      iso <= priorWarm * math.min(AbsorbCap, 1.2 * priorHostUp))
       "suite-noise(host)"
     else "regressed?"
 
@@ -117,8 +130,10 @@ object Bench {
     * default bound cries wolf on ~25% of single spawns with NO code
     * change, and has flapped two rounds of adjudications). Tolerances
     * are committed and reviewed like floors; the sane range is pinned
-    * by [[driftVerdict]]'s contract (a real 2× regression must stay
-    * above any committed tol × hostcap product). */
+    * by [[driftVerdict]]'s contract — a real 2× regression must stay
+    * above any committed tol × hostcap product, which [[AbsorbCap]]
+    * enforces IN CODE (the product is clamped at 1.9) rather than by
+    * convention on what tolerances reviewers commit. */
   private[graft] def floorTolOf(floors: Map[String, Double], n: String): Double =
     floors.getOrElse("__tol_" + n, 1.25) min 1.6
 

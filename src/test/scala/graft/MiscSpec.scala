@@ -198,6 +198,21 @@ class MiscSpec extends SparkSpec {
     assert(driftVerdict(2.2, 1.027, Some(1.06), floorTol = 1.6) == "regressed?")
   }
 
+  test("Bench.driftVerdict absorb cap: tol x host product clamped below 2x (r16 self-review)") {
+    import graft.Bench.{driftVerdict, AbsorbCap}
+    assert(AbsorbCap < 2.0)
+    // worst committable combination: tol 1.6 x host 1.6 = 2.56 un-capped.
+    // A genuine 2x regression (iso = 2.0 x floor) MUST stay regressed?
+    assert(driftVerdict(2.0, 0.9, Some(1.0), floorHostUp = 1.6, floorTol = 1.6)
+      == "regressed?")
+    // ...while 1.85x (inside the 1.9 clamp) is still absorbable
+    assert(driftVerdict(1.85, 0.9, Some(1.0), floorHostUp = 1.6, floorTol = 1.6)
+      == "suite-noise(host)")
+    // prior leg: 1.2 x host 1.6 = 1.92 un-capped; 1.91x prior must surface
+    assert(driftVerdict(1.91, 1.0, None, priorHostUp = 1.6) == "regressed?")
+    assert(driftVerdict(1.89, 1.0, None, priorHostUp = 1.6) == "suite-noise(host)")
+  }
+
   test("HostCanary.factor: 1-floored, capped, robust to missing floor canary (r16)") {
     import graft.HostCanary.factor
     assert(factor(2.0, Some(1.5)) > 1.33 && factor(2.0, Some(1.5)) < 1.34)
