@@ -71,12 +71,21 @@ object AnomalyOps {
     * crash-safe superseding-manifest consolidation. "Flag today's
     * readings against ALL of history's distribution" reads a
     * ≤3·|groups|-row artifact, never history.
+    *
+    * Null and UNSNAPPABLE values (a NULL input, or a magnitude beyond
+    * DECIMAL(18, decimals) whose snap overflows to null) are excluded
+    * from ALL THREE components — n counts the same observations S and
+    * Q sum (r16 self-review: the old `count(*)` counted rows S/Q had
+    * skipped, so one null value silently shifted the group's mean and
+    * corrupted every row's flag; [[rollingSigmaFlags]] already counted
+    * null-skipping). Such rows still report a NULL `is_anomaly` when
+    * flagged themselves — no verdict, never a wrong one.
     */
   def statsSketch(df: DataFrame, keyCol: String, valueCol: String,
                   decimals: Int = 4): DataFrame = {
     val rows = df.withColumn("__u", snapped(valueCol, decimals))
     rows.groupBy(col(keyCol))
-      .agg(count(lit(1)).cast(D38).as("__n"),
+      .agg(count(col("__u")).cast(D38).as("__n"),
         sum(col("__u")).cast(D38).as("__s"),
         sum(col("__u").cast(D38) * col("__u")).as("__q"))
       .select(col(keyCol), explode(array(

@@ -1469,7 +1469,7 @@ object CoreQueries {
     Q("q_anomaly_sigma",
       """WITH u AS (SELECT event_id, event_type, value,
         |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS u FROM events),
-        |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |st AS (SELECT event_type, CAST(count(u) AS HUGEINT) AS n,
         |         CAST(sum(u) AS HUGEINT) AS s, sum(CAST(u AS HUGEINT) * u) AS q
         |       FROM u GROUP BY 1)
         |SELECT u.event_id, u.event_type, u.value,
@@ -1620,7 +1620,7 @@ object CoreQueries {
     Q("q_anomaly_index",
       """WITH u AS (SELECT event_id, event_type, value,
         |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS u FROM events),
-        |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |st AS (SELECT event_type, CAST(count(u) AS HUGEINT) AS n,
         |         CAST(sum(u) AS HUGEINT) AS s, sum(CAST(u AS HUGEINT) * u) AS q
         |       FROM u GROUP BY 1)
         |SELECT u.event_id, u.event_type, u.value,

@@ -308,6 +308,65 @@ class AnalyticsPropertySpec extends SparkSpec {
     }
   }
 
+  test("sigmaFlags ≡ BigInt driver replay (nulls excluded from the distribution)") {
+    val rnd = new scala.util.Random(9016)
+    def snap(v: Double): Long =
+      java.math.BigDecimal.valueOf(v).setScale(4, java.math.RoundingMode.HALF_UP)
+        .movePointRight(4).longValueExact()
+    (1 to TRIALS).foreach { trial =>
+      val rows = (0 until 50).map { i =>
+        val v = if (rnd.nextInt(10) == 0) None
+                else Some((rnd.nextGaussian() * 50 + 100) +
+                  (if (rnd.nextInt(12) == 0) 400.0 else 0.0))
+        (s"g${rnd.nextInt(3)}", i.toLong, v.map(x => math.rint(x * 1000) / 1000))
+      }
+      val k = 1 + trial % 3
+      val stats = rows.groupBy(_._1).map { case (g, rs) =>
+        val us = rs.flatMap(_._3).map(snap)
+        g -> (BigInt(us.size), us.map(BigInt(_)).sum, us.map(u => BigInt(u) * u).sum)
+      }
+      val expect = rows.map { case (g, id, v) =>
+        val (n, s, q) = stats(g)
+        id -> v.map { x =>
+          val dev = n * snap(x) - s
+          dev * dev > BigInt(k.toLong * k) * (n * q - s * s)
+        }
+      }.toMap
+      val got = graft.analytics.AnomalyOps.sigmaFlags(
+          rows.toDF("grp", "id", "value"), "grp", "value", k = k)
+        .collect().map(r => r.getLong(1) ->
+          Option(r.getAs[java.lang.Boolean]("is_anomaly")).map(_.booleanValue()))
+        .toMap
+      assert(got == expect, s"trial $trial k=$k")
+    }
+  }
+
+  test("twoProportionTest ≡ BigInt driver replay of the pooled z-test") {
+    val rnd = new scala.util.Random(10016)
+    (1 to TRIALS).foreach { trial =>
+      val rows = (0 until 80).map { _ =>
+        (s"e${rnd.nextInt(3)}", if (rnd.nextBoolean()) "a" else "b",
+          rnd.nextInt(3) == 0)
+      }
+      val z = 1 + trial % 3
+      val expect = rows.groupBy(_._1).map { case (g, rs) =>
+        val nA = BigInt(rs.count(_._2 == "a")); val cA = BigInt(rs.count(r => r._2 == "a" && r._3))
+        val nB = BigInt(rs.count(_._2 == "b")); val cB = BigInt(rs.count(r => r._2 == "b" && r._3))
+        val dev = cA * nB - cB * nA
+        val sig = nA > 0 && nB > 0 &&
+          dev * dev * (nA + nB) >
+            BigInt(z.toLong * z) * (cA + cB) * (nA + nB - cA - cB) * nA * nB
+        g -> (nA.toLong, cA.toLong, nB.toLong, cB.toLong, sig)
+      }
+      val got = graft.analytics.ExperimentOps.twoProportionTest(
+          rows.toDF("grp", "arm", "success"), "grp", "arm", "success", z = z)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+        .toMap
+      assert(got == expect, s"trial $trial z=$z")
+    }
+  }
+
   test("resampleFill ≡ driver LOCF replay: last-wins buckets, per-key grids, fill flags") {
     val rnd = new scala.util.Random(8016)
     (1 to TRIALS).foreach { trial =>

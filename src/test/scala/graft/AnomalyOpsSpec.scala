@@ -39,6 +39,26 @@ class AnomalyOpsSpec extends SparkSpec {
     assert(out.filter(_._2).map(_._1).sorted.toSeq == Seq(0.25, 99.75))
   }
 
+  test("null values are excluded from n, S AND Q alike; the null row gets no verdict (r16)") {
+    // pre-fix statsSketch counted the null row into n while S/Q skipped
+    // it, shifting the group mean and corrupting every flag silently
+    val withNull = Seq(("a", Some(10.0)), ("a", Some(10.0)), ("a", Some(10.0)),
+      ("a", Some(12.0)), ("a", Some(100.0)), ("a", None))
+      .toDF("grp", "value")
+    val clean = withNull.where(col("value").isNotNull)
+    def flags(df: org.apache.spark.sql.DataFrame) =
+      AnomalyOps.sigmaFlags(df, "grp", "value", k = 1)
+        .collect().map(r => (Option(r.getAs[java.lang.Double]("value")).map(_.toDouble),
+          r.getAs[Long]("n_group"), Option(r.getAs[java.lang.Boolean]("is_anomaly"))))
+    val got = flags(withNull)
+    // the null row reports NULL is_anomaly (no verdict), n_group = 5
+    assert(got.forall(_._2 == 5L))
+    assert(got.collect { case (None, _, f) => f } sameElements Array(None))
+    // non-null rows flag exactly as the null-free frame does
+    assert(got.collect { case (Some(v), _, f) => v -> f }.toMap ==
+      flags(clean).collect { case (Some(v), _, f) => v -> f }.toMap)
+  }
+
   test("at-rest stats: tranche sums ≡ one-shot stats; flags vs artifact ≡ whole-run flags") {
     val dir = tempDir("graft_sigma")
     try {
