@@ -95,7 +95,7 @@ object PlanAudit {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = Graft.session("local[4]", 4)
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    (SparkEntry.queries ++ SparkEntry.auditOnlyPlans).toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val qe = fn(spark, dir).queryExecution
         val s = shapeOf(qe.executedPlan.toString())

@@ -57,4 +57,26 @@ object SparkEntry {
     * embed quantizer literals fitted by the query run. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle().map(sql => q.name -> sql)).toMap
+
+  /** Plan-audit-ONLY subtrees (r16 ADVICE #2): frames a registered
+    * query eagerly CHECKPOINTS while building, so the enforced plan
+    * gate never sees their shape through the parent (its audited plan
+    * starts at the checkpointed scan). Consumed by
+    * `PlanAudit`/`PlanAuditSpec` alongside `queries`; NOT run by
+    * Verify/Bench — correctness of the subtree is gated through the
+    * parent queries' oracles, this registry pins only the plan shape.
+    * Today: the decontam compositions' shared bloom-gate clean-id
+    * subtree (`q_decontam_dedup_split`/`_sig` both materialize it via
+    * `DecontamPipeline`). */
+  def auditOnlyPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontam_clean_ids_pre" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.where(col("doc_id") < 25)
+      val bloomDir = graft.util.Scratch.path("pipeline_bloom_audit", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bloomDir))
+      graft.dedup.DedupOps.benchmarkShingleBloom(bench, "text", bloomDir, "s0",
+        shingleN = 8)
+      graft.pipeline.DecontamPipeline.cleanIdsPlan(docs, "doc_id", "text",
+        bench, bloomDir, contamShingleN = 8)
+    }))
 }

@@ -2368,25 +2368,17 @@ object LlmQueries {
       val bloomDir = graft.util.Scratch.path("pipeline_bloom", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bloomDir))
       DedupOps.benchmarkShingleBloom(bench, "text", bloomDir, "s0", shingleN = 8)
-      // materialize the clean-id set ONCE (r16: the lazy plan re-ran
-      // the whole bloom gate — shingle + probe over the corpus — for
-      // the final split action after the pair pipeline's caches
-      // released; measured 185 s vs ~90 s of stage work at 100× data).
-      // The id projection is ~8 bytes/doc, thousands of times smaller
-      // than the corpus scan it prevents re-running.
-      val cleanIds = graft.util.Materialize.bounded(
-        DedupOps.contaminationCheckViaBloom(docs, bench, bloomDir,
-            "doc_id", "text", shingleN = 8)
-          .where(col("n_contaminated") === 0).select("doc_id"))
-      val clean = docs.join(cleanIds, Seq("doc_id"), "left_semi")
-      val (pairs, release) = DedupOps.ngramJaccardPairsReleasable(
-        clean, "doc_id", "text", shingleN = 3, threshold = 0.5, maxBucket = 1000)
-      val cc = GraphOps.connectedComponents(pairs, "id_a", "id_b")
-      release()
-      TrainingOps.leakageSafeSplit(cleanIds, "doc_id", cc,
-        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)),
-        salt = "plsplit", portable = true)
-        .select("doc_id", "group_id", "split")
+      // the assembly lives in graft.pipeline.DecontamPipeline (r17) —
+      // clean-id set materialized ONCE (r16: the lazy plan re-ran the
+      // whole bloom gate per consumer; 185 s vs ~90 s of stage work at
+      // 100× data), tier forced Exact so the oracle replay is
+      // SF-independent. The one-shot form leaves the ~8 B/doc clean-id
+      // blocks for the driver's between-queries persistent-RDD sweep;
+      // long-lived sessions use decontamDedupSplitReleasable.
+      graft.pipeline.DecontamPipeline.decontamDedupSplit(docs, "doc_id", "text",
+        bench, bloomDir, Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+        salt = "plsplit", tier = graft.pipeline.DecontamPipeline.Exact,
+        jaccardThreshold = 0.5, portable = true)
     },
 
     // ---- the SIG-TIER assembly (r15 verdict #5): same pipeline, but
@@ -2435,22 +2427,13 @@ object LlmQueries {
       val bloomDir = graft.util.Scratch.path("pipeline_bloom_sig", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bloomDir))
       DedupOps.benchmarkShingleBloom(bench, "text", bloomDir, "s0", shingleN = 8)
-      // single bloom-gate evaluation via the materialized id set —
-      // same rationale as the exact composition above (r16)
-      val cleanIds = graft.util.Materialize.bounded(
-        DedupOps.contaminationCheckViaBloom(docs, bench, bloomDir,
-            "doc_id", "text", shingleN = 8)
-          .where(col("n_contaminated") === 0).select("doc_id"))
-      val clean = docs.join(cleanIds, Seq("doc_id"), "left_semi")
-      val (pairs, release) = DedupOps.minhashNearDupPairsReleasable(
-        clean, "doc_id", "text", shingleN = 3, k = SIG_K, bands = BANDS,
-        threshold = 0.4, portable = true)
-      val cc = GraphOps.connectedComponents(pairs, "id_a", "id_b")
-      release()
-      TrainingOps.leakageSafeSplit(cleanIds, "doc_id", cc,
-        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)),
-        salt = "plsplit", portable = true)
-        .select("doc_id", "group_id", "split")
+      // same assembly via DecontamPipeline, tier forced Sig — this
+      // query IS the registered scale path (the Auto route above the
+      // measured threshold), so the sig tier must run at every SF
+      graft.pipeline.DecontamPipeline.decontamDedupSplit(docs, "doc_id", "text",
+        bench, bloomDir, Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+        salt = "plsplit", tier = graft.pipeline.DecontamPipeline.Sig,
+        sigK = SIG_K, sigBands = BANDS, sigThreshold = 0.4, portable = true)
     },
 
     // ---- deterministic per-language stratified sampling ----

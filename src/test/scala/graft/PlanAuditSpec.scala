@@ -31,11 +31,16 @@ class PlanAuditSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  // audited = every registered query PLUS the audit-only subtrees
+  // (frames a parent query eagerly checkpoints — r16 ADVICE #2: the
+  // gate must see the PRE-checkpoint shape too)
+  private def audited = SparkEntry.queries ++ SparkEntry.auditOnlyPlans
+
   private def shapesOf(name: String): QueryShapes = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     try {
-      val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+      val qe = audited(name)(spark, sfDir).queryExecution
       val static = shapeOf(qe.executedPlan.toString())
       qe.toRdd.count() // materialize every stage → AQE final plan
       QueryShapes(static, shapeOf(qe.executedPlan.toString()))
@@ -45,7 +50,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   private def currentShapes(): Seq[(String, QueryShapes)] =
-    SparkEntry.queries.keys.toSeq.sorted.map(n => n -> shapesOf(n))
+    audited.keys.toSeq.sorted.map(n => n -> shapesOf(n))
 
   test("plan gate: zero cartesians; static AND adaptive-final shapes match the committed snapshot") {
     val shapes = currentShapes()
