@@ -137,6 +137,17 @@ object Bench {
   private[graft] def floorTolOf(floors: Map[String, Double], n: String): Double =
     floors.getOrElse("__tol_" + n, 1.25) min 1.6
 
+  /** Per-floor canary lookup (r16 verdict #4): the `__canary_<query>`
+    * stamp written at THAT floor's settle time, falling back to the
+    * global latest-settle [[HostCanary.FloorKey]] for floors from
+    * before the per-floor schema. Host normalization for a floor is
+    * then exact — measured against the host window the floor was
+    * actually cut on — instead of approximated by whenever the most
+    * recent settle of ANY floor happened. */
+  private[graft] def floorCanaryOf(floors: Map[String, Double],
+                                   n: String): Option[Double] =
+    floors.get(HostCanary.floorKeyFor(n)).orElse(floors.get(HostCanary.FloorKey))
+
   /** The prior round's recorded `host_factor` (bench_detail.json
     * header), 1.0 when absent — pre-canary detail files and fresh
     * checkouts adjudicate exactly as before. */
@@ -498,6 +509,11 @@ object Bench {
     val adjudicated: Map[String, (Double, Double, Double, Option[Double], String)] =
       drifted.take(8).map { case (n, w, pw) =>
         System.err.println(f"[bench] drift $n: warm ${w}%.3f vs prior ${pw}%.3f — isolating")
+        // per-floor host factor (r16 verdict #4): normalize against
+        // THIS floor's settle-window canary stamp when one exists
+        // (falls back to the global latest-settle canary = the outer
+        // hostFactor, so unstamped floors adjudicate exactly as before)
+        val hostFactorN = HostCanary.factor(canaryAdj, floorCanaryOf(floors, n))
         val iso1 = isolatedSec(n, sfDir, cpus).getOrElse(-1.0)
         // a `regressed?` label needs TWO independent spawns (the floors
         // protocol's min-over-2-spawns): decode-/IO-bound queries show
@@ -507,7 +523,7 @@ object Bench {
         // floor). A second spawn only runs for would-be regressions, so
         // the common suite-noise path stays one spawn cheap.
         val iso =
-          if (driftVerdict(iso1, pw, floors.get(n), hostFactor, hostRel,
+          if (driftVerdict(iso1, pw, floors.get(n), hostFactorN, hostRel,
             floorTolOf(floors, n)) != "regressed?") iso1
           else {
             val iso2 = isolatedSec(n, sfDir, cpus).getOrElse(-1.0)
@@ -516,7 +532,7 @@ object Bench {
             if (iso2 < 0) iso1 else math.min(iso1, iso2)
           }
         val fl = floors.get(n)
-        val verdict = driftVerdict(iso, pw, fl, hostFactor, hostRel, floorTolOf(floors, n))
+        val verdict = driftVerdict(iso, pw, fl, hostFactorN, hostRel, floorTolOf(floors, n))
         System.err.println(f"[bench] drift $n: isolated ${iso}%.3f s, " +
           f"floor ${fl.getOrElse(-1.0)}%.3f — $verdict")
         n -> (pw, w, iso, fl, verdict)

@@ -109,6 +109,16 @@ object HostCanary {
     * carry it unchanged; no real query name starts with `__`. */
   val FloorKey = "__host_canary_sec"
 
+  /** PER-FLOOR canary stamp key (r16 verdict #4): each floor settled
+    * by a `GRAFT_SCRATCH_JSON` Scratch run carries the canary of ITS
+    * OWN settle window as `__canary_<query>`, so the drift cascade
+    * normalizes every floor against the host speed it was actually
+    * cut on. Floors from before this schema have no stamp and fall
+    * back to the single global [[FloorKey]] (the latest settle's
+    * canary) — the pre-r17 approximation, which re-settling any floor
+    * now upgrades in place. */
+  def floorKeyFor(query: String): String = "__canary_" + query
+
   /** Bench-time host factor vs the floor-settle canary: >1 = host is
     * measurably SLOWER now than when floors were settled. Capped at
     * 1.6 — the proven drift band is 25–35%, so a canary claiming much

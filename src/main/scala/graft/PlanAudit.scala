@@ -71,6 +71,27 @@ object PlanAudit {
         Shape(m.group(5).toInt, m.group(6).toInt, 0, m.group(7).toInt)))
       .toMap
 
+  /** FINAL-shape flap-absorber decision (r16 gate; factored r17 so a
+    * forged REPRODUCING regression is directly spec-testable): absorb
+    * a snapshot mismatch ONLY when (a) it is final-EXCHANGE-count-only
+    * — static identical, final bnlj/bhj identical; a broadcast
+    * demotion moves bhj and stays a hard fail — and (b) one of up to
+    * two fresh re-executions REPRODUCES the committed final shape
+    * (AQE's borderline post-shuffle coalesce flaps between runs; a
+    * real plan change reproduces the NEW shape every time). `reExec`
+    * is invoked lazily, so ineligible mismatches never pay a re-run;
+    * `log` sees every retry so absorbed flaps stay visible. */
+  def absorbFlap(snap: QueryShapes, cur: QueryShapes, reExec: () => QueryShapes,
+                 log: (Int, Shape, Boolean) => Unit = (_, _, _) => ()): Boolean =
+    snap.static == cur.static && snap.fin.bnlj == cur.fin.bnlj &&
+      snap.fin.bhj == cur.fin.bhj && snap.fin.exchanges != cur.fin.exchanges &&
+      (1 to 2).exists { i =>
+        val re = reExec()
+        val ok = re.fin == snap.fin
+        log(i, re.fin, ok)
+        ok
+      }
+
   /** Human-readable drift list; empty = plans unchanged. */
   def diff(snapshot: Map[String, QueryShapes],
            current: Map[String, QueryShapes]): Seq[String] = {

@@ -72,14 +72,28 @@ object Scratch {
       // floor-settle-time host canary rides INSIDE floors.json (r15
       // verdict #2): Bench's drift cascade divides its own bench-time
       // canary by this figure to normalize floors for measured host
-      // drift. Re-measured on every floors write, so the stored value
-      // always matches the host state the newest floors were cut on.
-      val n = writeFloors(path,
-        mins ++ canary.map(HostCanary.FloorKey -> _))
+      // drift. Since r17 (r16 verdict #4) each floor measured THIS RUN
+      // additionally gets its own `__canary_<query>` stamp, so floors
+      // settled in different host windows normalize independently; the
+      // global key stays as the fallback for unstamped (pre-r17)
+      // floors and keeps tracking the latest settle.
+      val n = writeFloors(path, floorsPayload(mins, canary))
       println(s"[scratch] wrote $path ($n floors, ${mins.size} measured this run)")
     }
     spark.stop()
   }
+
+  /** The floors-file entries one settle run contributes: the measured
+    * minima, plus — when a canary was taken — the global latest-settle
+    * key AND a per-floor `__canary_<query>` stamp for each query
+    * measured THIS run (never for floors merely carried over, whose
+    * stamps must keep describing their own settle windows). Factored
+    * from main() so the stamping contract is spec-testable. */
+  private[graft] def floorsPayload(mins: Seq[(String, Double)],
+                                   canary: Option[Double]): Seq[(String, Double)] =
+    mins ++ canary.toSeq.flatMap(c =>
+      (HostCanary.FloorKey -> c) +:
+        mins.map { case (q, _) => HostCanary.floorKeyFor(q) -> c })
 
   /** Overlay `mins` onto the floors already in `path` and rewrite it;
     * returns the merged count. Kept separate from main() so the

@@ -48,7 +48,18 @@ object Scratch {
     * returns how many were deleted. Best-effort and side-effect-safe:
     * only names matching the exact issued pattern are considered, the
     * current JVM's own dirs are never touched, and a pid we cannot
-    * interrogate is presumed alive (kept). */
+    * interrogate is presumed alive (kept).
+    *
+    * PID-REUSE caveat (r16 self-review): if the kernel recycles a dead
+    * owner's pid onto an unrelated live process, that orphan reads
+    * "alive" and is shielded for as long as the squatter runs — the
+    * failure mode is bounded ACCRETION (a dir survives until the next
+    * sweep after the squatter exits), never deletion of a live dir:
+    * a live owner's dirs are protected by its own liveness, and a
+    * recycled pid can only ADD protection. With Linux's default
+    * 4M+ pid space and sequential allocation the window is rare and
+    * self-heals; no counter-measure (e.g. process start-time stamps
+    * in the dir name) is worth the path-format churn. */
   private[graft] def reapOrphans(root: java.io.File): Int = {
     val pat = "^graft_.+_p([0-9]{1,18})$".r
     var n = 0

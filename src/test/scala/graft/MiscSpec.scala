@@ -213,6 +213,42 @@ class MiscSpec extends SparkSpec {
     assert(driftVerdict(1.89, 1.0, None, priorHostUp = 1.6) == "suite-noise(host)")
   }
 
+  test("Bench.driftVerdict absorb cap boundary: exactly 1.9x absorbs, a hair above surfaces (r17)") {
+    import graft.Bench.driftVerdict
+    // iso == floor·AbsorbCap sits ON the clamped bound (<=) — absorbed;
+    // the next representable step above must stay regressed?
+    assert(driftVerdict(1.9, 0.9, Some(1.0), floorHostUp = 1.6, floorTol = 1.6)
+      == "suite-noise(host)")
+    assert(driftVerdict(1.9 + 1e-9, 0.9, Some(1.0), floorHostUp = 1.6, floorTol = 1.6)
+      == "regressed?")
+    // prior leg at the same boundary
+    assert(driftVerdict(1.9, 1.0, None, priorHostUp = 1.6) == "suite-noise(host)")
+    assert(driftVerdict(1.9 + 1e-9, 1.0, None, priorHostUp = 1.6) == "regressed?")
+  }
+
+  test("per-floor canary stamps: payload stamps only this run's floors; cascade prefers the stamp (r17)") {
+    import graft.{Bench, HostCanary, Scratch}
+    // Scratch payload: global key + one __canary_<q> per measured floor
+    val p = Scratch.floorsPayload(Seq("q_a" -> 1.0, "q_b" -> 2.0), Some(0.4)).toMap
+    assert(p == Map("q_a" -> 1.0, "q_b" -> 2.0,
+      HostCanary.FloorKey -> 0.4, "__canary_q_a" -> 0.4, "__canary_q_b" -> 0.4))
+    // no canary taken (no GRAFT_SCRATCH_JSON) → no stamps at all
+    assert(Scratch.floorsPayload(Seq("q_a" -> 1.0), None).toMap == Map("q_a" -> 1.0))
+    // merge keeps OTHER floors' older stamps, replaces this run's
+    val tmp = tempDir("floors_stamp") + "/floors.json"
+    Scratch.writeFloors(tmp, Scratch.floorsPayload(Seq("q_a" -> 1.0, "q_b" -> 2.0), Some(0.4)))
+    Scratch.writeFloors(tmp, Scratch.floorsPayload(Seq("q_b" -> 1.8), Some(0.6)))
+    val merged = Bench.settledFloors(tmp)
+    assert(merged("__canary_q_a") == 0.4 && merged("__canary_q_b") == 0.6 &&
+      merged(HostCanary.FloorKey) == 0.6 && merged("q_a") == 1.0 && merged("q_b") == 1.8,
+      s"merged=$merged")
+    // cascade lookup: per-floor stamp wins, global is the fallback
+    assert(Bench.floorCanaryOf(merged, "q_a").contains(0.4))
+    assert(Bench.floorCanaryOf(merged, "q_b").contains(0.6))
+    assert(Bench.floorCanaryOf(merged, "q_unstamped").contains(0.6))
+    assert(Bench.floorCanaryOf(Map("q_x" -> 1.0), "q_x").isEmpty)
+  }
+
   test("HostCanary.factor: 1-floored, capped, robust to missing floor canary (r16)") {
     import graft.HostCanary.factor
     assert(factor(2.0, Some(1.5)) > 1.33 && factor(2.0, Some(1.5)) < 1.34)

@@ -93,19 +93,13 @@ class PlanAuditSpec extends SparkSpec {
       // are logged so absorbed flaps stay visible, never silent.
       val flapAbsorbed = cur.keys.toSeq.sorted.filter { n =>
         snap.get(n).exists { s =>
-          val c = cur(n)
-          s.static == c.static && s.fin.bnlj == c.fin.bnlj &&
-            s.fin.bhj == c.fin.bhj && s.fin.exchanges != c.fin.exchanges &&
-            (1 to 2).exists { i =>
-              val re = shapesOf(n)
-              val ok = re.fin == s.fin
-              info(s"final-exchange flap retry $i for $n: " +
-                s"${re.fin.exchanges} vs committed ${s.fin.exchanges}" +
-                (if (ok) " — absorbed (environmental AQE coalesce)" else ""))
-              System.err.println(s"[plan-gate] flap retry $i $n: final " +
-                s"${re.fin.exchanges} vs committed ${s.fin.exchanges} ok=$ok")
-              ok
-            }
+          PlanAudit.absorbFlap(s, cur(n), () => shapesOf(n), (i, fin, ok) => {
+            info(s"final-exchange flap retry $i for $n: " +
+              s"${fin.exchanges} vs committed ${s.fin.exchanges}" +
+              (if (ok) " — absorbed (environmental AQE coalesce)" else ""))
+            System.err.println(s"[plan-gate] flap retry $i $n: final " +
+              s"${fin.exchanges} vs committed ${s.fin.exchanges} ok=$ok")
+          })
         }
       }.toSet
       val drifts = diff(snap, cur.filterNot { case (n, _) => flapAbsorbed(n) }
@@ -147,18 +141,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(parse(render(snap.toSeq)) == snap)
   }
 
+  test("flap absorber: a REPRODUCING exchange regression fails; only a true flap absorbs (r17)") {
+    def qs(se: Int, sb: Int, sh: Int, fe: Int, fb: Int, fh: Int) =
+      QueryShapes(Shape(se, sb, 0, sh), Shape(fe, fb, 0, fh))
+    val committed = qs(26, 0, 13, 47, 0, 20)
+    val drifted = qs(26, 0, 13, 48, 0, 20)     // final-exchange-only delta
+    // REAL regression: every re-execution reproduces the NEW shape —
+    // both retries run, neither matches, the gate must NOT absorb
+    var reruns = 0
+    assert(!PlanAudit.absorbFlap(committed, drifted,
+      () => { reruns += 1; drifted }))
+    assert(reruns == 2, s"a reproducing delta gets exactly two retries, got $reruns")
+    // TRUE flap: the second re-execution lands back on the committed
+    // shape — absorbed, with both retries logged
+    var log = List.empty[(Int, Boolean)]
+    var n = 0
+    assert(PlanAudit.absorbFlap(committed, drifted,
+      () => { n += 1; if (n == 1) drifted else committed },
+      (i, _, ok) => log ::= (i, ok)))
+    assert(log.reverse == List((1, false), (2, true)))
+    // ineligible mismatches never pay a re-run: static drift, a bhj
+    // move (demotion), or no mismatch at all
+    def poison(): QueryShapes = fail("reExec must not run for ineligible mismatch")
+    assert(!PlanAudit.absorbFlap(committed, qs(27, 0, 13, 48, 0, 20), () => poison()))
+    assert(!PlanAudit.absorbFlap(committed, qs(26, 0, 13, 49, 0, 19), () => poison()))
+    assert(!PlanAudit.absorbFlap(committed, committed, () => poison()))
+  }
+
   test("committed floors.json parses and every floor names a registered query") {
     val p = Paths.get("floors.json")
     assert(Files.exists(p), "floors.json missing — regenerate with the " +
       "fresh-JVM-per-query Scratch loop (see Bench.settledFloors doc)")
     val floors = Bench.settledFloors("floors.json")
     assert(floors.nonEmpty, "floors.json parsed to zero entries")
-    // "__"-prefixed keys are floors-file METADATA, not query floors
-    // (today: __host_canary_sec, the floor-settle-time host canary the
-    // drift cascade normalizes by — r15 verdict #2)
+    // "__"-prefixed keys are floors-file METADATA, not query floors:
+    // __host_canary_sec (global settle canary, r15), __tol_<q>
+    // (per-query tolerance, r16), __canary_<q> (per-floor settle-window
+    // canary stamp, r17). The SUFFIXED metadata must itself name
+    // registered queries, or a rename silently orphans its stamp/tol.
     val stale = floors.keySet.filterNot(_.startsWith("__")) -- SparkEntry.queries.keySet
     assert(stale.isEmpty,
       s"floors for unregistered queries (renamed/removed?): ${stale.toSeq.sorted.mkString(", ")}")
+    val staleMeta = floors.keySet.collect {
+      case k if k.startsWith("__tol_") => k -> k.stripPrefix("__tol_")
+      case k if k.startsWith("__canary_") => k -> k.stripPrefix("__canary_")
+    }.filterNot { case (_, q) => SparkEntry.queries.contains(q) }
+    assert(staleMeta.isEmpty,
+      s"floors metadata for unregistered queries: ${staleMeta.map(_._1).toSeq.sorted.mkString(", ")}")
     assert(floors.values.forall(v => v > 0 && v < 600),
       "floor outside sane (0, 600)s range")
   }
