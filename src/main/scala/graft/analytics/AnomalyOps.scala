@@ -95,14 +95,47 @@ object AnomalyOps {
       .select(col(keyCol), col("__sv.stat").as("stat"), col("__sv.val").as("val"))
   }
 
-  /** One ingest = one tranche ([[graft.util.SumTranches]] layout). */
-  def writeStatsTranche(sketch: DataFrame, dir: String, tag: String): Unit =
-    graft.util.SumTranches.write(sketch, dir, tag)
+  /** Semantics marker for the at-rest stats artifact (r16 ADVICE #1).
+    * The r16 statsSketch fix changed `n` from count-every-row to
+    * count-snappable-only (matching S/Q); tranches written BEFORE the
+    * fix carry the old semantics, and because merge-on-read SUMS
+    * across tranches, ONE pre-fix tranche silently blends the two
+    * with no signature in the data itself. Writes therefore stamp the
+    * artifact root (underscore-prefixed — invisible to parquet
+    * listings, untouched by consolidation's batch=-only deletes) and
+    * reads fail fast on a marker-less non-empty artifact: regenerate
+    * it from history, or — if every tranche is provably post-fix —
+    * create the marker file with [[StatsSemanticsV2]] by hand. */
+  private[graft] val StatsMetaName = "_graft_stats_meta"
+  private[graft] val StatsSemanticsV2 = "n_semantics=snappable_only_v2"
 
-  /** Merge-on-read of the at-rest stats, superseding-manifest-aware. */
+  /** One ingest = one tranche ([[graft.util.SumTranches]] layout),
+    * stamped with the [[StatsSemanticsV2]] marker. */
+  def writeStatsTranche(sketch: DataFrame, dir: String, tag: String): Unit = {
+    graft.util.SumTranches.write(sketch, dir, tag)
+    val spark = sketch.sparkSession
+    val meta = s"$dir/$StatsMetaName"
+    if (!graft.util.Fs.pathExists(spark, meta))
+      graft.util.Fs.writeSmallFile(spark, meta, StatsSemanticsV2 + "\n")
+  }
+
+  /** Merge-on-read of the at-rest stats, superseding-manifest-aware.
+    * Requires the [[StatsSemanticsV2]] marker on non-empty artifacts
+    * (see its doc — a marker-less artifact may blend pre-fix
+    * null-inclusive counts into the sums). */
   def readStats(spark: org.apache.spark.sql.SparkSession, dir: String,
-                keyCol: String): DataFrame =
+                keyCol: String): DataFrame = {
+    val hasMarker = graft.util.Fs.readSmallFile(spark, s"$dir/$StatsMetaName")
+      .exists(_.contains(StatsSemanticsV2))
+    require(hasMarker || graft.util.SumTranches.live(spark, dir).isEmpty,
+      s"stats artifact $dir has tranches but no $StatsMetaName marker — " +
+        "written before the n-semantics fix (n counted rows the null-" +
+        "skipping sums excluded), so its merged stats may be silently " +
+        "blended. Regenerate the artifact from history, or create the " +
+        s"marker containing '$StatsSemanticsV2' if every tranche is " +
+        "provably post-fix.")
     graft.util.SumTranches.read(spark, dir, Seq(keyCol, "stat"), "val")
+  }
 
   /** Crash-safe fold of the live tranches. */
   def consolidateStats(spark: org.apache.spark.sql.SparkSession, dir: String,

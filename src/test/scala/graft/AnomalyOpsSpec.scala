@@ -87,6 +87,34 @@ class AnomalyOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("stats artifact semantics marker: writes stamp, legacy marker-less dirs fail fast (r17)") {
+    val dir = tempDir("graft_sigma_meta")
+    val d1 = Seq(("g", 10.0), ("g", 11.0)).toDF("grp", "value")
+    // a PRE-FIX artifact: tranches written without the marker (the
+    // r16-and-earlier layout) must refuse to merge-read
+    graft.util.SumTranches.write(AnomalyOps.statsSketch(d1, "grp", "value"), dir, "legacy")
+    val e = intercept[IllegalArgumentException] {
+      AnomalyOps.readStats(spark, dir, "grp").collect()
+    }
+    assert(e.getMessage.contains("n-semantics") && e.getMessage.contains("Regenerate"),
+      s"message must explain the blend hazard: ${e.getMessage}")
+    // hand-migration path from the error message: create the marker
+    graft.util.Fs.writeSmallFile(spark, s"$dir/${AnomalyOps.StatsMetaName}",
+      AnomalyOps.StatsSemanticsV2 + "\n")
+    assert(AnomalyOps.readStats(spark, dir, "grp").count() > 0)
+    // a fresh write stamps automatically; empty dirs read empty, no marker needed
+    val dir2 = tempDir("graft_sigma_meta2")
+    AnomalyOps.writeStatsTranche(AnomalyOps.statsSketch(d1, "grp", "value"), dir2, "d1")
+    assert(graft.util.Fs.pathExists(spark, s"$dir2/${AnomalyOps.StatsMetaName}"))
+    assert(AnomalyOps.readStats(spark, dir2, "grp").count() > 0)
+    // an EMPTY dir passes the semantics gate and fails downstream with
+    // the pre-existing "no live tranches" contract, not the blend error
+    val e2 = intercept[IllegalArgumentException] {
+      AnomalyOps.readStats(spark, tempDir("graft_sigma_meta3"), "grp")
+    }
+    assert(e2.getMessage.contains("no live tranches"), e2.getMessage)
+  }
+
   test("rollingSigmaFlags: level shift flags on arrival; current row outside its baseline") {
     // steady 10s then a jump to 100 at t=6: the jump must flag against
     // the PRIOR window; later rows see the shift in their baseline
