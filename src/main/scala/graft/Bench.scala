@@ -391,6 +391,24 @@ object Bench {
     }
     val mem = java.lang.management.ManagementFactory.getMemoryMXBean
     var gcForced = 0
+    // per-run process-CPU + an in-suite quick-canary strip (r16 verdict
+    // #2): the open/adjudication canaries measure two INSTANTS, but the
+    // r16-class warm inflation (in-suite warm ~2× same-session isolated,
+    // unreproducible on a quiet host under the exact query sequence at
+    // any heap size — graft.SuiteEffect evidence, SCALING.md r17) is
+    // consistent only with host load that comes and goes DURING the
+    // suite. Two witnesses make it legible per run: (a) wall≫cpu on a
+    // query = stolen cores, that run was contended; (b) quick-canary
+    // samples through the suite vs the open sample = when.
+    def procCpuNanos: Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+        case _ => -1L
+      }
+    val cpuSecs = scala.collection.mutable.Map.empty[String, Double]
+    val suiteQuick = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val quickOpen = HostCanary.quick()
+    var runCount = 0
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
     : (String, Double, Boolean, Double, Long) = {
       // operators that persist intermediates (LSH/jaccard) must not
@@ -414,6 +432,7 @@ object Bench {
       }
       resetPeaks()
       val gc0 = gcMillis
+      val cpu0 = procCpuNanos
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
       // Catalyst prune projection-only queries down to metadata reads)
@@ -424,8 +443,13 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMillis - gc0) / 1e3
+      val cpuSec = if (cpu0 < 0) -1.0 else (procCpuNanos - cpu0) / 1e9
+      cpuSecs(name) = cpuSec
       val peakMb = peakHeapMb
-      System.err.println(f"[bench] $name%-28s ${sec}%8.3f s  gc ${gcSec}%6.3f s  peak ${peakMb}%6d MB")
+      System.err.println(f"[bench] $name%-28s ${sec}%8.3f s  gc ${gcSec}%6.3f s  " +
+        f"cpu ${cpuSec}%7.2f s  peak ${peakMb}%6d MB")
+      runCount += 1
+      if (runCount % 30 == 0) suiteQuick += name -> HostCanary.quick()
       (name, sec, ok, gcSec, peakMb)
     }
     val queryMap = SparkEntry.queries
@@ -543,7 +567,14 @@ object Bench {
         s""","prior_warm":${r3(pw)},"isolated":${if (iso >= 0) r3(iso) else "-1"}""" +
           fl.fold("")(f => s""","floor":${r3(f)}""") +
           s""","verdict":"$verdict"""" }
-      s""""$k":{"sec":${if (ok) r3(v) else "-1"},"warm":$warm,"gc":${r3(gcS)},"peak_mb":$mb$adj}"""
+      // wall-vs-cpu witness (r16 verdict #2): a contended run shows
+      // wall ≫ cpu (stolen cores); cpu of the cold run plus the min
+      // over this query's warm reruns
+      val cpu = cpuSecs.get(k).filter(_ >= 0).fold("")(c => s""","cpu":${r3(c)}""")
+      val warmCpu = cpuSecs.collect {
+        case (lbl, c) if c >= 0 && lbl.startsWith(s"$k(warm") => c
+      }.reduceOption(_ min _).fold("")(c => s""","warm_cpu":${r3(c)}""")
+      s""""$k":{"sec":${if (ok) r3(v) else "-1"},"warm":$warm,"gc":${r3(gcS)},"peak_mb":$mb$cpu$warmCpu$adj}"""
     }
     // cold/warm ratios for the 5 cold-slowest stay first-class: they are
     // the attribution evidence for the cold numbers
@@ -567,8 +598,20 @@ object Bench {
     val canaryJson = s""""host_canary_sec":${r3(canaryAdj)},"host_canary_open":${r3(canaryOpen)}""" +
       floorCanary.fold("")(f => s""","host_canary_floor":${r3(f)}""") +
       s""","host_factor":${r3(hostFactor)}"""
+    // the in-suite quick-canary strip: comparable only to ITS OWN
+    // open sample (different workload than the settle canary); ratios
+    // >1 timestamp in-suite host load that the two instant canaries
+    // cannot see (detail file only — the contract head has a budget)
+    val quickJson = {
+      val maxRatio =
+        if (suiteQuick.isEmpty || quickOpen <= 0) 1.0
+        else math.max(1.0, suiteQuick.map(_._2).max / quickOpen)
+      s""","suite_quick_open":${r3(quickOpen)},"suite_quick_max_ratio":${r3(maxRatio)}""" +
+        s""","suite_quick":[${suiteQuick.map { case (n, s) =>
+          s"""["$n",${r3(s)}]""" }.mkString(",")}]"""
+    }
     val detail = detailEntries.mkString(
-      s"""{"metric":"detail","sf":"$sfDir","cpus":$cpus,"gc_forced":$gcForced,"basis":"warm",$canaryJson,"cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adjJson,"queries":{""",
+      s"""{"metric":"detail","sf":"$sfDir","cpus":$cpus,"gc_forced":$gcForced,"basis":"warm",$canaryJson$quickJson,"cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adjJson,"queries":{""",
       ",", "}}")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))

@@ -90,6 +90,21 @@ object HostCanary {
     }
   }
 
+  /** QUICK in-suite host sample (r16 verdict #2): one cpu1 + one
+    * cpu16 rep, ~0.4 s — cheap enough to interleave through a bench
+    * suite. NOT comparable to [[sec]] (different reps, no io leg):
+    * compare quick samples only against OTHER quick samples from the
+    * same process (the bench records one at open and a strip across
+    * the suite, and publishes the ratios). Rationale: the open/
+    * adjudication canaries measure two INSTANTS, but the r16-class
+    * warm-suite inflation (in-suite warm ~2× the same-session
+    * isolated figure, unreproducible on a quiet host under the exact
+    * same query sequence at any heap size — `graft.SuiteEffect`) is
+    * consistent only with load that comes and goes DURING the
+    * minutes-long suite window; this strip is the per-run witness
+    * that names it with data instead of inference. */
+  def quick(): Double = cpu1Rep() + cpuNRep()
+
   /** The canary figure: Σ of per-part minimums. `sfDir` feeds the
     * parquet leg; a dir with no parquet degrades to CPU-only (still
     * comparable as long as floor-settle and bench use the SAME dir
