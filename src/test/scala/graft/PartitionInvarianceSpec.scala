@@ -81,6 +81,31 @@ class PartitionInvarianceSpec extends SparkSpec {
         Seq("view", "click", "buy"), "event_id"))
   }
 
+  test("asofJoin, rollingAgg and scd2Apply are layout-invariant under ts collisions") {
+    val base = 1704100000L
+    def ts(off: Int) = new java.sql.Timestamp((base + off) * 1000L)
+    val left = (0 until 60).map(i =>
+      (s"k${rnd.nextInt(4)}", ts(rnd.nextInt(40)), i.toLong))
+      .toDF("k", "ts", "lid")
+    val right = (0 until 40).map(i =>
+      (s"k${rnd.nextInt(4)}", ts(rnd.nextInt(40)), i * 10L))
+      .toDF("k", "ts", "quote")
+    invariant("asofJoin", left)(d =>
+      graft.relational.RelationalOps.asofJoin(d, right, Seq("k"), "ts", Seq("quote")))
+    val series = (0 until 80).map(i =>
+      (s"k${rnd.nextInt(3)}", i.toLong, rnd.nextInt(100).toDouble))
+      .toDF("k", "t", "v")
+    invariant("rollingAgg", series)(d =>
+      graft.analytics.TimeSeriesOps.rollingAgg(d, "k", "t", "v", 5))
+    val history = (0L until 20L).map(id =>
+      (id, s"v${rnd.nextInt(3)}", "2024-01-01 00:00:00", null: String, true))
+      .toDF("id", "attr", "valid_from", "valid_to", "is_current")
+    val stage = (5L until 25L).map(id => (id, s"v${rnd.nextInt(3)}"))
+      .toDF("id", "attr")
+    invariant("scd2Apply", history)(h =>
+      graft.merge.Merge.scd2Apply(h, stage, Seq("id"), "2024-02-01 00:00:00"))
+  }
+
   test("connectedComponents assignment is layout-invariant") {
     val edges = (0 until 60).map { _ =>
       val a = rnd.nextInt(25).toLong; val b = rnd.nextInt(25).toLong
