@@ -669,15 +669,28 @@ object StreamingOps {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val report = graft.dedup.DedupOps.contaminationCheckViaBloom(
-          batch, benchmark, bloomDir, idCol, textCol, shingleN)
-        batch.join(
-            report.where(org.apache.spark.sql.functions.col("n_contaminated") === 0)
-              .select(org.apache.spark.sql.functions.col(idCol)),
-            Seq(idCol), "left_semi")
-          .write.mode("overwrite").parquet(s"$outDir/batch=$epoch")
+        processDecontamEpoch(batch, epoch, bloomDir, benchmark, outDir,
+          idCol, textCol, shingleN)
       }
       .start()
+  }
+
+  /** One epoch of [[decontamStream]], exposed so the streamed≡batch
+    * differential can replay arbitrary batch layouts deterministically
+    * (the [[processIndexedDedupEpoch]] pattern). Pure per batch: the
+    * clean decision reads only (batch, bloom artifact, benchmark) and
+    * overwrites the epoch's own tranche. */
+  private[graft] def processDecontamEpoch(
+      batch: DataFrame, epoch: Long, bloomDir: String, benchmark: DataFrame,
+      outDir: String, idCol: String, textCol: String,
+      shingleN: Int = 8): Unit = {
+    val report = graft.dedup.DedupOps.contaminationCheckViaBloom(
+      batch, benchmark, bloomDir, idCol, textCol, shingleN)
+    batch.join(
+        report.where(org.apache.spark.sql.functions.col("n_contaminated") === 0)
+          .select(org.apache.spark.sql.functions.col(idCol)),
+        Seq(idCol), "left_semi")
+      .write.mode("overwrite").parquet(s"$outDir/batch=$epoch")
   }
 
   /** STREAMING SCD-2 dimension maintenance: each epoch's micro-batch
@@ -703,18 +716,28 @@ object StreamingOps {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          // a micro-batch may carry several updates of one key — only
-          // the LATEST becomes a version (intermediate states that
-          // never survived an epoch boundary are not history)
-          val latest = graft.relational.RelationalOps.dedupByKeyFirst(
-            batch, keys, Seq(col(tsCol).desc))
-          val loadTs = batch.agg(max(col(tsCol)).cast("string")).head().getString(0)
-          graft.merge.Merge.scd2(latest.drop(tsCol), dimDir, keys, loadTs, compareCols)
-        }
+        processScd2Epoch(batch, dimDir, keys, tsCol, compareCols)
       }
       .start()
   }
+
+  /** One epoch of [[scd2Stream]], exposed so the streamed≡batch
+    * differential can replay arbitrary batch layouts deterministically
+    * (the [[processIndexedDedupEpoch]] pattern). Idempotent per batch
+    * by [[graft.merge.Merge.scd2Apply]]'s algebra — no decide-once
+    * ledger. */
+  private[graft] def processScd2Epoch(
+      batch: DataFrame, dimDir: String, keys: Seq[String], tsCol: String,
+      compareCols: Seq[String] = Nil): Unit =
+    if (!batch.isEmpty) {
+      // a micro-batch may carry several updates of one key — only
+      // the LATEST becomes a version (intermediate states that
+      // never survived an epoch boundary are not history)
+      val latest = graft.relational.RelationalOps.dedupByKeyFirst(
+        batch, keys, Seq(col(tsCol).desc))
+      val loadTs = batch.agg(max(col(tsCol)).cast("string")).head().getString(0)
+      graft.merge.Merge.scd2(latest.drop(tsCol), dimDir, keys, loadTs, compareCols)
+    }
 
   /** Streaming maintenance of the at-rest DAY-KEYED histogram
     * artifact ([[graft.profile.HistSketch.writeDayHistTranche]]):
