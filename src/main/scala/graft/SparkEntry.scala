@@ -73,9 +73,17 @@ object SparkEntry {
       val docs = Tables(s, dir, "documents").select("doc_id", "text")
       val bench = docs.where(col("doc_id") < 25)
       val bloomDir = graft.util.Scratch.path("pipeline_bloom_audit", dir)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bloomDir))
-      graft.dedup.DedupOps.benchmarkShingleBloom(bench, "text", bloomDir, "s0",
-        shingleN = 8)
+      // build-once-per-session (r17 ADVICE): the bloom is a pure
+      // function of (fixture, params) and the scratch path is
+      // pid-scoped, so a tranche that already exists IS this
+      // session's — re-deleting it on every plan-shape probe made
+      // absorbFlap's re-executions rewrite the artifact mid-probe
+      // (racy under concurrent audits, and a probe could perturb the
+      // very at-rest shape being re-checked)
+      if (!new java.io.File(s"$bloomDir/batch=s0").exists() ||
+          !new java.io.File(s"$bloomDir/_graft_bloom_meta").exists())
+        graft.dedup.DedupOps.benchmarkShingleBloom(bench, "text", bloomDir, "s0",
+          shingleN = 8)
       graft.pipeline.DecontamPipeline.cleanIdsPlan(docs, "doc_id", "text",
         bench, bloomDir, contamShingleN = 8)
     }))

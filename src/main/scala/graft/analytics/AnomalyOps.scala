@@ -110,13 +110,18 @@ object AnomalyOps {
   private[graft] val StatsSemanticsV2 = "n_semantics=snappable_only_v2"
 
   /** One ingest = one tranche ([[graft.util.SumTranches]] layout),
-    * stamped with the [[StatsSemanticsV2]] marker. */
+    * stamped with the [[StatsSemanticsV2]] marker. Marker FIRST (r17
+    * ADVICE): "marker present with zero tranches" is already a valid
+    * state, so ordering it before the tranche write keeps the
+    * invariant under crashes — tranche-first left a provably post-fix
+    * artifact that [[readStats]] fail-fasts on, forcing the manual
+    * marker-migration path on clean data. */
   def writeStatsTranche(sketch: DataFrame, dir: String, tag: String): Unit = {
-    graft.util.SumTranches.write(sketch, dir, tag)
     val spark = sketch.sparkSession
     val meta = s"$dir/$StatsMetaName"
     if (!graft.util.Fs.pathExists(spark, meta))
       graft.util.Fs.writeSmallFile(spark, meta, StatsSemanticsV2 + "\n")
+    graft.util.SumTranches.write(sketch, dir, tag)
   }
 
   /** Merge-on-read of the at-rest stats, superseding-manifest-aware.

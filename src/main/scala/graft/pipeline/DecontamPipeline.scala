@@ -18,19 +18,32 @@ import org.apache.spark.sql.functions._
   *   - [[Sig]]: the banded-MinHash signature join — measured 2.2×
   *     then 3.4× per decade at the pair stage (17.8 s at sf10, 6.1×
   *     under exact), 52.8 s composition at sf10. The scale path.
-  *   - [[Auto]] (default): route by CLEAN-CORPUS SIZE — the count is
-  *     read from the already-materialized clean-id frame, so the
-  *     decision costs one bounded-frame count, never a corpus pass.
-  *     Above [[AutoSigDocThreshold]] clean docs the exact tier's
-  *     measured ceiling says signatures; at or below, exact recall
-  *     is affordable. The routing decision is logged.
+  *   - [[Auto]] (default): route by CLEAN-CORPUS SIZE — doc count
+  *     AND shingle mass, both read from the already-materialized
+  *     clean-id frame (it carries each doc's contamination-check
+  *     shingle count), so the decision costs one bounded-frame agg,
+  *     never a corpus pass. EITHER predicate exceeding routes to
+  *     signatures: above [[AutoSigDocThreshold]] clean docs the
+  *     exact tier's measured ceiling says sig, and above
+  *     [[AutoSigShingleMassThreshold]] total shingles the same
+  *     ceiling is hit by LONG docs at low doc counts (the pair
+  *     stage's cost actually scales with exploded shingle/bucket
+  *     mass, not doc count — 50k novels shingle like 2M tweets).
+  *     The routing decision is logged with both figures.
   *
   * [[AutoSigDocThreshold]] = 100k docs sits one decade under the
   * measured sf10 blowup (~500k docs → 109 s exact vs 17.8 s sig on
   * 32 cores) and one decade over where exact is still comfortably
   * interactive (~5k docs → ~4.7 s): at 100k the exact pair stage
   * already costs ~2.3× the sig stage and is on the 8.9×/decade
-  * branch of its curve.
+  * branch of its curve. Those curves were measured on the ~54-token
+  * fixture documents (~47 8-gram shingles each — r17 left this
+  * doc-length assumption implicit), so the SAME operating point
+  * expressed length-independently is
+  * [[AutoSigShingleMassThreshold]] = 5e6 total shingles
+  * (100k docs × ~47); corpora of longer documents hit it at
+  * proportionally fewer docs, which is exactly how the pair join's
+  * cost behaves.
   *
   * Memory contract: the clean-id projection is materialized ONCE
   * (r16: the lazy plan re-ran the whole bloom gate — shingle + probe
@@ -66,6 +79,12 @@ object DecontamPipeline {
     * class doc for the measured derivation). */
   val AutoSigDocThreshold = 100000L
 
+  /** Total clean-corpus shingle mass above which [[Auto]] routes to
+    * [[Sig]] — the doc threshold's operating point re-expressed
+    * length-independently (100k fixture docs × ~47 shingles; see
+    * class doc). Guards the long-doc corpus the doc count misses. */
+  val AutoSigShingleMassThreshold = 5000000L
+
   /** One-shot form of [[decontamDedupSplitReleasable]] — the
     * materialized clean-id blocks are left for session teardown. */
   def decontamDedupSplit(docs: DataFrame, idCol: String, textCol: String,
@@ -80,10 +99,11 @@ object DecontamPipeline {
                          sigThreshold: Double = 0.4,
                          maxBucket: Int = 1000,
                          portable: Boolean = false,
-                         autoSigThreshold: Long = AutoSigDocThreshold): DataFrame =
+                         autoSigThreshold: Long = AutoSigDocThreshold,
+                         autoSigMassThreshold: Long = AutoSigShingleMassThreshold): DataFrame =
     decontamDedupSplitReleasable(docs, idCol, textCol, bench, bloomDir, splits,
       salt, tier, contamShingleN, pairShingleN, jaccardThreshold, sigK, sigBands,
-      sigThreshold, maxBucket, portable, autoSigThreshold)._1
+      sigThreshold, maxBucket, portable, autoSigThreshold, autoSigMassThreshold)._1
 
   /** The composition plus the clean-id release handle. `bloomDir` is
     * the at-rest benchmark shingle bloom
@@ -94,7 +114,13 @@ object DecontamPipeline {
     *
     * Release AFTER the returned frame is materialized (write or
     * collect); the pair-stage cache is consumed and released
-    * internally (the connected-components build materializes it). */
+    * internally (the connected-components build materializes it),
+    * and the handle also frees the CC fixpoint frame the distributed
+    * tier leaves persisted (r17 ADVICE: above the CC local threshold
+    * — exactly the at-scale Sig/Auto regime — the non-releasable form
+    * accrued one persisted fixpoint per invocation; the returned
+    * split frame reads that fixpoint lazily, so it can only be freed
+    * by the caller's handle, never internally). */
   def decontamDedupSplitReleasable(
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, bloomDir: String,
@@ -108,12 +134,16 @@ object DecontamPipeline {
       sigThreshold: Double = 0.4,
       maxBucket: Int = 1000,
       portable: Boolean = false,
-      autoSigThreshold: Long = AutoSigDocThreshold): (DataFrame, () => Unit) = {
+      autoSigThreshold: Long = AutoSigDocThreshold,
+      autoSigMassThreshold: Long = AutoSigShingleMassThreshold,
+      ccLocalThreshold: Int = 100000): (DataFrame, () => Unit) = {
     require(autoSigThreshold >= 0, s"autoSigThreshold=$autoSigThreshold must be >= 0")
+    require(autoSigMassThreshold >= 0,
+      s"autoSigMassThreshold=$autoSigMassThreshold must be >= 0")
     val (cleanIds, releaseIds) = graft.util.Materialize.boundedReleasable(
       cleanIdsPlan(docs, idCol, textCol, bench, bloomDir, contamShingleN))
     val clean = docs.join(cleanIds, Seq(idCol), "left_semi")
-    val chosen = resolveTier(tier, cleanIds, autoSigThreshold)
+    val chosen = resolveTier(tier, cleanIds, autoSigThreshold, autoSigMassThreshold)
     val (pairs, releasePairs) = chosen match {
       case Exact => graft.dedup.DedupOps.ngramJaccardPairsReleasable(
         clean, idCol, textCol, pairShingleN, jaccardThreshold, maxBucket)
@@ -122,12 +152,15 @@ object DecontamPipeline {
         portable, maxBucket)
       case Auto => throw new IllegalStateException("resolveTier returned Auto")
     }
-    val cc = graft.graph.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+    val (cc, releaseCc) = graft.graph.GraphOps.connectedComponentsReleasable(
+      pairs, "id_a", "id_b", localThreshold = ccLocalThreshold)
     releasePairs()   // the CC build materialized the pair pipeline
     val out = graft.training.TrainingOps.leakageSafeSplit(cleanIds, idCol, cc,
         splits, salt, portable)
       .select(col(idCol), col("group_id"), col("split"))
-    (out, releaseIds)
+    // leakageSafeSplit is lazy — the split frame reads the CC fixpoint,
+    // so its distributed-tier blocks free with the caller's handle
+    (out, () => { releaseCc(); releaseIds() })
   }
 
   /** The UN-checkpointed clean-id subtree — bloom-gated contamination
@@ -142,21 +175,33 @@ object DecontamPipeline {
   private[graft] def cleanIdsPlan(docs: DataFrame, idCol: String, textCol: String,
                                   bench: DataFrame, bloomDir: String,
                                   contamShingleN: Int = 8): DataFrame =
+    // n_shingles rides along (it is already computed by the check —
+    // zero extra corpus work) so the Auto router can read shingle
+    // mass from the bounded frame instead of re-scanning text; the
+    // final split projection drops it
     graft.dedup.DedupOps.contaminationCheckViaBloom(docs, bench, bloomDir,
         idCol, textCol, contamShingleN)
-      .where(col("n_contaminated") === 0).select(idCol)
+      .where(col("n_contaminated") === 0).select(col(idCol), col("n_shingles"))
 
   /** The [[Auto]] routing predicate, factored for direct spec
-    * coverage: counts the (already-materialized, bounded) clean-id
-    * frame and logs the decision with the measured rationale. */
+    * coverage: one agg over the (already-materialized, bounded)
+    * clean-id frame — doc count AND total shingle mass — and logs the
+    * decision with the measured rationale. Either predicate exceeding
+    * routes to [[Sig]] (the long-doc guard: pair cost scales with
+    * shingle mass, not doc count). */
   private[graft] def resolveTier(tier: Tier, cleanIds: DataFrame,
-                                 autoSigThreshold: Long): Tier = tier match {
+                                 autoSigThreshold: Long,
+                                 autoSigMassThreshold: Long = AutoSigShingleMassThreshold)
+  : Tier = tier match {
     case Auto =>
-      val n = cleanIds.count()
-      val t = if (n > autoSigThreshold) Sig else Exact
+      val r = cleanIds.agg(count(lit(1)),
+        coalesce(sum(col("n_shingles")), lit(0L))).head()
+      val (n, mass) = (r.getLong(0), r.getLong(1))
+      val t = if (n > autoSigThreshold || mass > autoSigMassThreshold) Sig else Exact
       System.err.println(s"[decontam] auto tier: $n clean docs vs threshold " +
-        s"$autoSigThreshold -> $t (measured pair-stage slopes: exact 8.9x/decade, " +
-        "sig 3.4x/decade; see DecontamPipeline scaladoc)")
+        s"$autoSigThreshold, $mass shingles vs $autoSigMassThreshold -> $t " +
+        "(measured pair-stage slopes: exact 8.9x/decade, sig 3.4x/decade; " +
+        "see DecontamPipeline scaladoc)")
       t
     case t => t
   }

@@ -19,7 +19,41 @@ import org.apache.spark.sql.DataFrame
   * bucket rows) — this materializes eagerly.
   */
 object Materialize {
+  /** One-shot form: the materialized blocks live until session
+    * teardown (or ContextCleaner GC). The rolling/drift gauges call
+    * this internally — their materialized frame feeds the RETURNED
+    * lazy result, so no internal release point exists. A LONG-LIVED
+    * session re-invoking a gauge per refresh must not accrue those
+    * blocks forever: wrap the gauge build in [[scoped]] and release
+    * by the combined handle after the refresh's final action — the
+    * handle frees exactly the frames the wrapped calls materialized,
+    * never a concurrent job's blocks (the no-sweep contract below). */
   def bounded(df: DataFrame): DataFrame = boundedReleasable(df)._1
+
+  // innermost active accumulation scope per thread (gauge plan
+  // construction — and the eager localCheckpoint jobs it runs — stay
+  // on the calling thread, so thread-local capture sees every
+  // bounded() a wrapped call makes)
+  private val scopeStack = new ThreadLocal[List[
+    scala.collection.mutable.ArrayBuffer[() => Unit]]] {
+    override def initialValue(): List[
+      scala.collection.mutable.ArrayBuffer[() => Unit]] = Nil
+  }
+
+  /** Run `body` collecting the release handles of every [[bounded]] /
+    * [[boundedReleasable]] materialization it performs on this
+    * thread; returns the result plus ONE combined release. The
+    * swept-entry-point answer for long-lived callers of gauges whose
+    * API has no handle (r17 verdict #3): release AFTER the returned
+    * frames are consumed (a severed localCheckpoint block is
+    * unrecoverable). Releasing twice is harmless (unpersist is
+    * idempotent); nested scopes capture into the innermost only. */
+  def scoped[A](body: => A): (A, () => Unit) = {
+    val buf = scala.collection.mutable.ArrayBuffer[() => Unit]()
+    scopeStack.set(buf :: scopeStack.get)
+    val a = try body finally scopeStack.set(scopeStack.get.tail)
+    (a, () => buf.foreach(_.apply()))
+  }
 
   /** [[bounded]] plus a release handle that frees the materialized
     * blocks EXPLICITLY. A local checkpoint's RDD is persisted in the
@@ -35,16 +69,20 @@ object Materialize {
     * Release is a no-op for the reliable-checkpoint path (files,
     * owned by the checkpoint dir lifecycle).
     */
-  def boundedReleasable(df: DataFrame): (DataFrame, () => Unit) =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      (df.checkpoint(), () => ())
-    else {
-      val out = df.localCheckpoint()
-      val release: () => Unit = out.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          () => { l.rdd.unpersist(blocking = false); () }
-        case _ => () => () // plan shape drifted: fall back to ContextCleaner
+  def boundedReleasable(df: DataFrame): (DataFrame, () => Unit) = {
+    val (out, release) =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        (df.checkpoint(), () => ()): (DataFrame, () => Unit)
+      else {
+        val ckpt = df.localCheckpoint()
+        val rel: () => Unit = ckpt.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            () => { l.rdd.unpersist(blocking = false); () }
+          case _ => () => () // plan shape drifted: fall back to ContextCleaner
+        }
+        (ckpt, rel)
       }
-      (out, release)
-    }
+    scopeStack.get.headOption.foreach(_ += release)
+    (out, release)
+  }
 }

@@ -113,6 +113,21 @@ class AnomalyOpsSpec extends SparkSpec {
       AnomalyOps.readStats(spark, tempDir("graft_sigma_meta3"), "grp")
     }
     assert(e2.getMessage.contains("no live tranches"), e2.getMessage)
+    // crash ordering (r17 ADVICE #2): the marker lands BEFORE the
+    // tranche, so a write that dies mid-tranche leaves "marker, zero
+    // tranches" — a valid state — never "tranche, no marker" (which
+    // would fail-fast a provably post-fix artifact into the manual
+    // migration path). Inject the crash via an unevaluable sketch.
+    val dir4 = tempDir("graft_sigma_meta4")
+    val poison = AnomalyOps.statsSketch(
+      Seq(("g", 1.0)).toDF("grp", "value")
+        .where(org.apache.spark.sql.functions
+          .assert_true(org.apache.spark.sql.functions.col("value") < 0).isNull),
+      "grp", "value")
+    intercept[Throwable] { AnomalyOps.writeStatsTranche(poison, dir4, "t0") }
+    assert(graft.util.Fs.pathExists(spark, s"$dir4/${AnomalyOps.StatsMetaName}"),
+      "marker must precede the tranche write")
+    assert(graft.util.SumTranches.live(spark, dir4).isEmpty)
   }
 
   test("rollingSigmaFlags: level shift flags on arrival; current row outside its baseline") {

@@ -40,11 +40,12 @@ class DecontamPipelineSpec extends SparkSpec {
   }
 
   private def run(tier: DecontamPipeline.Tier,
-                  autoThreshold: Long = DecontamPipeline.AutoSigDocThreshold) = {
-    val (docs, bench, bloomDir) = fixture(s"${tier}_$autoThreshold")
+                  autoThreshold: Long = DecontamPipeline.AutoSigDocThreshold,
+                  autoMassThreshold: Long = DecontamPipeline.AutoSigShingleMassThreshold) = {
+    val (docs, bench, bloomDir) = fixture(s"${tier}_${autoThreshold}_$autoMassThreshold")
     DecontamPipeline.decontamDedupSplit(docs, "doc_id", "text", bench, bloomDir,
         splits, salt = "s", tier = tier, portable = true,
-        autoSigThreshold = autoThreshold)
+        autoSigThreshold = autoThreshold, autoSigMassThreshold = autoMassThreshold)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
   }
 
@@ -96,5 +97,38 @@ class DecontamPipelineSpec extends SparkSpec {
       DecontamPipeline.Exact)
     assert(DecontamPipeline.resolveTier(DecontamPipeline.Sig, poison, 0L) ==
       DecontamPipeline.Sig)
+  }
+
+  test("releasable form frees the DISTRIBUTED CC fixpoint too (r17 ADVICE #1)") {
+    // the driver CC tier self-unpersists, so the r16-era leak test
+    // could not see the distributed tier's fixpoint frame — force it
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (docs, bench, bloomDir) = fixture("ccdist")
+    val (out, release) = DecontamPipeline.decontamDedupSplitReleasable(
+      docs, "doc_id", "text", bench, bloomDir, splits, salt = "s",
+      tier = DecontamPipeline.Exact, portable = true, ccLocalThreshold = 0)
+    assert(out.collect().length == 6)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "distributed-tier CC fixpoint + clean-id frame persisted behind the result")
+    release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty, s"blocks left persisted after release: $leaked")
+  }
+
+  test("auto routing reads shingle MASS too: few very long docs route Sig (r17 verdict #4)") {
+    // 10 docs, 600k shingles each = 6e6 mass > the 5e6 default — the
+    // long-doc corpus the doc-count predicate (10 <= 100k) misses
+    val longDocs = (0L until 10L).map(i => (i, 600000L)).toDF("doc_id", "n_shingles")
+    assert(DecontamPipeline.resolveTier(DecontamPipeline.Auto, longDocs,
+      DecontamPipeline.AutoSigDocThreshold) == DecontamPipeline.Sig)
+    // boundary: mass == threshold stays Exact (strictly-greater routes)
+    val atMass = Seq((0L, DecontamPipeline.AutoSigShingleMassThreshold))
+      .toDF("doc_id", "n_shingles")
+    assert(DecontamPipeline.resolveTier(DecontamPipeline.Auto, atMass,
+      DecontamPipeline.AutoSigDocThreshold) == DecontamPipeline.Exact)
+    // and end-to-end: a tiny mass threshold forces the Sig path, whose
+    // output matches the forced-Sig run exactly
+    assert(run(DecontamPipeline.Auto, autoMassThreshold = 0L) ==
+      run(DecontamPipeline.Sig))
   }
 }

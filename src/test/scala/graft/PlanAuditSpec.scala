@@ -113,6 +113,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("audit-only builder is probe-stable: re-building the clean-ids frame leaves the bloom artifact untouched (r17 ADVICE #3)") {
+    // absorbFlap re-executes plan probes to detect environmental flaps;
+    // a builder that deletes+rewrites its scratch bloom per probe would
+    // perturb the very at-rest artifact whose shape is being re-checked
+    val build = SparkEntry.auditOnlyPlans("q_decontam_clean_ids_pre")
+    build(spark, sfDir).queryExecution.executedPlan: Unit
+    val bloomDir = new java.io.File(
+      graft.util.Scratch.path("pipeline_bloom_audit", sfDir))
+    def stamp = bloomDir.listFiles() match {
+      case null => Seq.empty
+      case fs => fs.flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)
+        .map(f => (f.getPath, f.lastModified()))).sortBy(_._1).toSeq
+    }
+    val first = stamp
+    assert(first.nonEmpty, "first probe must have built the session bloom")
+    build(spark, sfDir).queryExecution.executedPlan: Unit
+    assert(stamp == first, "re-probe must reuse the session bloom, not rewrite it")
+  }
+
   test("comparator flags planted regressions: extra exchange, new BNLJ, AQE demotion, added/removed query") {
     def qs(se: Int, sb: Int, sh: Int, fe: Int, fb: Int, fh: Int) =
       QueryShapes(Shape(se, sb, 0, sh), Shape(fe, fb, 0, fh))
