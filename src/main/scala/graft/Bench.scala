@@ -561,6 +561,24 @@ object Bench {
           f"floor ${fl.getOrElse(-1.0)}%.3f — $verdict")
         n -> (pw, w, iso, fl, verdict)
       }.toMap
+    // CONTENTION-ROBUST headline (r17 verdict #5): warm_total embeds
+    // whatever in-suite co-tenant bursts the witnesses record
+    // (suite_quick_max_ratio, wall≫cpu), so round-over-round judgment
+    // on it conflates plan changes with host weather. robust_total
+    // substitutes the fresh-JVM isolated figure wherever the drift
+    // cascade measured one (min(warm, isolated) — both are valid
+    // observations of the same plan; the min is the least-contended)
+    // and is the number future rounds compare (SCALING.md r18).
+    // Sub-1.15×-drift contention still rides in it — bounded by
+    // construction to 15% per query, vs the unbounded bursts the
+    // adjudicated queries showed (r16: 2×).
+    val robustTotal = coldOk.map { case (n, c, _, _, _) =>
+      val w = warmOf(n, c)
+      adjudicated.get(n) match {
+        case Some((_, _, iso, _, _)) if iso >= 0 => math.min(w, iso)
+        case _ => w
+      }
+    }.sum
     val detailEntries = results.map { case (k, v, ok, gcS, mb) =>
       val warm = if (ok) r3(warmOf(k, v)) else "-1"
       val adj = adjudicated.get(k).fold("") { case (pw, _, iso, fl, verdict) =>
@@ -611,7 +629,7 @@ object Bench {
           s"""["$n",${r3(s)}]""" }.mkString(",")}]"""
     }
     val detail = detailEntries.mkString(
-      s"""{"metric":"detail","sf":"$sfDir","cpus":$cpus,"gc_forced":$gcForced,"basis":"warm",$canaryJson$quickJson,"cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adjJson,"queries":{""",
+      s"""{"metric":"detail","sf":"$sfDir","cpus":$cpus,"gc_forced":$gcForced,"basis":"warm",$canaryJson$quickJson,"cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"robust_total":${r3(robustTotal)},"warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adjJson,"queries":{""",
       ",", "}}")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
@@ -630,7 +648,7 @@ object Bench {
     val budget = 1900
     val regressedJson = regressed.map(q => s""""$q"""").mkString("[", ",", "]")
     def headWith(adj: String) =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","basis":"warm","cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"gc_sec":${r3(gcTotal)},"gc_forced":$gcForced,"failed":${failed.size},"regressed":$regressedJson,"host_factor":${r3(hostFactor)},"sf":"$sfDir","detail":"bench_detail.json","warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adj,"queries":{"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","basis":"warm","cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"robust_total":${r3(robustTotal)},"gc_sec":${r3(gcTotal)},"gc_forced":$gcForced,"failed":${failed.size},"regressed":$regressedJson,"host_factor":${r3(hostFactor)},"sf":"$sfDir","detail":"bench_detail.json","warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adj,"queries":{"""
     // the HEAD counts against the budget too (r15 ADVICE #4): a
     // verdict-heavy round (8 adjudicated entries ≈ 1 KB) could push
     // the untrimmable head past the window and truncate the line's

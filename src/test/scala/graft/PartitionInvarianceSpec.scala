@@ -23,12 +23,19 @@ class PartitionInvarianceSpec extends SparkSpec {
     Seq(df.coalesce(1), df.repartition(7), df.repartition(32, col(df.columns.head)))
 
   private def invariant(name: String, df: DataFrame)(op: DataFrame => DataFrame): Unit = {
+    // schema compared alongside values (r17 verdict #6: a bare
+    // Row.toString can mask type-level divergence — with types pinned
+    // equal, equal toStrings imply equal typed values)
     val results = layouts(df).map { d =>
-      op(d).collect().map(_.toString).sorted.toSeq
+      val out = op(d)
+      (out.schema.map(f => (f.name, f.dataType.typeName, f.nullable)),
+        out.collect().map(_.toString).sorted.toSeq)
     }
-    assert(results(0) == results(1) && results(1) == results(2),
-      s"$name varies with partitioning: sizes ${results.map(_.size)}; " +
-        s"first diff ${results(0).zip(results(1)).find(p => p._1 != p._2)}")
+    assert(results(0)._1 == results(1)._1 && results(1)._1 == results(2)._1,
+      s"$name schema varies with partitioning: ${results.map(_._1)}")
+    assert(results(0)._2 == results(1)._2 && results(1)._2 == results(2)._2,
+      s"$name varies with partitioning: sizes ${results.map(_._2.size)}; " +
+        s"first diff ${results(0)._2.zip(results(1)._2).find(p => p._1 != p._2)}")
   }
 
   private val rnd = new scala.util.Random(17080)
