@@ -59,7 +59,14 @@ object AnomalyOps {
     require(decimals >= 0 && decimals <= 6,
       s"sigma stats: decimals=$decimals outside [0, 6]")
     val unit = math.pow(10, decimals).toLong // exact: decimals <= 6
-    (col(valueCol).cast(DecimalType(18, decimals)) * lit(unit)).cast(LongType)
+    // try_cast, not cast (r18 differential find): under ANSI mode the
+    // plain cast THROWS on a magnitude beyond DECIMAL(18, decimals),
+    // so one wild reading (a sensor spike, a unit bug) would kill the
+    // whole stats job instead of being excluded — the exclusion
+    // semantics this family documents and the n/S/Q alignment relies
+    // on. try_cast yields NULL on overflow in both ANSI modes.
+    (expr(s"try_cast(`$valueCol` AS DECIMAL(18, $decimals))") * lit(unit))
+      .cast(LongType)
   }
 
   /** The group-stats SKETCH behind the k-sigma test: per key, the

@@ -342,6 +342,179 @@ class StreamingPropertySpec extends SparkSpec {
     assert(got == want)
   }
 
+  // ------------------------------------------ sum-algebra tranche families
+
+  test("sigmaStatsStream artifact ≡ driver fixed-point model ≡ one-shot statsSketch, any layout + fold + replay") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(18600 + seed)
+      // values with >4 decimal digits (snapping exercised), nulls, and
+      // one unsnappable magnitude (DECIMAL(18,4) overflow -> excluded)
+      val rows: Seq[(String, Option[Double])] = (0 until 60).map { i =>
+        val k = s"g${rnd.nextInt(4)}"
+        val v = rnd.nextInt(10) match {
+          case 0 => None
+          case 1 => Some(9.9e15)
+          case _ => Some((rnd.nextInt(2000001) - 1000000) / 97.0)
+        }
+        (k, v)
+      }
+      // the driver ledger: HALF_UP snap to 1e-4 fixed point, exact
+      // BigInt sums, null/unsnappable excluded from n, S and Q alike
+      val model = rows.groupBy(_._1).map { case (k, ks) =>
+        val snapped = ks.flatMap(_._2).flatMap { v =>
+          // DECIMAL(18,4): unscaled magnitude must fit 18 digits —
+          // beyond it the engine's snap overflows to null (excluded)
+          val u = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000
+          if (u.abs >= BigDecimal(10).pow(18)) None else Some(u.toBigInt)
+        }
+        k -> (BigInt(snapped.size), snapped.sum, snapped.map(x => x * x).sum)
+      }
+      val df = rows.toDF("k", "v").withColumn("v", col("v").cast("double"))
+      val ops = graft.analytics.AnomalyOps
+      def statsMap(stats: DataFrame): Map[(String, String), BigInt] =
+        stats.select(col("k"), col("stat"), col("val").cast("string"))
+          .as[(String, String, String)].collect()
+          .map { case (k, s, v) => (k, s) -> BigInt(v) }.toMap
+      val oneShot = statsMap(ops.statsSketch(df, "k", "v"))
+      model.foreach { case (k, (n, s, q)) =>
+        assert(oneShot((k, "n")) == n && oneShot((k, "s")) == s &&
+          oneShot((k, "q")) == q, s"seed=$seed key=$k one-shot-vs-model")
+      }
+      for ((nB, li) <- Seq(1, 4).zipWithIndex) {
+        val dir = tempDir(s"graft_sprop_stats_${seed}_$li")
+        val batches = cut(rows, nB, rnd)
+        batches.zipWithIndex.foreach { case (b, e) =>
+          ops.writeStatsTranche(ops.statsSketch(
+            b.toDF("k", "v").withColumn("v", col("v").cast("double")), "k", "v"),
+            dir, e.toString)
+          if (li == 1 && e == 1) ops.consolidateStats(spark, dir, "k")
+        }
+        // replay epoch 0 after the fold: own-tranche overwrite converges
+        ops.writeStatsTranche(ops.statsSketch(
+          batches.head.toDF("k", "v").withColumn("v", col("v").cast("double")),
+          "k", "v"), dir, "0")
+        assert(statsMap(ops.readStats(spark, dir, "k")) == oneShot,
+          s"seed=$seed layout=$nB")
+      }
+    }
+  }
+
+  test("histStream artifact ≡ one-shot histSketch for any layout (bucket-sum algebra) + replay") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(18700 + seed)
+      val vals = Seq.fill(200)((rnd.nextGaussian() * 1000).round / 10.0 *
+        (if (rnd.nextBoolean()) 1 else -1))
+      val hs = graft.profile.HistSketch
+      val want = hs.histSketch(vals.toDF("v"), "v")
+        .as[(Long, Long)].collect().toMap
+      for ((nB, li) <- Seq(2, 5).zipWithIndex) {
+        val dir = tempDir(s"graft_sprop_hist_${seed}_$li")
+        val batches = cut(vals, nB, rnd)
+        batches.zipWithIndex.foreach { case (b, e) =>
+          hs.writeHistTranche(hs.histSketch(b.toDF("v"), "v"), dir, e.toString)
+        }
+        hs.writeHistTranche(hs.histSketch(batches.head.toDF("v"), "v"), dir, "0")
+        val got = hs.readHist(spark, dir).as[(Long, Long)].collect().toMap
+        assert(got == want, s"seed=$seed layout=$nB")
+      }
+    }
+  }
+
+  test("coocStream artifact lift ≡ one-shot coOccurrenceLift when epochs partition the groups") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(18800 + seed)
+      val rows = (0 until 120).map { _ =>
+        (s"grp${rnd.nextInt(12)}", s"item${rnd.nextInt(8)}")
+      }
+      val go = graft.graph.GraphOps
+      def liftSet(df: DataFrame): Set[(String, String, Long, Double)] =
+        df.select(col("item_a"), col("item_b"), col("n_groups"), col("lift"))
+          .as[(String, String, Long, Double)].collect().toSet
+      val want = liftSet(go.coOccurrenceLift(rows.toDF("g", "i"), "g", "i"))
+      for ((nE, li) <- Seq(1, 3).zipWithIndex) {
+        // the artifact CONTRACT: a group arrives wholly inside one
+        // epoch — partition GROUPS across epochs, not rows
+        val groupOf = rows.map(_._1).distinct
+          .map(g => g -> rnd.nextInt(nE)).toMap
+        val dir = tempDir(s"graft_sprop_cooc_${seed}_$li")
+        (0 until nE).foreach { e =>
+          val slice = rows.filter(r => groupOf(r._1) == e)
+          if (slice.nonEmpty)
+            go.writeCoocTranche(slice.toDF("g", "i"), "g", "i", dir, e.toString)
+        }
+        assert(liftSet(go.coocLiftFromIndex(spark, dir)) == want,
+          s"seed=$seed epochs=$nE")
+      }
+    }
+  }
+
+  // -------------------------------- indexedDedupStream layout-aware model
+
+  test("indexedDedupStream exact tier ≡ driver jaccard/fingerprint ledger over random layouts") {
+    // vocabulary + controlled mutations: exact re-crawls differ only in
+    // case/whitespace (fingerprint normalizes), near-dups substitute one
+    // middle word of a 12-word doc (J = 7/13 over 3-gram shingles — well
+    // off the 0.5 threshold boundary in both directions)
+    def norm(t: String) = t.toLowerCase.trim.replaceAll("\\s+", " ")
+    def sh3(t: String): Set[String] = {
+      val w = norm(t).split(" ")
+      if (w.length < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty || b.isEmpty) 0.0
+      else a.intersect(b).size.toDouble / a.union(b).size
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(18900 + seed)
+      val vocab = (0 until 60).map(i => s"t$i")
+      def freshDoc() = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val seedDocs = Seq((1L, freshDoc()), (2L, freshDoc()))
+      // arrival sequence: fresh docs, near-dup mutations of a random
+      // EARLIER doc (incl. the index seeds), exact re-crawls with
+      // case/whitespace drift
+      val arrivals = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      var id = 10L
+      while (arrivals.size < 18) {
+        val pool = seedDocs ++ arrivals
+        val r = rnd.nextInt(10)
+        val text =
+          if (r < 5 || pool.isEmpty) freshDoc()
+          else if (r < 8) { // near-dup: swap one middle word
+            val w = norm(pool(rnd.nextInt(pool.size))._2).split(" ").toSeq
+            w.updated(5, vocab(rnd.nextInt(vocab.size))).mkString(" ")
+          } else { // exact re-crawl with surface drift
+            val t = pool(rnd.nextInt(pool.size))._2
+            "  " + t.toUpperCase.replace(" ", "   ")
+          }
+        arrivals += ((id, text)); id += 1
+      }
+      for ((nB, li) <- Seq(1, 3).zipWithIndex) {
+        val base = tempDir(s"graft_sprop_idx_${seed}_$li")
+        val idx = s"$base/idx"; val out = s"$base/out"
+        graft.dedup.DedupOps.writeDedupIndex(seedDocs.toDF("doc_id", "text"),
+          idx, "doc_id", "text")
+        // the driver ledger mirrors the epoch structure: survivors are
+        // judged against the index AT EPOCH START (within-batch dups
+        // both survive — the documented history-only contract), then
+        // every survivor joins the index
+        var index = seedDocs.toVector
+        val expected = scala.collection.mutable.Set[Long]()
+        val batches = cut(arrivals.toSeq, nB, rnd)
+        for ((b, e) <- batches.zipWithIndex) {
+          val survivors = b.filter { case (_, t) =>
+            !index.exists(h => norm(h._2) == norm(t)) &&
+              !index.exists(h => jac(sh3(t), sh3(h._2)) >= 0.5)
+          }
+          expected ++= survivors.map(_._1)
+          index ++= survivors
+          StreamingOps.processIndexedDedupEpoch(
+            b.toDF("doc_id", "text"), e.toLong, idx, out, "doc_id", "text")
+        }
+        val got = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+        assert(got == expected.toSet, s"seed=$seed layout=$nB")
+      }
+    }
+  }
+
   test("groupIndexStream over MemoryStream with a mid-stream restart converges to the batch CC build") {
     val rnd = new scala.util.Random(18520)
     val edges = Seq.fill(40)((rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
