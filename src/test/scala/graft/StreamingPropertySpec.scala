@@ -448,6 +448,39 @@ class StreamingPropertySpec extends SparkSpec {
     }
   }
 
+  test("day-keyed stream artifacts (mix / HLL / centroid): rolling gauges from the index ≡ in-run gauges, days split across epochs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(19000 + seed)
+      // events across 6 days, ROW-level random cuts so days routinely
+      // split across epochs — the per-(day,key) sum / register-max
+      // claim each artifact's doc makes
+      val rows = Seq.fill(150)((
+        f"2024-02-${1 + rnd.nextInt(6)}%02d ${rnd.nextInt(24)}%02d:00:00",
+        s"u${rnd.nextInt(25)}",
+        Array.fill(4)((rnd.nextInt(2001) - 1000) / 1000.0f)))
+      def df(xs: Seq[(String, String, Array[Float])]) =
+        xs.toDF("ts", "k", "vec").withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val all = df(rows)
+      val nB = 2 + rnd.nextInt(3)
+      val base = tempDir(s"graft_sprop_day_$seed")
+      cut(rows, nB, rnd).zipWithIndex.foreach { case (b, e) =>
+        graft.text.TextOps.writeDayMixTranche(df(b), "k", "ts", s"$base/mix", e.toString)
+        graft.profile.Sketches.writeDayHllTranche(df(b), "k", "ts", s"$base/hll", e.toString)
+        graft.similarity.SimilarityOps.writeCentroidTranche(df(b), "vec", "ts",
+          s"$base/cen", e.toString)
+      }
+      assertSameRows(
+        graft.text.TextOps.jsRollingFromIndex(spark, s"$base/mix", 3),
+        graft.text.TextOps.jsRollingDivergence(all, "k", "ts", 3))
+      assertSameRows(
+        graft.profile.Sketches.hllRollingFromIndex(spark, s"$base/hll", 3),
+        graft.profile.Sketches.hllRollingEstimate(all, "k", "ts", 3))
+      assertSameRows(
+        graft.similarity.SimilarityOps.centroidRollingFromIndex(spark, s"$base/cen", 3),
+        graft.similarity.SimilarityOps.centroidRollingDrift(all, "vec", "ts", 3))
+    }
+  }
+
   // -------------------------------- indexedDedupStream layout-aware model
 
   test("indexedDedupStream exact tier ≡ driver jaccard/fingerprint ledger over random layouts") {
