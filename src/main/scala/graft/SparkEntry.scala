@@ -79,11 +79,17 @@ object SparkEntry {
       // session's — re-deleting it on every plan-shape probe made
       // absorbFlap's re-executions rewrite the artifact mid-probe
       // (racy under concurrent audits, and a probe could perturb the
-      // very at-rest shape being re-checked)
-      if (!new java.io.File(s"$bloomDir/batch=s0").exists() ||
-          !new java.io.File(s"$bloomDir/_graft_bloom_meta").exists())
-        graft.dedup.DedupOps.benchmarkShingleBloom(bench, "text", bloomDir, "s0",
-          shingleN = 8)
+      // very at-rest shape being re-checked). The check-then-build is
+      // serialized on a per-path monitor (r18 ADVICE): two first
+      // probes could both observe the artifact missing and race
+      // overwrite-vs-overwrite on the same parquet dir; the path is
+      // pid-scoped, so a this-JVM lock is the whole race surface.
+      bloomDir.intern.synchronized {
+        if (!new java.io.File(s"$bloomDir/batch=s0").exists() ||
+            !new java.io.File(s"$bloomDir/_graft_bloom_meta").exists())
+          graft.dedup.DedupOps.benchmarkShingleBloom(bench, "text", bloomDir, "s0",
+            shingleN = 8)
+      }
       graft.pipeline.DecontamPipeline.cleanIdsPlan(docs, "doc_id", "text",
         bench, bloomDir, contamShingleN = 8)
     }))

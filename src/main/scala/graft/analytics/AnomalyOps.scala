@@ -65,7 +65,10 @@ object AnomalyOps {
     // whole stats job instead of being excluded — the exclusion
     // semantics this family documents and the n/S/Q alignment relies
     // on. try_cast yields NULL on overflow in both ANSI modes.
-    (expr(s"try_cast(`$valueCol` AS DECIMAL(18, $decimals))") * lit(unit))
+    // Column API, not a SQL string (r18 ADVICE): interpolating the
+    // name broke on backticks and silently re-resolved dotted names
+    // (`a.b` the nested field became `a.b` the literal top-level name).
+    (col(valueCol).try_cast(DecimalType(18, decimals)) * lit(unit))
       .cast(LongType)
   }
 

@@ -74,14 +74,25 @@ object TimeSeriesOps {
     * time window, which is why this composes with the resampler
     * instead of guessing.
     *
-    * Determinism: the windowed sum runs over DECIMAL(12,2)-cast values
-    * — exact, so the within-frame accumulation order (and DuckDB's
-    * segment-tree window evaluation vs Spark's running frame) cannot
-    * flip a digit; `roll_sum` is the exact decimal cast to double
-    * (value-determined, identical everywhere) and `roll_avg` is ONE
-    * IEEE division of that by the exact count. The usual
+    * Determinism: the windowed sum runs over DECIMAL(12,2)-snapped
+    * values — exact, so the within-frame accumulation order (and
+    * DuckDB's segment-tree window evaluation vs Spark's running frame)
+    * cannot flip a digit; `roll_sum` is the exact decimal cast to
+    * double (value-determined, identical everywhere) and `roll_avg` is
+    * ONE IEEE division of that by the exact count. The usual
     * exact-decimal-sum oracle discipline, applied inside a window
     * frame.
+    *
+    * Exclusion semantics (r18 verdict #1 — the AnomalyOps ANSI-
+    * overflow sibling): the snap is a `try_cast`, so a NULL value OR a
+    * magnitude beyond DECIMAL(12,2) (|v| ≥ 10^10 — a bytes counter, a
+    * sensor spike) is EXCLUDED from the frame instead of throwing
+    * under ANSI mode (Spark 4's default) and killing the rolling job.
+    * `roll_n` counts the SNAPPED column, so n, sum and avg always
+    * describe the same observation set (the r16 n/S alignment
+    * discipline); rows excluded from a frame still get their own
+    * output row, flagged by the smaller `roll_n`. A frame with no
+    * snappable rows reports (NULL, 0, NULL).
     *
     * Scale shape: one key-partitioned ordered window — a single
     * exchange + sort, reused for all three outputs. Ties in
@@ -94,8 +105,9 @@ object TimeSeriesOps {
     require(nRows >= 1, s"rollingAgg: nRows=$nRows must be >= 1")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
       .rowsBetween(-(nRows - 1).toLong, Window.currentRow)
-    val exact = sum(col(valueCol).cast(DecimalType(12, 2))).over(w)
-    val cnt = count(col(valueCol)).over(w)
+    val snapped = col(valueCol).try_cast(DecimalType(12, 2))
+    val exact = sum(snapped).over(w)
+    val cnt = count(snapped).over(w)
     df.withColumn("roll_sum", exact.cast(DoubleType))
       .withColumn("roll_n", cnt)
       .withColumn("roll_avg", exact.cast(DoubleType) / cnt)

@@ -83,6 +83,14 @@ object CleanOps {
     * `src/pyveb/spark_client.py:269-279,330-343` (a Python UDF there;
     * a plain cast here — Spark double→int truncates toward zero exactly
     * like Python's `int()`).
+    *
+    * THROW is the documented out-of-envelope semantics (r19 ANSI cast
+    * audit): this is a REPAIR op whose contract is "the column really
+    * holds INT-ranged values, parquet just widened it" — a NaN or a
+    * magnitude beyond int means the column was never an INT column,
+    * and silently nulling it would corrupt the repair. Under ANSI mode
+    * (Spark 4's default) such a value fails the job loudly; use
+    * [[stringToInt]]-style lenient conversion when junk is expected.
     */
   def floatToInt(df: DataFrame, cols: Seq[String]): DataFrame =
     df.withColumns(cols.map(c => c -> col(c).cast(IntegerType)).toMap)
@@ -90,14 +98,18 @@ object CleanOps {
   /** Lenient string → int: ''/junk → NULL (try_cast), truncating any
     * fractional part first so "1.5" → 1 (Python `int(float(x))` shape —
     * the reference's UDF raised on "1.5"; we document truncation as the
-    * engine's canonical behavior, SURVEY.md §7.5.3).
+    * engine's canonical behavior, SURVEY.md §7.5.3). The OUTER cast is
+    * a try_cast too (r19 ANSI cast audit): a finite numeric beyond int
+    * range ("3e10") is junk FOR AN INT COLUMN, so the lenient contract
+    * makes it NULL — the plain cast would throw under ANSI mode
+    * (Spark 4's default) and kill the cleaning job on one wild cell.
     * Reference: `udf_string_to_int` `src/pyveb/spark_client.py:281-292,345-356`.
     */
   def stringToInt(df: DataFrame, cols: Seq[String]): DataFrame =
     df.withColumns(cols.map { c =>
       // guard: 'nan'/'Infinity' parse as non-finite doubles, and Spark
       // casts NaN→0 / Inf→Int.MaxValue — both must be NULL instead.
-      c -> expr(s"""cast(
+      c -> expr(s"""try_cast(
         case when isnan(try_cast(`$c` AS double))
                or abs(try_cast(`$c` AS double)) = double('Infinity') then null
              else try_cast(`$c` AS double) end AS int)""")

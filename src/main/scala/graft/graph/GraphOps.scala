@@ -29,6 +29,17 @@ import org.apache.spark.storage.StorageLevel
   * `sparkContext.setCheckpointDir` set, state is checkpointed every
   * [[CheckpointEvery]] rounds to truncate the growing plan (the same
   * discipline GraphFrames applies).
+  *
+  * Node-id ingestion contract, family-wide (r19 ANSI cast audit —
+  * THROW, not exclude): every operator here casts `srcCol`/`dstCol`/
+  * `nodeCol` to long with a PLAIN cast. Ids are identity, not
+  * measurements — a non-numeric or out-of-range id is corpus
+  * corruption, and silently dropping its edges would split components
+  * / shift ranks undetected, so under ANSI mode (Spark 4's default)
+  * the cast fails the job loudly. Genuinely-NULL ids ARE dropped by
+  * the explicit isNotNull filters (a nullable join product, not
+  * corruption). Value columns are the opposite: snapped with
+  * `try_cast` and excluded like NULLs (see [[neighborhoodAgg]]).
   */
 object GraphOps {
 
@@ -1007,7 +1018,13 @@ object GraphOps {
     * the valued universe). Determinism: counts exact, `sum_val` an
     * exact DECIMAL(12,2) sum cast to double, `avg_val` ONE IEEE
     * division of that by the exact count — the oracle-parity sum
-    * discipline. Output: `(node, n_neighbors, sum_val, avg_val)`.
+    * discipline. The snap is a `try_cast` (r18 verdict #1 — the
+    * AnomalyOps ANSI-overflow sibling): a magnitude beyond
+    * DECIMAL(12,2) (|v| ≥ 10^10) behaves exactly like a NULL value —
+    * the neighbor still counts, contributes nothing to the sum —
+    * instead of throwing under ANSI mode (Spark 4's default) and
+    * killing the feature job. Output: `(node, n_neighbors, sum_val,
+    * avg_val)`.
     */
   def neighborhoodAgg(edges: DataFrame, srcCol: String, dstCol: String,
                       values: DataFrame, nodeCol: String, valueCol: String,
@@ -1047,7 +1064,7 @@ object GraphOps {
         e.unionAll(two).distinct()
       }
     val v = values.select(col(nodeCol).cast(LongType).as("dst"),
-      col(valueCol).cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("__v"))
+      col(valueCol).try_cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("__v"))
     nbr.join(v, "dst")
       .groupBy(col("src"))
       .agg(count(lit(1)).as("n_neighbors"),
@@ -1096,8 +1113,10 @@ object GraphOps {
       .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
+    // try_cast snap: same wild-value-behaves-like-NULL exclusion as
+    // [[neighborhoodAgg]] (r18 verdict #1 — ANSI-overflow class)
     val v = values.select(col(nodeCol).cast(LongType).as("dst"),
-      col(valueCol).cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("__v"))
+      col(valueCol).try_cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("__v"))
     // per-node 1-hop stat tranche (node-sized, the at-rest-index shape)
     val one = e.join(v, "dst").groupBy(col("src"))
       .agg(count(lit(1)).as("__n1"), sum(col("__v")).as("__s1"))

@@ -141,14 +141,34 @@ object HistSketch {
     s"((CASE WHEN ($b) > 0 THEN 1 WHEN ($b) < 0 THEN -1 ELSE 0 END) * ($mag))"
   }
 
+  /** ANSI-safe value snap shared by every user-value ingestion site in
+    * this family (r19 ANSI cast audit — the AnomalyOps.snapped
+    * precedent): the plain cast THROWS under ANSI mode (Spark 4's
+    * default) on NaN or a magnitude beyond the long ladder, killing a
+    * monitoring gauge on one wild reading. try_cast yields NULL
+    * instead, in both ANSI modes, and every caller treats an
+    * unsnappable value exactly like a NULL input — excluded from
+    * sketch builds, NULL verdict from flag/bucketize/rank readers,
+    * NULL from winsorizers (no measurement, no verdict). The ladder
+    * spans ±9.2·10^18; anything outside is a sentinel or corruption,
+    * not a measurement. `scaleBy > 1` keeps the documented
+    * `trunc(v·scaleBy)` fixed-point semantics (a multiply that
+    * overflows to ±Infinity also snaps to NULL). */
+  private def snapLong(valCol: String, scaleBy: Long = 1L): Column =
+    if (scaleBy == 1L) col(valCol).try_cast(LongType)
+    else (col(valCol).try_cast(DoubleType) * lit(scaleBy.toDouble)).try_cast(LongType)
+
   /** Build the histogram: one row per OCCUPIED bucket, `(bucket INT,
     * cnt BIGINT)`. One map-side-combinable shuffle of ≤ 63·s+1 groups,
     * whatever the input size. */
   def histSketch(df: DataFrame, valCol: String,
                  subBuckets: Int = DefaultSubBuckets): DataFrame = {
     logS(subBuckets)   // validate
+    // raw isNotNull first (pushes to the scan), snapped isNotNull
+    // second (excludes unsnappables — see snapLong)
     df.where(col(valCol).isNotNull)
-      .select(col(valCol).cast(LongType).as("__v"))
+      .select(snapLong(valCol).as("__v"))
+      .where(col("__v").isNotNull)
       .select(expr(bucketCaseSql("__v", subBuckets, "div"))
         .cast(IntegerType).as("bucket"))
       .groupBy("bucket")
@@ -173,11 +193,9 @@ object HistSketch {
                        scaleBy: Long = 1L): DataFrame = {
     logS(subBuckets)
     require(scaleBy >= 1, s"histSketchSigned: scaleBy=$scaleBy must be >= 1")
-    val v =
-      if (scaleBy == 1L) col(valCol).cast(LongType)
-      else (col(valCol).cast(DoubleType) * lit(scaleBy.toDouble)).cast(LongType)
     df.where(col(valCol).isNotNull)
-      .select(v.as("__v"))
+      .select(snapLong(valCol, scaleBy).as("__v"))
+      .where(col("__v").isNotNull)
       .select(expr(signedBucketCaseSql("__v", subBuckets, "div"))
         .cast(IntegerType).as("bucket"))
       .groupBy("bucket")
@@ -274,9 +292,7 @@ object HistSketch {
     require(scaleBy >= 1, s"histMadFlagsSigned: scaleBy=$scaleBy must be >= 1")
     val r = histMadBandSigned(sketch, k, subBuckets).head()
     val (med, mad, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    val v =
-      if (scaleBy == 1L) col(valCol).cast(LongType)
-      else (col(valCol).cast(DoubleType) * lit(scaleBy.toDouble)).cast(LongType)
+    val v = snapLong(valCol, scaleBy)
     df.withColumn("med", lit(med))
       .withColumn("mad", lit(mad))
       .withColumn("is_anomaly",
@@ -326,11 +342,9 @@ object HistSketch {
     logS(subBuckets)
     require(groupCols.nonEmpty, "histSketchSignedBy: need at least one group column")
     require(scaleBy >= 1, s"histSketchSignedBy: scaleBy=$scaleBy must be >= 1")
-    val v =
-      if (scaleBy == 1L) col(valCol).cast(LongType)
-      else (col(valCol).cast(DoubleType) * lit(scaleBy.toDouble)).cast(LongType)
     df.where(col(valCol).isNotNull)
-      .select(groupCols.map(col) :+ v.as("__v"): _*)
+      .select(groupCols.map(col) :+ snapLong(valCol, scaleBy).as("__v"): _*)
+      .where(col("__v").isNotNull)
       .select(groupCols.map(col) :+
         expr(signedBucketCaseSql("__v", subBuckets, "div"))
           .cast(IntegerType).as("bucket"): _*)
@@ -466,9 +480,7 @@ object HistSketch {
                            scaleBy: Long = 1L): DataFrame = {
     require(scaleBy >= 1, s"histMadFlagsSignedBy: scaleBy=$scaleBy must be >= 1")
     val band = histMadBandSignedBy(sketch, groupCols, k, subBuckets)
-    val v =
-      if (scaleBy == 1L) col(valCol).cast(LongType)
-      else (col(valCol).cast(DoubleType) * lit(scaleBy.toDouble)).cast(LongType)
+    val v = snapLong(valCol, scaleBy)
     df.join(broadcast(band), groupCols, "left")
       .withColumn("is_anomaly",
         when(col(valCol).isNull || col("med").isNull, lit(null).cast(BooleanType))
@@ -487,7 +499,8 @@ object HistSketch {
     logS(subBuckets)
     require(groupCols.nonEmpty, "histSketchBy: need at least one group column")
     df.where(col(valCol).isNotNull)
-      .select(groupCols.map(col) :+ col(valCol).cast(LongType).as("__v"): _*)
+      .select(groupCols.map(col) :+ snapLong(valCol).as("__v"): _*)
+      .where(col("__v").isNotNull)
       .select(groupCols.map(col) :+
         expr(bucketCaseSql("__v", subBuckets, "div"))
           .cast(IntegerType).as("bucket"): _*)
@@ -603,7 +616,7 @@ object HistSketch {
       .collect().map(_.getLong(1)) // bounded: ≤ |ps| rows
     require(thr.nonEmpty,
       "histBucketize: empty sketch (no non-null values were sketched)")
-    val v = col(valCol).cast(LongType)
+    val v = snapLong(valCol)
     val band = thr.map(t => when(v >= lit(t), 1).otherwise(0)).reduce(_ + _)
     df.withColumn("band",
       when(v.isNull, lit(null)).otherwise(band).cast(IntegerType))
@@ -637,8 +650,8 @@ object HistSketch {
   private def dayHist(df: DataFrame, valCol: String, tsCol: String,
                       subBuckets: Int): DataFrame =
     df.where(col(valCol).isNotNull)
-      .select(to_date(col(tsCol)).as("__d"),
-        col(valCol).cast(LongType).as("__v"))
+      .select(to_date(col(tsCol)).as("__d"), snapLong(valCol).as("__v"))
+      .where(col("__v").isNotNull)
       .select(col("__d"),
         expr(bucketCaseSql("__v", subBuckets, "div")).cast(IntegerType).as("bucket"))
       .groupBy(col("__d"), col("bucket"))
@@ -701,7 +714,8 @@ object HistSketch {
       df.where(col(valCol).isNotNull &&
           groupCols.map(c => col(c).isNotNull).reduce(_ && _))
         .select(gc :+ to_date(col(tsCol)).as("__d")
-          :+ col(valCol).cast(LongType).as("__v"): _*)
+          :+ snapLong(valCol).as("__v"): _*)
+        .where(col("__v").isNotNull)
         .select(gc :+ col("__d")
           :+ expr(bucketCaseSql("__v", subBuckets, "div")).cast(IntegerType).as("bucket"): _*)
         .groupBy(gc :+ col("__d") :+ col("bucket"): _*)
@@ -868,7 +882,8 @@ object HistSketch {
     val perSrc = graft.util.Materialize.bounded(
       df.where(col(valCol).isNotNull && col(groupCol).isNotNull)
         .select(col(groupCol).cast(StringType).as("src"),
-          col(valCol).cast(LongType).as("__v"))
+          snapLong(valCol).as("__v"))
+        .where(col("__v").isNotNull)
         .select(col("src"),
           expr(bucketCaseSql("__v", subBuckets, "div")).cast(IntegerType).as("bucket"))
         .groupBy(col("src"), col("bucket")).agg(count(lit(1)).as("c")))
@@ -998,7 +1013,8 @@ object HistSketch {
       df.where(col(valCol).isNotNull &&
           groupCols.map(c => col(c).isNotNull).reduce(_ && _))
         .select(gc :+ to_date(col(tsCol)).as("__d")
-          :+ col(valCol).cast(LongType).as("__v"): _*)
+          :+ snapLong(valCol).as("__v"): _*)
+        .where(col("__v").isNotNull)
         .select(gc :+ col("__d")
           :+ expr(bucketCaseSql("__v", subBuckets, "div")).cast(IntegerType).as("bucket"): _*)
         .groupBy(gc :+ col("__d") :+ col("bucket"): _*)
@@ -1075,10 +1091,10 @@ object HistSketch {
     val cum = dense
       .crossJoin(broadcast(dense.agg(sum(col("cnt")).as("__total"))))
       .select(col("__bk"), col("__below"), col("__total"))
-    val v = col(valCol).cast(LongType)
+    val v = snapLong(valCol)
     df.withColumn("__bv",
         when(v.isNull, lit(null).cast(IntegerType))
-          .otherwise(expr(bucketCaseSql(s"CAST($valCol AS BIGINT)", subBuckets, "div"))
+          .otherwise(expr(bucketCaseSql(s"TRY_CAST($valCol AS BIGINT)", subBuckets, "div"))
             .cast(IntegerType)))
       // the cum side is 63·s+1 rows: forced broadcast, no shuffle
       .join(broadcast(cum), col("__bv") === col("__bk"), "left")
@@ -1109,7 +1125,7 @@ object HistSketch {
       .groupBy(groupCols.map(col): _*)
       .agg(min(when(col("p") === pLo, col("value"))).as("lo"),
         max(when(col("p") === pHi, col("value"))).as("hi"))
-    val v = col(valCol).cast(LongType)
+    val v = snapLong(valCol)
     df.join(broadcast(bounds), groupCols, "left")
       .withColumn(s"${valCol}_w",
         when(v.isNull || col("lo").isNull, v)
@@ -1168,7 +1184,7 @@ object HistSketch {
                    subBuckets: Int = DefaultSubBuckets): DataFrame = {
     val r = histMadBand(sketch, k, subBuckets).head()
     val (med, mad, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    val v = col(valCol).cast(LongType)
+    val v = snapLong(valCol)
     df.withColumn("med", lit(med))
       .withColumn("mad", lit(mad))
       .withColumn("is_anomaly",
@@ -1203,7 +1219,7 @@ object HistSketch {
       "histWinsorize: empty sketch (no non-null values were sketched)")
     val bounds = boundRows.map(r => r.getDouble(0) -> r.getLong(1)).toMap
     val (lo, hi) = (bounds(pLo), bounds(pHi))
-    val v = col(valCol).cast(LongType)
+    val v = snapLong(valCol)
     df.withColumn("lo", lit(lo))
       .withColumn("hi", lit(hi))
       .withColumn(s"${valCol}_w",

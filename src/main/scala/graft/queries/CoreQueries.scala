@@ -1445,10 +1445,10 @@ object CoreQueries {
         |      ORDER BY g.bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |  FROM grid g LEFT JOIN lastv USING (user_id, bucket_ts))
         |SELECT user_id, bucket_ts,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER wnd AS DOUBLE) AS roll_sum,
-        |  count(value) OVER wnd AS roll_n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER wnd AS DOUBLE)
-        |    / count(value) OVER wnd AS roll_avg
+        |  CAST(sum(TRY_CAST(value AS DECIMAL(12,2))) OVER wnd AS DOUBLE) AS roll_sum,
+        |  count(TRY_CAST(value AS DECIMAL(12,2))) OVER wnd AS roll_n,
+        |  CAST(sum(TRY_CAST(value AS DECIMAL(12,2))) OVER wnd AS DOUBLE)
+        |    / count(TRY_CAST(value AS DECIMAL(12,2))) OVER wnd AS roll_avg
         |FROM r
         |WINDOW wnd AS (PARTITION BY user_id ORDER BY bucket_ts
         |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin) {

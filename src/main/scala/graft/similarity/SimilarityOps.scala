@@ -1209,7 +1209,13 @@ object SimilarityOps {
     *
     * Same snapped-exact arithmetic as [[centroidDrift]] (per-dim sums
     * of `trunc(x·scale)` longs over DECIMAL(38,0) — order-free), per
-    * day. Scale shape: the corpus collapses to |days|·dim sum rows
+    * day. The snap is a `try_cast` at every site of this family (r19
+    * ANSI cast audit): a component whose |x·scale| exceeds the long
+    * range — a corrupt embedding, not a measurement — contributes
+    * NOTHING to that dim's sum (NULL is skipped) instead of throwing
+    * under ANSI mode (Spark 4's default) and killing the gauge; the
+    * vector still counts in `c`, so `n_cur`/`n_ref` keep meaning
+    * "vectors seen". Scale shape: the corpus collapses to |days|·dim sum rows
     * FIRST (one map-side-combinable explode+sum — exactly the frame
     * [[writeCentroidTranche]] persists per day); the bounded
     * ≤windowDays explode fans out SUM rows, never vectors, and every
@@ -1229,7 +1235,7 @@ object SimilarityOps {
         .select(to_date(col(tsCol)).as("__d"),
           posexplode(col(vecCol)).as(Seq("pos", "__x")))
         .select(col("__d"), col("pos"),
-          (col("__x").cast(DoubleType) * lit(scale.toDouble)).cast(LongType).as("__u"))
+          (col("__x").cast(DoubleType) * lit(scale.toDouble)).try_cast(LongType).as("__u"))
         .groupBy(col("__d"), col("pos"))
         .agg(sum(col("__u").cast(d38)).as("s"), count(lit(1)).as("c")))
     centroidRollingFromPerDay(perDay, windowDays)
@@ -1257,7 +1263,7 @@ object SimilarityOps {
         .select(gc :+ to_date(col(tsCol)).as("__d")
           :+ posexplode(col(vecCol)).as(Seq("pos", "__x")): _*)
         .select(gc ++ Seq(col("__d"), col("pos"),
-          (col("__x").cast(DoubleType) * lit(scale.toDouble)).cast(LongType).as("__u")): _*)
+          (col("__x").cast(DoubleType) * lit(scale.toDouble)).try_cast(LongType).as("__u")): _*)
         .groupBy(gc ++ Seq(col("__d"), col("pos")): _*)
         .agg(sum(col("__u").cast(d38)).as("s"), count(lit(1)).as("c")))
     val days = perDay.select(gc :+ col("__d").as("day"): _*).distinct()
@@ -1340,7 +1346,7 @@ object SimilarityOps {
         .select(col(groupCol).cast(StringType).as("src"),
           posexplode(col(vecCol)).as(Seq("pos", "__x")))
         .select(col("src"), col("pos"),
-          (col("__x").cast(DoubleType) * lit(scale.toDouble)).cast(LongType).as("__u"))
+          (col("__x").cast(DoubleType) * lit(scale.toDouble)).try_cast(LongType).as("__u"))
         .groupBy(col("src"), col("pos"))
         .agg(sum(col("__u").cast(d38)).as("s"), count(lit(1)).as("c")))
     val global = perSrc.groupBy(col("pos"))
@@ -1376,7 +1382,7 @@ object SimilarityOps {
         .select(to_date(col(tsCol)).as("__d"),
           posexplode(col(vecCol)).as(Seq("pos", "__x")))
         .select(col("__d"), col("pos"),
-          (col("__x").cast(DoubleType) * lit(scale.toDouble)).cast(LongType).as("__u"))
+          (col("__x").cast(DoubleType) * lit(scale.toDouble)).try_cast(LongType).as("__u"))
         .groupBy(col("__d"), col("pos"))
         .agg(sum(col("__u").cast(d38)).as("s"), count(lit(1)).as("c")),
       dir, tag)
@@ -1403,7 +1409,7 @@ object SimilarityOps {
       df.where(col(vecCol).isNotNull)
         .select(posexplode(col(vecCol)).as(Seq("pos", "__x")))
         .select(col("pos"),
-          (col("__x").cast(DoubleType) * lit(scale.toDouble)).cast(LongType).as("__u"))
+          (col("__x").cast(DoubleType) * lit(scale.toDouble)).try_cast(LongType).as("__u"))
         .groupBy("pos")
         .agg(sum(col("__u").cast(d38)).as(s), count(lit(1)).as(c))
     val a = dimSums(dfA, "__sa", "__ca")

@@ -146,8 +146,14 @@ object TrainingOps {
     * realized fraction land slightly under `rate` on skewed weights),
     * decided by the same salted stable-id hash gate as
     * [[stratifiedSample]] — reproducible across runs, engines
-    * (portable tier), and partition layouts. Negative/NULL weights
-    * mean "never keep".
+    * (portable tier), and partition layouts. INVALID weights — NULL,
+    * negative, or beyond the DECIMAL(18,6) snap envelope (|w| ≥ 10^12,
+    * a corrupt score) — mean "never keep": the snap is a `try_cast`
+    * (r18 verdict #1 — the ANSI-overflow sibling of the AnomalyOps
+    * fix), so a wild weight flows into the coalesce→0 fallback this
+    * function always encoded instead of throwing under ANSI mode
+    * (Spark 4's default) and killing the sample. Invalid-weight rows
+    * contribute 0 to Σw, consistently with their keep probability.
     *
     * Determinism: weights snap to 1e-6 fixed point (exact for the
     * integer and 6-decimal scores pipelines produce), Σw and N are
@@ -162,7 +168,7 @@ object TrainingOps {
                      portable: Boolean = false): DataFrame = {
     require(rate > 0.0 && rate <= 1.0, s"weightedSample: rate $rate outside (0,1]")
     val u = greatest(lit(0L), coalesce(
-      (col(weightCol).cast(DecimalType(18, 6)) * lit(Ppm)).cast(LongType), lit(0L)))
+      (col(weightCol).try_cast(DecimalType(18, 6)) * lit(Ppm)).cast(LongType), lit(0L)))
     val r0 = df.select(u.as("__u"))
       .agg(sum(col("__u")).cast(DecimalType(38, 0)).as("s"), count(lit(1)).as("n"))
       .head()                                // bounded scalars, plan-build
@@ -277,6 +283,13 @@ object TrainingOps {
     *
     * `orderCol` must be numeric (quality score, length, …) so that
     * quantile boundaries exist.
+    *
+    * `tokensCol` contract (r19 ANSI cast audit — THROW, not exclude):
+    * token counts must be integral, ≥ 0, long-ranged. A wild count (a
+    * corrupt tokenizer output) silently excluded would shift every
+    * later document's cumulative position — the budget cut would move
+    * undetected — so under ANSI mode (Spark 4's default) the snap cast
+    * fails the job loudly instead. Same contract in [[packSequences]].
     */
   def selectToTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
                           orderCol: String, budget: Long,
@@ -340,7 +353,11 @@ object TrainingOps {
     * the parallelism (pick shards so a shard's docs fit a partition:
     * at 100 TB, thousands of shards, each still millions of tokens).
     * Deterministic for a given (corpus, nShards, maxTokens) — the
-    * layout is a function of ids only.
+    * layout is a function of ids only. `tokensCol` contract: integral,
+    * ≥ 0, long-ranged — a wild count would silently shift every later
+    * doc's sequence range, so under ANSI mode the snap cast fails the
+    * job loudly instead of excluding (r19 ANSI cast audit; the
+    * [[selectToTokenBudget]] contract).
     */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
                     maxTokens: Int, nShards: Int = 64,

@@ -51,7 +51,13 @@ object Materialize {
   def scoped[A](body: => A): (A, () => Unit) = {
     val buf = scala.collection.mutable.ArrayBuffer[() => Unit]()
     scopeStack.set(buf :: scopeStack.get)
-    val a = try body finally scopeStack.set(scopeStack.get.tail)
+    // release on failure (r18 ADVICE): frames a throwing body already
+    // materialized are by definition unconsumed — discarding their
+    // handles would leak them until session teardown, the exact
+    // accretion this API exists to prevent
+    val a = try body catch {
+      case t: Throwable => buf.foreach(_.apply()); throw t
+    } finally scopeStack.set(scopeStack.get.tail)
     (a, () => buf.foreach(_.apply()))
   }
 

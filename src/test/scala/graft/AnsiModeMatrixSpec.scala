@@ -1,0 +1,230 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The ANSI mode matrix (r18 verdict #4): every operator that snaps or
+  * casts a USER value documents mode-INDEPENDENT semantics — `try_cast`
+  * exclusion where a wild reading must not kill the job (the r18
+  * AnomalyOps find, swept engine-wide in r19), a documented loud THROW
+  * where silent exclusion would corrupt identity or position. This
+  * suite pins the matrix: each exclusion-family operator runs on
+  * wild-magnitude inputs (±9.9e15, ±1e11, NaN) under
+  * `spark.sql.ansi.enabled` true AND false and must produce
+  * bit-identical outputs; the two documented mode-DEPENDENT surfaces
+  * (`CleanOps.floatToInt`, `SchemaOps.enforceSchema` — strict by
+  * contract) are pinned the other way: ANSI throws, legacy does not.
+  *
+  * The shared session is restored to its prior ANSI setting after
+  * every block (the SparkSpec no-destructive-conf contract).
+  */
+class AnsiModeMatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def underMode[A](ansi: Boolean)(body: => A): A = {
+    val prev = spark.conf.getOption("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", ansi.toString)
+    try body finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None    => spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
+  /** Build AND collect under each mode (Cast resolves its eval mode at
+    * analysis time, so the frame must be CONSTRUCTED under the flag,
+    * not just executed); assert identical row sets, return one. */
+  private def modeInvariant(label: String)(build: => DataFrame): Seq[String] = {
+    val on = underMode(true)(build.collect().map(_.toString).sorted.toSeq)
+    val off = underMode(false)(build.collect().map(_.toString).sorted.toSeq)
+    assert(on == off, s"$label: ANSI-on vs ANSI-off outputs differ\non:  $on\noff: $off")
+    on
+  }
+
+  private val wilds = Seq(9.9e15, -9.9e15, Double.NaN)
+
+  test("sigma stats: wild readings excluded from n/S/Q, NULL verdict, both modes identical") {
+    val rows = Seq[(String, Long, java.lang.Double)](
+      ("a", 0L, 10.0), ("a", 1L, 12.0), ("a", 2L, 9.9e15), ("a", 3L, 11.0),
+      ("b", 4L, 5.0), ("b", 5L, Double.NaN), ("b", 6L, -9.9e15), ("b", 7L, 5.5),
+      ("c", 8L, 1e11), ("c", 9L, 1e11 + 1)) // 1e11 snaps fine at decimals=4? no — 1e11·1e4 = 1e15 < DECIMAL(18,4) max 1e14? see assert below
+    def run() = graft.analytics.AnomalyOps.sigmaFlags(
+      rows.toDF("grp", "id", "value"), "grp", "value", k = 3)
+      .select("grp", "id", "n_group", "is_anomaly")
+    val got = modeInvariant("sigmaFlags")(run())
+    val byId = underMode(true)(run().collect()
+      .map(r => r.getLong(1) -> (r.get(2), Option(r.getAs[java.lang.Boolean]("is_anomaly")))).toMap)
+    // group a: the wild row is excluded from the distribution (n_group
+    // 3 not 4) and gets no verdict
+    assert(byId(0L)._1 == 3L && byId(2L)._2.isEmpty, s"group a: $byId")
+    // group b: NaN and the wild negative both excluded
+    assert(byId(4L)._1 == 2L && byId(5L)._2.isEmpty && byId(6L)._2.isEmpty)
+    // group c: 1e11 is BEYOND DECIMAL(18,4) (max ~1e14 unscaled value
+    // is 1e14; 1e11 fits) — both rows snappable, n_group 2
+    assert(byId(8L)._1 == 2L && byId(8L)._2.nonEmpty)
+    assert(got.nonEmpty)
+  }
+
+  test("rollingAgg: wild values excluded from sum AND count; both modes identical") {
+    val rows = Seq[(String, Long, java.lang.Double)](
+      ("k", 0L, 1.0), ("k", 1L, 2.0), ("k", 2L, 9.9e15), ("k", 3L, 4.0),
+      ("k", 4L, Double.NaN), ("k", 5L, -9.9e15), ("k", 6L, 8.0))
+    def run() = graft.analytics.TimeSeriesOps.rollingAgg(
+      rows.toDF("k", "t", "value"), "k", "t", "value", nRows = 3)
+      .select("t", "roll_sum", "roll_n", "roll_avg")
+    modeInvariant("rollingAgg")(run())
+    val byT = underMode(true)(run().collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), r.getLong(2))).toMap)
+    // t=2's frame {1,2,wild}: n counts only the snappable two
+    assert(byT(2L) == (Some(3.0), 2L), s"t=2: ${byT(2L)}")
+    // t=4's frame {wild,4,NaN}: only 4.0 contributes
+    assert(byT(4L) == (Some(4.0), 1L), s"t=4: ${byT(4L)}")
+    // t=5's frame {4,NaN,wild}: only 4.0
+    assert(byT(5L) == (Some(4.0), 1L), s"t=5: ${byT(5L)}")
+  }
+
+  test("rollingSigmaFlags: wild current row gets NULL verdict; prior-window stats exclude wilds") {
+    val rows = Seq[(String, Long, java.lang.Double)](
+      ("k", 0L, 10.0), ("k", 1L, 10.5), ("k", 2L, 9.9e15), ("k", 3L, 10.2),
+      ("k", 4L, 500.0), ("k", 5L, Double.NaN))
+    def run() = graft.analytics.AnomalyOps.rollingSigmaFlags(
+      rows.toDF("k", "t", "value"), "k", "t", "value", nRows = 4, k = 3)
+      .select("t", "n_window", "is_anomaly")
+    modeInvariant("rollingSigmaFlags")(run())
+    val byT = underMode(true)(run().collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.getAs[java.lang.Boolean](2)))).toMap)
+    // the wild row itself: no verdict, but it is COUNTED out of every
+    // later window (t=3's prior window holds 2 snappable of 3 rows)
+    assert(byT(2L)._2.isEmpty, s"wild row verdict: ${byT(2L)}")
+    assert(byT(3L)._1 == 2L, s"t=3 window: ${byT(3L)}")
+    // the level shift still flags against the wild-free baseline
+    assert(byT(4L) == (3L, Some(true)), s"t=4: ${byT(4L)}")
+  }
+
+  test("weightedSample: wild weights never keep, never shift others; both modes identical") {
+    val rows = (0L until 30L).map { id =>
+      val w: java.lang.Double =
+        if (id < 3) wilds(id.toInt) else 1.0 + (id % 5).toDouble
+      (id, w)
+    }
+    def run() = graft.training.TrainingOps.weightedSample(
+      rows.toDF("doc_id", "w"), "doc_id", "w", rate = 0.5, portable = true)
+    modeInvariant("weightedSample")(run())
+    val kept = underMode(true)(run().collect().map(_.getLong(0)).toSet)
+    assert(Seq(0L, 1L, 2L).forall(!kept.contains(_)), s"wilds kept: $kept")
+    assert(kept.nonEmpty)
+  }
+
+  test("neighborhoodAgg/Paths: wild neighbor value behaves like NULL; both modes identical") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L)).toDF("src", "dst")
+    val values = Seq[(Long, java.lang.Double)](
+      (1L, 5.0), (2L, 9.9e15), (3L, 7.0), (4L, Double.NaN)).toDF("node", "v")
+    def agg() = graft.graph.GraphOps.neighborhoodAgg(
+      edges, "src", "dst", values, "node", "v")
+    def paths() = graft.graph.GraphOps.neighborhoodAggPaths(
+      edges, "src", "dst", values, "node", "v")
+    modeInvariant("neighborhoodAgg")(agg())
+    modeInvariant("neighborhoodAggPaths")(paths())
+    val got = underMode(true)(agg().collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)))).toMap)
+    // node 1's neighbors {2 (wild), 3}: both count, only 3 contributes
+    assert(got(1L) == (2L, Some(7.0)), s"node 1: ${got(1L)}")
+  }
+
+  test("histogram family: builds exclude wilds, readers give NULL verdicts; both modes identical") {
+    val vs = (Seq(1.5, -2.25, 100.0, 3.75, -0.5, 42.0, 7.0) ++ wilds)
+      .map(java.lang.Double.valueOf)
+    val df = vs.toDF("v")
+    val s = 16
+    // scaleBy 1e6: ±9.9e15 × 1e6 = 9.9e21 > Long.Max → unsnappable
+    // (at small scaleBy the same wilds legitimately FIT the ladder)
+    def sketch() = graft.profile.HistSketch.histSketchSigned(df, "v", s, scaleBy = 1000000L)
+    modeInvariant("histSketchSigned")(sketch())
+    val total = underMode(true)(
+      sketch().agg(sum("cnt")).collect()(0).getLong(0))
+    assert(total == 7L, s"wilds excluded from the build: $total") // 7 snappable
+    modeInvariant("histQuantilesSigned")(
+      graft.profile.HistSketch.histQuantilesSigned(sketch(), Seq(0.5, 0.95), s, 1000000L))
+    // unsigned readers over a long-ladder sketch + wild score batch
+    val longs = Seq(1L, 2L, 4L, 8L, 64L, 1024L).toDF("v")
+    def lsk() = graft.profile.HistSketch.histSketch(longs, "v", s)
+    // at scaleBy=1 the ladder holds ±9.2e18, so 9.9e15 is a VALID
+    // reading there (and flags true, correctly) — the unsigned-reader
+    // wilds must exceed the raw long range
+    val batch = Seq(3.0, 500.0, 1e19, -1e19, Double.NaN)
+      .map(java.lang.Double.valueOf).toDF("v")
+    val rank = modeInvariant("histPercentileRank")(
+      graft.profile.HistSketch.histPercentileRank(batch, "v", lsk(), s))
+    assert(rank.size == 5)
+    val flags = underMode(true)(
+      graft.profile.HistSketch.histMadFlags(batch, "v", lsk(), k = 3, s)
+        .select("v", "is_anomaly").collect()
+        .map(r => r.getDouble(0) -> Option(r.getAs[java.lang.Boolean](1))).toMap)
+    modeInvariant("histMadFlags")(
+      graft.profile.HistSketch.histMadFlags(batch, "v", lsk(), k = 3, s)
+        .select("v", "is_anomaly"))
+    assert(flags(1e19).isEmpty && flags(-1e19).isEmpty, s"wild verdicts: $flags")
+    modeInvariant("histWinsorize")(
+      graft.profile.HistSketch.histWinsorize(batch, "v", lsk(), 0.05, 0.95, s))
+    modeInvariant("histBucketize")(
+      graft.profile.HistSketch.histBucketize(batch, "v", lsk(), Seq(0.5), s))
+  }
+
+  test("centroidDrift: wild embedding component contributes nothing; both modes identical") {
+    val a = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(9.9e15, 3.0))).toDF("vec")
+    val b = Seq(Tuple1(Array(1.5, 2.5)), Tuple1(Array(0.5, 2.0))).toDF("vec")
+    val got = modeInvariant("centroidDrift")(
+      graft.similarity.SimilarityOps.centroidDrift(a, b, "vec"))
+    assert(got.size == 1)
+    val cos = underMode(true)(
+      graft.similarity.SimilarityOps.centroidDrift(a, b, "vec")
+        .collect()(0).getAs[Double]("cosine"))
+    assert(!cos.isNaN && cos > 0.0 && cos <= 1.0, s"cosine: $cos")
+  }
+
+  test("lenient cleaners: junk and out-of-range → NULL, both modes identical") {
+    val df = Seq("12", "1.5", "junk", "30000000000", "nan", "Infinity", "-2.9")
+      .toDF("c")
+    val got = modeInvariant("stringToInt")(
+      graft.clean.CleanOps.stringToInt(df, Seq("c")))
+    assert(got.count(_.contains("null")) == 4, s"got: $got") // junk, 3e10, nan, Infinity
+    modeInvariant("stringToTimestamp")(graft.clean.CleanOps.stringToTimestamp(
+      Seq("2024-01-01 10:00:00.123", "junk", "2024-13-45 00:00:00").toDF("c"), Seq("c")))
+    val schema = StructType(Seq(StructField("c", IntegerType)))
+    modeInvariant("applySchema")(graft.schema.SchemaOps.applySchema(df, schema))
+  }
+
+  test("documented THROW surfaces: ANSI fails loudly where legacy does not (the strict contract)") {
+    // floatToInt repair op: a wild float means the column was never INT
+    val wild = Seq[java.lang.Double](1.0, 9.9e15).toDF("c")
+    underMode(true) {
+      val e = intercept[Throwable] {
+        graft.clean.CleanOps.floatToInt(wild, Seq("c")).collect()
+      }
+      assert(e.toString.toLowerCase.contains("cast") ||
+        Option(e.getCause).exists(_.toString.toLowerCase.contains("cast")),
+        s"unexpected failure shape: $e")
+    }
+    underMode(false) {
+      // legacy wraps silently — out of the documented contract, but it
+      // must not throw (the mode matrix's other half)
+      graft.clean.CleanOps.floatToInt(wild, Seq("c")).collect()
+    }
+    // enforceSchema: strict by contract ("invalid values error under
+    // ANSI / become NULL under legacy" — the scaladoc's exact words)
+    val junk = Seq("junk").toDF("c")
+    val schema = StructType(Seq(StructField("c", IntegerType)))
+    underMode(true) {
+      intercept[Throwable] {
+        graft.schema.SchemaOps.enforceSchema(junk, schema).collect()
+      }
+    }
+    underMode(false) {
+      val r = graft.schema.SchemaOps.enforceSchema(junk, schema).collect()
+      assert(r(0).isNullAt(0))
+    }
+  }
+}

@@ -147,11 +147,16 @@ class SketchPropertySpec extends SparkSpec {
     val scaleBy = 1000000L
     (1 to 4).foreach { trial =>
       // signed fractional values clustered near zero (both signs in
-      // low octaves) plus a fat positive tail
+      // low octaves) plus a fat positive tail, plus WILD magnitudes
+      // beyond the scaled long ladder (|v·scaleBy| > Long.Max — r19
+      // ANSI cast audit: excluded like NULLs, build never dies)
       val vs = Seq.fill(50)((rnd.nextDouble() - 0.5) * 4.0) ++
         Seq(0.0, -0.0000001, 0.0000001, 123.456, -999.25) ++
-        Seq.fill(8)(rnd.nextDouble() * 1e6)
-      val scaled = vs.map(v => (v * scaleBy.toDouble).toLong) // trunc-to-zero, as the engine casts
+        Seq.fill(8)(rnd.nextDouble() * 1e6) ++
+        Seq(9.9e15, -9.9e15, Double.NaN)
+      val snappable = vs.filter(v => !v.isNaN &&
+        math.abs(v) * scaleBy.toDouble <= Long.MaxValue.toDouble)
+      val scaled = snappable.map(v => (v * scaleBy.toDouble).toLong) // trunc-to-zero, as the engine casts
       val hist = scaled.groupBy(mBucketSigned(_, s)).view.mapValues(_.size.toLong).toMap
 
       val sk = HistSketch.histSketchSigned(vs.toDF("v"), "v", s, scaleBy)

@@ -69,18 +69,22 @@ class TrainingPropertySpec extends SparkSpec {
 
   test("weightedSample ≡ fixed-point threshold replay with clamped and zero weights") {
     val rnd = new scala.util.Random(17022)
-    // weights: zeros, a dominant clamped weight, 6-decimal fractions, a null
+    // weights: zeros, a dominant clamped weight, 6-decimal fractions, a
+    // null, and WILD magnitudes beyond the DECIMAL(18,6) snap envelope
+    // (r19 ANSI cast audit: invalid → never keep, job never dies)
     val rows = (0L until 50L).map { id =>
       val w: java.lang.Double =
         if (id == 0) null
         else if (id == 1) 0.0
         else if (id == 2) 500.0 // clamps: share > 1
+        else if (id == 3) 9.9e15 // wild positive: unsnappable → never keep
+        else if (id == 4) -9.9e15 // wild negative: unsnappable → never keep
         else math.floor(rnd.nextDouble() * 1e6) / 1e6
       (id, w)
     }
     val rate = 0.3
     def u(w: java.lang.Double): Long =
-      if (w == null) 0L
+      if (w == null || math.abs(w.doubleValue()) >= 1e12) 0L // unsnappable ≡ null
       else math.max(0L, new java.math.BigDecimal(w.doubleValue())
         .setScale(6, java.math.RoundingMode.HALF_UP)
         .movePointRight(6).toBigInteger.longValueExact())
@@ -95,8 +99,11 @@ class TrainingPropertySpec extends SparkSpec {
         rate, portable = true)
       .collect().map(_.getLong(0)).toSet
     assert(got == expect)
-    // clamped row's threshold is exactly Ppm → always kept
-    assert(got.contains(2L) && !got.contains(0L) && !got.contains(1L))
+    // clamped row's threshold is exactly Ppm → always kept; wild
+    // weights behave exactly like null/zero (never keep, contribute
+    // nothing to Σw — so they cannot shift anyone else's threshold)
+    assert(got.contains(2L) && !got.contains(0L) && !got.contains(1L) &&
+      !got.contains(3L) && !got.contains(4L))
   }
 
   test("sampleToMixture ≡ binding-source replay; missing weighted source fails fast") {
