@@ -511,18 +511,35 @@ object Bench {
     if (drifted.size > 8)
       System.err.println(s"[bench] ${drifted.size} drifts; adjudicating top 8, " +
         s"deferred: ${drifted.drop(8).map(_._1).mkString(",")}")
+    // HEAVY-QUERY UNCONDITIONAL ISOLATION (r18 verdict #3): only
+    // >1.15×-drift queries used to get isolated substitution, so
+    // sub-trigger contention still rode robust_total (the r18 strip
+    // witnessed 2.3× mid-suite bursts while only 8 queries crossed the
+    // trigger). The heaviest warm queries dominate the total — the
+    // graph/index family alone is ~60 s of 267 — so the top
+    // GRAFT_BENCH_HEAVY_ISO (default 10) by warm cost get ONE
+    // fresh-JVM isolated spawn every round, unconditionally, and
+    // robust_total takes min(warm, isolated) for them. Queries already
+    // in the drift pass are not spawned twice.
+    val adjNames = drifted.take(8).map(_._1).toSet
+    val heavyN = sys.env.getOrElse("GRAFT_BENCH_HEAVY_ISO", "10").toInt
+    val heavyPlanned = coldOk
+      .map { case (n0, c, _, _, _) => (n0, warmOf(n0, c)) }
+      .sortBy(-_._2).take(heavyN)
+      .filterNot { case (n0, _) => adjNames.contains(n0) }
     // ISOLATION AFTER SUITE SHUTDOWN (r12 verdict #3): the r12 pass ran
     // beside the still-resident suite SparkSession, so under memory/
     // page-cache pressure an isolated figure could land ABOVE in-suite
     // warm and adjudicate nothing. Stop the suite session (executor
     // threads, block manager, cached pools all released) and settle the
     // heap before the first spawn; the spawned JVM then owns the host.
-    if (drifted.nonEmpty) { spark.stop(); System.gc() }
+    val anySpawns = drifted.nonEmpty || heavyPlanned.nonEmpty
+    if (anySpawns) { spark.stop(); System.gc() }
     // canary AGAIN at adjudication time (the suite ran for minutes;
     // the verdicts should key on host speed NOW, not at open), against
     // the floor-settle canary recorded inside floors.json and the
     // prior round's recorded factor
-    val canaryAdj = if (drifted.nonEmpty) HostCanary.sec(sfDir) else canaryOpen
+    val canaryAdj = if (anySpawns) HostCanary.sec(sfDir) else canaryOpen
     val floorCanary = floors.get(HostCanary.FloorKey)
     val hostFactor = HostCanary.factor(canaryAdj, floorCanary)
     val hostRel = math.min(1.6, math.max(1.0,
@@ -561,23 +578,46 @@ object Bench {
           f"floor ${fl.getOrElse(-1.0)}%.3f — $verdict")
         n -> (pw, w, iso, fl, verdict)
       }.toMap
+    // the r18 verdict #3 spawns: one isolated figure per heavy query,
+    // every round (failures drop silently — adjudication must never
+    // fail the bench; robust_total just keeps the warm figure)
+    val heavyIso: Map[String, Double] = heavyPlanned.flatMap { case (n0, w) =>
+      System.err.println(f"[bench] heavy $n0: warm ${w}%.3f — unconditional isolation")
+      isolatedSec(n0, sfDir, cpus).filter(_ >= 0).map(n0 -> _)
+    }.toMap
+    // FLOOR-SANITY (r18 verdict #2): a floor settled in a contended
+    // pass can sit LOOSE (q_index_stats 9.147 vs isolated 4.796 —
+    // 1.91×), and a 1.25×-tolerance gate on a 1.9×-loose floor passes
+    // a true ~2.4× regression silently. Every isolated figure this run
+    // measured cross-checks its committed floor: any floor >1.25×
+    // ABOVE the isolated observation is flagged for re-settle (3-rep
+    // rule, quiet window — never auto-rewritten here: floors are
+    // reviewed artifacts).
+    val isoAll: Map[String, Double] = heavyIso ++ adjudicated.collect {
+      case (k, (_, _, i, _, _)) if i >= 0 => k -> i }
+    val looseFloors = isoAll.flatMap { case (n0, i) =>
+      floors.get(n0).collect { case f if f > i * 1.25 => (n0, f, i) }
+    }.toSeq.sortBy(_._1)
+    looseFloors.foreach { case (n0, f, i) =>
+      System.err.println(f"[bench] LOOSE FLOOR $n0: floor ${f}%.3f > 1.25x " +
+        f"isolated ${i}%.3f — re-settle next quiet window") }
     // CONTENTION-ROBUST headline (r17 verdict #5): warm_total embeds
     // whatever in-suite co-tenant bursts the witnesses record
     // (suite_quick_max_ratio, wall≫cpu), so round-over-round judgment
     // on it conflates plan changes with host weather. robust_total
-    // substitutes the fresh-JVM isolated figure wherever the drift
-    // cascade measured one (min(warm, isolated) — both are valid
-    // observations of the same plan; the min is the least-contended)
-    // and is the number future rounds compare (SCALING.md r18).
-    // Sub-1.15×-drift contention still rides in it — bounded by
-    // construction to 15% per query, vs the unbounded bursts the
-    // adjudicated queries showed (r16: 2×).
+    // substitutes the fresh-JVM isolated figure wherever one was
+    // measured — the drift cascade's, or the unconditional heavy
+    // spawn's (min(warm, isolated) — both are valid observations of
+    // the same plan; the min is the least-contended) — and is the
+    // number future rounds compare (SCALING.md r18; substitution set
+    // widened to the heavy tier in r19). Residual sub-1.15× contention
+    // now rides only in the LIGHT tail, bounded by construction to
+    // 15% of a small per-query cost.
     val robustTotal = coldOk.map { case (n, c, _, _, _) =>
       val w = warmOf(n, c)
-      adjudicated.get(n) match {
-        case Some((_, _, iso, _, _)) if iso >= 0 => math.min(w, iso)
-        case _ => w
-      }
+      val iso = adjudicated.get(n).collect { case (_, _, i, _, _) if i >= 0 => i }
+        .orElse(heavyIso.get(n))
+      iso.fold(w)(i => math.min(w, i))
     }.sum
     val detailEntries = results.map { case (k, v, ok, gcS, mb) =>
       val warm = if (ok) r3(warmOf(k, v)) else "-1"
@@ -628,8 +668,15 @@ object Bench {
         s""","suite_quick":[${suiteQuick.map { case (n, s) =>
           s"""["$n",${r3(s)}]""" }.mkString(",")}]"""
     }
+    // the r19 witnesses: per-heavy-query isolated figures feeding
+    // robust_total, and any committed floor provably loose against a
+    // fresh isolated observation (r18 verdicts #3/#2)
+    val heavyJson = heavyIso.toSeq.sortBy(_._1)
+      .map { case (k, i) => s""""$k":${r3(i)}""" }.mkString("{", ",", "}")
+    val looseJson = looseFloors
+      .map { case (k, f, i) => s"""["$k",${r3(f)},${r3(i)}]""" }.mkString("[", ",", "]")
     val detail = detailEntries.mkString(
-      s"""{"metric":"detail","sf":"$sfDir","cpus":$cpus,"gc_forced":$gcForced,"basis":"warm",$canaryJson$quickJson,"cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"robust_total":${r3(robustTotal)},"warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adjJson,"queries":{""",
+      s"""{"metric":"detail","sf":"$sfDir","cpus":$cpus,"gc_forced":$gcForced,"basis":"warm",$canaryJson$quickJson,"cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"robust_total":${r3(robustTotal)},"heavy_iso":$heavyJson,"loose_floors":$looseJson,"warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adjJson,"queries":{""",
       ",", "}}")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))

@@ -47,7 +47,15 @@ object Materialize {
     * API has no handle (r17 verdict #3): release AFTER the returned
     * frames are consumed (a severed localCheckpoint block is
     * unrecoverable). Releasing twice is harmless (unpersist is
-    * idempotent); nested scopes capture into the innermost only. */
+    * idempotent); nested scopes capture into the innermost only.
+    *
+    * Acting on a returned frame AFTER release fails LOUDLY (r18
+    * verdict #5a, adjudicated by measurement — MaterializeScopeSpec):
+    * a localCheckpoint severs lineage, so the lost blocks cannot be
+    * recomputed and the action throws
+    * `CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND` — never a silent wrong
+    * result, and never a silent corpus re-pay. Sequence refreshes as
+    * build → act → release. */
   def scoped[A](body: => A): (A, () => Unit) = {
     val buf = scala.collection.mutable.ArrayBuffer[() => Unit]()
     scopeStack.set(buf :: scopeStack.get)

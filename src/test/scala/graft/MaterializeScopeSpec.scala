@@ -51,6 +51,37 @@ class MaterializeScopeSpec extends SparkSpec {
     other.unpersist(blocking = true)
   }
 
+  test("release on a throwing body frees the frames it materialized; acting after release fails loudly") {
+    // r18 ADVICE #1: frames a failing body already materialized are by
+    // definition unconsumed — scoped must release them, not leak until
+    // session teardown
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[RuntimeException] {
+      Materialize.scoped {
+        val f = Materialize.bounded(mixRows.groupBy("k").agg(sum("v").as("s")))
+        assert(f.count() >= 1) // materialized before the failure
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "a failing scope body must not leak its materialized frames")
+    // r18 verdict #5a, adjudicated by measurement: a localCheckpoint
+    // severs lineage, so a post-release action cannot silently
+    // recompute (the verdict's guess) — it THROWS
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Pinned so the failure mode
+    // stays loud-never-wrong if the materialization strategy changes.
+    val (f, release) = Materialize.boundedReleasable(
+      mixRows.groupBy("k").agg(sum("v").as("s")))
+    assert(f.count() >= 1)
+    release()
+    val e = intercept[Throwable](quietStorageLogs(f.count()))
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.toString).mkString("\n")
+    assert(msgs.contains("CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND") ||
+      msgs.toLowerCase.contains("checkpoint block"),
+      s"expected a loud checkpoint-block failure, got:\n$msgs")
+  }
+
   test("nested scopes capture into the innermost; bounded outside any scope keeps its own handle") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val ((innerRelease, outerDf), outerRelease) = Materialize.scoped {

@@ -37,6 +37,23 @@ abstract class SparkSpec extends AnyFunSuite {
   def tempDir(prefix: String): String =
     SparkSpec.registerTemp(java.nio.file.Files.createTempDirectory(prefix).toString)
 
+  /** Quiet the storage/scheduler loggers around a block of work whose
+    * async `unpersist(blocking = false)` releases can race an in-flight
+    * lineage fetch — the recovered `BlockNotFoundException` ERROR
+    * stacks are benign by construction (lineage recompute, adjudicated
+    * r18 verdict #4-noise) but bury REAL errors in CI logs. Scoped and
+    * restored, so genuine failures outside the block stay visible. */
+  def quietStorageLogs[A](body: => A): A = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val names = Seq("org.apache.spark.storage",
+      "org.apache.spark.executor.Executor",
+      "org.apache.spark.scheduler.TaskSetManager")
+    val prev = names.map(n => n -> LogManager.getLogger(n).getLevel)
+    names.foreach(n => Configurator.setLevel(n, Level.OFF))
+    try body finally prev.foreach { case (n, l) => Configurator.setLevel(n, l) }
+  }
+
   /** Order-insensitive full comparison of small frames. */
   def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
     assert(a.columns.sorted.toSeq == b.columns.sorted.toSeq,

@@ -141,6 +141,40 @@ class StreamingPropertySpec extends SparkSpec {
     }
   }
 
+  test("scd2 out-of-order guard end-to-end: a dup re-delivered AFTER an intervening change fails loudly, dimension untouched") {
+    // the churn generator injects duplicates only ADJACENT to their
+    // originals (its own note) — random cuts can split them across
+    // batch boundaries but never land one AFTER an intervening change
+    // of the same key. This directed case pins exactly that delivery:
+    // k0 changes 1→2, then the OLD (ts1, v=1) row arrives alone in a
+    // later epoch — its loadTs predates the open version's valid_from,
+    // so scd2Apply's in-plan raise_error must surface through
+    // processScd2Epoch with the documented message, and the failed
+    // epoch must leave the at-rest dimension byte-identical (the
+    // atomic-swap write never commits).
+    val dim = tempDir("graft_sprop_scd2_ooo")
+    StreamingOps.processScd2Epoch(
+      evDf(Seq(Ev("k0", "2024-01-01 00:01:00", 1))), dim, Seq("k"), "ts")
+    StreamingOps.processScd2Epoch(
+      evDf(Seq(Ev("k0", "2024-01-01 00:05:00", 2))), dim, Seq("k"), "ts")
+    val before = canon(readDim(dim))
+    val e = intercept[Throwable] {
+      StreamingOps.processScd2Epoch(
+        evDf(Seq(Ev("k0", "2024-01-01 00:01:00", 1))), dim, Seq("k"), "ts")
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("out-of-order/replayed stage"),
+      s"guard message missing from failure chain:\n$msgs")
+    assert(canon(readDim(dim)) == before, "failed epoch mutated the dimension")
+    // the idempotent sibling: re-delivering the CURRENT version (same
+    // ts, same value) is the documented no-op — loadTs == valid_from
+    // never trips the guard, content is unchanged
+    StreamingOps.processScd2Epoch(
+      evDf(Seq(Ev("k0", "2024-01-01 00:05:00", 2))), dim, Seq("k"), "ts")
+    assert(canon(readDim(dim)) == before)
+  }
+
   // --------------------------------------------------------- decontamStream
 
   private def mkDocs(rnd: scala.util.Random, vocab: IndexedSeq[String],
@@ -532,7 +566,9 @@ class StreamingPropertySpec extends SparkSpec {
         var index = seedDocs.toVector
         val expected = scala.collection.mutable.Set[Long]()
         val batches = cut(arrivals.toSeq, nB, rnd)
-        for ((b, e) <- batches.zipWithIndex) {
+        // quietStorageLogs: per-epoch handle releases race in-flight
+        // block fetches (benign, recovered) — keep real errors visible
+        for ((b, e) <- batches.zipWithIndex) quietStorageLogs {
           val survivors = b.filter { case (_, t) =>
             !index.exists(h => norm(h._2) == norm(t)) &&
               !index.exists(h => jac(sh3(t), sh3(h._2)) >= 0.5)

@@ -42,7 +42,9 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingOps.indexedDedupStream(
       mem.toDF.toDF("doc_id", "text"), idx, out, "doc_id", "text",
       checkpointDir = ck, threshold = 0.5)
-    try {
+    // quietStorageLogs: the per-epoch handle release races in-flight
+    // block fetches (benign, recovered) — keep real errors visible
+    try quietStorageLogs {
       // batch 1: 10 exact-dups history, 11 is new
       mem.addData((10L, "the quick brown fox jumps over the lazy dog"),
         (11L, "an entirely new document about training corpora"))
@@ -68,7 +70,7 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingOps.indexedDedupStream(
       mem.toDF.toDF("doc_id", "text"), idx, out, "doc_id", "text",
       checkpointDir = ck, threshold = 0.4, approx = true)
-    try {
+    try quietStorageLogs {
       mem.addData((10L, "the quick brown fox jumps over the lazy dog"), // exact dup of history
         (11L, "an entirely new document about training corpora for large language models today"))
       q.processAllAvailable()
@@ -929,7 +931,7 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingOps.indexedDedupStream(
       mem.toDF.toDF("doc_id", "text"), idx, out, "doc_id", "text",
       checkpointDir = ck, threshold = 0.5, maxLiveTranches = 2)
-    try {
+    try quietStorageLogs {
       for (e <- 0 until 6) {
         // each epoch: one exact dup of the seed (must drop, even when
         // the seed's tranche was folded away) + one genuinely new doc
