@@ -178,11 +178,12 @@ object HistSketch {
   /** SIGNED + FRACTIONAL histogram build: the [[histSketch]] shape
     * over the mirrored ladder, with an optional FIXED-POINT pre-scale
     * for fractional metrics — `scaleBy = 10^k` sketches
-    * `trunc(v·10^k)` (truncation toward zero, exactly Spark's
-    * double→long cast; mirror `CAST(TRUNC(x · 10^k) AS BIGINT)` in
-    * any oracle), so a log-prob sketched at `scaleBy = 10^6` keeps
-    * six fractional digits of resolution inside the same integer
-    * ladder. `scaleBy = 1` takes the column as exact longs (no double
+    * `trunc(v·10^k)` (truncation toward zero, Spark's double→long
+    * cast semantics via the ANSI-safe [[snapLong]] try_cast; mirror
+    * `TRY_CAST(TRUNC(x · 10^k) AS BIGINT)` in any oracle — identical
+    * on every in-ladder value, NULL-excluding on the wild ones), so a
+    * log-prob sketched at `scaleBy = 10^6` keeps six fractional
+    * digits of resolution inside the same integer ladder. `scaleBy = 1` takes the column as exact longs (no double
     * round-trip). Merges by bucket-wise sum exactly like the unsigned
     * family ([[histMerge]], [[writeHistTranche]] — the tranche
     * algebra never looks at bucket sign); read back with the SIGNED
