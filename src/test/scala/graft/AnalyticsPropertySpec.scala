@@ -374,6 +374,50 @@ class AnalyticsPropertySpec extends SparkSpec {
     }
   }
 
+  test("rollingAgg ≡ exact-decimal driver replay; wild magnitudes excluded from sum AND count") {
+    // the rolling member of the r19 ANSI sweep, randomized: values mix
+    // gaussians, NULLs, exact DECIMAL(12,2) envelope boundaries, and
+    // wild magnitudes (±1e11, ±9.9e15 — beyond the snap, excluded like
+    // NULLs; the envelope boundary 9999999999.99 itself snaps)
+    val rnd = new scala.util.Random(9019)
+    def snapOpt(v: java.lang.Double): Option[java.math.BigDecimal] =
+      Option(v).map(x => java.math.BigDecimal.valueOf(x)
+        .setScale(2, java.math.RoundingMode.HALF_UP))
+        .filter(_.abs.compareTo(new java.math.BigDecimal("9999999999.99")) <= 0)
+    (1 to TRIALS).foreach { trial =>
+      val n = 2 + trial % 3
+      val rows: Seq[(String, Long, java.lang.Double)] = (0 until 60).map { i =>
+        val v: java.lang.Double = rnd.nextInt(12) match {
+          case 0 => null
+          case 1 => if (rnd.nextBoolean()) 1e11 else -1e11
+          case 2 => if (rnd.nextBoolean()) 9.9e15 else -9.9e15
+          case 3 => 9999999999.99 // snaps: the envelope's last value
+          case _ => math.rint(rnd.nextGaussian() * 5000) / 100
+        }
+        (s"k${rnd.nextInt(3)}", i.toLong, v)
+      }
+      val expect = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(_._2)
+        ordered.indices.map { i =>
+          val frame = ordered.slice(math.max(0, i - n + 1), i + 1)
+          val us = frame.flatMap(r => snapOpt(r._3))
+          val sum = if (us.isEmpty) None
+                    else Some(us.reduce(_ add _).doubleValue)
+          val cnt = us.size.toLong
+          ordered(i)._2 -> (sum, cnt, sum.filter(_ => cnt > 0).map(_ / cnt))
+        }
+      }
+      val got = TimeSeriesOps.rollingAgg(
+          rows.toDF("k", "t", "value"), "k", "t", "value", nRows = n)
+        .collect().map(r => r.getLong(1) ->
+          (Option(r.getAs[java.lang.Double]("roll_sum")).map(_.doubleValue()),
+            r.getAs[Long]("roll_n"),
+            Option(r.getAs[java.lang.Double]("roll_avg")).map(_.doubleValue())))
+        .toMap
+      assert(got == expect, s"trial $trial n=$n")
+    }
+  }
+
   test("resampleFill ≡ driver LOCF replay: last-wins buckets, per-key grids, fill flags") {
     val rnd = new scala.util.Random(8016)
     (1 to TRIALS).foreach { trial =>
