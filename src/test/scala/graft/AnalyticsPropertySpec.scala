@@ -418,6 +418,55 @@ class AnalyticsPropertySpec extends SparkSpec {
     }
   }
 
+  test("rollingSigmaFlags ≡ BigInt windowed ledger; wilds excluded from baselines, NULL verdicts") {
+    // the rolling twin of the sigmaFlags differential, randomized with
+    // NULLs, level spikes, and wild magnitudes: unsnappable values are
+    // excluded from every later window's (n,S,Q) AND get a NULL
+    // verdict themselves when a testable baseline exists (n>=2); the
+    // under-2-window never-flag rule applies to them too
+    val rnd = new scala.util.Random(9021)
+    def snapOpt(v: java.lang.Double): Option[BigInt] =
+      Option(v).filter(x => math.abs(x) < 1e14).map(x =>
+        BigInt(java.math.BigDecimal.valueOf(x)
+          .setScale(4, java.math.RoundingMode.HALF_UP)
+          .movePointRight(4).toBigIntegerExact))
+    (1 to TRIALS).foreach { trial =>
+      val n = 3 + trial % 3
+      val k = 1 + trial % 3
+      val rows: Seq[(String, Long, java.lang.Double)] = (0 until 60).map { i =>
+        val v: java.lang.Double = rnd.nextInt(12) match {
+          case 0 => null
+          case 1 => if (rnd.nextBoolean()) 9.9e15 else -9.9e15
+          case 2 => 400.0 + rnd.nextInt(5) // level spikes
+          case _ => math.rint((rnd.nextGaussian() * 50 + 100) * 1000) / 1000
+        }
+        (s"g${rnd.nextInt(3)}", i.toLong, v)
+      }
+      val expect = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(_._2)
+        ordered.indices.map { i =>
+          val win = ordered.slice(math.max(0, i - n), i) // prior nRows rows
+          val us = win.flatMap(r => snapOpt(r._3))
+          val (cn, cs, cq) = (BigInt(us.size), us.sum, us.map(u => u * u).sum)
+          val flag: Option[Boolean] =
+            if (cn < 2) Some(false)
+            else snapOpt(ordered(i)._3).map { u =>
+              val dev = cn * u - cs
+              dev * dev > BigInt(k.toLong * k) * (cn * cq - cs * cs)
+            } // None = NULL verdict (unsnappable row over a live baseline)
+          ordered(i)._2 -> (us.size.toLong, flag)
+        }
+      }
+      val got = graft.analytics.AnomalyOps.rollingSigmaFlags(
+          rows.toDF("grp", "t", "value"), "grp", "t", "value", nRows = n, k = k)
+        .collect().map(r => r.getLong(1) ->
+          (r.getAs[Long]("n_window"),
+            Option(r.getAs[java.lang.Boolean]("is_anomaly")).map(_.booleanValue())))
+        .toMap
+      assert(got == expect, s"trial $trial n=$n k=$k")
+    }
+  }
+
   test("resampleFill ≡ driver LOCF replay: last-wins buckets, per-key grids, fill flags") {
     val rnd = new scala.util.Random(8016)
     (1 to TRIALS).foreach { trial =>
