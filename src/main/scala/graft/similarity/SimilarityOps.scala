@@ -46,14 +46,35 @@ object SimilarityOps {
   /** Codegen'd L2 norm for `array<float>` columns. */
   def l2NormF(a: Column): Column = sqrt(dotF(a, a))
 
-  /** Cosine similarity of two vector columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity of two vector columns; NULL when either side
+    * has zero norm (see [[cosineOf]]). */
+  def cosine(a: Column, b: Column): Column =
+    cosineRawOf(dot(a, b), l2Norm(a), l2Norm(b))
+
+  /** Cosine with the ZERO-NORM guard, rounded to 6 dp — the form every
+    * scoring join in this family uses. A zero-norm vector has no
+    * direction: under ANSI mode (Spark 4's default) the unguarded
+    * division THROWS (DIVIDE_BY_ZERO — double included, measured),
+    * killing the whole top-k/dedup job on ONE corrupt all-zero
+    * embedding; under legacy mode 0/0 = NaN, and NaN sorts ABOVE every
+    * real double in a descending rank — a zero vector would silently
+    * TOP every top-k list. NULL instead: it fails every threshold
+    * predicate and ranks LAST in desc order, in both modes (r19 ANSI
+    * division audit — the r18 cast find's division-shaped sibling). */
+  def cosineOf(dotV: Column, na: Column, nb: Column): Column =
+    when(na > 0 && nb > 0, round(dotV / (na * nb), 6))
+
+  /** [[cosineOf]] without the 6-dp round — the internal pre-rank form. */
+  private def cosineRawOf(dotV: Column, na: Column, nb: Column): Column =
+    when(na > 0 && nb > 0, dotV / (na * nb))
 
   /** L2-normalize a vector column. The norm is let-bound so it is
-    * computed once, not once per element ([[graft.functions.Let]]). */
+    * computed once, not once per element ([[graft.functions.Let]]);
+    * a zero-norm vector normalizes to NULL (no direction — and the
+    * per-element division would ANSI-throw). */
   def normalize(a: Column): Column =
     graft.functions.Let.bind(l2Norm(a)) { n =>
-      transform(a, x => x.cast(DoubleType) / n)
+      when(n > 0, transform(a, x => x.cast(DoubleType) / n))
     }
 
   /** Exact brute-force cosine top-k. `queries`(qidCol, vec) is
@@ -74,7 +95,7 @@ object SimilarityOps {
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(dotF(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
+        cosineOf(dotF(col("__qv"), col("__cv")), col("__qn"), col("__cn")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -155,7 +176,7 @@ object SimilarityOps {
     val scoredRaw = c.join(broadcast(q), Seq("__bucket"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(dotF(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
+        cosineOf(dotF(col("__qv"), col("__cv")), col("__qn"), col("__cn")).as("cos"))
     // no dedup needed: each corpus row has exactly one bucket and the
     // probed buckets are distinct, so a (query, corpus) pair can meet
     // through at most one probe
@@ -281,7 +302,7 @@ object SimilarityOps {
     val scored = index.join(broadcast(q), Seq("lsh_bucket"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(dotF(col("__qv"), col("__cv")) / (col("__qn") * l2NormF(col("__cv"))), 6).as("cos"))
+        cosineOf(dotF(col("__qv"), col("__cv")), col("__qn"), l2NormF(col("__cv"))).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -423,7 +444,7 @@ object SimilarityOps {
     val scored = c.join(broadcast(q), Seq("__list"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(dotF(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
+        cosineOf(dotF(col("__qv"), col("__cv")), col("__qn"), col("__cn")).as("cos"))
     // no dedup needed: one home list per corpus row, distinct probes →
     // each (query, corpus) pair meets at most once
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
@@ -600,7 +621,7 @@ object SimilarityOps {
     val scored = ivfIndexVectors(spark, dir).join(broadcast(q), Seq("ivf_list"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(dotF(col("__qv"), col("__cv")) / (l2NormF(col("__cv")) * col("__qn")), 6).as("cos"))
+        cosineOf(dotF(col("__qv"), col("__cv")), l2NormF(col("__cv")), col("__qn")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -746,7 +767,7 @@ object SimilarityOps {
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(adcDot(col("__lut"), col("__codes"), m) / (col("__qn") * col("__rn")), 6).as("cos"))
+        cosineOf(adcDot(col("__lut"), col("__codes"), m), col("__qn"), col("__rn")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -772,7 +793,7 @@ object SimilarityOps {
       l2NormF(col(vecCol)).as("__qn"))
     val exact = candidates.join(c, "corpus_id").join(broadcast(q), "query_id")
       .select(col("query_id"), col("corpus_id"),
-        round(dotF(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
+        cosineOf(dotF(col("__qv"), col("__cv")), col("__qn"), col("__cn")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -820,7 +841,7 @@ object SimilarityOps {
     val quantized = index.join(broadcast(q), Seq("__list"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        (adcDot(col("__lut"), col("__codes"), nSub) / (col("__qn") * col("__rn"))).as("__qcos"))
+        cosineRawOf(adcDot(col("__lut"), col("__codes"), nSub), col("__qn"), col("__rn")).as("__qcos"))
     val ws = Window.partitionBy("query_id").orderBy(col("__qcos").desc, col("corpus_id").asc)
     val candidates = quantized.withColumn("__r", row_number().over(ws))
       .where(col("__r") <= shortlist).select("query_id", "corpus_id")
@@ -831,7 +852,7 @@ object SimilarityOps {
       .join(broadcast(queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv2"),
         l2NormF(col(vecCol)).as("__qn2"))), "query_id")
       .select(col("query_id"), col("corpus_id"),
-        round(dotF(col("__qv2"), col("__cv")) / (col("__qn2") * col("__cn")), 6).as("cos"))
+        cosineOf(dotF(col("__qv2"), col("__cv")), col("__qn2"), col("__cn")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -1036,7 +1057,7 @@ object SimilarityOps {
     val quantized = index.join(broadcast(q), Seq("ivf_list"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        (adcDot(col("__lut"), col("pq_codes"), nSub) / (col("__qn") * col("pq_rn"))).as("__qcos"))
+        cosineRawOf(adcDot(col("__lut"), col("pq_codes"), nSub), col("__qn"), col("pq_rn")).as("__qcos"))
     val ws = Window.partitionBy("query_id").orderBy(col("__qcos").desc, col("corpus_id").asc)
     val candidates = quantized.withColumn("__r", row_number().over(ws))
       .where(col("__r") <= shortlist).select("query_id", "corpus_id")
@@ -1046,7 +1067,7 @@ object SimilarityOps {
       .join(broadcast(queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
         l2NormF(col(vecCol)).as("__qn2"))), "query_id")
       .select(col("query_id"), col("corpus_id"),
-        round(dotF(col("__qv"), col("__cv")) / (col("__qn2") * col("__cn")), 6).as("cos"))
+        cosineOf(dotF(col("__qv"), col("__cv")), col("__qn2"), col("__cn")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -1147,7 +1168,7 @@ object SimilarityOps {
     val dupIds = ivfIndexVectors(spark, dir)
       .where(col("ivf_list").isin(probedLists.toIndexedSeq.map(Integer.valueOf): _*))
       .join(q, Seq("ivf_list"))
-      .where(round(dotF(col("__qv"), col("__cv")) / (l2NormF(col("__cv")) * col("__qn")), 6)
+      .where(cosineOf(dotF(col("__qv"), col("__cv")), l2NormF(col("__cv")), col("__qn"))
           >= threshold)
       .select(col("__qid")).distinct()
     (batch.join(dupIds, col(idCol) === col("__qid"), "left_anti"), () => { q.unpersist(); () })
@@ -1168,7 +1189,7 @@ object SimilarityOps {
         Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dotF(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6).as("cos"))
+        cosineOf(dotF(col("__va"), col("__vb")), col("__na"), col("__nb")).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -1280,9 +1301,9 @@ object SimilarityOps {
       .groupBy(gc :+ col("day"): _*)
       .agg(max(col("ca")).as("n_cur"), max(col("cb")).as("n_ref"),
         count(lit(1)).as("dim"),
-        (sum((col("sa") * col("sb")).cast(d38)).cast(DoubleType)
-          / (sqrt(sum((col("sa") * col("sa")).cast(d38)).cast(DoubleType))
-            * sqrt(sum((col("sb") * col("sb")).cast(d38)).cast(DoubleType))))
+        cosineRawOf(sum((col("sa") * col("sb")).cast(d38)).cast(DoubleType),
+          sqrt(sum((col("sa") * col("sa")).cast(d38)).cast(DoubleType)),
+          sqrt(sum((col("sb") * col("sb")).cast(d38)).cast(DoubleType)))
           .as("cosine"))
       .select(gc ++ Seq(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("n_cur"), col("n_ref"), col("dim"), col("cosine")): _*)
@@ -1310,9 +1331,9 @@ object SimilarityOps {
       .groupBy(col("day"))
       .agg(max(col("ca")).as("n_cur"), max(col("cb")).as("n_ref"),
         count(lit(1)).as("dim"),
-        (sum((col("sa") * col("sb")).cast(d38)).cast(DoubleType)
-          / (sqrt(sum((col("sa") * col("sa")).cast(d38)).cast(DoubleType))
-            * sqrt(sum((col("sb") * col("sb")).cast(d38)).cast(DoubleType))))
+        cosineRawOf(sum((col("sa") * col("sb")).cast(d38)).cast(DoubleType),
+          sqrt(sum((col("sa") * col("sa")).cast(d38)).cast(DoubleType)),
+          sqrt(sum((col("sb") * col("sb")).cast(d38)).cast(DoubleType)))
           .as("cosine"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("n_cur"), col("n_ref"), col("dim"), col("cosine"))
@@ -1358,9 +1379,9 @@ object SimilarityOps {
       .groupBy(col("src"))
       .agg(max(col("c")).as("n_src"), max(col("cr")).as("n_rest"),
         count(lit(1)).as("dim"),
-        (sum((col("s") * col("sr")).cast(d38)).cast(DoubleType)
-          / (sqrt(sum((col("s") * col("s")).cast(d38)).cast(DoubleType))
-            * sqrt(sum((col("sr") * col("sr")).cast(d38)).cast(DoubleType))))
+        cosineRawOf(sum((col("s") * col("sr")).cast(d38)).cast(DoubleType),
+          sqrt(sum((col("s") * col("s")).cast(d38)).cast(DoubleType)),
+          sqrt(sum((col("sr") * col("sr")).cast(d38)).cast(DoubleType)))
           .as("cosine"))
       .where(col("n_rest") > 0)
       .withColumnRenamed("src", groupCol)
@@ -1417,9 +1438,9 @@ object SimilarityOps {
     a.join(b, col("pos") === col("__pb"))   // dim-sized join
       .agg(max(col("__ca")).as("n_a"), max(col("__cb")).as("n_b"),
         count(lit(1)).as("dim"),
-        (sum((col("__sa") * col("__sb")).cast(d38)).cast(DoubleType)
-          / (sqrt(sum((col("__sa") * col("__sa")).cast(d38)).cast(DoubleType))
-            * sqrt(sum((col("__sb") * col("__sb")).cast(d38)).cast(DoubleType))))
+        cosineRawOf(sum((col("__sa") * col("__sb")).cast(d38)).cast(DoubleType),
+          sqrt(sum((col("__sa") * col("__sa")).cast(d38)).cast(DoubleType)),
+          sqrt(sum((col("__sb") * col("__sb")).cast(d38)).cast(DoubleType)))
           .as("cosine"))
   }
 }

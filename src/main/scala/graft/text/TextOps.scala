@@ -35,6 +35,15 @@ object TextOps {
   /** Per-document quality metrics + a composite score in [0,1].
     * All double math is the same expression tree the oracle runs, so
     * results are bit-identical across engines.
+    *
+    * Empty and whitespace-only documents (n_chars = 0 or n_words = 0)
+    * get NULL metrics and a NULL score — no text, no verdict, and a
+    * NULL fails every downstream `quality_score >= t` gate, which is
+    * what an empty doc deserves. The guards exist because under ANSI
+    * mode (Spark 4's default) EVERY numeric division by zero THROWS —
+    * double included — so one empty string would otherwise kill the
+    * whole quality job (r19 ANSI division audit: the r18 cast find's
+    * division-shaped sibling, found by measurement).
     */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
@@ -51,16 +60,18 @@ object TextOps {
       .withColumn("__punct", col("__tc.n_punct").cast(DoubleType))
       .withColumn("__stop", col("__tc.n_stop").cast(DoubleType))
     staged
-      .withColumn("avg_word_len",
-        round(length(regexp_replace(t, "\\s", "")).cast(DoubleType) / col("n_words"), 4))
-      .withColumn("punct_ratio", round(col("__punct") / col("n_chars"), 6))
-      .withColumn("stopword_ratio", round(col("__stop") / col("n_words"), 6))
-      .withColumn("quality_score",
+      .withColumn("avg_word_len", when(col("n_words") > 0,
+        round(length(regexp_replace(t, "\\s", "")).cast(DoubleType) / col("n_words"), 4)))
+      .withColumn("punct_ratio", when(col("n_chars") > 0,
+        round(col("__punct") / col("n_chars"), 6)))
+      .withColumn("stopword_ratio", when(col("n_words") > 0,
+        round(col("__stop") / col("n_words"), 6)))
+      .withColumn("quality_score", when(col("n_words") > 0 && col("n_chars") > 0,
         round(least(lit(1.0), greatest(lit(0.0),
           lit(0.2)
             + lit(2.0) * (col("__stop") / col("n_words"))
             + when(col("n_words") >= 20 && col("n_words") <= 2000, lit(0.3)).otherwise(lit(0.0))
-            - lit(1.5) * (col("__punct") / col("n_chars")))), 6))
+            - lit(1.5) * (col("__punct") / col("n_chars")))), 6)))
       .drop("__tc", "__punct", "__stop")
   }
 
@@ -236,7 +247,11 @@ object TextOps {
     val terms = df.select(col(idCol), explode(words(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val freq = tf.groupBy("term").agg(sum("tf").as("c"))
-    val n = terms.count() // bounded scalar, like the tfidf N
+    // max(1): an all-empty corpus yields ZERO rows (empty output is
+    // already correct) but l8(lit(0)) is a CONSTANT — log10(0) = -Inf,
+    // whose long cast ANSI-throws at constant-folding time, crashing a
+    // job whose right answer is "no rows" (r19 ANSI division audit)
+    val n = math.max(terms.count(), 1L) // bounded scalar, like the tfidf N
     def l8(e: Column): Column =
       floor(log10(e.cast(DoubleType)) * lit(1e8) + lit(0.5)).cast(LongType)
     tf.join(freq, "term")
@@ -299,6 +314,11 @@ object TextOps {
     val big = withPrev(trainToks).where(col("prev").isNotNull)
       .groupBy("prev", "term").agg(count(lit(1)).as("__c2"))
     val n = trainToks.count() // bounded scalar, like the tfidf N
+    // a token-less REFERENCE corpus is a misconfiguration, not a
+    // scorable state (every doc would be "OOV against nothing") —
+    // and l8(lit(0)) would ANSI-throw at constant folding anyway;
+    // fail with a named cause instead (r19 ANSI division audit)
+    require(n > 0, "bigramLogProbBackoff: training corpus has no tokens")
     withPrev(toks(score))
       .join(uni, Seq("term"), "left")
       .join(uni.select(col("term").as("prev"), col("__c1").as("__cp")), Seq("prev"), "left")

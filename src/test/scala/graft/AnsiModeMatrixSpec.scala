@@ -185,6 +185,51 @@ class AnsiModeMatrixSpec extends SparkSpec {
     assert(!cos.isNaN && cos > 0.0 && cos <= 1.0, s"cosine: $cos")
   }
 
+  test("qualityScore: empty/whitespace docs get NULL metrics, never a job kill; both modes identical") {
+    // the r19 DIVISION sibling of the cast class: under ANSI every
+    // numeric division by zero throws (double included — measured), so
+    // one empty string used to kill the whole quality job
+    val df = Seq((1L, "a solid little document with the usual words in it"),
+      (2L, ""), (3L, "   \t  "), (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = modeInvariant("qualityScore")(
+      graft.text.TextOps.qualityScore(df, "text")
+        .select("id", "avg_word_len", "punct_ratio", "stopword_ratio", "quality_score"))
+    val byId = underMode(true)(
+      graft.text.TextOps.qualityScore(df, "text")
+        .select("id", "quality_score").collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double](1))).toMap)
+    assert(byId(1L).nonEmpty, s"real doc scored: $byId")
+    // empty text: n_chars = 0 → NULL score (the division the guard
+    // exists for). Whitespace-only text tokenizes to one empty-string
+    // "word" (the splitter's long-standing behavior, oracle-paired),
+    // so its denominators are nonzero and it scores the 0.2 base —
+    // defined, never a throw.
+    assert(byId(2L).isEmpty, s"empty → NULL: $byId")
+    assert(byId(3L).contains(0.2), s"whitespace-only scores the base: $byId")
+    assert(got.size == 4)
+  }
+
+  test("zero-norm embeddings: NULL cosine (never DIVIDE_BY_ZERO, never a NaN that tops the rank); both modes identical") {
+    val corpus = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.1f)),
+      (12L, Array(0.0f, 0.0f))).toDF("doc_id", "vec") // 12 = corrupt zero vector
+    val queries = Seq((1L, Array(1.0f, 0.05f))).toDF("query_id", "vec")
+    def run() = graft.similarity.SimilarityOps.bruteForceTopK(
+      queries, corpus, "query_id", "doc_id", "vec", k = 3)
+      .select("query_id", "corpus_id", "cos", "rank")
+    modeInvariant("bruteForceTopK/zero-norm")(run())
+    val ranked = underMode(true)(run().collect()
+      .map(r => r.getLong(1) -> (Option(r.getAs[java.lang.Double](2)), r.getInt(3))))
+    val byDoc = ranked.toMap
+    // the zero vector must NOT outrank the real candidates (legacy NaN
+    // would have): its cosine is NULL and it sorts last
+    assert(byDoc(12L)._1.isEmpty && byDoc(12L)._2 == 3, s"zero vector: $ranked")
+    assert(byDoc(10L)._2 < 3 && byDoc(11L)._2 < 3)
+    // the zero-norm guard also covers the threshold-filter form
+    val pairs = modeInvariant("cosineNearDup/zero-norm")(
+      graft.similarity.SimilarityOps.cosineNearDupPairs(corpus, "doc_id", "vec", 0.9))
+    assert(pairs.forall(!_.contains("12")), s"zero vector paired: $pairs")
+  }
+
   test("lenient cleaners: junk and out-of-range → NULL, both modes identical") {
     val df = Seq("12", "1.5", "junk", "30000000000", "nan", "Infinity", "-2.9")
       .toDF("c")
