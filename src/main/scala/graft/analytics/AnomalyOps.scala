@@ -33,11 +33,22 @@ object AnomalyOps {
     * and group size ≤ 10^c rows, both `(n·x − S)²` and `k²·(n·Q − S²)`
     * stay under 10^(2(c+v+decimals)+2) — at v=4, c=9, decimals=4 that
     * is 10^36 < 38 digits: values to ±10^4 in billion-row groups fit.
-    * Outside the envelope Spark's non-ANSI decimal overflow turns the
-    * comparison NULL (flag null, never silently wrong) — shrink
-    * `decimals` to buy headroom; the envelope is a documented contract,
-    * checked by the spec at its edges rather than a per-row runtime
-    * guard the hot loop would pay for.
+    * Outside the envelope the comparison degrades to NULL — flag null,
+    * never silently wrong, and never a killed job — in BOTH ANSI modes:
+    * S is summed in DECIMAL(38,0) (provably exact ALWAYS — |snap| <
+    * 10^18 and count ≤ 2^63 bound Σ|u| < 9.3·10^36), Q is a `try_sum`
+    * (its D38-exact per-row summand u² < 10^36 can breach 38 digits
+    * only in aggregate), and the comparison products are `try_`
+    * arithmetic (NULL on a 38-digit breach regardless of
+    * `spark.sql.ansi.enabled`). Shrink `decimals` to buy headroom; the
+    * envelope is a documented contract, checked by the spec at its
+    * edges rather than a per-row runtime guard the hot loop would pay
+    * for. (r19 third member of the ANSI sibling class: S was previously
+    * a LONG-typed sum, which under legacy mode WRAPPED SILENTLY at
+    * Σ|u| > 9.2·10^18 — arbitrary wrong flags, not NULL ones — and
+    * under ANSI mode threw, both a factor ~10^19 inside the envelope
+    * this scaladoc promised; the plain-decimal products meanwhile threw
+    * under ANSI at the envelope edge instead of degrading to NULL.)
     *
     * Shuffle plan: one map-side-combinable groupBy over the group key
     * (three integer aggregates) + one broadcast-or-hash join of the
@@ -96,8 +107,19 @@ object AnomalyOps {
     val rows = df.withColumn("__u", snapped(valueCol, decimals))
     rows.groupBy(col(keyCol))
       .agg(count(col("__u")).cast(D38).as("__n"),
-        sum(col("__u")).cast(D38).as("__s"),
-        sum(col("__u").cast(D38) * col("__u")).as("__q"))
+        // D38 sum, not LONG-then-cast: Σ|u| < 2^63·10^18 < 10^38, so S
+        // is exact for ANY group; the old long sum wrapped at 9.2e18.
+        // Zero-coalesced: a group whose values were ALL excluded sums
+        // to NULL-from-empty, which is semantically ZERO contribution —
+        // it must stay distinguishable from NULL-from-breach, because
+        // the tranche merge NULL-POISONS breach verdicts
+        // (SumTranches.readMulti) but must skip empties
+        coalesce(sum(col("__u").cast(D38)), lit(0).cast(D38)).as("__s"),
+        // u² < 10^36 is exact per row; only the AGGREGATE can breach 38
+        // digits — try_sum makes that NULL in both ANSI modes. The
+        // n=0 guard keeps empty-group NULL (≡ 0) apart from breach NULL
+        when(count(col("__u")) === 0, lit(0).cast(D38))
+          .otherwise(try_sum(col("__u").cast(D38) * col("__u"))).as("__q"))
       .select(col(keyCol), explode(array(
         struct(lit("n").as("stat"), col("__n").as("val")),
         struct(lit("s").as("stat"), col("__s").as("val")),
@@ -167,7 +189,13 @@ object AnomalyOps {
     *
     * Same float-free inequality as [[sigmaFlags]] — `(n·x − S)² >
     * k²·(n·Q − S²)` — with (n, S, Q) as exact integer WINDOW sums
-    * (one key-partitioned ordered window, reused for all three), so
+    * (one key-partitioned ordered window, reused for all three).
+    * Envelope (r19): this tier's S is a checked LONG window sum —
+    * exact to Σ|u| ≤ 9.2·10^18, NULL verdicts beyond, in both ANSI
+    * modes (see the body comment for why the grouped tier's
+    * DECIMAL(38) sum is the wrong trade inside a sliding frame); Q
+    * and the comparison degrade to NULL at the 38-digit envelope like
+    * the grouped tier. Exact integer sums mean the engine's
     * within-frame evaluation strategy is invisible. Rows whose prior
     * window holds fewer than 2 observations are never flagged
     * (variance undefined). `orderCol` must be unique per key
@@ -186,13 +214,30 @@ object AnomalyOps {
       .partitionBy(col(keyCol)).orderBy(col(orderCol))
       .rowsBetween(-nRows.toLong, -1L)
     val n = count(col("__u")).over(w)
-    val s = sum(col("__u")).over(w)
-    val q = sum(col("__u").cast(D38) * col("__u")).over(w)
-    val dev = n.cast(D38) * col("__u").cast(D38) - s.cast(D38)
-    val rhs = lit(k.toLong * k) * (n.cast(D38) * q - s.cast(D38) * s.cast(D38))
+    // r19 long-sum audit, WINDOW tier: S is a try_sum over LONG —
+    // checked long adds that go NULL past ±9.2e18 in BOTH ANSI modes,
+    // where the old plain long sum wrapped silently (wrong flags)
+    // under legacy and killed the job under ANSI. Deliberately NOT the
+    // grouped tier's D38 sum: a sliding frame RECOMPUTES its aggregate
+    // per row, and a second DECIMAL(38) window sum (Q is already one)
+    // measured ~2× on the window-dominated bench query. The exactness
+    // given up — S in (9.2e18, 1e19), beyond which S² breaches 38
+    // digits and flags are NULL regardless — needs a frame AVERAGING
+    // |x| ≈ 3.8e13 at 4 decimals over 24 rows: sentinel territory a
+    // bounded monitoring window cannot reach with real measurements.
+    // Q and the products NULL-degrade on a 38-digit breach as in the
+    // grouped tier; any NULL propagates to a NULL verdict.
+    val s = try_sum(col("__u")).over(w)
+    val q = try_sum(col("__u").cast(D38) * col("__u")).over(w)
+    val dev = try_subtract(
+      try_multiply(n.cast(D38), col("__u").cast(D38)), s.cast(D38))
+    val rhs = try_multiply(lit(k.toLong * k),
+      try_subtract(try_multiply(n.cast(D38), q),
+        try_multiply(s.cast(D38), s.cast(D38))))
     rows
       .withColumn("n_window", n)
-      .withColumn("is_anomaly", when(n >= 2, dev * dev > rhs).otherwise(lit(false)))
+      .withColumn("is_anomaly",
+        when(n >= 2, try_multiply(dev, dev) > rhs).otherwise(lit(false)))
       .drop("__u")
   }
 
@@ -215,11 +260,18 @@ object AnomalyOps {
       .agg(max(when(col("stat") === "n", col("val"))).as("__n"),
         max(when(col("stat") === "s", col("val"))).as("__s"),
         max(when(col("stat") === "q", col("val"))).as("__q"))
-    val dev = col("__n") * col("__u").cast(D38) - col("__s")
-    val rhs = lit(k.toLong * k) * (col("__n") * col("__q") - col("__s") * col("__s"))
+    // try_ arithmetic, not plain (r19 long-sum audit): a 38-digit
+    // breach in any product degrades the comparison to NULL in BOTH
+    // ANSI modes — the envelope contract in [[sigmaFlags]]'s doc; the
+    // plain decimal ops threw under ANSI (the default) at the edge.
+    val dev = try_subtract(
+      try_multiply(col("__n"), col("__u").cast(D38)), col("__s"))
+    val rhs = try_multiply(lit(k.toLong * k),
+      try_subtract(try_multiply(col("__n"), col("__q")),
+        try_multiply(col("__s"), col("__s"))))
     rows.join(wide, keyCol)
       .withColumn("n_group", col("__n").cast(LongType))
-      .withColumn("is_anomaly", dev * dev > rhs)
+      .withColumn("is_anomaly", try_multiply(dev, dev) > rhs)
       .drop("__u", "__n", "__s", "__q")
   }
 }

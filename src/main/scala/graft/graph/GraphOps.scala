@@ -1068,7 +1068,12 @@ object GraphOps {
     nbr.join(v, "dst")
       .groupBy(col("src"))
       .agg(count(lit(1)).as("n_neighbors"),
-        sum(col("__v")).as("__sum"))
+        // (38,2) summand (r19 long-sum audit): the default (22,2) sum
+        // type overflows at Σ|v| > 10^20 — reachable for a 10^10-degree
+        // hub at the snap bound — where ANSI throws; widened, the sum
+        // is provably exact (|v| < 10^10, rows ≤ 2^63 ⇒ Σ < 10^29)
+        sum(col("__v").cast(org.apache.spark.sql.types.DecimalType(38, 2)))
+          .as("__sum"))
       .select(col("src").as("node"), col("n_neighbors"),
         col("__sum").cast(DoubleType).as("sum_val"),
         (col("__sum").cast(DoubleType) / col("n_neighbors")).as("avg_val"))
@@ -1119,7 +1124,14 @@ object GraphOps {
       col(valueCol).try_cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("__v"))
     // per-node 1-hop stat tranche (node-sized, the at-rest-index shape)
     val one = e.join(v, "dst").groupBy(col("src"))
-      .agg(count(lit(1)).as("__n1"), sum(col("__v")).as("__s1"))
+      // (38,2) summands here and below (r19 long-sum audit): exact for
+      // any fan-out — the (22,2) default overflowed (ANSI-threw) at
+      // Σ|v| > 10^20; walk COUNTS stay long (bounded by the operator's
+      // own cost model: total ≤2-hop walks ≪ 2^63 on any graph whose
+      // stat tranches this op can build)
+      .agg(count(lit(1)).as("__n1"),
+        sum(col("__v").cast(org.apache.spark.sql.types.DecimalType(38, 2)))
+          .as("__s1"))
     val oneM = one.select(col("src").as("__m"),
       col("__n1").as("__n1m"), col("__s1").as("__s1m"))
     // 2-hop walk totals by stat COMBINE — never the walk rows themselves
@@ -1137,7 +1149,9 @@ object GraphOps {
     val back = e.intersect(rev)
       .join(v.withColumnRenamed("dst", "src"), Seq("src"))
       .groupBy(col("src"))
-      .agg(count(lit(1)).as("__nbk"), sum(col("__v")).as("__sbk"))
+      .agg(count(lit(1)).as("__nbk"),
+        sum(col("__v").cast(org.apache.spark.sql.types.DecimalType(38, 2)))
+          .as("__sbk"))
     val zeroN = lit(0L)
     one.join(two, Seq("src"), "full_outer")
       .join(back, Seq("src"), "left")

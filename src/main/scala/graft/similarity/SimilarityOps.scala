@@ -1405,7 +1405,13 @@ object SimilarityOps {
         .select(col("__d"), col("pos"),
           (col("__x").cast(DoubleType) * lit(scale.toDouble)).try_cast(LongType).as("__u"))
         .groupBy(col("__d"), col("pos"))
-        .agg(sum(col("__u").cast(d38)).as("s"), count(lit(1)).as("c")),
+        // zero-coalesced (r19 long-sum audit): a (day, dim) group whose
+        // components were ALL excluded sums to NULL-from-empty, which
+        // is ZERO contribution by this family's documented semantics
+        // ("component contributes 0, vector still counts") — it must
+        // not look like the breach NULL the tranche merge poisons on
+        .agg(coalesce(sum(col("__u").cast(d38)), lit(0).cast(d38)).as("s"),
+          count(lit(1)).as("c")),
       dir, tag)
   }
 

@@ -170,7 +170,12 @@ object TrainingOps {
     val u = greatest(lit(0L), coalesce(
       (col(weightCol).try_cast(DecimalType(18, 6)) * lit(Ppm)).cast(LongType), lit(0L)))
     val r0 = df.select(u.as("__u"))
-      .agg(sum(col("__u")).cast(DecimalType(38, 0)).as("s"), count(lit(1)).as("n"))
+      // D38 summand, not LONG-sum-then-cast (r19 long-sum audit): with
+      // |__u| < 10^18 the long Σw wrapped silently at 9.2e18 — ~10
+      // boundary-magnitude weights — skewing every keep probability
+      // under legacy mode and throwing under ANSI; the D38 sum is
+      // provably exact (rows ≤ 2^63 ⇒ Σ < 10^38)
+      .agg(sum(col("__u").cast(DecimalType(38, 0))).as("s"), count(lit(1)).as("n"))
       .head()                                // bounded scalars, plan-build
     val (s, n) = (Option(r0.getDecimal(0)).map(_.toBigInteger), r0.getLong(1))
     if (s.forall(_.signum == 0)) return df.where(lit(false)) // all-zero weights

@@ -107,16 +107,31 @@ object SumTranches {
 
   /** [[read]] with SEVERAL summed columns per key (e.g. the per-day
     * centroid artifact's sum-vector + vector-count pair) — same one
-    * bounded scan, each column summed under its own name. */
+    * bounded scan, each column summed under its own name.
+    *
+    * NULL poisoning (r19 long-sum audit): SQL SUM skips NULLs, but in
+    * these artifacts a NULL component is an OUT-OF-ENVELOPE verdict (a
+    * `try_sum`'d ingest that breached 38 digits — the sigma-stats Q),
+    * not a missing observation — skipping it would merge to a silently
+    * SMALLER total, the exact silent corruption the envelope contract
+    * forbids. Any NULL input ⇒ NULL merged value, and the merge itself
+    * is a `try_sum` so a breach first reached ACROSS tranches degrades
+    * to NULL in both ANSI modes instead of throwing under the default.
+    * (Count families are untouched: their components are non-null
+    * counts bounded by total ingested rows.) A consolidation persists
+    * the poisoned NULL — honest, since these components only grow in
+    * magnitude, so a breached total never un-breaches. */
   def readMulti(spark: SparkSession, dir: String,
                 keyCols: Seq[String], cntCols: Seq[String]): DataFrame = {
     require(cntCols.nonEmpty, "SumTranches.readMulti: need at least one count column")
     val paths = live(spark, dir)
     require(paths.nonEmpty, s"SumTranches.read: no live tranches under $dir")
+    def mergeSum(c: String): org.apache.spark.sql.Column =
+      when(count(when(col(c).isNull, lit(1))) > 0, lit(null))
+        .otherwise(try_sum(col(c))).as(c)
     spark.read.parquet(paths.map(_.toString): _*)
       .groupBy(keyCols.map(col): _*)
-      .agg(sum(col(cntCols.head)).as(cntCols.head),
-        cntCols.tail.map(c0 => sum(col(c0)).as(c0)): _*)
+      .agg(mergeSum(cntCols.head), cntCols.tail.map(mergeSum): _*)
   }
 
   /** Fold the live tranches into one, crash-safe under sum (see object

@@ -242,6 +242,183 @@ class AnsiModeMatrixSpec extends SparkSpec {
     modeInvariant("applySchema")(graft.schema.SchemaOps.applySchema(df, schema))
   }
 
+  // ── r19 long-sum audit: the third member of the ANSI sibling class.
+  // S was a LONG-typed sum that wrapped silently at Σ|u| > 9.2e18
+  // (legacy: arbitrary wrong flags; ANSI: a killed job) — ~10^19
+  // inside the envelope the scaladoc promised. The corridor case pins
+  // S-exactness beyond the old wrap point with REAL flags; the breach
+  // case pins NULL degradation at the true 38-digit envelope edge.
+
+  test("sigma family: S beyond the old long-wrap point stays exact; flags real and model-equal, both modes") {
+    // 12 near-equal values at the snap boundary: u_i ≈ 7.92e17, so
+    // S ≈ 9.5e18 > Long.Max while S², n·Q and rhs all stay inside 38
+    // digits — the chain must compute REAL booleans here, and they
+    // must equal an independent BigInt replay.
+    val us14 = (0 until 14).map(i => BigInt(79200000000000L + i) * 10000)
+    val us = us14.take(12)
+    val sB = us.sum
+    assert(sB > BigInt(Long.MaxValue), s"corridor not beyond wrap: $sB")
+    val qB = us.map(u => u * u).sum
+    val nB = BigInt(12)
+    val expFlags = us.map { u =>
+      val dev = nB * u - sB
+      dev * dev > BigInt(9) * (nB * qB - sB * sB)
+    }
+    val rows = (0 until 12).map(i => ("g", i.toLong, 7.92e13 + i))
+    def run() = graft.analytics.AnomalyOps.sigmaFlags(
+      rows.toDF("grp", "id", "value"), "grp", "value", k = 3)
+      .select("id", "n_group", "is_anomaly")
+    modeInvariant("sigmaFlags corridor")(run())
+    val byId = underMode(true)(run().collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Boolean]("is_anomaly"))).toMap)
+    (0 until 12).foreach { i =>
+      assert(byId(i.toLong).contains(expFlags(i)),
+        s"id=$i: engine ${byId(i.toLong)} vs model ${expFlags(i)}")
+    }
+    // the melted sketch carries the exact S — impossible for the old
+    // long sum, which wrapped this value to a negative
+    val sVal = underMode(true)(graft.analytics.AnomalyOps.statsSketch(
+      rows.toDF("grp", "id", "value"), "grp", "value").collect()
+      .find(_.getString(1) == "s").get.getDecimal(2))
+    assert(BigInt(sVal.toBigInteger) == sB, s"S: $sVal vs $sB")
+
+    // WINDOW path: its S is a checked LONG sum (the r19 trade — see
+    // rollingSigmaFlags' doc), so frames with Σ|u| ≤ 9.2e18 compute
+    // REAL model-equal flags right up to the edge, and frames beyond
+    // it yield NULL verdicts in both modes — where the old plain long
+    // sum wrapped into arbitrary booleans under legacy and killed the
+    // job under ANSI. nRows=12 puts full frames (S ≈ 9.5e18) past the
+    // envelope and head frames (≤ 11 rows, S ≤ 8.7e18) inside it.
+    val rrows = us14.indices.map(i => ("k", i.toLong, 7.92e13 + i))
+    val rexp = us14.indices.map { t =>
+      val w = us14.slice(math.max(0, t - 12), t)
+      if (w.size < 2) Some(false)
+      else if (w.sum > BigInt(Long.MaxValue)) None
+      else {
+        val n = BigInt(w.size); val s = w.sum; val q = w.map(u => u * u).sum
+        val dev = n * us14(t) - s
+        Some(dev * dev > BigInt(9) * (n * q - s * s))
+      }
+    }
+    assert(rexp.exists(_.isEmpty) && rexp.count(_.nonEmpty) > 2,
+      s"case must straddle the long envelope: $rexp")
+    def rrun() = graft.analytics.AnomalyOps.rollingSigmaFlags(
+      rrows.toDF("k", "t", "value"), "k", "t", "value", nRows = 12, k = 3)
+      .select("t", "is_anomaly")
+    modeInvariant("rollingSigmaFlags corridor")(rrun())
+    val rByT = underMode(true)(rrun().collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Boolean]("is_anomaly"))).toMap)
+    us14.indices.foreach { t =>
+      assert(rByT(t.toLong).map(Boolean.unbox) == rexp(t).map(identity),
+        s"t=$t: engine ${rByT(t.toLong)} vs model ${rexp(t)}")
+    }
+  }
+
+  test("sigma family: a 38-digit envelope breach degrades to NULL flags, never a wrong one, both modes") {
+    // 'big': Q = 110·(9.9e17)² ≈ 1.08e38 breaches IN the try_sum → q
+    // NULL. 'mid': q is real (1.18e37) but S² ≈ 1.41e38 breaches in
+    // the product → rhs NULL. Both must yield NULL verdicts — not a
+    // crash (ANSI) and not an arbitrary boolean (legacy wrap).
+    val rows = (0 until 110).map(i => ("big", i.toLong, 9.9e13)) ++
+      (0 until 12).map(i => ("mid", (200 + i).toLong, 9.9e13))
+    def run() = graft.analytics.AnomalyOps.sigmaFlags(
+      rows.toDF("grp", "id", "value"), "grp", "value", k = 3)
+      .select("grp", "id", "n_group", "is_anomaly")
+    modeInvariant("sigmaFlags breach")(run())
+    val got = underMode(true)(run().collect())
+    assert(got.length == 122)
+    got.foreach { r =>
+      val n = r.getLong(2)
+      assert(n == (if (r.getString(0) == "big") 110L else 12L), s"$r")
+      assert(r.isNullAt(3), s"breached group produced a verdict: $r")
+    }
+    val melted = underMode(true)(graft.analytics.AnomalyOps.statsSketch(
+      rows.toDF("grp", "id", "value"), "grp", "value").collect())
+    val qBig = melted.find(r => r.getString(0) == "big" && r.getString(1) == "q").get
+    val qMid = melted.find(r => r.getString(0) == "mid" && r.getString(1) == "q").get
+    assert(qBig.isNullAt(2), "breached Q not NULL")
+    assert(!qMid.isNullAt(2), "in-envelope Q went NULL")
+  }
+
+  test("stats artifact merge: a breached tranche poisons the merged component to NULL, never a silently smaller sum") {
+    import graft.analytics.AnomalyOps
+    val dir = tempDir("ansi-stats-poison")
+    val d1 = (Seq(("g", 10.0), ("g", 11.0), ("g", 12.0),
+      ("h", 5.0), ("h", 6.0), ("h", 7.0))).toDF("grp", "value")
+    val d2 = (0 until 110).map(_ => ("g", 9.9e13)).toDF("grp", "value")
+    AnomalyOps.writeStatsTranche(AnomalyOps.statsSketch(d1, "grp", "value"), dir, "d1")
+    AnomalyOps.writeStatsTranche(AnomalyOps.statsSketch(d2, "grp", "value"), dir, "d2")
+    val merged = AnomalyOps.readStats(spark, dir, "grp").collect()
+    val qG = merged.find(r => r.getString(0) == "g" && r.getString(1) == "q").get
+    assert(qG.isNullAt(2),
+      "SUM skipped the breached tranche's NULL Q — merged to a silently smaller total")
+    val sG = merged.find(r => r.getString(0) == "g" && r.getString(1) == "s").get
+    val expS = BigInt(330000) + BigInt(110) * (BigInt(99000000000000L) * 10000)
+    assert(BigInt(sG.getDecimal(2).toBigInteger) == expS, s"merged S: $sG")
+    // flagging against the merged artifact: poisoned key → NULL
+    // verdicts, intact key → real ones; identical in both modes
+    val today = Seq(("g", 10.5), ("h", 100.0)).toDF("grp", "value")
+    def flags() = AnomalyOps.sigmaFlagsAgainstStats(
+      today, AnomalyOps.readStats(spark, dir, "grp"), "grp", "value")
+      .select("grp", "is_anomaly")
+    modeInvariant("flags against poisoned stats")(flags())
+    val byGrp = underMode(true)(flags().collect()
+      .map(r => r.getString(0) ->
+        Option(r.getAs[java.lang.Boolean](1))).toMap)
+    assert(byGrp("g").isEmpty, s"poisoned key got a verdict: $byGrp")
+    assert(byGrp("h").contains(true), s"intact key lost its verdict: $byGrp")
+  }
+
+  test("weightedSample: Σw beyond the old long-wrap point — scale invariance holds, both modes") {
+    // 30 equal weights at the snap boundary: Σu ≈ 3e19 wrapped the old
+    // long sum (legacy: an EMPTY keep set from a negative threshold;
+    // ANSI: a killed job). Uniform weights must sample exactly like
+    // uniform 1.0 weights at any magnitude.
+    val big = (0L until 30L).map(id => (id, 9.9e11)).toDF("doc_id", "w")
+    val unit = (0L until 30L).map(id => (id, 1.0)).toDF("doc_id", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.training.TrainingOps.weightedSample(
+        df, "doc_id", "w", rate = 0.4, portable = true)
+    modeInvariant("weightedSample wrap")(run(big))
+    val keptBig = underMode(true)(run(big).collect().map(_.getLong(0)).toSet)
+    val keptUnit = underMode(true)(run(unit).collect().map(_.getLong(0)).toSet)
+    assert(keptBig.nonEmpty, "boundary-magnitude uniform weights kept nothing")
+    assert(keptBig == keptUnit,
+      s"scale invariance broken: big=$keptBig unit=$keptUnit")
+  }
+
+  test("centroid artifact: an all-excluded (day,dim) tranche group merges as ZERO, not a poisoned NULL") {
+    // every day-2 vector is wild at dim 0 (beyond the ±9.2e12 snap
+    // range), so that (day, dim) group's sum is NULL-from-empty —
+    // zero contribution by the family's documented semantics. The
+    // writer must coalesce it to 0 so the merge's breach-poisoning
+    // (SumTranches.readMulti) never fires on it, and the
+    // from-index gauge must equal the inline gauge.
+    import graft.similarity.SimilarityOps
+    val dir = tempDir("ansi-centroid-empty") + "/idx"
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$d%d 10:00:00")
+    val day1 = Seq((ts(1), Array(1.0f, 0.5f)), (ts(1), Array(0.5f, 1.0f)))
+    val day2 = Seq((ts(2), Array(1e13f, 0.5f)), (ts(2), Array(1e13f, 1.0f)))
+    val df = (day1 ++ day2).toDF("ts", "embedding")
+    SimilarityOps.writeCentroidTranche(day1.toDF("ts", "embedding"),
+      "embedding", "ts", dir, "t1")
+    SimilarityOps.writeCentroidTranche(day2.toDF("ts", "embedding"),
+      "embedding", "ts", dir, "t2")
+    val merged = graft.util.SumTranches.readMulti(
+      spark, dir, Seq("__d", "pos"), Seq("s", "c")).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        (Option(r.getDecimal(2)).map(_.toBigInteger.longValueExact()),
+          r.getLong(3))).toMap
+    assert(merged(("2024-03-02", 0)) == (Some(0L), 2L),
+      s"all-excluded group: ${merged(("2024-03-02", 0))}")
+    assert(merged(("2024-03-02", 1)) == (Some(1500000L), 2L))
+    assertSameRows(
+      SimilarityOps.centroidRollingFromIndex(spark, dir, windowDays = 1),
+      SimilarityOps.centroidRollingDrift(df, "embedding", "ts", windowDays = 1))
+  }
+
   test("documented THROW surfaces: ANSI fails loudly where legacy does not (the strict contract)") {
     // floatToInt repair op: a wild float means the column was never INT
     val wild = Seq[java.lang.Double](1.0, 9.9e15).toDF("c")
