@@ -120,7 +120,15 @@ object SumTranches {
     * (Count families are untouched: their components are non-null
     * counts bounded by total ingested rows.) A consolidation persists
     * the poisoned NULL — honest, since these components only grow in
-    * magnitude, so a breached total never un-breaches. */
+    * magnitude, so a breached total never un-breaches. Tranches
+    * written BEFORE the r19 writers' explicit-zero discipline can
+    * carry an empty-group NULL (an all-excluded ingest group); the
+    * merge reads those as breach verdicts too — a conservative NULL
+    * gauge row, never a wrong one; replaying the affected ingest TAG
+    * (tranches overwrite their own tag) rewrites it under the
+    * explicit-zero discipline and restores the component — while it
+    * is still live; once folded, the sanctioned artifact-regeneration
+    * reset applies (see [[transitiveFolded]]'s growth contract). */
   def readMulti(spark: SparkSession, dir: String,
                 keyCols: Seq[String], cntCols: Seq[String]): DataFrame = {
     require(cntCols.nonEmpty, "SumTranches.readMulti: need at least one count column")
