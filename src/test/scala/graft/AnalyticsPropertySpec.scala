@@ -467,6 +467,114 @@ class AnalyticsPropertySpec extends SparkSpec {
     }
   }
 
+  test("sigma family ≡ breach-aware BigInt replay at boundary magnitudes (grouped + rolling)") {
+    // The r19 long-sum regime, randomized: values just BELOW the
+    // DECIMAL(18,4) snap boundary (u ≈ ±9.9e17) drive group/window
+    // sums across the old long-wrap point (9.2e18) and the comparison
+    // products across the 38-digit envelope. The model replays the
+    // engine's EXACT degradation algebra: grouped S is D38-exact
+    // always; window S is a checked LONG sum (None past ±9.2e18 —
+    // boundary values are kept positive here so prefix ≡ final
+    // overflow and frame evaluation order is invisible); Q is a
+    // try_sum; every comparison product Nones out at |x| ≥ 10^38.
+    // Even trials are boundary-heavy (sums breach), odd trials sparse
+    // (real flags dominate) — both regimes every run.
+    val rnd = new scala.util.Random(9031)
+    val L = BigInt(10).pow(38)
+    val LMAX = BigInt(Long.MaxValue)
+    def tryMul(a: Option[BigInt], b: Option[BigInt]): Option[BigInt] =
+      for { x <- a; y <- b; p = x * y if p.abs < L } yield p
+    def trySub(a: Option[BigInt], b: Option[BigInt]): Option[BigInt] =
+      for { x <- a; y <- b; d = x - y if d.abs < L } yield d
+    def snapOpt(v: java.lang.Double): Option[BigInt] =
+      Option(v).filter(x => math.abs(x) < 1e14).map(x =>
+        BigInt(java.math.BigDecimal.valueOf(x)
+          .setScale(4, java.math.RoundingMode.HALF_UP)
+          .movePointRight(4).toBigIntegerExact))
+    def verdict(n: BigInt, sOpt: Option[BigInt], qOpt: Option[BigInt],
+                u: Option[BigInt], k: Int): Option[Boolean] = {
+      val rhs = tryMul(Some(BigInt(k.toLong * k)),
+        trySub(tryMul(Some(n), qOpt), tryMul(sOpt, sOpt)))
+      for {
+        uu <- u
+        dev <- trySub(tryMul(Some(n), Some(uu)), sOpt)
+        l <- tryMul(Some(dev), Some(dev))
+        r <- rhs
+      } yield l > r
+    }
+    var breachVerdicts = 0   // NULL from a product/sum breach (u snappable)
+    var realVerdicts = 0     // computed booleans
+    var wrappedWindows = 0   // window S past the long envelope
+    (1 to TRIALS).foreach { trial =>
+      val k = 1 + trial % 3
+      val pBoundary = if (trial % 2 == 0) 7 else 1 // in 9
+      val rows: Seq[(String, Long, java.lang.Double)] = (0 until 40).map { i =>
+        val v: java.lang.Double = rnd.nextInt(9) match {
+          case 0 => null
+          case 1 => if (rnd.nextBoolean()) 9.9e15 else -9.9e15 // excluded
+          case c if c - 2 < pBoundary =>                        // boundary
+            (90000 + rnd.nextInt(9900)).toDouble * 1e9
+          case _ => math.rint((rnd.nextGaussian() * 50 + 100) * 1000) / 1000
+        }
+        (s"g${rnd.nextInt(2)}", i.toLong, v)
+      }
+      // grouped: S exact (D38), Q try_sum, products try_
+      val stats = rows.groupBy(_._1).map { case (g, rs) =>
+        val us = rs.flatMap(r => snapOpt(r._3))
+        val q = us.map(u => u * u).sum
+        g -> (BigInt(us.size), Some(us.sum),
+          Some(q).filter(_.abs < L))
+      }
+      val expectG = rows.map { case (g, id, v) =>
+        val (n, s, q) = stats(g)
+        id -> verdict(n, s, q, snapOpt(v), k)
+      }.toMap
+      val gotG = graft.analytics.AnomalyOps.sigmaFlags(
+          rows.toDF("grp", "id", "value"), "grp", "value", k = k)
+        .collect().map(r => r.getLong(1) ->
+          Option(r.getAs[java.lang.Boolean]("is_anomaly")).map(_.booleanValue()))
+        .toMap
+      assert(gotG == expectG, s"grouped trial $trial k=$k")
+      rows.foreach { case (g, id, v) =>
+        if (snapOpt(v).nonEmpty)
+          expectG(id) match {
+            case None    => breachVerdicts += 1
+            case Some(_) => realVerdicts += 1
+          }
+      }
+      // rolling: window S checked-LONG (None past the long envelope);
+      // frames are long enough that boundary-dense trials push window
+      // sums past 9.2e18 (the coverage asserts below prove it)
+      val n = 14 + trial % 5
+      val expectR = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(_._2)
+        ordered.indices.map { i =>
+          val win = ordered.slice(math.max(0, i - n), i)
+          val us = win.flatMap(r => snapOpt(r._3))
+          val cn = BigInt(us.size)
+          val sOpt = Some(us.sum).filter(_.abs <= LMAX)
+          if (sOpt.isEmpty) wrappedWindows += 1
+          val qOpt = Some(us.map(u => u * u).sum).filter(_.abs < L)
+          val flag: Option[Boolean] =
+            if (cn < 2) Some(false)
+            else verdict(cn, sOpt, qOpt, snapOpt(ordered(i)._3), k)
+          ordered(i)._2 -> flag
+        }
+      }
+      val gotR = graft.analytics.AnomalyOps.rollingSigmaFlags(
+          rows.toDF("grp", "t", "value"), "grp", "t", "value", nRows = n, k = k)
+        .collect().map(r => r.getLong(1) ->
+          Option(r.getAs[java.lang.Boolean]("is_anomaly")).map(_.booleanValue()))
+        .toMap
+      assert(gotR == expectR, s"rolling trial $trial n=$n k=$k")
+    }
+    // the generator must actually reach both regimes, or the
+    // differential is vacuous
+    assert(breachVerdicts > 0, "no breach-caused NULL verdict generated")
+    assert(realVerdicts > 0, "no computed verdict generated")
+    assert(wrappedWindows > 0, "no window crossed the long envelope")
+  }
+
   test("resampleFill ≡ driver LOCF replay: last-wins buckets, per-key grids, fill flags") {
     val rnd = new scala.util.Random(8016)
     (1 to TRIALS).foreach { trial =>
