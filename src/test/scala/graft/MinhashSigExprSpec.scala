@@ -38,7 +38,14 @@ class MinhashSigExprSpec extends SparkSpec {
         // keeps the empty tokens that Java String.split drops — the
         // fused kernel must match Spark, not Java
         "one two\n", "a b\t", "\nx y", "\t tab wrapped \n",
-        "crawl text ends here\n\n").toDF("text"))
+        "crawl text ends here\n\n",
+        // astral plane / CJK / RTL / combining marks: the fused
+        // kernels walk UTF8String bytes while the composable forms go
+        // through Java regex over code points — surrogate-pair
+        // handling must agree (r19 unicode-hardening pass)
+        "\uD83D\uDE00 smile \uD83C\uDF89", "ok\uD83D\uDE00ok x", "\uD83C\uDF89\uD83C\uDF89\uD83C\uDF89",
+        "\u65E5\u672C\u8A9E \u30C6\u30B9\u30C8 words", "\u05E2\u05D1\u05E8\u05D9\u05EA test",
+        "e\u0301 combining e\u0301", "\uD835\uDD18\uD835\uDD2B\uD835\uDD26 code points").toDF("text"))
     for (n <- Seq(2, 3, 5)) {
       val both = docs.select(
         DedupOps.wordShingles(col("text"), n).as("fused"),
@@ -55,7 +62,9 @@ class MinhashSigExprSpec extends SparkSpec {
   test("fused simhash == composable HOF form on both tiers") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("text")).unionByName(Seq(
-        "", "one", "a b a", "one two\n", "a b\t", "\nx y").toDF("text"))
+        "", "one", "a b a", "one two\n", "a b\t", "\nx y",
+        "\uD83D\uDE00 smile \uD83C\uDF89", "\u65E5\u672C\u8A9E \u30C6\u30B9\u30C8", "e\u0301 x e\u0301",
+        "ok\uD83D\uDE00ok \uD835\uDD18\uD835\uDD2B").toDF("text"))
     for (portable <- Seq(true, false); bits <- Seq(16, 60)) {
       val both = docs.select(
         DedupOps.simhash(col("text"), bits, portable).as("fused"),
@@ -70,7 +79,9 @@ class MinhashSigExprSpec extends SparkSpec {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("text")).unionByName(Seq(
         "", " ", "the cat\n", "und der\t", "\nle mot",
-        "the end of the line\n\n").toDF("text"))
+        "the end of the line\n\n",
+        "the \uD83D\uDE00 cat \uD83C\uDF89!", "\u65E5\u672C\u8A9E the \u30C6\u30B9\u30C8",
+        "e\u0301 the e\u0301", "ok\uD83D\uDE00ok").toDF("text"))
     val both = docs.select(
       graft.functions.TextCountsExpr.textCounts(col("text")).as("tc"),
       size(TextOps.words(col("text"))).as("c_words"),
