@@ -369,6 +369,25 @@ class AnsiModeMatrixSpec extends SparkSpec {
         Option(r.getAs[java.lang.Boolean](1))).toMap)
     assert(byGrp("g").isEmpty, s"poisoned key got a verdict: $byGrp")
     assert(byGrp("h").contains(true), s"intact key lost its verdict: $byGrp")
+
+    // the OTHER breach path: every tranche in-envelope, the MERGE
+    // overflows 38 digits — the merge's own try_sum must degrade to
+    // NULL instead of throwing under ANSI (each 60-row tranche has
+    // q ≈ 5.9e37; two merge to ≈ 1.18e38)
+    val dir2 = tempDir("ansi-stats-xmerge")
+    val t60 = (0 until 60).map(_ => ("x", 9.9e13)).toDF("grp", "value")
+    AnomalyOps.writeStatsTranche(AnomalyOps.statsSketch(t60, "grp", "value"), dir2, "a")
+    val qOne = AnomalyOps.readStats(spark, dir2, "grp").collect()
+      .find(r => r.getString(1) == "q").get
+    assert(!qOne.isNullAt(2), "single in-envelope tranche read NULL")
+    AnomalyOps.writeStatsTranche(AnomalyOps.statsSketch(t60, "grp", "value"), dir2, "b")
+    def xmerge() = AnomalyOps.readStats(spark, dir2, "grp")
+    modeInvariant("cross-tranche merge breach")(xmerge())
+    val merged2 = underMode(true)(xmerge().collect())
+    assert(merged2.find(_.getString(1) == "q").get.isNullAt(2),
+      "cross-tranche Q breach did not degrade to NULL")
+    assert(BigInt(merged2.find(_.getString(1) == "s").get.getDecimal(2).toBigInteger)
+      == BigInt(120) * (BigInt(99000000000000L) * 10000), "merged S not exact")
   }
 
   test("weightedSample: Σw beyond the old long-wrap point — scale invariance holds, both modes") {
