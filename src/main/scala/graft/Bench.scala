@@ -255,6 +255,7 @@ object Bench {
     // host-speed canary at bench OPEN, before Spark exists (r15 verdict
     // #2): pure-JVM, so it measures the HOST, not the engine
     val canaryOpen = HostCanary.sec(sfDir)
+    Graft.coreTune()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -24,6 +24,7 @@ object DecontamStages {
     val work = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_decontam_stages").toString)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    Graft.coreTune()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

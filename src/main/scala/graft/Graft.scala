@@ -33,7 +33,34 @@ object Graft {
     spark
   }
 
-  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession =
+  /** Core (SparkConf-level) tuning that MUST be in place before the
+    * SparkContext exists — `spark.conf.set` rejects these at runtime.
+    * Every `main` in this package (and [[session]]) calls it before
+    * building its session; on an already-running context it is a
+    * harmless no-op for that context.
+    *
+    * r19 optimization: never use the bypass-merge shuffle writer.
+    * Thread-dump sampling of the bench (OPTIMIZATION_r19.md) showed
+    * non-combine exchanges (repartition/distinct map sides) dominated
+    * by DiskBlockObjectWriter.initialize + createTempShuffleBlock +
+    * mmap-merge: the bypass writer opens ONE FILE PER REDUCE PARTITION
+    * per map task (32×32 tiny creates/opens/merges per stage here), a
+    * uniform ~0.3–0.5 s floor on every map task of every such stage.
+    * Threshold 1 routes those stages to the serialized (Unsafe)
+    * writer: one spill file + one transferTo merge per task. Scale
+    * posture: production shuffle-partition counts exceed the default
+    * threshold (200) anyway, so bypass never engages there — this pins
+    * the same writer choice at every scale instead of flipping to the
+    * file-per-partition writer exactly when partitions are few.
+    * `GRAFT_BYPASS_MERGE` overrides (the A/B knob).
+    */
+  def coreTune(): Unit =
+    if (System.getProperty("spark.shuffle.sort.bypassMergeThreshold") == null)
+      System.setProperty("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("GRAFT_BYPASS_MERGE", "1"))
+
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    coreTune()
     tune(
       SparkSession.builder()
         .master(master)
@@ -42,6 +69,7 @@ object Graft {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate())
+  }
 }
 
 /** Loader for the driver-generated test tables (TESTDATA.md). */

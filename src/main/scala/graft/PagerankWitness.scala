@@ -35,6 +35,7 @@ object PagerankWitness {
                        minRank: Long, checksum: Long, sec: Double)
 
   def observe(tag: String, cpus: Int, sp: Int, sfDir: String): Obs = {
+    Graft.coreTune()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", sp)

@@ -29,6 +29,7 @@ object Scratch {
     // future host factors
     val canary = sys.env.get("GRAFT_SCRATCH_JSON")
       .map(_ => graft.HostCanary.sec(sfDir))
+    Graft.coreTune()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -64,6 +64,7 @@ object SuiteEffect {
       .map(_.split("=", 2)).collect { case Array(k, v) => (k, v) }
 
     def newSession(): SparkSession = {
+      Graft.coreTune()
       val b = SparkSession.builder().master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
