@@ -110,8 +110,12 @@ object GraphOps {
     // output is bounded by the symmetrized input, and small-star's
     // closing distinct dedupes — one shuffle per round saved.
     def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.select(col("src").as("u"), col("dst").as("v"))
-        .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      // symmetrize in ONE pass over the (cached) round frame: inline
+      // emits both orientations per edge row — the union-of-two-scans
+      // form read the frame twice per round (r19 optimization)
+      val sym = e.select(inline(array(
+        struct(col("src").as("u"), col("dst").as("v")),
+        struct(col("dst").as("u"), col("src").as("v")))))
       sym
         .withColumn("m", least(min("v").over(Window.partitionBy("u")), col("u")))
         .where(col("v") > col("u"))
@@ -125,8 +129,14 @@ object GraphOps {
       val oriented = e.select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       val withMin = oriented.withColumn("m", min("v").over(Window.partitionBy("u")))
-      withMin.select(col("v").as("src"), col("m").as("dst"))
-        .unionAll(withMin.select(col("u").as("src"), col("m").as("dst")))
+      // inline, not unionAll: the two arms of the old union EACH
+      // evaluated the `withMin` window subtree (exchange reuse does
+      // not cover post-shuffle operators), doubling every round's
+      // orient + window work — inline emits both output rows from ONE
+      // evaluation (r19 optimization)
+      withMin.select(inline(array(
+        struct(col("v").as("src"), col("m").as("dst")),
+        struct(col("u").as("src"), col("m").as("dst")))))
         .where(col("src") =!= col("dst"))
         .distinct()
     }
@@ -162,8 +172,9 @@ object GraphOps {
     // at the fixpoint every edge is (node → its component's min); the
     // roots themselves appear only on the dst side
     val fix = cur
-    (fix.select(col("src").as("node"), col("dst").as("component"))
-      .unionAll(fix.select(col("dst").as("node"), col("dst").as("component")))
+    (fix.select(inline(array(
+      struct(col("src").as("node"), col("dst").as("component")),
+      struct(col("dst").as("node"), col("dst").as("component")))))
       .distinct(),
       () => { fix.unpersist(blocking = false); () })
   }
@@ -633,8 +644,10 @@ object GraphOps {
       .repartition(col("src"))
       .dropDuplicates("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct()
+    // one cache scan, not two: explode((src, dst)) emits both endpoint
+    // roles per edge row in a single pass over the cached edge set
+    // (same multiset the src ∪ dst union produced; r19 optimization)
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (nodes.head(1).isEmpty) {
       e.unpersist(); nodes.unpersist()
@@ -642,12 +655,19 @@ object GraphOps {
     }
     var labelRdd = nodes.select(col("node"), col("node").as("label"))
       .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    labelRdd.count()
+    // stats-bearing DF view of the label state — same rationale as
+    // [[pageRankCore]]: a bare toDF over the RDD has no size estimate,
+    // so the per-round labels⋈edges planned SortMergeJoin (Exchange +
+    // Sort of the state every round); the materialized cache lets the
+    // planner pick a broadcast join when the state fits and fall back
+    // to the shuffled join when it doesn't. RDD backbone unchanged.
+    var labelDf = labelRdd.toDF("node", "label").persist(StorageLevel.MEMORY_AND_DISK)
+    labelDf.count()
     var ckptRoot: org.apache.spark.rdd.RDD[(Long, Long)] = null
     var itersRun = 0
     var fixed = false
     while (itersRun < iterations && !fixed) {
-      val labels = labelRdd.toDF("node", "label")
+      val labels = labelDf
       val votes = e
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
@@ -666,16 +686,19 @@ object GraphOps {
       itersRun += 1
       val isCkpt = itersRun % CheckpointEvery == 0
       if (isCkpt) next.localCheckpoint()
-      next.count()
+      val nextDf = next.toDF("node", "label").persist(StorageLevel.MEMORY_AND_DISK)
+      nextDf.count() // one job: materializes the RDD and its stats-bearing cache
       if (converge) {
         // 1-scalar changed-count checksum, exact integer comparison
-        val changed = next.toDF("node", "__nl")
+        val changed = nextDf.withColumnRenamed("label", "__nl")
           .join(labels, "node")
           .where(col("__nl") =!= col("label")).limit(1).count()
         if (changed == 0) fixed = true
       }
       val prev = labelRdd
       labelRdd = next
+      labelDf.unpersist(blocking = false)
+      labelDf = nextDf
       if (isCkpt) {
         if ((ckptRoot ne null) && (ckptRoot ne prev)) ckptRoot.unpersist()
         prev.unpersist()
@@ -685,6 +708,7 @@ object GraphOps {
     // RDD-severed from the edge/node plans — release their caches here;
     // the FINAL label state (and its checkpoint root, when distinct)
     // stays cached behind the returned frame and is released by handle
+    labelDf.unpersist(blocking = false)
     val out = labelRdd.toDF("node", "label")
     e.unpersist(); nodes.unpersist()
     val finalRdd = labelRdd
@@ -717,8 +741,10 @@ object GraphOps {
       .withColumn("__outdeg",
         count(lit(1)).over(Window.partitionBy("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct()
+    // one cache scan, not two: explode((src, dst)) emits both endpoint
+    // roles per edge row in a single pass over the cached edge set
+    // (same multiset the src ∪ dst union produced; r19 optimization)
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     if (n == 0) {
@@ -748,7 +774,21 @@ object GraphOps {
           .select(col("node"), coalesce(col("__pr"), lit(scale / n)).as("rank"))
     }
     var rankRdd = init.as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    rankRdd.count()
+    // STATS-BEARING state frame (r19 optimization): a bare
+    // `rankRdd.toDF` is a LogicalRDD whose size estimate is
+    // `defaultSizeInBytes` (effectively infinite), so every
+    // iteration's rank⋈edges planned as a SortMergeJoin — an Exchange
+    // + Sort of the state per round. Persisting the DF view and
+    // materializing it (the count below doubles as the cache build)
+    // gives the planner the MEASURED size: a node-state frame that
+    // fits the broadcast threshold joins as a codegen
+    // BroadcastHashJoin fused with the map-side partial sum, and one
+    // that doesn't (billions of nodes) keeps the shuffled join — the
+    // strategy stays size-adaptive at every scale (guide §3.1). The
+    // RDD stays the backbone: lineage severing, release handles, and
+    // the returned frame are unchanged.
+    var rankDf = rankRdd.toDF("node", "rank").persist(StorageLevel.MEMORY_AND_DISK)
+    rankDf.count()
     // persisting alone truncates RECOMPUTATION but not the serialized
     // dependency graph — task closures carry every prior iteration's
     // plan, and past ~40 iterations deserialization overflows the
@@ -761,7 +801,7 @@ object GraphOps {
     var itersRun = 0
     var converged = false
     while (itersRun < iterations && !converged) {
-      val rank = rankRdd.toDF("node", "rank")
+      val rank = rankDf
       val contrib = e
         .join(rank.withColumnRenamed("node", "src").withColumnRenamed("rank", "__r"), "src")
         .select(col("dst").as("node"), expr("__r div __outdeg").as("__c"))
@@ -774,10 +814,12 @@ object GraphOps {
       itersRun += 1
       val isCkpt = itersRun % CheckpointEvery == 0
       if (isCkpt) next.localCheckpoint()
-      next.count()
+      val nextDf = next.toDF("node", "rank").persist(StorageLevel.MEMORY_AND_DISK)
+      nextDf.count() // one job: materializes the RDD and its stats-bearing cache
       tol.foreach { t =>
-        // 1-scalar convergence checksum, exact integer movement
-        val delta = next.toDF("node", "rank")
+        // 1-scalar convergence checksum, exact integer movement (both
+        // sides read their caches — no recompute)
+        val delta = nextDf
           .join(rank.withColumnRenamed("rank", "__prev"), "node")
           .agg(coalesce(sum(abs(col("rank") - col("__prev"))), lit(0L)).as("d"))
           .head().getLong(0)
@@ -786,6 +828,8 @@ object GraphOps {
       // release everything but the new state and the active root
       val prev = rankRdd
       rankRdd = next
+      rankDf.unpersist(blocking = false)
+      rankDf = nextDf
       if (isCkpt) {
         // next is checkpointed (owns its blocks): both the old root and
         // the previous generation are now releasable
@@ -795,7 +839,9 @@ object GraphOps {
       } else if (prev ne ckptRoot) prev.unpersist()
     }
     // the final state is RDD-severed from the edge/node plans — their
-    // caches are released here, not left to the session
+    // caches are released here, not left to the session (the loop's
+    // stats-bearing DF cache too: it only served iteration planning)
+    rankDf.unpersist(blocking = false)
     val out = rankRdd.toDF("node", "rank")
     e.unpersist(); nodes.unpersist()
     // release handle for artifact-writing callers: frees the final
@@ -920,12 +966,20 @@ object GraphOps {
     val capped = cappedMembers(df, groupCol, itemCol, maxPerGroup)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      graft.util.SumTranches.write(pairsOf(capped), s"$dir/pairs", tag)
-      graft.util.SumTranches.write(
-        capped.groupBy(col("__i").as("item")).agg(count(lit(1)).as("n_i")),
-        s"$dir/margins", tag)
-      graft.util.SumTranches.write(
-        capped.agg(count_distinct(col("__g")).as("n_g")), s"$dir/totals", tag)
+      // the three tranche families are independent projections of the
+      // SAME cached membership — overlap their write jobs on driver
+      // threads (r19 optimization, [[graft.util.Par]]; RDD block locks
+      // make the concurrent first-touch cache build compute each
+      // partition once). Crash contract unchanged: each family is
+      // self-consistent per tag, and a partially-written wave is
+      // healed by the same-tag retry exactly as before.
+      graft.util.Par.jobs(
+        () => graft.util.SumTranches.write(pairsOf(capped), s"$dir/pairs", tag),
+        () => graft.util.SumTranches.write(
+          capped.groupBy(col("__i").as("item")).agg(count(lit(1)).as("n_i")),
+          s"$dir/margins", tag),
+        () => graft.util.SumTranches.write(
+          capped.agg(count_distinct(col("__g")).as("n_g")), s"$dir/totals", tag))
     } finally capped.unpersist()
   }
 
@@ -959,12 +1013,18 @@ object GraphOps {
   /** Fold each of the three tranche families to one tranche
     * (crash-safe superseding-manifest protocol —
     * [[graft.util.SumTranches.consolidate]]). */
-  def consolidateCooc(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    graft.util.SumTranches.consolidate(spark, s"$dir/pairs",
-      Seq("item_a", "item_b"), "n_groups")
-    graft.util.SumTranches.consolidate(spark, s"$dir/margins", Seq("item"), "n_i")
-    graft.util.SumTranches.consolidate(spark, s"$dir/totals", Seq.empty, "n_g")
-  }
+  def consolidateCooc(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    // the three families fold independently (disjoint dirs, per-family
+    // manifest protocol) — overlap the fold jobs on driver threads
+    // (r19 optimization, [[graft.util.Par]]); a crash leaves each
+    // family self-consistent exactly as the sequential form did
+    graft.util.Par.jobs(
+      () => graft.util.SumTranches.consolidate(spark, s"$dir/pairs",
+        Seq("item_a", "item_b"), "n_groups"),
+      () => graft.util.SumTranches.consolidate(spark, s"$dir/margins",
+        Seq("item"), "n_i"),
+      () => graft.util.SumTranches.consolidate(spark, s"$dir/totals",
+        Seq.empty, "n_g"))
 
   /** Count-triggered auto-fold for the three co-occurrence families
     * ([[graft.util.SumTranches.maybeConsolidate]] semantics): each

@@ -443,6 +443,17 @@ object LlmQueries {
   /** Engine side of the supplier↔customer trade graph shared by the
     * LPA queries (symmetrized; `custFilter` keeps only customers with
     * `o_custkey % m = 0` — the sparser convergence-query slice). */
+  /** Both orientations of each edge in ONE pass over the derivation:
+    * the `sc.unionAll(sc.reversed)` form evaluated the lineitem⋈orders
+    * subtree once per union arm — two full scans + joins per query for
+    * what is a per-row row-doubling (r19 optimization, guide §2.4:
+    * remove redundant passes). Same output multiset; every consumer
+    * dedups or repartitions downstream. */
+  private def symmetrize(sc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sc.select(inline(array(
+      struct(col("src"), col("dst")),
+      struct(col("dst").as("src"), col("src").as("dst")))))
+
   private def lpaTradeEdges(s: org.apache.spark.sql.SparkSession, dir: String,
                             custFilter: Option[Int] = None)
   : org.apache.spark.sql.DataFrame = {
@@ -452,7 +463,7 @@ object LlmQueries {
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").cast(LongType).as("src"),
         (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
-    sc.unionAll(sc.select(col("dst").as("src"), col("src").as("dst")))
+    symmetrize(sc)
   }
 
   /** Round count the converged-LPA run actually took — feeds the
@@ -2571,7 +2582,7 @@ object LlmQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").cast(LongType).as("src"),
           (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
-      GraphOps.pageRank(sc.unionAll(sc.select(col("dst").as("src"), col("src").as("dst"))),
+      GraphOps.pageRank(symmetrize(sc),
         "src", "dst", iterations = 6)
         .withColumnRenamed("rank", "rank_ppb")
     },
@@ -2636,7 +2647,7 @@ object LlmQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").cast(LongType).as("src"),
           (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
-      val edges = sc.unionAll(sc.select(col("dst").as("src"), col("src").as("dst")))
+      val edges = symmetrize(sc)
       val values = Tables(s, dir, "supplier")
         .select(col("s_suppkey").cast(LongType).as("node"), col("s_acctbal").as("val"))
         .unionAll(Tables(s, dir, "customer")
@@ -2679,7 +2690,7 @@ object LlmQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").cast(LongType).as("src"),
           (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
-      val edges = sc.unionAll(sc.select(col("dst").as("src"), col("src").as("dst")))
+      val edges = symmetrize(sc)
       val values = Tables(s, dir, "supplier")
         .select(col("s_suppkey").cast(LongType).as("node"), col("s_acctbal").as("val"))
         .unionAll(Tables(s, dir, "customer")
@@ -2722,7 +2733,7 @@ object LlmQueries {
         .where(col("o_custkey") % 17 === 0)
         .select(col("l_suppkey").cast(LongType).as("src"),
           (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
-      val edges = sc.unionAll(sc.select(col("dst").as("src"), col("src").as("dst")))
+      val edges = symmetrize(sc)
       val values = Tables(s, dir, "supplier")
         .select(col("s_suppkey").cast(LongType).as("node"), col("s_acctbal").as("val"))
         .unionAll(Tables(s, dir, "customer")
@@ -2745,7 +2756,7 @@ object LlmQueries {
         .select(col("l_suppkey").cast(LongType).as("src"),
           (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
       GraphOps.pageRankPersonalized(
-        sc.unionAll(sc.select(col("dst").as("src"), col("src").as("dst"))),
+        symmetrize(sc),
         "src", "dst", seeds = Seq(1L, 2L, 3L), iterations = 6)
         .withColumnRenamed("rank", "rank_ppb")
     },
@@ -2769,7 +2780,7 @@ object LlmQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").cast(LongType).as("src"),
           (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
-      val edges = sc.unionAll(sc.select(col("dst").as("src"), col("src").as("dst")))
+      val edges = symmetrize(sc)
       val priorDir = graft.util.Scratch.path("pagerank_prior", dir)
       // birth the prior ONCE (pid-scoped scratch: always fresh per
       // process, so a regenerated fixture can never leak a stale
@@ -3127,8 +3138,9 @@ object LlmQueries {
       val idx = graft.util.Scratch.path("dayhll_idx", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
       val half = pmod(xxhash64(lit("dhll"), col("event_id")), lit(2))
-      Sketches.writeDayHllTranche(ev.where(half === 0), "user_id", "ts", idx, "t0")
-      Sketches.writeDayHllTranche(ev.where(half === 1), "user_id", "ts", idx, "t1")
+      graft.util.Par.jobs( // independent tranches (r19, Par)
+        () => Sketches.writeDayHllTranche(ev.where(half === 0), "user_id", "ts", idx, "t0"),
+        () => Sketches.writeDayHllTranche(ev.where(half === 1), "user_id", "ts", idx, "t1"))
       Sketches.consolidateDayHll(s, idx)
       Sketches.hllRollingFromIndex(s, idx, windowDays = 7)
     },
@@ -3197,10 +3209,11 @@ object LlmQueries {
       val li = Tables(s, dir, "lineitem")
       val cDir = graft.util.Scratch.path("cooc_index", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cDir))
-      GraphOps.writeCoocTranche(li.where(col("l_orderkey") % 3 === 0),
-        "l_orderkey", "l_partkey", cDir, tag = "d0", maxPerGroup = 8)
-      GraphOps.writeCoocTranche(li.where(col("l_orderkey") % 3 === 1),
-        "l_orderkey", "l_partkey", cDir, tag = "d1", maxPerGroup = 8)
+      graft.util.Par.jobs( // independent tranches (r19, Par)
+        () => GraphOps.writeCoocTranche(li.where(col("l_orderkey") % 3 === 0),
+          "l_orderkey", "l_partkey", cDir, tag = "d0", maxPerGroup = 8),
+        () => GraphOps.writeCoocTranche(li.where(col("l_orderkey") % 3 === 1),
+          "l_orderkey", "l_partkey", cDir, tag = "d1", maxPerGroup = 8))
       GraphOps.consolidateCooc(s, cDir)   // fold d0+d1, then append d2
       GraphOps.writeCoocTranche(li.where(col("l_orderkey") % 3 === 2),
         "l_orderkey", "l_partkey", cDir, tag = "d2", maxPerGroup = 8)
@@ -3236,12 +3249,15 @@ object LlmQueries {
       val docs = Tables(s, dir, "documents")
       val hDir = graft.util.Scratch.path("hist_tranches", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(hDir))
-      HistSketch.writeHistTranche(
-        HistSketch.histSketch(docs.where(col("doc_id") % 3 === 0), "n_chars"),
-        hDir, tag = "d0")
-      HistSketch.writeHistTranche(
-        HistSketch.histSketch(docs.where(col("doc_id") % 3 === 1), "n_chars"),
-        hDir, tag = "d1")
+      // d0/d1 are independent tranches (disjoint batch= dirs) —
+      // overlapped on driver threads (r19, [[graft.util.Par]])
+      graft.util.Par.jobs(
+        () => HistSketch.writeHistTranche(
+          HistSketch.histSketch(docs.where(col("doc_id") % 3 === 0), "n_chars"),
+          hDir, tag = "d0"),
+        () => HistSketch.writeHistTranche(
+          HistSketch.histSketch(docs.where(col("doc_id") % 3 === 1), "n_chars"),
+          hDir, tag = "d1"))
       HistSketch.consolidateHist(s, hDir)   // fold d0+d1, then append d2
       HistSketch.writeHistTranche(
         HistSketch.histSketch(docs.where(col("doc_id") % 3 === 2), "n_chars"),
@@ -3279,12 +3295,13 @@ object LlmQueries {
       val docs = Tables(s, dir, "documents")
       val hDir = graft.util.Scratch.path("hist_bucketize", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(hDir))
-      HistSketch.writeHistTranche(
-        HistSketch.histSketch(docs.where(col("doc_id") % 2 === 0), "n_chars"),
-        hDir, tag = "d0")
-      HistSketch.writeHistTranche(
-        HistSketch.histSketch(docs.where(col("doc_id") % 2 === 1), "n_chars"),
-        hDir, tag = "d1")
+      graft.util.Par.jobs( // independent tranches (r19, Par)
+        () => HistSketch.writeHistTranche(
+          HistSketch.histSketch(docs.where(col("doc_id") % 2 === 0), "n_chars"),
+          hDir, tag = "d0"),
+        () => HistSketch.writeHistTranche(
+          HistSketch.histSketch(docs.where(col("doc_id") % 2 === 1), "n_chars"),
+          hDir, tag = "d1"))
       HistSketch.histBucketize(docs.select("doc_id", "n_chars"), "n_chars",
         HistSketch.readHist(s, hDir), Seq(0.5, 0.9))
     },
@@ -3364,12 +3381,13 @@ object LlmQueries {
       val en = docs.where(col("lang") === "en")
       val hDir = graft.util.Scratch.path("psi_drift", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(hDir))
-      HistSketch.writeHistTranche(
-        HistSketch.histSketch(en.where(col("doc_id") % 2 === 0), "n_chars"),
-        hDir, tag = "d0")
-      HistSketch.writeHistTranche(
-        HistSketch.histSketch(en.where(col("doc_id") % 2 === 1), "n_chars"),
-        hDir, tag = "d1")
+      graft.util.Par.jobs( // independent tranches (r19, Par)
+        () => HistSketch.writeHistTranche(
+          HistSketch.histSketch(en.where(col("doc_id") % 2 === 0), "n_chars"),
+          hDir, tag = "d0"),
+        () => HistSketch.writeHistTranche(
+          HistSketch.histSketch(en.where(col("doc_id") % 2 === 1), "n_chars"),
+          hDir, tag = "d1"))
       HistSketch.histDriftPsi(
         HistSketch.readHist(s, hDir),
         HistSketch.histSketch(docs.where(col("lang") =!= "en"), "n_chars"))
@@ -3545,8 +3563,9 @@ object LlmQueries {
       val idx = graft.util.Scratch.path("dayhist_idx", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
       val half = pmod(xxhash64(lit("dh"), col("event_id")), lit(2))
-      HistSketch.writeDayHistTranche(ev.where(half === 0), "value", "ts", idx, "t0")
-      HistSketch.writeDayHistTranche(ev.where(half === 1), "value", "ts", idx, "t1")
+      graft.util.Par.jobs( // independent tranches (r19, Par)
+        () => HistSketch.writeDayHistTranche(ev.where(half === 0), "value", "ts", idx, "t0"),
+        () => HistSketch.writeDayHistTranche(ev.where(half === 1), "value", "ts", idx, "t1"))
       graft.util.SumTranches.maybeConsolidate(s, idx,
         Seq("__d", "bucket"), "cnt", maxLive = 1)
       HistSketch.histRollingPsiFromIndex(s, idx, windowDays = 7)
@@ -4457,12 +4476,13 @@ object LlmQueries {
       val li = Tables(s, dir, "lineitem")
       val cmDir = graft.util.Scratch.path("cm_counts", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cmDir))
-      CountMin.writeCmTranche(
-        CountMin.cmSketch(li.where(col("l_orderkey") % 2 === 0), "l_partkey"),
-        cmDir, tag = "d0")
-      CountMin.writeCmTranche(
-        CountMin.cmSketch(li.where(col("l_orderkey") % 2 === 1), "l_partkey"),
-        cmDir, tag = "d1")
+      graft.util.Par.jobs( // independent tranches (r19, Par)
+        () => CountMin.writeCmTranche(
+          CountMin.cmSketch(li.where(col("l_orderkey") % 2 === 0), "l_partkey"),
+          cmDir, tag = "d0"),
+        () => CountMin.writeCmTranche(
+          CountMin.cmSketch(li.where(col("l_orderkey") % 2 === 1), "l_partkey"),
+          cmDir, tag = "d1"))
       CountMin.cmLookup(CountMin.readCm(s, cmDir),
           li.where(col("l_partkey") <= 50), "l_partkey")
         .join(li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_exact")),
