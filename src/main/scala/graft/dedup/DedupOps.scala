@@ -650,26 +650,40 @@ object DedupOps {
       // fails loudly on read instead
       writeSmallFile(spark, s"$root/_graft_meta",
         metaString(DedupIndexMeta(shingleN, portable, sigK, sigBands)))
-      hashedShingleRows(corpus, idCol, textCol, shingleN, portable)
-        .write.mode("overwrite").parquet(s"$root/sh/batch=build")
-      // df = per-shingle occurrence counts, derived by READING BACK the
-      // just-written sh tranche (not by re-evaluating the corpus plan):
-      // the artifact the daily prune trusts must count exactly the rows
-      // at rest. Map-side-combinable groupBy over a batch-sized tranche.
-      spark.read.parquet(s"$root/sh/batch=build")
-        .groupBy("sh").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$root/df/batch=build")
-      fingerprintRows(corpus, textCol)
-        .write.mode("overwrite").parquet(s"$root/fp/batch=build")
-      signatureRows(corpus, idCol, textCol, shingleN, sigK, portable)
-        .write.mode("overwrite").parquet(s"$root/sig/batch=build")
-      // bf = per-(band, key) bucket sizes of the sig tranche at rest —
-      // the approximate tier's hot-bucket prune input (df's sig twin)
-      spark.read.parquet(s"$root/sig/batch=build")
-        .select(posexplode(bandKeys(col("sig"), sigBands, sigK / sigBands))
-          .as(Seq("band", "key")))
-        .groupBy("band", "key").agg(count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(s"$root/bf/batch=build")
+      // three INDEPENDENT artifact chains overlapped on driver threads
+      // (r19 optimization, [[graft.util.Par]]): (sh → df), (fp),
+      // (sig → bf) share no intermediate — each derived count reads
+      // back ITS OWN just-written row tranche, never a sibling. Crash
+      // contract unchanged: the swap paths publish all-or-nothing, and
+      // a direct first-ever build that dies mid-wave leaves a partial
+      // dir that fails loudly on read (meta exists, artifacts missing
+      // or uncommitted) whichever chain died first.
+      graft.util.Par.jobs(
+        () => {
+          hashedShingleRows(corpus, idCol, textCol, shingleN, portable)
+            .write.mode("overwrite").parquet(s"$root/sh/batch=build")
+          // df = per-shingle occurrence counts, derived by READING BACK
+          // the just-written sh tranche (not by re-evaluating the corpus
+          // plan): the artifact the daily prune trusts must count
+          // exactly the rows at rest. Map-side-combinable groupBy over
+          // a batch-sized tranche.
+          spark.read.parquet(s"$root/sh/batch=build")
+            .groupBy("sh").agg(count(lit(1)).as("df"))
+            .write.mode("overwrite").parquet(s"$root/df/batch=build")
+        },
+        () => fingerprintRows(corpus, textCol)
+          .write.mode("overwrite").parquet(s"$root/fp/batch=build"),
+        () => {
+          signatureRows(corpus, idCol, textCol, shingleN, sigK, portable)
+            .write.mode("overwrite").parquet(s"$root/sig/batch=build")
+          // bf = per-(band, key) bucket sizes of the sig tranche at rest
+          // — the approximate tier's hot-bucket prune input (df's sig twin)
+          spark.read.parquet(s"$root/sig/batch=build")
+            .select(posexplode(bandKeys(col("sig"), sigBands, sigK / sigBands))
+              .as(Seq("band", "key")))
+            .groupBy("band", "key").agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$root/bf/batch=build")
+        })
       // a fresh build also resets the absorbed-tag ledger: the whole-dir
       // swap drops any previous _graft_absorbed with the old tranches
     }
@@ -736,34 +750,47 @@ object DedupOps {
         .join(spark.read.parquet(s"$dir/fp").select("fp"), Seq("fp"), "left_anti")
         .count())) return
     val frozen = newRows.localCheckpoint(true)
-    hashedShingleRows(frozen, idCol, textCol, shingleN, portable)
-      .write.mode("overwrite").parquet(s"$dir/sh/batch=$tag")
-    // a legacy (pre-sig) index has no sig artifact; appending one would
-    // cover only post-migration tranches — the approx tier needs a
-    // writeDedupIndex rebuild to exist at all
-    readDedupIndexMeta(spark, dir).foreach { m =>
-      if (pathExists(spark, s"$dir/sig")) {
-        signatureRows(frozen, idCol, textCol, shingleN, m.sigK, portable)
-          .write.mode("overwrite").parquet(s"$dir/sig/batch=$tag")
-        if (pathExists(spark, s"$dir/bf"))
-          spark.read.parquet(s"$dir/sig/batch=$tag")
-            .select(posexplode(bandKeys(col("sig"), m.sigBands, m.sigK / m.sigBands))
-              .as(Seq("band", "key")))
-            .groupBy("band", "key").agg(count(lit(1)).as("n"))
-            .write.mode("overwrite").parquet(s"$dir/bf/batch=$tag")
-      }
-    }
-    // df tranche from the written sh tranche (read-back, like the
-    // build: counts must equal the at-rest rows exactly); a legacy
-    // pre-df index skips it — consolidateDedupIndex is its migration.
-    // Written BEFORE fp so the fp commit witness covers it: a crash in
-    // between leaves the prune slightly conservative (undercounted
-    // combined counts → fewer pruned shingles) until the documented
-    // same-tag retry overwrites both.
-    if (pathExists(spark, s"$dir/df"))
-      spark.read.parquet(s"$dir/sh/batch=$tag")
-        .groupBy("sh").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$dir/df/batch=$tag")
+    // two independent row+count chains overlapped on driver threads
+    // (r19 optimization, [[graft.util.Par]]), then fp STRICTLY LAST —
+    // the ordering contracts all hold: shingles and signatures (and
+    // their derived df/bf counts, each read back from ITS OWN at-rest
+    // tranche) land before fingerprints, so the fp commit witness
+    // still covers every other artifact, and a crash anywhere in the
+    // wave leaves near-dup detection intact with only the cheap exact
+    // tier un-backed until the documented same-tag retry.
+    graft.util.Par.jobs(
+      () => {
+        hashedShingleRows(frozen, idCol, textCol, shingleN, portable)
+          .write.mode("overwrite").parquet(s"$dir/sh/batch=$tag")
+        // df tranche from the written sh tranche (read-back, like the
+        // build: counts must equal the at-rest rows exactly); a legacy
+        // pre-df index skips it — consolidateDedupIndex is its
+        // migration. Written BEFORE fp so the fp commit witness covers
+        // it: a crash in between leaves the prune slightly conservative
+        // (undercounted combined counts → fewer pruned shingles) until
+        // the documented same-tag retry overwrites both.
+        if (pathExists(spark, s"$dir/df"))
+          spark.read.parquet(s"$dir/sh/batch=$tag")
+            .groupBy("sh").agg(count(lit(1)).as("df"))
+            .write.mode("overwrite").parquet(s"$dir/df/batch=$tag")
+      },
+      () => {
+        // a legacy (pre-sig) index has no sig artifact; appending one
+        // would cover only post-migration tranches — the approx tier
+        // needs a writeDedupIndex rebuild to exist at all
+        readDedupIndexMeta(spark, dir).foreach { m =>
+          if (pathExists(spark, s"$dir/sig")) {
+            signatureRows(frozen, idCol, textCol, shingleN, m.sigK, portable)
+              .write.mode("overwrite").parquet(s"$dir/sig/batch=$tag")
+            if (pathExists(spark, s"$dir/bf"))
+              spark.read.parquet(s"$dir/sig/batch=$tag")
+                .select(posexplode(bandKeys(col("sig"), m.sigBands, m.sigK / m.sigBands))
+                  .as(Seq("band", "key")))
+                .groupBy("band", "key").agg(count(lit(1)).as("n"))
+                .write.mode("overwrite").parquet(s"$dir/bf/batch=$tag")
+          }
+        }
+      })
     fingerprintRows(frozen, textCol).write.mode("overwrite").parquet(s"$dir/fp/batch=$tag")
   }
 
@@ -931,30 +958,34 @@ object DedupOps {
       // double-append the ledger crash window let through is repaired
       // here too), and the migration path that retrofits the artifact
       // onto an index built before it existed.
-      if (pathExists(spark, s"$dir/sh")) {
-        def buildDf(root: String): Unit =
-          spark.read.parquet(s"$dir/sh").drop("batch")
-            .groupBy("sh").agg(count(lit(1)).as("df"))
-            .write.mode("overwrite").parquet(s"$root/batch=consolidated")
-        val dfDir = s"$dir/df"
-        if (pathExists(spark, dfDir)) graft.merge.Merge.atomicSwap(spark, dfDir)(buildDf)
-        else buildDf(dfDir)
-      }
-      // same protocol for bf, the sig tier's bucket-size artifact —
-      // regenerated (banding needs the frozen family from _graft_meta)
-      readDedupIndexMeta(spark, dir).foreach { m =>
-        if (pathExists(spark, s"$dir/sig")) {
-          def buildBf(root: String): Unit =
-            spark.read.parquet(s"$dir/sig").drop("batch")
-              .select(posexplode(bandKeys(col("sig"), m.sigBands, m.sigK / m.sigBands))
-                .as(Seq("band", "key")))
-              .groupBy("band", "key").agg(count(lit(1)).as("n"))
+      // df/bf regenerate from DIFFERENT just-consolidated row artifacts
+      // (sh and sig) into disjoint dirs — overlap the two rebuild jobs
+      // on driver threads (r19 optimization, [[graft.util.Par]])
+      graft.util.Par.jobs(
+        () => if (pathExists(spark, s"$dir/sh")) {
+          def buildDf(root: String): Unit =
+            spark.read.parquet(s"$dir/sh").drop("batch")
+              .groupBy("sh").agg(count(lit(1)).as("df"))
               .write.mode("overwrite").parquet(s"$root/batch=consolidated")
-          val bfDir = s"$dir/bf"
-          if (pathExists(spark, bfDir)) graft.merge.Merge.atomicSwap(spark, bfDir)(buildBf)
-          else buildBf(bfDir)
-        }
-      }
+          val dfDir = s"$dir/df"
+          if (pathExists(spark, dfDir)) graft.merge.Merge.atomicSwap(spark, dfDir)(buildDf)
+          else buildDf(dfDir)
+        },
+        // same protocol for bf, the sig tier's bucket-size artifact —
+        // regenerated (banding needs the frozen family from _graft_meta)
+        () => readDedupIndexMeta(spark, dir).foreach { m =>
+          if (pathExists(spark, s"$dir/sig")) {
+            def buildBf(root: String): Unit =
+              spark.read.parquet(s"$dir/sig").drop("batch")
+                .select(posexplode(bandKeys(col("sig"), m.sigBands, m.sigK / m.sigBands))
+                  .as(Seq("band", "key")))
+                .groupBy("band", "key").agg(count(lit(1)).as("n"))
+                .write.mode("overwrite").parquet(s"$root/batch=consolidated")
+            val bfDir = s"$dir/bf"
+            if (pathExists(spark, bfDir)) graft.merge.Merge.atomicSwap(spark, bfDir)(buildBf)
+            else buildBf(bfDir)
+          }
+        })
   }
 
   /** AUTO-consolidation tick for the dedup index — the
@@ -1036,7 +1067,15 @@ object DedupOps {
     // (visible in the stats gauge) until a marker-bearing rewrite.
     val committed = committedTranches(spark, s"$dir/$witness")
       .map(_.stripPrefix("batch=")).toSet + "build" + "consolidated"
-    for (artifact <- artifacts) {
+    // per-artifact rewrites touch disjoint subdirs and share only the
+    // pre-computed committed set — overlap them on driver threads (r19
+    // optimization, [[graft.util.Par]]). Crash contract unchanged: a
+    // crash mid-consolidation already left SOME artifacts folded and
+    // others not (tag sets diverge → countArtifactFresh routes probes
+    // to the exact window fallback until the next fold); an arbitrary
+    // completed subset instead of a loop prefix lands in the same
+    // documented state.
+    graft.util.Par.jobs(artifacts.map { artifact => () => {
       // no checkpoint needed: the single write action completes — fully
       // draining the read of the old tranches — BEFORE the renames
       // mutate anything (unlike the append path, where a second action
@@ -1070,7 +1109,7 @@ object DedupOps {
             false, conf)
         }
       }
-    }
+    }}: _*)
     // ledger last: a crash before this line leaves a replay window for
     // the just-absorbed tags, but the NEXT consolidation's distinct()
     // heals any double-append it allowed — the ledger is the fast path,
@@ -1233,7 +1272,11 @@ object DedupOps {
   private[graft] def artifactStats(spark: org.apache.spark.sql.SparkSession,
                                    dir: String, artifacts: Seq[String]): DataFrame = {
     import spark.implicits._
-    artifacts.map { a =>
+    // per-artifact count jobs are independent — overlap them on driver
+    // threads (r19 optimization, [[graft.util.Par]]): the gauge's cost
+    // is one wave of artifact scans instead of one job latency each
+    val out = new Array[(String, Long, Option[Long], Int)](artifacts.size)
+    graft.util.Par.jobs(artifacts.zipWithIndex.map { case (a, i) => () => {
       val df = spark.read.parquet(s"$dir/$a")
       val nTranches = hfs(spark, dir)
         .listStatus(new org.apache.hadoop.fs.Path(s"$dir/$a"))
@@ -1245,8 +1288,9 @@ object DedupOps {
           val r = df.agg(count(lit(1)), count_distinct(col("doc_id"))).head()
           (r.getLong(0), Some(r.getLong(1)))
         } else (df.count(), None)
-      (a, nRows, nDocs, nTranches)
-    }.toDF("artifact", "n_rows", "n_docs", "n_tranches")
+      out(i) = (a, nRows, nDocs, nTranches)
+    }}: _*)
+    out.toSeq.toDF("artifact", "n_rows", "n_docs", "n_tranches")
   }
 
   /** At-rest index HEALTH: one row per present artifact,

@@ -190,7 +190,17 @@ object RetrievalOps {
       .withColumn("bucket", termBucket(col("term"), nBuckets))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$root/postings/batch=$tag")
-    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // doclen from the written postings tranche, NOT a second tokenize
+    // pass over the corpus (r19 optimization): dl ≡ Σ_term tf — the
+    // identical value — and the read-back makes the artifact count
+    // exactly the rows at rest (the dedup index's df-from-sh idiom).
+    // One corpus scan + tokenize per tranche instead of two. Schema
+    // spelled explicitly: an EMPTY epoch's tranche has no parquet
+    // footers to infer from (streaming appends hit this), and the
+    // empty read must still produce a typed empty doclen tranche.
+    docs.sparkSession.read.schema("doc_id BIGINT, term STRING, tf BIGINT")
+      .parquet(s"$root/postings/batch=$tag")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .write.mode("overwrite").parquet(s"$root/doclen/batch=$tag")
   }
 
