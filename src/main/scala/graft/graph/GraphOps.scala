@@ -1182,8 +1182,18 @@ object GraphOps {
     // [[neighborhoodAgg]] (r18 verdict #1 — ANSI-overflow class)
     val v = values.select(col(nodeCol).cast(LongType).as("dst"),
       col(valueCol).try_cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("__v"))
-    // per-node 1-hop stat tranche (node-sized, the at-rest-index shape)
-    val one = e.join(v, "dst").groupBy(col("src"))
+    // per-node 1-hop stat tranche (node-sized, the at-rest-index shape).
+    // MATERIALIZED once (r19 optimization, the rolling gauges'
+    // Materialize.bounded idiom): the tranche feeds BOTH the 2-hop
+    // combine and the final full_outer join — as a lazy subtree it
+    // evaluated once per consumer unless AQE happened to reuse the
+    // exchange, and that reuse decision was measured FLAPPING the
+    // final plan shape run to run (41↔40 exchanges, the plan-gate
+    // flap retries could not absorb a per-JVM-sticky count). One
+    // node-sized checkpoint makes the plan deterministic and the
+    // tranche compute-once by construction.
+    val one = graft.util.Materialize.bounded(
+      e.join(v, "dst").groupBy(col("src"))
       // (38,2) summands here and below (r19 long-sum audit): exact for
       // any fan-out — the (22,2) default overflowed (ANSI-threw) at
       // Σ|v| > 10^20; walk COUNTS stay long (bounded by the operator's
@@ -1191,7 +1201,7 @@ object GraphOps {
       // stat tranches this op can build)
       .agg(count(lit(1)).as("__n1"),
         sum(col("__v").cast(org.apache.spark.sql.types.DecimalType(38, 2)))
-          .as("__s1"))
+          .as("__s1")))
     val oneM = one.select(col("src").as("__m"),
       col("__n1").as("__n1m"), col("__s1").as("__s1m"))
     // 2-hop walk totals by stat COMBINE — never the walk rows themselves
