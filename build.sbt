@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout RAW (r20, VERDICT r19 #2): sbt's
+// default LoggedOutput strategy prefixes every line with "[info] ",
+// which breaks the driver's JSON parse of Bench's one-line contract —
+// `parsed: null` in every round's BENCH_r*.json traces to exactly this.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

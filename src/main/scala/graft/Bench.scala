@@ -3,13 +3,18 @@ import org.apache.spark.sql.SparkSession
 import scala.jdk.CollectionConverters._
 
 /** Benchmark main. Prints per-query diagnostics to stderr and a
-  * bench-detail JSON file, then ONE compact JSON line to stdout as the
-  * driver contract. The driver captures only the LAST ~2000 chars of
-  * stdout: a full 90+-query map at 3 decimals is ~2.2 KB and arrives
-  * front-truncated (round 3's line did exactly that), so the final
-  * line holds as many queries as fit the window — sorted by descending
-  * cost, so the expensive ones the judge audits always survive — and
-  * the complete map lives in `bench_detail.json` + the line above.
+  * bench-detail JSON file, then ONE JSON line to stdout as the driver
+  * contract, carrying the COMPLETE per-query warm map (r19 verdict #1
+  * "what's wrong": five rounds of PERF had `per_query: {}` because the
+  * line truncated to the slowest ~17 with `"omitted":217` — and the
+  * real parse blocker was sbt's `[info] ` logger prefix on non-raw
+  * forked output, fixed in build.sbt via `run / outputStrategy :=
+  * StdoutOutput`; `parsed` was null in EVERY round r01–r19, including
+  * rounds whose final line was complete). The map is sorted by
+  * descending cost so a tail-windowed reader still sees the expensive
+  * queries first; the full detail lives in `bench_detail_c<cpus>.json`
+  * (per-cpus since r20 — the r19 8-core run clobbered the 32-core
+  * detail, losing the round's per-query baseline).
   */
 object Bench {
 
@@ -501,8 +506,29 @@ object Bench {
     // instead of re-deriving it. Capped at the 8 largest (each spawn
     // costs a JVM+session boot); the cap itself is published via the
     // adjudicated map's size vs the drift list printed to stderr.
-    val prior = priorWarms("bench_detail.json")
+    // prior warms must compare like with like: prefer the detail file
+    // of THIS cpu count (the driver also runs a low-core pass; r19's
+    // 8-core run overwrote the 32-core detail and the next 32-core
+    // bench would have adjudicated against 8-core warms)
+    val detailFile = s"bench_detail_c$cpus.json"
+    val priorPath =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(detailFile))) detailFile
+      else "bench_detail.json"
+    val prior = priorWarms(priorPath)
     val floors = settledFloors("floors.json")
+    // floors are settled at a specific core count (the `__cpus` stamp,
+    // written by Scratch since r20; absent = legacy floors, assumed
+    // 32). Adjudicating an 8-core warm against a 32-core floor
+    // manufactures false `regressed?`/LOOSE-FLOOR flags (r19 verdict
+    // "what's wrong" #6) — at a mismatched cpu count the floor
+    // branches are skipped and the cascade falls back to prior-warm.
+    val floorCpusOk = floors.getOrElse("__cpus", 32.0).toInt.toString == cpus
+    if (!floorCpusOk)
+      System.err.println(s"[bench] floors settled at cpus=" +
+        s"${floors.getOrElse("__cpus", 32.0).toInt} but running at $cpus — " +
+        "floor adjudication skipped this run")
+    def floorOf(n: String): Option[Double] =
+      if (floorCpusOk) floors.get(n) else None
     val drifted = coldOk.flatMap { case (n, c, _, _, _) =>
       val w = warmOf(n, c)
       prior.get(n).collect {
@@ -544,7 +570,7 @@ object Bench {
     val floorCanary = floors.get(HostCanary.FloorKey)
     val hostFactor = HostCanary.factor(canaryAdj, floorCanary)
     val hostRel = math.min(1.6, math.max(1.0,
-      hostFactor / math.max(1.0, priorHostFactor("bench_detail.json"))))
+      hostFactor / math.max(1.0, priorHostFactor(priorPath))))
     if (hostFactor > 1.001 || hostRel > 1.001)
       System.err.println(f"[bench] host canary: ${canaryAdj}%.3f s vs floor " +
         f"${floorCanary.getOrElse(-1.0)}%.3f -> factor $hostFactor%.3f (vs prior round $hostRel%.3f)")
@@ -565,7 +591,7 @@ object Bench {
         // floor). A second spawn only runs for would-be regressions, so
         // the common suite-noise path stays one spawn cheap.
         val iso =
-          if (driftVerdict(iso1, pw, floors.get(n), hostFactorN, hostRel,
+          if (driftVerdict(iso1, pw, floorOf(n), hostFactorN, hostRel,
             floorTolOf(floors, n)) != "regressed?") iso1
           else {
             val iso2 = isolatedSec(n, sfDir, cpus).getOrElse(-1.0)
@@ -573,7 +599,7 @@ object Bench {
               f"(${iso1}%.3f) — confirming spawn 2: ${iso2}%.3f")
             if (iso2 < 0) iso1 else math.min(iso1, iso2)
           }
-        val fl = floors.get(n)
+        val fl = floorOf(n)
         val verdict = driftVerdict(iso, pw, fl, hostFactorN, hostRel, floorTolOf(floors, n))
         System.err.println(f"[bench] drift $n: isolated ${iso}%.3f s, " +
           f"floor ${fl.getOrElse(-1.0)}%.3f — $verdict")
@@ -597,7 +623,7 @@ object Bench {
     val isoAll: Map[String, Double] = heavyIso ++ adjudicated.collect {
       case (k, (_, _, i, _, _)) if i >= 0 => k -> i }
     val looseFloors = isoAll.flatMap { case (n0, i) =>
-      floors.get(n0).collect { case f if f > i * 1.25 => (n0, f, i) }
+      floorOf(n0).collect { case f if f > i * 1.25 => (n0, f, i) }
     }.toSeq.sortBy(_._1)
     looseFloors.foreach { case (n0, f, i) =>
       System.err.println(f"[bench] LOOSE FLOOR $n0: floor ${f}%.3f > 1.25x " +
@@ -679,44 +705,32 @@ object Bench {
     val detail = detailEntries.mkString(
       s"""{"metric":"detail","sf":"$sfDir","cpus":$cpus,"gc_forced":$gcForced,"basis":"warm",$canaryJson$quickJson,"cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"robust_total":${r3(robustTotal)},"heavy_iso":$heavyJson,"loose_floors":$looseJson,"warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adjJson,"queries":{""",
       ",", "}}")
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-      detail.getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    // detail line first: if the window clips anything, it clips this
+    // write the detail BOTH to the legacy path (prior-warm fallback,
+    // judges' habit) and the per-cpus path (r19 verdict #1: the 8-core
+    // run clobbered the 32-core detail mid-round)
+    for (path <- Seq("bench_detail.json", detailFile))
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        detail.getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] detail write failed ($path): $e") }
+    // detail line first: if a tail window clips anything, it clips this
     println(detail)
-    // final contract line, guaranteed inside the 2000-char tail window:
-    // most-expensive (by warm cost) queries first, stop before the budget
+    // final contract line: the COMPLETE per-query warm map (r19 verdict
+    // #1 — the driver's PERF per_query/scaling blocks were empty for
+    // five rounds because this line held only the slowest ~17 with an
+    // "omitted" count; the 2000-char-tail concern it was guarding
+    // against never actually parsed a single round, the blocker being
+    // sbt's `[info] ` prefix, now fixed at the launcher level).
+    // Descending cost keeps the expensive queries visible to any
+    // tail-windowed reader; failures report -1, never a fast success.
     val byCost = results
       .map { case (k, v, ok, _, _) => (k, if (ok) warmOf(k, v) else -1.0, ok) }
       .sortBy { case (_, w, ok) => (if (ok) 0 else -1, -w) }
       .map { case (k, w, ok) => s""""$k":${if (ok) r3(w) else "-1"}""" }
-    // the driver's tail capture is 2000 chars; the final line must fit
-    // it COMPLETE (the detail line above is expendable — it also lives
-    // in bench_detail.json), so leave only closing-suffix headroom
-    val budget = 1900
     val regressedJson = regressed.map(q => s""""$q"""").mkString("[", ",", "]")
-    def headWith(adj: String) =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","basis":"warm","cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"robust_total":${r3(robustTotal)},"gc_sec":${r3(gcTotal)},"gc_forced":$gcForced,"failed":${failed.size},"regressed":$regressedJson,"host_factor":${r3(hostFactor)},"sf":"$sfDir","detail":"bench_detail.json","warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adj,"queries":{"""
-    // the HEAD counts against the budget too (r15 ADVICE #4): a
-    // verdict-heavy round (8 adjudicated entries ≈ 1 KB) could push
-    // the untrimmable head past the window and truncate the line's
-    // FRONT. Degrade adjJson in steps — full → verdict-labels-only →
-    // pointer at the detail file — until at least ~300 chars remain
-    // for the per-query tail; full detail always lives in
-    // bench_detail.json either way.
-    val adjShort = adjudicated.toSeq.sortBy(_._1).map { case (k, (_, _, _, _, v)) =>
-      s""""$k":"$v"""" }.mkString("{", ",", "}")
-    val head = Seq(adjJson, adjShort, "\"bench_detail.json\"")
-      .map(headWith).find(_.length <= budget - 300)
-      .getOrElse(headWith("\"bench_detail.json\""))
-    val sb = new StringBuilder(head)
-    var n = 0
-    for (e <- byCost if sb.length + e.length + 2 + 30 < budget) {
-      if (n > 0) sb += ','
-      sb ++= e; n += 1
-    }
-    sb ++= s"""},"n_queries":${results.size},"omitted":${results.size - n}}"""
-    println(sb.toString)
+    val head =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","basis":"warm","cold_total":${r3(coldTotal)},"warm_total":${r3(warmTotal)},"robust_total":${r3(robustTotal)},"gc_sec":${r3(gcTotal)},"gc_forced":$gcForced,"failed":${failed.size},"regressed":$regressedJson,"host_factor":${r3(hostFactor)},"sf":"$sfDir","detail":"$detailFile","warm_slowest":$rerunJson,"cold_over_warm":$ratioJson,"adjudicated":$adjJson,"queries":{"""
+    println(byCost.mkString(head, ",",
+      s"""},"n_queries":${results.size},"omitted":0}"""))
     spark.stop()
   }
 }

@@ -78,7 +78,13 @@ object Scratch {
       // settled in different host windows normalize independently; the
       // global key stays as the fallback for unstamped (pre-r17)
       // floors and keeps tracking the latest settle.
-      val n = writeFloors(path, floorsPayload(mins, canary))
+      // `__cpus` stamp (r20, r19 verdict "what's wrong" #6): floors are
+      // cpu-count-specific measurements; Bench skips floor adjudication
+      // when its $SPARK_GRAFT_CPUS differs from the settle cpus, instead
+      // of manufacturing false regressed?/LOOSE-FLOOR flags at 8 cores
+      // against 32-core floors.
+      val n = writeFloors(path,
+        floorsPayload(mins, canary) :+ ("__cpus" -> cpus.toDouble))
       println(s"[scratch] wrote $path ($n floors, ${mins.size} measured this run)")
     }
     spark.stop()

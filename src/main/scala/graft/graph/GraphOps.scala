@@ -687,13 +687,21 @@ object GraphOps {
       val isCkpt = itersRun % CheckpointEvery == 0
       if (isCkpt) next.localCheckpoint()
       val nextDf = next.toDF("node", "label").persist(StorageLevel.MEMORY_AND_DISK)
-      nextDf.count() // one job: materializes the RDD and its stats-bearing cache
       if (converge) {
-        // 1-scalar changed-count checksum, exact integer comparison
+        // FUSED materialize+probe (r20, r19 verdict #8): the round used
+        // to pay TWO jobs — a count() to build the stats-bearing cache,
+        // then a join-probe for the changed count. One full-scan
+        // aggregate does both: scanning nextDf populates its cache (and
+        // the backing RDD's), and the join against the prior cached
+        // state yields the same exact integer checksum the limit-probe
+        // read. Same comparison, same rounds, one job per round.
         val changed = nextDf.withColumnRenamed("label", "__nl")
           .join(labels, "node")
-          .where(col("__nl") =!= col("label")).limit(1).count()
+          .agg(count(when(col("__nl") =!= col("label"), lit(1))).as("c"))
+          .head().getLong(0)
         if (changed == 0) fixed = true
+      } else {
+        nextDf.count() // one job: materializes the RDD and its stats-bearing cache
       }
       val prev = labelRdd
       labelRdd = next
@@ -815,15 +823,21 @@ object GraphOps {
       val isCkpt = itersRun % CheckpointEvery == 0
       if (isCkpt) next.localCheckpoint()
       val nextDf = next.toDF("node", "rank").persist(StorageLevel.MEMORY_AND_DISK)
-      nextDf.count() // one job: materializes the RDD and its stats-bearing cache
-      tol.foreach { t =>
-        // 1-scalar convergence checksum, exact integer movement (both
-        // sides read their caches — no recompute)
-        val delta = nextDf
-          .join(rank.withColumnRenamed("rank", "__prev"), "node")
-          .agg(coalesce(sum(abs(col("rank") - col("__prev"))), lit(0L)).as("d"))
-          .head().getLong(0)
-        if (delta <= t) converged = true
+      tol match {
+        case Some(t) =>
+          // FUSED materialize+probe (r20, r19 verdict #8): one full-scan
+          // aggregate both populates the stats-bearing cache (scanning
+          // nextDf materializes it and the backing RDD) and computes the
+          // exact integer movement vs the prior cached state — the round
+          // pays ONE job instead of count()+probe. Same checksum, same
+          // stopping round.
+          val delta = nextDf
+            .join(rank.withColumnRenamed("rank", "__prev"), "node")
+            .agg(coalesce(sum(abs(col("rank") - col("__prev"))), lit(0L)).as("d"))
+            .head().getLong(0)
+          if (delta <= t) converged = true
+        case None =>
+          nextDf.count() // one job: materializes the RDD and its stats-bearing cache
       }
       // release everything but the new state and the active root
       val prev = rankRdd
@@ -1093,10 +1107,22 @@ object GraphOps {
                       portable: Boolean = false): DataFrame = {
     require(hops == 1 || hops == 2, s"neighborhoodAgg: hops=$hops not in {1, 2}")
     require(maxDegree >= 0, s"neighborhoodAgg: maxDegree=$maxDegree < 0")
-    val e = edges
+    val e0 = edges
       .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
+    // The 2-hop expansion consumes the distinct edge set THREE times
+    // (union arm, self-join probe side, cap-window input). Catalyst
+    // copies the subtree per consumer and exchange reuse does not
+    // reliably collapse them (r19 plan: three separate scan→join→
+    // distinct chains, 3× the edge-derivation work). Persisting `e`
+    // lets the CacheManager substitute ONE InMemoryRelation at every
+    // reference — computed once inside the single output action, freed
+    // by the session's normal cache lifecycle (`spark.catalog.
+    // clearCache()`; callers in long-lived sessions should clear when
+    // done). |E| storage is within the op's own cost model: the
+    // distinct pair multiset it shuffles is maxDegree×|E| rows.
+    val e = if (hops == 1) e0 else e0.persist()
     val nbr =
       if (hops == 1) e
       else {
